@@ -1,0 +1,108 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Readers
+
+/** End-to-end ETL orchestration (reference `etl/main.py` main flow), with
+  * the deliberate physical deltas of SURVEY §7.3:
+  *
+  *   - the flat frame is cached once and reused by every dim build, DQ
+  *     checkpoint and write (the reference recomputes the non-splittable CSV
+  *     parse dozens of times);
+  *   - each checkpoint is a single aggregation job ([[DqRunner]]);
+  *   - surrogate keys are deterministic sha2 by default, so the written
+  *     star schema is referentially closed (SURVEY §2.12.1); `uuid()` parity
+  *     mode caches each dim before fan-out so a single evaluation is reused;
+  *   - fact writes can partition by event year/month for 100-TB pruning.
+  */
+object EtlJob {
+
+  final case class Config(
+      inputPath: String,
+      warehousePath: String,
+      dqReportPath: Option[String] = None,
+      keyMode: SurrogateKeys.Mode = SurrogateKeys.Deterministic,
+      parityDedup: Boolean = false,
+      partitionFactByMonth: Boolean = false,
+      clock: DqRunner.Clock = DqRunner.systemClock
+  )
+
+  final case class Warehouse(
+      dimClient: DataFrame,
+      dimLocation: DataFrame,
+      dimState: DataFrame,
+      dimDate: DataFrame,
+      dimShipping: DataFrame,
+      fact: DataFrame,
+      dqChecks: Seq[DqCheck]
+  )
+
+  /** Build all tables from an already-flattened event frame. */
+  def buildFromFlat(flat: DataFrame, cfg: Config): Warehouse = {
+    var dq = Vector.empty[DqCheck]
+
+    // uuid() is per-evaluation non-deterministic: parity mode must pin ONE
+    // evaluation of each dim before it is both joined and written.
+    def pin(df: DataFrame): DataFrame = cfg.keyMode match {
+      case SurrogateKeys.UuidParity => val c = df.cache(); c.count(); c
+      case SurrogateKeys.Deterministic => df
+    }
+
+    val dimClient = pin(Dims.client(flat, cfg.keyMode, cfg.parityDedup))
+    val dimLocation = pin(Dims.location(flat, cfg.keyMode))
+    val dimState = pin(Dims.state(flat, cfg.keyMode))
+    val dimDate = pin(Dims.date(flat, cfg.keyMode))
+    val dimShipping = pin(FactBuilder.dimShipping(flat, dimClient, dimLocation, dimState, cfg.parityDedup))
+    val fact = FactBuilder.fact(flat, dimShipping, dimDate, cfg.keyMode)
+
+    dq ++= DqRunner.run(dimClient, "After Tables Build: DimClient", cfg.clock)
+    dq ++= DqRunner.run(dimLocation, "After Tables Build: DimLocation", cfg.clock)
+    dq ++= DqRunner.run(dimState, "After Tables Build: DimState", cfg.clock)
+    dq ++= DqRunner.run(dimDate, "After Tables Build: DimDate", cfg.clock)
+    dq ++= DqRunner.run(dimShipping, "After Tables Build: DimShipping", cfg.clock)
+    dq ++= DqRunner.run(fact, "After Tables Build: FactShippingEvent", cfg.clock)
+
+    Warehouse(dimClient, dimLocation, dimState, dimDate, dimShipping, fact, dq)
+  }
+
+  /** Full run: CSV → parse → flatten → star schema → parquet + DQ report. */
+  def run(spark: SparkSession, cfg: Config): Warehouse = {
+    val raw = Readers.parcelCsv(spark, cfg.inputPath)
+    var dq = Vector.empty[DqCheck]
+    dq ++= DqRunner.run(raw, "Before Parsing", cfg.clock)
+
+    val parsed = Flatten.parse(raw)
+    dq ++= DqRunner.run(parsed, "After Parsing", cfg.clock)
+
+    val flat = Flatten.flatten(parsed).cache()
+    flat.count() // materialize once; every consumer below reuses it
+
+    val wh0 = buildFromFlat(flat, cfg)
+    val wh = wh0.copy(dqChecks = (dq ++ wh0.dqChecks).toSeq)
+
+    write(wh, cfg)
+    cfg.dqReportPath.foreach(p => DqRunner.writeReport(spark, wh.dqChecks, p))
+    flat.unpersist()
+    wh
+  }
+
+  def write(wh: Warehouse, cfg: Config): Unit = {
+    val base = cfg.warehousePath
+    // Dims are small: single file each (the reference leaks 200-partition
+    // shuffles into its part-file counts). AQE coalescing handles the rest.
+    wh.dimClient.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/DimClient")
+    wh.dimLocation.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/DimLocation")
+    wh.dimState.write.mode(SaveMode.Overwrite).parquet(s"$base/DimState")
+    wh.dimDate.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$base/DimDate")
+    wh.dimShipping.write.mode(SaveMode.Overwrite).parquet(s"$base/DimShipping")
+    val factWriter =
+      if (cfg.partitionFactByMonth)
+        wh.fact
+          .withColumn("event_year", year(col("event_date")))
+          .withColumn("event_month", month(col("event_date")))
+          .write.partitionBy("event_year", "event_month")
+      else wh.fact.write
+    factWriter.mode(SaveMode.Overwrite).parquet(s"$base/FactShippingEvent")
+  }
+}

