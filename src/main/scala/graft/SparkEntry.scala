@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.probes.{ExtensionProbes, ParityProbes}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full probe catalog (SURVEY §2.13 parity probes +
+  * training-data-pipeline extension probes); `oracleSql` carries the DuckDB
+  * twin for every query whose math is engine-portable. Hash-family ops
+  * (MinHash/SimHash/LSH) have no oracle → rows-only check + unit tests.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val probes = ParityProbes.all ++ ExtensionProbes.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the reference's headline 4-KPI pipeline (notebook `report.ipynb:
+    * 173-202`) over the events fixture.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q16_kpi_headline")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    probes.map(p => p.name -> p.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    probes.flatMap(p => p.oracle.map(p.name -> _)).toMap
 }

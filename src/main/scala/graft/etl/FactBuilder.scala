@@ -85,8 +85,10 @@ object FactBuilder {
       case SurrogateKeys.Deterministic =>
         SurrogateKeys.key(
           SurrogateKeys.Deterministic,
-          col("d.event_code"), col("d.event_sub_code"), col("d.event_date"),
-          col("d.entry_date"), col("d.event_nature"), col("d.shipping_id"))
+          col("d.event_code"), col("d.event_sub_code"),
+          date_format(col("d.event_date"), Schemas.TsFmt),
+          date_format(col("d.entry_date"), Schemas.TsFmt),
+          col("d.event_nature"), col("d.shipping_id"))
     }
     // DimShipping has one row per shipment — it scales with the fact, so
     // this is a genuine co-partitioned shuffle join at 100 TB (both sides

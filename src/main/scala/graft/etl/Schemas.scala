@@ -62,8 +62,17 @@ object Schemas {
     * round-trip at full microsecond precision (the default format truncates
     * to milliseconds).
     */
-  val jsonOptions: Map[String, String] =
-    Map("timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
+  val jsonOptions: Map[String, String] = Map(
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "timestampNTZFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  )
+
+  /** Canonical timestamp text form (6-digit µs, zero-padded) — matches
+    * DuckDB `strftime(ts, '%Y-%m-%d %H:%M:%S.%f')` so content-addressed
+    * keys and probe outputs agree across engines (a raw CAST trims trailing
+    * zeros differently).
+    */
+  val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   /** Flat event table produced by [[Flatten.flatten]] — 21 leaves of the
     * payload tree, aliased exactly as the reference does

@@ -32,14 +32,14 @@ object Dedup {
     */
   def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame =
     df.groupBy(
-      sha2(concat_ws("§", contentCols.map(c => coalesce(col(c).cast("string"), lit(" ␀"))): _*), 256)
+      sha2(concat_ws("§", contentCols.map(c => coalesce(col(c).cast("string"), lit("␀"))): _*), 256)
         .as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** Keep-one projection of [[exact]]: the input minus exact duplicates. */
   def exactKeepFirst(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
     val w = Window
-      .partitionBy(contentCols.map(c => coalesce(col(c).cast("string"), lit(" ␀"))): _*)
+      .partitionBy(contentCols.map(c => coalesce(col(c).cast("string"), lit("␀"))): _*)
       .orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
@@ -126,8 +126,8 @@ object Dedup {
       .join(sizes.select(col("id").as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
       .withColumn("jaccard",
-        round(col("inter_size").cast("double") /
-          (col("size_a") + col("size_b") - col("inter_size")).cast("double"), 4))
+        graft.Canonical.round4(col("inter_size").cast("double") /
+          (col("size_a") + col("size_b") - col("inter_size")).cast("double")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -148,8 +148,8 @@ object Dedup {
       .join(sizes.select(col("id").as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
       .withColumn("jaccard",
-        round(col("inter_size").cast("double") /
-          (col("size_a") + col("size_b") - col("inter_size")).cast("double"), 4))
+        graft.Canonical.round4(col("inter_size").cast("double") /
+          (col("size_a") + col("size_b") - col("inter_size")).cast("double")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -24,24 +24,23 @@ object TextStats {
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
   def punctRatio(text: Column): Column =
-    round(length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") /
-      nullif(length(text), lit(0)).cast("double"), 4)
+    graft.Canonical.round4(length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") /
+      nullif(length(text), lit(0)).cast("double"))
 
   def stopwordRatio(toks: Column, stopwords: Seq[String] = EnStopwords): Column = {
     val sw = array(stopwords.map(lit): _*)
-    round(size(filter(toks, t => array_contains(sw, t))).cast("double") /
-      nullif(size(toks), lit(0)).cast("double"), 4)
+    graft.Canonical.round4(size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      nullif(size(toks), lit(0)).cast("double"))
   }
 
   /** Composite quality score in [0,1]: rewards reasonable length, penalizes
     * punctuation soup, rewards natural-language stopword density.
     */
   def qualityScore(nTokens: Column, punct: Column, stopword: Column): Column =
-    round(
+    graft.Canonical.round4(
       least(lit(1.0), nTokens.cast("double") / lit(64.0)) * lit(0.4) +
         (lit(1.0) - least(lit(1.0), coalesce(punct, lit(0.0)) * lit(10.0))) * lit(0.3) +
-        least(lit(1.0), coalesce(stopword, lit(0.0)) * lit(20.0)) * lit(0.3),
-      4)
+        least(lit(1.0), coalesce(stopword, lit(0.0)) * lit(20.0)) * lit(0.3))
 
   /** n-gram-heuristic language ID: CJK codepoints → zh; Latin text with
     * English stopword density → en; otherwise unknown. (Deliberately
@@ -59,11 +58,13 @@ object TextStats {
     * independently computable by any SQL engine for verification.
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      sequence(lit(1), length(text)),
-      lit(0L),
-      (acc, i) => acc + ascii(text.substr(i, lit(1))).cast("long") * ((i % 64) + 1).cast("long")
-    )
+    // empty-text guard: sequence(1,0) would generate a DESCENDING range
+    when(length(text) > 0,
+      aggregate(
+        sequence(lit(1), length(text)),
+        lit(0L),
+        (acc, i) => acc + ascii(text.substr(i, lit(1))).cast("long") * ((i % 64) + 1).cast("long")
+      )).otherwise(lit(0L))
 
   /** All stats in one projection over a document table. */
   def withStats(docs: DataFrame, textCol: String = "text"): DataFrame = {

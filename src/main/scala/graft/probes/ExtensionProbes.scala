@@ -1,0 +1,241 @@
+package graft.probes
+
+import org.apache.spark.sql.functions._
+import graft.etl.Schemas
+import graft.ops._
+import graft.sources.Readers
+import ParityProbes.Probe
+
+/** Probe catalog for the training-data-pipeline extensions (dedup,
+  * similarity search, text analysis, multimodal, sessionization) over the
+  * `documents` / `embeddings` / `events` fixtures.
+  *
+  * Queries whose math is engine-portable carry a DuckDB oracle; the
+  * hash-family ops (MinHash/SimHash/LSH buckets depend on `xxhash64`,
+  * which DuckDB lacks) are declared without one → the driver records the
+  * weaker rows-only check, and their semantics are pinned by unit tests
+  * instead (e.g. LSH candidates ⊇ high-jaccard pairs found by the exact
+  * oracle-checked variant).
+  */
+object ExtensionProbes {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Readers.table(s, dir, n)
+  private val F = "%Y-%m-%d %H:%M:%S.%f"
+
+  // — exact dedup ————————————————————————————————————————————————————————
+  private val x01 = Probe(
+    "x01_dedup_exact",
+    (s, dir) => Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")
+      .orderBy("content_hash"),
+    Some("""SELECT sha256(coalesce(CAST(text AS VARCHAR), '␀')) AS content_hash,
+           |  min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+           |FROM documents GROUP BY 1 ORDER BY content_hash ASC NULLS FIRST""".stripMargin))
+
+  // — exact n-gram Jaccard near-dup pairs (the oracle for the LSH path) ——
+  private val x02 = Probe(
+    "x02_dedup_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", col("text"), 3, 0.2)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH sh AS (
+           |  SELECT doc_id AS id, unnest(list_distinct(
+           |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
+           |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tok
+           |        FROM documents)),
+           |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  floor((i * 1.0 / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 AS jaccard
+           |FROM inter
+           |JOIN sz sa ON sa.id = id_a
+           |JOIN sz sb ON sb.id = id_b
+           |WHERE floor((i * 1.0 / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 >= 0.2
+           |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin))
+
+  // — MinHash + LSH candidates, verified by exact jaccard (rows-only) ————
+  private val x03 = Probe(
+    "x03_dedup_minhash_lsh",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = Dedup.minhashSignatures(docs, "doc_id", col("text"), 3, 64)
+      val cands = Dedup.lshCandidates(sig, "doc_id", bands = 16, rowsPerBand = 4)
+      Dedup.jaccardVerify(docs, "doc_id", col("text"), 3, cands, 0.2)
+        .orderBy("id_a", "id_b")
+    },
+    None)
+
+  // — SimHash near-dup pairs (rows-only) ————————————————————————————————
+  private val x04 = Probe(
+    "x04_dedup_simhash",
+    (s, dir) => {
+      val sig = Dedup.simhash(t(s, dir, "documents"), "doc_id", col("text"))
+      Dedup.simhashPairs(sig, "doc_id", maxDist = 6).orderBy("id_a", "id_b")
+    },
+    None)
+
+  // — brute-force cosine top-k (exact ANN baseline) ——————————————————————
+  private val x05 = Probe(
+    "x05_sim_topk_bruteforce",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(queries, "query_id", "qvec", emb, "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+           |pairs AS (SELECT query_id, vec_id, qe, embedding AS ce
+           |          FROM q, embeddings WHERE vec_id != query_id),
+           |flat AS (SELECT query_id, vec_id, CAST(unnest(qe) AS DOUBLE) AS x,
+           |                CAST(unnest(ce) AS DOUBLE) AS y FROM pairs),
+           |dots AS (SELECT query_id, vec_id, sum(x * y) AS d, sum(x * x) AS nx, sum(y * y) AS ny
+           |         FROM flat GROUP BY 1, 2),
+           |sims AS (SELECT query_id, vec_id, round(d / (sqrt(nx) * sqrt(ny)), 6) AS cosine_sim FROM dots),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |             ORDER BY cosine_sim DESC NULLS LAST, vec_id ASC NULLS FIRST) AS rank FROM sims)
+           |SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+           |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
+
+  // — LSH-bucketed approximate top-k (rows-only; recall vs x05 unit-tested)
+  private val x06 = Probe(
+    "x06_sim_topk_lsh",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.lshBucketTopK(queries, "query_id", "qvec", emb, "vec_id", "embedding",
+          k = 5, numPlanes = 8, dim = 64)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  // — embedding-cosine near-dup pairs (exact; LSH variant is x06's path) —
+  private val x07 = Probe(
+    "x07_cosine_near_dup",
+    (s, dir) => Similarity.cosinePairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH pairs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+           |flat AS (SELECT id_a, id_b, CAST(unnest(ea) AS DOUBLE) AS x,
+           |                CAST(unnest(eb) AS DOUBLE) AS y FROM pairs),
+           |dots AS (SELECT id_a, id_b, sum(x * y) AS d, sum(x * x) AS nx, sum(y * y) AS ny
+           |         FROM flat GROUP BY 1, 2)
+           |SELECT id_a, id_b, round(d / (sqrt(nx) * sqrt(ny)), 6) AS cosine_sim
+           |FROM dots WHERE round(d / (sqrt(nx) * sqrt(ny)), 6) >= 0.4
+           |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin))
+
+  // — text analysis: tokens, quality, lang-id, fingerprint ———————————————
+  private val x08 = Probe(
+    "x08_text_stats",
+    (s, dir) => TextStats.withStats(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_chars_calc"), col("n_tokens"), col("n_regex_tokens"),
+        col("punct_ratio"), col("stopword_ratio"), col("quality_score"),
+        col("pred_lang"), col("fingerprint"))
+      .orderBy("doc_id"),
+    Some("""WITH base AS (
+           |  SELECT doc_id, text,
+           |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tok
+           |  FROM documents),
+           |ratios AS (
+           |  SELECT doc_id, text,
+           |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+           |    CAST(len(tok) AS BIGINT) AS n_tokens,
+           |    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_regex_tokens,
+           |    floor((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+           |      / nullif(length(text), 0)) * 10000 + 0.5) / 10000 AS punct_ratio,
+           |    floor((CAST(len(list_filter(tok, t -> t = 'the' OR t = 'a')) AS DOUBLE)
+           |      / nullif(len(tok), 0)) * 10000 + 0.5) / 10000 AS stopword_ratio
+           |  FROM base),
+           |fp AS (
+           |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+           |    i -> ascii(text[i]) * ((i % 64) + 1))), 0) AS BIGINT) AS fingerprint
+           |  FROM base)
+           |SELECT r.doc_id, r.n_chars_calc, r.n_tokens, r.n_regex_tokens, r.punct_ratio,
+           |  r.stopword_ratio,
+           |  floor((least(1.0, r.n_tokens / 64.0) * 0.4
+           |    + (1.0 - least(1.0, coalesce(r.punct_ratio, 0) * 10)) * 0.3
+           |    + least(1.0, coalesce(r.stopword_ratio, 0) * 20) * 0.3) * 10000 + 0.5) / 10000 AS quality_score,
+           |  CASE WHEN regexp_matches(r.text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+           |       WHEN coalesce(r.stopword_ratio, 0) >= 0.02 THEN 'en'
+           |       ELSE 'unknown' END AS pred_lang,
+           |  coalesce(f.fingerprint, 0) AS fingerprint
+           |FROM ratios r LEFT JOIN fp f ON r.doc_id = f.doc_id
+           |ORDER BY r.doc_id ASC NULLS FIRST""".stripMargin))
+
+  // — sessionization: native session_window vs gaps-and-islands oracle ——
+  private val x09 = Probe(
+    "x09_sessionize",
+    (s, dir) => Sessionize.bySessionWindow(t(s, dir, "events"), "user_id", "ts",
+        "30 minutes", Some("value"))
+      .select(col("user_id"),
+        date_format(col("session_start"), Schemas.TsFmt).as("session_start"),
+        date_format(col("session_end"), Schemas.TsFmt).as("session_end"),
+        col("n_events").cast("long").as("n_events"),
+        col("total_value"))
+      .orderBy("user_id", "session_start"),
+    Some(s"""WITH o AS (
+            |  SELECT user_id, ts, value,
+            |    CASE WHEN lag(ts) OVER w IS NULL
+            |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000 THEN 1
+            |         ELSE 0 END AS ns
+            |  FROM events
+            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+            |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+            |SELECT user_id, strftime(min(ts), '$F') AS session_start,
+            |  strftime(max(ts), '$F') AS session_end,
+            |  CAST(count(*) AS BIGINT) AS n_events,
+            |  round(sum(value), 4) AS total_value
+            |FROM s GROUP BY user_id, sid
+            |ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST""".stripMargin))
+
+  // — multimodal: typed mapPartitions decode vs declarative oracle ———————
+  private val x10 = Probe(
+    "x10_multimodal_meta",
+    (s, dir) => {
+      val media = Multimodal.pack(t(s, dir, "documents"), "doc_id", "text", "image")
+      Multimodal.extractMeta(s, media).toDF()
+        .select(col("media_id"), col("kind"), col("byte_len"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"), col("checksum"))
+        .orderBy("media_id")
+    },
+    Some("""WITH m AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len FROM documents)
+           |SELECT media_id, 'image' AS kind, CAST(len AS BIGINT) AS byte_len,
+           |  CAST(len % 640 + 1 AS BIGINT) AS width, CAST(len % 480 + 1 AS BIGINT) AS height,
+           |  CAST(3 AS BIGINT) AS channels,
+           |  CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+           |    i -> ascii(text[i]) * (((i - 1) % 64) + 1))), 0) AS BIGINT) AS checksum
+           |FROM m ORDER BY media_id ASC NULLS FIRST""".stripMargin))
+
+  // — multimodal: frame sampling shape ———————————————————————————————————
+  private val x11 = Probe(
+    "x11_frame_sample",
+    (s, dir) => {
+      val media = Multimodal.pack(t(s, dir, "documents"), "doc_id", "text", "video")
+      Multimodal.sampleFrames(s, media, frameBytes = 64, everyN = 2).toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("frame_idx")).as("sum_idx"),
+          sum(length(col("frame_bytes"))).as("sampled_bytes"))
+        .orderBy("media_id")
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id AS media_id, octet_length(encode(text)) AS len,
+           |    CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS nchunks
+           |  FROM documents),
+           |calc AS (
+           |  SELECT media_id, len, nchunks, (nchunks + 1) // 2 AS n FROM m WHERE nchunks > 0)
+           |SELECT media_id, CAST(n AS BIGINT) AS n_frames,
+           |  CAST(n * (n - 1) AS BIGINT) AS sum_idx,
+           |  CAST(64 * n - CASE WHEN (nchunks - 1) % 2 = 0 THEN 64 * nchunks - len ELSE 0 END AS BIGINT)
+           |    AS sampled_bytes
+           |FROM calc ORDER BY media_id ASC NULLS FIRST""".stripMargin))
+
+  val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11)
+}

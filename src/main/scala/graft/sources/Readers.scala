@@ -35,7 +35,21 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Testdata table loader (`TESTDATA.md` layout: one parquet per table). */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Testdata table loader (`TESTDATA.md` layout: one parquet per table).
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects outright
+    * (PARQUET_TYPE_ILLEGAL). We read it as a raw nano count via the legacy
+    * conf and truncate to a µs timestamp — the same ns→µs truncation DuckDB
+    * applies, so both engines see identical values.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(path)
+  }
 }
