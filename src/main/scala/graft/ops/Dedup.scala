@@ -56,42 +56,37 @@ object Dedup {
         .otherwise(array().cast("array<string>")))
   }
 
-  /** Deterministic universal-hash parameters for permutation p. */
-  private def perm(p: Int): (Long, Long) = {
-    // splitmix-style scramble of the permutation index; a must be non-zero
-    val x = (p.toLong + 1) * 0x9e3779b97f4a7c15L
-    val a = math.abs(x % (MersennePrime31 - 1)) + 1
-    val b = math.abs((x >> 17) % MersennePrime31)
-    (a, b)
-  }
-
-  /** MinHash signature per id: `numPerm` columns `mh_p = min over shingles
-    * of (a_p·h + b_p) mod (2^31-1)` where `h = xxhash64(shingle) mod
-    * (2^31-1)` (31-bit domain keeps `a·h` inside Long under ANSI mode).
-    * One explode + one hash-partition aggregation; linear in corpus size.
+  /** MinHash signature per id as one `array<long>` column `sig`:
+    * `sig[p] = min over shingles of (a_p·h + b_p) mod (2^31-1)` with
+    * `h = xxhash64(shingle) mod (2^31-1)` (31-bit domain keeps `a·h` inside
+    * Long under ANSI mode). One explode + one hash-partition aggregation
+    * through the custom [[graft.functions.MinHashAgg]] kernel — `numPerm`
+    * separate `min()` columns would overflow the codegen budget and fall
+    * back to interpreted evaluation.
     */
   def minhashSignatures(df: DataFrame, idCol: String, text: Column, n: Int, numPerm: Int): DataFrame = {
     val exploded = df
       .select(col(idCol), explode(shingles(text, n)).as("shingle"))
       .withColumn("h", pmod(xxhash64(col("shingle")), lit(MersennePrime31)))
-    val aggs = (0 until numPerm).map { p =>
-      val (a, b) = perm(p)
-      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime31))).as(s"mh_$p")
-    }
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    exploded.groupBy(col(idCol))
+      .agg(graft.functions.HashAggFunctions.minhash_agg(col("h"), numPerm).as("sig"))
   }
 
   /** LSH banding: signature → (band_idx, band_hash) rows; same-bucket pairs
     * are the candidates. bands·rowsPerBand must equal the signature width.
+    * The bucketed frame is persisted — it feeds both sides of the self-join,
+    * and without pinning it the whole signature build would run twice.
     */
   def lshCandidates(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band_idx"), xxhash64(concat_ws(",", slice.map(_.cast("string")): _*)).as("band_hash"))
+      struct(lit(b).as("band_idx"),
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))).as("band_hash"))
     }
     val bucketed = sig
       .select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+      .persist()
     bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.band_idx") === col("r.band_idx") &&
@@ -108,7 +103,7 @@ object Dedup {
   def jaccardVerify(
       docs: DataFrame, idCol: String, text: Column, n: Int,
       pairs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(text, n)).as("shingle"))
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(text, n)).as("shingle")).persist()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
     ngramJaccardForPairs(sh, sizes, pairs, threshold)
   }
@@ -138,7 +133,8 @@ object Dedup {
     * loss); the inverted index bounds the blow-up to co-shingled pairs.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, text: Column, n: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(text, n)).as("shingle"))
+    // persisted: feeds the self-join twice plus the set-size aggregate
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(text, n)).as("shingle")).persist()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
     val pairs = sh.as("l")
       .join(sh.as("r"), col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
@@ -156,21 +152,14 @@ object Dedup {
 
   /** 63-bit SimHash per id (bit 63 unused to stay in positive Long range
     * under ANSI overflow checks): per-token `xxhash64`, ±1 vote per bit,
-    * sign of the vote sum sets the bit. Explode + one aggregation with 63
-    * `sum(when)` columns — all codegen.
+    * sign of the vote sum sets the bit — one pass through the custom
+    * [[graft.functions.SimHashAgg]] kernel.
     */
-  def simhash(df: DataFrame, idCol: String, text: Column): DataFrame = {
-    val toks = df.select(col(idCol), explode(filter(split(text, "\\s+"), t => t =!= lit(""))).as("tok"))
+  def simhash(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.select(col(idCol), explode(filter(split(text, "\\s+"), t => t =!= lit(""))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 63).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$i")
-    }
-    val voted = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 63).map { i =>
-      when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select(col(idCol), sig.as("simhash"))
-  }
+      .groupBy(col(idCol))
+      .agg(graft.functions.HashAggFunctions.simhash_agg(col("h")).as("simhash"))
 
   /** SimHash near-dup candidate pairs within Hamming distance `maxDist`:
     * split the 63-bit signature into `maxDist+1` chunks — any pair within
@@ -187,6 +176,7 @@ object Dedup {
     }
     val bucketed = sig.select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
       .select(col(idCol), col("simhash"), col("ch.chunk_idx"), col("ch.chunk_val"))
+      .persist() // both sides of the self-join
     bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.chunk_idx") === col("r.chunk_idx") &&

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{vec_dot, vec_norm}
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`array<float>`).
@@ -15,21 +16,26 @@ import org.apache.spark.sql.functions._
   *     expression, the bucket join is an equi-join Catalyst can shuffle or
   *     broadcast as cardinality dictates.
   *   - [[cosinePairs]]: embedding-cosine near-duplicate pairs over LSH
-  *     buckets.
+  *     buckets; [[cosinePairsExact]] is the quadratic oracle-checkable
+  *     variant.
   *
-  * All arithmetic is `zip_with`/`aggregate` higher-order functions in
-  * double precision — no UDFs, stays in codegen.
+  * All dot products go through the codegen'd [[graft.functions.VecDot]]
+  * kernel (the interpreted `aggregate(zip_with(...))` route is ~100×
+  * slower), and each side's norm is computed ONCE before any join, so
+  * per-pair work is a single fused dot product.
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two numeric array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = vec_norm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+  /** cosine given precomputed norms (per-pair work = one dot product). */
+  private def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    vec_dot(a, b) / (na * nb)
 
   /** Exact top-k neighbors for each query row.
     *
@@ -42,15 +48,17 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String,
       corpus: DataFrame, cidCol: String, cvecCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val crossed = corpus.crossJoin(broadcast(queries))
-    val withSim = crossed
+    val q = queries.withColumn("__qnorm", vec_norm(col(qvecCol)))
+    val c = corpus.withColumn("__cnorm", vec_norm(col(cvecCol)))
+    val withSim = c.crossJoin(broadcast(q))
       .filter(if (excludeSelf) col(qidCol) =!= col(cidCol) else lit(true))
-      .withColumn("cosine_sim", round(cosine(col(qvecCol), col(cvecCol)), 6))
+      .withColumn("cosine_sim",
+        round(cosineWithNorms(col(qvecCol), col(cvecCol), col("__qnorm"), col("__cnorm")), 6))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine_sim").desc, col(cidCol).asc)
     withSim
+      .select(col(qidCol), col(cidCol), col("cosine_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col(qidCol), col(cidCol), col("cosine_sim"), col("rank"))
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed seed → identical across
@@ -65,7 +73,7 @@ object Similarity {
   def bucketId(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
-      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(vec_dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** LSH-bucketed approximate top-k: only same-bucket (query, corpus) pairs
@@ -78,16 +86,21 @@ object Similarity {
       corpus: DataFrame, cidCol: String, cvecCol: String,
       k: Int, numPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val qb = queries.withColumn("__bucket", bucketId(col(qvecCol), planes))
-    val cb = corpus.withColumn("__bucket", bucketId(col(cvecCol), planes))
+    val qb = queries
+      .withColumn("__bucket", bucketId(col(qvecCol), planes))
+      .withColumn("__qnorm", vec_norm(col(qvecCol)))
+    val cb = corpus
+      .withColumn("__bucket", bucketId(col(cvecCol), planes))
+      .withColumn("__cnorm", vec_norm(col(cvecCol)))
     val candidates = cb.join(broadcast(qb), Seq("__bucket"))
       .filter(col(qidCol) =!= col(cidCol))
-      .withColumn("cosine_sim", round(cosine(col(qvecCol), col(cvecCol)), 6))
+      .withColumn("cosine_sim",
+        round(cosineWithNorms(col(qvecCol), col(cvecCol), col("__qnorm"), col("__cnorm")), 6))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine_sim").desc, col(cidCol).asc)
     candidates
+      .select(col(qidCol), col(cidCol), col("cosine_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col(qidCol), col(cidCol), col("cosine_sim"), col("rank"))
   }
 
   /** Embedding-cosine near-duplicate pairs: bucket with LSH, verify with
@@ -97,10 +110,14 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val b = corpus.select(col(idCol), col(vecCol), bucketId(col(vecCol), planes).as("__bucket"))
+    val b = corpus.select(col(idCol), col(vecCol),
+        bucketId(col(vecCol), planes).as("__bucket"),
+        vec_norm(col(vecCol)).as("__n"))
+      .persist() // both sides of the self-join
     b.as("l").join(b.as("r"),
         col("l.__bucket") === col("r.__bucket") && col(s"l.$idCol") < col(s"r.$idCol"))
-      .withColumn("cosine_sim", round(cosine(col(s"l.$vecCol"), col(s"r.$vecCol")), 6))
+      .withColumn("cosine_sim",
+        round(cosineWithNorms(col(s"l.$vecCol"), col(s"r.$vecCol"), col("l.__n"), col("r.__n")), 6))
       .filter(col("cosine_sim") >= threshold)
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"), col("cosine_sim"))
   }
@@ -109,10 +126,11 @@ object Similarity {
     * quadratic, use [[cosinePairs]] at scale).
     */
   def cosinePairsExact(corpus: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val l = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val r = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val l = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"), vec_norm(col(vecCol)).as("__na"))
+    val r = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), vec_norm(col(vecCol)).as("__nb"))
     l.join(r, col("id_a") < col("id_b"))
-      .withColumn("cosine_sim", round(cosine(col("__va"), col("__vb")), 6))
+      .withColumn("cosine_sim",
+        round(cosineWithNorms(col("__va"), col("__vb"), col("__na"), col("__nb")), 6))
       .filter(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }

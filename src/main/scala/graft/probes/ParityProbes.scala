@@ -470,7 +470,10 @@ object ParityProbes {
   }
 
   private def parcelBuild(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val flat = Flatten(EventsVocab.synth(t(s, dir, "events")))
+    // cached once, reused by every dim/fact subtree (EtlJob's documented
+    // physical delta, SURVEY §7.3) — without this each of the ~8 subtrees
+    // recompiles and re-executes the whole synth+parse+flatten projection
+    val flat = Flatten(EventsVocab.synth(t(s, dir, "events"))).persist()
     val dimClient = Dims.client(flat, SurrogateKeys.Deterministic)
     val dimLocation = Dims.location(flat, SurrogateKeys.Deterministic)
     val dimState = Dims.state(flat, SurrogateKeys.Deterministic)
