@@ -52,19 +52,16 @@ object TextStats {
       .when(coalesce(stopword, lit(0.0)) >= 0.02, "en")
       .otherwise("unknown")
 
-  /** Position-weighted checksum fingerprint: `Σ ascii(c_i)·((i mod 64)+1)`.
-    * Order-sensitive (detects token reordering within a 64-char window) yet
-    * expressible as a plain sum, so it is cheap, codegen-friendly, and
-    * independently computable by any SQL engine for verification.
+  /** Position-weighted checksum fingerprint: `Σ codepoint(c_i)·((i mod
+    * 64)+1)`. Order-sensitive (detects token reordering within a 64-char
+    * window) yet expressible as a plain sum, so any SQL engine can compute
+    * it independently for verification. Backed by the codegen'd
+    * [[graft.functions.PositionalFingerprint]] kernel (the equivalent
+    * `aggregate(sequence(...))` higher-order function interprets a lambda
+    * and allocates a 1-char string per character).
     */
   def fingerprint(text: Column): Column =
-    // empty-text guard: sequence(1,0) would generate a DESCENDING range
-    when(length(text) > 0,
-      aggregate(
-        sequence(lit(1), length(text)),
-        lit(0L),
-        (acc, i) => acc + ascii(text.substr(i, lit(1))).cast("long") * ((i % 64) + 1).cast("long")
-      )).otherwise(lit(0L))
+    graft.functions.TextFunctions.fingerprint(text)
 
   /** All stats in one projection over a document table. */
   def withStats(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.ops._
+import graft.sources.Readers
+
+/** Extension-operator correctness: vector kernels, dedup families,
+  * similarity search, sessionization, multimodal plumbing.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Readers.table(spark, sf0001, "documents")
+  private lazy val emb = Readers.table(spark, sf0001, "embeddings")
+  private lazy val events = Readers.table(spark, sf0001, "events")
+
+  test("vec_dot matches manual computation for float, double and mixed arrays") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0, -5.0, 6.0))).toDF("f", "d")
+    val got = df.select(
+      vec_dot($"f", $"f"), vec_dot($"d", $"d"), vec_dot($"f", $"d")
+    ).as[(Double, Double, Double)].head()
+    assert(got == ((14.0, 77.0, 12.0)))
+  }
+
+  test("vec_cosine of a vector with itself is 1") {
+    val one = emb.select(round(vec_cosine($"embedding", $"embedding"), 9)).as[Double].head()
+    assert(one == 1.0)
+  }
+
+  test("exact dedup groups identical content and keeps the smallest id") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "text")
+    val got = Dedup.exact(df, Seq("text"), "id").orderBy("keep_id")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
+    assert(Dedup.exactKeepFirst(df, Seq("text"), "id").count() == 2)
+  }
+
+  test("identical docs have identical minhash signatures; LSH pairs them; jaccard = 1") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "z y x w v u t s"))
+      .toDF("id", "text")
+    val sig = Dedup.minhashSignatures(df, "id", $"text", 3, 64)
+    val sigs = sig.orderBy("id").select("sig").as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1) && sigs(0) != sigs(2))
+    val cands = Dedup.lshCandidates(sig, "id", 16, 4)
+    val verified = Dedup.jaccardVerify(df, "id", $"text", 3, cands, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(verified.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash-LSH candidates recover every exact high-jaccard pair on the fixture corpus") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", $"text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sig = Dedup.minhashSignatures(docs, "doc_id", $"text", 3, 64)
+    val lsh = Dedup.lshCandidates(sig, "doc_id", 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture contains near-duplicate documents")
+    assert(exact.subsetOf(lsh),
+      s"16x4 banding at jaccard>=0.5 must catch all: missing ${exact -- lsh}")
+  }
+
+  test("simhash: identical docs get identical signatures, hamming 0; pairs surface them") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "completely different words here"))
+      .toDF("id", "text")
+    val sig = Dedup.simhash(df, "id", $"text")
+    val pairs = Dedup.simhashPairs(sig, "id", maxDist = 3).as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("bruteForceTopK is exactly the naive top-k and LSH top-k only returns true cosines") {
+    val queries = emb.filter($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val brute = Similarity.bruteForceTopK(queries, "query_id", "qvec", emb, "vec_id", "embedding", 3)
+      .select("query_id", "vec_id", "cosine_sim").as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+    // naive check for query 0: compute all cosines, sort, take 3
+    val all = emb.crossJoin(queries.filter($"query_id" === 0))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"vec_id", round(vec_cosine($"qvec", $"embedding"), 6).as("c"))
+      .as[(Long, Double)].collect()
+    val expected = all.sortBy { case (id, c) => (-c, id) }.take(3).toSeq
+    assert(brute(0L).map(t => (t._2, t._3)).sortBy { case (id, c) => (-c, id) }.toSeq == expected)
+
+    val lsh = Similarity.lshBucketTopK(queries, "query_id", "qvec", emb, "vec_id", "embedding", 3, 8, 64)
+      .select("query_id", "vec_id", "cosine_sim").as[(Long, Long, Double)].collect()
+    val bruteMap = all.toMap
+    lsh.filter(_._1 == 0L).foreach { case (_, cid, sim) =>
+      assert(bruteMap(cid) == sim, "LSH candidate cosine must equal the exact cosine")
+    }
+  }
+
+  test("cosinePairs (LSH) is a subset of cosinePairsExact with identical similarities") {
+    val exact = Similarity.cosinePairsExact(emb, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().toMap2
+    val lsh = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4, 4, 64)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, s) => assert(exact((a, b)) == s) }
+  }
+
+  implicit private class PairMap(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+
+  test("session_window grouping equals the gaps-and-islands formulation") {
+    val a = Sessionize.bySessionWindow(events, "user_id", "ts", "30 minutes", Some("value"))
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"total_value")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)].collect().toSet
+    val b = Sessionize.byGaps(events, "user_id", "ts", 1800, Some("value"))
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"total_value")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)].collect().toSet
+    assert(a == b)
+  }
+
+  test("multimodal: typed mapPartitions decode equals the declarative SQL twin") {
+    val media = Multimodal.pack(docs, "doc_id", "text", "image")
+    val typed = Multimodal.extractMeta(spark, media).toDF()
+      .orderBy("media_id").collect().toSeq
+    val sql = Multimodal.metaSql(media)
+      .orderBy("media_id").collect().toSeq
+    assert(typed == sql)
+  }
+
+  test("frame sampling: every-2nd 64-byte frames with correct count and sizes") {
+    val media = Multimodal.pack(docs.limit(5), "doc_id", "text", "video")
+    val frames = Multimodal.sampleFrames(spark, media, 64, 2).toDF()
+    val byDoc = frames.groupBy("media_id")
+      .agg(count(lit(1)).as("n"), max(length($"frame_bytes")).as("maxlen"))
+      .as[(Long, Long, Int)].collect()
+    val lens = docs.limit(5).select($"doc_id", length($"text")).as[(Long, Int)].collect().toMap
+    byDoc.foreach { case (id, n, maxlen) =>
+      val chunks = (lens(id) + 63) / 64
+      assert(n == (chunks + 1) / 2)
+      assert(maxlen <= 64)
+    }
+  }
+
+  test("text stats: ratios bounded, langid sane, fingerprint stable") {
+    val st = ops.TextStats.withStats(docs).cache()
+    assert(st.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)
+    assert(st.filter($"quality_score" < 0 || $"quality_score" > 1).count() == 0)
+    assert(st.filter($"pred_lang".isin("en", "zh", "unknown")).count() == st.count())
+    val fp1 = st.select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    val fp2 = ops.TextStats.withStats(docs).select("doc_id", "fingerprint")
+      .as[(Long, Long)].collect().toMap
+    assert(fp1 == fp2)
+    st.unpersist()
+  }
+}
