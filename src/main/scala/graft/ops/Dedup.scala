@@ -87,6 +87,7 @@ object Dedup {
       .select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
       .persist()
+    bucketed.count() // eager: both self-join sides would race to build the cache
     bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.band_idx") === col("r.band_idx") &&
@@ -104,6 +105,7 @@ object Dedup {
       docs: DataFrame, idCol: String, text: Column, n: Int,
       pairs: DataFrame, threshold: Double): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), explode(shingles(text, n)).as("shingle")).persist()
+    sh.count() // eager: reused by sizes + both pair-join sides
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
     ngramJaccardForPairs(sh, sizes, pairs, threshold)
   }
@@ -133,8 +135,10 @@ object Dedup {
     * loss); the inverted index bounds the blow-up to co-shingled pairs.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, text: Column, n: Int, threshold: Double): DataFrame = {
-    // persisted: feeds the self-join twice plus the set-size aggregate
+    // persisted + eagerly built: feeds the self-join twice plus the
+    // set-size aggregate (concurrent first-builds stall on block locks)
     val sh = docs.select(col(idCol).as("id"), explode(shingles(text, n)).as("shingle")).persist()
+    sh.count()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
     val pairs = sh.as("l")
       .join(sh.as("r"), col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
@@ -176,7 +180,8 @@ object Dedup {
     }
     val bucketed = sig.select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
       .select(col(idCol), col("simhash"), col("ch.chunk_idx"), col("ch.chunk_val"))
-      .persist() // both sides of the self-join
+      .persist()
+    bucketed.count() // eager: both sides of the self-join
     bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.chunk_idx") === col("r.chunk_idx") &&

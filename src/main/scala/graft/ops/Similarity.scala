@@ -113,7 +113,8 @@ object Similarity {
     val b = corpus.select(col(idCol), col(vecCol),
         bucketId(col(vecCol), planes).as("__bucket"),
         vec_norm(col(vecCol)).as("__n"))
-      .persist() // both sides of the self-join
+      .persist()
+    b.count() // eager: both sides of the self-join
     b.as("l").join(b.as("r"),
         col("l.__bucket") === col("r.__bucket") && col(s"l.$idCol") < col(s"r.$idCol"))
       .withColumn("cosine_sim",

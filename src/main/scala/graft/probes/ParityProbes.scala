@@ -472,8 +472,12 @@ object ParityProbes {
   private def parcelBuild(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     // cached once, reused by every dim/fact subtree (EtlJob's documented
     // physical delta, SURVEY §7.3) — without this each of the ~8 subtrees
-    // recompiles and re-executes the whole synth+parse+flatten projection
+    // recompiles and re-executes the whole synth+parse+flatten projection.
+    // Materialized EAGERLY: the dim broadcast-exchange threads otherwise
+    // race to compute the same cached partitions and stall on block locks
+    // (observed minutes-long hangs against the 300 s broadcast timeout).
     val flat = Flatten(EventsVocab.synth(t(s, dir, "events"))).persist()
+    flat.count()
     val dimClient = Dims.client(flat, SurrogateKeys.Deterministic)
     val dimLocation = Dims.location(flat, SurrogateKeys.Deterministic)
     val dimState = Dims.state(flat, SurrogateKeys.Deterministic)
