@@ -52,6 +52,25 @@ object Kpi {
       labels.tail.map { case (l, out) => min(when(col(labelCol) === l, col(tsCol))).as(out) }: _*
     )
 
+  /** The idiomatic Spark equivalent of [[pivotEarliest]]:
+    * `groupBy(id).pivot(label, values).agg(min(ts))`. With an explicit
+    * value list the pivot is a single pass (no extra distinct-values job)
+    * and produces the same result as the reference's hand-rolled
+    * `min(when(...))` — equality is pinned by a test.
+    */
+  def pivotIdiomatic(
+      labeled: DataFrame,
+      idCol: String,
+      labelCol: String,
+      tsCol: String,
+      labels: Seq[(String, String)]
+  ): DataFrame = {
+    val pivoted = labeled.groupBy(col(idCol))
+      .pivot(labelCol, labels.map(_._1))
+      .agg(min(col(tsCol)))
+    labels.foldLeft(pivoted) { case (df, (value, out)) => df.withColumnRenamed(value, out) }
+  }
+
   /** Day durations (`report.ipynb:189-195`): whole-calendar-day `datediff`,
     * null-propagating, negatives allowed (dirty data is not guarded).
     */

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.etl.Flatten
+import graft.probes.EventsVocab
+import graft.sources.Readers
+import graft.streaming.StreamingIngest
+
+/** Streaming ingest drives the SAME transformations as batch: the windowed
+  * counts computed over a JSONL stream must equal the batch equivalents
+  * over the same payloads.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val jsonlDir = {
+    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "stream").toString
+    Readers.table(spark, sf0001, "events")
+      .select(EventsVocab.eventJson.as("value"))
+      .coalesce(2)
+      .write.text(s"$dir/in")
+    s"$dir/in"
+  }
+
+  test("streaming windowed counts equal the batch computation (complete mode)") {
+    val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
+    val streamed = StreamingIngest.runToMemory(spark,
+      StreamingIngest.windowedEventCounts(streamFlat, "1 day", "1 hour"),
+      "stream_counts", outputMode = "complete")
+      .select($"window_start", $"event_code", $"n_events")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+    val batchFlat = Flatten(
+      Readers.table(spark, sf0001, "events").select(EventsVocab.eventJson.as("event")))
+    val batch = batchFlat
+      .groupBy(window($"event_date", "1 day"), $"event_code")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"window.start".as("window_start"), $"event_code", $"n_events")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+    assert(streamed == batch)
+  }
+
+  test("streaming sessionization produces sessions with positive event counts") {
+    val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
+    val sessions = StreamingIngest.runToMemory(spark,
+      StreamingIngest.sessionized(streamFlat, "30 minutes", "1 hour"),
+      "stream_sessions", outputMode = "complete")
+    assert(sessions.count() > 0)
+    assert(sessions.filter($"n_events" <= 0).count() == 0)
+    assert(sessions.filter($"session_end" <= $"session_start").count() == 0)
+  }
+}
