@@ -588,7 +588,69 @@ object ParityProbes {
            |FROM lineitem GROUP BY l_returnflag, l_linestatus
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
 
+  // — part/supplier coverage: broadcast dim joins + grouped rollup ———————
+  private val q22 = Probe(
+    "q22_part_supplier_agg",
+    (s, dir) => t(s, dir, "lineitem").as("l")
+      .join(broadcast(t(s, dir, "part")).as("p"), col("l.l_partkey") === col("p.p_partkey"), "left")
+      .join(broadcast(t(s, dir, "supplier")).as("su"), col("l.l_suppkey") === col("su.s_suppkey"), "left")
+      .groupBy(col("p.p_brand"), col("su.s_name"))
+      .agg(
+        round(sum(col("l.l_extendedprice") * (lit(1) - col("l.l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_rows"),
+        round(max(col("p.p_retailprice")), 4).as("max_retail"))
+      .orderBy("p_brand", "s_name"),
+    Some("""SELECT p.p_brand, su.s_name,
+           |  round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) AS revenue,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  round(CAST(max(p.p_retailprice) AS DOUBLE), 4) AS max_retail
+           |FROM lineitem l
+           |LEFT JOIN part p ON l.l_partkey = p.p_partkey
+           |LEFT JOIN supplier su ON l.l_suppkey = su.s_suppkey
+           |GROUP BY p.p_brand, su.s_name
+           |ORDER BY p_brand ASC NULLS FIRST, s_name ASC NULLS FIRST""".stripMargin))
+
+  // — skew tool: two-phase salted aggregation ≡ plain groupBy ————————————
+  private val q23 = Probe(
+    "q23_salted_agg",
+    (s, dir) => graft.ops.Skew.saltedAggregate(
+        t(s, dir, "events").select(col("user_id"), col("value")), Seq("user_id"), 8)(
+        partial = Seq(sum(col("value")).as("__s"), count(lit(1)).as("__c")),
+        merge = Seq(
+          round(sum(col("__s")), 4).as("total_value"),
+          sum(col("__c")).as("n_events")))
+      .orderBy("user_id"),
+    Some("""SELECT user_id, round(CAST(sum(value) AS DOUBLE), 4) AS total_value,
+           |  CAST(count(*) AS BIGINT) AS n_events
+           |FROM events GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""".stripMargin))
+
+  // — splittable scale ingest: JSONL with explicit schema ————————————————
+  private val q24 = Probe(
+    "q24_jsonl_scan",
+    (s, dir) => {
+      val tmp = s"/root/repo/target/tmp/q24_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      t(s, dir, "events").select(EventsVocab.eventJson.as("value"))
+        .coalesce(4).write.mode("overwrite").text(tmp)
+      val raw = s.read.schema(Schemas.eventSchema).option("timestampFormat", Schemas.TsFmt).json(tmp)
+      raw.select(
+          col("event_code"),
+          fmtTs(col("event_date")).as("event_date"),
+          col("shipping.shipping_id").as("shipping_id"),
+          col("shipping.parcel_number").as("parcel_number"))
+        .groupBy(col("event_code"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_date")).as("min_event_date"),
+          countDistinct(col("shipping_id")).as("n_ships"),
+          sum(col("parcel_number")).cast("long").as("sum_parcel"))
+        .orderBy("event_code")
+    },
+    Some(s"""SELECT $codeSql AS event_code, CAST(count(*) AS BIGINT) AS n,
+            |  min(strftime(ts, '$F')) AS min_event_date,
+            |  CAST(count(DISTINCT $shippingIdSql) AS BIGINT) AS n_ships,
+            |  CAST(sum($kSql) AS BIGINT) AS sum_parcel
+            |FROM events GROUP BY 1 ORDER BY event_code ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q08b, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21)
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
 }
