@@ -24,7 +24,10 @@ object Bench {
     "x03_dedup_minhash_lsh",
     "x05_sim_topk_bruteforce",
     "x08_text_stats",
-    "x09_sessionize")
+    "x09_sessionize",
+    "q22_part_supplier_agg",
+    "q24_jsonl_scan",
+    "x12_sim_topk_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

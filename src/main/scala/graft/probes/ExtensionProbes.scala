@@ -237,5 +237,79 @@ object ExtensionProbes {
            |    AS sampled_bytes
            |FROM calc ORDER BY media_id ASC NULLS FIRST""".stripMargin))
 
-  val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11)
+  // — IVF-Flat ANN with the deterministic seed quantizer (oracle-checked) —
+  private val x12 = Probe(
+    "x12_sim_topk_ivf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 16)
+      Ivf.search(queries, "query_id", "qvec", emb, "vec_id", "embedding", cents, k = 5, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH cents AS (
+           |  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16),
+           |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+           |cc AS (SELECT vec_id, centroid_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           |              CAST(unnest(cvec) AS DOUBLE) AS y FROM embeddings, cents),
+           |ccs AS (SELECT vec_id, centroid_id,
+           |          round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS sim
+           |        FROM cc GROUP BY 1, 2),
+           |assigned AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY sim DESC NULLS LAST, centroid_id ASC NULLS FIRST) AS rn FROM ccs)
+           |  WHERE rn = 1),
+           |qc AS (SELECT query_id, centroid_id, CAST(unnest(qvec) AS DOUBLE) AS x,
+           |              CAST(unnest(cvec) AS DOUBLE) AS y FROM q, cents),
+           |qcs AS (SELECT query_id, centroid_id,
+           |          round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS sim
+           |        FROM qc GROUP BY 1, 2),
+           |probes AS (
+           |  SELECT query_id, centroid_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC NULLS LAST, centroid_id ASC NULLS FIRST) AS rn FROM qcs)
+           |  WHERE rn <= 4),
+           |cand AS (SELECT p.query_id, a.vec_id FROM probes p
+           |         JOIN assigned a USING (centroid_id) WHERE a.vec_id != p.query_id),
+           |pair AS (SELECT cand.query_id, cand.vec_id, CAST(unnest(q.qvec) AS DOUBLE) AS x,
+           |                CAST(unnest(e.embedding) AS DOUBLE) AS y
+           |         FROM cand JOIN q ON q.query_id = cand.query_id
+           |         JOIN embeddings e ON e.vec_id = cand.vec_id),
+           |sims AS (SELECT query_id, vec_id,
+           |           round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cosine_sim
+           |         FROM pair GROUP BY 1, 2)
+           |SELECT query_id, vec_id, cosine_sim, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine_sim DESC NULLS LAST, vec_id ASC NULLS FIRST) AS rank FROM sims)
+           |WHERE rank <= 5
+           |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
+
+  // — streaming windowed counts, run to completion in the correctness gate —
+  private val x13 = Probe(
+    "x13_stream_counts",
+    (s, dir) => {
+      val tmp = s"/root/repo/target/tmp/x13_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      t(s, dir, "events").select(EventsVocab.eventJson.as("value"))
+        .coalesce(4).write.mode("overwrite").text(tmp)
+      val flat = graft.streaming.StreamingIngest.flatEvents(s, tmp)
+      val counts = flat
+        .withWatermark("event_date", "1 hour")
+        .groupBy(window(col("event_date"), "1 day"), col("event_code"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          date_format(col("window.start"), Schemas.TsFmt).as("window_start"),
+          col("event_code"), col("n_events"))
+      graft.streaming.StreamingIngest
+        .runToMemory(s, counts, s"x13_mem_${System.nanoTime()}", outputMode = "complete")
+        .orderBy("window_start", "event_code")
+    },
+    Some(s"""SELECT strftime(date_trunc('day', ts), '$F') AS window_start,
+            |  ${EventsVocab.codeSql} AS event_code, CAST(count(*) AS BIGINT) AS n_events
+            |FROM events GROUP BY 1, 2
+            |ORDER BY window_start ASC NULLS FIRST, event_code ASC NULLS FIRST""".stripMargin))
+
+  val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13)
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.ops.{Ivf, Similarity}
+import graft.sources.Readers
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Readers.table(spark, sf0001, "embeddings")
+
+  test("assign maps every vector to exactly one centroid") {
+    val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 16)
+    val assigned = Ivf.assign(emb, "vec_id", "embedding", cents)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+    assert(assigned.select("centroid_id").distinct().count() <= 16)
+  }
+
+  test("IVF search returns true cosines and full probing (nprobe = numCents) equals brute force") {
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 8)
+    val full = Ivf.search(queries, "query_id", "qvec", emb, "vec_id", "embedding",
+        cents, k = 5, nprobe = 8)
+      .select("query_id", "vec_id", "cosine_sim").as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, "query_id", "qvec", emb, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id", "cosine_sim").as[(Long, Long, Double)].collect().toSet
+    assert(full == brute, "probing every list = exact search")
+  }
+
+  test("one Lloyd iteration yields element-wise means with the original dimension") {
+    val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 4)
+    val assigned = Ivf.assign(emb, "vec_id", "embedding", cents)
+    val refined = Ivf.kmeansStep(assigned, "embedding")
+    assert(refined.count() <= 4)
+    assert(refined.select(size($"centroid_vec")).as[Int].collect().forall(_ == 64))
+    // refined centroid of a cluster must equal the avg of its members (spot-check dim 0)
+    val clusterOf = assigned.select($"centroid_id", element_at($"embedding", 1).cast("double").as("d0"))
+      .groupBy($"centroid_id").agg(avg($"d0").as("want"))
+    val got = refined.select($"centroid_id", element_at($"centroid_vec", 1).cast("double").as("got"))
+    val joined = clusterOf.join(got, "centroid_id")
+      .select(abs($"want" - $"got").as("err")).as[Double].collect()
+    assert(joined.forall(_ < 1e-6), "float re-cast tolerance")
+  }
+
+  test("approx_count_distinct stays within 5% of exact (the documented 100-TB alternative)") {
+    val ev = Readers.table(spark, sf0001, "events")
+    val (exact, approx) = ev.agg(
+      countDistinct($"user_id").cast("double"),
+      approx_count_distinct($"user_id").cast("double")
+    ).as[(Double, Double)].head()
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+}
