@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.etl._
+import graft.probes.EventsVocab
+import graft.sources.Readers
+
+/** Scale-mechanism tests: bucketed co-located joins (no exchange),
+  * partitioned fact writes (pruning), and the driver's entry smoke.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with no exchange on either side") {
+    val ev = Readers.table(spark, sf0001, "events")
+    Bucketing.writeBucketed(ev.select($"event_id", $"user_id", $"value"),
+      "ev_bucketed", Seq("user_id"), 8, sortCols = Seq("user_id"))
+    Bucketing.writeBucketed(ev.select($"user_id").distinct()
+        .withColumn("user_sk", SurrogateKeys.key(SurrogateKeys.Deterministic, $"user_id")),
+      "users_bucketed", Seq("user_id"), 8, sortCols = Seq("user_id"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = spark.table("ev_bucketed")
+        .join(spark.table("users_bucketed"), Seq("user_id"))
+      joined.collect() // finalize AQE
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("partitioned fact write produces event_year/event_month dirs and prunes on read") {
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "partwh").toString
+    val flat = Flatten(EventsVocab.synth(Readers.table(spark, sf0001, "events"))).cache()
+    flat.count()
+    val wh = EtlJob.buildFromFlat(flat, EtlJob.Config("", base, clock = () => "2026-01-01 00:00:00"))
+    EtlJob.write(wh, EtlJob.Config("", base, partitionFactByMonth = true,
+      clock = () => "2026-01-01 00:00:00"))
+    flat.unpersist()
+    val factDir = Paths.get(s"$base/FactShippingEvent")
+    val partDirs = Files.list(factDir).iterator()
+    val names = Iterator.continually(partDirs).takeWhile(_.hasNext).map(_.next().getFileName.toString).toList
+    assert(names.exists(_.startsWith("event_year=")), names.toString)
+
+    val pruned = spark.read.parquet(s"$base/FactShippingEvent")
+      .filter($"event_year" === 2024 && $"event_month" === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      (plan.contains("event_year") || plan.contains("isnotnull(event_year")),
+      s"partition filters must prune at the scan:\n$plan")
+  }
+
+  test("driver entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
