@@ -56,6 +56,26 @@ object Dedup {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** Exploded (id, shingle) table — build it ONCE (persist + eager count)
+    * when several stages consume the same shingle set (signatures +
+    * verification); each of [[minhashFromShingles]]/[[jaccardFromShingles]]
+    * otherwise re-explodes the corpus.
+    */
+  def shingleTable(docs: DataFrame, idCol: String, text: Column, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), explode(shingles(text, n)).as("shingle"))
+
+  /** MinHash signatures from a prebuilt [[shingleTable]] (column `id`). */
+  def minhashFromShingles(sh: DataFrame, numPerm: Int): DataFrame =
+    sh.withColumn("h", pmod(xxhash64(col("shingle")), lit(MersennePrime31)))
+      .groupBy(col("id"))
+      .agg(graft.functions.HashAggFunctions.minhash_agg(col("h"), numPerm).as("sig"))
+
+  /** Exact Jaccard for candidate pairs from a prebuilt [[shingleTable]]. */
+  def jaccardFromShingles(sh: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
+    ngramJaccardForPairs(sh, sizes, pairs, threshold)
+  }
+
   /** MinHash signature per id as one `array<long>` column `sig`:
     * `sig[p] = min over shingles of (a_p·h + b_p) mod (2^31-1)` with
     * `h = xxhash64(shingle) mod (2^31-1)` (31-bit domain keeps `a·h` inside

@@ -59,10 +59,12 @@ object ExtensionProbes {
     "x03_dedup_minhash_lsh",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val sig = Dedup.minhashSignatures(docs, "doc_id", col("text"), 3, 64)
-      val cands = Dedup.lshCandidates(sig, "doc_id", bands = 16, rowsPerBand = 4)
-      Dedup.jaccardVerify(docs, "doc_id", col("text"), 3, cands, 0.2)
-        .orderBy("id_a", "id_b")
+      // one shingle build feeds both the signatures and the verification
+      val sh = Dedup.shingleTable(docs, "doc_id", col("text"), 3).persist()
+      sh.count()
+      val sig = Dedup.minhashFromShingles(sh, 64)
+      val cands = Dedup.lshCandidates(sig, "id", bands = 16, rowsPerBand = 4)
+      Dedup.jaccardFromShingles(sh, cands, 0.2).orderBy("id_a", "id_b")
     },
     None)
 

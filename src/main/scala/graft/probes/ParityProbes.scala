@@ -469,7 +469,11 @@ object ParityProbes {
        |  WHERE rn = 1 AND shipping_id IS NOT NULL)""".stripMargin
   }
 
-  private def parcelBuild(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  final case class ParcelTables(
+      flat: DataFrame, dimClient: DataFrame, dimLocation: DataFrame,
+      dimState: DataFrame, dimDate: DataFrame, dimShipping: DataFrame, fact: DataFrame)
+
+  private def parcelBuildAll(s: SparkSession, dir: String): ParcelTables = {
     // cached once, reused by every dim/fact subtree (EtlJob's documented
     // physical delta, SURVEY §7.3) — without this each of the ~8 subtrees
     // recompiles and re-executes the whole synth+parse+flatten projection.
@@ -484,13 +488,13 @@ object ParityProbes {
     val dimDate = Dims.date(flat, SurrogateKeys.Deterministic)
     val dimShipping = FactBuilder.dimShipping(flat, dimClient, dimLocation, dimState)
     val fact = FactBuilder.fact(flat, dimShipping, dimDate, SurrogateKeys.Deterministic)
-    (flat, dimShipping, fact)
+    ParcelTables(flat, dimClient, dimLocation, dimState, dimDate, dimShipping, fact)
   }
 
   private val q17 = Probe(
     "q17_parcel_etl_fact",
     (s, dir) => {
-      val (_, _, fact) = parcelBuild(s, dir)
+      val fact = parcelBuildAll(s, dir).fact
       fact.select(
         col("event_id"), col("event_code"), col("event_sub_code"),
         fmtTs(col("event_date")).as("event_date"),
@@ -520,10 +524,7 @@ object ParityProbes {
 
   private val q18 = Probe(
     "q18_parcel_dimshipping",
-    (s, dir) => {
-      val (_, dimShipping, _) = parcelBuild(s, dir)
-      dimShipping.orderBy("shipping_id")
-    },
+    (s, dir) => parcelBuildAll(s, dir).dimShipping.orderBy("shipping_id"),
     Some(s"""WITH $dimsCte
             |SELECT * FROM dim_shipping ORDER BY shipping_id ASC NULLS FIRST""".stripMargin))
 
@@ -650,7 +651,53 @@ object ParityProbes {
             |  CAST(sum($kSql) AS BIGINT) AS sum_parcel
             |FROM events GROUP BY 1 ORDER BY event_code ASC NULLS FIRST""".stripMargin))
 
+  // — J7-J10/P3: the notebook's star-join enrichment through Kpi.enrich ——
+  private val q25 = Probe(
+    "q25_enrichment",
+    (s, dir) => {
+      val tb = parcelBuildAll(s, dir)
+      Kpi.enrich(tb.fact, tb.dimShipping, tb.dimClient, tb.dimDate, tb.dimLocation)
+        .select(
+          col("event_id"), col("shipping_id"), col("client_key"),
+          col("collection_country"), col("collection_agency"),
+          col("event_date_dim").cast("string").as("event_date_dim"),
+          col("weekday"))
+        .orderBy("event_id", "shipping_id", "client_key", "collection_country",
+          "collection_agency", "event_date_dim", "weekday")
+    },
+    Some({
+      val eventId = shaKeySql(
+        "f.event_code", "f.event_sub_code",
+        s"strftime(f.event_date, '$F')", s"strftime(f.entry_date, '$F')",
+        "f.event_nature", "f.shipping_id")
+      s"""WITH $dimsCte,
+         |dim_date_full AS (
+         |  SELECT d AS date, CAST(dayofweek(d) + 1 AS INTEGER) AS weekday, ${shaKeySql("d")} AS date_id
+         |  FROM (SELECT DISTINCT CAST(event_date AS DATE) AS d FROM flat)),
+         |fact AS (
+         |  SELECT $eventId AS event_id, f.event_code, f.event_sub_code, f.event_date,
+         |    f.entry_date, f.event_nature, s.shipping_id, dt.date_id
+         |  FROM flat f
+         |  LEFT JOIN dim_shipping s ON f.shipping_id = s.shipping_id
+         |  LEFT JOIN dim_date dt ON CAST(f.event_date AS DATE) = dt.date),
+         |enriched AS (
+         |  SELECT * FROM fact
+         |  LEFT JOIN dim_shipping USING (shipping_id)
+         |  LEFT JOIN dim_client USING (client_id)
+         |  LEFT JOIN (SELECT date_id, date AS event_date_dim, weekday FROM dim_date_full) USING (date_id)
+         |  LEFT JOIN (SELECT location_id AS collection_location_id, codeAgence AS collection_agency,
+         |               pays AS collection_country FROM dim_location) USING (collection_location_id))
+         |SELECT * FROM (
+         |  SELECT event_id, shipping_id, client_key, collection_country, collection_agency,
+         |    CAST(event_date_dim AS VARCHAR) AS event_date_dim, weekday
+         |  FROM enriched)
+         |ORDER BY event_id ASC NULLS FIRST, shipping_id ASC NULLS FIRST,
+         |  client_key ASC NULLS FIRST, collection_country ASC NULLS FIRST,
+         |  collection_agency ASC NULLS FIRST, event_date_dim ASC NULLS FIRST,
+         |  weekday ASC NULLS FIRST""".stripMargin
+    }))
+
   val all: Seq[Probe] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q08b, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
 }

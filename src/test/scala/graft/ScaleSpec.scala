@@ -14,6 +14,13 @@ class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
   test("bucketed tables join with no exchange on either side") {
+    // a previous JVM's managed-table location survives on disk while the
+    // in-memory catalog forgets it — clear both before writing
+    Seq("ev_bucketed", "users_bucketed").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(s"spark-warehouse/$tbl")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
     val ev = Readers.table(spark, sf0001, "events")
     Bucketing.writeBucketed(ev.select($"event_id", $"user_id", $"value"),
       "ev_bucketed", Seq("user_id"), 8, sortCols = Seq("user_id"))
