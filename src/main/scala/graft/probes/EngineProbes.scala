@@ -1,0 +1,108 @@
+package graft.probes
+
+import org.apache.spark.sql.functions._
+import graft.sources.Readers
+import ParityProbes.Probe
+
+/** Engine-surface probes: the remaining API families a full Spark-native
+  * engine must expose beyond SURVEY §2's census and the analytic surface —
+  * the SQL text front-end (`spark.sql` over registered views), the ORC
+  * columnar format (read+write round-trip; the reference is parquet-only,
+  * SURVEY §2.1 "not present" list), GROUPING SETS (the general form of
+  * q27's CUBE / q22's ROLLUP), and order-insensitive collection aggregates
+  * (`collect_list`/`collect_set`, canonicalized by `sort_array` so the
+  * result is deterministic and oracle-comparable).
+  */
+object EngineProbes {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Readers.table(s, dir, n)
+
+  // — ORC round-trip: second columnar format, predicate pushdown intact ——
+  private val q33 = Probe(
+    "q33_orc_roundtrip",
+    (s, dir) => {
+      val tmp = s"/root/repo/target/tmp/q33_orc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_discount", "l_returnflag", "l_linestatus")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .filter(col("l_quantity") > 10) // pushed to the ORC scan
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+           |  round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue,
+           |  round(avg(l_quantity), 4) AS avg_qty
+           |FROM lineitem WHERE l_quantity > 10
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+
+  // — SQL text front-end: same Catalyst plans from ANSI SQL (TPC-H Q3-ish) —
+  private val q34Sql =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey""".stripMargin
+
+  private val q34 = Probe(
+    "q34_sql_text",
+    (s, dir) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(q34Sql + "\nORDER BY revenue DESC, l_orderkey\nLIMIT 20")
+    },
+    Some(q34Sql + "\nORDER BY revenue DESC NULLS LAST, l_orderkey ASC NULLS FIRST\nLIMIT 20"))
+
+  // — GROUPING SETS: arbitrary grouping lattice (generalizes CUBE/ROLLUP) —
+  private val q35 = Probe(
+    "q35_grouping_sets",
+    (s, dir) => t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("total_price"),
+        grouping(col("o_orderstatus")).cast("long").as("g_st"),
+        grouping(col("o_orderpriority")).cast("long").as("g_pr"))
+      .orderBy(col("g_st"), col("g_pr"), col("o_orderstatus"), col("o_orderpriority")),
+    Some("""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           |  round(CAST(sum(o_totalprice) AS DOUBLE), 4) AS total_price,
+           |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+           |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pr
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+           |ORDER BY g_st ASC NULLS FIRST, g_pr ASC NULLS FIRST,
+           |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin))
+
+  // — collection aggregates, canonicalized for determinism ————————————————
+  private val q36 = Probe(
+    "q36_collect_agg",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(sort_array(collect_list(col("event_type"))), "|").as("all_types"),
+        array_join(sort_array(collect_set(col("event_type"))), "|").as("distinct_types"),
+        size(collect_set(col("event_type"))).cast("long").as("n_distinct_types"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           |  array_to_string(list_sort(array_agg(event_type)), '|') AS all_types,
+           |  array_to_string(list_sort(array_agg(DISTINCT event_type)), '|') AS distinct_types,
+           |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_types
+           |FROM events GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""".stripMargin))
+
+  val all: Seq[Probe] = Seq(q33, q34, q35, q36)
+}

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.etl.Flatten
 
 /** Streaming ingest (north-star extension, SURVEY §7.6): the same parcel
@@ -55,6 +56,68 @@ object StreamingIngest {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Per-key running state for [[statefulShipmentProgress]]. */
+  final case class ShipmentProgress(
+      shippingId: String,
+      nEvents: Long,
+      firstEventAt: java.sql.Timestamp,
+      lastEventAt: java.sql.Timestamp,
+      lastCode: String)
+
+  /** Arbitrary stateful processing: `flatMapGroupsWithState` tracking each
+    * shipment's running progress (event count, first/last event time, last
+    * code seen) and emitting an updated snapshot per key per micro-batch.
+    *
+    * This is the custom-state escape hatch for semantics `session_window`
+    * and windowed aggs can't express (cross-window per-entity accumulators,
+    * conditional finalization). State is partitioned by `shipping_id` — at
+    * scale it lives in the executor state store (RocksDB-backed on a real
+    * cluster), never on the driver; the event-time timeout bounds state
+    * growth to the watermark horizon.
+    */
+  def statefulShipmentProgress(flat: DataFrame, watermark: String,
+      stateTtl: String = "2 hours"): Dataset[ShipmentProgress] = {
+    val spark = flat.sparkSession
+    import spark.implicits._
+    flat
+      .filter(col("shipping_id").isNotNull && col("event_date").isNotNull)
+      .withWatermark("event_date", watermark)
+      .select(col("shipping_id").as[String],
+        col("event_date").as[java.sql.Timestamp],
+        col("event_code").as[String])
+      .as[(String, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ShipmentProgress, ShipmentProgress](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (id, rows, state: GroupState[ShipmentProgress]) =>
+          if (state.hasTimedOut) {
+            // horizon passed: final snapshot already emitted; drop the state
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            val sorted = batch.sortBy(r => (r._2.getTime, r._3))
+            val prev = state.getOption
+            val merged = sorted.foldLeft(prev) {
+              case (None, (_, ts, code)) => Some(ShipmentProgress(id, 1L, ts, ts, code))
+              case (Some(p), (_, ts, code)) =>
+                val first = if (ts.before(p.firstEventAt)) ts else p.firstEventAt
+                val last = if (ts.after(p.lastEventAt)) ts else p.lastEventAt
+                val lastCode = if (ts.before(p.lastEventAt)) p.lastCode else code
+                Some(ShipmentProgress(id, p.nEvents + 1, first, last, lastCode))
+            }
+            merged.foreach { m =>
+              state.update(m)
+              // expire quiet keys `stateTtl` past their last event; floor at
+              // the watermark (setTimeoutTimestamp rejects earlier values)
+              state.setTimeoutTimestamp(
+                math.max(m.lastEventAt.getTime, state.getCurrentWatermarkMs()), stateTtl)
+            }
+            merged.iterator
+          }
+      }
+  }
 
   /** Drive a streaming frame to completion against a memory sink and
     * return the collected result (test/local harness; production callers

@@ -43,6 +43,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stateful shipment progress: last snapshot per key equals the batch aggregate") {
+    val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
+    val snapshots = StreamingIngest
+      .runToMemory(spark,
+        StreamingIngest.statefulShipmentProgress(streamFlat, "1 hour").toDF(),
+        "stream_stateful", outputMode = "append")
+    // multiple snapshots per key may accumulate across micro-batches; the
+    // LAST (max-nEvents) one must equal the batch per-key aggregate
+    val last = snapshots
+      .groupBy($"shippingId")
+      .agg(
+        max($"nEvents").as("n_events"),
+        min($"firstEventAt").as("first_at"),
+        max($"lastEventAt").as("last_at"))
+      .as[(String, Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+
+    val batch = Flatten(
+      Readers.table(spark, sf0001, "events").select(EventsVocab.eventJson.as("event")))
+      .filter($"shipping_id".isNotNull && $"event_date".isNotNull)
+      .groupBy($"shipping_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"event_date").as("first_at"),
+        max($"event_date").as("last_at"))
+      .as[(String, Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+
+    assert(last == batch)
+  }
+
   test("streaming sessionization produces sessions with positive event counts") {
     val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
     val sessions = StreamingIngest.runToMemory(spark,
