@@ -27,7 +27,13 @@ object Bench {
     "x09_sessionize",
     "q22_part_supplier_agg",
     "q24_jsonl_scan",
-    "x12_sim_topk_ivf")
+    "x12_sim_topk_ivf",
+    "q26_window_funcs",
+    "q33_orc_roundtrip",
+    "q34_sql_text",
+    "q35_grouping_sets",
+    "x07_cosine_near_dup",
+    "x14_asof_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -64,6 +64,54 @@ class PlanSpec extends SparkSpec {
     assert(plan.startsWith("*("), s"the vec_dot projection must be inside a codegen stage:\n$plan")
   }
 
+  test("ORC scan: predicate pushdown fires for the second columnar format") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"), "orc").toString
+    Readers.table(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag").write.mode("overwrite").orc(tmp)
+    val plan = physical(
+      spark.read.orc(tmp).filter(col("l_quantity") > 10).select("l_orderkey"))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThan(l_quantity,10"), plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"), s"unused column read: $readSchema")
+  }
+
+  test("SQL text front-end compiles to the same physical plan as the DSL") {
+    Readers.table(spark, sf0001, "orders").createOrReplaceTempView("plan_orders")
+    val sql = spark.sql(
+      "SELECT o_orderstatus, count(*) AS n FROM plan_orders GROUP BY o_orderstatus")
+    val dsl = Readers.table(spark, sf0001, "orders")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    def shape(df: DataFrame) = physical(df).replaceAll("#\\d+L?", "#n").linesIterator
+      .map(_.trim.takeWhile(_ != '(')).filter(_.nonEmpty).mkString("|")
+    assert(shape(sql) == shape(dsl), s"${physical(sql)}\n-- vs --\n${physical(dsl)}")
+  }
+
+  test("grouping sets expand once and aggregate partial+final (single shuffle)") {
+    val df = Readers.table(spark, sf0001, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val plan = physical(df)
+    assert(plan.linesIterator.count(_.contains("Expand")) == 1, plan)
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"grouping lattice must cost one shuffle, not one per set:\n$plan")
+  }
+
+  test("as-of join plan: one shuffle per side, no cartesian anywhere") {
+    val ev = Readers.table(spark, sf0001, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val plan = physical(graft.ops.AsofJoin.backward(
+      purchases, clicks, Seq("user_id"), "ts", "click_ts", Seq("click_ts")))
+    assert(!plan.contains("Cartesian"), s"as-of must not degenerate to cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("fact write path: dedup becomes a single exchange + window, no extra shuffles") {
     val flat = Flatten(EventsVocab.synth(Readers.table(spark, sf0001, "events")))
     val dimClient = Dims.client(flat, SurrogateKeys.Deterministic)
