@@ -15,6 +15,8 @@ object Sessions {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // custom kernels (vec_dot, minhash_agg, …) visible to SQL text
+      .withExtensions(new graft.functions.GraftExtensions)
       // AQE: runtime re-plan (broadcast demotion/promotion, skew-join
       // splitting, partition coalescing)
       .config("spark.sql.adaptive.enabled", "true")

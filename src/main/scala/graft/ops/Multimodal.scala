@@ -49,6 +49,25 @@ object Multimodal {
       r.copy(bytes = r.bytes.take(math.max(1, (w.toLong * h / 64).toInt)))
   }
 
+  /** Real-file ingestion: Spark's `binaryFile` source — one row per file
+    * with (path, modificationTime, length, content), the canonical way to
+    * load images/audio from a lake into binary columns. The scan is
+    * partition-parallel across files; `pathGlobFilter` prunes by extension
+    * at the listing (files never opened), and
+    * `spark.sql.files.maxPartitionBytes` governs task granularity exactly
+    * as for parquet.
+    */
+  def readBinaryDir(spark: SparkSession, dir: String, glob: String, kind: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        // content-addressed id: stable across relistings, no driver counter
+        xxhash64(col("path")).as("media_id"),
+        lit(kind).as("kind"),
+        col("content").as("bytes"),
+        col("path").as("source"))
+
   /** Pack a text table into media records (binary column + metadata) — the
     * fixture stand-in for real image/audio ingestion. `encode` is a plain
     * Catalyst expression, so packing scales as a projection.

@@ -57,6 +57,41 @@ object StreamingIngest {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming dedup with bounded state: drop re-deliveries of the same
+    * (shipping_id, event_code, event_date) triple, keeping state only
+    * inside the watermark horizon (`dropDuplicatesWithinWatermark` —
+    * unbounded-state `dropDuplicates` is the wrong call on an infinite
+    * stream).
+    */
+  def dedupedEvents(flat: DataFrame, watermark: String): DataFrame =
+    flat
+      .filter(col("shipping_id").isNotNull && col("event_date").isNotNull)
+      .withWatermark("event_date", watermark)
+      .dropDuplicatesWithinWatermark("shipping_id", "event_code", "event_date")
+
+  /** Stream-stream inner join: collection events matched to the delivery
+    * event of the same shipment within `maxLag` event time. Both sides are
+    * watermarked and the join carries an event-time range predicate — the
+    * two conditions Spark needs to bound join state on an infinite stream.
+    */
+  def collectionToDelivery(flat: DataFrame, watermark: String, maxLag: String): DataFrame = {
+    val coll = flat
+      .filter(col("event_code") === "PEC")
+      .select(col("shipping_id").as("c_shipping_id"), col("event_date").as("collected_at"))
+      .withWatermark("collected_at", watermark)
+    val deli = flat
+      .filter(col("event_code") === "LIV")
+      .select(col("shipping_id").as("d_shipping_id"), col("event_date").as("delivered_at"))
+      .withWatermark("delivered_at", watermark)
+    coll.join(deli,
+      col("c_shipping_id") === col("d_shipping_id") &&
+        col("delivered_at") >= col("collected_at") &&
+        col("delivered_at") <= col("collected_at") + expr(s"INTERVAL $maxLag"),
+      "inner")
+      .select(col("c_shipping_id").as("shipping_id"),
+        col("collected_at"), col("delivered_at"))
+  }
+
   /** Per-key running state for [[statefulShipmentProgress]]. */
   final case class ShipmentProgress(
       shippingId: String,

@@ -120,6 +120,29 @@ class OpsSpec extends SparkSpec {
     assert(typed == sql)
   }
 
+  test("binaryFile source: glob-filtered files arrive as binary rows, bytes intact") {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"), "media")
+    val payloads = Map("a.img" -> "alpha-bytes", "b.img" -> "beta", "skip.txt" -> "nope")
+    payloads.foreach { case (name, content) =>
+      java.nio.file.Files.write(dir.resolve(name), content.getBytes("UTF-8"))
+    }
+    val media = Multimodal.readBinaryDir(spark, dir.toString, "*.img", "image")
+    val rows = media
+      .select($"source", decode($"bytes", "UTF-8").as("content"), $"kind", $"media_id")
+      .as[(String, String, String, Long)].collect()
+    assert(rows.length == 2, "pathGlobFilter must exclude skip.txt")
+    rows.foreach { case (source, content, kind, id) =>
+      val name = source.split('/').last
+      assert(payloads(name) == content)
+      assert(kind == "image")
+    }
+    assert(rows.map(_._4).distinct.length == 2, "content-addressed ids must differ")
+    // and the decoded stream feeds the same downstream decode stage
+    val meta = Multimodal.extractMeta(spark, media).collect()
+    assert(meta.map(_.byte_len).sorted.toSeq == Seq(4L, 11L))
+  }
+
   test("frame sampling: every-2nd 64-byte frames with correct count and sizes") {
     val media = Multimodal.pack(docs.limit(5), "doc_id", "text", "video")
     val frames = Multimodal.sampleFrames(spark, media, 64, 2).toDF()

@@ -72,6 +72,47 @@ class StreamingSpec extends SparkSpec {
     assert(last == batch)
   }
 
+  test("streaming dedup within watermark equals batch dropDuplicates on the key triple") {
+    val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
+    val streamed = StreamingIngest.runToMemory(spark,
+      StreamingIngest.dedupedEvents(streamFlat, "30 days")
+        .select($"shipping_id", $"event_code", $"event_date"),
+      "stream_dedup", outputMode = "append")
+      .as[(String, String, java.sql.Timestamp)].collect().toSet
+
+    val batch = Flatten(
+      Readers.table(spark, sf0001, "events").select(EventsVocab.eventJson.as("event")))
+      .filter($"shipping_id".isNotNull && $"event_date".isNotNull)
+      .dropDuplicates("shipping_id", "event_code", "event_date")
+      .select($"shipping_id", $"event_code", $"event_date")
+      .as[(String, String, java.sql.Timestamp)].collect().toSet
+
+    assert(streamed == batch)
+  }
+
+  test("stream-stream join: collection→delivery pairs equal the batch join") {
+    val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
+    val streamed = StreamingIngest.runToMemory(spark,
+      StreamingIngest.collectionToDelivery(streamFlat, "30 days", "7 days"),
+      "stream_join", outputMode = "append")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+
+    val batchFlat = Flatten(
+      Readers.table(spark, sf0001, "events").select(EventsVocab.eventJson.as("event")))
+    val coll = batchFlat.filter($"event_code" === "PEC")
+      .select($"shipping_id".as("c_id"), $"event_date".as("collected_at"))
+    val deli = batchFlat.filter($"event_code" === "LIV")
+      .select($"shipping_id".as("d_id"), $"event_date".as("delivered_at"))
+    val batch = coll.join(deli,
+        $"c_id" === $"d_id" && $"delivered_at" >= $"collected_at" &&
+          $"delivered_at" <= $"collected_at" + expr("INTERVAL 7 days"))
+      .select($"c_id", $"collected_at", $"delivered_at")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "fixture must produce at least one matched pair")
+  }
+
   test("streaming sessionization produces sessions with positive event counts") {
     val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
     val sessions = StreamingIngest.runToMemory(spark,
