@@ -104,5 +104,36 @@ object EngineProbes {
            |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_types
            |FROM events GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""".stripMargin))
 
-  val all: Seq[Probe] = Seq(q33, q34, q35, q36)
+  // — relational pivot() with explicit values (idiomatic twin of the
+  //   reference's hand-rolled min(when) pivot, SURVEY §2.4 note) —————————
+  private val q37 = Probe(
+    "q37_pivot",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "purchase", "view"))
+      .agg(round(sum(col("value")), 4))
+      .orderBy("user_id"),
+    Some("""SELECT user_id,
+           |  round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+           |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+           |  round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+           |FROM events GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""".stripMargin))
+
+  // — generator/lateral-view: posexplode of tokenized text ————————————————
+  private val q38 = Probe(
+    "q38_posexplode",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), "\\s+"), x => length(x) > lit(0))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("tok"))
+      .orderBy("doc_id", "pos"),
+    Some("""SELECT doc_id,
+           |  CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+           |  unnest(toks) AS tok
+           |FROM (SELECT doc_id,
+           |        list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+           |      FROM documents)
+           |ORDER BY doc_id ASC NULLS FIRST, pos ASC NULLS FIRST""".stripMargin))
+
+  val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38)
 }
