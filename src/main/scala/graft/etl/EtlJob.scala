@@ -72,7 +72,9 @@ object EtlJob {
     var dq = Vector.empty[DqCheck]
     dq ++= DqRunner.run(raw, "Before Parsing", cfg.clock)
 
-    val parsed = Flatten.parse(raw)
+    // the multiLine CSV scans as ONE task however large the file is —
+    // spread the raw rows across the cluster before the JSON parse
+    val parsed = Flatten.parse(Readers.fanOut(raw))
     dq ++= DqRunner.run(parsed, "After Parsing", cfg.clock)
 
     val flat = Flatten.flatten(parsed).cache()

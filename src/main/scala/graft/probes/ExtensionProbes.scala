@@ -35,7 +35,7 @@ object ExtensionProbes {
   // — exact n-gram Jaccard near-dup pairs (the oracle for the LSH path) ——
   private val x02 = Probe(
     "x02_dedup_ngram_jaccard",
-    (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", col("text"), 3, 0.2)
+    (s, dir) => Dedup.ngramJaccardPairs(Readers.fanOut(t(s, dir, "documents")), "doc_id", col("text"), 3, 0.2)
       .orderBy("id_a", "id_b"),
     Some("""WITH sh AS (
            |  SELECT doc_id AS id, unnest(list_distinct(
@@ -58,7 +58,7 @@ object ExtensionProbes {
   private val x03 = Probe(
     "x03_dedup_minhash_lsh",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = Readers.fanOut(t(s, dir, "documents"))
       // one shingle build feeds both the signatures and the verification
       val sh = Dedup.shingleTable(docs, "doc_id", col("text"), 3).persist()
       sh.count()
@@ -72,7 +72,7 @@ object ExtensionProbes {
   private val x04 = Probe(
     "x04_dedup_simhash",
     (s, dir) => {
-      val sig = Dedup.simhash(t(s, dir, "documents"), "doc_id", col("text"))
+      val sig = Dedup.simhash(Readers.fanOut(t(s, dir, "documents")), "doc_id", col("text"))
       Dedup.simhashPairs(sig, "doc_id", maxDist = 6).orderBy("id_a", "id_b")
     },
     None)
@@ -81,7 +81,7 @@ object ExtensionProbes {
   private val x05 = Probe(
     "x05_sim_topk_bruteforce",
     (s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.bruteForceTopK(queries, "query_id", "qvec", emb, "vec_id", "embedding", k = 5)
@@ -105,7 +105,7 @@ object ExtensionProbes {
   private val x06 = Probe(
     "x06_sim_topk_lsh",
     (s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       Similarity.lshBucketTopK(queries, "query_id", "qvec", emb, "vec_id", "embedding",
@@ -118,7 +118,7 @@ object ExtensionProbes {
   // — embedding-cosine near-dup pairs (exact; LSH variant is x06's path) —
   private val x07 = Probe(
     "x07_cosine_near_dup",
-    (s, dir) => Similarity.cosinePairsExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    (s, dir) => Similarity.cosinePairsExact(Readers.fanOut(t(s, dir, "embeddings")), "vec_id", "embedding", 0.4)
       .orderBy("id_a", "id_b"),
     Some("""WITH pairs AS (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
@@ -134,7 +134,7 @@ object ExtensionProbes {
   // — text analysis: tokens, quality, lang-id, fingerprint ———————————————
   private val x08 = Probe(
     "x08_text_stats",
-    (s, dir) => TextStats.withStats(t(s, dir, "documents"))
+    (s, dir) => TextStats.withStats(Readers.fanOut(t(s, dir, "documents")))
       .select(col("doc_id"), col("n_chars_calc"), col("n_tokens"), col("n_regex_tokens"),
         col("punct_ratio"), col("stopword_ratio"), col("quality_score"),
         col("pred_lang"), col("fingerprint"))
@@ -243,7 +243,7 @@ object ExtensionProbes {
   private val x12 = Probe(
     "x12_sim_topk_ivf",
     (s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 16)

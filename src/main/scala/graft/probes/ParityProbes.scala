@@ -480,7 +480,9 @@ object ParityProbes {
     // Materialized EAGERLY: the dim broadcast-exchange threads otherwise
     // race to compute the same cached partitions and stall on block locks
     // (observed minutes-long hangs against the 300 s broadcast timeout).
-    val flat = Flatten(EventsVocab.synth(t(s, dir, "events"))).persist()
+    // fan out first: events.parquet is a single row-group at test SFs, so
+    // the to_json synth + from_json parse would otherwise run on one core
+    val flat = Flatten(EventsVocab.synth(Readers.fanOut(t(s, dir, "events")))).persist()
     flat.count()
     val dimClient = Dims.client(flat, SurrogateKeys.Deterministic)
     val dimLocation = Dims.location(flat, SurrogateKeys.Deterministic)

@@ -35,6 +35,16 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Fan a frame out to full parallelism before CPU-heavy per-row work
+    * (JSON parse, shingling, hashing). A non-splittable source (multiLine
+    * CSV) or a small/single-row-group file scans as ONE task no matter how
+    * many cores exist; without this, everything computed on top of it
+    * inherits parallelism 1. The exchange moves the cheap raw rows once —
+    * strictly cheaper than serializing the downstream compute.
+    */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Testdata table loader (`TESTDATA.md` layout: one parquet per table).
     *
     * `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects outright
