@@ -313,5 +313,56 @@ object ExtensionProbes {
             |FROM events GROUP BY 1, 2
             |ORDER BY window_start ASC NULLS FIRST, event_code ASC NULLS FIRST""".stripMargin))
 
-  val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13)
+  // — stateful streaming (flatMapGroupsWithState): final per-key snapshot
+  //   equals the batch per-key aggregate → fully oracle-checkable ————————
+  private val x17 = Probe(
+    "x17_stream_stateful",
+    (s, dir) => {
+      val tmp = s"/root/repo/target/tmp/x17_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      t(s, dir, "events").select(EventsVocab.eventJson.as("value"))
+        .coalesce(4).write.mode("overwrite").text(tmp)
+      val flat = graft.streaming.StreamingIngest.flatEvents(s, tmp)
+      val snaps = graft.streaming.StreamingIngest.runToMemory(
+        s,
+        graft.streaming.StreamingIngest.statefulShipmentProgress(flat, "1 hour").toDF(),
+        s"x17_mem_${System.nanoTime()}", outputMode = "append")
+      snaps.groupBy(col("shippingId"))
+        .agg(
+          max(col("nEvents")).as("n_events"),
+          date_format(min(col("firstEventAt")), Schemas.TsFmt).as("first_at"),
+          date_format(max(col("lastEventAt")), Schemas.TsFmt).as("last_at"))
+        .select(col("shippingId").as("shipping_id"),
+          col("n_events"), col("first_at"), col("last_at"))
+        .orderBy("shipping_id")
+    },
+    Some(s"""SELECT ${EventsVocab.shippingIdSql} AS shipping_id,
+            |  CAST(count(*) AS BIGINT) AS n_events,
+            |  strftime(min(ts), '$F') AS first_at, strftime(max(ts), '$F') AS last_at
+            |FROM events WHERE ${EventsVocab.shippingIdSql} IS NOT NULL
+            |GROUP BY 1 ORDER BY shipping_id ASC NULLS FIRST""".stripMargin))
+
+  // — streaming dedup within watermark: first-seen triples ≡ batch DISTINCT
+  private val x18 = Probe(
+    "x18_stream_dedup",
+    (s, dir) => {
+      val tmp = s"/root/repo/target/tmp/x18_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      t(s, dir, "events").select(EventsVocab.eventJson.as("value"))
+        .coalesce(4).write.mode("overwrite").text(tmp)
+      val flat = graft.streaming.StreamingIngest.flatEvents(s, tmp)
+      val deduped = graft.streaming.StreamingIngest.runToMemory(
+        s,
+        graft.streaming.StreamingIngest.dedupedEvents(flat, "30 days")
+          .select(col("shipping_id"), col("event_code"),
+            date_format(col("event_date"), Schemas.TsFmt).as("event_at")),
+        s"x18_mem_${System.nanoTime()}", outputMode = "append")
+      deduped.orderBy("shipping_id", "event_code", "event_at")
+    },
+    Some(s"""SELECT DISTINCT ${EventsVocab.shippingIdSql} AS shipping_id,
+            |  ${EventsVocab.codeSql} AS event_code, strftime(ts, '$F') AS event_at
+            |FROM events WHERE ${EventsVocab.shippingIdSql} IS NOT NULL
+            |ORDER BY shipping_id ASC NULLS FIRST, event_code ASC NULLS FIRST,
+            |  event_at ASC NULLS FIRST""".stripMargin))
+
+  val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
+    x17, x18)
 }
