@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Random sampling (`df.sample`, `rand()`) is non-reproducible across
+  * retries and re-partitioning — poison for dataset lineage. Both
+  * operators here are pure functions of the data:
+  *
+  *   - [[hashSplit]]: content-addressed train/val/test assignment —
+  *     `xxhash64(id)` bucketed into 10k slots, thresholds from the
+  *     cumulative fractions. A pure projection: no shuffle, no state, the
+  *     same row lands in the same split on any cluster any day, and new
+  *     rows never move existing ones between splits.
+  *   - [[stratifiedExact]]: exactly `ceil(frac · n_k)` rows per stratum k,
+  *     chosen by hash order within the stratum (deterministic, unbiased
+  *     w.r.t. any column correlated with the sort order of the data). One
+  *     hash shuffle on the stratum key; the per-stratum top-N is a window
+  *     with a rank pushdown (`WindowGroupLimit`), not a global sort.
+  */
+object Sampling {
+
+  private val Slots = 10000L
+
+  /** Add a `split` column assigning each row to a named split by hashed id.
+    * Fractions must sum to ~1 (trailing remainder goes to the last split).
+    */
+  def hashSplit(df: DataFrame, idCol: Column, splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val slot = pmod(xxhash64(idCol), lit(Slots))
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => (c * Slots).toLong)
+    val expr = splits.init.zip(cuts.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), rest) => when(slot < cut, name).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Exactly `ceil(frac · count)` rows per value of `stratumCol`, picked in
+    * `xxhash64(idCol)` order (ties broken by the id itself).
+    */
+  def stratifiedExact(df: DataFrame, stratumCol: Column, idCol: Column, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac must be in (0, 1]")
+    val w = Window.partitionBy(stratumCol).orderBy(xxhash64(idCol), idCol)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(stratumCol)))
+      .filter(col("__rn") <= ceil(col("__n") * frac))
+      .drop("__rn", "__n")
+  }
+
+  /** Deterministic per-stratum top-N by an explicit order (the
+    * oracle-checkable twin of [[stratifiedExact]] — same plan shape, the
+    * order column is portable instead of engine-hashed).
+    */
+  def stratifiedTopN(df: DataFrame, stratumCol: Column, orderCol: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCol).orderBy(orderCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

@@ -135,5 +135,33 @@ object EngineProbes {
            |      FROM documents)
            |ORDER BY doc_id ASC NULLS FIRST, pos ASC NULLS FIRST""".stripMargin))
 
-  val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38)
+  // — MapType + map function family (absent from the reference entirely;
+  //   results projected to scalars so the oracle stays engine-portable) ——
+  private val q39 = Probe(
+    "q39_map_funcs",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n")))))
+        .as("m"))
+      .select(
+        col("user_id"),
+        element_at(col("m"), "click").as("click_n"), // null when key absent
+        size(map_keys(col("m"))).cast("long").as("n_types"),
+        array_join(map_keys(col("m")), "|").as("types_sorted"),
+        aggregate(map_values(col("m")), lit(0L), (a, v) => a + v).as("total_events"),
+        size(map_filter(col("m"), (_, v) => v > 1)).cast("long").as("n_repeated_types"))
+      .orderBy("user_id"),
+    Some("""WITH per AS (
+           |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2)
+           |SELECT user_id,
+           |  max(CASE WHEN event_type = 'click' THEN n END) AS click_n,
+           |  CAST(count(*) AS BIGINT) AS n_types,
+           |  string_agg(event_type, '|' ORDER BY event_type) AS types_sorted,
+           |  CAST(sum(n) AS BIGINT) AS total_events,
+           |  CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS n_repeated_types
+           |FROM per GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""".stripMargin))
+
+  val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39)
 }

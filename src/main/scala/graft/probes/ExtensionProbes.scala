@@ -363,6 +363,31 @@ object ExtensionProbes {
             |ORDER BY shipping_id ASC NULLS FIRST, event_code ASC NULLS FIRST,
             |  event_at ASC NULLS FIRST""".stripMargin))
 
+  // — deterministic sampling: per-stratum exact top-N (oracled) and the
+  //   hash-split assignment (rows-only: split depends on xxhash64) ————————
+  private val x19 = Probe(
+    "x19_stratified_sample",
+    (s, dir) => Sampling.stratifiedTopN(
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("user_id")),
+        col("event_type"), col("event_id"), 50)
+      .orderBy("event_type", "event_id"),
+    Some("""SELECT event_id, event_type, user_id FROM (
+           |  SELECT event_id, event_type, user_id,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY event_id ASC NULLS FIRST) AS rn
+           |  FROM events)
+           |WHERE rn <= 50
+           |ORDER BY event_type ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin))
+
+  private val x20 = Probe(
+    "x20_hash_split",
+    (s, dir) => Sampling.hashSplit(
+        t(s, dir, "events"), col("event_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .orderBy("split"),
+    None)
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
-    x17, x18)
+    x17, x18, x19, x20)
 }

@@ -157,6 +157,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hashSplit: disjoint, complete, deterministic, fractions within tolerance") {
+    val ev = Readers.table(spark, sf0001, "events")
+    val total = ev.count()
+    val split1 = Sampling.hashSplit(ev, $"event_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split1.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == total, "every row gets exactly one split")
+    assert(math.abs(counts("train").toDouble / total - 0.8) < 0.05)
+    assert(math.abs(counts("val").toDouble / total - 0.1) < 0.05)
+    assert(math.abs(counts("test").toDouble / total - 0.1) < 0.05)
+    // content-addressed: same assignment on an independent evaluation over
+    // a reshuffled input
+    val split2 = Sampling.hashSplit(ev.repartition(3), $"event_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val a = split1.select($"event_id", $"split").as[(Long, String)].collect().toSet
+    val b = split2.select($"event_id", $"split").as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("stratifiedExact: ceil(frac*n) rows per stratum, subset, deterministic") {
+    val ev = Readers.table(spark, sf0001, "events")
+    val perStratum = ev.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val sample = Sampling.stratifiedExact(ev, $"event_type", $"event_id", 0.2)
+    val got = sample.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    perStratum.foreach { case (k, n) =>
+      assert(got(k) == math.ceil(n * 0.2).toLong, s"stratum $k")
+    }
+    val ids = sample.select("event_id").as[Long].collect().toSet
+    val all = ev.select("event_id").as[Long].collect().toSet
+    assert(ids.subsetOf(all))
+    val ids2 = Sampling.stratifiedExact(ev.repartition(5), $"event_type", $"event_id", 0.2)
+      .select("event_id").as[Long].collect().toSet
+    assert(ids == ids2, "hash-ordered pick is independent of input partitioning")
+  }
+
   test("text stats: ratios bounded, langid sane, fingerprint stable") {
     val st = ops.TextStats.withStats(docs).cache()
     assert(st.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)
