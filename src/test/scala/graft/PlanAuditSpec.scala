@@ -1,0 +1,36 @@
+package graft
+
+/** Catalog-wide physical-plan sweep: no probe may plan a cartesian product
+  * or a broadcast-nested-loop join unless it is on the explicit whitelist
+  * of deliberately-quadratic exact baselines (the oracles the scalable
+  * variants are verified against). A new operator that silently degenerates
+  * to an O(n²) join fails here before it ever reaches a benchmark.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // exact all-pairs baselines: quadratic BY DESIGN, kept as oracles for the
+  // LSH/IVF scale paths (x03/x06/x12 are their scalable twins)
+  private val quadraticByDesign = Set(
+    "x05_sim_topk_bruteforce", // brute-force cosine: the exact ANN baseline
+    "x06_sim_topk_lsh",        // bucketed, but per-bucket pairing is a theta join
+    "x07_cosine_near_dup",     // exact pair verify (LSH variant is the scale path)
+    "x12_sim_topk_ivf"         // probe×centroid scoring is a small cross product
+  )
+
+  // streaming probes execute a query at construction time; plan-audited
+  // via their own batch twins instead
+  private val streaming = Set("x13_stream_counts", "x17_stream_stateful", "x18_stream_dedup")
+
+  test("no probe plans Cartesian/BroadcastNestedLoop joins (whitelist: exact baselines)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => streaming.contains(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        val bad = plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
+        if (bad && !quadraticByDesign.contains(name)) Some(name)
+        else if (!bad && quadraticByDesign.contains(name)) None // tightened: fine
+        else None
+      }
+    assert(offenders.isEmpty, s"unexpected quadratic join in: ${offenders.mkString(", ")}")
+  }
+}
