@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import graft.analytics.Kpi
+import graft.etl.{DqRunner, EtlJob, SurrogateKeys}
+import graft.ops._
+import graft.streaming.StreamingIngest
+
+/** Single front door to the engine — the operations a user of the
+  * reference pipeline (and of a large-scale training-data pipeline) reaches
+  * for, re-exported with their home module documented. Everything returns
+  * lazy DataFrames/Datasets; nothing here adds behavior.
+  *
+  * {{{
+  * val spark  = graft.Sessions.local("my-app")         // tuned builder
+  * val wh     = graft.Graft.etl(spark, EtlJob.Config(in, out))
+  * val kpis   = graft.Graft.kpiHeadline(spark, flat)
+  * val dupes  = graft.Graft.nearDupMinhash(docs, "doc_id", col("text"))
+  * }}}
+  */
+object Graft {
+
+  // — the reference pipeline (SURVEY §2/§7) ————————————————————————————
+  /** Full CSV→star-schema ETL with single-pass DQ ([[graft.etl.EtlJob]]). */
+  def etl(spark: SparkSession, cfg: EtlJob.Config): EtlJob.Warehouse = EtlJob.run(spark, cfg)
+
+  /** The 4-KPI headline query over a flat event frame ([[graft.analytics.Kpi]]). */
+  def kpiHeadline(spark: SparkSession, flat: DataFrame): Dataset[graft.etl.KpiResult] =
+    Kpi.headline(spark, flat)
+
+  /** Star-join enrichment (notebook J7-J10). */
+  def enrich(fact: DataFrame, dimShipping: DataFrame, dimClient: DataFrame,
+      dimDate: DataFrame, dimLocation: DataFrame): DataFrame =
+    Kpi.enrich(fact, dimShipping, dimClient, dimDate, dimLocation)
+
+  /** Single-pass data-quality checkpoint ([[graft.etl.DqRunner]]). */
+  def dqCheck(df: DataFrame, checkpoint: String): Seq[graft.etl.DqCheck] =
+    DqRunner.run(df, checkpoint, DqRunner.systemClock)
+
+  // — dedup family ([[graft.ops.Dedup]]) ————————————————————————————————
+  def dedupExact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame =
+    Dedup.exact(df, contentCols, idCol)
+
+  /** MinHash+LSH near-dup pairs: signatures → banded candidates → exact
+    * Jaccard verification of candidates only.
+    */
+  def nearDupMinhash(docs: DataFrame, idCol: String, text: Column,
+      n: Int = 3, numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val sig = Dedup.minhashSignatures(docs, idCol, text, n, numPerm)
+    val cand = Dedup.lshCandidates(sig, idCol, bands, numPerm / bands)
+    Dedup.jaccardVerify(docs, idCol, text, n, cand, threshold)
+  }
+
+  def nearDupSimhash(docs: DataFrame, idCol: String, text: Column, maxDist: Int = 6): DataFrame =
+    Dedup.simhashPairs(Dedup.simhash(docs, idCol, text), idCol, maxDist)
+
+  // — similarity search ([[graft.ops.Similarity]], [[graft.ops.Ivf]]) ————
+  def topKExact(queries: DataFrame, qid: String, qvec: String,
+      corpus: DataFrame, cid: String, cvec: String, k: Int): DataFrame =
+    Similarity.bruteForceTopK(queries, qid, qvec, corpus, cid, cvec, k)
+
+  def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int, dim: Int): DataFrame =
+    Similarity.cosinePairs(corpus, idCol, vecCol, threshold, numPlanes, dim)
+
+  // — text analysis ([[graft.ops.TextStats]]) ————————————————————————————
+  def textStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    TextStats.withStats(docs, textCol)
+
+  // — sessionization ([[graft.ops.Sessionize]]) ———————————————————————————
+  def sessionize(events: DataFrame, idCol: String, tsCol: String, gap: String,
+      valueCol: Option[String] = None): DataFrame =
+    Sessionize.bySessionWindow(events, idCol, tsCol, gap, valueCol)
+
+  // — deterministic sampling ([[graft.ops.Sampling]]) ————————————————————
+  def hashSplit(df: DataFrame, idCol: Column, splits: Seq[(String, Double)]): DataFrame =
+    Sampling.hashSplit(df, idCol, splits)
+
+  def stratifiedSample(df: DataFrame, stratumCol: Column, idCol: Column, frac: Double): DataFrame =
+    Sampling.stratifiedExact(df, stratumCol, idCol, frac)
+
+  // — multimodal ([[graft.ops.Multimodal]]) ———————————————————————————————
+  def readBinary(spark: SparkSession, dir: String, glob: String, kind: String): DataFrame =
+    Multimodal.readBinaryDir(spark, dir, glob, kind)
+
+  // — streaming ([[graft.streaming.StreamingIngest]]) —————————————————————
+  def streamFlatEvents(spark: SparkSession, path: String): DataFrame =
+    StreamingIngest.flatEvents(spark, path)
+}

@@ -191,6 +191,17 @@ class OpsSpec extends SparkSpec {
     assert(ids == ids2, "hash-ordered pick is independent of input partitioning")
   }
 
+  test("Graft facade: front-door entry points delegate correctly") {
+    val docsT = Readers.table(spark, sf0001, "documents")
+    assert(Graft.textStats(docsT).count() == docsT.count())
+    val pairs = Graft.nearDupMinhash(docsT, "doc_id", $"text", threshold = 0.2)
+    val exact = graft.ops.Dedup.ngramJaccardPairs(docsT, "doc_id", $"text", 3, 0.2)
+    assert(pairs.count() <= exact.count()) // LSH candidates ⊆ exact pairs at same threshold
+    val ev = Readers.table(spark, sf0001, "events")
+    val split = Graft.hashSplit(ev, $"event_id", Seq("train" -> 0.9, "test" -> 0.1))
+    assert(split.select("split").distinct().count() == 2)
+  }
+
   test("text stats: ratios bounded, langid sane, fingerprint stable") {
     val st = ops.TextStats.withStats(docs).cache()
     assert(st.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)
