@@ -163,5 +163,32 @@ object EngineProbes {
            |  CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS n_repeated_types
            |FROM per GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""".stripMargin))
 
-  val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39)
+  // — datetime arithmetic + null-handling families (beyond the reference's
+  //   F4-F9/F13 census) ————————————————————————————————————————————————————
+  private val q40 = Probe(
+    "q40_datetime_null_funcs",
+    (s, dir) => t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
+        least(col("o_totalprice"), lit(50000.0)).as("capped_price"),
+        greatest(col("o_custkey"), lit(100L)).as("floored_cust"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+           |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+           |  least(o_totalprice, 50000.0) AS capped_price,
+           |  greatest(o_custkey, 100) AS floored_cust
+           |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin))
+
+  val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39, q40)
 }
