@@ -53,6 +53,24 @@ object Ivf {
       .select(col("centroid_id"),
         expr("transform(__pairs, p -> CAST(p.__mean AS float))").as("centroid_vec"))
 
+  /** Train the coarse quantizer: `iters` Lloyd iterations from the seed.
+    *
+    * Each iteration's centroid table is `localCheckpoint`ed (eager):
+    * without truncation the plan after i iterations nests i assign+step
+    * subtrees and re-executes ALL of them every pass — the classic
+    * iterative-algorithm lineage explosion. The checkpoint materializes
+    * ~k·dim floats per iteration (broadcast-sized by construction), so
+    * truncation is effectively free.
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
+    var cents = seedCentroids(corpus, idCol, vecCol, k)
+    for (_ <- 0 until iters) {
+      val refined = kmeansStep(assign(corpus, idCol, vecCol, cents), vecCol)
+      cents = refined.localCheckpoint(true)
+    }
+    cents
+  }
+
   /** IVF search: probe `nprobe` lists per query, exact-rerank, top-k.
     * Deterministic (6-decimal rounding + id tiebreaks) when `cents` is.
     */

@@ -45,6 +45,26 @@ class IvfSpec extends SparkSpec {
     assert(joined.forall(_ < 1e-6), "float re-cast tolerance")
   }
 
+  test("train: iterated Lloyd keeps k centroids, dim intact, and a truncated plan") {
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val trained = Ivf.train(emb, "vec_id", "embedding", k = 4, iters = 3)
+    assert(trained.count() <= 4)
+    assert(trained.select(size($"centroid_vec")).as[Int].collect().forall(_ == 64))
+    // localCheckpoint must have truncated the iterative lineage: the final
+    // plan reads the checkpointed RDD, not 3 nested assign+step subtrees
+    val plan = trained.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Window"), s"nested iteration subtree survived:\n$plan")
+    // trained quantizer still supports exact-equivalent full probing
+    val full = Ivf.search(queries, "query_id", "qvec", emb, "vec_id", "embedding",
+        trained, k = 5, nprobe = 4)
+      .select("query_id", "vec_id", "cosine_sim").as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, "query_id", "qvec", emb, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id", "cosine_sim").as[(Long, Long, Double)].collect().toSet
+    assert(full == brute, "probing every trained list = exact search")
+  }
+
   test("approx_count_distinct stays within 5% of exact (the documented 100-TB alternative)") {
     val ev = Readers.table(spark, sf0001, "events")
     val (exact, approx) = ev.agg(
