@@ -190,5 +190,57 @@ object EngineProbes {
            |  greatest(o_custkey, 100) AS floored_cust
            |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin))
 
-  val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39, q40)
+  // — RANGE window frames (value/interval-based, vs q26's ROWS frames) ———
+  private val q41 = Probe(
+    "q41_range_frame",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_q41")
+      s.sql("""SELECT o_custkey, o_orderkey,
+              |  CAST(count(*) OVER w30 AS BIGINT) AS orders_trailing_30d,
+              |  round(sum(o_totalprice) OVER w30, 4) AS spend_trailing_30d,
+              |  round(avg(o_totalprice) OVER wprice, 4) AS avg_within_1k
+              |FROM orders_q41
+              |WINDOW
+              |  w30 AS (PARTITION BY o_custkey ORDER BY o_orderdate
+              |          RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW),
+              |  wprice AS (PARTITION BY o_custkey ORDER BY o_totalprice
+              |             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+              |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |  CAST(count(*) OVER w30 AS BIGINT) AS orders_trailing_30d,
+           |  round(sum(o_totalprice) OVER w30, 4) AS spend_trailing_30d,
+           |  round(avg(o_totalprice) OVER wprice, 4) AS avg_within_1k
+           |FROM orders
+           |WINDOW
+           |  w30 AS (PARTITION BY o_custkey ORDER BY o_orderdate
+           |          RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW),
+           |  wprice AS (PARTITION BY o_custkey ORDER BY o_totalprice
+           |             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+           |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin))
+
+  // — correlated LATERAL join (per-row dependent subquery) ————————————————
+  private val q42 = Probe(
+    "q42_lateral_join",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_q42")
+      t(s, dir, "orders").createOrReplaceTempView("orders_q42")
+      s.sql("""SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 4) AS top_price
+              |FROM customer_q42 c
+              |JOIN LATERAL (
+              |  SELECT o_orderkey, o_totalprice FROM orders_q42
+              |  WHERE o_custkey = c.c_custkey
+              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+              |ORDER BY c.c_custkey, top_price DESC, o.o_orderkey""".stripMargin)
+    },
+    Some("""SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 4) AS top_price
+           |FROM customer c
+           |CROSS JOIN LATERAL (
+           |  SELECT o_orderkey, o_totalprice FROM orders
+           |  WHERE o_custkey = c.c_custkey
+           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+           |ORDER BY c.c_custkey ASC NULLS FIRST, top_price DESC NULLS LAST,
+           |  o.o_orderkey ASC NULLS FIRST""".stripMargin))
+
+  val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }
