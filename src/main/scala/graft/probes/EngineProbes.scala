@@ -242,5 +242,25 @@ object EngineProbes {
            |ORDER BY c.c_custkey ASC NULLS FIRST, top_price DESC NULLS LAST,
            |  o.o_orderkey ASC NULLS FIRST""".stripMargin))
 
-  val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+  // — VARIANT semi-structured type (Spark 4): parse once, extract typed
+  //   paths lazily — the scale path for schema-on-read JSON (no full
+  //   StructType declaration, binary-encoded, pushdown-friendly) —————————
+  private val q43 = Probe(
+    "q43_variant_json",
+    (s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events_q43")
+      s.sql("""SELECT event_type,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(variant_get(v, '$.k', 'int')) AS BIGINT) AS sum_k,
+              |  CAST(count(CASE WHEN variant_get(v, '$.missing', 'string') IS NULL
+              |    THEN NULL ELSE 1 END) AS BIGINT) AS n_missing_path
+              |FROM (SELECT event_type, parse_json(props) AS v FROM events_q43)
+              |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           |  CAST(0 AS BIGINT) AS n_missing_path
+           |FROM events GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
+  val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ops.{AsofJoin, RangeJoin}
+import graft.sources.Readers
 
 /** Semantics of the new analytic operators (as-of join, binned range
   * join, HLL approx-distinct tolerance) on hand-built frames — the DuckDB
@@ -68,6 +69,18 @@ class AnalyticOpsSpec extends SparkSpec {
       .select("aid", "bid").as[(Int, Int)].collect().sorted
     // (1,10): 0-10 ∩ 5-22; (2,10): 20-25 ∩ 5-22; (2,11): 20-25 ∩ 24-39; (3,12): touch at 41
     assert(got === Array((1, 10), (2, 10), (2, 11), (3, 12)))
+  }
+
+  test("percentile_approx within 2% relative error of exact percentile") {
+    val li = Readers.table(spark, sf0001, "lineitem")
+    val rows = li.agg(
+      expr("percentile(l_extendedprice, 0.5)"),
+      expr("percentile_approx(l_extendedprice, 0.5, 10000)"),
+      expr("percentile(l_extendedprice, 0.95)"),
+      expr("percentile_approx(l_extendedprice, 0.95, 10000)")
+    ).as[(Double, Double, Double, Double)].head()
+    assert(math.abs(rows._2 - rows._1) / rows._1 < 0.02, s"p50 ${rows._1} vs ${rows._2}")
+    assert(math.abs(rows._4 - rows._3) / rows._3 < 0.02, s"p95 ${rows._3} vs ${rows._4}")
   }
 
   test("approx_count_distinct within 5% of exact at sf0.001") {
