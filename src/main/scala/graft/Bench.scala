@@ -33,7 +33,13 @@ object Bench {
     "q34_sql_text",
     "q35_grouping_sets",
     "x07_cosine_near_dup",
-    "x14_asof_join")
+    "x14_asof_join",
+    "q37_pivot",
+    "q39_map_funcs",
+    "q41_range_frame",
+    "q42_lateral_join",
+    "q43_variant_json",
+    "x19_stratified_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
