@@ -73,4 +73,31 @@ object EngineProps extends Properties("engine") {
     val ba = b.union(a).distinct().collect().map(_.toSeq).toSet
     ab == ba
   }
+
+  private val fracsGen: Gen[List[Double]] = for {
+    n <- Gen.choose(2, 5)
+    ws <- Gen.listOfN(n, Gen.choose(1, 10))
+  } yield ws.map(_.toDouble / ws.sum)
+
+  property("hashSplit partitions: every row lands in exactly one named split") =
+    forAll(logGen, fracsGen) { (rows, fracs) =>
+      val df = toDf(rows).withColumn("id", monotonically_increasing_id())
+      val splits = fracs.zipWithIndex.map { case (f, i) => s"s$i" -> f }
+      // normalize rounding drift so the require() contract holds exactly
+      val norm = splits.init :+ (splits.last._1 -> (1.0 - splits.init.map(_._2).sum))
+      val out = graft.ops.Sampling.hashSplit(df, $"event_code", norm)
+      out.count() == rows.size &&
+        out.filter(!$"split".isin(norm.map(_._1): _*)).count() == 0
+    }
+
+  property("stratifiedExact picks ceil(frac*n) per stratum for any frac") =
+    forAll(logGen, Gen.choose(1, 10)) { (rows, tenths) =>
+      val frac = tenths / 10.0
+      val df = toDf(rows).withColumn("id", monotonically_increasing_id())
+      val got = graft.ops.Sampling
+        .stratifiedExact(df, $"event_code", $"id", frac)
+        .groupBy("event_code").count().as[(String, Long)].collect().toMap
+      val want = rows.groupBy(_._2).map { case (k, v) => k -> math.ceil(v.size * frac).toLong }
+      want.forall { case (k, n) => got.getOrElse(k, 0L) == n }
+    }
 }
