@@ -262,5 +262,62 @@ object EngineProbes {
            |  CAST(0 AS BIGINT) AS n_missing_path
            |FROM events GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
-  val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
+  // — catalog tables: saveAsTable → ANALYZE (CBO stats) → spark.table ————
+  private val q44 = Probe(
+    "q44_catalog_table",
+    (s, dir) => {
+      val tbl = s"nation_cat_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      // a prior JVM may have left the managed location behind while this
+      // session's in-memory catalog has no entry for it — clear the orphan
+      val loc = java.nio.file.Paths.get(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      t(s, dir, "nation").write.mode("overwrite").saveAsTable(tbl)
+      s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+      t(s, dir, "customer")
+        .join(s.table(tbl), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), round(avg(col("c_acctbal")), 4).as("avg_bal"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+           |  round(avg(c_acctbal), 4) AS avg_bal
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY n_name ORDER BY n_name ASC NULLS FIRST""".stripMargin))
+
+  // — null-safe equality join (`<=>`): nulls match nulls — the deliberate
+  //   contrast to the reference's null-sensitive J4 (SURVEY §2.3) —————————
+  private val q45 = Probe(
+    "q45_nullsafe_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      // sub-key is null for ~1/4 of rows (k % 4 == 3) — both sides share it
+      val l = ev.select(EventsVocab.sub.as("subkey"), col("event_id"))
+        .filter(col("event_id") % 2 === 0)
+      val r = ev.select(EventsVocab.sub.as("subkey"), col("event_id").as("r_id"))
+        .filter(col("event_id") % 2 === 1)
+      l.join(r, l("subkey") <=> r("subkey"), "inner")
+        .select(l("subkey").as("subkey"), col("event_id"), col("r_id"))
+        .groupBy(col("subkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("event_id")).as("n_left"),
+          countDistinct(col("r_id")).as("n_right"))
+        .orderBy(col("subkey"))
+    },
+    Some(s"""WITH l AS (SELECT ${EventsVocab.subSql} AS subkey, event_id
+            |          FROM events WHERE event_id % 2 = 0),
+            |r AS (SELECT ${EventsVocab.subSql} AS subkey, event_id AS r_id
+            |      FROM events WHERE event_id % 2 = 1)
+            |SELECT l.subkey, CAST(count(*) AS BIGINT) AS n_pairs,
+            |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_left,
+            |  CAST(count(DISTINCT r_id) AS BIGINT) AS n_right
+            |FROM l JOIN r ON l.subkey IS NOT DISTINCT FROM r.subkey
+            |GROUP BY l.subkey ORDER BY l.subkey ASC NULLS FIRST""".stripMargin))
+
+  val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
 }
