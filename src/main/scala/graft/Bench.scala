@@ -8,6 +8,17 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced through the `noop` sink so the FULL plan executes
   * (a bare `count()` would let Catalyst prune away most of the computed
   * columns and understate the work).
+  *
+  * Timing discipline: one untimed warm-up pass (janino codegen + JIT),
+  * then `SPARK_GRAFT_BENCH_ROUNDS` (default 3) full interleaved passes;
+  * the reported number is the MIN per query. Interleaving de-correlates a
+  * query's samples from transient host noise (BASELINE.md documents up to
+  * 40× ambient variance on the shared host); min-of-N is the standard
+  * noise-floor estimator for a deterministic workload.
+  *
+  * `SPARK_GRAFT_BREAKDOWN=1` additionally prints a stage-level timing of
+  * the q17 ETL build (synth+parse+flatten / dims+fact / sort) to stderr —
+  * stdout stays the single JSON line.
   */
 object Bench {
 
@@ -44,6 +55,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -55,25 +67,72 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val fns = SparkEntry.queries
-    // untimed warm-up pass: janino codegen compilation + JIT warmup would
-    // otherwise dominate the first queries' numbers
-    headline.filter(fns.contains).foreach { name =>
-      try fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-    }
-    val results = headline.filter(fns.contains).map { name =>
+    val names = headline.filter(fns.contains)
+
+    def runOne(name: String): Double = {
       val t0 = System.nanoTime()
       try fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop persisted intermediates so queries are timed in isolation
       spark.catalog.clearCache()
-      name -> dt
+      dt
     }
+
+    // untimed warm-up pass: janino codegen compilation + JIT warmup would
+    // otherwise dominate the first queries' numbers
+    names.foreach(runOne)
+    // interleaved timed passes → min per query
+    val samples: Seq[Seq[(String, Double)]] =
+      (1 to rounds).map(_ => names.map(n => n -> runOne(n)))
+    val results = names.map { n =>
+      n -> samples.map(_.toMap.apply(n)).min
+    }
+
+    if (sys.env.get("SPARK_GRAFT_BREAKDOWN").contains("1")) q17Breakdown(spark, sfDir)
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Stage-level timing of the q17 ETL build (same code path as the probe):
+    * (1) events scan → to_json synth → from_json parse → flatten → persist
+    * (the bench fixture synthesis + the reference's parse stage), (2) dim
+    * builds + dimShipping + fact joins, (3) the probe's determinism
+    * orderBy. Printed to stderr; min of `rounds` not applied (one shot
+    * after warm JVM is representative for a breakdown).
+    */
+  private def q17Breakdown(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.etl._
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[bench-breakdown] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+    val events = graft.sources.Readers.table(spark, sfDir, "events")
+    val flat = timed("synth+parse+flatten (persist+count)") {
+      val f = Flatten(graft.probes.EventsVocab.synth(graft.sources.Readers.fanOut(events))).persist()
+      f.count()
+      f
+    }
+    val fact = timed("dims+dimShipping+fact (noop write)") {
+      val dimClient = Dims.client(flat, SurrogateKeys.Deterministic)
+      val dimLocation = Dims.location(flat, SurrogateKeys.Deterministic)
+      val dimState = Dims.state(flat, SurrogateKeys.Deterministic)
+      val dimDate = Dims.date(flat, SurrogateKeys.Deterministic)
+      val dimShipping = FactBuilder.dimShipping(flat, dimClient, dimLocation, dimState)
+      val fact = FactBuilder.fact(flat, dimShipping, dimDate, SurrogateKeys.Deterministic)
+      fact.write.format("noop").mode("overwrite").save()
+      fact
+    }
+    timed("determinism orderBy (noop write)") {
+      fact.orderBy("event_id").write.format("noop").mode("overwrite").save()
+    }
+    flat.unpersist()
+    spark.catalog.clearCache()
   }
 }

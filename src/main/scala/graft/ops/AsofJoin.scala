@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   * rows share (key, ts), the one picked among them is the last in the
   * (deterministic) sort by payload — ties are broken by the payload columns
   * themselves so replays are stable.
+  *
+  * Row-level semantics: the payload columns are packed into ONE struct
+  * (null on the probe side) and `last/first(ignoreNulls)` is applied to the
+  * struct, so all payload columns always come from the SAME matched right
+  * row — a null payload value in the matched row stays null rather than
+  * falling back to a stale non-null value from an older row.
   */
 object AsofJoin {
 
@@ -63,15 +69,16 @@ object AsofJoin {
         payload.map(c => col(c).asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val picked = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"__asof_$p", last(col(p), ignoreNulls = true).over(w))
-    }
+    // pack once, pick once: struct is null on left rows, so ignoreNulls
+    // skips them and every payload column comes from the same right row
+    val packed = unioned.withColumn("__asof_p",
+      last(when(col("__asof_side") === 0, struct(payload.map(col): _*)),
+        ignoreNulls = true).over(w))
 
-    picked
+    packed
       .filter(col("__asof_side") === 1)
-      .drop((payload ++ Seq("__asof_ts", "__asof_side")): _*)
       .select((leftCols.map(col) ++
-        payload.map(p => col(s"__asof_$p").as(p))): _*)
+        payload.map(p => col("__asof_p").getField(p).as(p))): _*)
   }
 
   /** Forward variant: earliest right row with `right.ts >= left.ts`.
@@ -86,6 +93,8 @@ object AsofJoin {
       payload: Seq[String]): DataFrame = {
     require(payload.nonEmpty, "asof join needs >=1 payload column")
     val leftCols = left.columns.toSeq
+    require(payload.intersect(leftCols).isEmpty,
+      s"payload ${payload.intersect(leftCols)} collides with left columns")
 
     val l = left
       .withColumn("__asof_ts", col(leftTs))
@@ -101,14 +110,13 @@ object AsofJoin {
         payload.map(c => col(c).asc)): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    val picked = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"__asof_$p", first(col(p), ignoreNulls = true).over(w))
-    }
+    val packed = unioned.withColumn("__asof_p",
+      first(when(col("__asof_side") === 1, struct(payload.map(col): _*)),
+        ignoreNulls = true).over(w))
 
-    picked
+    packed
       .filter(col("__asof_side") === 0)
-      .drop((payload ++ Seq("__asof_ts", "__asof_side")): _*)
       .select((leftCols.map(col) ++
-        payload.map(p => col(s"__asof_$p").as(p))): _*)
+        payload.map(p => col("__asof_p").getField(p).as(p))): _*)
   }
 }

@@ -20,12 +20,27 @@ import org.apache.spark.sql.functions._
   *     index (explode + self-join on shingle) — exact but heavier; the
   *     LSH paths are the scale route.
   *
+  * Hot-bucket guards: every self-join here (shingle index, LSH band
+  * buckets, SimHash chunk buckets) caps the bucket size BEFORE the join.
+  * One shingle shared by 1M docs is 5·10¹¹ pairs in a single reducer —
+  * the unguarded quadratic pocket that kills the job at 100 TB. The cap
+  * drops only the bucket's *candidate generation* (a stop-phrase shingle
+  * carries no dedup signal anyway); Jaccard/Hamming verification always
+  * runs on the full, uncapped sets, so scores are exact for every pair
+  * that is generated.
+  *
   * No UDFs anywhere: `xxhash64`, higher-order array functions and
   * `bit_count` keep everything inside codegen.
   */
 object Dedup {
 
   val MersennePrime31: Long = 2147483647L // 2^31 - 1
+
+  /** Default bucket-size cap for candidate-generating self-joins: bounds
+    * any single bucket's pair contribution to C(cap, 2) ≈ 1.3M pairs —
+    * safely inside one reducer's budget at any corpus size.
+    */
+  val DefaultMaxBucket: Int = 1638
 
   /** Exact dedup: group identical content, keep the smallest id.
     * Returns (content_hash, keep_id, dup_count).
@@ -97,15 +112,22 @@ object Dedup {
     * The bucketed frame is persisted — it feeds both sides of the self-join,
     * and without pinning it the whole signature build would run twice.
     */
-  def lshCandidates(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_idx"),
         xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))).as("band_hash"))
     }
+    // bucket-size guard: the count window shares the self-join's hash
+    // partitioning, so the cap costs no extra shuffle
+    val wB = Window.partitionBy(col("band_idx"), col("band_hash"))
     val bucketed = sig
       .select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+      .withColumn("__bs", count(lit(1)).over(wB))
+      .filter(col("__bs") <= maxBucket)
+      .drop("__bs")
       .persist()
     bucketed.count() // eager: both self-join sides would race to build the cache
     bucketed.as("l")
@@ -149,29 +171,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Exact all-candidate n-gram Jaccard near-dup pairs via the shingle
-    * inverted index: docs sharing ≥1 shingle are joined once per shared
-    * shingle, counted, and filtered by threshold. Exact (no LSH recall
-    * loss); the inverted index bounds the blow-up to co-shingled pairs.
+  /** N-gram Jaccard near-dup pairs via the shingle inverted index, with a
+    * document-frequency cap on candidate generation: a pair is found iff
+    * it shares ≥1 shingle whose df ≤ `maxDf`, and every found pair's
+    * Jaccard is EXACT (verification counts ALL shared shingles, hot ones
+    * included). A shingle in 1M docs would contribute 5·10¹¹ candidate
+    * pairs to one reducer; such stop-phrase shingles carry no dedup signal,
+    * so capping candidate generation on them is the standard guard.
+    * `maxDf = Int.MaxValue` recovers the fully exact (unguarded) operator.
     */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, text: Column, n: Int, threshold: Double): DataFrame = {
-    // persisted + eagerly built: feeds the self-join twice plus the
-    // set-size aggregate (concurrent first-builds stall on block locks)
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, text: Column, n: Int,
+      threshold: Double, maxDf: Int = DefaultMaxBucket): DataFrame = {
+    // persisted + eagerly built: feeds the candidate self-join twice, the
+    // set-size aggregate AND the verification joins (concurrent
+    // first-builds stall on block locks)
     val sh = docs.select(col(idCol).as("id"), explode(shingles(text, n)).as("shingle")).persist()
     sh.count()
+    ngramJaccardPairsFromShingles(sh, threshold, maxDf)
+  }
+
+  /** [[ngramJaccardPairs]] over a prebuilt (persisted) [[shingleTable]] —
+    * use when the shingle set also feeds other stages (signatures,
+    * verification) so the corpus is exploded once.
+    */
+  def ngramJaccardPairsFromShingles(sh: DataFrame, threshold: Double,
+      maxDf: Int = DefaultMaxBucket): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
-    val pairs = sh.as("l")
-      .join(sh.as("r"), col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .agg(count(lit(1)).as("inter_size"))
-    pairs
-      .join(sizes.select(col("id").as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        graft.Canonical.round4(col("inter_size").cast("double") /
-          (col("size_a") + col("size_b") - col("inter_size")).cast("double")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // df guard: the count window hash-partitions by shingle — the same
+    // partitioning the self-join needs, so the cap adds no extra shuffle
+    val idx = sh
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    val pairs = idx.as("l")
+      .join(idx.as("r"), col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    ngramJaccardForPairs(sh, sizes, pairs, threshold)
   }
 
   /** 63-bit SimHash per id (bit 63 unused to stay in positive Long range
@@ -191,15 +227,22 @@ object Dedup {
     * bucket-join per chunk finds all of them; verify with
     * `bit_count(a XOR b)`.
     */
-  def simhashPairs(sig: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+  def simhashPairs(sig: DataFrame, idCol: String, maxDist: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val chunks = maxDist + 1
     val width = 63 / chunks + 1
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("chunk_idx"),
         shiftright(col("simhash"), c * width).bitwiseAND((1L << width) - 1).as("chunk_val"))
     }
+    // bucket-size guard — same rationale and shuffle-sharing as in
+    // [[lshCandidates]]
+    val wB = Window.partitionBy(col("chunk_idx"), col("chunk_val"))
     val bucketed = sig.select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
       .select(col(idCol), col("simhash"), col("ch.chunk_idx"), col("ch.chunk_val"))
+      .withColumn("__bs", count(lit(1)).over(wB))
+      .filter(col("__bs") <= maxBucket)
+      .drop("__bs")
       .persist()
     bucketed.count() // eager: both sides of the self-join
     bucketed.as("l")

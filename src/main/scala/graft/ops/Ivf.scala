@@ -27,13 +27,16 @@ object Ivf {
     corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
 
-  /** Assign every vector to its max-cosine centroid (broadcast argmax). */
+  /** Assign every vector to its max-cosine centroid (broadcast argmax).
+    * Norms are hoisted out of the vector×centroid product: one `vec_norm`
+    * per row + one per centroid, not one per pair.
+    */
   def assign(corpus: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id").asc)
-    corpus.crossJoin(broadcast(cents))
+    corpus.withColumn("__vn", vec_norm(col(vecCol)))
+      .crossJoin(broadcast(cents.withColumn("__cn", vec_norm(col("centroid_vec")))))
       .withColumn("__sim",
-        round(vec_dot(col(vecCol), col("centroid_vec")) /
-          (vec_norm(col(vecCol)) * vec_norm(col("centroid_vec"))), 6))
+        round(vec_dot(col(vecCol), col("centroid_vec")) / (col("__vn") * col("__cn")), 6))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(idCol), col(vecCol), col("centroid_id"))
@@ -78,24 +81,27 @@ object Ivf {
       queries: DataFrame, qidCol: String, qvecCol: String,
       corpus: DataFrame, cidCol: String, cvecCol: String,
       cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val assigned = assign(corpus, cidCol, cvecCol, cents).persist()
+    // norms hoisted BEFORE the probe×list join (one per corpus row / query
+    // row, not one per candidate pair — O(k·dim) FLOPs saved per pair)
+    val assigned = assign(corpus, cidCol, cvecCol, cents)
+      .withColumn("__cnorm", vec_norm(col(cvecCol)))
+      .persist()
     assigned.count() // eager: feeds the candidate join after the probe join
 
     val wProbe = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col("centroid_id").asc)
-    val probes = queries.crossJoin(broadcast(cents))
+    val probes = queries.withColumn("__qnorm", vec_norm(col(qvecCol)))
+      .crossJoin(broadcast(cents.withColumn("__cn", vec_norm(col("centroid_vec")))))
       .withColumn("__sim",
-        round(vec_dot(col(qvecCol), col("centroid_vec")) /
-          (vec_norm(col(qvecCol)) * vec_norm(col("centroid_vec"))), 6))
+        round(vec_dot(col(qvecCol), col("centroid_vec")) / (col("__qnorm") * col("__cn")), 6))
       .withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= nprobe)
-      .select(col(qidCol), col(qvecCol), col("centroid_id"))
+      .select(col(qidCol), col(qvecCol), col("__qnorm"), col("centroid_id"))
 
     val wRank = Window.partitionBy(col(qidCol)).orderBy(col("cosine_sim").desc, col(cidCol).asc)
     probes.join(assigned, Seq("centroid_id"))
       .filter(col(qidCol) =!= col(cidCol))
       .withColumn("cosine_sim",
-        round(vec_dot(col(qvecCol), col(cvecCol)) /
-          (vec_norm(col(qvecCol)) * vec_norm(col(cvecCol))), 6))
+        round(vec_dot(col(qvecCol), col(cvecCol)) / (col("__qnorm") * col("__cnorm")), 6))
       .select(col(qidCol), col(cidCol), col("cosine_sim"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)

@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * sample stages.
   *
   * The Spark-side contract is real and tested — schema, partitioning,
-  * per-partition batch iteration, output shape. The codec itself is a
-  * clearly-marked STUB (`decodeStub`): this container has no image/audio
-  * libraries, so decode derives deterministic fake dimensions from the
-  * byte stream. Swapping in a real codec changes only the body of
-  * [[MediaCodec.decodeStub]].
+  * per-partition batch iteration, output shape — and so is the decode:
+  * [[MediaCodec.decode]] parses real container headers (BMP, PPM-P6, WAV)
+  * in pure JVM code with no external libraries, sniffing the format from
+  * magic bytes. Compressed formats (JPEG/PNG/MP4) would slot into the same
+  * dispatch with a third-party codec; only `resizeStub` remains a labeled
+  * placeholder (scaling needs a real raster library).
   */
 object Multimodal {
 
@@ -28,22 +29,97 @@ object Multimodal {
   case class MediaFrame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   object MediaCodec {
-    /** STUB decode — deterministic fake: dimensions derived from the byte
-      * length, checksum is a positional sum. A real implementation would
-      * parse the container format here (and nothing else would change).
-      */
-    def decodeStub(r: MediaRecord): MediaMeta = {
-      val len = r.bytes.length.toLong
-      var checksum = 0L
+
+    /** Positional checksum over the byte stream (cheap provenance). */
+    def checksum(b: Array[Byte]): Long = {
+      var s = 0L
       var i = 0
-      while (i < r.bytes.length) { checksum += (r.bytes(i) & 0xff).toLong * ((i % 64) + 1); i += 1 }
-      MediaMeta(r.media_id, r.kind, len,
-        width = (len % 640).toInt + 1, height = (len % 480).toInt + 1,
-        channels = 3, checksum = checksum)
+      while (i < b.length) { s += (b(i) & 0xff).toLong * ((i % 64) + 1); i += 1 }
+      s
+    }
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+    /** Real header decode, format sniffed from magic bytes:
+      *
+      *   - BMP (`BM`): width/height from the BITMAPINFOHEADER (LE int32 at
+      *     offsets 18/22), channels = bits-per-pixel/8 (LE int16 at 28).
+      *   - PPM binary (`P6`): ASCII `P6 <w> <h> <maxval>` header.
+      *   - WAV (`RIFF…WAVE`): fmt chunk — mapped onto the image-shaped meta
+      *     as width = sample rate (LE int32 at 24), height = bits/sample
+      *     (LE int16 at 34), channels = audio channels (LE int16 at 22).
+      *
+      * Unknown formats degrade to byte-length-only metadata (0 dims), so a
+      * mixed lake never fails the scan.
+      */
+    def decode(r: MediaRecord): MediaMeta = {
+      val b = r.bytes
+      def meta(w: Int, h: Int, c: Int) =
+        MediaMeta(r.media_id, r.kind, b.length.toLong, w, h, c, checksum(b))
+      if (b.length >= 54 && b(0) == 'B' && b(1) == 'M')
+        meta(le32(b, 18), le32(b, 22), le16(b, 28) / 8)
+      else if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+        meta(le32(b, 24), le16(b, 34), le16(b, 22))
+      else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
+        // ASCII header: "P6" <ws> width <ws> height <ws> maxval <single ws>
+        val toks = new scala.collection.mutable.ArrayBuffer[Int](3)
+        var i = 2
+        while (toks.length < 3 && i < b.length) {
+          while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\t' || b(i) == '\r')) i += 1
+          var v = 0
+          var any = false
+          while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1; any = true }
+          if (any) toks += v else i = b.length
+        }
+        if (toks.length == 3) meta(toks(0), toks(1), 3) else meta(0, 0, 0)
+      } else meta(0, 0, 0)
+    }
+
+    /** Minimal 24-bit BMP: 14-byte file header + 40-byte BITMAPINFOHEADER +
+      * zeroed pixel rows padded to 4 bytes (the real on-disk layout).
+      */
+    def bmpBytes(width: Int, height: Int): Array[Byte] = {
+      val rowSize = ((width * 3 + 3) / 4) * 4
+      val dataSize = rowSize * height
+      val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putShort(0).putShort(0).putInt(54) // reserved + pixel offset
+      buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+        .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      buf.array()
+    }
+
+    /** Minimal PCM WAV: 44-byte canonical header + zeroed samples. */
+    def wavBytes(channels: Int, sampleRate: Int, bitsPerSample: Int, nSamples: Int): Array[Byte] = {
+      val blockAlign = channels * bitsPerSample / 8
+      val dataSize = nSamples * blockAlign
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      buf.putInt(16).putShort(1).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+        .putShort(bitsPerSample.toShort)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      buf.array()
+    }
+
+    /** Binary PPM (P6), maxval 255, zeroed pixels. */
+    def ppmBytes(width: Int, height: Int): Array[Byte] = {
+      val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + width * height * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      out
     }
 
     /** STUB resize — returns a truncated byte budget proportional to the
-      * target area (stands in for a real scaler).
+      * target area (a real scaler needs a raster library this container
+      * cannot host; only this body would change).
       */
     def resizeStub(r: MediaRecord, w: Int, h: Int): MediaRecord =
       r.copy(bytes = r.bytes.take(math.max(1, (w.toLong * h / 64).toInt)))
@@ -62,7 +138,8 @@ object Multimodal {
       .option("pathGlobFilter", glob)
       .load(dir)
       .select(
-        // content-addressed id: stable across relistings, no driver counter
+        // path-addressed id: stable across relistings, no driver counter
+        // (moves/renames change it; hash col("content") to content-address)
         xxhash64(col("path")).as("media_id"),
         lit(kind).as("kind"),
         col("content").as("bytes"),
@@ -86,7 +163,26 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       // per-partition codec initialization would go here
-      it.map(MediaCodec.decodeStub)
+      it.map(MediaCodec.decode)
+    }
+  }
+
+  /** Synthesize a mixed-format media lake from the documents fixture: real
+    * BMP / WAV / PPM byte streams whose header fields are arithmetic in
+    * `doc_id` — so an oracle can predict exactly what [[MediaCodec.decode]]
+    * must parse back out of the bytes.
+    */
+  def synthMedia(spark: SparkSession, docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].map { id =>
+      (id % 3) match {
+        case 0 => MediaRecord(id, "bmp",
+          MediaCodec.bmpBytes((id % 64).toInt + 1, (id % 48).toInt + 1), "synth")
+        case 1 => MediaRecord(id, "wav",
+          MediaCodec.wavBytes((id % 2).toInt + 1, 8000 + (id % 8).toInt * 1000, 16, (id % 100).toInt), "synth")
+        case _ => MediaRecord(id, "ppm",
+          MediaCodec.ppmBytes((id % 32).toInt + 1, (id % 24).toInt + 1), "synth")
+      }
     }
   }
 
@@ -103,17 +199,16 @@ object Multimodal {
     }
   }
 
-  /** Pure-SQL metadata (no mapPartitions) — the oracle-checkable twin of
-    * [[extractMeta]]'s stub math, proving the typed path computes the same
-    * thing the declarative path does.
+  /** Declarative (no mapPartitions) byte-level metadata — length + the
+    * positional checksum as pure Catalyst expressions, for metadata-only
+    * callers that do not need header decode. The checksum expression
+    * round-trips through UTF-8 `decode`, so it is only byte-exact for
+    * ASCII payloads (e.g. [[pack]]ed text fixtures).
     */
-  def metaSql(media: DataFrame): DataFrame =
+  def byteMetaSql(media: DataFrame): DataFrame =
     media.select(
       col("media_id"), col("kind"),
       length(col("bytes")).cast("long").as("byte_len"),
-      (length(col("bytes")) % 640 + 1).as("width"),
-      (length(col("bytes")) % 480 + 1).as("height"),
-      lit(3).as("channels"),
       aggregate(sequence(lit(1), length(col("bytes"))), lit(0L),
         (acc, i) => acc + ascii(decode(col("bytes"), "UTF-8").substr(i, lit(1))).cast("long") * (((i - 1) % 64) + 1).cast("long")
       ).as("checksum"))

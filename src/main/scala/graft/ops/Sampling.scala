@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   *   - [[stratifiedExact]]: exactly `ceil(frac · n_k)` rows per stratum k,
   *     chosen by hash order within the stratum (deterministic, unbiased
   *     w.r.t. any column correlated with the sort order of the data). One
-  *     hash shuffle on the stratum key; the per-stratum top-N is a window
-  *     with a rank pushdown (`WindowGroupLimit`), not a global sort.
+  *     hash shuffle on the stratum key + one per-partition sort; the rank
+  *     threshold is data-dependent (`ceil(n_k · frac)`), so the full window
+  *     is evaluated — no global sort, but also no `WindowGroupLimit` rank
+  *     pushdown. [[stratifiedTopN]] (constant limit) is the variant where
+  *     that pushdown fires.
   */
 object Sampling {
 
@@ -32,8 +35,10 @@ object Sampling {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
     val slot = pmod(xxhash64(idCol), lit(Slots))
+    // round, don't truncate: (0.7 * 10000).toLong is 6999 under binary
+    // floating point — a one-slot bias on every split boundary
     val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
-      .map(c => (c * Slots).toLong)
+      .map(c => math.round(c * Slots))
     val expr = splits.init.zip(cuts.init).foldRight(lit(splits.last._1): Column) {
       case (((name, _), cut), rest) => when(slot < cut, name).otherwise(rest)
     }

@@ -78,17 +78,32 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: only same-bucket (query, corpus) pairs
     * are scored. Recall < 1 by construction; raise `numPlanes` ↓ bucket
-    * size, lower it ↑ recall. Multi-probe extension: union over buckets at
-    * Hamming distance 1 from the query's bucket.
+    * size, lower it ↑ recall.
+    *
+    * `multiProbe = true` additionally probes every bucket at Hamming
+    * distance 1 from the query's bucket (numPlanes extra probes per query):
+    * the buckets a near neighbor most likely fell into when it landed on
+    * the other side of exactly one hyperplane. Cost scales with the QUERY
+    * side only — the corpus is still bucketed once — so recall improves
+    * ~(numPlanes+1)× candidate coverage without touching corpus layout.
+    * Each (query, corpus) pair is still scored at most once: a corpus row
+    * lives in exactly one bucket and the probed buckets are distinct.
     */
   def lshBucketTopK(
       queries: DataFrame, qidCol: String, qvecCol: String,
       corpus: DataFrame, cidCol: String, cvecCol: String,
-      k: Int, numPlanes: Int, dim: Int): DataFrame = {
+      k: Int, numPlanes: Int, dim: Int, multiProbe: Boolean = false): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val qb = queries
-      .withColumn("__bucket", bucketId(col(qvecCol), planes))
+    val qBase = queries
+      .withColumn("__b0", bucketId(col(qvecCol), planes))
       .withColumn("__qnorm", vec_norm(col(qvecCol)))
+    val qb =
+      if (!multiProbe) qBase.withColumnRenamed("__b0", "__bucket")
+      else qBase
+        .withColumn("__bucket",
+          explode(array((col("__b0") +:
+            (0 until numPlanes).map(i => col("__b0").bitwiseXOR(lit(1L << i)))): _*)))
+        .drop("__b0")
     val cb = corpus
       .withColumn("__bucket", bucketId(col(cvecCol), planes))
       .withColumn("__cnorm", vec_norm(col(cvecCol)))

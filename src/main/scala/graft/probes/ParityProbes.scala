@@ -699,7 +699,104 @@ object ParityProbes {
          |  weekday ASC NULLS FIRST""".stripMargin
     }))
 
+  // — SURVEY §2.12.1: uuid-parity FK closure. The reference's uuid() keys
+  //   dangle unless each dim is pinned (cached + materialized) before
+  //   fan-out use; `EtlJob.buildFromFlat` pins every dim in UuidParity
+  //   mode. The probe builds the star schema with uuid() keys and emits
+  //   every dangling-FK count — expected 0 across the board. A broken pin
+  //   would regenerate uuids per evaluation and fail this gate. ———————————
+  private def danglingAgg(child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk).as("__pk")).distinct(), col(fk) === col("__pk"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+
+  private val q46 = Probe(
+    "q46_uuid_parity_fk",
+    (s, dir) => {
+      val flat = Flatten(EventsVocab.synth(Readers.fanOut(t(s, dir, "events")))).persist()
+      flat.count()
+      val wh = EtlJob.buildFromFlat(flat, EtlJob.Config(
+        inputPath = "", warehousePath = "",
+        keyMode = SurrogateKeys.UuidParity,
+        clock = () => "2026-01-01 00:00:00"))
+      val checks = Seq(
+        "fact.date_id" -> danglingAgg(wh.fact, "date_id", wh.dimDate, "date_id"),
+        "shipping.client_id" -> danglingAgg(wh.dimShipping, "client_id", wh.dimClient, "client_id"),
+        "shipping.collection_location_id" ->
+          danglingAgg(wh.dimShipping, "collection_location_id", wh.dimLocation, "location_id"),
+        "shipping.delivery_location_id" ->
+          danglingAgg(wh.dimShipping, "delivery_location_id", wh.dimLocation, "location_id"),
+        "shipping.state_id" -> danglingAgg(wh.dimShipping, "state_id", wh.dimState, "state_id"))
+      checks.map { case (name, df) =>
+        df.select(lit(name).as("fk_name"), col("n").as("n_dangling"))
+      }.reduce(_.unionByName(_)).orderBy("fk_name")
+    },
+    Some("""SELECT fk_name, CAST(0 AS BIGINT) AS n_dangling FROM (VALUES
+           |  ('fact.date_id'), ('shipping.client_id'), ('shipping.collection_location_id'),
+           |  ('shipping.delivery_location_id'), ('shipping.state_id')) t(fk_name)
+           |ORDER BY fk_name ASC NULLS FIRST""".stripMargin))
+
+  // — End-to-end warehouse round-trip THROUGH THE REAL WRITE PATH:
+  //   reference-shaped CSV → EtlJob.run (multiLine parse, flatten, star
+  //   build, DQ, parquet writes) → re-read the WRITTEN warehouse from disk
+  //   → per-table row counts + dangling-FK counts. Counts are recomputed
+  //   by DuckDB from the same synthesis; FK closure is 0 by the
+  //   deterministic-key contract (SURVEY §7.5). ———————————————————————————
+  private val q47 = Probe(
+    "q47_warehouse_roundtrip",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val src = s"/root/repo/target/tmp/q47_src_$tag"
+      val whDir = s"/root/repo/target/tmp/q47_wh_$tag"
+      EventsVocab.synth(Readers.fanOut(t(s, dir, "events")))
+        .coalesce(4).write.mode("overwrite")
+        .options(Map("header" -> "true", "quote" -> "\"", "escape" -> "\""))
+        .csv(src)
+      EtlJob.run(s, EtlJob.Config(src, whDir, clock = () => "2026-01-01 00:00:00"))
+      def re(n: String) = s.read.parquet(s"$whDir/$n")
+      val (dc, dl, dst, dd, dsh, f) =
+        (re("DimClient"), re("DimLocation"), re("DimState"), re("DimDate"),
+          re("DimShipping"), re("FactShippingEvent"))
+      // (table, metric, value) tall union → pivot, so the 1-row aggregates
+      // combine without 1-row cross joins (catalog-wide cartesian audit)
+      def tall(tbl: String, m: String, df: DataFrame) =
+        df.select(lit(tbl).as("table_name"), lit(m).as("__m"),
+          col(df.columns.head).cast("long").as("__v"))
+      Seq(
+        tall("DimClient", "rows", dc.agg(count(lit(1)))),
+        tall("DimLocation", "rows", dl.agg(count(lit(1)))),
+        tall("DimState", "rows", dst.agg(count(lit(1)))),
+        tall("DimDate", "rows", dd.agg(count(lit(1)))),
+        tall("DimShipping", "rows", dsh.agg(count(lit(1)))),
+        tall("FactShippingEvent", "rows", f.agg(count(lit(1)))),
+        tall("DimShipping", "dangling", danglingAgg(dsh, "client_id", dc, "client_id")),
+        tall("DimShipping", "dangling", danglingAgg(dsh, "collection_location_id", dl, "location_id")),
+        tall("DimShipping", "dangling", danglingAgg(dsh, "delivery_location_id", dl, "location_id")),
+        tall("DimShipping", "dangling", danglingAgg(dsh, "state_id", dst, "state_id")),
+        tall("FactShippingEvent", "dangling", danglingAgg(f, "shipping_id", dsh, "shipping_id")),
+        tall("FactShippingEvent", "dangling", danglingAgg(f, "date_id", dd, "date_id")))
+        .reduce(_.unionByName(_))
+        .groupBy(col("table_name"))
+        .agg(
+          sum(when(col("__m") === "rows", col("__v"))).cast("long").as("n_rows"),
+          coalesce(sum(when(col("__m") === "dangling", col("__v"))), lit(0L))
+            .cast("long").as("n_dangling"))
+        .orderBy("table_name")
+    },
+    Some(s"""WITH $dimsCte
+            |SELECT * FROM (
+            |  SELECT 'DimClient' AS table_name,
+            |    CAST((SELECT count(*) FROM dim_client) AS BIGINT) AS n_rows,
+            |    CAST(0 AS BIGINT) AS n_dangling
+            |  UNION ALL SELECT 'DimLocation', (SELECT count(*) FROM dim_location), 0
+            |  UNION ALL SELECT 'DimState', (SELECT count(*) FROM dim_state), 0
+            |  UNION ALL SELECT 'DimDate', (SELECT count(*) FROM dim_date), 0
+            |  UNION ALL SELECT 'DimShipping', (SELECT count(*) FROM dim_shipping), 0
+            |  UNION ALL SELECT 'FactShippingEvent', (SELECT count(*) FROM flat), 0)
+            |ORDER BY table_name ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q08b, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q46, q47)
 }

@@ -48,6 +48,35 @@ class AnalyticOpsSpec extends SparkSpec {
     assert(out === Some(10L))
   }
 
+  test("asof: multi-column payload is row-level — all columns from the SAME matched row") {
+    val left = Seq(("A", 20L, "t1")).toDF("k", "t", "id")
+    // matched (latest <= 20) row has price=2, size=null; an older row has
+    // size=9 — a per-column pick would leak the stale 9 into the result
+    val right = Seq(
+      ("A", 5L, Some(1L), Some(9L)),
+      ("A", 15L, Some(2L), None)
+    ).toDF("k", "rt", "price", "sz")
+    val got = AsofJoin.backward(left, right, Seq("k"), "t", "rt", Seq("price", "sz"))
+      .select("price", "sz").as[(Option[Long], Option[Long])].head()
+    assert(got === ((Some(2L), None)))
+    val fwd = AsofJoin.forward(
+      Seq(("A", 1L, "t1")).toDF("k", "t", "id"),
+      right, Seq("k"), "t", "rt", Seq("price", "sz"))
+      .select("price", "sz").as[(Option[Long], Option[Long])].head()
+    assert(fwd === ((Some(1L), Some(9L))))
+  }
+
+  test("asof: payload colliding with a left column fails fast in both directions") {
+    val left = Seq(("A", 1L, 2L)).toDF("k", "t", "p")
+    val right = Seq(("A", 1L, 3L)).toDF("k", "rt", "p")
+    intercept[IllegalArgumentException] {
+      AsofJoin.backward(left, right, Seq("k"), "t", "rt", Seq("p"))
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.forward(left, right, Seq("k"), "t", "rt", Seq("p"))
+    }
+  }
+
   test("range join binned: equals naive cross+filter, any bin width") {
     val points = (0 until 100).map(i => (i, i * 3.7)).toDF("pid", "v")
     val ranges = Seq((0, 10.0, 55.0), (1, 50.0, 50.0), (2, 300.0, 360.0), (3, 56.0, 20.0))

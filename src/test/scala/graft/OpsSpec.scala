@@ -59,6 +59,37 @@ class OpsSpec extends SparkSpec {
       s"16x4 banding at jaccard>=0.5 must catch all: missing ${exact -- lsh}")
   }
 
+  test("hot-shingle df-cap: stop-phrase pockets generate no pairs, true dups keep exact scores") {
+    // one shingle ("w x y") shared by ~90% of docs; docs are otherwise
+    // disjoint except one true exact-dup pair (100, 101)
+    val hot = (1L to 20L).map(i => (i, s"w x y a$i b$i c$i d$i e$i"))
+    val df = (hot :+ ((100L, "p q r s t u v")) :+ ((101L, "p q r s t u v"))).toDF("id", "text")
+    // cap at 5: the hot shingle (df=20) is dropped from candidate
+    // generation; the dup pair (100,101) shares only low-df shingles
+    val got = Dedup.ngramJaccardPairs(df, "id", $"text", 3, 0.2, maxDf = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((100L, 101L, 1.0)),
+      s"hot-shingle-only pairs must be pruned, true dup kept exact: $got")
+    // unguarded: the hot shingle makes every doc pair a candidate, but the
+    // verified jaccard of unrelated pairs stays below threshold — same
+    // final answer, quadratic candidate work (the thing the cap prevents)
+    val unguarded = Dedup.ngramJaccardPairs(df, "id", $"text", 3, 0.2, maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(unguarded == Seq((100L, 101L, 1.0)))
+  }
+
+  test("LSH/simhash bucket caps: an oversized bucket generates no candidate pairs") {
+    // 12 identical docs → every band bucket and every simhash chunk bucket
+    // has 12 members
+    val df = (1L to 12L).map(i => (i, "a b c d e f g h")).toDF("id", "text")
+    val sig = Dedup.minhashSignatures(df, "id", $"text", 3, 64)
+    assert(Dedup.lshCandidates(sig, "id", 16, 4).count() == 66L) // C(12,2), default cap
+    assert(Dedup.lshCandidates(sig, "id", 16, 4, maxBucket = 8).count() == 0L)
+    val ssig = Dedup.simhash(df, "id", $"text")
+    assert(Dedup.simhashPairs(ssig, "id", 6).count() == 66L)
+    assert(Dedup.simhashPairs(ssig, "id", 6, maxBucket = 8).count() == 0L)
+  }
+
   test("simhash: identical docs get identical signatures, hamming 0; pairs surface them") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "completely different words here"))
       .toDF("id", "text")
@@ -88,6 +119,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH: strictly more candidates than single-probe, recall never lower") {
+    val queries = emb.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val brute = Similarity.bruteForceTopK(queries, "query_id", "qvec", emb, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def hits(mp: Boolean) =
+      Similarity.lshBucketTopK(queries, "query_id", "qvec", emb, "vec_id", "embedding",
+          5, 4, 64, multiProbe = mp)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val (single, multi) = (hits(false), hits(true))
+    assert((single & brute).size <= (multi & brute).size,
+      "Hamming-1 probing must not lose recall")
+    assert((multi & brute).size > 0, "multi-probe should recover some true neighbors")
+  }
+
   test("cosinePairs (LSH) is a subset of cosinePairsExact with identical similarities") {
     val exact = Similarity.cosinePairsExact(emb, "vec_id", "embedding", 0.4)
       .as[(Long, Long, Double)].collect().toMap2
@@ -111,12 +156,28 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("multimodal: typed mapPartitions decode equals the declarative SQL twin") {
+  test("media codec: BMP/WAV/PPM headers round-trip through encode → decode") {
+    import Multimodal.{MediaCodec, MediaRecord}
+    val bmp = MediaCodec.decode(MediaRecord(1L, "bmp", MediaCodec.bmpBytes(17, 9), "t"))
+    assert((bmp.width, bmp.height, bmp.channels) == ((17, 9, 3)))
+    assert(bmp.byte_len == 54 + ((17 * 3 + 3) / 4) * 4 * 9)
+    val wav = MediaCodec.decode(MediaRecord(2L, "wav", MediaCodec.wavBytes(2, 44100, 16, 100), "t"))
+    assert((wav.width, wav.height, wav.channels) == ((44100, 16, 2)))
+    assert(wav.byte_len == 44 + 100 * 2 * 2)
+    val ppm = MediaCodec.decode(MediaRecord(3L, "ppm", MediaCodec.ppmBytes(123, 45), "t"))
+    assert((ppm.width, ppm.height, ppm.channels) == ((123, 45, 3)))
+    assert(ppm.byte_len == "P6\n123 45\n255\n".length + 123 * 45 * 3)
+    // unknown format degrades to byte-length-only metadata, never throws
+    val raw = MediaCodec.decode(MediaRecord(4L, "bin", Array[Byte](1, 2, 3), "t"))
+    assert((raw.byte_len, raw.width, raw.height, raw.channels) == ((3L, 0, 0, 0)))
+  }
+
+  test("multimodal: typed byte-level metadata equals the declarative SQL twin") {
     val media = Multimodal.pack(docs, "doc_id", "text", "image")
     val typed = Multimodal.extractMeta(spark, media).toDF()
-      .orderBy("media_id").collect().toSeq
-    val sql = Multimodal.metaSql(media)
-      .orderBy("media_id").collect().toSeq
+      .select($"media_id", $"byte_len", $"checksum").orderBy("media_id").collect().toSeq
+    val sql = Multimodal.byteMetaSql(media)
+      .select($"media_id", $"byte_len", $"checksum").orderBy("media_id").collect().toSeq
     assert(typed == sql)
   }
 
@@ -137,7 +198,7 @@ class OpsSpec extends SparkSpec {
       assert(payloads(name) == content)
       assert(kind == "image")
     }
-    assert(rows.map(_._4).distinct.length == 2, "content-addressed ids must differ")
+    assert(rows.map(_._4).distinct.length == 2, "path-addressed ids must differ")
     // and the decoded stream feeds the same downstream decode stage
     val meta = Multimodal.extractMeta(spark, media).collect()
     assert(meta.map(_.byte_len).sorted.toSeq == Seq(4L, 11L))
