@@ -20,11 +20,14 @@ import graft.sources.Readers
   */
 object ScalePilot {
 
-  private def buildScaled(spark: SparkSession, sfDir: String, out: String, copies: Int): Unit = {
+  private def buildScaled(spark: SparkSession, sfDir: String, out: String, copies: Int,
+      tables: Set[String]): Unit = {
     val fs = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(fs.resolve("_built"))) return
+    val marker = fs.resolve(s"_built_${tables.toSeq.sorted.mkString("_")}")
+    if (java.nio.file.Files.exists(marker)) return
 
     def shifted(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
+      if (!tables.contains(name)) return
       val baseDf = Readers.table(spark, sfDir, name)
       val union = (0 until copies).map(i => shift(baseDf, i)).reduce(_ unionByName _)
       union.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -43,26 +46,63 @@ object ScalePilot {
         transform(split(col("text"), "\\s+"), t => concat(lit(s"c${i}_"), t)))))
     shifted("embeddings", (df, i) => df
       .withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000L)))
-    java.nio.file.Files.createFile(fs.resolve("_built"))
+    if (!java.nio.file.Files.exists(marker)) java.nio.file.Files.createFile(marker)
   }
 
   def main(args: Array[String]): Unit = {
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "8").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // "all" = the round-1 cross-family pilot; "dedup" = the dedup/ANN
+    // family only (documents + embeddings), including a capped-vs-uncapped
+    // twin that shows the hot-bucket guards cost nothing on unskewed data
+    val family = sys.env.getOrElse("SPARK_GRAFT_SCALE_FAMILY", "all")
     val out = s"/root/repo/target/scale_x$copies"
     val spark = Sessions.local("graft-scale-pilot")
 
-    buildScaled(spark, sfDir, out, copies)
+    val tables: Set[String] =
+      if (family == "dedup") Set("documents", "embeddings")
+      else Set("lineitem", "orders", "events", "documents", "embeddings")
+    buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
     // only difference is volume (Readers.table's events ns-shim applies
     // only to the original testdata files)
     val x1Dir = s"/root/repo/target/scale_x1"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(x1Dir, "_built")))
-      buildScaled(spark, sfDir, x1Dir, 1)
+    buildScaled(spark, sfDir, x1Dir, 1, tables)
 
     def tbl(dir: String, n: String) = spark.read.parquet(s"$dir/$n.parquet")
 
-    def queries(dir: String): Seq[(String, () => DataFrame)] = Seq(
+    def dedupQueries(dir: String): Seq[(String, () => DataFrame)] = Seq(
+      "minhash_lsh" -> (() => {
+        val docs = tbl(dir, "documents")
+        val sig = Dedup.minhashSignatures(docs, "doc_id", col("text"), 3, 64)
+        val cand = Dedup.lshCandidates(sig, "doc_id", 16, 4)
+        Dedup.jaccardVerify(docs, "doc_id", col("text"), 3, cand, 0.5)
+      }),
+      "minhash_lsh_uncapped" -> (() => {
+        val docs = tbl(dir, "documents")
+        val sig = Dedup.minhashSignatures(docs, "doc_id", col("text"), 3, 64)
+        val cand = Dedup.lshCandidates(sig, "doc_id", 16, 4, maxBucket = Int.MaxValue)
+        Dedup.jaccardVerify(docs, "doc_id", col("text"), 3, cand, 0.5)
+      }),
+      "ngram_jaccard" -> (() => Dedup.ngramJaccardPairs(
+        tbl(dir, "documents"), "doc_id", col("text"), 3, 0.5)),
+      "simhash_pairs" -> (() => {
+        val sig = Dedup.simhash(tbl(dir, "documents"), "doc_id", col("text"))
+        Dedup.simhashPairs(sig, "doc_id", 6)
+      }),
+      "sim_topk" -> (() => Similarity.bruteForceTopK(
+        tbl(dir, "embeddings").limit(10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+        "query_id", "qvec",
+        tbl(dir, "embeddings"), "vec_id", "embedding", 5)),
+      "sim_topk_lsh_mp" -> (() => Similarity.lshBucketTopK(
+        tbl(dir, "embeddings").limit(10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+        "query_id", "qvec",
+        tbl(dir, "embeddings"), "vec_id", "embedding", 5,
+        numPlanes = 3, dim = 64, multiProbe = true)))
+
+    def allQueries(dir: String): Seq[(String, () => DataFrame)] = Seq(
       "group_agg" -> (() => tbl(dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 4).as("rev"),
@@ -87,6 +127,9 @@ object ScalePilot {
         "query_id", "qvec",
         tbl(dir, "embeddings"), "vec_id", "embedding", 5))
     )
+
+    def queries(dir: String): Seq[(String, () => DataFrame)] =
+      if (family == "dedup") dedupQueries(dir) else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>
       val t0 = System.nanoTime()

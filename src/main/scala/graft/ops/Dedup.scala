@@ -193,21 +193,45 @@ object Dedup {
   /** [[ngramJaccardPairs]] over a prebuilt (persisted) [[shingleTable]] —
     * use when the shingle set also feeds other stages (signatures,
     * verification) so the corpus is exploded once.
+    *
+    * Plan shape: the HOT shingles (df > maxDf) are separated with an
+    * anti-join (the hot set is the Zipf tail above the cap — tiny relative
+    * to the corpus, so AQE turns the anti-join into a broadcast at
+    * runtime); the cold index keeps the fused self-join + pair-count plan
+    * (ONE shuffle, no candidate materialization); shared hot shingles are
+    * then added back for the candidate pairs only, so every emitted
+    * jaccard is exact over the FULL shingle sets. Only pairs sharing
+    * nothing but hot shingles are pruned — the guard's semantic.
     */
   def ngramJaccardPairsFromShingles(sh: DataFrame, threshold: Double,
       maxDf: Int = DefaultMaxBucket): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
-    // df guard: the count window hash-partitions by shingle — the same
-    // partitioning the self-join needs, so the cap adds no extra shuffle
-    val idx = sh
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("__df") <= maxDf)
-      .drop("__df")
-    val pairs = idx.as("l")
-      .join(idx.as("r"), col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
-    ngramJaccardForPairs(sh, sizes, pairs, threshold)
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select(col("shingle"))
+    val cold = sh.join(hot, Seq("shingle"), "left_anti")
+    val interCold = cold.as("l")
+      .join(cold.as("r"), col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("__inter_cold"))
+    // exact-score correction: count the shared hot shingles per candidate
+    // pair (each doc holds at most a handful of hot shingles, so this is
+    // |candidates| × small)
+    val hotSh = sh.join(hot, Seq("shingle"), "left_semi")
+    val interHot = interCold.select(col("id_a"), col("id_b"))
+      .join(hotSh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(hotSh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__inter_hot"))
+    interCold
+      .join(interHot, Seq("id_a", "id_b"), "left")
+      .withColumn("inter_size", col("__inter_cold") + coalesce(col("__inter_hot"), lit(0L)))
+      .join(sizes.select(col("id").as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.Canonical.round4(col("inter_size").cast("double") /
+          (col("size_a") + col("size_b") - col("inter_size")).cast("double")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** 63-bit SimHash per id (bit 63 unused to stay in positive Long range
