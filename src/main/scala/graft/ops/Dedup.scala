@@ -119,15 +119,19 @@ object Dedup {
         xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))).as("band_hash"))
     }
-    // bucket-size guard: the count window shares the self-join's hash
-    // partitioning, so the cap costs no extra shuffle
-    val wB = Window.partitionBy(col("band_idx"), col("band_hash"))
-    val bucketed = sig
+    // bucket-size guard: oversized buckets are found with a map-side-
+    // combining aggregate and removed with an anti-join (AQE broadcasts
+    // the hot set, which is empty/tiny on unskewed data — measurably
+    // cheaper than a count-window, whose WindowExec would re-sort every
+    // banded row)
+    val banded = sig
       .select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
-      .withColumn("__bs", count(lit(1)).over(wB))
-      .filter(col("__bs") <= maxBucket)
-      .drop("__bs")
+    val hotBuckets = banded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucket)
+      .select(col("band_idx"), col("band_hash"))
+    val bucketed = banded
+      .join(hotBuckets, Seq("band_idx", "band_hash"), "left_anti")
       .persist()
     bucketed.count() // eager: both self-join sides would race to build the cache
     bucketed.as("l")
@@ -259,14 +263,14 @@ object Dedup {
       struct(lit(c).as("chunk_idx"),
         shiftright(col("simhash"), c * width).bitwiseAND((1L << width) - 1).as("chunk_val"))
     }
-    // bucket-size guard — same rationale and shuffle-sharing as in
-    // [[lshCandidates]]
-    val wB = Window.partitionBy(col("chunk_idx"), col("chunk_val"))
-    val bucketed = sig.select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
+    // bucket-size guard — same agg + anti-join design as [[lshCandidates]]
+    val chunked = sig.select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
       .select(col(idCol), col("simhash"), col("ch.chunk_idx"), col("ch.chunk_val"))
-      .withColumn("__bs", count(lit(1)).over(wB))
-      .filter(col("__bs") <= maxBucket)
-      .drop("__bs")
+    val hotChunks = chunked.groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucket)
+      .select(col("chunk_idx"), col("chunk_val"))
+    val bucketed = chunked
+      .join(hotChunks, Seq("chunk_idx", "chunk_val"), "left_anti")
       .persist()
     bucketed.count() // eager: both sides of the self-join
     bucketed.as("l")
