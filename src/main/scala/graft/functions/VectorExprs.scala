@@ -9,14 +9,17 @@ import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.functions.{sqrt => fsqrt}
 import org.apache.spark.sql.types._
 
-/** Codegen'd dot product of two numeric array columns (float or double
-  * elements), accumulating in double.
+/** Codegen'd dot product of two numeric array columns (any numeric
+  * element type — tinyint through double), accumulating in double.
   *
   * The built-in route — `aggregate(zip_with(a, b, _*_), 0d, _+_)` — is a
   * pair of interpreted higher-order functions: per element it allocates and
   * evaluates lambda expression trees, which measures ~100× slower than this
   * tight generated loop and breaks whole-stage codegen for the surrounding
   * plan. Null elements read as 0 (embeddings are dense by contract).
+  * Integer element types serve the quantized-ANN path
+  * ([[graft.ops.Similarity.quantizedTopK]]): int8 products are exact in
+  * double, so the accumulated sum is the exact integer dot.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -26,26 +29,32 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType, _) => true
       case _ => false
     }
     if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vec_dot requires array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+      s"vec_dot requires arrays of numeric elements, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def read(x: ArrayData, dt: DataType, i: Int): Double = dt match {
+    case ByteType => x.getByte(i).toDouble
+    case ShortType => x.getShort(i).toDouble
+    case IntegerType => x.getInt(i).toDouble
+    case LongType => x.getLong(i).toDouble
+    case FloatType => x.getFloat(i).toDouble
+    case _ => x.getDouble(i)
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val lf = elemType(left) == FloatType
-    val rf = elemType(right) == FloatType
+    val (lt, rt) = (elemType(left), elemType(right))
     var s = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      s += xv * yv
+      s += read(x, lt, i) * read(y, rt, i)
       i += 1
     }
     s
@@ -53,6 +62,10 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     def get(arr: String, dt: DataType) = dt match {
+      case ByteType => s"(double)$arr.getByte(i)"
+      case ShortType => s"(double)$arr.getShort(i)"
+      case IntegerType => s"(double)$arr.getInt(i)"
+      case LongType => s"(double)$arr.getLong(i)"
       case FloatType => s"(double)$arr.getFloat(i)"
       case _ => s"$arr.getDouble(i)"
     }

@@ -238,6 +238,95 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental dedup: a NEW batch of documents against an EXISTING
+    * (already-deduped) corpus — the daily-ingest shape of a training-data
+    * pipeline. The critical scale property is asymmetry: the corpus side
+    * is only ever *probed*, never self-joined, so a 100-TB corpus costs
+    * one signature/banding pass (which a real deployment would persist
+    * and reuse across batches) and the pair work is bounded by
+    * |batch| × bucket-mates — never corpus².
+    *
+    * Decision per batch doc, in precedence order:
+    *   1. `exact_dup`  — content hash already present in the corpus
+    *      (hash-equi anti-join semantics; 256-bit hashes shuffle, the
+    *      document bodies don't);
+    *   2. `near_dup`   — shares an LSH band bucket with ≥1 corpus doc AND
+    *      exact n-gram Jaccard ≥ `threshold` (verification is exact, so
+    *      every emitted match is a true near-duplicate);
+    *   3. `new`        — survives both gates.
+    *
+    * Returns one row per batch doc: (idCol, status, dup_of) where
+    * `dup_of` is the smallest matching corpus id (null for `new`).
+    * Intra-batch duplicates are NOT resolved here — compose with
+    * [[exact]] / [[lshCandidates]] over the batch alone for that; keeping
+    * the operator batch→corpus keeps its cost profile linear in the batch.
+    *
+    * Hot-bucket guard: band buckets are capped by occupancy over
+    * corpus∪batch (same agg + anti-join design as [[lshCandidates]]) —
+    * a stop-phrase bucket in a 1M-doc corpus would otherwise fan every
+    * batch doc into it.
+    */
+  def incrementalDedup(
+      corpus: DataFrame, batch: DataFrame, idCol: String, text: Column,
+      n: Int, numPerm: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    def hashOf(df: DataFrame) = df.select(col(idCol).as("id"),
+      sha2(coalesce(text.cast("string"), lit("␀")), 256).as("__h"))
+    // 1. exact: batch hash ∈ corpus hashes (min corpus id per hash probes
+    //    the join — one shuffle of 64-char hashes)
+    val corpusHashes = hashOf(corpus).groupBy(col("__h")).agg(min(col("id")).as("__exact_of"))
+    val exactStatus = hashOf(batch)
+      .join(corpusHashes, Seq("__h"), "left")
+      .select(col("id"), col("__exact_of"))
+
+    // 2. near: MinHash signatures both sides, band, batch-bands ⋈
+    //    corpus-bands (equi), exact-Jaccard verify on the candidates.
+    //    Exact-dup batch docs are excluded up front: their near matches are
+    //    subsumed by status precedence, and skipping them shrinks the
+    //    probe side.
+    val survivors = batch.join(
+      exactStatus.filter(col("__exact_of").isNotNull).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+    val shC = shingleTable(corpus, idCol, text, n).persist()
+    val shB = shingleTable(survivors, idCol, text, n).persist()
+    shC.count(); shB.count() // eager: each feeds signatures AND verification
+    def banded(sig: DataFrame, side: String) = {
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band_idx"),
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))).as("band_hash"))
+      }
+      sig.select(col("id").as(side), explode(array(bandCols: _*)).as("band"))
+        .select(col(side), col("band.band_idx"), col("band.band_hash"))
+    }
+    val bandC = banded(minhashFromShingles(shC, numPerm), "corpus_id")
+    val bandB = banded(minhashFromShingles(shB, numPerm), "batch_id")
+    val hot = bandC.select(col("band_idx"), col("band_hash"))
+      .unionByName(bandB.select(col("band_idx"), col("band_hash")))
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucket)
+      .select(col("band_idx"), col("band_hash"))
+    val cands = bandB.join(hot, Seq("band_idx", "band_hash"), "left_anti")
+      .join(bandC, Seq("band_idx", "band_hash"))
+      .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+      .distinct()
+    // exact verification over the union of both shingle tables (ids are
+    // disjoint between corpus and batch by contract)
+    val shAll = shB.unionByName(shC)
+    val sizes = shAll.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
+    val nearOf = ngramJaccardForPairs(shAll, sizes, cands, threshold)
+      .groupBy(col("id_a").as("id"))
+      .agg(min(col("id_b")).as("__near_of"))
+
+    exactStatus
+      .join(nearOf, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("__exact_of").isNotNull, "exact_dup")
+          .when(col("__near_of").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        coalesce(col("__exact_of"), col("__near_of")).as("dup_of"))
+  }
+
   /** 63-bit SimHash per id (bit 63 unused to stay in positive Long range
     * under ANSI overflow checks): per-token `xxhash64`, ±1 vote per bit,
     * sign of the vote sum sets the bit — one pass through the custom

@@ -118,6 +118,73 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Symmetric int8 scalar quantization of a vector column: returns
+    * `struct(q: array<tinyint>, s: double)` with `q[i] = ⌊x[i]·127/max|x| +
+    * 0.5⌋` and `s = max|x|/127`, so `x[i] ≈ q[i]·s`. The half-up-via-floor
+    * formula (not `round`) is deliberate: it is reproducible bit-for-bit
+    * across engines (see [[graft.Canonical]]).
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val qmax = greatest(array_max(transform(vec, x => abs(x.cast("double")))), lit(1e-30))
+    struct(
+      transform(vec, x => floor(x.cast("double") * 127.0 / qmax + 0.5).cast("tinyint")).as("q"),
+      (qmax / 127.0).as("s"))
+  }
+
+  /** Quantized-candidate top-k with exact rerank — the shuffle-byte
+    * reduction path for 100-TB ANN. Candidate scoring runs over the int8
+    * representation only (id + 1-byte-per-dim codes + two doubles ≈ ¼ the
+    * bytes of a float32 row; in a real deployment the quantized columns
+    * are precomputed and stored, so candidate generation never reads the
+    * full vectors at all). The top `k·candMult` candidates per query are
+    * then reranked with EXACT cosine over the full vectors — a join that
+    * touches only `|queries|·k·candMult` corpus rows.
+    *
+    * Approximate score: `(qa·qb)·sa·sb / (‖a‖·‖b‖)` — the int8 dot is an
+    * exact integer, the true norms are precomputed per row, so the only
+    * error is per-element quantization noise (≤ s/2 per coordinate, ~0.4%
+    * relative). Rounded to 6 decimals (ties → corpus id) so the candidate
+    * cut is deterministic and engine-portable.
+    */
+  def quantizedTopK(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, cidCol: String, cvecCol: String,
+      k: Int, candMult: Int = 4): DataFrame = {
+    val q = queries
+      .withColumn("__qq", quantizeInt8(col(qvecCol)))
+      .withColumn("__qnorm", vec_norm(col(qvecCol)))
+    val c = corpus
+      .withColumn("__cq", quantizeInt8(col(cvecCol)))
+      .withColumn("__cnorm", vec_norm(col(cvecCol)))
+    // candidate stage: only the compact representation moves
+    val qCompact = q.select(col(qidCol), col("__qq.q").as("__qa"),
+      col("__qq.s").as("__sa"), col("__qnorm"))
+    val cCompact = c.select(col(cidCol), col("__cq.q").as("__qb"),
+      col("__cq.s").as("__sb"), col("__cnorm"))
+    val approx = cCompact.crossJoin(broadcast(qCompact))
+      .filter(col(qidCol) =!= col(cidCol))
+      .withColumn("__approx",
+        round(vec_dot(col("__qa"), col("__qb")) * col("__sa") * col("__sb") /
+          (col("__qnorm") * col("__cnorm")), 6))
+    val wA = Window.partitionBy(col(qidCol)).orderBy(col("__approx").desc, col(cidCol).asc)
+    val cands = approx
+      .select(col(qidCol), col(cidCol), col("__approx"))
+      .withColumn("__r", row_number().over(wA))
+      .filter(col("__r") <= k * candMult)
+      .select(col(qidCol), col(cidCol))
+    // exact rerank: full vectors are read for candidates only
+    val rer = cands
+      .join(broadcast(q.select(col(qidCol), col(qvecCol), col("__qnorm"))), Seq(qidCol))
+      .join(c.select(col(cidCol), col(cvecCol), col("__cnorm")), Seq(cidCol))
+      .withColumn("cosine_sim",
+        round(cosineWithNorms(col(qvecCol), col(cvecCol), col("__qnorm"), col("__cnorm")), 6))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine_sim").desc, col(cidCol).asc)
+    rer
+      .select(col(qidCol), col(cidCol), col("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket with LSH, verify with
     * exact cosine ≥ threshold. id_a < id_b canonical orientation.
     */

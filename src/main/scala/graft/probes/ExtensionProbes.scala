@@ -513,6 +513,138 @@ object ExtensionProbes {
            |  TRUE AS train_frac_ok, TRUE AS val_frac_ok, TRUE AS test_frac_ok
            |FROM events""".stripMargin))
 
+  // — incremental dedup: a new batch against an existing corpus — the
+  //   daily-ingest shape. The fixture splits documents 80/20 into
+  //   corpus/batch and plants exact duplicates (id-shifted copies of every
+  //   corpus doc with doc_id%7==1). Per-row statuses are fully oracled:
+  //   the exact path is plain SQL (text equality ≡ hash equality — the
+  //   fixture has no collisions), and the near path's banding recall is
+  //   exact 1.0 at these corpus sizes (16×4 bands at jaccard≥0.2, same
+  //   empirical pin as x03), so DuckDB recomputes every row from the
+  //   exact batch→corpus jaccard pairs. ——————————————————————————————————
+  private val x21 = Probe(
+    "x21_incremental_dedup",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents")).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .unionByName(corpus.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      Dedup.incrementalDedup(corpus, batch, "doc_id", col("text"),
+          n = 3, numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 0.2)
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+           |batch AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+           |  WHERE doc_id % 5 != 0 AND doc_id % 7 = 1),
+           |ex AS (
+           |  SELECT b.doc_id, min(c.doc_id) AS exact_of
+           |  FROM batch b JOIN corpus c ON c.text = b.text GROUP BY 1),
+           |surv AS (SELECT * FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+           |shc AS (
+           |  SELECT doc_id AS id, unnest(list_distinct(
+           |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
+           |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tok
+           |        FROM corpus)),
+           |shb AS (
+           |  SELECT doc_id AS id, unnest(list_distinct(
+           |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
+           |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tok
+           |        FROM surv)),
+           |szc AS (SELECT id, count(*) AS n FROM shc GROUP BY id),
+           |szb AS (SELECT id, count(*) AS n FROM shb GROUP BY id),
+           |inter AS (
+           |  SELECT b.id AS id_a, c.id AS id_b, count(*) AS i
+           |  FROM shb b JOIN shc c ON b.s = c.s GROUP BY 1, 2),
+           |jac AS (
+           |  SELECT id_a, id_b
+           |  FROM inter
+           |  JOIN szb sa ON sa.id = id_a
+           |  JOIN szc sb ON sb.id = id_b
+           |  WHERE floor((i * 1.0 / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 >= 0.2),
+           |near AS (SELECT id_a AS doc_id, min(id_b) AS near_of FROM jac GROUP BY 1)
+           |SELECT b.doc_id,
+           |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+           |       WHEN nr.near_of IS NOT NULL THEN 'near_dup'
+           |       ELSE 'new' END AS status,
+           |  coalesce(e.exact_of, nr.near_of) AS dup_of
+           |FROM batch b
+           |LEFT JOIN ex e ON e.doc_id = b.doc_id
+           |LEFT JOIN near nr ON nr.doc_id = b.doc_id
+           |ORDER BY b.doc_id ASC NULLS FIRST""".stripMargin))
+
+  // — int8-quantized candidate top-k + exact rerank. Quantization is
+  //   deterministic arithmetic (half-up-via-floor — engine-portable), so
+  //   unlike the hash-family probes the ENTIRE pipeline has a value-level
+  //   DuckDB twin: same quantized codes, same 6-decimal approx candidate
+  //   cut, same exact rerank. ———————————————————————————————————————————
+  private val x22 = Probe(
+    "x22_sim_topk_quantized",
+    (s, dir) => {
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.quantizedTopK(queries, "query_id", "qvec", emb, "vec_id", "embedding",
+          k = 5, candMult = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+           |qq AS (
+           |  SELECT query_id, qe,
+           |    greatest(list_max([abs(CAST(x AS DOUBLE)) for x in qe]), 1e-30) AS qmax,
+           |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in qe])) AS qnorm
+           |  FROM q),
+           |qv AS (
+           |  SELECT query_id, qe, qnorm, qmax / 127.0 AS qs,
+           |    [floor(CAST(x AS DOUBLE) * 127.0 / qmax + 0.5) for x in qe] AS qcode
+           |  FROM qq),
+           |cq AS (
+           |  SELECT vec_id, embedding AS ce,
+           |    greatest(list_max([abs(CAST(x AS DOUBLE)) for x in embedding]), 1e-30) AS cmax,
+           |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS cnorm
+           |  FROM embeddings),
+           |cv AS (
+           |  SELECT vec_id, ce, cnorm, cmax / 127.0 AS cs,
+           |    [floor(CAST(x AS DOUBLE) * 127.0 / cmax + 0.5) for x in ce] AS ccode
+           |  FROM cq),
+           |pflat AS (
+           |  SELECT query_id, vec_id, unnest(qcode) AS a, unnest(ccode) AS b
+           |  FROM qv, cv WHERE vec_id != query_id),
+           |adots AS (SELECT query_id, vec_id, sum(a * b) AS dq FROM pflat GROUP BY 1, 2),
+           |approx AS (
+           |  SELECT d.query_id, d.vec_id,
+           |    round(d.dq * qv.qs * cv.cs / (qv.qnorm * cv.cnorm), 6) AS ap
+           |  FROM adots d
+           |  JOIN qv ON qv.query_id = d.query_id
+           |  JOIN cv ON cv.vec_id = d.vec_id),
+           |cands AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY ap DESC NULLS LAST, vec_id ASC NULLS FIRST) AS r FROM approx)
+           |  WHERE r <= 20),
+           |rflat AS (
+           |  SELECT c.query_id, c.vec_id, CAST(unnest(qv.qe) AS DOUBLE) AS x,
+           |    CAST(unnest(cv.ce) AS DOUBLE) AS y
+           |  FROM cands c
+           |  JOIN qv ON qv.query_id = c.query_id
+           |  JOIN cv ON cv.vec_id = c.vec_id),
+           |sims AS (
+           |  SELECT f.query_id, f.vec_id,
+           |    round(sum(f.x * f.y) / (any_value(qv.qnorm) * any_value(cv.cnorm)), 6) AS cosine_sim
+           |  FROM rflat f
+           |  JOIN qv ON qv.query_id = f.query_id
+           |  JOIN cv ON cv.vec_id = f.vec_id
+           |  GROUP BY 1, 2)
+           |SELECT query_id, vec_id, cosine_sim, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine_sim DESC NULLS LAST, vec_id ASC NULLS FIRST) AS rank FROM sims)
+           |WHERE rank <= 5
+           |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
-    x17, x18, x19, x20)
+    x17, x18, x19, x20, x21, x22)
 }

@@ -263,6 +263,58 @@ class OpsSpec extends SparkSpec {
     assert(split.select("split").distinct().count() == 2)
   }
 
+  test("vec_dot on int8 (tinyint) arrays is the exact integer dot") {
+    // Scala Array[Byte] would encode as BINARY; build array<tinyint> in SQL
+    val got = spark.sql("SELECT array(1Y, -2Y, 3Y) AS a, array(4Y, 5Y, -6Y) AS b")
+      .select(vec_dot($"a", $"b")).as[Double].head()
+    assert(got == (4 - 10 - 18).toDouble)
+  }
+
+  test("incrementalDedup: exact dup beats near dup beats new; corpus never self-pairs") {
+    val corpus = Seq(
+      (10L, "a b c d e f g h"),
+      (11L, "p q r s t u v w"),
+      (12L, "completely unrelated words here now ok yes")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "a b c d e f g h"), // exact dup of 10
+      (101L, "a b c d e f g X"), // near dup of 10 (shares most 3-grams)
+      (102L, "nothing in common with anything else at all")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch, "doc_id", $"text",
+        n = 3, numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 0.2)
+      .orderBy("doc_id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (100L, "exact_dup", Some(10L)),
+      (101L, "near_dup", Some(10L)),
+      (102L, "new", None)))
+  }
+
+  test("quantizedTopK: int8 candidates + exact rerank reproduce brute-force top-k") {
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val exact = Similarity.bruteForceTopK(queries, "query_id", "qvec",
+        emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "vec_id", "cosine_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val quant = Similarity.quantizedTopK(queries, "query_id", "qvec",
+        emb, "vec_id", "embedding", k = 5, candMult = 4)
+      .select("query_id", "vec_id", "cosine_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // exact rerank means every shared (query, vec) pair scores identically;
+    // recall of the int8 candidate stage is ≥ 0.9 on this fixture
+    val overlap = quant.map(t => (t._1, t._2)).intersect(exact.map(t => (t._1, t._2)))
+    assert(overlap.size >= (exact.size * 0.9).toInt, s"recall too low: ${overlap.size}/${exact.size}")
+    assert(quant.size == exact.size)
+  }
+
+  test("quantizeInt8: codes within [-127,127], max-|x| coordinate maps to ±127") {
+    val df = Seq((Array(0.5f, -1.0f, 0.25f), 1)).toDF("v", "one")
+    val got = df.select(Similarity.quantizeInt8($"v").as("q"))
+      .select($"q.q".cast("array<int>").as[Seq[Int]], $"q.s".as[Double]).head()
+    assert(got._1 == Seq(64, -127, 32))
+    assert(math.abs(got._2 - 1.0 / 127.0) < 1e-12)
+  }
+
   test("text stats: ratios bounded, langid sane, fingerprint stable") {
     val st = ops.TextStats.withStats(docs).cache()
     assert(st.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)

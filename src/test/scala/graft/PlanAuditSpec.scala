@@ -14,7 +14,9 @@ class PlanAuditSpec extends SparkSpec {
     "x05_sim_topk_bruteforce", // brute-force cosine: the exact ANN baseline
     "x06_sim_topk_lsh",        // bucketed, but per-bucket pairing is a theta join
     "x07_cosine_near_dup",     // exact pair verify (LSH variant is the scale path)
-    "x12_sim_topk_ivf"         // probe×centroid scoring is a small cross product
+    "x12_sim_topk_ivf",        // probe×centroid scoring is a small cross product
+    "x22_sim_topk_quantized"   // candidate scan IS corpus×queries by design —
+                               // the win is int8 bytes/FLOPs, not asymptotics
   )
 
   // streaming probes execute a query at construction time; plan-audited
