@@ -50,7 +50,10 @@ object Bench {
     "q41_range_frame",
     "q42_lateral_join",
     "q43_variant_json",
-    "x19_stratified_sample")
+    "x19_stratified_sample",
+    "x21_incremental_dedup",
+    "x22_sim_topk_quantized",
+    "q49_bloom_join_prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -319,5 +319,67 @@ object EngineProbes {
             |FROM l JOIN r ON l.subkey IS NOT DISTINCT FROM r.subkey
             |GROUP BY l.subkey ORDER BY l.subkey ASC NULLS FIRST""".stripMargin))
 
-  val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
+  // — Hive-style partitioned warehouse layout + partition pruning: the
+  //   single biggest scan-reducer at 100 TB (a day-filter over a
+  //   date-partitioned store reads only the matching directories — the
+  //   filter never even reaches row groups). `PlanSpec` asserts the
+  //   read-back plan prunes to 7 of 30 partitions. ——————————————————————
+  private val q48 = Probe(
+    "q48_partitioned_prune",
+    (s, dir) => {
+      val tmp = s"/root/repo/target/tmp/q48_part_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      t(s, dir, "events")
+        .withColumn("event_day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("event_day").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("event_day").between("2024-01-08", "2024-01-14"))
+        .groupBy(date_format(col("event_day").cast("date"), "yyyy-MM-dd").as("event_day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+        .orderBy("event_day", "event_type")
+    },
+    Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_day, event_type,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  round(sum(value), 4) AS total_value
+           |FROM events
+           |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+           |GROUP BY 1, 2
+           |ORDER BY event_day ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin))
+
+  // — runtime bloom-filter join pruning: when BOTH join sides are too big
+  //   to broadcast (the 100-TB default), Catalyst can still build a bloom
+  //   filter from the selective dim side and push it into the fact scan,
+  //   so non-joining fact rows die before the shuffle. Probed in a child
+  //   session so the thresholds (tuned for local fixture sizes — at real
+  //   scale the defaults fire on their own) don't leak into the catalog;
+  //   `PlanSpec` asserts `might_contain` lands in the fact-side scan. ————
+  private val q49 = Probe(
+    "q49_bloom_join_prune",
+    (s, dir) => bloomSession(s, dir),
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+           |  round(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE o_orderpriority = '1-URGENT'
+           |GROUP BY l_returnflag ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin))
+
+  /** The q49 pipeline in a child session with runtime-filter thresholds
+    * sized for the fixture (shared catalog, isolated conf — the parent
+    * session's plans are untouched). Exposed for `PlanSpec`.
+    */
+  def bloomSession(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // both sides "big"
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    t(s2, dir, "lineitem")
+      .join(t(s2, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"), round(sum(col("l_extendedprice")), 4).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
+    q48, q49)
 }

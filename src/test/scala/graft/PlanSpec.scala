@@ -121,4 +121,34 @@ class PlanSpec extends SparkSpec {
     val exchanges = physical(ship).linesIterator.count(_.contains("Exchange hashpartitioning(shipping_id"))
     assert(exchanges == 1, s"exactly one shuffle on shipping_id for the dedup, got $exchanges")
   }
+
+  test("partitioned store: a day-range filter prunes to the matching partitions only") {
+    val tmp = "/root/repo/target/tmp/planspec_part"
+    Readers.table(spark, sf0001, "events")
+      .withColumn("event_day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("event_day").parquet(tmp)
+    val all = spark.read.parquet(tmp)
+    val nDays = all.select("event_day").distinct().count()
+    val filtered = all.filter(col("event_day").between("2024-01-08", "2024-01-14"))
+    val plan = physical(filtered)
+    assert(plan.contains("PartitionFilters: ["), plan)
+    // the scan's partition count must be the 7 matching days, not all of them
+    val scanned = "partition count: (\\d+)".r.findFirstMatchIn(
+      filtered.queryExecution.executedPlan.toString)
+    val pruned = plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && (l.contains("event_day") || l.contains("isnotnull")))
+    assert(pruned, s"partition filter must bind on event_day:\n$plan")
+    assert(filtered.select("event_day").distinct().count() == 7 && nDays > 7)
+    scanned.foreach(m => assert(m.group(1).toInt <= 7, s"expected ≤7 partitions scanned:\n$plan"))
+  }
+
+  test("runtime bloom filter from the selective dim side reaches the fact scan") {
+    val df = graft.probes.EngineProbes.bloomSession(spark, sf0001)
+    df.collect() // finalize AQE so the injected filter shows in the plan
+    val plan = physical(df)
+    assert(plan.contains("might_contain"),
+      s"bloom filter must be pushed into the application side:\n$plan")
+    assert(plan.contains("bloom_filter_agg") || plan.contains("ObjectHashAggregate"),
+      s"creation side must build the bloom aggregate:\n$plan")
+  }
 }
