@@ -238,6 +238,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair list — the step that
+    * turns pairwise matches into per-cluster keep/drop decisions (pairs
+    * chain: a~b and b~c must collapse into ONE cluster even when a and c
+    * never matched directly). Returns (id, comp) for every id appearing in
+    * `pairs`, where `comp` is the smallest id in the component — the
+    * canonical survivor.
+    *
+    * Algorithm: iterative min-label propagation. Each round every vertex
+    * takes the min of its own label and its neighbors' labels; convergence
+    * in O(graph diameter) rounds. Near-dup graphs are star/clique-shaped
+    * (diameter 2-3 in practice), so the loop is short; `maxIter` bounds the
+    * adversarial chain case. Each round is one equi-join + one aggregate —
+    * all shuffle-partitioned, nothing driver-side except the 1-row
+    * convergence count — and `localCheckpoint` truncates the lineage so
+    * round N's plan doesn't replay rounds 1..N-1 (same discipline as the
+    * IVF Lloyd loop, Ivf.scala).
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges
+        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+        .select(col("src").as("id"), col("comp"))
+        .unionByName(labels)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = prop
+        .join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
+        .filter(col("comp") =!= col("__old")).count()
+      labels = prop
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Incremental dedup: a NEW batch of documents against an EXISTING
     * (already-deduped) corpus — the daily-ingest shape of a training-data
     * pipeline. The critical scale property is asymmetry: the corpus side

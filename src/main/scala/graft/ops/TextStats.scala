@@ -23,6 +23,45 @@ object TextStats {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
+  /** Top-k characteristic terms per document by smoothed tf-idf:
+    * `score = (cnt/len) · (N+1)/(df+1)`, rounded to 4 decimals BEFORE
+    * ranking (ties → term ascending), so the ranking is deterministic and
+    * engine-portable. The idf is the smoothed RATIONAL form, not
+    * `ln((N+1)/(df+1))`: `ln` is not correctly-rounded in either JVM libm
+    * or C libm, so the log form can differ in the last ulp across engines
+    * — pure {+,·,÷} stays bit-identical everywhere (same reasoning as
+    * [[graft.Canonical]]).
+    *
+    * Plan shape: one explode + three keyed aggregates (term counts reused
+    * for doc lengths — the corpus is tokenized ONCE) and a constant-limit
+    * rank window (`WindowGroupLimit` pushdown applies). The corpus size N
+    * is taken with ONE eager metadata-cheap `count()` and inlined as a
+    * literal — a 1-row scalar join would constant-fold into a nested-loop
+    * join, and N only rescales scores uniformly (rankings never depend on
+    * it). Empty documents count toward N. Everything else is keyed by doc
+    * id or term — no global sort, no other driver state.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), explode(tokens(text)).as("tok"))
+    val termCounts = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val docLens = termCounts.groupBy(col("id")).agg(sum(col("cnt")).as("len"))
+    val docFreq = termCounts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.count()
+    val scored = termCounts
+      .join(docLens, Seq("id"))
+      .join(docFreq, Seq("tok"))
+      .withColumn("score", graft.Canonical.round4(
+        (col("cnt").cast("double") / col("len").cast("double")) *
+          ((lit(nDocs).cast("double") + 1.0) / (col("df").cast("double") + 1.0))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("tok").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("tok").as("term"), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
   def punctRatio(text: Column): Column =
     graft.Canonical.round4(length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") /
       nullif(length(text), lit(0)).cast("double"))

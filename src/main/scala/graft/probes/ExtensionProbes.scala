@@ -645,6 +645,67 @@ object ExtensionProbes {
            |WHERE rank <= 5
            |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
 
+  // — near-dup connected components: pairwise matches → per-cluster
+  //   keep/drop. Pairs chain (a~b, b~c ⇒ one cluster), so the canonical
+  //   survivor is the min id of the CONNECTED COMPONENT, not of the pair.
+  //   Spark side is iterative min-label propagation; DuckDB recomputes the
+  //   same fixpoint with a recursive transitive-closure CTE over the exact
+  //   (oracled, x02) pair set. ———————————————————————————————————————————
+  private val x23 = Probe(
+    "x23_dedup_components",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.2)
+      Dedup.components(pairs)
+        .select(col("id").as("doc_id"), col("comp"),
+          (col("id") === col("comp")).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${jacCte(0.2)},
+            |edges AS (
+            |  SELECT id_a AS src, id_b AS dst FROM jac
+            |  UNION
+            |  SELECT id_b AS src, id_a AS dst FROM jac),
+            |reach AS (
+            |  SELECT src, dst FROM edges
+            |  UNION
+            |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+            |SELECT src AS doc_id, least(src, min(dst)) AS comp,
+            |  least(src, min(dst)) = src AS is_canonical
+            |FROM reach GROUP BY src
+            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  // — tf-idf top terms per document (keyword extraction). Rational
+  //   smoothed idf — deterministic across engines (see scaladoc) — so the
+  //   whole ranking carries a value-level oracle. —————————————————————————
+  private val x24 = Probe(
+    "x24_tfidf_top_terms",
+    (s, dir) => TextStats.tfidfTopTerms(
+        Readers.fanOut(t(s, dir, "documents")), "doc_id", col("text"), k = 5)
+      .orderBy("doc_id", "rank"),
+    Some("""WITH toks AS (
+           |  SELECT doc_id AS id,
+           |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS tok
+           |  FROM documents),
+           |tc AS (SELECT id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+           |dl AS (SELECT id, sum(cnt) AS len FROM tc GROUP BY 1),
+           |dfq AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1),
+           |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+           |scored AS (
+           |  SELECT tc.id, tc.tok,
+           |    floor(((CAST(tc.cnt AS DOUBLE) / CAST(dl.len AS DOUBLE))
+           |      * ((nd.n_docs + CAST(1 AS DOUBLE)) / (CAST(dfq.df AS DOUBLE) + CAST(1 AS DOUBLE))))
+           |      * 10000 + 0.5) / 10000 AS score
+           |  FROM tc
+           |  JOIN dl ON dl.id = tc.id
+           |  JOIN dfq ON dfq.tok = tc.tok
+           |  CROSS JOIN nd)
+           |SELECT id AS doc_id, tok AS term, score, CAST(rank AS BIGINT) AS rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY id
+           |    ORDER BY score DESC NULLS LAST, tok ASC NULLS FIRST) AS rank FROM scored)
+           |WHERE rank <= 5
+           |ORDER BY doc_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
-    x17, x18, x19, x20, x21, x22)
+    x17, x18, x19, x20, x21, x22, x23, x24)
 }

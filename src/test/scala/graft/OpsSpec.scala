@@ -315,6 +315,28 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got._2 - 1.0 / 127.0) < 1e-12)
   }
 
+  test("components: chained pairs collapse to one cluster labeled by min id") {
+    // path graph 1-2-3-4-5 (diameter 4, exercises multi-round propagation)
+    // plus a separate pair {8,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("tfidfTopTerms: a document's unique word outranks corpus-wide words") {
+    val df = Seq(
+      (1L, "shared unicorn unicorn"),
+      (2L, "shared shared shared"),
+      (3L, "shared other other")).toDF("doc_id", "text")
+    val top = TextStats.tfidfTopTerms(df, "doc_id", $"text", k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    assert(top(1L) == "unicorn") // tf 2/3 at df=1 beats tf 1/3 at df=3
+    assert(top(2L) == "shared")  // only term present
+    assert(top(3L) == "other")
+  }
+
   test("text stats: ratios bounded, langid sane, fingerprint stable") {
     val st = ops.TextStats.withStats(docs).cache()
     assert(st.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)
