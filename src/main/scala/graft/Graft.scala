@@ -54,6 +54,18 @@ object Graft {
   def nearDupSimhash(docs: DataFrame, idCol: String, text: Column, maxDist: Int = 6): DataFrame =
     Dedup.simhashPairs(Dedup.simhash(docs, idCol, text), idCol, maxDist)
 
+  /** Pairwise matches → duplicate clusters (canonical = min id per
+    * component) — the keep/drop step after any near-dup pair operator.
+    */
+  def dedupClusters(pairs: DataFrame): DataFrame = Dedup.components(pairs)
+
+  /** Daily-ingest dedup: a new batch against an existing corpus without
+    * ever self-joining the corpus.
+    */
+  def dedupIncremental(corpus: DataFrame, batch: DataFrame, idCol: String, text: Column,
+      n: Int = 3, numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame =
+    Dedup.incrementalDedup(corpus, batch, idCol, text, n, numPerm, bands, numPerm / bands, threshold)
+
   // — similarity search ([[graft.ops.Similarity]], [[graft.ops.Ivf]]) ————
   def topKExact(queries: DataFrame, qid: String, qvec: String,
       corpus: DataFrame, cid: String, cvec: String, k: Int): DataFrame =
@@ -63,9 +75,21 @@ object Graft {
       threshold: Double, numPlanes: Int, dim: Int): DataFrame =
     Similarity.cosinePairs(corpus, idCol, vecCol, threshold, numPlanes, dim)
 
+  /** Int8-quantized candidate generation + exact rerank (¼ shuffle bytes). */
+  def topKQuantized(queries: DataFrame, qid: String, qvec: String,
+      corpus: DataFrame, cid: String, cvec: String, k: Int, candMult: Int = 4): DataFrame =
+    Similarity.quantizedTopK(queries, qid, qvec, corpus, cid, cvec, k, candMult)
+
   // — text analysis ([[graft.ops.TextStats]]) ————————————————————————————
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     TextStats.withStats(docs, textCol)
+
+  /** Per-document top-k characteristic terms (engine-portable tf-idf). */
+  def topTerms(docs: DataFrame, idCol: String, text: Column, k: Int = 5): DataFrame =
+    TextStats.tfidfTopTerms(docs, idCol, text, k)
+
+  /** Redact URLs/emails/phone numbers — the pre-training scrub pass. */
+  def scrubText(text: Column): Column = TextStats.scrub(text)
 
   // — sessionization ([[graft.ops.Sessionize]]) ———————————————————————————
   def sessionize(events: DataFrame, idCol: String, tsCol: String, gap: String,

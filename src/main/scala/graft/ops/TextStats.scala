@@ -62,6 +62,26 @@ object TextStats {
         col("rank").cast("long").as("rank"))
   }
 
+  /** PII patterns, expressed in the regex subset common to Java regex and
+    * RE2 (no lookaround, no backrefs) so the SAME pattern strings run in
+    * Spark and in the DuckDB oracle.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Redact URLs, then emails, then phone numbers (order matters: emails
+    * embedded in URLs must not survive as partial matches). Pure
+    * `regexp_replace` chain — codegen'd, embarrassingly parallel, the
+    * standard pre-training scrub pass.
+    */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   def punctRatio(text: Column): Column =
     graft.Canonical.round4(length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") /
       nullif(length(text), lit(0)).cast("double"))

@@ -380,6 +380,48 @@ object EngineProbes {
       .orderBy("l_returnflag")
   }
 
+  // — bucketed co-located join: both sides written with bucketBy on the
+  //   join key, so the recurring fact⋈dim join runs with NO exchange on
+  //   either side (ScaleSpec asserts the plan; at 100 TB this removes the
+  //   dominant shuffle from every downstream star-join). The probe drives
+  //   the real saveAsTable path and oracles the join result. ——————————————
+  private val q50 = Probe(
+    "q50_bucketed_join",
+    (s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (tl, to) = (s"lineitem_bkt_$sfx", s"orders_bkt_$sfx")
+      Seq(tl, to).foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        // clear a prior JVM's orphaned managed location (same guard as q44)
+        val loc = java.nio.file.Paths.get(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      graft.etl.Bucketing.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
+        tl, Seq("l_orderkey"), 8, sortCols = Seq("l_orderkey"))
+      graft.etl.Bucketing.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+        to, Seq("o_orderkey"), 8, sortCols = Seq("o_orderkey"))
+      s.table(tl)
+        .join(s.table(to), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 4).as("revenue"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+           |  round(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS revenue,
+           |  round(avg(l_quantity), 4) AS avg_qty
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderstatus, o_orderpriority
+           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q48, q49)
+    q48, q49, q50)
 }

@@ -706,6 +706,46 @@ object ExtensionProbes {
            |WHERE rank <= 5
            |ORDER BY doc_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
 
+  // — PII scrubbing (emails/URLs/phones → tags). The fixture corpus has no
+  //   PII, so both engines plant identical doc_id-derived PII into every
+  //   document, scrub, and compare the FULL scrubbed text plus pre-scrub
+  //   match counts. Patterns live in the Java-regex ∩ RE2 subset so one
+  //   pattern string serves both engines. ————————————————————————————————
+  private val x25 = Probe(
+    "x25_text_scrub",
+    (s, dir) => {
+      val planted = Readers.fanOut(t(s, dir, "documents")).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com via https://ex.com/p/"),
+          col("doc_id"), lit(" or 555-123-4567")).as("text"))
+      planted.select(
+          col("doc_id"),
+          TextStats.scrub(col("text")).as("scrubbed"),
+          size(regexp_extract_all(col("text"), lit(TextStats.EmailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(TextStats.UrlRe), lit(0)))
+            .cast("long").as("n_urls"),
+          size(regexp_extract_all(col("text"), lit(TextStats.PhoneRe), lit(0)))
+            .cast("long").as("n_phones"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH planted AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+           |      || '@example.com via https://ex.com/p/' || CAST(doc_id AS VARCHAR)
+           |      || ' or 555-123-4567' AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  regexp_replace(
+           |    regexp_replace(
+           |      regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+           |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+           |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones
+           |FROM planted ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
-    x17, x18, x19, x20, x21, x22, x23, x24)
+    x17, x18, x19, x20, x21, x22, x23, x24, x25)
 }
