@@ -46,6 +46,9 @@ object Graft {
     */
   def nearDupMinhash(docs: DataFrame, idCol: String, text: Column,
       n: Int = 3, numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm) — a remainder would silently " +
+        "drop signature permutations from banding and degrade recall")
     val sig = Dedup.minhashSignatures(docs, idCol, text, n, numPerm)
     val cand = Dedup.lshCandidates(sig, idCol, bands, numPerm / bands)
     Dedup.jaccardVerify(docs, idCol, text, n, cand, threshold)
@@ -56,15 +59,22 @@ object Graft {
 
   /** Pairwise matches → duplicate clusters (canonical = min id per
     * component) — the keep/drop step after any near-dup pair operator.
+    * Throws if the pair graph has a chain longer than `maxIter`.
     */
-  def dedupClusters(pairs: DataFrame): DataFrame = Dedup.components(pairs)
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    Dedup.components(pairs, maxIter)
 
   /** Daily-ingest dedup: a new batch against an existing corpus without
-    * ever self-joining the corpus.
+    * ever self-joining the corpus. Eager — the result is materialized and
+    * cached; `unpersist()` it when done.
     */
   def dedupIncremental(corpus: DataFrame, batch: DataFrame, idCol: String, text: Column,
-      n: Int = 3, numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame =
+      n: Int = 3, numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm) — a remainder would silently " +
+        "drop signature permutations from banding and degrade recall")
     Dedup.incrementalDedup(corpus, batch, idCol, text, n, numPerm, bands, numPerm / bands, threshold)
+  }
 
   // — similarity search ([[graft.ops.Similarity]], [[graft.ops.Ivf]]) ————
   def topKExact(queries: DataFrame, qid: String, qvec: String,

@@ -107,6 +107,17 @@ object Dedup {
       .agg(graft.functions.HashAggFunctions.minhash_agg(col("h"), numPerm).as("sig"))
   }
 
+  /** Banding expressions shared by [[lshCandidates]] and
+    * [[incrementalDedup]] — ONE definition, so batch-vs-corpus banding can
+    * never silently desynchronize from self-join banding.
+    */
+  private def bandExprs(bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))).as("band_hash"))
+    }
+
   /** LSH banding: signature → (band_idx, band_hash) rows; same-bucket pairs
     * are the candidates. bands·rowsPerBand must equal the signature width.
     * The bucketed frame is persisted — it feeds both sides of the self-join,
@@ -114,11 +125,7 @@ object Dedup {
     */
   def lshCandidates(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band_idx"),
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))).as("band_hash"))
-    }
+    val bandCols = bandExprs(bands, rowsPerBand)
     // bucket-size guard: oversized buckets are found with a map-side-
     // combining aggregate and removed with an anti-join (AQE broadcasts
     // the hot set, which is empty/tiny on unskewed data — measurably
@@ -249,11 +256,14 @@ object Dedup {
     * takes the min of its own label and its neighbors' labels; convergence
     * in O(graph diameter) rounds. Near-dup graphs are star/clique-shaped
     * (diameter 2-3 in practice), so the loop is short; `maxIter` bounds the
-    * adversarial chain case. Each round is one equi-join + one aggregate —
-    * all shuffle-partitioned, nothing driver-side except the 1-row
-    * convergence count — and `localCheckpoint` truncates the lineage so
+    * adversarial chain case, and the loop THROWS if it exits unconverged —
+    * silently returning split clusters would hand a dedup pipeline two
+    * "canonical" copies of one document. Each round is one equi-join + one
+    * aggregate — all shuffle-partitioned, nothing driver-side except the
+    * 1-row convergence count — `localCheckpoint` truncates the lineage so
     * round N's plan doesn't replay rounds 1..N-1 (same discipline as the
-    * IVF Lloyd loop, Ivf.scala).
+    * IVF Lloyd loop, Ivf.scala), and each superseded round's checkpoint is
+    * unpersisted so at most two label copies are ever pinned.
     */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
@@ -276,11 +286,15 @@ object Dedup {
       val changed = prop
         .join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
         .filter(col("comp") =!= col("__old")).count()
+      labels.unpersist() // superseded checkpoint — keep at most 2 copies pinned
       labels = prop
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"components() did not converge in $maxIter rounds — the pair graph has a chain " +
+        s"longer than $maxIter; raise maxIter (graph diameter bounds the rounds needed)")
     labels
   }
 
@@ -302,7 +316,9 @@ object Dedup {
     *   3. `new`        — survives both gates.
     *
     * Returns one row per batch doc: (idCol, status, dup_of) where
-    * `dup_of` is the smallest matching corpus id (null for `new`).
+    * `dup_of` is the smallest matching corpus id (null for `new`). The
+    * result is EAGER — materialized and cached before the internal corpus
+    * shingle/hash caches are released (`unpersist()` it when done).
     * Intra-batch duplicates are NOT resolved here — compose with
     * [[exact]] / [[lshCandidates]] over the batch alone for that; keeping
     * the operator batch→corpus keeps its cost profile linear in the batch.
@@ -316,14 +332,21 @@ object Dedup {
       corpus: DataFrame, batch: DataFrame, idCol: String, text: Column,
       n: Int, numPerm: Int, bands: Int, rowsPerBand: Int, threshold: Double,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(bands * rowsPerBand == numPerm,
+      s"bands ($bands) × rowsPerBand ($rowsPerBand) must equal numPerm ($numPerm) — " +
+        "anything else silently drops signature permutations from banding")
     def hashOf(df: DataFrame) = df.select(col(idCol).as("id"),
       sha2(coalesce(text.cast("string"), lit("␀")), 256).as("__h"))
     // 1. exact: batch hash ∈ corpus hashes (min corpus id per hash probes
-    //    the join — one shuffle of 64-char hashes)
+    //    the join — one shuffle of 64-char hashes). Persisted + eager:
+    //    it feeds BOTH the survivor anti-join and the final status join,
+    //    and without pinning it the corpus scan+hash would run twice.
     val corpusHashes = hashOf(corpus).groupBy(col("__h")).agg(min(col("id")).as("__exact_of"))
     val exactStatus = hashOf(batch)
       .join(corpusHashes, Seq("__h"), "left")
       .select(col("id"), col("__exact_of"))
+      .persist()
+    exactStatus.count()
 
     // 2. near: MinHash signatures both sides, band, batch-bands ⋈
     //    corpus-bands (equi), exact-Jaccard verify on the candidates.
@@ -336,15 +359,9 @@ object Dedup {
     val shC = shingleTable(corpus, idCol, text, n).persist()
     val shB = shingleTable(survivors, idCol, text, n).persist()
     shC.count(); shB.count() // eager: each feeds signatures AND verification
-    def banded(sig: DataFrame, side: String) = {
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band_idx"),
-          xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))).as("band_hash"))
-      }
-      sig.select(col("id").as(side), explode(array(bandCols: _*)).as("band"))
+    def banded(sig: DataFrame, side: String) =
+      sig.select(col("id").as(side), explode(array(bandExprs(bands, rowsPerBand): _*)).as("band"))
         .select(col(side), col("band.band_idx"), col("band.band_hash"))
-    }
     val bandC = banded(minhashFromShingles(shC, numPerm), "corpus_id")
     val bandB = banded(minhashFromShingles(shB, numPerm), "batch_id")
     val hot = bandC.select(col("band_idx"), col("band_hash"))
@@ -364,13 +381,21 @@ object Dedup {
       .groupBy(col("id_a").as("id"))
       .agg(min(col("id_b")).as("__near_of"))
 
-    exactStatus
+    // materialize the (batch-sized) result, then release the big caches —
+    // the exploded corpus shingle table is the largest intermediate in the
+    // job and must not outlive the call. The returned frame stays cached;
+    // unpersist() it when done.
+    val result = exactStatus
       .join(nearOf, Seq("id"), "left")
       .select(col("id").as(idCol),
         when(col("__exact_of").isNotNull, "exact_dup")
           .when(col("__near_of").isNotNull, "near_dup")
           .otherwise("new").as("status"),
         coalesce(col("__exact_of"), col("__near_of")).as("dup_of"))
+      .persist()
+    result.count()
+    shC.unpersist(); shB.unpersist(); exactStatus.unpersist()
+    result
   }
 
   /** 63-bit SimHash per id (bit 63 unused to stay in positive Long range

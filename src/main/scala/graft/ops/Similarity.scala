@@ -150,39 +150,45 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String,
       corpus: DataFrame, cidCol: String, cvecCol: String,
       k: Int, candMult: Int = 4): DataFrame = {
-    val q = queries
-      .withColumn("__qq", quantizeInt8(col(qvecCol)))
-      .withColumn("__qnorm", vec_norm(col(qvecCol)))
-    val c = corpus
-      .withColumn("__cq", quantizeInt8(col(cvecCol)))
-      .withColumn("__cnorm", vec_norm(col(cvecCol)))
+    require(qidCol != cidCol,
+      s"query and corpus id columns must have distinct names (both '$qidCol') — " +
+        "the output carries one column per side")
+    // rename internals up front: queries are routinely a filtered projection
+    // of the corpus, so qvecCol == cvecCol is the NATURAL call shape and
+    // must not trip an ambiguous-column error in the rerank join
+    val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
+      .withColumn("__qq", quantizeInt8(col("__qvec")))
+      .withColumn("__qnorm", vec_norm(col("__qvec")))
+    val c = corpus.select(col(cidCol).as("__cid"), col(cvecCol).as("__cvec"))
+      .withColumn("__cq", quantizeInt8(col("__cvec")))
+      .withColumn("__cnorm", vec_norm(col("__cvec")))
     // candidate stage: only the compact representation moves
-    val qCompact = q.select(col(qidCol), col("__qq.q").as("__qa"),
+    val qCompact = q.select(col("__qid"), col("__qq.q").as("__qa"),
       col("__qq.s").as("__sa"), col("__qnorm"))
-    val cCompact = c.select(col(cidCol), col("__cq.q").as("__qb"),
+    val cCompact = c.select(col("__cid"), col("__cq.q").as("__qb"),
       col("__cq.s").as("__sb"), col("__cnorm"))
     val approx = cCompact.crossJoin(broadcast(qCompact))
-      .filter(col(qidCol) =!= col(cidCol))
+      .filter(col("__qid") =!= col("__cid"))
       .withColumn("__approx",
         round(vec_dot(col("__qa"), col("__qb")) * col("__sa") * col("__sb") /
           (col("__qnorm") * col("__cnorm")), 6))
-    val wA = Window.partitionBy(col(qidCol)).orderBy(col("__approx").desc, col(cidCol).asc)
+    val wA = Window.partitionBy(col("__qid")).orderBy(col("__approx").desc, col("__cid").asc)
     val cands = approx
-      .select(col(qidCol), col(cidCol), col("__approx"))
+      .select(col("__qid"), col("__cid"), col("__approx"))
       .withColumn("__r", row_number().over(wA))
       .filter(col("__r") <= k * candMult)
-      .select(col(qidCol), col(cidCol))
+      .select(col("__qid"), col("__cid"))
     // exact rerank: full vectors are read for candidates only
     val rer = cands
-      .join(broadcast(q.select(col(qidCol), col(qvecCol), col("__qnorm"))), Seq(qidCol))
-      .join(c.select(col(cidCol), col(cvecCol), col("__cnorm")), Seq(cidCol))
+      .join(broadcast(q.select(col("__qid"), col("__qvec"), col("__qnorm"))), Seq("__qid"))
+      .join(c.select(col("__cid"), col("__cvec"), col("__cnorm")), Seq("__cid"))
       .withColumn("cosine_sim",
-        round(cosineWithNorms(col(qvecCol), col(cvecCol), col("__qnorm"), col("__cnorm")), 6))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine_sim").desc, col(cidCol).asc)
+        round(cosineWithNorms(col("__qvec"), col("__cvec"), col("__qnorm"), col("__cnorm")), 6))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("cosine_sim").desc, col("__cid").asc)
     rer
-      .select(col(qidCol), col(cidCol), col("cosine_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .select(col("__qid").as(qidCol), col("__cid").as(cidCol), col("cosine_sim"), col("rank"))
   }
 
   /** Embedding-cosine near-duplicate pairs: bucket with LSH, verify with

@@ -542,7 +542,8 @@ object ExtensionProbes {
            |  WHERE doc_id % 5 != 0 AND doc_id % 7 = 1),
            |ex AS (
            |  SELECT b.doc_id, min(c.doc_id) AS exact_of
-           |  FROM batch b JOIN corpus c ON c.text = b.text GROUP BY 1),
+           |  FROM batch b JOIN corpus c
+           |    ON coalesce(c.text, '␀') = coalesce(b.text, '␀') GROUP BY 1),
            |surv AS (SELECT * FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
            |shc AS (
            |  SELECT doc_id AS id, unnest(list_distinct(

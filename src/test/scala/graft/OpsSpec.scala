@@ -325,6 +325,21 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("components: throws rather than returning split clusters when maxIter is too small") {
+    val chain = (1L to 5L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.components(chain, maxIter = 2).collect()
+    }
+  }
+
+  test("quantizedTopK: same column names on both sides (queries ⊂ corpus) work") {
+    val queries = emb.filter($"vec_id" < 3).withColumnRenamed("vec_id", "query_id")
+    val got = Similarity.quantizedTopK(queries, "query_id", "embedding",
+      emb, "vec_id", "embedding", k = 3)
+    assert(got.count() == 3 * 3)
+    assert(got.columns.toSeq == Seq("query_id", "vec_id", "cosine_sim", "rank"))
+  }
+
   test("tfidfTopTerms: a document's unique word outranks corpus-wide words") {
     val df = Seq(
       (1L, "shared unicorn unicorn"),

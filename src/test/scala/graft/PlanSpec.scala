@@ -131,15 +131,24 @@ class PlanSpec extends SparkSpec {
     val nDays = all.select("event_day").distinct().count()
     val filtered = all.filter(col("event_day").between("2024-01-08", "2024-01-14"))
     val plan = physical(filtered)
-    assert(plan.contains("PartitionFilters: ["), plan)
-    // the scan's partition count must be the 7 matching days, not all of them
-    val scanned = "partition count: (\\d+)".r.findFirstMatchIn(
-      filtered.queryExecution.executedPlan.toString)
-    val pruned = plan.linesIterator.exists(l =>
-      l.contains("PartitionFilters") && (l.contains("event_day") || l.contains("isnotnull")))
-    assert(pruned, s"partition filter must bind on event_day:\n$plan")
+    // the range bounds themselves must land in PartitionFilters — a bare
+    // `PartitionFilters: []` or isnotnull-only line means pruning regressed
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+      .getOrElse(fail(s"no PartitionFilters in scan:\n$plan"))
+    assert(pf.contains(">=") && pf.contains("<="),
+      s"day-range bounds must be partition filters, got: $pf")
     assert(filtered.select("event_day").distinct().count() == 7 && nDays > 7)
-    scanned.foreach(m => assert(m.group(1).toInt <= 7, s"expected ≤7 partitions scanned:\n$plan"))
+    // hard evidence of pruning, from execution (inputFiles is pre-pruning
+    // relation metadata and would stay at 30): the files ACTUALLY read all
+    // live in matching day directories, and there are fewer than the total
+    val readFiles = filtered.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(readFiles.nonEmpty && readFiles.length < all.inputFiles.length,
+      s"filtered scan must read fewer files (${readFiles.length} vs ${all.inputFiles.length})")
+    assert(readFiles.forall { f =>
+      val m = "event_day=([0-9-]+)".r.findFirstMatchIn(f)
+      m.exists(d => d.group(1) >= "2024-01-08" && d.group(1) <= "2024-01-14")
+    }, s"every scanned file must live in a matching day partition:\n${readFiles.mkString("\n")}")
   }
 
   test("runtime bloom filter from the selective dim side reaches the fact scan") {
