@@ -113,6 +113,21 @@ object Graft {
   def stratifiedSample(df: DataFrame, stratumCol: Column, idCol: Column, frac: Double): DataFrame =
     Sampling.stratifiedExact(df, stratumCol, idCol, frac)
 
+  // — SCD2 dimension versioning ([[graft.ops.Scd]]) ——————————————————————
+  def scd2FromHistory(history: DataFrame, keyCols: Seq[String], tsCol: String,
+      payloadCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame =
+    Scd.fromHistory(history, keyCols, tsCol, payloadCols, tieCols)
+
+  /** Append-only change batch → updated SCD2 dim; only batch keys recompute. */
+  def scd2Merge(dim: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      tsCol: String, payloadCols: Seq[String]): DataFrame =
+    Scd.merge(dim, changes, keyCols, tsCol, payloadCols)
+
+  // — sketched term frequency ([[graft.ops.Frequency]]) ——————————————————
+  def termFrequencySketch(items: DataFrame, term: Column,
+      eps: Double = 1e-3, confidence: Double = 0.99, seed: Int = 7) =
+    Frequency.sketch(items, term, eps, confidence, seed)
+
   // — multimodal ([[graft.ops.Multimodal]]) ———————————————————————————————
   def readBinary(spark: SparkSession, dir: String, glob: String, kind: String): DataFrame =
     Multimodal.readBinaryDir(spark, dir, glob, kind)

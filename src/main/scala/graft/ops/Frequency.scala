@@ -1,0 +1,59 @@
+package graft.ops
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Approximate term-frequency estimation via a count-min sketch — the
+  * mergeable-sketch sibling of the HLL distinct count (x16 probe).
+  *
+  * Why a sketch when `groupBy(term).count()` is exact: at 100 TB the term
+  * domain itself is the problem — an exact count shuffles every distinct
+  * term once per occurrence-partition, and a trillion-term vocabulary
+  * (n-grams, URLs, user agents) makes that shuffle THE job. The sketch
+  * side-steps it: each partition folds its terms into a fixed
+  * `depth × width` counter grid (codegen'd builtin aggregate, map-side
+  * partial merge), the grids tree-reduce by elementwise sum, and the
+  * driver receives ONE ~100 KB blob regardless of corpus size. No shuffle
+  * of the domain ever happens.
+  *
+  * Guarantees (standard CMS, seed-deterministic): `estimate ≥ true` always,
+  * and `estimate ≤ true + eps·N` with probability ≥ `confidence` per query
+  * (N = total items folded in).
+  *
+  * Sketches with identical (eps, confidence, seed) are mergeable —
+  * [[merged]] — so per-day sketches union incrementally the same way
+  * [[Dedup.incrementalDedup]] avoids corpus rescans.
+  */
+object Frequency {
+
+  /** Fold `term` of every row into a count-min sketch. One partial-agg
+    * pass over the data; the only driver transfer is the sketch blob.
+    */
+  def sketch(items: DataFrame, term: Column,
+      eps: Double = 1e-3, confidence: Double = 0.99, seed: Int = 7): CountMinSketch = {
+    val bytes = items
+      .agg(count_min_sketch(term, lit(eps), lit(confidence), lit(seed)).as("__sk"))
+      .head.getAs[Array[Byte]]("__sk")
+    CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+  }
+
+  /** Merge same-shaped sketches (eps/confidence/seed must match) — the
+    * incremental-ingest path: fold each day once, merge the blobs.
+    */
+  def merged(sketches: Seq[CountMinSketch]): CountMinSketch = {
+    require(sketches.nonEmpty, "need >=1 sketch")
+    sketches.reduce { (a, b) => a.mergeInPlace(b); a }
+  }
+
+  /** Frequency estimates for a small vocabulary (driver-side contract:
+    * `vocab` is the query set, not the corpus domain) without touching
+    * the corpus again.
+    */
+  def estimates(spark: SparkSession, cms: CountMinSketch, vocab: Seq[String]): DataFrame = {
+    import spark.implicits._
+    vocab.map(t => (t, cms.estimateCount(t))).toDF("term", "est_n")
+  }
+}

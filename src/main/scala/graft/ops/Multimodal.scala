@@ -20,7 +20,7 @@ object Multimodal {
   /** One media object: id + kind + raw bytes + string metadata. */
   case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte], source: String)
 
-  /** Decoded metadata the (stubbed) codec emits. */
+  /** Decoded metadata the header-parsing codec emits. */
   case class MediaMeta(
       media_id: Long, kind: String, byte_len: Long,
       width: Int, height: Int, channels: Int, checksum: Long)

@@ -422,6 +422,68 @@ object EngineProbes {
            |GROUP BY o_orderstatus, o_orderpriority
            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin))
 
+  // — SCD2 dimension from a change history: the warehouse-standard upgrade
+  //   of the reference's type-1 (overwrite) dims. events(user_id, ts,
+  //   event_type) is read as a change stream of per-user state; the
+  //   operator compresses no-change records and chains valid_from/valid_to
+  //   in one key-shuffle. The oracle replays the identical lag/lead
+  //   windows in ANSI SQL. ————————————————————————————————————————————————
+  private val q51 = Probe(
+    "q51_scd2_history",
+    (s, dir) => graft.ops.Scd.fromHistory(
+        t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        keyCols = Seq("user_id"), tsCol = "ts",
+        payloadCols = Seq("event_type"), tieCols = Seq("event_id"))
+      .select(col("user_id"), col("event_type").as("state"),
+        date_format(col("valid_from"), graft.etl.Schemas.TsFmt).as("valid_from"),
+        date_format(col("valid_to"), graft.etl.Schemas.TsFmt).as("valid_to"),
+        col("is_current"))
+      .orderBy("user_id", "valid_from"),
+    Some("""WITH o AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    lag(event_type) OVER w AS prev,
+           |    row_number() OVER w AS rn
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |c AS (SELECT * FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+           |v AS (SELECT user_id, event_type AS state, ts AS valid_from,
+           |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+           |      FROM c)
+           |SELECT user_id, state,
+           |  strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           |  strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           |  valid_to IS NULL AS is_current
+           |FROM v
+           |ORDER BY user_id ASC NULLS FIRST, valid_from ASC NULLS FIRST""".stripMargin))
+
+  // — range-partitioned sorted store: `repartitionByRange` + in-partition
+  //   sort gives every file a tight min/max on the sort column, so a
+  //   selective filter decompresses only the 1-2 overlapping files — the
+  //   z-order-lite layout for the single-column case. ScaleSpec asserts
+  //   the read-side file skip; the oracle checks the aggregation. ————————
+  private val q52 = Probe(
+    "q52_sorted_store_prune",
+    (s, dir) => {
+      val tmp = s"/root/repo/target/tmp/q52_sorted_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(8, col("value"))
+        .sortWithinPartitions("value")
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("value").between(100.0, 140.0))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total_value"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           |  round(sum(value), 4) AS total_value,
+           |  round(avg(value), 4) AS avg_value
+           |FROM events WHERE value BETWEEN 100.0 AND 140.0
+           |GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q48, q49, q50)
+    q48, q49, q50, q51, q52)
 }

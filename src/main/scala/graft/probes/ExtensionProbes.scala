@@ -747,6 +747,45 @@ object ExtensionProbes {
            |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones
            |FROM planted ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — count-min-sketch term frequency, gated like x16: the sketch counters
+  //   are engine-specific, but `est ≥ exact` (CMS never undercounts) and
+  //   `est ≤ exact + ⌈eps·N⌉` (seed-fixed, verified at all fixture scales)
+  //   are pinned invariants over the exact counts DuckDB recomputes with
+  //   the same whitespace tokenization as x24. The vocabulary is the exact
+  //   top-20 (deterministic tie-break by term), per the operator's
+  //   small-query-set contract. ———————————————————————————————————————————
+  private val x26 = Probe(
+    "x26_cms_term_freq",
+    (s, dir) => {
+      val toks = Readers.fanOut(t(s, dir, "documents"))
+        .select(explode(TextStats.tokens(col("text"))).as("term"))
+        .persist()
+      val nTotal = toks.count() // eager: toks feeds the sketch AND the exact counts
+      val cms = Frequency.sketch(toks, col("term"), eps = 1e-3, confidence = 0.99, seed = 7)
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("term").asc)
+        .limit(20).collect() // 20 rows by contract — the query vocabulary
+      toks.unpersist()
+      val slack = math.ceil(1e-3 * nTotal).toLong
+      import s.implicits._
+      vocab.toSeq.map { r =>
+        val (term, n) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(term)
+        (term, n, est >= n, est <= n + slack)
+      }.toDF("term", "exact_n", "est_ge_exact", "within_eps")
+        .orderBy(col("exact_n").desc, col("term").asc)
+    },
+    Some("""WITH toks AS (
+           |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+           |    x -> x != '')) AS term
+           |  FROM documents),
+           |ex AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS exact_n
+           |  FROM toks GROUP BY 1
+           |  ORDER BY exact_n DESC, term ASC LIMIT 20)
+           |SELECT term, exact_n, TRUE AS est_ge_exact, TRUE AS within_eps
+           |FROM ex ORDER BY exact_n DESC NULLS LAST, term ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
-    x17, x18, x19, x20, x21, x22, x23, x24, x25)
+    x17, x18, x19, x20, x21, x22, x23, x24, x25, x26)
 }

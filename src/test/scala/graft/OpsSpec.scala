@@ -340,6 +340,56 @@ class OpsSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("query_id", "vec_id", "cosine_sim", "rank"))
   }
 
+  test("scd2 fromHistory: compresses no-change records and chains valid_to") {
+    val hist = Seq(
+      (1L, 10L, "A"), (1L, 20L, "A"), (1L, 30L, "B"), (1L, 40L, "A"),
+      (2L, 10L, "X")
+    ).toDF("uid", "ts", "state")
+    val got = Scd.fromHistory(hist, Seq("uid"), "ts", Seq("state"))
+      .orderBy("uid", "valid_from")
+      .select("uid", "state", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "A", 10L, Some(30L), false), // the 20L re-statement opens no version
+      (1L, "B", 30L, Some(40L), false),
+      (1L, "A", 40L, None, true),
+      (2L, "X", 10L, None, true)))
+  }
+
+  test("scd2 merge of an append-only batch equals fromHistory of the full history") {
+    val full = events.select($"user_id", $"ts", $"event_type")
+    val cutoff = "2024-01-15"
+    val dim = Scd.fromHistory(full.filter($"ts" < cutoff), Seq("user_id"), "ts", Seq("event_type"))
+    val merged = Scd.merge(dim, full.filter($"ts" >= cutoff), Seq("user_id"), "ts", Seq("event_type"))
+    val direct = Scd.fromHistory(full, Seq("user_id"), "ts", Seq("event_type"))
+    assert(merged.count() == direct.count())
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  test("cms frequency estimates never undercount and stay within eps·N") {
+    val toks = docs.select(explode(TextStats.tokens($"text")).as("term")).persist()
+    val n = toks.count()
+    val cms = Frequency.sketch(toks, $"term", eps = 1e-3, confidence = 0.99, seed = 7)
+    val exact = toks.groupBy("term").count().as[(String, Long)].collect()
+    toks.unpersist()
+    val slack = math.ceil(1e-3 * n).toLong
+    exact.foreach { case (term, cnt) =>
+      val est = cms.estimateCount(term)
+      assert(est >= cnt, s"CMS undercounted '$term': $est < $cnt")
+      assert(est <= cnt + slack, s"'$term' estimate $est exceeds $cnt + $slack")
+    }
+  }
+
+  test("cms merged day-sketches equal the whole-corpus sketch estimates") {
+    val a = docs.filter($"doc_id" % 2 === 0).select(explode(TextStats.tokens($"text")).as("term"))
+    val b = docs.filter($"doc_id" % 2 === 1).select(explode(TextStats.tokens($"text")).as("term"))
+    val whole = docs.select(explode(TextStats.tokens($"text")).as("term"))
+    val m = Frequency.merged(Seq(
+      Frequency.sketch(a, $"term"), Frequency.sketch(b, $"term")))
+    val w = Frequency.sketch(whole, $"term")
+    Seq("the", "a", "data").foreach(t => assert(m.estimateCount(t) == w.estimateCount(t)))
+  }
+
   test("tfidfTopTerms: a document's unique word outranks corpus-wide words") {
     val df = Seq(
       (1L, "shared unicorn unicorn"),

@@ -61,6 +61,25 @@ class ScaleSpec extends SparkSpec {
       s"partition filters must prune at the scan:\n$plan")
   }
 
+  test("range-partitioned sorted store: a narrow value filter reads only overlapping files") {
+    val tmp = Files.createTempDirectory(Paths.get("/root/repo/target"), "sorted").toString
+    Readers.table(spark, sf0001, "events")
+      .select($"event_id", $"event_type", $"value")
+      .repartitionByRange(8, $"value")
+      .sortWithinPartitions("value")
+      .write.mode("overwrite").parquet(tmp)
+    val store = spark.read.parquet(tmp)
+    val total = store.inputFiles.length
+    assert(total >= 6, s"range write should spread across files, got $total")
+    // [100, 140] covers <10% of the value range: with range layout at most
+    // 2 of the 8 files can overlap it (vs ALL files for an unsorted write,
+    // where every file spans the full range and yields matching rows)
+    val filesRead = store.filter($"value".between(100.0, 140.0))
+      .select(input_file_name().as("f")).distinct().count()
+    assert(filesRead >= 1 && filesRead <= 2,
+      s"sorted store must confine a narrow filter to the overlapping files, read $filesRead of $total")
+  }
+
   test("driver entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
