@@ -123,6 +123,11 @@ object Graft {
       tsCol: String, payloadCols: Seq[String]): DataFrame =
     Scd.merge(dim, changes, keyCols, tsCol, payloadCols)
 
+  // — training-sequence packing ([[graft.ops.Packing]]) ——————————————————
+  def packSequences(docs: DataFrame, idCol: String, tokenCount: Column,
+      budget: Int, shards: Int = 64): DataFrame =
+    Packing.concatChunk(docs, idCol, tokenCount, budget, shards)
+
   // — sketched term frequency ([[graft.ops.Frequency]]) ——————————————————
   def termFrequencySketch(items: DataFrame, term: Column,
       eps: Double = 1e-3, confidence: Double = 0.99, seed: Int = 7) =

@@ -37,19 +37,27 @@ case class PositionalFingerprint(child: Expression) extends UnaryExpression {
     acc
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName every local — two instances in one generated method with
+    // fixed names are a Janino redefinition error → interpreted fallback
+    val s = ctx.freshName("fpS")
+    val acc = ctx.freshName("fpAcc")
+    val pos = ctx.freshName("fpPos")
+    val i = ctx.freshName("fpI")
+    val cp = ctx.freshName("fpCp")
     nullSafeCodeGen(ctx, ev, a =>
       s"""
-         |java.lang.String s = $a.toString();
-         |long acc = 0L;
-         |int pos = 1;
-         |for (int i = 0; i < s.length(); pos++) {
-         |  int cp = s.codePointAt(i);
-         |  acc += (long) cp * ((pos % 64) + 1);
-         |  i += java.lang.Character.charCount(cp);
+         |java.lang.String $s = $a.toString();
+         |long $acc = 0L;
+         |int $pos = 1;
+         |for (int $i = 0; $i < $s.length(); $pos++) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc += (long) $cp * (($pos % 64) + 1);
+         |  $i += java.lang.Character.charCount($cp);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin)
+  }
 
   override protected def withNewChildInternal(c: Expression): PositionalFingerprint = copy(c)
   override def prettyName: String = "positional_fingerprint"

@@ -61,22 +61,29 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // every local must be freshName'd: several VecDot instances routinely
+    // land in ONE generated method (vec_cosine alone inlines three), and a
+    // fixed name is a Janino "Redefinition of local variable" compile error
+    // — which silently drops the WHOLE stage to interpreted execution
+    val n = ctx.freshName("vdN")
+    val acc = ctx.freshName("vdS")
+    val i = ctx.freshName("vdI")
     def get(arr: String, dt: DataType) = dt match {
-      case ByteType => s"(double)$arr.getByte(i)"
-      case ShortType => s"(double)$arr.getShort(i)"
-      case IntegerType => s"(double)$arr.getInt(i)"
-      case LongType => s"(double)$arr.getLong(i)"
-      case FloatType => s"(double)$arr.getFloat(i)"
-      case _ => s"$arr.getDouble(i)"
+      case ByteType => s"(double)$arr.getByte($i)"
+      case ShortType => s"(double)$arr.getShort($i)"
+      case IntegerType => s"(double)$arr.getInt($i)"
+      case LongType => s"(double)$arr.getLong($i)"
+      case FloatType => s"(double)$arr.getFloat($i)"
+      case _ => s"$arr.getDouble($i)"
     }
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += ${get(a, elemType(left))} * ${get(b, elemType(right))};
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${get(a, elemType(left))} * ${get(b, elemType(right))};
          |}
-         |${ev.value} = s;
+         |${ev.value} = $acc;
        """.stripMargin)
   }
 

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing: turn a document corpus into fixed-token-budget
+  * training sequences (GPT-style "concatenate then chunk").
+  *
+  * Greedy first-fit bin packing is inherently sequential (every placement
+  * depends on the previous one), so it cannot scale past one partition.
+  * What large pretraining pipelines actually do is simpler and exact:
+  * concatenate all documents in a deterministic order and cut the token
+  * stream at exact `budget` boundaries, letting a document straddle a cut.
+  * That formulation is pure window arithmetic — a running token offset per
+  * shard, then each document explodes into the 1..n sequences its
+  * `[start, end)` token span overlaps — zero padding waste by construction.
+  *
+  * Scale shape: ONE hash shuffle on the shard key; each shard's window
+  * sorts only 1/`shards` of the corpus (shards are independent streams, so
+  * parallelism is a knob, not a semantic change); the explode adds one row
+  * per boundary straddle. No driver state, no iteration.
+  */
+object Packing {
+
+  /** Assign each document its token span inside fixed-`budget` sequences.
+    *
+    * Output: one row per (document, overlapped sequence) —
+    * `(idCol, shard, seq_id, start_in_seq, end_in_seq, n_tokens)`, where
+    * `[start_in_seq, end_in_seq)` is the slice of sequence `seq_id` the
+    * document fills. Every sequence is exactly `budget` tokens except the
+    * last of each shard. Zero-token documents are dropped.
+    *
+    * @param shardBy independent packing streams (default: hash of id —
+    *                `pmod(xxhash64(id), shards)`)
+    * @param orderBy concatenation order within a shard (default: hash of
+    *                id — a deterministic pseudo-random shuffle, which
+    *                pretraining wants anyway; ties broken by id)
+    */
+  def concatChunk(
+      docs: DataFrame,
+      idCol: String,
+      tokenCount: Column,
+      budget: Int,
+      shards: Int = 64,
+      shardBy: Option[Column] = None,
+      orderBy: Option[Column] = None): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val shardC = shardBy.getOrElse(pmod(xxhash64(col(idCol)), lit(shards.toLong)))
+    val ordC = orderBy.getOrElse(xxhash64(col(idCol), lit("pack")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__ord").asc, col(idCol).asc)
+    docs
+      .select(col(idCol), tokenCount.cast("long").as("__t"),
+        shardC.cast("long").as("shard"), ordC.as("__ord"))
+      .filter(col("__t") > 0)
+      .withColumn("__end", sum(col("__t")).over(w))
+      .withColumn("__start", col("__end") - col("__t"))
+      // the doc's token span [__start, __end) overlaps sequences
+      // floor(__start/B) .. floor((__end-1)/B) — explode one row per hit
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__start") / budget), floor((col("__end") - 1) / budget))))
+      .select(col(idCol), col("shard"), col("seq_id").cast("long").as("seq_id"),
+        greatest(col("__start") - col("seq_id") * budget, lit(0L)).as("start_in_seq"),
+        least(col("__end") - col("seq_id") * budget, lit(budget.toLong)).as("end_in_seq"),
+        col("__t").as("n_tokens"))
+  }
+}

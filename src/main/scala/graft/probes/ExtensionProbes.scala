@@ -786,6 +786,42 @@ object ExtensionProbes {
            |SELECT term, exact_n, TRUE AS est_ge_exact, TRUE AS within_eps
            |FROM ex ORDER BY exact_n DESC NULLS LAST, term ASC NULLS FIRST""".stripMargin))
 
+  // — training-sequence packing (GPT-style concat-and-chunk): documents
+  //   concatenate per shard and cut at exact 256-token boundaries, a doc
+  //   straddling a cut splits across sequences. Pure window + explode
+  //   arithmetic, so the oracle replays it exactly. The probe pins shard
+  //   (doc_id % 4) and order (doc_id) to portable expressions; the
+  //   operator's defaults hash both. ——————————————————————————————————————
+  private val x27 = Probe(
+    "x27_sequence_pack",
+    (s, dir) => Packing.concatChunk(
+        Readers.fanOut(t(s, dir, "documents")),
+        "doc_id", size(TextStats.tokens(col("text"))), budget = 256, shards = 4,
+        shardBy = Some(col("doc_id") % 4), orderBy = Some(col("doc_id")))
+      .orderBy("shard", "seq_id", "start_in_seq", "doc_id"),
+    Some("""WITH d AS (
+           |  SELECT doc_id, doc_id % 4 AS shard,
+           |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+           |      x -> x != '')) AS BIGINT) AS t
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id, shard, t,
+           |    sum(t) OVER (PARTITION BY shard ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS e
+           |  FROM d WHERE t > 0),
+           |x AS (
+           |  SELECT doc_id, shard, e - t AS s, e, t,
+           |    unnest(generate_series(CAST(floor((e - t) / 256.0) AS BIGINT),
+           |      CAST(floor((e - 1) / 256.0) AS BIGINT))) AS seq_id
+           |  FROM p)
+           |SELECT doc_id, shard, seq_id,
+           |  CAST(greatest(s - seq_id * 256, 0) AS BIGINT) AS start_in_seq,
+           |  CAST(least(e - seq_id * 256, 256) AS BIGINT) AS end_in_seq,
+           |  t AS n_tokens
+           |FROM x
+           |ORDER BY shard ASC NULLS FIRST, seq_id ASC NULLS FIRST,
+           |  start_in_seq ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
-    x17, x18, x19, x20, x21, x22, x23, x24, x25, x26)
+    x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27)
 }

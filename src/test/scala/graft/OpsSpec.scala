@@ -390,6 +390,36 @@ class OpsSpec extends SparkSpec {
     Seq("the", "a", "data").foreach(t => assert(m.estimateCount(t) == w.estimateCount(t)))
   }
 
+  test("packing concatChunk: exact hand-computed spans, straddle splits across sequences") {
+    val docs = Seq((1L, 4), (2L, 5), (3L, 3), (4L, 8)).toDF("id", "t")
+    val got = Packing.concatChunk(docs, "id", $"t", budget = 10, shards = 1,
+        shardBy = Some(lit(0)), orderBy = Some($"id"))
+      .orderBy("seq_id", "start_in_seq")
+      .select("id", "seq_id", "start_in_seq", "end_in_seq")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // stream offsets: 1→[0,4) 2→[4,9) 3→[9,12) 4→[12,20)
+    assert(got == Seq(
+      (1L, 0L, 0L, 4L), (2L, 0L, 4L, 9L), (3L, 0L, 9L, 10L),
+      (3L, 1L, 0L, 2L), (4L, 1L, 2L, 10L)))
+  }
+
+  test("packing invariants on the corpus: full sequences are exactly budget, docs fully covered") {
+    val packed = Packing.concatChunk(docs, "doc_id",
+      size(TextStats.tokens($"text")), budget = 256, shards = 4).persist()
+    val perSeq = packed.groupBy("shard", "seq_id")
+      .agg(sum($"end_in_seq" - $"start_in_seq").as("filled"), max("seq_id").as("sid"))
+    val lastSeq = packed.groupBy("shard").agg(max("seq_id").as("last_sid"))
+    val nonLastUnderfilled = perSeq.join(lastSeq, Seq("shard"))
+      .filter($"sid" =!= $"last_sid" && $"filled" =!= 256).count()
+    assert(nonLastUnderfilled == 0, "every non-final sequence must be exactly budget tokens")
+    // every doc's slices add up to its token count (no token lost or duplicated)
+    val uncovered = packed.groupBy("doc_id", "n_tokens")
+      .agg(sum($"end_in_seq" - $"start_in_seq").as("covered"))
+      .filter($"covered" =!= $"n_tokens").count()
+    assert(uncovered == 0)
+    packed.unpersist()
+  }
+
   test("tfidfTopTerms: a document's unique word outranks corpus-wide words") {
     val df = Seq(
       (1L, "shared unicorn unicorn"),

@@ -64,6 +64,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.startsWith("*("), s"the vec_dot projection must be inside a codegen stage:\n$plan")
   }
 
+  test("custom expressions compile under codegen with NO fallback, even many per method") {
+    // the plan string shows "*(" even when Janino compilation fails at
+    // runtime (Spark silently drops to interpreted) — so this test turns
+    // fallback OFF and EXECUTES a projection that inlines many instances
+    // into one generated method (vec_cosine alone is three VecDots);
+    // fixed local names in doGenCode make this throw "Redefinition of
+    // local variable"
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val emb = Readers.table(s2, sf0001, "embeddings").limit(8)
+    import graft.functions.VectorFunctions._
+    val v = emb.select(
+      vec_cosine(col("embedding"), col("embedding")).as("c1"),
+      vec_dot(col("embedding"), col("embedding")).as("d1"),
+      vec_norm(col("embedding")).as("n1"))
+    assert(v.collect().length == 8)
+    val docs2 = Readers.table(s2, sf0001, "documents").limit(8)
+    val f = docs2.select(
+      graft.functions.TextFunctions.fingerprint(col("text")).as("f1"),
+      graft.functions.TextFunctions.fingerprint(concat(col("text"), lit("x"))).as("f2"))
+    assert(f.collect().length == 8)
+  }
+
   test("ORC scan: predicate pushdown fires for the second columnar format") {
     val tmp = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"), "orc").toString
