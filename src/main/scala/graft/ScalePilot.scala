@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Sessionize, Similarity}
+import graft.ops.{Dedup, Packing, Scd, Sessionize, Similarity, TextStats}
 import graft.sources.Readers
 
 /** Empirical scaling pilot: run the heavy operator families at 1× and N×
@@ -61,6 +61,7 @@ object ScalePilot {
 
     val tables: Set[String] =
       if (family == "dedup") Set("documents", "embeddings")
+      else if (family == "pipeline") Set("events", "documents")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -128,8 +129,23 @@ object ScalePilot {
         tbl(dir, "embeddings"), "vec_id", "embedding", 5))
     )
 
+    // round-2 pipeline additions: packing / SCD2 / CMS are each one
+    // shuffle (or none) so their ratios should sit at the linear floor
+    def pipelineQueries(dir: String): Seq[(String, () => DataFrame)] = Seq(
+      "seq_pack" -> (() => Packing.concatChunk(
+        tbl(dir, "documents"), "doc_id",
+        size(TextStats.tokens(col("text"))), budget = 256, shards = 64)),
+      "scd2_history" -> (() => Scd.fromHistory(
+        tbl(dir, "events").select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"))),
+      "cms_sketch" -> (() => tbl(dir, "documents")
+        .select(explode(TextStats.tokens(col("text"))).as("term"))
+        .agg(count_min_sketch(col("term"), lit(1e-3), lit(0.99), lit(7)).as("sk"))))
+
     def queries(dir: String): Seq[(String, () => DataFrame)] =
-      if (family == "dedup") dedupQueries(dir) else allQueries(dir)
+      if (family == "dedup") dedupQueries(dir)
+      else if (family == "pipeline") pipelineQueries(dir)
+      else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>
       val t0 = System.nanoTime()
