@@ -298,6 +298,23 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dup REMOVAL: pairs → clusters → keep one canonical
+    * document (the min id) per cluster — the composition every dedup
+    * pipeline actually ships: [[ngramJaccardPairs]] (exact, so the whole
+    * result is value-oracled) + [[components]] + one broadcast-able
+    * anti-join of the (tiny) drop set against the corpus. Swap the pair
+    * stage for the MinHash path at scale; the cluster/drop tail is
+    * identical.
+    */
+  def dedupCorpusExact(docs: DataFrame, idCol: String, text: Column,
+      n: Int, threshold: Double, maxIter: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, text, n, threshold)
+    val drop = components(pairs, maxIter)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Incremental dedup: a NEW batch of documents against an EXISTING
     * (already-deduped) corpus — the daily-ingest shape of a training-data
     * pipeline. The critical scale property is asymmetry: the corpus side

@@ -122,6 +122,36 @@ object TextStats {
   def fingerprint(text: Column): Column =
     graft.functions.TextFunctions.fingerprint(text)
 
+  /** Quality pruning: drop the lowest `frac` of documents per predicted
+    * language — the curriculum/quality gate a pretraining mix applies
+    * after scoring. Per-language (not global) because score distributions
+    * differ by language and a global cut would evict whole languages.
+    *
+    * `percent_rank` over (language, score, id): ONE shuffle on the
+    * language key; ties are impossible because the id is the final sort
+    * key, so the kept set is deterministic and engine-portable. Keeps
+    * rows with `percent_rank ≥ frac` (the top `1-frac` share; for a
+    * partition of n rows that is the standard `(rank-1)/(n-1) ≥ frac`
+    * definition, identical in ANSI SQL).
+    *
+    * Language skew note: natural corpora are dominated by one language,
+    * so the language partitions are few and fat. percent_rank needs the
+    * whole partition sorted — at 100 TB compose with [[qualityScore]] +
+    * a pre-computed per-language threshold (2-pass approx_percentile)
+    * instead; this operator is the exact single-pass form.
+    */
+  def qualityPrune(docs: DataFrame, idCol: String, frac: Double,
+      textCol: String = "text"): DataFrame = {
+    require(frac >= 0.0 && frac < 1.0, s"frac must be in [0,1), got $frac")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pred_lang"))
+      .orderBy(col("quality_score").asc, col(idCol).asc)
+    withStats(docs, textCol)
+      .withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") >= frac)
+      .drop("__pr")
+  }
+
   /** All stats in one projection over a document table. */
   def withStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

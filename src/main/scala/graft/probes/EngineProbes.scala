@@ -484,6 +484,60 @@ object EngineProbes {
            |FROM events WHERE value BETWEEN 100.0 AND 140.0
            |GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  // — AQE skew-join split: when one join key holds most of the rows (here
+  //   80% of events on key 0), the hot reducer partition is the straggler
+  //   that decides the whole stage's wall-clock at 100 TB. AQE detects the
+  //   oversized partition at runtime and splits it across reducers,
+  //   replicating the matching build side — no salting rewrite needed.
+  //   Probed in a child session (thresholds sized for the fixture; real
+  //   scale trips the defaults); `PlanSpec` asserts `skew=true` lands in
+  //   the executed join. The result itself is value-oracled. —————————————
+  private val q53 = Probe(
+    "q53_aqe_skew_join",
+    (s, dir) => skewSession(s, dir),
+    Some("""WITH l AS (
+           |  SELECT CASE WHEN event_id % 5 != 0 THEN 0 ELSE event_id % 97 END AS k,
+           |    value, event_type
+           |  FROM events),
+           |r AS (SELECT DISTINCT event_id % 97 AS k FROM events)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           |  round(sum(value), 4) AS total_value
+           |FROM l JOIN r USING (k)
+           |GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
+  /** The q53 pipeline with fixture-sized skew thresholds in an isolated
+    * child session. Exposed for `PlanSpec`'s `skew=true` assertion.
+    */
+  def skewSession(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // both sides "big"
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "800b")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "800b")
+    // fan the single-file scan across map tasks: skew splitting works at
+    // map-block granularity, so a 1-mapper shuffle leaves the hot reduce
+    // partition as one unsplittable block no matter the thresholds
+    val ev = Readers.fanOut(t(s2, dir, "events"))
+    val l = ev.select(
+      when(col("event_id") % 5 =!= 0, lit(0L))
+        .otherwise(pmod(col("event_id"), lit(97L))).as("k"),
+      col("value"), col("event_type"))
+    // fanOut again, deliberately: distinct() leaves the dim ALREADY
+    // hash-partitioned on k, the join reuses that exchange, and
+    // OptimizeSkewedJoin then cannot fire — it pattern-matches ONLY
+    // Sort(bare shuffle stage) on BOTH sides. Exchange reuse and skew
+    // splitting are mutually exclusive here; for a hot-key join, breaking
+    // the build side's co-partitioning is the right trade.
+    val r = Readers.fanOut(
+      ev.select(pmod(col("event_id"), lit(97L)).as("k")).distinct())
+    l.join(r, Seq("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q48, q49, q50, q51, q52)
+    q48, q49, q50, q51, q52, q53)
 }

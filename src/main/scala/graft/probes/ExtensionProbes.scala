@@ -822,6 +822,73 @@ object ExtensionProbes {
            |ORDER BY shard ASC NULLS FIRST, seq_id ASC NULLS FIRST,
            |  start_in_seq ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — per-language quality pruning: drop the lowest 20% of documents per
+  //   predicted language by composite quality score. percent_rank with an
+  //   id tie-break is deterministic and has the identical ANSI definition
+  //   in DuckDB, so the kept set is value-oracled end to end (the quality
+  //   formula replay is x08's oracle CTE). ————————————————————————————————
+  private val x28 = Probe(
+    "x28_quality_prune",
+    (s, dir) => TextStats.qualityPrune(
+        Readers.fanOut(t(s, dir, "documents")), "doc_id", frac = 0.2)
+      .select(col("doc_id"), col("pred_lang"), col("quality_score"))
+      .orderBy("doc_id"),
+    Some("""WITH base AS (
+           |  SELECT doc_id, text,
+           |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tok
+           |  FROM documents),
+           |ratios AS (
+           |  SELECT doc_id, text,
+           |    CAST(len(tok) AS BIGINT) AS n_tokens,
+           |    floor((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+           |      / nullif(length(text), 0)) * 10000 + 0.5) / 10000 AS punct_ratio,
+           |    floor((CAST(len(list_filter(tok, t -> t = 'the' OR t = 'a')) AS DOUBLE)
+           |      / nullif(len(tok), 0)) * 10000 + 0.5) / 10000 AS stopword_ratio
+           |  FROM base),
+           |scored AS (
+           |  SELECT doc_id,
+           |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+           |         WHEN coalesce(stopword_ratio, 0) >= 0.02 THEN 'en'
+           |         ELSE 'unknown' END AS pred_lang,
+           |    floor((least(1.0, n_tokens / 64.0) * 0.4
+           |      + (1.0 - least(1.0, coalesce(punct_ratio, 0) * 10)) * 0.3
+           |      + least(1.0, coalesce(stopword_ratio, 0) * 20) * 0.3) * 10000 + 0.5) / 10000
+           |      AS quality_score
+           |  FROM ratios),
+           |ranked AS (
+           |  SELECT *, percent_rank() OVER (PARTITION BY pred_lang
+           |    ORDER BY quality_score ASC, doc_id ASC) AS pr
+           |  FROM scored)
+           |SELECT doc_id, pred_lang, quality_score
+           |FROM ranked WHERE pr >= 0.2
+           |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  // — end-to-end near-dup removal: exact jaccard pairs → connected
+  //   components → anti-join drops every non-canonical cluster member.
+  //   The oracle replays the pair CTE (x02), transitive closure (x23),
+  //   and the anti-join, so the SURVIVING CORPUS itself is value-checked.
+  private val x29 = Probe(
+    "x29_dedup_corpus",
+    (s, dir) => Dedup.dedupCorpusExact(
+        Readers.fanOut(t(s, dir, "documents")), "doc_id", col("text"),
+        n = 3, threshold = 0.2)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE ${jacCte(0.2)},
+            |edges AS (
+            |  SELECT id_a AS src, id_b AS dst FROM jac
+            |  UNION
+            |  SELECT id_b AS src, id_a AS dst FROM jac),
+            |reach AS (
+            |  SELECT src, dst FROM edges
+            |  UNION
+            |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+            |SELECT doc_id, n_chars FROM documents
+            |WHERE doc_id NOT IN (
+            |  SELECT src FROM reach GROUP BY src
+            |  HAVING least(src, min(dst)) != src)
+            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
-    x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27)
+    x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29)
 }

@@ -420,6 +420,31 @@ class OpsSpec extends SparkSpec {
     packed.unpersist()
   }
 
+  test("qualityPrune: frac=0 keeps everything; pruning drops the per-language low end") {
+    assert(TextStats.qualityPrune(docs, "doc_id", 0.0).count() == docs.count())
+    val pruned = TextStats.qualityPrune(docs, "doc_id", 0.5)
+    assert(pruned.count() < docs.count())
+    // within each language, every kept score >= every dropped score
+    val all = TextStats.withStats(docs).select($"doc_id", $"pred_lang", $"quality_score")
+    val dropped = all.join(pruned.select("doc_id"), Seq("doc_id"), "left_anti")
+    val minKept = pruned.groupBy("pred_lang").agg(min("quality_score").as("mn"))
+    val bad = dropped.join(minKept, Seq("pred_lang"))
+      .filter($"quality_score" > $"mn").count()
+    assert(bad == 0, "a dropped doc outscored a kept doc in the same language")
+  }
+
+  test("dedupCorpusExact keeps exactly one canonical doc per near-dup cluster") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // clone of 1
+      (3L, "alpha beta gamma delta zeta"),    // near-dup of 1/2
+      (4L, "totally different text entirely here")
+    ).toDF("id", "text")
+    val kept = Dedup.dedupCorpusExact(df, "id", $"text", n = 3, threshold = 0.4)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("tfidfTopTerms: a document's unique word outranks corpus-wide words") {
     val df = Seq(
       (1L, "shared unicorn unicorn"),

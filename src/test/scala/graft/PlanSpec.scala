@@ -175,6 +175,14 @@ class PlanSpec extends SparkSpec {
     }, s"every scanned file must live in a matching day partition:\n${readFiles.mkString("\n")}")
   }
 
+  test("AQE splits the skewed join partition (skew=true in the executed join)") {
+    val df = graft.probes.EngineProbes.skewSession(spark, sf0001)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"the 80%-hot key partition must be split by OptimizeSkewedJoin:\n$plan")
+  }
+
   test("runtime bloom filter from the selective dim side reaches the fact scan") {
     val df = graft.probes.EngineProbes.bloomSession(spark, sf0001)
     df.collect() // finalize AQE so the injected filter shows in the plan
