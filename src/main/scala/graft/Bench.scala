@@ -53,7 +53,10 @@ object Bench {
     "x19_stratified_sample",
     "x21_incremental_dedup",
     "x22_sim_topk_quantized",
-    "q49_bloom_join_prune")
+    "q49_bloom_join_prune",
+    "q51_scd2_history",
+    "x27_sequence_pack",
+    "x28_quality_prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

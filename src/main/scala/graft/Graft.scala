@@ -140,4 +140,9 @@ object Graft {
   // — streaming ([[graft.streaming.StreamingIngest]]) —————————————————————
   def streamFlatEvents(spark: SparkSession, path: String): DataFrame =
     StreamingIngest.flatEvents(spark, path)
+
+  /** CDC change stream → parquet-backed SCD2 dimension (foreachBatch). */
+  def streamScd2Dim(changes: DataFrame, dimPath: String, checkpoint: String,
+      keyCols: Seq[String], tsCol: String, payloadCols: Seq[String]) =
+    StreamingIngest.scd2DimSink(changes, dimPath, checkpoint, keyCols, tsCol, payloadCols)
 }

@@ -154,6 +154,52 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming SCD2 dimension maintenance: every micro-batch of change
+    * records merges into a parquet-backed versioned dimension through
+    * [[graft.ops.Scd.merge]] — the CDC→warehouse-dim pattern, with the
+    * batch operator reused verbatim (one transformation library for batch
+    * and stream, same principle as [[flatEvents]]).
+    *
+    * `foreachBatch` rather than a stateful operator because the dimension
+    * IS the state, and it must live in the warehouse (readable mid-stream,
+    * survives restarts via the checkpoint + the table itself). Each batch:
+    * read dim → `Scd.merge` (touches only the batch's keys) → write to a
+    * staging dir → atomic rename swap. The swap (not overwrite-in-place)
+    * matters twice: Spark cannot overwrite a path feeding the very plan
+    * being written, and a crash mid-write must leave the old dim intact.
+    *
+    * Contract inherited from [[graft.ops.Scd.merge]]: append-only changes,
+    * unique ts per key.
+    */
+  def scd2DimSink(
+      changes: DataFrame,
+      dimPath: String,
+      checkpoint: String,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val hPath = new org.apache.hadoop.fs.Path(dimPath)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(hPath))
+            graft.ops.Scd.merge(spark.read.parquet(dimPath), batch.toDF(),
+              keyCols, tsCol, payloadCols)
+          else
+            graft.ops.Scd.fromHistory(batch.toDF(), keyCols, tsCol, payloadCols)
+        val staging = new org.apache.hadoop.fs.Path(dimPath + ".staging")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        if (fs.exists(hPath)) fs.delete(hPath, true)
+        if (!fs.rename(staging, hPath))
+          throw new java.io.IOException(s"atomic swap $staging -> $hPath failed")
+        ()
+      }
+      .start()
+
   /** Drive a streaming frame to completion against a memory sink and
     * return the collected result (test/local harness; production callers
     * use their own `writeStream` sink).

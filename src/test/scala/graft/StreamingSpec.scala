@@ -113,6 +113,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "fixture must produce at least one matched pair")
   }
 
+  test("streaming SCD2 dim maintenance equals batch fromHistory after two CDC batches") {
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "scd2s").toString
+    val (in, dim, ckp) = (s"$base/in", s"$base/dim", s"$base/ckp")
+    val full = Readers.table(spark, sf0001, "events")
+      .select($"user_id", $"ts", $"event_type")
+    full.filter($"ts" < "2024-01-15").write.mode("append").parquet(in)
+    val q = StreamingIngest.scd2DimSink(
+      spark.readStream.schema(full.schema).parquet(in),
+      dim, ckp, Seq("user_id"), "ts", Seq("event_type"))
+    try {
+      q.processAllAvailable() // batch 1: dim bootstrapped via fromHistory
+      full.filter($"ts" >= "2024-01-15").write.mode("append").parquet(in)
+      q.processAllAvailable() // batch 2: incremental merge of the new keys
+    } finally q.stop()
+    val streamedDim = spark.read.parquet(dim)
+    val direct = graft.ops.Scd.fromHistory(full, Seq("user_id"), "ts", Seq("event_type"))
+    assert(streamedDim.count() == direct.count())
+    assert(streamedDim.exceptAll(direct).isEmpty && direct.exceptAll(streamedDim).isEmpty)
+    assert(streamedDim.filter($"is_current").count() ==
+      full.select("user_id").distinct().count())
+  }
+
   test("streaming sessionization produces sessions with positive event counts") {
     val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
     val sessions = StreamingIngest.runToMemory(spark,
