@@ -65,4 +65,39 @@ object Packing {
         least(col("__end") - col("seq_id") * budget, lit(budget.toLong)).as("end_in_seq"),
         col("__t").as("n_tokens"))
   }
+
+  /** Sliding-window document chunking (the retrieval/RAG shape): split
+    * each document into overlapping token windows of `chunkSize` tokens
+    * every `stride` tokens, carrying the reassembled chunk text.
+    *
+    * Unlike [[concatChunk]] (which crosses document boundaries to fill a
+    * training budget), chunks never cross documents and may overlap —
+    * `stride < chunkSize` gives `chunkSize - stride` tokens of context
+    * overlap between consecutive chunks.
+    *
+    * Embarrassingly parallel: tokenize → explode one row per window —
+    * no shuffle at all, so it scales as a pure map stage.
+    */
+  def slidingChunks(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize=$chunkSize], got $stride")
+    docs
+      .select(col(idCol), TextStats.tokens(text).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0)
+      // chunk count: 1 + ceil(max(0, n - chunkSize) / stride)
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        ceil(greatest(col("__n") - chunkSize, lit(0L)).cast("double") / stride).cast("long"))))
+      .withColumn("tok_start", col("chunk_idx") * stride)
+      .withColumn("tok_end", least(col("tok_start") + chunkSize, col("__n")))
+      .select(col(idCol), col("chunk_idx"), col("tok_start"), col("tok_end"),
+        array_join(slice(col("__toks"), (col("tok_start") + 1).cast("int"),
+          (col("tok_end") - col("tok_start")).cast("int")), " ").as("chunk_text"))
+  }
 }

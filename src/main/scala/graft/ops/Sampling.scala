@@ -67,4 +67,25 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Weighted multi-corpus mixture — the "data recipe" step of a
+    * pretraining pipeline (e.g. keep 100% of wiki, 50% of books, 20% of
+    * web). Each source is independently subsampled at its rate by the
+    * same content-addressed coin as [[hashSplit]] (hash salted with the
+    * source name, so a document present in two sources draws independent
+    * coins), tagged with `mix_source`, and unioned.
+    *
+    * Pure per-source projections + union: no shuffle, fully deterministic,
+    * re-runs and retries keep exactly the same rows. Schemas must match
+    * across sources (`unionByName`).
+    */
+  def mixture(sources: Seq[(String, DataFrame, Double)], idCol: Column): DataFrame = {
+    require(sources.nonEmpty, "need >=1 source")
+    sources.foreach { case (name, _, rate) =>
+      require(rate > 0.0 && rate <= 1.0, s"rate for '$name' must be in (0,1], got $rate") }
+    sources.map { case (name, df, rate) =>
+      df.filter(pmod(xxhash64(idCol, lit(name)), lit(Slots)) < math.round(rate * Slots))
+        .withColumn("mix_source", lit(name))
+    }.reduce(_ unionByName _)
+  }
 }

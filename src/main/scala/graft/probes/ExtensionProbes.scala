@@ -889,6 +889,77 @@ object ExtensionProbes {
             |  HAVING least(src, min(dst)) != src)
             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — sliding-window chunking (retrieval/RAG shape): 64-token windows
+  //   every 48 tokens, chunk text reassembled. No shuffle — tokenize +
+  //   explode only — and the oracle replays the identical slicing, so
+  //   chunk boundaries AND text are value-checked. ————————————————————————
+  private val x30 = Probe(
+    "x30_doc_chunks",
+    (s, dir) => Packing.slidingChunks(
+        Readers.fanOut(t(s, dir, "documents")), "doc_id", col("text"),
+        chunkSize = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH d AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks
+           |  FROM documents),
+           |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+           |      FROM d WHERE len(toks) > 0),
+           |c AS (
+           |  SELECT doc_id, toks, n,
+           |    unnest(generate_series(0,
+           |      CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT))) AS chunk_idx
+           |  FROM n)
+           |SELECT doc_id, chunk_idx, chunk_idx * 48 AS tok_start,
+           |  least(chunk_idx * 48 + 64, n) AS tok_end,
+           |  array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+           |    least(chunk_idx * 48 + 64, n)), ' ') AS chunk_text
+           |FROM c
+           |ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin))
+
+  // — weighted corpus mixture, gated like x20: the hash coin is not
+  //   DuckDB-computable, so the gate is (a) exact per-meta-corpus totals
+  //   DuckDB recomputes, (b) pinned tolerance booleans on the realized
+  //   keep fraction (deterministic for the fixture — verified with margin
+  //   at every SF), (c) rate-1.0 must keep EVERYTHING (exact, not
+  //   tolerance). The 20 fixture sources fold into 3 meta-corpora. ————————
+  private val x31 = Probe(
+    "x31_mixture_sample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val srcNum = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+      def grp(lo: Int, hi: Int) = docs.filter(srcNum.between(lo, hi))
+      val rates = Map("wiki" -> 1.0, "books" -> 0.5, "web" -> 0.2)
+      val mixed = Sampling.mixture(Seq(
+        ("wiki", grp(0, 6), rates("wiki")),
+        ("books", grp(7, 13), rates("books")),
+        ("web", grp(14, 19), rates("web"))), col("doc_id"))
+      val kept = mixed.groupBy("mix_source").agg(count(lit(1)).as("__kept"))
+      val totals = docs
+        .select(when(srcNum <= 6, "wiki").when(srcNum <= 13, "books")
+          .otherwise("web").as("mix_source"))
+        .groupBy("mix_source").agg(count(lit(1)).as("n_total"))
+      val rateCol = when(col("mix_source") === "wiki", rates("wiki"))
+        .when(col("mix_source") === "books", rates("books")).otherwise(rates("web"))
+      totals.join(kept, Seq("mix_source"), "left")
+        .select(col("mix_source"), col("n_total"),
+          (abs(coalesce(col("__kept"), lit(0L)).cast("double") / col("n_total") - rateCol)
+            <= 0.12).as("frac_ok"),
+          (rateCol < 1.0 || coalesce(col("__kept"), lit(0L)) === col("n_total"))
+            .as("rate1_keeps_all"))
+        .orderBy("mix_source")
+    },
+    Some("""WITH g AS (
+           |  SELECT CASE WHEN CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) <= 6
+           |              THEN 'wiki'
+           |              WHEN CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) <= 13
+           |              THEN 'books'
+           |              ELSE 'web' END AS mix_source
+           |  FROM documents)
+           |SELECT mix_source, CAST(count(*) AS BIGINT) AS n_total,
+           |  TRUE AS frac_ok, TRUE AS rate1_keeps_all
+           |FROM g GROUP BY 1 ORDER BY mix_source ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
-    x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29)
+    x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31)
 }

@@ -445,6 +445,32 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("slidingChunks: overlap, short-doc single chunk, and exact chunk text") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens: chunks [0,6) [4,10)
+      (2L, "x y z")                // 3 tokens: single short chunk
+    ).toDF("id", "text")
+    val got = Packing.slidingChunks(df, "id", $"text", chunkSize = 6, stride = 4)
+      .orderBy("id", "chunk_idx")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 6L, "a b c d e f"),
+      (1L, 1L, 4L, 10L, "e f g h i j"),
+      (2L, 0L, 0L, 3L, "x y z")))
+  }
+
+  test("mixture: rate 1.0 keeps all, realized fractions near rates, deterministic") {
+    val a = docs.filter($"doc_id" % 3 === 0)
+    val b = docs.filter($"doc_id" % 3 =!= 0)
+    val mixed = Sampling.mixture(Seq(("full", a, 1.0), ("half", b, 0.5)), $"doc_id")
+    val counts = mixed.groupBy("mix_source").count().as[(String, Long)].collect().toMap
+    assert(counts("full") == a.count())
+    val frac = counts("half").toDouble / b.count()
+    assert(math.abs(frac - 0.5) < 0.1, s"realized half-rate $frac")
+    val again = Sampling.mixture(Seq(("full", a, 1.0), ("half", b, 0.5)), $"doc_id")
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+  }
+
   test("tfidfTopTerms: a document's unique word outranks corpus-wide words") {
     val df = Seq(
       (1L, "shared unicorn unicorn"),
