@@ -538,6 +538,82 @@ object EngineProbes {
       .orderBy("event_type")
   }
 
+  // — corrupt-record-tolerant ingest: PERMISSIVE JSONL parse with a
+  //   `_corrupt_record` column. A 100-TB lake always has malformed lines;
+  //   failing the job (FAILFAST) or silently dropping (DROPMALFORMED)
+  //   both lose information — the permissive quarantine column is the
+  //   production posture. The probe plants deterministically-malformed
+  //   lines (every event_id % 10 == 3, truncated JSON) so the oracle
+  //   predicts good/bad counts and the good-side aggregate exactly. ———————
+  private val q54 = Probe(
+    "q54_corrupt_jsonl",
+    (s, dir) => {
+      val tmp = s"/root/repo/target/tmp/q54_corrupt_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      t(s, dir, "events")
+        .select(
+          when(col("event_id") % 10 === 3,
+            concat(lit("{\"event_id\": "), col("event_id"), lit(", \"event_type\": ")))
+            .otherwise(to_json(struct(col("event_id"), col("event_type"), col("value"))))
+            .as("value"))
+        .write.mode("overwrite").text(tmp)
+      val parsed = s.read
+        .schema("event_id LONG, event_type STRING, value DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp)
+        // cache contract (Spark doc'd quirk): the corrupt-record column is
+        // only observable after materializing the parsed frame as a whole
+        .cache()
+      parsed.agg(
+          count(lit(1)).as("n_lines"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          count(col("value")).as("n_good"),
+          round(sum(col("value")), 4).as("good_total_value"))
+        .select(col("n_lines"), col("n_corrupt"), col("n_good"), col("good_total_value"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           |  CAST(sum(CASE WHEN event_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           |  CAST(sum(CASE WHEN event_id % 10 != 3 AND value IS NOT NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           |  round(sum(CASE WHEN event_id % 10 != 3 THEN value END), 4) AS good_total_value
+           |FROM events""".stripMargin))
+
+  // — schema evolution: a v2 writer adds columns; `mergeSchema` unions the
+  //   footers and v1 rows read as null in the new columns. Written as
+  //   v=1/v=2 directories so partition discovery doubles as the version
+  //   tag — the standard additive-evolution posture for a parquet lake
+  //   (no rewrite of old data). ———————————————————————————————————————————
+  private val q55 = Probe(
+    "q55_schema_evolution",
+    (s, dir) => {
+      val tmp = s"/root/repo/target/tmp/q55_evolve_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val ev = t(s, dir, "events")
+      ev.select(col("event_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$tmp/v=1")
+      ev.select(col("event_id"), col("event_type"), col("value"), col("user_id"))
+        .write.mode("overwrite").parquet(s"$tmp/v=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(col("v"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_value_present"),
+          round(sum(col("value")), 4).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("v", "event_type")
+    },
+    Some("""WITH v1 AS (
+           |  SELECT 1 AS v, event_type, CAST(NULL AS DOUBLE) AS value,
+           |    CAST(NULL AS BIGINT) AS user_id
+           |  FROM events),
+           |v2 AS (SELECT 2 AS v, event_type, value, user_id FROM events),
+           |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+           |SELECT v, event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(value) AS BIGINT) AS n_value_present,
+           |  round(sum(value), 4) AS total_value,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           |FROM u GROUP BY v, event_type
+           |ORDER BY v ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q48, q49, q50, q51, q52, q53)
+    q48, q49, q50, q51, q52, q53, q54, q55)
 }

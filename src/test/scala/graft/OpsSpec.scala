@@ -471,6 +471,18 @@ class OpsSpec extends SparkSpec {
     assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
   }
 
+  test("slidingChunks with stride == chunkSize reconstructs every document exactly") {
+    val rebuilt = Packing.slidingChunks(docs, "doc_id", $"text", chunkSize = 32, stride = 32)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(struct($"chunk_idx", $"chunk_text")))
+        .getField("chunk_text")).as("rebuilt"))
+    val orig = docs.select($"doc_id",
+      concat_ws(" ", TextStats.tokens($"text")).as("normalized"))
+    val mismatches = rebuilt.join(orig, Seq("doc_id"))
+      .filter($"rebuilt" =!= $"normalized").count()
+    assert(mismatches == 0, "non-overlapping chunks must tile the token stream exactly")
+  }
+
   test("tfidfTopTerms: a document's unique word outranks corpus-wide words") {
     val df = Seq(
       (1L, "shared unicorn unicorn"),
