@@ -960,6 +960,38 @@ object ExtensionProbes {
            |  TRUE AS frac_ok, TRUE AS rate1_keeps_all
            |FROM g GROUP BY 1 ORDER BY mix_source ASC NULLS FIRST""".stripMargin))
 
+  // — interval-overlap join (range×range): both interval sets explode to
+  //   covering bins, bin-equi join, exact residual + first-overlap-bin
+  //   dedup — same anti-BNLJ technique as x15's point-in-interval, closing
+  //   the range-join family. Value-oracled against the direct inequality
+  //   join. ————————————————————————————————————————————————————————————————
+  private val x32 = Probe(
+    "x32_interval_overlap",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("event_id") % 100 === 0)
+        .select(col("event_id").as("a_id"), col("value").as("alo"),
+          (col("value") + 20.0).as("ahi"))
+      val b = ev.filter(col("event_id") % 100 === 1)
+        .select(col("event_id").as("b_id"), col("value").as("blo"),
+          (col("value") + 15.0).as("bhi"))
+      RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi", binWidth = 16.0)
+        .select(col("a_id"), col("b_id"),
+          graft.Canonical.round4(least(col("ahi"), col("bhi"))
+            - greatest(col("alo"), col("blo"))).as("overlap_len"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH a AS (
+            |  SELECT event_id AS a_id, value AS alo, value + 20.0 AS ahi
+            |  FROM events WHERE event_id % 100 = 0 AND value IS NOT NULL),
+            |b AS (
+            |  SELECT event_id AS b_id, value AS blo, value + 15.0 AS bhi
+            |  FROM events WHERE event_id % 100 = 1 AND value IS NOT NULL)
+            |SELECT a_id, b_id,
+            |  ${graft.Canonical.round4Sql("least(ahi, bhi) - greatest(alo, blo)")} AS overlap_len
+            |FROM a JOIN b ON alo <= bhi AND blo <= ahi
+            |ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
-    x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31)
+    x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32)
 }
