@@ -992,6 +992,73 @@ object ExtensionProbes {
             |FROM a JOIN b ON alo <= bhi AND blo <= ahi
             |ORDER BY a_id ASC NULLS FIRST, b_id ASC NULLS FIRST""".stripMargin))
 
+  // — forward as-of join: FIRST event at-or-after each purchase per user
+  //   (x14 gates the backward direction; this closes the pair). —————————————
+  private val x33 = Probe(
+    "x33_asof_forward",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"))
+      AsofJoin.forward(purchases, views, Seq("user_id"), "ts", "view_ts", Seq("view_ts"))
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), Schemas.TsFmt).as("ts_str"),
+          date_format(col("view_ts"), Schemas.TsFmt).as("next_view_ts"))
+        .orderBy("event_id")
+    },
+    Some(s"""SELECT p.event_id, p.user_id, strftime(p.ts, '$F') AS ts_str,
+            |  strftime((SELECT min(c.ts) FROM events c
+            |            WHERE c.user_id = p.user_id AND c.event_type = 'view'
+            |              AND c.ts >= p.ts), '$F') AS next_view_ts
+            |FROM events p WHERE p.event_type = 'purchase'
+            |ORDER BY event_id ASC NULLS FIRST""".stripMargin))
+
+  // — salted join: the salt only changes PARTITIONING (each hot key lands
+  //   on `salts` reducers), never the result — so the oracle is simply the
+  //   unsalted join, making the equivalence itself the gate. ———————————————
+  private val x34 = Probe(
+    "x34_salted_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_total"))
+      Skew.saltedJoin(
+          ev.select(col("event_id"), col("event_type"), col("value")),
+          dim, "event_type", salts = 8)
+        .groupBy(col("event_type"), col("type_total"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 4).as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""WITH dim AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS type_total
+           |  FROM events GROUP BY 1)
+           |SELECT e.event_type, d.type_total, CAST(count(*) AS BIGINT) AS n_rows,
+           |  round(sum(e.value), 4) AS total_value
+           |FROM events e JOIN dim d ON e.event_type = d.event_type
+           |GROUP BY e.event_type, d.type_total
+           |ORDER BY e.event_type ASC NULLS FIRST""".stripMargin))
+
+  // — stratifiedExact counts: WHICH rows survive depends on xxhash64 (not
+  //   DuckDB-computable), but HOW MANY per stratum is the operator's exact
+  //   contract — ceil(frac · n_k) — and that the kept rows are a subset of
+  //   the stratum. Both are value-oracled. ————————————————————————————————
+  private val x35 = Probe(
+    "x35_stratified_exact",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"))
+      Sampling.stratifiedExact(ev, col("event_type"), col("event_id"), 0.1)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+           |  CAST(ceil(count(*) * 0.1) AS BIGINT) AS n_kept
+           |FROM events GROUP BY event_type
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
-    x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32)
+    x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
+    x33, x34, x35)
 }
