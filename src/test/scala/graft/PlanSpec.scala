@@ -175,6 +175,29 @@ class PlanSpec extends SparkSpec {
     }, s"every scanned file must live in a matching day partition:\n${readFiles.mkString("\n")}")
   }
 
+  test("shuffle budget of the pipeline ops matches the scaladoc claims") {
+    def exchanges(df: DataFrame): Int =
+      "(?m)^\\s*(?:[+:]-\\s*)?\\*?\\(?\\d*\\)?\\s*Exchange ".r
+        .findAllIn(physical(df)).length
+    val docs = Readers.table(spark, sf0001, "documents")
+    // chunking: tokenize + explode only — ZERO shuffles
+    assert(exchanges(graft.ops.Packing.slidingChunks(
+      docs, "doc_id", col("text"), 64, 48)) == 0)
+    // mixture: per-source filters + union — ZERO shuffles
+    assert(exchanges(graft.ops.Sampling.mixture(Seq(
+      ("a", docs.filter(col("doc_id") % 2 === 0), 1.0),
+      ("b", docs.filter(col("doc_id") % 2 =!= 0), 0.5)), col("doc_id"))) == 0)
+    // packing: ONE hash shuffle on the shard key; both windows reuse it
+    assert(exchanges(graft.ops.Packing.concatChunk(
+      docs, "doc_id", size(graft.ops.TextStats.tokens(col("text"))), 256, 4)) == 1)
+    // SCD2 history: ONE shuffle on the business key; lag + lead share it
+    assert(exchanges(graft.ops.Scd.fromHistory(
+      Readers.table(spark, sf0001, "events").select(col("user_id"), col("ts"), col("event_type")),
+      Seq("user_id"), "ts", Seq("event_type"))) == 1)
+    // quality pruning: ONE shuffle on the language partition key
+    assert(exchanges(graft.ops.TextStats.qualityPrune(docs, "doc_id", 0.2)) == 1)
+  }
+
   test("AQE splits the skewed join partition (skew=true in the executed join)") {
     val df = graft.probes.EngineProbes.skewSession(spark, sf0001)
     df.collect() // finalize AQE
