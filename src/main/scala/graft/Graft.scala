@@ -128,6 +128,14 @@ object Graft {
       budget: Int, shards: Int = 64): DataFrame =
     Packing.concatChunk(docs, idCol, tokenCount, budget, shards)
 
+  // — time-series resampling ([[graft.ops.Resample]]) ————————————————————
+  def resample(events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      unit: String = "hour"): DataFrame =
+    Resample.gapFilled(events, keyCol, tsCol, valueCol, unit)
+
+  def fillForward(df: DataFrame, keyCol: String, tsCol: String, cols: Seq[String]): DataFrame =
+    Resample.locf(df, keyCol, tsCol, cols)
+
   // — sketched term frequency ([[graft.ops.Frequency]]) ——————————————————
   def termFrequencySketch(items: DataFrame, term: Column,
       eps: Double = 1e-3, confidence: Double = 0.99, seed: Int = 7) =

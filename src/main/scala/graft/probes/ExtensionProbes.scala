@@ -1058,7 +1058,31 @@ object ExtensionProbes {
            |FROM events GROUP BY event_type
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  // — gap-filled resampling: hourly per-type buckets over a dense calendar
+  //   spine (empty hours appear with zero counts). The oracle replays the
+  //   bucket → span → generate_series spine → left join exactly. ——————————
+  private val x36 = Probe(
+    "x36_resample_gapfill",
+    (s, dir) => Resample.gapFilled(t(s, dir, "events"), "event_type", "ts", "value", "hour")
+      .select(col("event_type"),
+        date_format(col("bucket"), Schemas.TsFmt).as("bucket"),
+        col("n_events"), round(col("total_value"), 4).as("total_value"))
+      .orderBy("event_type", "bucket"),
+    Some(s"""WITH b AS (
+            |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+            |    CAST(count(*) AS BIGINT) AS n, sum(value) AS v
+            |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            |span AS (SELECT event_type, min(h) AS mn, max(h) AS mx FROM b GROUP BY 1),
+            |spine AS (
+            |  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS h
+            |  FROM span)
+            |SELECT s.event_type, strftime(s.h, '$F') AS bucket,
+            |  coalesce(b.n, 0) AS n_events,
+            |  round(coalesce(b.v, 0.0), 4) AS total_value
+            |FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.h = b.h
+            |ORDER BY s.event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
-    x33, x34, x35)
+    x33, x34, x35, x36)
 }

@@ -483,6 +483,25 @@ class OpsSpec extends SparkSpec {
     assert(mismatches == 0, "non-overlapping chunks must tile the token stream exactly")
   }
 
+  test("resample gapFilled: dense spine, zero-filled empties; locf carries values forward") {
+    val ev = Seq(
+      ("a", "2024-01-01 00:10:00", 1.0),
+      ("a", "2024-01-01 03:20:00", 2.0), // hours 1 and 2 are gaps
+      ("b", "2024-01-01 05:00:00", 7.0)
+    ).toDF("k", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val got = Resample.gapFilled(ev, "k", "ts", "v", "hour")
+      .orderBy("k", "bucket")
+      .select("k", "n_events", "total_value").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 1L, 1.0), ("a", 0L, 0.0), ("a", 0L, 0.0), ("a", 1L, 2.0),
+      ("b", 1L, 7.0)))
+
+    val sparse = Seq(("a", 1L, Some(10.0)), ("a", 2L, None), ("a", 3L, None),
+      ("a", 4L, Some(20.0)), ("b", 1L, None)).toDF("k", "t", "v")
+    val filled = Resample.locf(sparse, "k", "t", Seq("v"))
+      .orderBy("k", "t").select("v").as[Option[Double]].collect().toSeq
+    assert(filled == Seq(Some(10.0), Some(10.0), Some(10.0), Some(20.0), None))
+  }
+
   test("tfidfTopTerms: a document's unique word outranks corpus-wide words") {
     val df = Seq(
       (1L, "shared unicorn unicorn"),
