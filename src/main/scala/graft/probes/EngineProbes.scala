@@ -614,6 +614,31 @@ object EngineProbes {
            |FROM u GROUP BY v, event_type
            |ORDER BY v ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin))
 
+  // — small-file compaction: a 64-file write (the streaming-sink shed
+  //   pattern) rewrites into ~quarter-of-total-size files through the
+  //   staging + atomic-rename path; the oracle checks content is
+  //   preserved EXACTLY, ScaleSpec asserts the file count actually drops.
+  private val q56 = Probe(
+    "q56_compaction",
+    (s, dir) => {
+      val tmp = s"/root/repo/target/tmp/q56_compact_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .repartition(64) // shed 64 small files
+        .write.mode("overwrite").parquet(tmp)
+      graft.etl.Layout.compact(s, tmp, graft.etl.Layout.dataBytes(s, tmp) / 4)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 4).as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  round(sum(value), 4) AS total_value
+           |FROM events GROUP BY event_type
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q48, q49, q50, q51, q52, q53, q54, q55)
+    q48, q49, q50, q51, q52, q53, q54, q55, q56)
 }

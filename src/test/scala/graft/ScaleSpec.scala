@@ -80,6 +80,22 @@ class ScaleSpec extends SparkSpec {
       s"sorted store must confine a narrow filter to the overlapping files, read $filesRead of $total")
   }
 
+  test("compaction shrinks a 64-file shed to ~4 even files, content intact") {
+    val tmp = Files.createTempDirectory(Paths.get("/root/repo/target"), "compact").toString + "/t"
+    val src = Readers.table(spark, sf0001, "events")
+      .select($"event_id", $"event_type", $"value")
+    src.repartition(64).write.parquet(tmp)
+    val before = spark.read.parquet(tmp)
+    val nBefore = before.inputFiles.length
+    val rowsBefore = before.count()
+    val compacted = Layout.compact(spark, tmp, Layout.dataBytes(spark, tmp) / 4)
+    val nAfter = compacted.inputFiles.length
+    assert(nBefore >= 60 && nAfter <= 6,
+      s"compaction must collapse the small files: $nBefore -> $nAfter")
+    assert(compacted.count() == rowsBefore)
+    assert(compacted.exceptAll(src).isEmpty && src.exceptAll(compacted).isEmpty)
+  }
+
   test("driver entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
