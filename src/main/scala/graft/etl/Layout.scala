@@ -37,18 +37,30 @@ object Layout {
     * Returns the re-read compacted frame. Round-robin repartition gives
     * even file sizes; row-level content is preserved exactly (asserted by
     * the q56 oracle), file-level layout is not (that's the point).
+    *
+    * Swap discipline: data is NEVER deleted before its replacement is in
+    * place — the original moves aside to `path + ".old"` first, then the
+    * staging copy renames in, then `.old` is dropped. A crash can leave
+    * the table under `.old` (recoverable by a rename), never gone.
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
     val nOut = math.max(1, math.ceil(dataBytes(spark, path).toDouble / targetBytes).toInt)
-    val staging = new Path(path + ".compacting")
     val dest = new Path(path)
+    val staging = new Path(path + ".compacting")
+    val old = new Path(path + ".old")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true) // clear a prior crashed attempt's leftovers
+    fs.delete(old, true)
     spark.read.parquet(path).repartition(nOut)
       .write.mode("overwrite").parquet(staging.toString)
-    fs.delete(dest, true)
-    if (!fs.rename(staging, dest))
-      throw new java.io.IOException(s"atomic swap $staging -> $dest failed")
+    if (!fs.rename(dest, old))
+      throw new java.io.IOException(s"swap step 1 $dest -> $old failed")
+    if (!fs.rename(staging, dest)) {
+      fs.rename(old, dest) // roll back so the table is never missing
+      throw new java.io.IOException(s"swap step 2 $staging -> $dest failed (rolled back)")
+    }
+    fs.delete(old, true)
     spark.read.parquet(path)
   }
 }

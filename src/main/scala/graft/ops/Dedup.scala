@@ -292,26 +292,39 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    if (!converged) throw new IllegalStateException(
-      s"components() did not converge in $maxIter rounds — the pair graph has a chain " +
-        s"longer than $maxIter; raise maxIter (graph diameter bounds the rounds needed)")
+    if (!converged) {
+      labels.unpersist() // release the checkpoint: a catch-and-retry loop must not accumulate them
+      throw new IllegalStateException(
+        s"components() did not converge in $maxIter rounds — the pair graph has a chain " +
+          s"longer than $maxIter; raise maxIter (graph diameter bounds the rounds needed)")
+    }
     labels
   }
 
   /** End-to-end near-dup REMOVAL: pairs → clusters → keep one canonical
     * document (the min id) per cluster — the composition every dedup
-    * pipeline actually ships: [[ngramJaccardPairs]] (exact, so the whole
+    * pipeline actually ships: exact n-gram Jaccard pairs (so the whole
     * result is value-oracled) + [[components]] + one broadcast-able
-    * anti-join of the (tiny) drop set against the corpus. Swap the pair
-    * stage for the MinHash path at scale; the cluster/drop tail is
-    * identical.
+    * anti-join of the drop set against the corpus. Swap the pair stage
+    * for the MinHash path at scale; the cluster/drop tail is identical.
+    *
+    * Cache lifecycle: the exploded shingle table (the job's largest
+    * intermediate) and the label checkpoint are BOTH released before
+    * returning; only the drop set — one id per non-canonical duplicate —
+    * stays cached to feed the returned anti-join.
     */
   def dedupCorpusExact(docs: DataFrame, idCol: String, text: Column,
       n: Int, threshold: Double, maxIter: Int = 20): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, idCol, text, n, threshold)
-    val drop = components(pairs, maxIter)
+    val sh = shingleTable(docs, idCol, text, n).persist()
+    sh.count() // eager: feeds the self-join, set sizes, and hot correction
+    val labels = components(ngramJaccardPairsFromShingles(sh, threshold), maxIter)
+    sh.unpersist() // labels is an eager localCheckpoint — shingles no longer needed
+    val drop = labels
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
+      .persist()
+    drop.count()
+    labels.unpersist()
     docs.join(drop, Seq(idCol), "left_anti")
   }
 

@@ -41,11 +41,18 @@ object Frequency {
   }
 
   /** Merge same-shaped sketches (eps/confidence/seed must match) — the
-    * incremental-ingest path: fold each day once, merge the blobs.
+    * incremental-ingest path: fold each day once, merge the blobs. The
+    * inputs are NOT mutated (`mergeInPlace` folds into a serialized COPY
+    * of the first sketch), so re-merging the same day list after
+    * appending a new day never double-counts.
     */
   def merged(sketches: Seq[CountMinSketch]): CountMinSketch = {
     require(sketches.nonEmpty, "need >=1 sketch")
-    sketches.reduce { (a, b) => a.mergeInPlace(b); a }
+    val out = new java.io.ByteArrayOutputStream()
+    sketches.head.writeTo(out)
+    val acc = CountMinSketch.readFrom(new ByteArrayInputStream(out.toByteArray))
+    sketches.tail.foreach(acc.mergeInPlace)
+    acc
   }
 
   /** Frequency estimates for a small vocabulary (driver-side contract:

@@ -82,7 +82,11 @@ object Sampling {
   def mixture(sources: Seq[(String, DataFrame, Double)], idCol: Column): DataFrame = {
     require(sources.nonEmpty, "need >=1 source")
     sources.foreach { case (name, _, rate) =>
-      require(rate > 0.0 && rate <= 1.0, s"rate for '$name' must be in (0,1], got $rate") }
+      require(rate > 0.0 && rate <= 1.0, s"rate for '$name' must be in (0,1], got $rate")
+      // rates are quantized to 1/Slots steps; a rate that rounds to zero
+      // slots would silently keep NOTHING — fail loudly instead
+      require(math.round(rate * Slots) >= 1,
+        s"rate for '$name' ($rate) is below the ${1.0 / Slots} granularity floor") }
     sources.map { case (name, df, rate) =>
       df.filter(pmod(xxhash64(idCol, lit(name)), lit(Slots)) < math.round(rate * Slots))
         .withColumn("mix_source", lit(name))

@@ -72,8 +72,11 @@ object Scd {
     * than the affected key's newest `valid_from`. (A late-arriving change
     * can land before a version that change-compression removed, which an
     * incremental rebuild cannot see; replay [[fromHistory]] over raw
-    * history to backfill late data.) Timestamps must be unique per key
-    * within `dim ∪ batch` — version rows carry no tie-break column.
+    * history to backfill late data.) Timestamps should be unique per key
+    * within `dim ∪ batch`: version rows carry no tie-break column, so if
+    * a dim built with `tieCols` holds several versions at one timestamp,
+    * the rebuild re-orders those versions by PAYLOAD VALUE (deterministic,
+    * but not necessarily the original tie order).
     */
   def merge(
       dim: DataFrame,
@@ -87,6 +90,10 @@ object Scd {
       .join(broadcast(changedKeys), keyCols, "left_semi")
       .select((keyCols ++ payloadCols).map(col) :+ col("valid_from").as(tsCol): _*)
       .unionByName(changes.select((keyCols ++ payloadCols :+ tsCol).map(col): _*))
-    untouched.unionByName(fromHistory(affectedHist, keyCols, tsCol, payloadCols))
+    // payload columns as tie-break: equal-ts versions (possible when the
+    // dim was built with tieCols) re-order deterministically instead of
+    // by partition luck
+    untouched.unionByName(
+      fromHistory(affectedHist, keyCols, tsCol, payloadCols, tieCols = payloadCols))
   }
 }

@@ -127,17 +127,20 @@ object TextStats {
     * after scoring. Per-language (not global) because score distributions
     * differ by language and a global cut would evict whole languages.
     *
-    * `percent_rank` over (language, score, id): ONE shuffle on the
-    * language key; ties are impossible because the id is the final sort
-    * key, so the kept set is deterministic and engine-portable. Keeps
-    * rows with `percent_rank ≥ frac` (the top `1-frac` share; for a
-    * partition of n rows that is the standard `(rank-1)/(n-1) ≥ frac`
-    * definition, identical in ANSI SQL).
+    * Drops exactly `floor(frac · n)` rows per language partition of n
+    * rows — the lowest-ranked by (score, id). The explicit floor (rather
+    * than a `percent_rank ≥ frac` cut) matters at the small end: a
+    * 1-document language keeps its document for any frac < 1 (a
+    * percent_rank cut would evict it outright, since the lone row ranks
+    * 0.0 — the exact whole-language eviction per-language pruning exists
+    * to prevent). Ties are impossible because the id is the final sort
+    * key, so the kept set is deterministic and engine-portable. ONE
+    * shuffle on the language key; both window passes share it.
     *
     * Language skew note: natural corpora are dominated by one language,
-    * so the language partitions are few and fat. percent_rank needs the
-    * whole partition sorted — at 100 TB compose with [[qualityScore]] +
-    * a pre-computed per-language threshold (2-pass approx_percentile)
+    * so the language partitions are few and fat. The rank window needs
+    * the whole partition sorted — at 100 TB compose with [[qualityScore]]
+    * + a pre-computed per-language threshold (2-pass approx_percentile)
     * instead; this operator is the exact single-pass form.
     */
   def qualityPrune(docs: DataFrame, idCol: String, frac: Double,
@@ -146,10 +149,12 @@ object TextStats {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pred_lang"))
       .orderBy(col("quality_score").asc, col(idCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("pred_lang"))
     withStats(docs, textCol)
-      .withColumn("__pr", percent_rank().over(w))
-      .filter(col("__pr") >= frac)
-      .drop("__pr")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") > floor(col("__n") * frac))
+      .drop("__rn", "__n")
   }
 
   /** All stats in one projection over a document table. */

@@ -822,11 +822,10 @@ object ExtensionProbes {
            |ORDER BY shard ASC NULLS FIRST, seq_id ASC NULLS FIRST,
            |  start_in_seq ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin))
 
-  // — per-language quality pruning: drop the lowest 20% of documents per
-  //   predicted language by composite quality score. percent_rank with an
-  //   id tie-break is deterministic and has the identical ANSI definition
-  //   in DuckDB, so the kept set is value-oracled end to end (the quality
-  //   formula replay is x08's oracle CTE). ————————————————————————————————
+  // — per-language quality pruning: drop exactly floor(0.2·n) of each
+  //   language's documents, lowest composite score first (id tie-break →
+  //   fully deterministic), so the kept set is value-oracled end to end
+  //   (the quality formula replay is x08's oracle CTE). ————————————————————
   private val x28 = Probe(
     "x28_quality_prune",
     (s, dir) => TextStats.qualityPrune(
@@ -856,11 +855,13 @@ object ExtensionProbes {
            |      AS quality_score
            |  FROM ratios),
            |ranked AS (
-           |  SELECT *, percent_rank() OVER (PARTITION BY pred_lang
-           |    ORDER BY quality_score ASC, doc_id ASC) AS pr
+           |  SELECT *,
+           |    row_number() OVER (PARTITION BY pred_lang
+           |      ORDER BY quality_score ASC, doc_id ASC) AS rn,
+           |    count(*) OVER (PARTITION BY pred_lang) AS n
            |  FROM scored)
            |SELECT doc_id, pred_lang, quality_score
-           |FROM ranked WHERE pr >= 0.2
+           |FROM ranked WHERE rn > floor(n * 0.2)
            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
   // — end-to-end near-dup removal: exact jaccard pairs → connected

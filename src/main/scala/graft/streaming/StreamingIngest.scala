@@ -164,9 +164,13 @@ object StreamingIngest {
     * IS the state, and it must live in the warehouse (readable mid-stream,
     * survives restarts via the checkpoint + the table itself). Each batch:
     * read dim → `Scd.merge` (touches only the batch's keys) → write to a
-    * staging dir → atomic rename swap. The swap (not overwrite-in-place)
-    * matters twice: Spark cannot overwrite a path feeding the very plan
-    * being written, and a crash mid-write must leave the old dim intact.
+    * staging dir → rename swap. The swap (not overwrite-in-place) matters
+    * twice: Spark cannot overwrite a path feeding the very plan being
+    * written, and a crash mid-write must not lose the dim. delete+rename
+    * is NOT atomic, so the sink self-heals the window at the start of the
+    * next batch: a staging dir always holds a COMPLETE merged dim, so
+    * recovery either finishes the interrupted swap or discards a stale
+    * staging copy (whose batch replays from the checkpoint).
     *
     * Contract inherited from [[graft.ops.Scd.merge]]: append-only changes,
     * unique ts per key.
@@ -184,18 +188,30 @@ object StreamingIngest {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val hPath = new org.apache.hadoop.fs.Path(dimPath)
+        val staging = new org.apache.hadoop.fs.Path(dimPath + ".staging")
         val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // crash recovery around the swap window: a staging dir holds the
+        // COMPLETE merged dim (old dim + its batch), so
+        //   dim missing + staging present  ⇒ crashed between delete and
+        //     rename — finish the swap, nothing was lost;
+        //   dim present + staging present  ⇒ crashed before the delete —
+        //     the staging copy is stale (its batch will replay), drop it
+        if (!fs.exists(hPath) && fs.exists(staging)) {
+          if (!fs.rename(staging, hPath))
+            throw new java.io.IOException(s"crash recovery $staging -> $hPath failed")
+        } else if (fs.exists(staging)) {
+          fs.delete(staging, true)
+        }
         val merged =
           if (fs.exists(hPath))
             graft.ops.Scd.merge(spark.read.parquet(dimPath), batch.toDF(),
               keyCols, tsCol, payloadCols)
           else
             graft.ops.Scd.fromHistory(batch.toDF(), keyCols, tsCol, payloadCols)
-        val staging = new org.apache.hadoop.fs.Path(dimPath + ".staging")
         merged.write.mode("overwrite").parquet(staging.toString)
         if (fs.exists(hPath)) fs.delete(hPath, true)
         if (!fs.rename(staging, hPath))
-          throw new java.io.IOException(s"atomic swap $staging -> $hPath failed")
+          throw new java.io.IOException(s"swap $staging -> $hPath failed")
         ()
       }
       .start()
