@@ -23,11 +23,20 @@ import org.apache.spark.sql.functions._
   * Hot-bucket guards: every self-join here (shingle index, LSH band
   * buckets, SimHash chunk buckets) caps the bucket size BEFORE the join.
   * One shingle shared by 1M docs is 5·10¹¹ pairs in a single reducer —
-  * the unguarded quadratic pocket that kills the job at 100 TB. The cap
-  * drops only the bucket's *candidate generation* (a stop-phrase shingle
-  * carries no dedup signal anyway); Jaccard/Hamming verification always
-  * runs on the full, uncapped sets, so scores are exact for every pair
-  * that is generated.
+  * the unguarded quadratic pocket that kills the job at 100 TB. The two
+  * guard shapes differ deliberately:
+  *
+  *   - SHINGLE df-caps ([[ngramJaccardPairs]]) DROP the hot shingle from
+  *     candidate generation — a stop-phrase shingle carries no dedup
+  *     signal, and a true dup pair always shares low-df shingles too;
+  *   - BAND/CHUNK bucket caps ([[lshCandidates]], [[simhashPairs]])
+  *     degrade the hot bucket to linear STAR candidates (hub = min id)
+  *     instead of dropping it — an oversized signature bucket is usually
+  *     a true mass-dup cluster, the single most important thing a 100-TB
+  *     dedup must find.
+  *
+  * Jaccard/Hamming verification always runs on the full, uncapped sets,
+  * so scores are exact for every pair that is generated.
   *
   * No UDFs anywhere: `xxhash64`, higher-order array functions and
   * `bit_count` keep everything inside codegen.
@@ -42,19 +51,27 @@ object Dedup {
     */
   val DefaultMaxBucket: Int = 1638
 
+  /** Null-unambiguous string form of a content column: a null-flag prefix
+    * ("true"/"false") + the value with null → "". A bare sentinel (e.g.
+    * "␀") would collide with a document whose text IS the sentinel; the
+    * flag makes null and every literal string distinct by construction.
+    */
+  private def tagged(c: Column): Column =
+    concat(isnull(c).cast("string"), coalesce(c.cast("string"), lit("")))
+
   /** Exact dedup: group identical content, keep the smallest id.
     * Returns (content_hash, keep_id, dup_count).
     */
   def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame =
     df.groupBy(
-      sha2(concat_ws("§", contentCols.map(c => coalesce(col(c).cast("string"), lit("␀"))): _*), 256)
+      sha2(concat_ws("§", contentCols.map(c => tagged(col(c))): _*), 256)
         .as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** Keep-one projection of [[exact]]: the input minus exact duplicates. */
   def exactKeepFirst(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
     val w = Window
-      .partitionBy(contentCols.map(c => coalesce(col(c).cast("string"), lit("␀"))): _*)
+      .partitionBy(contentCols.map(c => tagged(col(c))): _*)
       .orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
@@ -120,34 +137,54 @@ object Dedup {
 
   /** LSH banding: signature → (band_idx, band_hash) rows; same-bucket pairs
     * are the candidates. bands·rowsPerBand must equal the signature width.
-    * The bucketed frame is persisted — it feeds both sides of the self-join,
-    * and without pinning it the whole signature build would run twice.
+    *
+    * Hot buckets (> maxBucket members) degrade to STAR candidate
+    * generation instead of the full pairwise self-join: every member is
+    * paired with the bucket's min-id hub — |bucket|−1 pairs, not
+    * C(|bucket|, 2). An oversized band bucket is often a TRUE mass-dup
+    * cluster (boilerplate repeated 10⁵ times — the classic 100-TB dedup
+    * target), so dropping it outright would miss the biggest clusters;
+    * the star keeps them findable with linear work, and after exact
+    * verification [[components]] recovers member↔member links
+    * transitively through the hub. Residual risk: a member similar to
+    * other members but NOT to the hub is missed — only possible when the
+    * bucket is a mixed collision, not a genuine dup cluster.
+    *
+    * Cache lifecycle: the banded frame is `localCheckpoint`ed (it feeds
+    * the hot-bucket aggregate and both self-join sides) — unlike
+    * `persist`, the blocks are NOT registered in the SQL cache manager
+    * and are released by the ContextCleaner once the returned frame is
+    * unreferenced, so repeated calls in a long-lived session cannot
+    * accumulate pinned cache entries.
     */
   def lshCandidates(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bandCols = bandExprs(bands, rowsPerBand)
-    // bucket-size guard: oversized buckets are found with a map-side-
-    // combining aggregate and removed with an anti-join (AQE broadcasts
-    // the hot set, which is empty/tiny on unskewed data — measurably
-    // cheaper than a count-window, whose WindowExec would re-sort every
-    // banded row)
+    // hot buckets are found with a map-side-combining aggregate and split
+    // out with anti/semi-joins (AQE broadcasts the hot set, which is
+    // empty/tiny on unskewed data — measurably cheaper than a
+    // count-window, whose WindowExec would re-sort every banded row)
     val banded = sig
       .select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+      .localCheckpoint()
     val hotBuckets = banded.groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucket)
       .select(col("band_idx"), col("band_hash"))
-    val bucketed = banded
-      .join(hotBuckets, Seq("band_idx", "band_hash"), "left_anti")
-      .persist()
-    bucketed.count() // eager: both self-join sides would race to build the cache
-    bucketed.as("l")
+    val bucketed = banded.join(hotBuckets, Seq("band_idx", "band_hash"), "left_anti")
+    val coldPairs = bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.band_idx") === col("r.band_idx") &&
           col("l.band_hash") === col("r.band_hash") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
-      .distinct()
+    val hotRows = banded.join(hotBuckets, Seq("band_idx", "band_hash"), "left_semi")
+    val hubs = hotRows.groupBy(col("band_idx"), col("band_hash"))
+      .agg(min(col(idCol)).as("__hub"))
+    val starPairs = hotRows.join(hubs, Seq("band_idx", "band_hash"))
+      .filter(col(idCol) =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col(idCol).as("id_b"))
+    coldPairs.unionByName(starPairs).distinct()
   }
 
   /** Exact Jaccard for given candidate pairs, via shingle-set sizes and an
@@ -157,8 +194,11 @@ object Dedup {
   def jaccardVerify(
       docs: DataFrame, idCol: String, text: Column, n: Int,
       pairs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(text, n)).as("shingle")).persist()
-    sh.count() // eager: reused by sizes + both pair-join sides
+    // localCheckpoint, not persist: reused by sizes + both pair-join sides,
+    // but must not outlive the call in the SQL cache manager (blocks are
+    // ContextCleaner-released once the returned frame is dropped)
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(text, n)).as("shingle"))
+      .localCheckpoint()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
     ngramJaccardForPairs(sh, sizes, pairs, threshold)
   }
@@ -193,11 +233,13 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, text: Column, n: Int,
       threshold: Double, maxDf: Int = DefaultMaxBucket): DataFrame = {
-    // persisted + eagerly built: feeds the candidate self-join twice, the
-    // set-size aggregate AND the verification joins (concurrent
-    // first-builds stall on block locks)
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(text, n)).as("shingle")).persist()
-    sh.count()
+    // localCheckpoint (eager), not persist: feeds the candidate self-join
+    // twice, the set-size aggregate AND the verification joins — but a
+    // persist would stay registered in the SQL cache manager after the
+    // call returns (the caller can't release it without killing the lazy
+    // result); checkpoint blocks are ContextCleaner-released on GC.
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(text, n)).as("shingle"))
+      .localCheckpoint()
     ngramJaccardPairsFromShingles(sh, threshold, maxDf)
   }
 
@@ -252,53 +294,80 @@ object Dedup {
     * `pairs`, where `comp` is the smallest id in the component — the
     * canonical survivor.
     *
-    * Algorithm: iterative min-label propagation. Each round every vertex
-    * takes the min of its own label and its neighbors' labels; convergence
-    * in O(graph diameter) rounds. Near-dup graphs are star/clique-shaped
-    * (diameter 2-3 in practice), so the loop is short; `maxIter` bounds the
-    * adversarial chain case, and the loop THROWS if it exits unconverged —
-    * silently returning split clusters would hand a dedup pipeline two
-    * "canonical" copies of one document. Each round is one equi-join + one
-    * aggregate — all shuffle-partitioned, nothing driver-side except the
-    * 1-row convergence count — `localCheckpoint` truncates the lineage so
-    * round N's plan doesn't replay rounds 1..N-1 (same discipline as the
-    * IVF Lloyd loop, Ivf.scala), and each superseded round's checkpoint is
-    * unpersisted so at most two label copies are ever pinned.
+    * Algorithm: alternating large-star / small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC '14).
+    * Each round rewires every node toward the minimum of its neighborhood:
+    *
+    *   - large-star: per node u with neighborhood Γ(u), every neighbor
+    *     v > u re-attaches to m = min(Γ(u) ∪ {u});
+    *   - small-star: per node u over its smaller neighbors Γ⁻(u), all of
+    *     Γ⁻(u) ∪ {u} attach to their minimum.
+    *
+    * The edge set converges to a union of stars whose centers are the
+    * component minima in O(log n) rounds on ANY graph — unlike min-label
+    * propagation, whose round count is the graph DIAMETER (a 10⁶-edge
+    * chain needs 10⁶ rounds; star contraction needs ~20). Every round is
+    * two keyed aggregates + two equi-joins — all shuffle-partitioned,
+    * nothing driver-side except the 1-row convergence count.
+    * `localCheckpoint` truncates the lineage each round (same discipline
+    * as the IVF Lloyd loop, Ivf.scala) and superseded checkpoints are
+    * released so at most two edge copies are ever pinned. The loop THROWS
+    * if it exits unconverged — silently returning split clusters would
+    * hand a dedup pipeline two "canonical" copies of one document.
     */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nodes = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
-      .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
       .localCheckpoint()
-    var converged = false
+    // canonical orientation (u > v); self-pairs carry no linkage
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = edges
-        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
-        .select(col("src").as("id"), col("comp"))
-        .unionByName(labels)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      // large-star: neighbors above each center re-attach to the
+      // neighborhood minimum
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+        .select(col("u").as("x"), col("v").as("nbr"))
+      val mins = sym.groupBy(col("x")).agg(min(col("nbr")).as("__mn"))
+        .select(col("x"), least(col("__mn"), col("x")).as("m"))
+      val large = sym.filter(col("nbr") > col("x"))
+        .join(mins, Seq("x"))
+        .select(col("nbr").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: each center and its smaller neighbors attach to their
+      // minimum (input/output both keep the u > v orientation)
+      val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val out = mins2.select(col("u"), col("m").as("v"))
+        .unionByName(large.join(mins2, Seq("u"))
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
         .localCheckpoint()
-      val changed = prop
-        .join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
-        .filter(col("comp") =!= col("__old")).count()
-      labels.unpersist() // superseded checkpoint — keep at most 2 copies pinned
-      labels = prop
-      converged = changed == 0
+      val grew = out.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      val shrank = edges.join(out, Seq("u", "v"), "left_anti").isEmpty
+      edges.unpersist() // superseded checkpoint — keep at most 2 copies pinned
+      edges = out
+      converged = grew && shrank
       i += 1
     }
-    edges.unpersist()
     if (!converged) {
-      labels.unpersist() // release the checkpoint: a catch-and-retry loop must not accumulate them
+      edges.unpersist() // release the checkpoint: a catch-and-retry loop must not accumulate them
       throw new IllegalStateException(
-        s"components() did not converge in $maxIter rounds — the pair graph has a chain " +
-          s"longer than $maxIter; raise maxIter (graph diameter bounds the rounds needed)")
+        s"components() did not converge in $maxIter rounds — star contraction needs " +
+          s"O(log n) rounds on any graph, so this indicates maxIter far below log₂(nodes)")
     }
-    labels
+    // fixpoint edges are stars (u, componentMin); nodes without an edge
+    // (self-pairs only / singleton inputs) label themselves
+    nodes
+      .join(edges.select(col("u").as("id"), col("v").as("__comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__comp"), col("id")).as("comp"))
   }
 
   /** End-to-end near-dup REMOVAL: pairs → clusters → keep one canonical
@@ -319,11 +388,13 @@ object Dedup {
     sh.count() // eager: feeds the self-join, set sizes, and hot correction
     val labels = components(ngramJaccardPairsFromShingles(sh, threshold), maxIter)
     sh.unpersist() // labels is an eager localCheckpoint — shingles no longer needed
+    // localCheckpoint, not persist: the drop set must survive into the
+    // returned lazy anti-join without staying registered in the SQL cache
+    // manager (ContextCleaner releases it when the result is dropped)
     val drop = labels
       .filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
-      .persist()
-    drop.count()
+      .localCheckpoint()
     labels.unpersist()
     docs.join(drop, Seq(idCol), "left_anti")
   }
@@ -354,9 +425,12 @@ object Dedup {
     * the operator batch→corpus keeps its cost profile linear in the batch.
     *
     * Hot-bucket guard: band buckets are capped by occupancy over
-    * corpus∪batch (same agg + anti-join design as [[lshCandidates]]) —
-    * a stop-phrase bucket in a 1M-doc corpus would otherwise fan every
-    * batch doc into it.
+    * corpus∪batch — a stop-phrase bucket in a 1M-doc corpus would
+    * otherwise fan every batch doc into it. As in [[lshCandidates]], a
+    * hot bucket degrades to STAR candidates: each batch doc in it is
+    * paired with the bucket's min CORPUS id only (linear in the batch),
+    * so a batch doc that duplicates a mass-dup corpus cluster is still
+    * found rather than silently classified `new`.
     */
   def incrementalDedup(
       corpus: DataFrame, batch: DataFrame, idCol: String, text: Column,
@@ -366,7 +440,7 @@ object Dedup {
       s"bands ($bands) × rowsPerBand ($rowsPerBand) must equal numPerm ($numPerm) — " +
         "anything else silently drops signature permutations from banding")
     def hashOf(df: DataFrame) = df.select(col(idCol).as("id"),
-      sha2(coalesce(text.cast("string"), lit("␀")), 256).as("__h"))
+      sha2(tagged(text), 256).as("__h"))
     // 1. exact: batch hash ∈ corpus hashes (min corpus id per hash probes
     //    the join — one shuffle of 64-char hashes). Persisted + eager:
     //    it feeds BOTH the survivor anti-join and the final status join,
@@ -392,17 +466,27 @@ object Dedup {
     def banded(sig: DataFrame, side: String) =
       sig.select(col("id").as(side), explode(array(bandExprs(bands, rowsPerBand): _*)).as("band"))
         .select(col(side), col("band.band_idx"), col("band.band_hash"))
-    val bandC = banded(minhashFromShingles(shC, numPerm), "corpus_id")
-    val bandB = banded(minhashFromShingles(shB, numPerm), "batch_id")
+    // each banded side feeds the hot-bucket aggregate plus two candidate
+    // joins — checkpoint so the signature aggregation runs once per side
+    val bandC = banded(minhashFromShingles(shC, numPerm), "corpus_id").localCheckpoint()
+    val bandB = banded(minhashFromShingles(shB, numPerm), "batch_id").localCheckpoint()
     val hot = bandC.select(col("band_idx"), col("band_hash"))
       .unionByName(bandB.select(col("band_idx"), col("band_hash")))
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucket)
       .select(col("band_idx"), col("band_hash"))
-    val cands = bandB.join(hot, Seq("band_idx", "band_hash"), "left_anti")
+    val coldCands = bandB.join(hot, Seq("band_idx", "band_hash"), "left_anti")
       .join(bandC, Seq("band_idx", "band_hash"))
       .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
-      .distinct()
+    // hot buckets: each batch member probes only the bucket's min corpus
+    // id (star candidates — linear, and exact verification still decides)
+    val hotHubs = bandC.join(hot, Seq("band_idx", "band_hash"), "left_semi")
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(min(col("corpus_id")).as("corpus_id"))
+    val starCands = bandB.join(hot, Seq("band_idx", "band_hash"), "left_semi")
+      .join(hotHubs, Seq("band_idx", "band_hash"))
+      .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+    val cands = coldCands.unionByName(starCands).distinct()
     // exact verification over the union of both shingle tables (ids are
     // disjoint between corpus and batch by contract)
     val shAll = shB.unionByName(shC)
@@ -444,6 +528,12 @@ object Dedup {
     * the distance must agree on at least one chunk (pigeonhole), so a
     * bucket-join per chunk finds all of them; verify with
     * `bit_count(a XOR b)`.
+    *
+    * Hot chunk buckets (> maxBucket members) degrade to star candidates
+    * against the bucket's min-id hub (same rationale and residual risk as
+    * [[lshCandidates]] — an oversized chunk bucket is usually a true
+    * mass-dup cluster, and every emitted pair is still Hamming-verified).
+    * Cache lifecycle: localCheckpoint, not persist (see [[lshCandidates]]).
     */
   def simhashPairs(sig: DataFrame, idCol: String, maxDist: Int,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -453,23 +543,29 @@ object Dedup {
       struct(lit(c).as("chunk_idx"),
         shiftright(col("simhash"), c * width).bitwiseAND((1L << width) - 1).as("chunk_val"))
     }
-    // bucket-size guard — same agg + anti-join design as [[lshCandidates]]
+    // bucket-size guard — same agg + anti/semi-join design as [[lshCandidates]]
     val chunked = sig.select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
       .select(col(idCol), col("simhash"), col("ch.chunk_idx"), col("ch.chunk_val"))
+      .localCheckpoint()
     val hotChunks = chunked.groupBy(col("chunk_idx"), col("chunk_val"))
       .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucket)
       .select(col("chunk_idx"), col("chunk_val"))
-    val bucketed = chunked
-      .join(hotChunks, Seq("chunk_idx", "chunk_val"), "left_anti")
-      .persist()
-    bucketed.count() // eager: both sides of the self-join
-    bucketed.as("l")
+    val bucketed = chunked.join(hotChunks, Seq("chunk_idx", "chunk_val"), "left_anti")
+    val coldPairs = bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.chunk_idx") === col("r.chunk_idx") &&
           col("l.chunk_val") === col("r.chunk_val") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+    val hotRows = chunked.join(hotChunks, Seq("chunk_idx", "chunk_val"), "left_semi")
+    val hubs = hotRows.groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(min(struct(col(idCol), col("simhash"))).as("__hub"))
+    val starPairs = hotRows.join(hubs, Seq("chunk_idx", "chunk_val"))
+      .filter(col(idCol) =!= col(s"__hub.$idCol"))
+      .select(col(s"__hub.$idCol").as("id_a"), col(idCol).as("id_b"),
+        bit_count(col(s"__hub.simhash").bitwiseXOR(col("simhash"))).as("hamming"))
+    coldPairs.unionByName(starPairs)
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

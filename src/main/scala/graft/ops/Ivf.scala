@@ -74,6 +74,68 @@ object Ivf {
     cents
   }
 
+  /** IVF search with int8-quantized candidate scoring — the composed
+    * 100-TB ANN plan: the coarse quantizer restricts each query to
+    * `nprobe` inverted lists (scanned fraction ≈ nprobe/numCentroids),
+    * and WITHIN the probed lists candidates are scored over the compact
+    * int8 representation (¼ the bytes of float32 — in a real deployment
+    * the codes are precomputed and stored, so candidate generation never
+    * reads full vectors). The top `k·candMult` per query then rerank with
+    * EXACT cosine over full vectors — a join touching only
+    * |queries|·k·candMult corpus rows.
+    *
+    * Approximate score: `(qa·qb)·sa·sb / (‖a‖·‖b‖)` — int8 dot is exact
+    * integer arithmetic, true norms are precomputed per row
+    * ([[Similarity.quantizeInt8]] scaladoc derives the ≤0.4% relative
+    * error). All arithmetic is deterministic half-up rounding, so the
+    * whole pipeline (assignment → probes → int8 cut → exact rerank) is
+    * engine-portable and value-oracled end to end (probe x37).
+    */
+  def searchQuantized(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, cidCol: String, cvecCol: String,
+      cents: DataFrame, k: Int, nprobe: Int, candMult: Int = 4): DataFrame = {
+    // one assignment pass; codes + norms hoisted once per corpus row
+    val assigned = assign(corpus, cidCol, cvecCol, cents)
+      .withColumn("__cq", Similarity.quantizeInt8(col(cvecCol)))
+      .withColumn("__cnorm", vec_norm(col(cvecCol)))
+      .localCheckpoint() // feeds the candidate join and the exact rerank; not persist — see search()
+
+    val wProbe = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col("centroid_id").asc)
+    val probes = queries
+      .withColumn("__qq", Similarity.quantizeInt8(col(qvecCol)))
+      .withColumn("__qnorm", vec_norm(col(qvecCol)))
+      .crossJoin(broadcast(cents.withColumn("__cn", vec_norm(col("centroid_vec")))))
+      .withColumn("__sim",
+        round(vec_dot(col(qvecCol), col("centroid_vec")) / (col("__qnorm") * col("__cn")), 6))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col("__qq"), col("__qnorm"), col("centroid_id"))
+
+    // candidate cut over int8 codes only (compact columns pruned from the
+    // probed lists; full corpus vectors are NOT read here)
+    val wCand = Window.partitionBy(col(qidCol)).orderBy(col("__approx").desc, col(cidCol).asc)
+    val cands = probes.join(
+        assigned.select(col(cidCol), col("centroid_id"), col("__cq"), col("__cnorm")),
+        Seq("centroid_id"))
+      .filter(col(qidCol) =!= col(cidCol))
+      .withColumn("__approx",
+        round(vec_dot(col("__qq.q"), col("__cq.q")) * col("__qq.s") * col("__cq.s") /
+          (col("__qnorm") * col("__cnorm")), 6))
+      .withColumn("__r", row_number().over(wCand))
+      .filter(col("__r") <= k * candMult)
+      .select(col(qidCol), col(qvecCol), col("__qnorm"), col(cidCol))
+
+    // exact rerank over full vectors, candidates only
+    val wRank = Window.partitionBy(col(qidCol)).orderBy(col("cosine_sim").desc, col(cidCol).asc)
+    cands.join(assigned.select(col(cidCol), col(cvecCol), col("__cnorm")), Seq(cidCol))
+      .withColumn("cosine_sim",
+        round(vec_dot(col(qvecCol), col(cvecCol)) / (col("__qnorm") * col("__cnorm")), 6))
+      .select(col(qidCol), col(cidCol), col("cosine_sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF search: probe `nprobe` lists per query, exact-rerank, top-k.
     * Deterministic (6-decimal rounding + id tiebreaks) when `cents` is.
     */
@@ -82,11 +144,13 @@ object Ivf {
       corpus: DataFrame, cidCol: String, cvecCol: String,
       cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
     // norms hoisted BEFORE the probe×list join (one per corpus row / query
-    // row, not one per candidate pair — O(k·dim) FLOPs saved per pair)
+    // row, not one per candidate pair — O(k·dim) FLOPs saved per pair).
+    // localCheckpoint, not persist: the assignment must not stay in the
+    // SQL cache manager after the call returns (ContextCleaner releases
+    // the blocks once the returned frame is dropped).
     val assigned = assign(corpus, cidCol, cvecCol, cents)
       .withColumn("__cnorm", vec_norm(col(cvecCol)))
-      .persist()
-    assigned.count() // eager: feeds the candidate join after the probe join
+      .localCheckpoint()
 
     val wProbe = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col("centroid_id").asc)
     val probes = queries.withColumn("__qnorm", vec_norm(col(qvecCol)))

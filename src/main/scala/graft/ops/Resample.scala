@@ -53,9 +53,16 @@ object Resample {
   /** Last-observation-carried-forward: fill null `cols` with the most
     * recent non-null value per key in `tsCol` order (one shuffle on the
     * key, one window pass for all columns).
+    *
+    * @param tieCols deterministic order among rows sharing a timestamp
+    *                (e.g. an event id) — without it, which value carries
+    *                forward across a same-`tsCol` run is partition-order
+    *                luck and fills differ run to run.
     */
-  def locf(df: DataFrame, keyCol: String, tsCol: String, cols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
+  def locf(df: DataFrame, keyCol: String, tsCol: String, cols: Seq[String],
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((col(tsCol) +: tieCols.map(col)).map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cols.foldLeft(df) { (acc, c) =>
       acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))

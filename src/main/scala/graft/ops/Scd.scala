@@ -63,10 +63,16 @@ object Scd {
     * without rebuilding untouched keys.
     *
     * Keys absent from the batch pass through UNREAD beyond an anti-join
-    * against the (broadcast) changed-key set; only the affected keys'
-    * version rows re-enter [[fromHistory]] together with their new
-    * changes. With a daily batch of k keys over a dimension of K >> k
-    * keys, the recompute is O(k·versions), not O(K).
+    * against the changed-key set; only the affected keys' version rows
+    * re-enter [[fromHistory]] together with their new changes. With a
+    * daily batch of k keys over a dimension of K >> k keys, the
+    * recompute is O(k·versions), not O(K).
+    *
+    * The changed-key joins carry NO broadcast hint: a daily batch is
+    * small and AQE broadcasts it at runtime anyway, while a backfill /
+    * replay batch whose key set approaches the whole dimension must NOT
+    * be forced through the driver (an unconditional hint overrides the
+    * size threshold and can OOM the driver). AQE picks per-run.
     *
     * Contract: the batch is APPEND-ONLY — every change timestamp is later
     * than the affected key's newest `valid_from`. (A late-arriving change
@@ -85,9 +91,9 @@ object Scd {
       tsCol: String,
       payloadCols: Seq[String]): DataFrame = {
     val changedKeys = changes.select(keyCols.map(col): _*).distinct()
-    val untouched = dim.join(broadcast(changedKeys), keyCols, "left_anti")
+    val untouched = dim.join(changedKeys, keyCols, "left_anti")
     val affectedHist = dim
-      .join(broadcast(changedKeys), keyCols, "left_semi")
+      .join(changedKeys, keyCols, "left_semi")
       .select((keyCols ++ payloadCols).map(col) :+ col("valid_from").as(tsCol): _*)
       .unionByName(changes.select((keyCols ++ payloadCols :+ tsCol).map(col): _*))
     // payload columns as tie-break: equal-ts versions (possible when the

@@ -198,11 +198,13 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
+    // localCheckpoint, not persist: feeds both self-join sides, but must
+    // not stay registered in the SQL cache manager after the call (blocks
+    // are ContextCleaner-released once the returned frame is dropped)
     val b = corpus.select(col(idCol), col(vecCol),
         bucketId(col(vecCol), planes).as("__bucket"),
         vec_norm(col(vecCol)).as("__n"))
-      .persist()
-    b.count() // eager: both sides of the self-join
+      .localCheckpoint()
     b.as("l").join(b.as("r"),
         col("l.__bucket") === col("r.__bucket") && col(s"l.$idCol") < col(s"r.$idCol"))
       .withColumn("cosine_sim",

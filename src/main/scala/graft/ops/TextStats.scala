@@ -101,15 +101,64 @@ object TextStats {
         (lit(1.0) - least(lit(1.0), coalesce(punct, lit(0.0)) * lit(10.0))) * lit(0.3) +
         least(lit(1.0), coalesce(stopword, lit(0.0)) * lit(20.0)) * lit(0.3))
 
-  /** n-gram-heuristic language ID: CJK codepoints → zh; Latin text with
-    * English stopword density → en; otherwise unknown. (Deliberately
-    * simple and deterministic; a production profile-based classifier slots
-    * in behind the same column contract.)
+  /** Character-trigram profiles for the Latin-script languages the
+    * classifier scores — the highest-frequency trigrams of each language
+    * from published frequency tables (the standard n-gram-profile langid
+    * design, Cavnar & Trenkle '94). Deliberately small: 8 trigrams per
+    * language keeps the per-row expression inside codegen while separating
+    * en/fr/de cleanly; a production deployment swaps in a larger table
+    * behind the same formula.
     */
-  def langId(text: Column, stopword: Column): Column =
-    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
-      .when(coalesce(stopword, lit(0.0)) >= 0.02, "en")
-      .otherwise("unknown")
+  val LangTrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ein", "ich", "sch", "ie ", "ch "),
+    "en" -> Seq("the", " th", "he ", " a ", "and", " an", "nd ", " of"),
+    "fr" -> Seq(" de", "de ", " le", "le ", "es ", "la ", " la", "et "))
+
+  /** Trigram-profile language ID, pure deterministic arithmetic (so the
+    * DuckDB oracle replays it bit-for-bit via [[langIdSql]]):
+    *
+    *   - CJK codepoint present → zh (profile-free script detection);
+    *   - else score each Latin profile as `H_l = Σ_t (length(x) −
+    *     length(replace(x, t, '')))` over lowercased text — 3× the
+    *     non-overlapping occurrence count, so H never needs a division;
+    *   - best profile wins (ties break alphabetically: de ≥ en ≥ fr);
+    *   - `unknown` when the best profile density `H / length` < 0.02
+    *     (too few profile trigrams to call a language).
+    *
+    * `replace`-counting keeps the whole classifier inside whole-stage
+    * codegen — no explode, no shuffle, no UDF.
+    */
+  def langId(text: Column): Column = {
+    val x = lower(text)
+    def hits3(trigrams: Seq[String]): Column =
+      trigrams.map(t => length(x) - length(replace(x, lit(t), lit("")))).reduce(_ + _)
+    val (hDe, hEn, hFr) = (hits3(LangTrigramProfiles(0)._2),
+      hits3(LangTrigramProfiles(1)._2), hits3(LangTrigramProfiles(2)._2))
+    when(text.isNull || length(text) === 0, "unknown")
+      .when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(greatest(hDe, hEn, hFr).cast("double") < lit(0.02) * length(text).cast("double"),
+        "unknown")
+      .when(hDe >= hEn && hDe >= hFr, "de")
+      .when(hEn >= hFr, "en")
+      .otherwise("fr")
+  }
+
+  /** The DuckDB replay of [[langId]], generated from the SAME profile
+    * constants so the two engines cannot drift. `textExpr` is the SQL
+    * expression for the text column.
+    */
+  def langIdSql(textExpr: String): String = {
+    val x = s"lower($textExpr)"
+    def hits3(trigrams: Seq[String]): String =
+      "(" + trigrams.map(t => s"(length($x) - length(replace($x, '$t', '')))").mkString(" + ") + ")"
+    val h = LangTrigramProfiles.map { case (l, ts) => l -> hits3(ts) }.toMap
+    s"""CASE WHEN $textExpr IS NULL OR length($textExpr) = 0 THEN 'unknown'
+       | WHEN regexp_matches($textExpr, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       | WHEN greatest(${h("de")}, ${h("en")}, ${h("fr")}) * 1.0 < 0.02 * length($textExpr) THEN 'unknown'
+       | WHEN ${h("de")} >= ${h("en")} AND ${h("de")} >= ${h("fr")} THEN 'de'
+       | WHEN ${h("en")} >= ${h("fr")} THEN 'en'
+       | ELSE 'fr' END""".stripMargin.linesIterator.mkString(" ")
+  }
 
   /** Position-weighted checksum fingerprint: `Σ codepoint(c_i)·((i mod
     * 64)+1)`. Order-sensitive (detects token reordering within a 64-char
@@ -169,7 +218,7 @@ object TextStats {
       .withColumn("stopword_ratio", stopwordRatio(col("toks")))
       .withColumn("quality_score",
         qualityScore(col("n_tokens"), col("punct_ratio"), col("stopword_ratio")))
-      .withColumn("pred_lang", langId(t, col("stopword_ratio")))
+      .withColumn("pred_lang", langId(t))
       .withColumn("fingerprint", fingerprint(t))
       .drop("toks")
   }

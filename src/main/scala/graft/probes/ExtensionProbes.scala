@@ -66,7 +66,7 @@ object ExtensionProbes {
     "x01_dedup_exact",
     (s, dir) => Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")
       .orderBy("content_hash"),
-    Some("""SELECT sha256(coalesce(CAST(text AS VARCHAR), '␀')) AS content_hash,
+    Some("""SELECT sha256(CAST(text IS NULL AS VARCHAR) || coalesce(CAST(text AS VARCHAR), '')) AS content_hash,
            |  min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
            |FROM documents GROUP BY 1 ORDER BY content_hash ASC NULLS FIRST""".stripMargin))
 
@@ -235,35 +235,33 @@ object ExtensionProbes {
         col("punct_ratio"), col("stopword_ratio"), col("quality_score"),
         col("pred_lang"), col("fingerprint"))
       .orderBy("doc_id"),
-    Some("""WITH base AS (
-           |  SELECT doc_id, text,
-           |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tok
-           |  FROM documents),
-           |ratios AS (
-           |  SELECT doc_id, text,
-           |    CAST(length(text) AS BIGINT) AS n_chars_calc,
-           |    CAST(len(tok) AS BIGINT) AS n_tokens,
-           |    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_regex_tokens,
-           |    floor((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-           |      / nullif(length(text), 0)) * 10000 + 0.5) / 10000 AS punct_ratio,
-           |    floor((CAST(len(list_filter(tok, t -> t = 'the' OR t = 'a')) AS DOUBLE)
-           |      / nullif(len(tok), 0)) * 10000 + 0.5) / 10000 AS stopword_ratio
-           |  FROM base),
-           |fp AS (
-           |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
-           |    i -> ascii(text[i]) * ((i % 64) + 1))), 0) AS BIGINT) AS fingerprint
-           |  FROM base)
-           |SELECT r.doc_id, r.n_chars_calc, r.n_tokens, r.n_regex_tokens, r.punct_ratio,
-           |  r.stopword_ratio,
-           |  floor((least(1.0, r.n_tokens / 64.0) * 0.4
-           |    + (1.0 - least(1.0, coalesce(r.punct_ratio, 0) * 10)) * 0.3
-           |    + least(1.0, coalesce(r.stopword_ratio, 0) * 20) * 0.3) * 10000 + 0.5) / 10000 AS quality_score,
-           |  CASE WHEN regexp_matches(r.text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-           |       WHEN coalesce(r.stopword_ratio, 0) >= 0.02 THEN 'en'
-           |       ELSE 'unknown' END AS pred_lang,
-           |  coalesce(f.fingerprint, 0) AS fingerprint
-           |FROM ratios r LEFT JOIN fp f ON r.doc_id = f.doc_id
-           |ORDER BY r.doc_id ASC NULLS FIRST""".stripMargin))
+    Some(s"""WITH base AS (
+            |  SELECT doc_id, text,
+            |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+            |  FROM documents),
+            |ratios AS (
+            |  SELECT doc_id, text,
+            |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+            |    CAST(len(tok) AS BIGINT) AS n_tokens,
+            |    CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_regex_tokens,
+            |    floor((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+            |      / nullif(length(text), 0)) * 10000 + 0.5) / 10000 AS punct_ratio,
+            |    floor((CAST(len(list_filter(tok, t -> t = 'the' OR t = 'a')) AS DOUBLE)
+            |      / nullif(len(tok), 0)) * 10000 + 0.5) / 10000 AS stopword_ratio
+            |  FROM base),
+            |fp AS (
+            |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+            |    i -> ascii(text[i]) * ((i % 64) + 1))), 0) AS BIGINT) AS fingerprint
+            |  FROM base)
+            |SELECT r.doc_id, r.n_chars_calc, r.n_tokens, r.n_regex_tokens, r.punct_ratio,
+            |  r.stopword_ratio,
+            |  floor((least(1.0, r.n_tokens / 64.0) * 0.4
+            |    + (1.0 - least(1.0, coalesce(r.punct_ratio, 0) * 10)) * 0.3
+            |    + least(1.0, coalesce(r.stopword_ratio, 0) * 20) * 0.3) * 10000 + 0.5) / 10000 AS quality_score,
+            |  ${TextStats.langIdSql("r.text")} AS pred_lang,
+            |  coalesce(f.fingerprint, 0) AS fingerprint
+            |FROM ratios r LEFT JOIN fp f ON r.doc_id = f.doc_id
+            |ORDER BY r.doc_id ASC NULLS FIRST""".stripMargin))
 
   // — sessionization: native session_window vs gaps-and-islands oracle ——
   private val x09 = Probe(
@@ -543,7 +541,7 @@ object ExtensionProbes {
            |ex AS (
            |  SELECT b.doc_id, min(c.doc_id) AS exact_of
            |  FROM batch b JOIN corpus c
-           |    ON coalesce(c.text, '␀') = coalesce(b.text, '␀') GROUP BY 1),
+           |    ON c.text IS NOT DISTINCT FROM b.text GROUP BY 1),
            |surv AS (SELECT * FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
            |shc AS (
            |  SELECT doc_id AS id, unnest(list_distinct(
@@ -1059,6 +1057,174 @@ object ExtensionProbes {
            |FROM events GROUP BY event_type
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  // — IVF × int8 quantization: the composed 100-TB ANN plan (coarse
+  //   quantizer restricts the scan to nprobe lists; candidates inside the
+  //   probed lists are cut over int8 codes; exact rerank on the survivors).
+  //   Every stage is deterministic arithmetic, so like x12/x22 the ENTIRE
+  //   pipeline has a value-level DuckDB twin. ——————————————————————————————
+  private val x37 = Probe(
+    "x37_sim_topk_ivf_quantized",
+    (s, dir) => {
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 16)
+      Ivf.searchQuantized(queries, "query_id", "qvec", emb, "vec_id", "embedding", cents,
+          k = 5, nprobe = 4, candMult = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH cents AS (
+           |  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16),
+           |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+           |cc AS (SELECT vec_id, centroid_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           |              CAST(unnest(cvec) AS DOUBLE) AS y FROM embeddings, cents),
+           |ccs AS (SELECT vec_id, centroid_id,
+           |          round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS sim
+           |        FROM cc GROUP BY 1, 2),
+           |assigned AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY sim DESC NULLS LAST, centroid_id ASC NULLS FIRST) AS rn FROM ccs)
+           |  WHERE rn = 1),
+           |qc AS (SELECT query_id, centroid_id, CAST(unnest(qe) AS DOUBLE) AS x,
+           |              CAST(unnest(cvec) AS DOUBLE) AS y FROM q, cents),
+           |qcs AS (SELECT query_id, centroid_id,
+           |          round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS sim
+           |        FROM qc GROUP BY 1, 2),
+           |probes AS (
+           |  SELECT query_id, centroid_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC NULLS LAST, centroid_id ASC NULLS FIRST) AS rn FROM qcs)
+           |  WHERE rn <= 4),
+           |qv AS (
+           |  SELECT query_id, qe,
+           |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in qe])) AS qnorm,
+           |    greatest(list_max([abs(CAST(x AS DOUBLE)) for x in qe]), 1e-30) AS qmax
+           |  FROM q),
+           |qv2 AS (
+           |  SELECT query_id, qe, qnorm, qmax / 127.0 AS qs,
+           |    [floor(CAST(x AS DOUBLE) * 127.0 / qmax + 0.5) for x in qe] AS qcode
+           |  FROM qv),
+           |cv AS (
+           |  SELECT vec_id, embedding AS ce,
+           |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS cnorm,
+           |    greatest(list_max([abs(CAST(x AS DOUBLE)) for x in embedding]), 1e-30) AS cmax
+           |  FROM embeddings),
+           |cv2 AS (
+           |  SELECT vec_id, ce, cnorm, cmax / 127.0 AS cs,
+           |    [floor(CAST(x AS DOUBLE) * 127.0 / cmax + 0.5) for x in ce] AS ccode
+           |  FROM cv),
+           |candset AS (
+           |  SELECT p.query_id, a.vec_id FROM probes p
+           |  JOIN assigned a USING (centroid_id) WHERE a.vec_id != p.query_id),
+           |aflat AS (
+           |  SELECT c.query_id, c.vec_id, unnest(qv2.qcode) AS a, unnest(cv2.ccode) AS b
+           |  FROM candset c
+           |  JOIN qv2 ON qv2.query_id = c.query_id
+           |  JOIN cv2 ON cv2.vec_id = c.vec_id),
+           |adots AS (SELECT query_id, vec_id, sum(a * b) AS dq FROM aflat GROUP BY 1, 2),
+           |approx AS (
+           |  SELECT d.query_id, d.vec_id,
+           |    round(d.dq * qv2.qs * cv2.cs / (qv2.qnorm * cv2.cnorm), 6) AS ap
+           |  FROM adots d
+           |  JOIN qv2 ON qv2.query_id = d.query_id
+           |  JOIN cv2 ON cv2.vec_id = d.vec_id),
+           |cands AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY ap DESC NULLS LAST, vec_id ASC NULLS FIRST) AS r FROM approx)
+           |  WHERE r <= 20),
+           |rflat AS (
+           |  SELECT c.query_id, c.vec_id, CAST(unnest(qv2.qe) AS DOUBLE) AS x,
+           |    CAST(unnest(cv2.ce) AS DOUBLE) AS y
+           |  FROM cands c
+           |  JOIN qv2 ON qv2.query_id = c.query_id
+           |  JOIN cv2 ON cv2.vec_id = c.vec_id),
+           |sims AS (
+           |  SELECT f.query_id, f.vec_id,
+           |    round(sum(f.x * f.y) / (any_value(qv2.qnorm) * any_value(cv2.cnorm)), 6) AS cosine_sim
+           |  FROM rflat f
+           |  JOIN qv2 ON qv2.query_id = f.query_id
+           |  JOIN cv2 ON cv2.vec_id = f.vec_id
+           |  GROUP BY 1, 2)
+           |SELECT query_id, vec_id, cosine_sim, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine_sim DESC NULLS LAST, vec_id ASC NULLS FIRST) AS rank FROM sims)
+           |WHERE rank <= 5
+           |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
+
+  // — planted-neighbor ANN recall: the fixture embeddings are near-
+  //   orthogonal, so top-k recall gates on RANDOM queries cannot sit above
+  //   0.5 (documented in BASELINE.md). This probe PLANTS the ground truth
+  //   instead: each query is a corpus vector plus a deterministic ±3%
+  //   per-coordinate perturbation (pure arithmetic — DuckDB replays it),
+  //   so its true nearest neighbor is known to be the source vector with
+  //   cos ≈ 0.9998. Brute force must find it exactly (value-oracled count);
+  //   LSH / IVF / IVF+int8 recall of the planted neighbor is gated ≥ 0.9 —
+  //   a regression from "working" to "barely working" now fails loudly. ——
+  private val x38 = Probe(
+    "x38_ann_planted_recall",
+    (s, dir) => {
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") % 9 === 3)
+        .select((col("vec_id") + 10000000L).as("query_id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") +
+              (((col("vec_id") + i.cast("long")) % 7) - 3).cast("double") * 0.01).as("qvec"),
+          col("vec_id").as("planted_nn"))
+      val plant = queries.select(col("query_id"), col("planted_nn"))
+      def found(res: org.apache.spark.sql.DataFrame) =
+        res.join(plant, Seq("query_id"))
+          .filter(col("vec_id") === col("planted_nn"))
+          .select(col("query_id")).distinct()
+      val bf1 = Similarity.bruteForceTopK(queries, "query_id", "qvec",
+        emb, "vec_id", "embedding", k = 1)
+      val lsh = Similarity.lshBucketTopK(queries, "query_id", "qvec",
+        emb, "vec_id", "embedding", k = 5, numPlanes = 6, dim = 64, multiProbe = true)
+      val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 16)
+      val ivf = Ivf.search(queries, "query_id", "qvec",
+        emb, "vec_id", "embedding", cents, k = 5, nprobe = 4)
+      val ivfq = Ivf.searchQuantized(queries, "query_id", "qvec",
+        emb, "vec_id", "embedding", cents, k = 5, nprobe = 4, candMult = 4)
+      scalarRow(
+        "n_queries" -> queries.agg(count(lit(1))),
+        "n_bf_top1_planted" -> found(bf1).agg(count(lit(1))),
+        "__n_lsh" -> found(lsh).agg(count(lit(1))),
+        "__n_ivf" -> found(ivf).agg(count(lit(1))),
+        "__n_ivfq" -> found(ivfq).agg(count(lit(1))))
+        .select(
+          col("n_queries"), col("n_bf_top1_planted"),
+          (col("__n_lsh") >= col("n_queries") * 0.9).as("lsh_recall_ge_090"),
+          (col("__n_ivf") >= col("n_queries") * 0.9).as("ivf_recall_ge_090"),
+          (col("__n_ivfq") >= col("n_queries") * 0.9).as("ivfq_recall_ge_090"))
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id, vec_id + 10000000 AS query_id,
+           |    [CAST(embedding[i] AS DOUBLE)
+           |       + (((vec_id + i - 1) % 7) - 3) * 0.01
+           |     for i in range(1, len(embedding) + 1)] AS qe
+           |  FROM embeddings WHERE vec_id % 9 = 3),
+           |flat AS (
+           |  SELECT q.query_id, q.vec_id AS planted, e.vec_id,
+           |    unnest(q.qe) AS x, CAST(unnest(e.embedding) AS DOUBLE) AS y
+           |  FROM q, embeddings e),
+           |dots AS (SELECT query_id, planted, vec_id, sum(x * y) AS d,
+           |           sum(x * x) AS nx, sum(y * y) AS ny
+           |         FROM flat GROUP BY 1, 2, 3),
+           |top1 AS (
+           |  SELECT query_id, planted, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY round(d / (sqrt(nx) * sqrt(ny)), 6) DESC NULLS LAST,
+           |        vec_id ASC NULLS FIRST) AS rn FROM dots)
+           |  WHERE rn = 1)
+           |SELECT CAST((SELECT count(*) FROM q) AS BIGINT) AS n_queries,
+           |  CAST((SELECT count(*) FROM top1 WHERE vec_id = planted) AS BIGINT)
+           |    AS n_bf_top1_planted,
+           |  TRUE AS lsh_recall_ge_090,
+           |  TRUE AS ivf_recall_ge_090,
+           |  TRUE AS ivfq_recall_ge_090""".stripMargin))
+
   // — gap-filled resampling: hourly per-type buckets over a dense calendar
   //   spine (empty hours appear with zero counts). The oracle replays the
   //   bucket → span → generate_series spine → left join exactly. ——————————
@@ -1085,5 +1251,5 @@ object ExtensionProbes {
 
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
-    x33, x34, x35, x36)
+    x33, x34, x35, x36, x37, x38)
 }

@@ -36,6 +36,20 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.exactKeepFirst(df, Seq("text"), "id").count() == 2)
   }
 
+  test("null text and the literal sentinel string never collide in exact/incremental dedup") {
+    val df = Seq((1L, null: String), (2L, "␀"), (3L, null: String)).toDF("id", "text")
+    val groups = Dedup.exact(df, Seq("text"), "id")
+      .orderBy("keep_id").select("keep_id", "dup_count").as[(Long, Long)].collect().toSeq
+    assert(groups == Seq((1L, 2L), (2L, 1L)), "null≠'␀': two groups, nulls together")
+    assert(Dedup.exactKeepFirst(df, Seq("text"), "id").count() == 2)
+    val corpus = Seq((10L, null: String)).toDF("doc_id", "text")
+    val batch = Seq((20L, "␀")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch, "doc_id", $"text",
+        n = 3, numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 0.2)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(got == Seq((20L, "new", None)), s"'␀' must not match a null-text corpus doc: $got")
+  }
+
   test("identical docs have identical minhash signatures; LSH pairs them; jaccard = 1") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "z y x w v u t s"))
       .toDF("id", "text")
@@ -78,16 +92,88 @@ class OpsSpec extends SparkSpec {
     assert(unguarded == Seq((100L, 101L, 1.0)))
   }
 
-  test("LSH/simhash bucket caps: an oversized bucket generates no candidate pairs") {
+  test("LSH/simhash bucket caps: an oversized bucket degrades to linear star candidates") {
     // 12 identical docs → every band bucket and every simhash chunk bucket
-    // has 12 members
+    // has 12 members. Under the cap the full C(12,2) pair set appears;
+    // over the cap the bucket degrades to the min-id hub star (11 pairs,
+    // linear) instead of being dropped — a mass-dup cluster bigger than
+    // the cap is exactly what the guard must still find.
     val df = (1L to 12L).map(i => (i, "a b c d e f g h")).toDF("id", "text")
+    val star = (2L to 12L).map(i => (1L, i)).toSet
     val sig = Dedup.minhashSignatures(df, "id", $"text", 3, 64)
     assert(Dedup.lshCandidates(sig, "id", 16, 4).count() == 66L) // C(12,2), default cap
-    assert(Dedup.lshCandidates(sig, "id", 16, 4, maxBucket = 8).count() == 0L)
+    assert(Dedup.lshCandidates(sig, "id", 16, 4, maxBucket = 8)
+      .as[(Long, Long)].collect().toSet == star)
     val ssig = Dedup.simhash(df, "id", $"text")
     assert(Dedup.simhashPairs(ssig, "id", 6).count() == 66L)
-    assert(Dedup.simhashPairs(ssig, "id", 6, maxBucket = 8).count() == 0L)
+    val sstar = Dedup.simhashPairs(ssig, "id", 6, maxBucket = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(sstar.map(t => (t._1, t._2)).toSet == star)
+    assert(sstar.forall(_._3 == 0L), "identical docs must verify at hamming 0")
+  }
+
+  test("mass-dup cluster larger than maxBucket: star candidates + components recover it whole") {
+    val df = (1L to 30L).map(i => (i, "same boilerplate text repeated again and again ok"))
+      .toDF("id", "text")
+    val sig = Dedup.minhashSignatures(df, "id", $"text", 3, 64)
+    val cands = Dedup.lshCandidates(sig, "id", 16, 4, maxBucket = 8)
+    val verified = Dedup.jaccardVerify(df, "id", $"text", 3, cands, 0.9)
+    val comps = Dedup.components(verified)
+    assert(comps.count() == 30L, "every clone appears in the pair graph")
+    assert(comps.select("comp").distinct().as[Long].collect().toSeq == Seq(1L),
+      "all 30 clones collapse into one cluster via the hub")
+  }
+
+  test("incrementalDedup: batch doc matching a hot (over-cap) corpus cluster is still flagged") {
+    val corpus = (1L to 20L)
+      .map(i => (i, "mass duplicated boilerplate text block sits here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "mass duplicated boilerplate text block sits here extra"), // near-dup of the cluster
+      (101L, "entirely unrelated words appear in this document")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch, "doc_id", $"text",
+        n = 3, numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 0.2, maxBucket = 8)
+      .orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    got.head match { case (id, status, dupOf) =>
+      assert(id == 100L && status == "near_dup" && dupOf.contains(1L),
+        s"hot-bucket star candidate must surface the cluster hub: $got")
+    }
+    assert(got(1) == ((101L, "new", None)))
+  }
+
+  test("standalone pair ops leave the SQL cache manager empty after returning") {
+    def sqlCacheEmpty: Boolean = {
+      val ss = spark.sharedState
+      val cm = ss.getClass.getMethod("cacheManager").invoke(ss)
+      cm.getClass.getMethod("isEmpty").invoke(cm).asInstanceOf[Boolean]
+    }
+    spark.catalog.clearCache()
+    val small = docs.limit(60)
+    val sig = Dedup.minhashSignatures(small, "doc_id", $"text", 3, 64)
+    val cands = Dedup.lshCandidates(sig, "doc_id", 16, 4)
+    cands.count()
+    assert(sqlCacheEmpty, "lshCandidates must not leave cache entries")
+    Dedup.jaccardVerify(small, "doc_id", $"text", 3, cands, 0.2).count()
+    assert(sqlCacheEmpty, "jaccardVerify must not leave cache entries")
+    Dedup.ngramJaccardPairs(small, "doc_id", $"text", 3, 0.2).count()
+    assert(sqlCacheEmpty, "ngramJaccardPairs must not leave cache entries")
+    Dedup.simhashPairs(Dedup.simhash(small, "doc_id", $"text"), "doc_id", 6).count()
+    assert(sqlCacheEmpty, "simhashPairs must not leave cache entries")
+    Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4, 4, 64).count()
+    assert(sqlCacheEmpty, "cosinePairs must not leave cache entries")
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 8)
+    Ivf.search(queries, "query_id", "qvec", emb, "vec_id", "embedding", cents, 3, 2).count()
+    assert(sqlCacheEmpty, "Ivf.search must not leave cache entries")
+    // the composed eager ops own their result cache: empty after release
+    val inc = Dedup.incrementalDedup(
+      small.select($"doc_id", $"text"),
+      small.select(($"doc_id" + 5000000L).as("doc_id"), $"text"),
+      "doc_id", $"text", 3, 64, 16, 4, 0.2)
+    inc.unpersist()
+    assert(sqlCacheEmpty, "incrementalDedup result released ⇒ cache empty")
   }
 
   test("simhash: identical docs get identical signatures, hamming 0; pairs surface them") {
@@ -325,6 +411,32 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("components: star contraction collapses a 1000-edge chain within default maxIter") {
+    // min-label propagation needs O(diameter)=1000 rounds here and threw;
+    // large-star/small-star needs O(log n) ≈ 10
+    val chain = (1L to 1001L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("id_a", "id_b")
+    val got = Dedup.components(chain)
+    assert(got.count() == 1001L)
+    assert(got.select("comp").distinct().as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("components equals a driver-side union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2)
+    val parent = scala.collection.mutable.Map((0L until 120L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inGraph = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val expected = inGraph.map(i => i -> find(i)).toMap
+    val got = Dedup.components(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("components: throws rather than returning split clusters when maxIter is too small") {
     val chain = (1L to 5L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("id_a", "id_b")
     intercept[IllegalStateException] {
@@ -354,6 +466,28 @@ class OpsSpec extends SparkSpec {
       (1L, "B", 30L, Some(40L), false),
       (1L, "A", 40L, None, true),
       (2L, "X", 10L, None, true)))
+  }
+
+  test("scd2 merge: no broadcast hint — a whole-dimension batch plans as shuffle joins") {
+    // with autoBroadcastJoinThreshold=-1 ONLY a hint can force a broadcast;
+    // a backfill batch touching every key must not drive 10⁸ keys through
+    // the driver, so the plan must contain no BroadcastHashJoin
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val full = events.select($"user_id", $"ts", $"event_type")
+      val dim = Scd.fromHistory(full.filter($"ts" < "2024-01-10"), Seq("user_id"), "ts", Seq("event_type"))
+      val merged = Scd.merge(dim, full, Seq("user_id"), "ts", Seq("event_type"))
+      merged.count() // force AQE final plan
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"merge must not hint a broadcast of the changed-key set:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
   }
 
   test("scd2 merge of an append-only batch equals fromHistory of the full history") {
@@ -500,6 +634,19 @@ class OpsSpec extends SparkSpec {
     val filled = Resample.locf(sparse, "k", "t", Seq("v"))
       .orderBy("k", "t").select("v").as[Option[Double]].collect().toSeq
     assert(filled == Seq(Some(10.0), Some(10.0), Some(10.0), Some(20.0), None))
+  }
+
+  test("locf tie-break columns make same-timestamp fills deterministic") {
+    // two rows share t=2; with a tie column the later seq's value (30)
+    // must carry forward regardless of partition order
+    val sparse = Seq(("a", 1L, 1L, Some(10.0)), ("a", 2L, 1L, Some(20.0)),
+      ("a", 2L, 2L, Some(30.0)), ("a", 3L, 1L, None)).toDF("k", "t", "seq", "v")
+    (1 to 5).foreach { n =>
+      val got = Resample.locf(sparse.repartition(n), "k", "t", Seq("v"), tieCols = Seq("seq"))
+        .orderBy("t", "seq").select("v").as[Option[Double]].collect().toSeq
+      assert(got == Seq(Some(10.0), Some(20.0), Some(30.0), Some(30.0)),
+        s"partitioning $n changed the fill")
+    }
   }
 
   test("tfidfTopTerms: a document's unique word outranks corpus-wide words") {
