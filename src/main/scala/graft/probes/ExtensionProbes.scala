@@ -830,23 +830,21 @@ object ExtensionProbes {
         Readers.fanOut(t(s, dir, "documents")), "doc_id", frac = 0.2)
       .select(col("doc_id"), col("pred_lang"), col("quality_score"))
       .orderBy("doc_id"),
-    Some("""WITH base AS (
-           |  SELECT doc_id, text,
-           |    list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tok
-           |  FROM documents),
-           |ratios AS (
-           |  SELECT doc_id, text,
-           |    CAST(len(tok) AS BIGINT) AS n_tokens,
-           |    floor((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-           |      / nullif(length(text), 0)) * 10000 + 0.5) / 10000 AS punct_ratio,
-           |    floor((CAST(len(list_filter(tok, t -> t = 'the' OR t = 'a')) AS DOUBLE)
-           |      / nullif(len(tok), 0)) * 10000 + 0.5) / 10000 AS stopword_ratio
-           |  FROM base),
-           |scored AS (
-           |  SELECT doc_id,
-           |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-           |         WHEN coalesce(stopword_ratio, 0) >= 0.02 THEN 'en'
-           |         ELSE 'unknown' END AS pred_lang,
+    Some(s"""WITH base AS (
+            |  SELECT doc_id, text,
+            |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+            |  FROM documents),
+            |ratios AS (
+            |  SELECT doc_id, text,
+            |    CAST(len(tok) AS BIGINT) AS n_tokens,
+            |    floor((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+            |      / nullif(length(text), 0)) * 10000 + 0.5) / 10000 AS punct_ratio,
+            |    floor((CAST(len(list_filter(tok, t -> t = 'the' OR t = 'a')) AS DOUBLE)
+            |      / nullif(len(tok), 0)) * 10000 + 0.5) / 10000 AS stopword_ratio
+            |  FROM base),
+            |scored AS (
+            |  SELECT doc_id,
+            |    ${TextStats.langIdSql("text")} AS pred_lang,
            |    floor((least(1.0, n_tokens / 64.0) * 0.4
            |      + (1.0 - least(1.0, coalesce(punct_ratio, 0) * 10)) * 0.3
            |      + least(1.0, coalesce(stopword_ratio, 0) * 20) * 0.3) * 10000 + 0.5) / 10000
@@ -1225,6 +1223,37 @@ object ExtensionProbes {
            |  TRUE AS ivf_recall_ge_090,
            |  TRUE AS ivfq_recall_ge_090""".stripMargin))
 
+  // — trigram-profile language ID over a PLANTED ≥3-language fixture: the
+  //   documents corpus is English-ish word salad, so the probe replaces a
+  //   deterministic doc_id slice with hand-written French, German and
+  //   Chinese text (planting pattern, same as x25's PII). The classifier
+  //   is pure replace-count arithmetic, so DuckDB replays every row —
+  //   full value-level oracle, per-language counts included. —————————————
+  private val x39 = Probe(
+    "x39_langid_trigram",
+    (s, dir) => {
+      val fr = "le chat est sur la table et les enfants de la maison sont dans le jardin de la ville"
+      val de = "der hund und die katze laufen durch den wald und der mann ist ein freund der schule"
+      val zh = "这是一个中文句子用于语言识别测试"
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 1, fr)
+            .when(col("doc_id") % 11 === 2, de)
+            .when(col("doc_id") % 11 === 3, zh)
+            .otherwise(col("text")).as("text"))
+      docs.select(col("doc_id"), TextStats.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH planted AS (
+            |  SELECT doc_id,
+            |    CASE WHEN doc_id % 11 = 1 THEN 'le chat est sur la table et les enfants de la maison sont dans le jardin de la ville'
+            |         WHEN doc_id % 11 = 2 THEN 'der hund und die katze laufen durch den wald und der mann ist ein freund der schule'
+            |         WHEN doc_id % 11 = 3 THEN '这是一个中文句子用于语言识别测试'
+            |         ELSE text END AS text
+            |  FROM documents)
+            |SELECT doc_id, ${TextStats.langIdSql("text")} AS pred_lang
+            |FROM planted ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
   // — gap-filled resampling: hourly per-type buckets over a dense calendar
   //   spine (empty hours appear with zero counts). The oracle replays the
   //   bucket → span → generate_series spine → left join exactly. ——————————
@@ -1251,5 +1280,5 @@ object ExtensionProbes {
 
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
-    x33, x34, x35, x36, x37, x38)
+    x33, x34, x35, x36, x37, x38, x39)
 }

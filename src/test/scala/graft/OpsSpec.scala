@@ -649,6 +649,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("trigram langId separates en/fr/de/zh and degrades to unknown") {
+    val samples = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then the cat"),
+      (2L, "le chat est sur la table et les enfants de la maison sont la"),
+      (3L, "der hund und die katze laufen durch den wald und der mann ist ein freund"),
+      (4L, "这是一个中文句子"),
+      (5L, "zzzz qqqq xxxx wwww kkkk"), // no profile trigrams → unknown
+      (6L, null: String),
+      (7L, "")).toDF("id", "text")
+    val got = samples.select($"id", TextStats.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "zh",
+      5L -> "unknown", 6L -> "unknown", 7L -> "unknown"))
+  }
+
   test("tfidfTopTerms: a document's unique word outranks corpus-wide words") {
     val df = Seq(
       (1L, "shared unicorn unicorn"),
@@ -665,7 +680,7 @@ class OpsSpec extends SparkSpec {
     val st = ops.TextStats.withStats(docs).cache()
     assert(st.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)
     assert(st.filter($"quality_score" < 0 || $"quality_score" > 1).count() == 0)
-    assert(st.filter($"pred_lang".isin("en", "zh", "unknown")).count() == st.count())
+    assert(st.filter($"pred_lang".isin("en", "fr", "de", "zh", "unknown")).count() == st.count())
     val fp1 = st.select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
     val fp2 = ops.TextStats.withStats(docs).select("doc_id", "fingerprint")
       .as[(Long, Long)].collect().toMap
