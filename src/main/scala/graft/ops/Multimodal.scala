@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * sample stages.
   *
   * The Spark-side contract is real and tested — schema, partitioning,
-  * per-partition batch iteration, output shape — and so is the decode:
-  * [[MediaCodec.decode]] parses real container headers (BMP, PPM-P6, WAV)
-  * in pure JVM code with no external libraries, sniffing the format from
-  * magic bytes. Compressed formats (JPEG/PNG/MP4) would slot into the same
-  * dispatch with a third-party codec; only `resizeStub` remains a labeled
-  * placeholder (scaling needs a real raster library).
+  * per-partition batch iteration, output shape — and so are decode AND
+  * resize: [[MediaCodec.decode]] parses real container headers (BMP,
+  * PPM-P6, WAV) and [[MediaCodec.resize]] performs true nearest-neighbor
+  * raster scaling for the uncompressed formats, all in pure JVM code with
+  * no external libraries, sniffing the format from magic bytes.
+  * Compressed formats (JPEG/PNG/MP4) would slot into the same dispatch
+  * with a third-party codec.
   */
 object Multimodal {
 
@@ -117,12 +118,78 @@ object Multimodal {
       out
     }
 
-    /** STUB resize — returns a truncated byte budget proportional to the
-      * target area (a real scaler needs a raster library this container
-      * cannot host; only this body would change).
+    /** REAL nearest-neighbor raster resize for the uncompressed image
+      * formats the codec decodes — pure-JVM integer math, no libraries:
+      *
+      *   - 24-bit BMP: source pixel (⌊x·w/w'⌋, ⌊y·h/h'⌋) for each target
+      *     pixel, rows re-padded to 4 bytes, header fields rewritten.
+      *     (Both buffers are bottom-up, so rows map without flipping.)
+      *   - PPM-P6 (maxval 255): same sampling over the raw RGB stream.
+      *   - Anything else (WAV audio, unknown blobs) passes through
+      *     unchanged — resize is an image transform.
+      *
+      * The output is a VALID file of the same format: decode(resize(r))
+      * reports the target dimensions, which is what probe x40 oracles.
       */
-    def resizeStub(r: MediaRecord, w: Int, h: Int): MediaRecord =
-      r.copy(bytes = r.bytes.take(math.max(1, (w.toLong * h / 64).toInt)))
+    def resize(r: MediaRecord, outW: Int, outH: Int): MediaRecord = {
+      require(outW > 0 && outH > 0, s"target dims must be positive, got ${outW}x$outH")
+      val b = r.bytes
+      if (b.length >= 54 && b(0) == 'B' && b(1) == 'M' && le16(b, 28) == 24) {
+        val (w, h, off) = (le32(b, 18), le32(b, 22), le32(b, 10))
+        if (w <= 0 || h <= 0) return r
+        val srcRow = ((w * 3 + 3) / 4) * 4
+        val out = bmpBytes(outW, outH) // valid header + zeroed, padded rows
+        val dstRow = ((outW * 3 + 3) / 4) * 4
+        var y = 0
+        while (y < outH) {
+          val sy = (y.toLong * h / outH).toInt
+          var x = 0
+          while (x < outW) {
+            val sx = (x.toLong * w / outW).toInt
+            val so = off + sy * srcRow + sx * 3
+            val dof = 54 + y * dstRow + x * 3
+            if (so + 2 < b.length) {
+              out(dof) = b(so); out(dof + 1) = b(so + 1); out(dof + 2) = b(so + 2)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        r.copy(bytes = out)
+      } else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
+        val meta = decode(r)
+        val (w, h) = (meta.width, meta.height)
+        if (w <= 0 || h <= 0) return r
+        val out = ppmBytes(outW, outH)
+        val srcOff = b.length - w * h * 3   // pixel stream starts right after the header
+        val dstOff = out.length - outW * outH * 3
+        if (srcOff < 2) return r            // malformed header; leave untouched
+        var y = 0
+        while (y < outH) {
+          val sy = (y.toLong * h / outH).toInt
+          var x = 0
+          while (x < outW) {
+            val sx = (x.toLong * w / outW).toInt
+            val so = srcOff + (sy * w + sx) * 3
+            val dof = dstOff + (y * outW + x) * 3
+            if (so + 2 < b.length) {
+              out(dof) = b(so); out(dof + 1) = b(so + 1); out(dof + 2) = b(so + 2)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        r.copy(bytes = out)
+      } else r
+    }
+  }
+
+  /** Distributed resize over a media table — per-partition batch loop like
+    * [[extractMeta]]; non-image kinds pass through unchanged.
+    */
+  def resizeAll(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map(MediaCodec.resize(_, w, h)))
   }
 
   /** Real-file ingestion: Spark's `binaryFile` source — one row per file

@@ -1254,6 +1254,63 @@ object ExtensionProbes {
             |SELECT doc_id, ${TextStats.langIdSql("text")} AS pred_lang
             |FROM planted ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  /** Position-weighted checksum of a little-endian field as SQL: the
+    * `nBytes` bytes of `v` starting at byte offset `at`, each weighted
+    * `(idx % 64) + 1` — replays [[graft.ops.Multimodal.MediaCodec
+    * .checksum]] over header bytes the oracle derives arithmetically.
+    */
+  private def leSumSql(v: String, nBytes: Int, at: Int): String =
+    (0 until nBytes)
+      .map(k => s"((($v) // ${BigInt(256).pow(k)}) % 256) * ${(at + k) % 64 + 1}")
+      .mkString(" + ")
+
+  // — REAL nearest-neighbor raster resize: every image (BMP/PPM) in the
+  //   synthesized media lake is resized to 16×12 and re-decoded. The
+  //   resized pixels are zeroed (the fixture's are), so byte_len, dims,
+  //   channels AND the positional checksum are pure header arithmetic the
+  //   oracle rebuilds byte-by-byte from the file-format spec. WAV rows are
+  //   excluded: resize is an image transform and passes audio through. ————
+  private val x40 = Probe(
+    "x40_multimodal_resize",
+    (s, dir) => {
+      val media = Multimodal.synthMedia(s, t(s, dir, "documents"), "doc_id")
+        .toDF().filter(col("kind") =!= "wav")
+      val resized = Multimodal.resizeAll(s, media, 16, 12).toDF()
+      Multimodal.extractMeta(s, resized).toDF()
+        .select(col("media_id"), col("kind"), col("byte_len"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"), col("checksum"))
+        .orderBy("media_id")
+    },
+    Some {
+      val fileSize = "(54 + ((16*3+3)//4)*4*12)"
+      val dataSize = "(((16*3+3)//4)*4*12)"
+      val bmpSum = Seq(
+        s"66 * 1", s"77 * 2",
+        leSumSql(fileSize, 4, 2),
+        leSumSql("54", 4, 10), leSumSql("40", 4, 14),
+        leSumSql("16", 4, 18), leSumSql("12", 4, 22),
+        leSumSql("1", 2, 26), leSumSql("24", 2, 28),
+        leSumSql(dataSize, 4, 34),
+        leSumSql("2835", 4, 38), leSumSql("2835", 4, 42)).mkString(" + ")
+      s"""WITH hdr AS (SELECT 'P6' || chr(10) || '16 12' || chr(10) || '255' || chr(10) AS p6),
+         |sums AS (
+         |  SELECT CAST($bmpSum AS BIGINT) AS bmp_cs,
+         |    CAST((SELECT list_sum(list_transform(range(1, length(p6) + 1),
+         |      i -> ascii(p6[i]) * (((i - 1) % 64) + 1))) FROM hdr) AS BIGINT) AS ppm_cs,
+         |    CAST((SELECT length(p6) FROM hdr) AS BIGINT) AS p6_len)
+         |SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'ppm' END AS kind,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN $fileSize
+         |            ELSE (SELECT p6_len FROM sums) + 16*12*3 END AS BIGINT) AS byte_len,
+         |  CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+         |  CAST(3 AS BIGINT) AS channels,
+         |  CASE WHEN doc_id % 3 = 0 THEN (SELECT bmp_cs FROM sums)
+         |       ELSE (SELECT ppm_cs FROM sums) END AS checksum
+         |FROM documents WHERE doc_id % 3 != 1
+         |ORDER BY media_id ASC NULLS FIRST""".stripMargin
+    })
+
   // — gap-filled resampling: hourly per-type buckets over a dense calendar
   //   spine (empty hours appear with zero counts). The oracle replays the
   //   bucket → span → generate_series spine → left join exactly. ——————————
@@ -1280,5 +1337,5 @@ object ExtensionProbes {
 
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
-    x33, x34, x35, x36, x37, x38, x39)
+    x33, x34, x35, x36, x37, x38, x39, x40)
 }

@@ -258,6 +258,38 @@ class OpsSpec extends SparkSpec {
     assert((raw.byte_len, raw.width, raw.height, raw.channels) == ((3L, 0, 0, 0)))
   }
 
+  test("media codec resize: true nearest-neighbor sampling for BMP and PPM, audio untouched") {
+    import Multimodal.{MediaCodec, MediaRecord}
+    // 4x2 BMP with per-pixel values v = (x, y-coded): pixel (x,y) blue
+    // channel = 16*y + x, so sampled positions are checkable exactly
+    val src = MediaCodec.bmpBytes(4, 2)
+    val rowSize = ((4 * 3 + 3) / 4) * 4
+    for (y <- 0 until 2; x <- 0 until 4) src(54 + y * rowSize + x * 3) = (16 * y + x).toByte
+    val out = MediaCodec.resize(MediaRecord(1L, "bmp", src, "t"), 2, 1)
+    val m = MediaCodec.decode(out)
+    assert((m.width, m.height, m.channels) == ((2, 1, 3)))
+    // NN: target (0,0)←src(0,0)=0; target (1,0)←src(2,0)=2
+    assert(out.bytes(54) == 0 && out.bytes(57) == 2)
+    // PPM: 2x2 with distinct reds; downsample to 1x1 keeps pixel (0,0)
+    val p = MediaCodec.ppmBytes(2, 2)
+    val off = p.length - 12
+    for (i <- 0 until 4) p(off + i * 3) = (10 + i).toByte
+    val pout = MediaCodec.resize(MediaRecord(2L, "ppm", p, "t"), 1, 1)
+    val pm = MediaCodec.decode(pout)
+    assert((pm.width, pm.height) == ((1, 1)))
+    assert(pout.bytes(pout.bytes.length - 3) == 10)
+    // upsample replicates source pixels (2x2 -> 4x4: each src pixel 2x2 block)
+    val up = MediaCodec.resize(MediaRecord(3L, "ppm", p, "t"), 4, 4)
+    val um = MediaCodec.decode(up)
+    assert((um.width, um.height) == ((4, 4)))
+    val uoff = up.bytes.length - 48
+    assert(up.bytes(uoff) == 10 && up.bytes(uoff + 3) == 10 && up.bytes(uoff + 6) == 11)
+    // WAV passes through unchanged
+    val wav = MediaCodec.wavBytes(1, 8000, 16, 10)
+    val wout = MediaCodec.resize(MediaRecord(4L, "wav", wav, "t"), 16, 12)
+    assert(wout.bytes.sameElements(wav))
+  }
+
   test("multimodal: typed byte-level metadata equals the declarative SQL twin") {
     val media = Multimodal.pack(docs, "doc_id", "text", "image")
     val typed = Multimodal.extractMeta(spark, media).toDF()
