@@ -102,4 +102,37 @@ object Scd {
     untouched.unionByName(
       fromHistory(affectedHist, keyCols, tsCol, payloadCols, tieCols = payloadCols))
   }
+
+  /** Late-data repair: apply an OUT-OF-ORDER batch by rebuilding only the
+    * touched keys from retained raw history — the backfill path [[merge]]
+    * explicitly cannot cover.
+    *
+    * A late record may land inside a span change-compression collapsed
+    * (history A@10, A@30 compresses to one version; a late B@20 must
+    * split it into A[10,20) B[20,30) A[30,∞)) — the needed A@30 row no
+    * longer exists in the dim, so no dim-only computation can be correct.
+    * The repair replays [[fromHistory]] over `rawHistory ∪ lateBatch`
+    * RESTRICTED to the late keys (one semi-join); untouched keys pass
+    * through unread. Cost is O(k · history-per-key) for k late keys, not
+    * O(K) — the raw event log is the warehouse's retained source of
+    * truth, read selectively.
+    *
+    * Property (tested): `repairLate(dim, raw, late) ≡ fromHistory(raw ∪
+    * late)` for any dim built from `raw` with the same key/ts/tie spec.
+    */
+  def repairLate(
+      dim: DataFrame,
+      rawHistory: DataFrame,
+      lateBatch: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payloadCols: Seq[String],
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val lateKeys = lateBatch.select(keyCols.map(col): _*).distinct()
+    val untouched = dim.join(lateKeys, keyCols, "left_anti")
+    val cols = (keyCols ++ Seq(tsCol) ++ payloadCols ++ tieCols).distinct.map(col)
+    val affected = rawHistory.join(lateKeys, keyCols, "left_semi").select(cols: _*)
+      .unionByName(lateBatch.select(cols: _*))
+    untouched.unionByName(fromHistory(affected, keyCols, tsCol, payloadCols, tieCols))
+  }
 }

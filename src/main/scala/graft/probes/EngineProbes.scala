@@ -456,6 +456,48 @@ object EngineProbes {
            |FROM v
            |ORDER BY user_id ASC NULLS FIRST, valid_from ASC NULLS FIRST""".stripMargin))
 
+  // — SCD2 LATE-DATA repair: a deterministic slice of events arrives
+  //   out of order AFTER the dimension was built from the rest. merge()'s
+  //   append-only contract cannot place them (change-compression already
+  //   discarded the rows a late record may split); repairLate rebuilds
+  //   only the touched keys from retained raw history. The oracle is SCD2
+  //   over the FULL history — exactly what the repair must reproduce. ————
+  private val q57 = Probe(
+    "q57_scd2_late_repair",
+    (s, dir) => {
+      val full = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val late = full.filter(col("event_id") % 13 === 5)
+      val onTime = full.filter(col("event_id") % 13 =!= 5)
+      val dim = graft.ops.Scd.fromHistory(onTime,
+        keyCols = Seq("user_id"), tsCol = "ts",
+        payloadCols = Seq("event_type"), tieCols = Seq("event_id"))
+      graft.ops.Scd.repairLate(dim, onTime, late,
+          keyCols = Seq("user_id"), tsCol = "ts",
+          payloadCols = Seq("event_type"), tieCols = Seq("event_id"))
+        .select(col("user_id"), col("event_type").as("state"),
+          date_format(col("valid_from"), graft.etl.Schemas.TsFmt).as("valid_from"),
+          date_format(col("valid_to"), graft.etl.Schemas.TsFmt).as("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from")
+    },
+    Some("""WITH o AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    lag(event_type) OVER w AS prev,
+           |    row_number() OVER w AS rn
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |c AS (SELECT * FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+           |v AS (SELECT user_id, event_type AS state, ts AS valid_from,
+           |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+           |      FROM c)
+           |SELECT user_id, state,
+           |  strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           |  strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           |  valid_to IS NULL AS is_current
+           |FROM v
+           |ORDER BY user_id ASC NULLS FIRST, valid_from ASC NULLS FIRST""".stripMargin))
+
   // — range-partitioned sorted store: `repartitionByRange` + in-partition
   //   sort gives every file a tight min/max on the sort column, so a
   //   selective filter decompresses only the 1-2 overlapping files — the
@@ -640,5 +682,5 @@ object EngineProbes {
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
   val all: Seq[Probe] = Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q48, q49, q50, q51, q52, q53, q54, q55, q56)
+    q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
 }

@@ -753,7 +753,10 @@ object ParityProbes {
         .coalesce(4).write.mode("overwrite")
         .options(Map("header" -> "true", "quote" -> "\"", "escape" -> "\""))
         .csv(src)
-      EtlJob.run(s, EtlJob.Config(src, whDir, clock = () => "2026-01-01 00:00:00"))
+      // partitioned fact write: the production layout (SURVEY §4.4) —
+      // event_year/event_month dirs, pruned reads asserted in ScaleSpec
+      EtlJob.run(s, EtlJob.Config(src, whDir, partitionFactByMonth = true,
+        clock = () => "2026-01-01 00:00:00"))
       def re(n: String) = s.read.parquet(s"$whDir/$n")
       val (dc, dl, dst, dd, dsh, f) =
         (re("DimClient"), re("DimLocation"), re("DimState"), re("DimDate"),

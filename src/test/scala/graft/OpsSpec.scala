@@ -532,6 +532,36 @@ class OpsSpec extends SparkSpec {
     assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
   }
 
+  test("scd2 repairLate: a late change splits a change-compressed span correctly") {
+    // history A@10, A@30 compresses to ONE version [10,∞); late B@20 must
+    // split it into A[10,20) B[20,30) A[30,∞) — the A@30 row no longer
+    // exists in the dim, so only a raw-history replay can get this right
+    val raw = Seq((1L, 10L, "A"), (1L, 30L, "A")).toDF("uid", "ts", "state")
+    val dim = Scd.fromHistory(raw, Seq("uid"), "ts", Seq("state"))
+    assert(dim.count() == 1) // compressed
+    val late = Seq((1L, 20L, "B")).toDF("uid", "ts", "state")
+    val got = Scd.repairLate(dim, raw, late, Seq("uid"), "ts", Seq("state"))
+      .orderBy("valid_from")
+      .select("state", "valid_from", "valid_to", "is_current")
+      .as[(String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("A", 10L, Some(20L), false),
+      ("B", 20L, Some(30L), false),
+      ("A", 30L, None, true)))
+  }
+
+  test("scd2 repairLate equals a full rebuild for any late slice; untouched keys unread") {
+    val full = events.select($"user_id", $"ts", $"event_id", $"event_type")
+    val late = full.filter($"event_id" % 17 === 3)
+    val onTime = full.filter($"event_id" % 17 =!= 3)
+    val dim = Scd.fromHistory(onTime, Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"))
+    val repaired = Scd.repairLate(dim, onTime, late,
+      Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"))
+    val direct = Scd.fromHistory(full, Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"))
+    assert(repaired.count() == direct.count())
+    assert(repaired.exceptAll(direct).isEmpty && direct.exceptAll(repaired).isEmpty)
+  }
+
   test("cms frequency estimates never undercount and stay within eps·N") {
     val toks = docs.select(explode(TextStats.tokens($"text")).as("term")).persist()
     val n = toks.count()
