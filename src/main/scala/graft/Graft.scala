@@ -90,6 +90,15 @@ object Graft {
       corpus: DataFrame, cid: String, cvec: String, k: Int, candMult: Int = 4): DataFrame =
     Similarity.quantizedTopK(queries, qid, qvec, corpus, cid, cvec, k, candMult)
 
+  /** The composed 100-TB ANN plan: IVF coarse quantizer (scan ≈
+    * nprobe/numCentroids of the corpus) with int8 candidate scoring inside
+    * the probed lists + exact rerank.
+    */
+  def topKIvfQuantized(queries: DataFrame, qid: String, qvec: String,
+      corpus: DataFrame, cid: String, cvec: String, cents: DataFrame,
+      k: Int, nprobe: Int, candMult: Int = 4): DataFrame =
+    Ivf.searchQuantized(queries, qid, qvec, corpus, cid, cvec, cents, k, nprobe, candMult)
+
   // — text analysis ([[graft.ops.TextStats]]) ————————————————————————————
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     TextStats.withStats(docs, textCol)
@@ -123,6 +132,14 @@ object Graft {
       tsCol: String, payloadCols: Seq[String]): DataFrame =
     Scd.merge(dim, changes, keyCols, tsCol, payloadCols)
 
+  /** Late/out-of-order batch → rebuild only the touched keys from retained
+    * raw history (the backfill case [[scd2Merge]] cannot cover).
+    */
+  def scd2RepairLate(dim: DataFrame, rawHistory: DataFrame, lateBatch: DataFrame,
+      keyCols: Seq[String], tsCol: String, payloadCols: Seq[String],
+      tieCols: Seq[String] = Nil): DataFrame =
+    Scd.repairLate(dim, rawHistory, lateBatch, keyCols, tsCol, payloadCols, tieCols)
+
   // — training-sequence packing ([[graft.ops.Packing]]) ——————————————————
   def packSequences(docs: DataFrame, idCol: String, tokenCount: Column,
       budget: Int, shards: Int = 64): DataFrame =
@@ -144,6 +161,12 @@ object Graft {
   // — multimodal ([[graft.ops.Multimodal]]) ———————————————————————————————
   def readBinary(spark: SparkSession, dir: String, glob: String, kind: String): DataFrame =
     Multimodal.readBinaryDir(spark, dir, glob, kind)
+
+  /** Nearest-neighbor raster resize for uncompressed images (BMP/PPM);
+    * audio/unknown blobs pass through unchanged.
+    */
+  def resizeMedia(spark: SparkSession, media: DataFrame, w: Int, h: Int) =
+    Multimodal.resizeAll(spark, media, w, h)
 
   // — streaming ([[graft.streaming.StreamingIngest]]) —————————————————————
   def streamFlatEvents(spark: SparkSession, path: String): DataFrame =
