@@ -53,6 +53,7 @@ object Bench {
     "x19_stratified_sample",
     "x21_incremental_dedup",
     "x22_sim_topk_quantized",
+    "x37_sim_topk_ivf_quantized",
     "q49_bloom_join_prune",
     "q51_scd2_history",
     "x27_sequence_pack",

@@ -61,6 +61,12 @@ object Dedup {
 
   /** Exact dedup: group identical content, keep the smallest id.
     * Returns (content_hash, keep_id, dup_count).
+    *
+    * Multi-column contents are joined with '§' before hashing; a VALUE
+    * containing '§' adjacent to the separator can therefore alias a
+    * neighboring column's content. Acceptable for document/text tables
+    * (the single-column case has no separator at all); hash columns
+    * separately and combine if the corpus can contain the separator.
     */
   def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame =
     df.groupBy(

@@ -57,6 +57,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2, plan)
   }
 
+  test("IVF+int8 search: no cartesian pocket; candidate join is an equi-join on the list id") {
+    import graft.ops.Ivf
+    val emb = Readers.table(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 8)
+    val df = Ivf.searchQuantized(queries, "query_id", "qvec",
+      emb, "vec_id", "embedding", cents, k = 3, nprobe = 2)
+    df.collect() // finalize AQE
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"probe x list join must be an equi-join, not a cartesian:\n$plan")
+    // only the broadcast-centroid argmax/probe stages may nest loops; the
+    // corpus-side candidate join must key on centroid_id
+    val bnl = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 2, s"only the two centroid cross joins may be BNL, got $bnl:\n$plan")
+  }
+
   test("vec_dot participates in whole-stage codegen (no interpreted fallback marker)") {
     val emb = Readers.table(spark, sf0001, "embeddings")
     val plan = physical(emb.select(
