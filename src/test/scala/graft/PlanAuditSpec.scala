@@ -15,8 +15,11 @@ class PlanAuditSpec extends SparkSpec {
     "x06_sim_topk_lsh",        // bucketed, but per-bucket pairing is a theta join
     "x07_cosine_near_dup",     // exact pair verify (LSH variant is the scale path)
     "x12_sim_topk_ivf",        // probe×centroid scoring is a small cross product
-    "x22_sim_topk_quantized"   // candidate scan IS corpus×queries by design —
+    "x22_sim_topk_quantized",  // candidate scan IS corpus×queries by design —
                                // the win is int8 bytes/FLOPs, not asymptotics
+    "x37_sim_topk_ivf_quantized", // probe×centroid scoring, like x12; PlanSpec
+                                  // separately pins BNL count ≤ 2 (centroids only)
+    "x38_ann_planted_recall"   // embeds the x05 brute-force pass as its ground truth
   )
 
   // streaming probes execute a query at construction time; plan-audited
