@@ -57,7 +57,9 @@ object Bench {
     "q49_bloom_join_prune",
     "q51_scd2_history",
     "x27_sequence_pack",
-    "x28_quality_prune")
+    "x28_quality_prune",
+    "x41_decontaminate",
+    "x43_repetition_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

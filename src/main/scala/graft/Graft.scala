@@ -76,6 +76,26 @@ object Graft {
     Dedup.incrementalDedup(corpus, batch, idCol, text, n, numPerm, bands, numPerm / bands, threshold)
   }
 
+  /** End-to-end semantic (embedding-cosine) dedup removal — SemDeDup shape:
+    * LSH cosine pairs → clusters → drop non-canonical members.
+    */
+  def dedupSemantic(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame =
+    Dedup.dedupCorpusSemantic(emb, idCol, vecCol, threshold, numPlanes, dim)
+
+  /** Benchmark decontamination: remove corpus docs sharing ≥ minHits
+    * distinct n-gram shingles with any eval-set document.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, text: Column,
+      bench: DataFrame, benchIdCol: String, benchText: Column,
+      n: Int = 13, minHits: Long = 1L): DataFrame =
+    Decontaminate.clean(corpus, idCol, text, bench, benchIdCol, benchText, n, minHits)
+
+  /** Gopher-style within-document repetition stats + keep verdict. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String = "text",
+      lineSep: String = "\n"): DataFrame =
+    Repetition.gopherStats(docs, idCol, textCol, lineSep)
+
   // — similarity search ([[graft.ops.Similarity]], [[graft.ops.Ivf]]) ————
   def topKExact(queries: DataFrame, qid: String, qvec: String,
       corpus: DataFrame, cid: String, cvec: String, k: Int): DataFrame =

@@ -69,12 +69,13 @@ object ScalePilot {
     shifted("orders", (df, i) => df
       .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
       .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 100000000L)))
-    // 1e8 shift (not 1e9): several downstream paths cast ids through INT
-    // (vocab synth, JSONL roundtrip) — copies must stay under 2^31
+    // 3e7 shift (not 1e8): the vocab-synth/JSONL paths cast event ids
+    // through INT per the reference's parcel-field types, so even the
+    // 64-copy pilot must keep max(user_id) = 63·shift + base under 2^31
     shifted("events", (df, i) => {
       val s = df
-        .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
-        .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 30000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 30000000L))
       if (eventsNs) s.withColumn("ts", unix_micros(col("ts")) * lit(1000L)) else s
     })
     shifted("documents", (df, i) => df

@@ -405,6 +405,31 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** End-to-end SEMANTIC near-dup removal over an embedding column — the
+    * SemDeDup shape (Abbas et al. '23): embedding-cosine pairs →
+    * [[components]] → keep the component-minimum id. `exact = true` swaps
+    * in the quadratic all-pairs verifier ([[Similarity.cosinePairsExact]])
+    * so the whole result can be value-oracled; the default LSH-bucketed
+    * pair stage ([[Similarity.cosinePairs]]) is the 100-TB path (pair work
+    * bounded by bucket mates, recall gated by the planted-neighbor probe).
+    * Cache lifecycle mirrors [[dedupCorpusExact]]: only the drop set stays
+    * checkpointed to feed the returned anti-join.
+    */
+  def dedupCorpusSemantic(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 8, dim: Int = 64,
+      exact: Boolean = false, maxIter: Int = 20): DataFrame = {
+    val pairs =
+      if (exact) Similarity.cosinePairsExact(emb, idCol, vecCol, threshold)
+      else Similarity.cosinePairs(emb, idCol, vecCol, threshold, numPlanes, dim)
+    val labels = components(pairs, maxIter)
+    val drop = labels
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+      .localCheckpoint()
+    labels.unpersist()
+    emb.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Incremental dedup: a NEW batch of documents against an EXISTING
     * (already-deduped) corpus — the daily-ingest shape of a training-data
     * pipeline. The critical scale property is asymmetry: the corpus side

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Canonical.round4
+
+/** Within-document repetition statistics and the quality gate built on
+  * them — the "repetitious text" filters of the Gopher / MassiveText
+  * pipeline (Rae et al. '21, table A1), the standard pre-training pass
+  * that evicts boilerplate, scraped navigation, and generation loops.
+  *
+  * Two families:
+  *   - LINE stats ([[withLineStats]]): pure per-row array expressions
+  *     (split → distinct → length sums), shuffle-free and embarrassingly
+  *     parallel — the 100-TB shape.
+  *   - N-GRAM stats ([[topNgramCharFrac]], [[dupNgramCharFrac]]): one
+  *     explode + one keyed aggregate per n, keyed by document id — same
+  *     single-shuffle budget as [[TextStats.tfidfTopTerms]]. A per-row
+  *     formulation would be quadratic in document length (each gram
+  *     recounted against every other), so the shuffle is the right trade.
+  *
+  * Character-fraction conventions (documented because published
+  * implementations differ in the overlap fine print):
+  *   - `dup_line_char_frac`: characters in occurrences AFTER the first of
+  *     each repeated line, over total line characters — i.e.
+  *     `1 − Σ_distinct len / Σ_all len`.
+  *   - `top_ngram_char_frac`: occurrences × length (with joining spaces)
+  *     of the most frequent n-gram, over `length(text)`.
+  *   - `dup_ngram_char_frac`: Σ occurrences × length over every n-gram
+  *     appearing ≥ 2 times, over `length(text)`. Overlapping occurrences
+  *     are each counted (the Dolma-style approximation of Gopher's
+  *     covered-character definition; exact interval coverage needs a
+  *     per-row merge pass that can't stay declarative).
+  * All fractions are [[round4]]-canonicalized so DuckDB replays them
+  * bit-for-bit.
+  */
+object Repetition {
+
+  /** All word n-grams of a text column WITH multiplicity (unlike
+    * [[Dedup.shingles]], which is the distinct set) — repetition counting
+    * needs every occurrence.
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = filter(split(text, "\\s+"), t => t =!= lit(""))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Append `dup_line_frac` and `dup_line_char_frac` computed over the
+    * `sep`-separated segments of `textCol` (default newline; pass `" "`
+    * to measure token-level repetition of single-line text). Documents
+    * with no segments get 0.0 for both.
+    */
+  def withLineStats(docs: DataFrame, textCol: String, sep: String = "\n"): DataFrame = {
+    val lines = filter(split(col(textCol), sep), l => l =!= lit(""))
+    val distinctLines = array_distinct(lines)
+    def charSum(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val n = size(lines)
+    val total = charSum(lines)
+    docs
+      .withColumn("dup_line_frac", round4(
+        when(n === 0, lit(0.0)).otherwise(
+          (n - size(distinctLines)).cast("double") / n.cast("double"))))
+      .withColumn("dup_line_char_frac", round4(
+        when(total === 0L, lit(0.0)).otherwise(
+          (total - charSum(distinctLines)).cast("double") / total.cast("double"))))
+  }
+
+  /** (id, top_ngram_char_frac): character share of the single most
+    * frequent word n-gram. Ties break deterministically toward the longer
+    * gram, then the lexicographically larger gram (a `max(struct(...))`
+    * — one partial-aggregating shuffle, no window sort). Documents with
+    * no n-gram (shorter than n tokens) score 0.0.
+    */
+  def topNgramCharFrac(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("id"), explode(ngrams(col(textCol), n)).as("gram"))
+      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val top = counts
+      .groupBy(col("id"))
+      .agg(max(struct(col("cnt"), length(col("gram")).as("glen"), col("gram"))).as("top"))
+      .select(col("id"),
+        (col("top.cnt") * col("top.glen").cast("long")).as("__top_chars"))
+    docs.select(col(idCol).as("id"), length(col(textCol)).cast("long").as("__len"))
+      .join(top, Seq("id"), "left")
+      .select(col("id").as(idCol), round4(
+        when(col("__len").isNull || col("__len") === 0L || col("__top_chars").isNull, lit(0.0))
+          .otherwise(col("__top_chars").cast("double") / col("__len").cast("double")))
+        .as(s"top_${n}gram_char_frac"))
+  }
+
+  /** (id, dup_ngram_char_frac): character share of all occurrences of
+    * word n-grams appearing at least twice. Same single-shuffle plan as
+    * [[topNgramCharFrac]].
+    */
+  def dupNgramCharFrac(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val dupChars = docs
+      .select(col(idCol).as("id"), explode(ngrams(col(textCol), n)).as("gram"))
+      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2L)
+      .groupBy(col("id"))
+      .agg(sum(col("cnt") * length(col("gram")).cast("long")).as("__dup_chars"))
+    docs.select(col(idCol).as("id"), length(col(textCol)).cast("long").as("__len"))
+      .join(dupChars, Seq("id"), "left")
+      .select(col("id").as(idCol), round4(
+        when(col("__len").isNull || col("__len") === 0L || col("__dup_chars").isNull, lit(0.0))
+          .otherwise(col("__dup_chars").cast("double") / col("__len").cast("double")))
+        .as(s"dup_${n}gram_char_frac"))
+  }
+
+  /** Gopher-style repetition gate: line stats + top-2-gram + dup-5-gram
+    * fractions, with a `keep` verdict under the published-shaped
+    * thresholds (Rae et al. '21 use 0.30 / 0.20 for the line family,
+    * 0.20 for top-2-grams, 0.15 at 5-grams). Returns the id, the four
+    * fractions, and `keep` — compose with an anti/semi join (or
+    * `filter(col("keep"))` + join back) to apply.
+    */
+  def gopherStats(docs: DataFrame, idCol: String, textCol: String,
+      lineSep: String = "\n",
+      maxDupLineFrac: Double = 0.30, maxDupLineCharFrac: Double = 0.20,
+      maxTop2GramCharFrac: Double = 0.20, maxDup5GramCharFrac: Double = 0.15): DataFrame = {
+    val lineStats = withLineStats(docs, textCol, lineSep)
+      .select(col(idCol), col("dup_line_frac"), col("dup_line_char_frac"))
+    lineStats
+      .join(topNgramCharFrac(docs, idCol, textCol, 2), Seq(idCol))
+      .join(dupNgramCharFrac(docs, idCol, textCol, 5), Seq(idCol))
+      .withColumn("keep",
+        col("dup_line_frac") <= maxDupLineFrac &&
+          col("dup_line_char_frac") <= maxDupLineCharFrac &&
+          col("top_2gram_char_frac") <= maxTop2GramCharFrac &&
+          col("dup_5gram_char_frac") <= maxDup5GramCharFrac)
+  }
+}

@@ -1335,7 +1335,153 @@ object ExtensionProbes {
             |FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.h = b.h
             |ORDER BY s.event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin))
 
+  /** Shingle CTE for the decontamination split: `c` = corpus (doc_id % 37
+    * != 0), `b` = benchmark (doc_id % 37 = 0), distinct 3-gram shingles.
+    */
+  private val decontCte =
+    """sh AS (
+      |  SELECT doc_id AS id, unnest(list_distinct(
+      |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tok
+      |        FROM documents)),
+      |c AS (SELECT * FROM sh WHERE id % 37 != 0),
+      |b AS (SELECT * FROM sh WHERE id % 37 = 0),
+      |o AS (
+      |  SELECT c.id AS corpus_id, b.id AS bench_id, CAST(count(*) AS BIGINT) AS hits
+      |  FROM c JOIN b ON c.s = b.s GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  // — benchmark decontamination: corpus docs sharing ≥2 distinct 3-gram
+  //   shingles with any "eval set" doc (the doc_id % 37 = 0 slice standing
+  //   in for a benchmark) are flagged (x41) and removed (x42) — the
+  //   GPT-3-appendix n-gram collision pass, fully value-oracled. —————————
+  private val x41 = Probe(
+    "x41_decontaminate",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("bid"), col("text").as("btext"))
+      Decontaminate.overlaps(corpus, "doc_id", col("text"), bench, "bid", col("btext"),
+          n = 3, minHits = 2)
+        .orderBy("corpus_id", "bench_id")
+    },
+    Some(s"""WITH $decontCte
+            |SELECT corpus_id, bench_id, hits FROM o
+            |ORDER BY corpus_id ASC NULLS FIRST, bench_id ASC NULLS FIRST""".stripMargin))
+
+  private val x42 = Probe(
+    "x42_decontaminate_clean",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("bid"), col("text").as("btext"))
+      Decontaminate.clean(corpus, "doc_id", col("text"), bench, "bid", col("btext"),
+          n = 3, minHits = 2)
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+    Some(s"""WITH $decontCte
+            |SELECT doc_id FROM documents
+            |WHERE doc_id % 37 != 0 AND doc_id NOT IN (SELECT corpus_id FROM o)
+            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  // — Gopher-style repetition stats + keep gate over a planted fixture
+  //   (boilerplate loop / clean 2-liner / natural single-line text); every
+  //   fraction is integer counting + one round4 division, so DuckDB
+  //   replays the whole gate bit-for-bit. ————————————————————————————————
+  private val repBoiler =
+    "click here to buy now\nclick here to buy now\nclick here to buy now\nclick here to buy now"
+  private val repNatural =
+    "the quick brown fox jumps over a lazy dog\nand then it ran far away from home"
+
+  private val x43 = Probe(
+    "x43_repetition_stats",
+    (s, dir) => {
+      val planted = Readers.fanOut(t(s, dir, "documents")).select(col("doc_id"),
+        when(col("doc_id") % 13 === 1, repBoiler)
+          .when(col("doc_id") % 13 === 2, repNatural)
+          .otherwise(col("text")).as("text"))
+      Repetition.gopherStats(planted, "doc_id", "text").orderBy("doc_id")
+    },
+    Some {
+      val r4 = graft.Canonical.round4Sql _
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 1 THEN '${repBoiler.replace("\n", "' || chr(10) || '")}'
+         |         WHEN doc_id % 13 = 2 THEN '${repNatural.replace("\n", "' || chr(10) || '")}'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |ln AS (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x != '') AS l
+         |       FROM planted),
+         |linestats AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(l) = 0 THEN 0.0
+         |         ELSE ${r4("(len(l) - len(list_distinct(l))) * 1.0 / len(l)")} END AS dup_line_frac,
+         |    CASE WHEN coalesce(list_sum(list_transform(l, x -> length(x))), 0) = 0 THEN 0.0
+         |         ELSE ${r4("(list_sum(list_transform(l, x -> length(x))) - list_sum(list_transform(list_distinct(l), x -> length(x)))) * 1.0 / list_sum(list_transform(l, x -> length(x)))")} END AS dup_line_char_frac
+         |  FROM ln),
+         |toks AS (SELECT doc_id, length(text) AS tlen,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+         |  FROM planted),
+         |g2 AS (SELECT doc_id, unnest([tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))]) AS gram FROM toks),
+         |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+         |top2 AS (SELECT doc_id, cnt * length(gram) AS topchars FROM (
+         |    SELECT doc_id, cnt, gram, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY cnt DESC, length(gram) DESC, gram DESC) AS rn
+         |    FROM c2) WHERE rn = 1),
+         |g5 AS (SELECT doc_id, unnest([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3] || ' ' || tok[i+4]
+         |    for i in range(1, len(tok) - 3)]) AS gram FROM toks),
+         |c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+         |dup5 AS (SELECT doc_id, sum(cnt * length(gram)) AS dupchars FROM c5 WHERE cnt >= 2 GROUP BY doc_id),
+         |fr AS (
+         |  SELECT t.doc_id, ls.dup_line_frac, ls.dup_line_char_frac,
+         |    CASE WHEN t.tlen = 0 OR top2.topchars IS NULL THEN 0.0
+         |         ELSE ${r4("top2.topchars * 1.0 / t.tlen")} END AS top_2gram_char_frac,
+         |    CASE WHEN t.tlen = 0 OR dup5.dupchars IS NULL THEN 0.0
+         |         ELSE ${r4("dup5.dupchars * 1.0 / t.tlen")} END AS dup_5gram_char_frac
+         |  FROM toks t
+         |  JOIN linestats ls USING (doc_id)
+         |  LEFT JOIN top2 USING (doc_id)
+         |  LEFT JOIN dup5 USING (doc_id))
+         |SELECT doc_id, dup_line_frac, dup_line_char_frac, top_2gram_char_frac, dup_5gram_char_frac,
+         |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+         |   AND top_2gram_char_frac <= 0.20 AND dup_5gram_char_frac <= 0.15) AS keep
+         |FROM fr ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+    })
+
+  // — end-to-end SEMANTIC dedup (SemDeDup shape): exact cosine pairs →
+  //   components → drop non-canonical members; the surviving id set is
+  //   oracled (pairs via the x07 dot-product CTE, clusters via the x23
+  //   recursive closure). The LSH pair stage is the scale path; its recall
+  //   is gated separately by x38. ————————————————————————————————————————
+  private val x44 = Probe(
+    "x44_semantic_dedup",
+    (s, dir) => Dedup.dedupCorpusSemantic(Readers.fanOut(t(s, dir, "embeddings")),
+        "vec_id", "embedding", 0.4, exact = true)
+      .select(col("vec_id")).orderBy("vec_id"),
+    Some("""WITH RECURSIVE pairs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+           |flat AS (SELECT id_a, id_b, CAST(unnest(ea) AS DOUBLE) AS x,
+           |                CAST(unnest(eb) AS DOUBLE) AS y FROM pairs),
+           |dots AS (SELECT id_a, id_b, sum(x * y) AS d, sum(x * x) AS nx, sum(y * y) AS ny
+           |         FROM flat GROUP BY 1, 2),
+           |jac AS (SELECT id_a, id_b FROM dots
+           |        WHERE round(d / (sqrt(nx) * sqrt(ny)), 6) >= 0.4),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM jac
+           |  UNION
+           |  SELECT id_b AS src, id_a AS dst FROM jac),
+           |reach AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+           |comp AS (SELECT src AS id, least(src, min(dst)) AS comp FROM reach GROUP BY src)
+           |SELECT vec_id FROM embeddings
+           |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id != comp)
+           |ORDER BY vec_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
-    x33, x34, x35, x36, x37, x38, x39, x40)
+    x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44)
 }

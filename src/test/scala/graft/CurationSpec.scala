@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Decontaminate, Dedup, Repetition}
+
+/** Corpus-curation operators: benchmark decontamination, Gopher-style
+  * repetition stats, and end-to-end semantic dedup.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val bench = Seq((100L, "alpha beta gamma delta")).toDF("bid", "btext")
+  private lazy val corpus = Seq(
+    (1L, "alpha beta gamma epsilon"),              // shares 1 trigram
+    (2L, "alpha beta gamma delta zeta"),           // shares 2 trigrams
+    (3L, "unrelated text entirely different here") // shares none
+  ).toDF("doc_id", "text")
+
+  test("decontaminate overlaps: distinct shared shingles per pair, minHits gate") {
+    val got = Decontaminate.overlaps(corpus, "doc_id", $"text", bench, "bid", $"btext", 3)
+      .orderBy("corpus_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 100L, 1L), (2L, 100L, 2L)))
+    val strict = Decontaminate.overlaps(corpus, "doc_id", $"text", bench, "bid", $"btext", 3, minHits = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(strict == Seq((2L, 100L, 2L)))
+  }
+
+  test("decontaminate hits count shared VOCABULARY, not repeated occurrences") {
+    val repeaty = Seq((4L, "alpha beta gamma alpha beta gamma alpha beta gamma")).toDF("doc_id", "text")
+    val got = Decontaminate.overlaps(repeaty, "doc_id", $"text", bench, "bid", $"btext", 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((4L, 100L, 1L)), s"100 repeats of one benchmark phrase must score 1: $got")
+  }
+
+  test("decontaminate clean removes flagged docs, preserves layout") {
+    val cleaned = Decontaminate.clean(corpus, "doc_id", $"text", bench, "bid", $"btext", 3)
+    assert(cleaned.columns.toSeq == corpus.columns.toSeq)
+    assert(cleaned.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("line stats: hand-computed duplicate-line and char fractions") {
+    val df = Seq(
+      (1L, "a\nb\na\nc"),   // 4 lines, 3 distinct → 0.25; chars 4 vs 3 → 0.25
+      (2L, "aa\nbb\naa"),   // chars 6 vs 4 → 0.3333; lines 3 vs 2 → 0.3333
+      (3L, "x\ny"),         // no dups
+      (4L, "")              // no lines → 0.0
+    ).toDF("id", "text")
+    val got = Repetition.withLineStats(df, "text")
+      .orderBy("id").select("dup_line_frac", "dup_line_char_frac")
+      .as[(Double, Double)].collect().toSeq
+    assert(got == Seq((0.25, 0.25), (0.3333, 0.3333), (0.0, 0.0), (0.0, 0.0)))
+  }
+
+  test("top/dup n-gram char fractions: hand-computed, deterministic tie-break") {
+    val df = Seq(
+      (1L, "x y x y z"), // top 2-gram "x y"×2, 6 chars / 9 → 0.6667; dup same
+      (2L, "a b c d"),   // all 2-grams unique: top = lexicographically largest "c d" → 3/7
+      (3L, "w")          // shorter than n → 0.0
+    ).toDF("id", "text")
+    val top = Repetition.topNgramCharFrac(df, "id", "text", 2)
+      .orderBy("id").select("top_2gram_char_frac").as[Double].collect().toSeq
+    assert(top == Seq(0.6667, 0.4286, 0.0))
+    val dup = Repetition.dupNgramCharFrac(df, "id", "text", 2)
+      .orderBy("id").select("dup_2gram_char_frac").as[Double].collect().toSeq
+    assert(dup == Seq(0.6667, 0.0, 0.0))
+  }
+
+  test("gopher gate: boilerplate loop fails, natural text passes") {
+    val df = Seq(
+      (1L, "click here to buy\nclick here to buy\nclick here to buy\nclick here to buy"),
+      (2L, "the quick brown fox jumps over a lazy dog\nand then it ran away home")
+    ).toDF("id", "text")
+    val got = Repetition.gopherStats(df, "id", "text")
+      .orderBy("id").select("keep").as[Boolean].collect().toSeq
+    assert(got == Seq(false, true))
+  }
+
+  test("semantic dedup: identical-direction embeddings collapse, exact ≡ lsh on easy fixture") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f, 0.0f)),  // same direction as 1 → cosine 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal
+      (4L, Array(0.0f, 1.0f, 0.01f, 0.0f))  // near-dup of 3
+    ).toDF("vec_id", "embedding")
+    val exact = Dedup.dedupCorpusSemantic(emb, "vec_id", "embedding", 0.99, exact = true)
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    assert(exact == Seq(1L, 3L), s"components keep the min id per cluster: $exact")
+    val lsh = Dedup.dedupCorpusSemantic(emb, "vec_id", "embedding", 0.99, numPlanes = 4, dim = 4)
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    assert(lsh == exact, s"LSH path must agree on a trivially-bucketable fixture: $lsh")
+    // cache lifecycle (localCheckpoint, no persist) of the underlying pair
+    // ops is asserted in OpsSpec under a cleared cache; a global isEmpty
+    // check here would race with concurrently-running suites that share
+    // the JVM-wide CacheManager
+  }
+}

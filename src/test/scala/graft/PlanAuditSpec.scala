@@ -19,7 +19,9 @@ class PlanAuditSpec extends SparkSpec {
                                // the win is int8 bytes/FLOPs, not asymptotics
     "x37_sim_topk_ivf_quantized", // probe×centroid scoring, like x12; PlanSpec
                                   // separately pins BNL count ≤ 2 (centroids only)
-    "x38_ann_planted_recall"   // embeds the x05 brute-force pass as its ground truth
+    "x38_ann_planted_recall",  // embeds the x05 brute-force pass as its ground truth
+    "x44_semantic_dedup"       // probes the exact=true variant so the surviving set
+                               // is value-oracled; the LSH pair stage is the scale path
   )
 
   // streaming probes execute a query at construction time; plan-audited
