@@ -130,6 +130,16 @@ object Graft {
   /** Redact URLs/emails/phone numbers — the pre-training scrub pass. */
   def scrubText(text: Column): Column = TextStats.scrub(text)
 
+  /** Per-language quality gate: `approx = false` is the exact
+    * floor(frac·n) window form; `approx = true` is the 2-pass sketch
+    * threshold + broadcast cut that never sorts a language partition
+    * (the dominant-language-safe 100-TB form).
+    */
+  def qualityPrune(docs: DataFrame, idCol: String, frac: Double,
+      textCol: String = "text", approx: Boolean = false): DataFrame =
+    if (approx) TextStats.qualityPruneApprox(docs, idCol, frac, textCol)
+    else TextStats.qualityPrune(docs, idCol, frac, textCol)
+
   // — sessionization ([[graft.ops.Sessionize]]) ———————————————————————————
   def sessionize(events: DataFrame, idCol: String, tsCol: String, gap: String,
       valueCol: Option[String] = None): DataFrame =

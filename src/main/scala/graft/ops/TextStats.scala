@@ -206,6 +206,35 @@ object TextStats {
       .drop("__rn", "__n")
   }
 
+  /** The 100-TB form of [[qualityPrune]]: a 2-pass approx-threshold cut
+    * instead of a per-language rank window. Pass 1 sketches the `frac`
+    * quantile of `quality_score` per language (`percentile_approx`, a
+    * mergeable KLL-style sketch — tiny fixed-size state per language, no
+    * partition sort); pass 2 keeps rows scoring ABOVE the threshold via a
+    * broadcast-size join on the language key. A dominant language never
+    * gets sorted — the plan has no Window at all (asserted in PlanSpec).
+    *
+    * Trade-off vs the exact form: the kept count per language is
+    * `n − rank(threshold)` rather than exactly `n − floor(frac·n)`, off
+    * by the sketch error (± `n/accuracy` ranks) plus ties at the
+    * threshold (all threshold-equal rows are dropped together — a
+    * deterministic, content-defined cut, where the exact form tie-breaks
+    * by id).
+    */
+  def qualityPruneApprox(docs: DataFrame, idCol: String, frac: Double,
+      textCol: String = "text", accuracy: Int = 10000): DataFrame = {
+    require(frac >= 0.0 && frac < 1.0, s"frac must be in [0,1), got $frac")
+    val stats = withStats(docs, textCol)
+    if (frac == 0.0) stats
+    else {
+      val thresholds = stats.groupBy(col("pred_lang"))
+        .agg(percentile_approx(col("quality_score"), lit(frac), lit(accuracy)).as("__thr"))
+      stats.join(thresholds, Seq("pred_lang"))
+        .filter(col("quality_score") > col("__thr"))
+        .drop("__thr")
+    }
+  }
+
   /** All stats in one projection over a document table. */
   def withStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1481,7 +1481,74 @@ object ExtensionProbes {
            |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id != comp)
            |ORDER BY vec_id ASC NULLS FIRST""".stripMargin))
 
+  // — approx quality prune (the 100-TB 2-pass form): per-language sketch
+  //   threshold + broadcast cut instead of a partition sort. Gated against
+  //   the exact window form: the approx cut never keeps MORE than the
+  //   exact floor(frac·n) contract, and the shortfall is bounded by the
+  //   ties at the threshold (the sketch's rank error is < 1 at fixture
+  //   scale). n_total / n_kept_exact are DuckDB-recomputed exactly. ———————
+  private val x45 = Probe(
+    "x45_quality_prune_approx",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val frac = 0.2
+      val stats = TextStats.withStats(docs)
+        .select(col("doc_id"), col("pred_lang"), col("quality_score"))
+      val thr = stats.groupBy(col("pred_lang"))
+        .agg(percentile_approx(col("quality_score"), lit(frac), lit(10000)).as("__thr"))
+      val total = stats.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_total"))
+      val keptE = TextStats.qualityPrune(docs, "doc_id", frac)
+        .groupBy(col("pred_lang")).agg(count(lit(1)).as("n_kept_exact"))
+      val keptA = TextStats.qualityPruneApprox(docs, "doc_id", frac)
+        .groupBy(col("pred_lang")).agg(count(lit(1)).as("__n_kept_approx"))
+      val ties = stats.join(thr, Seq("pred_lang"))
+        .filter(col("quality_score") === col("__thr"))
+        .groupBy(col("pred_lang")).agg(count(lit(1)).as("__n_ties"))
+      total
+        .join(keptE, Seq("pred_lang"), "left")
+        .join(keptA, Seq("pred_lang"), "left")
+        .join(ties, Seq("pred_lang"), "left")
+        .select(col("pred_lang"), col("n_total"),
+          coalesce(col("n_kept_exact"), lit(0L)).as("n_kept_exact"),
+          (coalesce(col("__n_kept_approx"), lit(0L)) <=
+            coalesce(col("n_kept_exact"), lit(0L))).as("approx_not_over"),
+          (coalesce(col("n_kept_exact"), lit(0L)) -
+            coalesce(col("__n_kept_approx"), lit(0L)) <=
+            coalesce(col("__n_ties"), lit(0L))).as("approx_within_ties"))
+        .orderBy("pred_lang")
+    },
+    Some(s"""WITH base AS (
+            |  SELECT doc_id, text,
+            |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+            |  FROM documents),
+            |ratios AS (
+            |  SELECT doc_id, text,
+            |    CAST(len(tok) AS BIGINT) AS n_tokens,
+            |    floor((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+            |      / nullif(length(text), 0)) * 10000 + 0.5) / 10000 AS punct_ratio,
+            |    floor((CAST(len(list_filter(tok, t -> t = 'the' OR t = 'a')) AS DOUBLE)
+            |      / nullif(len(tok), 0)) * 10000 + 0.5) / 10000 AS stopword_ratio
+            |  FROM base),
+            |scored AS (
+            |  SELECT doc_id,
+            |    ${TextStats.langIdSql("text")} AS pred_lang,
+            |    floor((least(1.0, n_tokens / 64.0) * 0.4
+            |      + (1.0 - least(1.0, coalesce(punct_ratio, 0) * 10)) * 0.3
+            |      + least(1.0, coalesce(stopword_ratio, 0) * 20) * 0.3) * 10000 + 0.5) / 10000
+            |      AS quality_score
+            |  FROM ratios),
+            |ranked AS (
+            |  SELECT *, row_number() OVER (PARTITION BY pred_lang
+            |      ORDER BY quality_score ASC, doc_id ASC) AS rn,
+            |    count(*) OVER (PARTITION BY pred_lang) AS n
+            |  FROM scored)
+            |SELECT pred_lang, CAST(max(n) AS BIGINT) AS n_total,
+            |  CAST(count(*) FILTER (WHERE rn > floor(n * 0.2)) AS BIGINT) AS n_kept_exact,
+            |  TRUE AS approx_not_over, TRUE AS approx_within_ties
+            |FROM ranked GROUP BY pred_lang
+            |ORDER BY pred_lang ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
-    x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44)
+    x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45)
 }

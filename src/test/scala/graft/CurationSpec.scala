@@ -75,6 +75,29 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq(false, true))
   }
 
+  test("approx quality prune: equals exact form on distinct scores, subset under ties") {
+    import graft.ops.TextStats
+    // token count drives the score monotonically (punct 0, stopwords 0)
+    val distinct = (1 to 10).map(k => (k.toLong, (1 to 4 * k).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val exact = TextStats.qualityPrune(distinct, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val approx = TextStats.qualityPruneApprox(distinct, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == (3L to 10L).toSet, s"exact drops floor(0.2·10)=2 lowest: $exact")
+    assert(approx == exact, s"distinct scores: sketch threshold cut must agree: $approx")
+    // all-tied scores: approx drops the whole tie group together (clean,
+    // content-defined cut); result must be a subset of the exact keep set
+    val tied = (1 to 10).map(k => (k.toLong, "same text every time here")).toDF("doc_id", "text")
+    val exactT = TextStats.qualityPrune(tied, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val approxT = TextStats.qualityPruneApprox(tied, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactT.size == 8 && approxT.subsetOf(exactT), s"tied: $approxT vs $exactT")
+    // frac = 0 keeps everything in both forms
+    assert(TextStats.qualityPruneApprox(distinct, "doc_id", 0.0).count() == 10L)
+  }
+
   test("semantic dedup: identical-direction embeddings collapse, exact ≡ lsh on easy fixture") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -214,6 +214,12 @@ class PlanSpec extends SparkSpec {
       Seq("user_id"), "ts", Seq("event_type"))) == 1)
     // quality pruning: ONE shuffle on the language partition key
     assert(exchanges(graft.ops.TextStats.qualityPrune(docs, "doc_id", 0.2)) == 1)
+    // approx quality pruning: NO window anywhere — the dominant-language
+    // partition is never sorted (sketch agg + threshold join only)
+    val approxPlan = graft.ops.TextStats.qualityPruneApprox(docs, "doc_id", 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Window"),
+      s"approx prune must not sort language partitions:\n$approxPlan")
   }
 
   test("AQE splits the skewed join partition (skew=true in the executed join)") {
