@@ -62,17 +62,21 @@ object Dedup {
   /** Exact dedup: group identical content, keep the smallest id.
     * Returns (content_hash, keep_id, dup_count).
     *
-    * Multi-column contents are joined with '§' before hashing; a VALUE
-    * containing '§' adjacent to the separator can therefore alias a
-    * neighboring column's content. Acceptable for document/text tables
-    * (the single-column case has no separator at all); hash columns
-    * separately and combine if the corpus can contain the separator.
+    * Multi-column contents hash each column separately and hash the
+    * concatenation of the fixed-width hex digests — no separator exists
+    * in the outer preimage, so no value can alias a neighboring column's
+    * content (a '§'-joined preimage was aliasable: ("x§0y","z") and
+    * ("x","y§0z") concatenate identically). The single-column digest is
+    * the plain tagged hash, replayable as
+    * `sha256(CAST(c IS NULL AS VARCHAR) || coalesce(c, ''))`.
     */
-  def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame =
-    df.groupBy(
-      sha2(concat_ws("§", contentCols.map(c => tagged(col(c))): _*), 256)
-        .as("content_hash"))
+  def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
+    val digest =
+      if (contentCols.size == 1) sha2(tagged(col(contentCols.head)), 256)
+      else sha2(concat(contentCols.map(c => sha2(tagged(col(c)), 256)): _*), 256)
+    df.groupBy(digest.as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+  }
 
   /** Keep-one projection of [[exact]]: the input minus exact duplicates. */
   def exactKeepFirst(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {

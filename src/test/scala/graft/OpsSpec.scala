@@ -36,6 +36,17 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.exactKeepFirst(df, Seq("text"), "id").count() == 2)
   }
 
+  test("multi-column exact dedup: separator-adjacent values cannot alias across columns") {
+    // under a '§'-joined preimage these two rows hashed identically
+    val df = Seq((1L, "x§0y", "z"), (2L, "x", "y§0z")).toDF("id", "a", "b")
+    assert(Dedup.exact(df, Seq("a", "b"), "id").count() == 2,
+      "hash-of-hashes must keep cross-column boundaries distinct")
+    val dup = Seq((1L, "p", "q"), (2L, "p", "q")).toDF("id", "a", "b")
+    val got = Dedup.exact(dup, Seq("a", "b"), "id")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)), s"true multi-column duplicates still group: $got")
+  }
+
   test("null text and the literal sentinel string never collide in exact/incremental dedup") {
     val df = Seq((1L, null: String), (2L, "␀"), (3L, null: String)).toDF("id", "text")
     val groups = Dedup.exact(df, Seq("text"), "id")
