@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Packing, Scd, Sessionize, Similarity, TextStats}
+import graft.ops.{Decontaminate, Dedup, Packing, Repetition, Scd, Sessionize, Similarity, TextStats}
 import graft.sources.Readers
 
 /** Empirical scaling pilot: run the heavy operator families at 1× and N×
@@ -82,8 +82,18 @@ object ScalePilot {
       .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
       .withColumn("text", concat_ws(" ",
         transform(split(col("text"), "\\s+"), t => concat(lit(s"c${i}_"), t)))))
+    // per-copy circular rotation of the dimensions: preserves every
+    // within-copy norm/cosine EXACTLY (it is a permutation) while making
+    // cross-copy pairs pseudo-random — without it every copy is an exact
+    // duplicate vector and a dedup/pair pilot would measure a
+    // quadratic-by-construction clique instead of the operator (the same
+    // reason document text is token-prefixed per copy)
     shifted("embeddings", (df, i) => df
-      .withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L)))
+      .withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L))
+      .withColumn("embedding",
+        if (i == 0) col("embedding")
+        else transform(sequence(lit(0), size(col("embedding")) - 1),
+          j => element_at(col("embedding"), pmod(j + lit(i), size(col("embedding"))) + 1))))
     if (!java.nio.file.Files.exists(marker)) java.nio.file.Files.createFile(marker)
   }
 
@@ -104,6 +114,7 @@ object ScalePilot {
       if (family == "dedup") Set("documents", "embeddings")
       else if (family == "pipeline") Set("events", "documents")
       else if (family == "etl") Set("lineitem", "orders", "customer", "nation", "region", "events")
+      else if (family == "curation") Set("documents", "embeddings")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -214,10 +225,36 @@ object ScalePilot {
         graft.etl.FactBuilder.fact(flat, dimShipping, dimDate, graft.etl.SurrogateKeys.Deterministic)
       }))
 
+    // round-3 curation additions: decontamination (corpus vs a fixed-size
+    // benchmark slice — the bench side must NOT scale with copies, that is
+    // the operator's contract), the Gopher repetition gate, the LSH
+    // semantic-dedup path, and the window-free approx quality prune
+    def curationQueries(dir: String): Seq[(String, () => DataFrame)] = Seq(
+      "decontaminate" -> (() => {
+        val docs = tbl(dir, "documents")
+        val bench = tbl(x1Dir, "documents").filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id").as("bid"), col("text").as("btext"))
+        Decontaminate.overlaps(docs, "doc_id", col("text"), bench, "bid", col("btext"),
+          n = 3, minHits = 2)
+      }),
+      "repetition_gate" -> (() => Repetition.gopherStats(
+        tbl(dir, "documents"), "doc_id", "text")),
+      "semantic_dedup_lsh" -> (() => {
+        // planes grow log2(copies): constant expected bucket size is the
+        // documented LSH deployment discipline — fixed planes would make
+        // within-bucket pair work grow quadratically with the corpus
+        val np = if (dir == x1Dir) 8 else 8 + (31 - Integer.numberOfLeadingZeros(copies))
+        Dedup.dedupCorpusSemantic(tbl(dir, "embeddings"), "vec_id", "embedding", 0.4,
+          numPlanes = np, dim = 64)
+      }),
+      "quality_prune_approx" -> (() => TextStats.qualityPruneApprox(
+        tbl(dir, "documents"), "doc_id", 0.2)))
+
     def queries(dir: String): Seq[(String, () => DataFrame)] =
       if (family == "dedup") dedupQueries(dir)
       else if (family == "pipeline") pipelineQueries(dir)
       else if (family == "etl") etlQueries(dir)
+      else if (family == "curation") curationQueries(dir)
       else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>
