@@ -152,6 +152,13 @@ object Graft {
   def stratifiedSample(df: DataFrame, stratumCol: Column, idCol: Column, frac: Double): DataFrame =
     Sampling.stratifiedExact(df, stratumCol, idCol, frac)
 
+  /** Token-budget data recipe: per source, keep documents in deterministic
+    * hash order until the stated token budget is filled.
+    */
+  def tokenBudgetMixture(sources: Seq[(String, DataFrame, Long)],
+      idCol: Column, tokenCount: Column): DataFrame =
+    Sampling.tokenBudget(sources, idCol, tokenCount)
+
   // — SCD2 dimension versioning ([[graft.ops.Scd]]) ——————————————————————
   def scd2FromHistory(history: DataFrame, keyCols: Seq[String], tsCol: String,
       payloadCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame =

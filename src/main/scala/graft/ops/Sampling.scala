@@ -79,6 +79,41 @@ object Sampling {
     * re-runs and retries keep exactly the same rows. Schemas must match
     * across sources (`unionByName`).
     */
+  /** Token-budget mixture — the form real pretraining recipes are stated
+    * in ("30B tokens of source A, 5B of source B"): from each source keep
+    * documents in content-addressed hash order until the source's token
+    * budget is reached. Greedy prefix semantics: a document is kept iff
+    * the tokens BEFORE it (in hash order) are still under budget, so the
+    * budget is met exactly to within the last document's tokens —
+    * `budget ≤ kept < budget + max_doc_tokens` whenever the source has
+    * enough tokens, `kept = total` otherwise. Fully deterministic:
+    * re-runs, retries and repartitioning keep the identical document set.
+    *
+    * Plan: one shuffle on the source tag + a per-source running sum in
+    * hash order (same shape and skew caveat as [[stratifiedExact]] — a
+    * window over few fat partitions). The sketch-shaped alternative at
+    * extreme scale is [[mixture]] with `rate = budget / total_tokens`
+    * (document-count binomial instead of an exact token prefix).
+    */
+  def tokenBudget(sources: Seq[(String, DataFrame, Long)],
+      idCol: Column, tokenCount: Column): DataFrame = {
+    require(sources.nonEmpty, "need >=1 source")
+    sources.foreach { case (name, _, budget) =>
+      require(budget > 0L, s"budget for '$name' must be positive, got $budget") }
+    val tagged = sources.map { case (name, df, budget) =>
+      df.withColumn("mix_source", lit(name))
+        .withColumn("__budget", lit(budget))
+        .withColumn("__tok", tokenCount.cast("long"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("mix_source"))
+      .orderBy(xxhash64(idCol, col("mix_source")), idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("__cum_before", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .filter(col("__cum_before") < col("__budget"))
+      .drop("__cum_before", "__budget", "__tok")
+  }
+
   def mixture(sources: Seq[(String, DataFrame, Double)], idCol: Column): DataFrame = {
     require(sources.nonEmpty, "need >=1 source")
     sources.foreach { case (name, _, rate) =>

@@ -1548,7 +1548,62 @@ object ExtensionProbes {
             |FROM ranked GROUP BY pred_lang
             |ORDER BY pred_lang ASC NULLS FIRST""".stripMargin))
 
+  // — token-budget mixture: per-source greedy fill to a token budget in
+  //   content-addressed hash order (how pretraining recipes are actually
+  //   stated). Hash order is engine-local → derived-metric gate: totals
+  //   are DuckDB-recomputed; the fill contract (budget reached to within
+  //   one document, or the whole source when it is too small) and
+  //   determinism across two independent evaluations are pinned booleans.
+  private val x46 = Probe(
+    "x46_token_budget_mixture",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val toks = size(TextStats.tokens(col("text"))).cast("long")
+      val srcs = Seq(
+        ("web", docs.filter(col("doc_id") % 3 === 0), 2000L),   // partial fill
+        ("books", docs.filter(col("doc_id") % 3 === 1), 10000000L), // keeps all
+        ("wiki", docs.filter(col("doc_id") % 3 === 2), 5000L))  // partial fill
+      def kept() = Sampling.tokenBudget(
+        srcs.map { case (n, df, b) => (n, df, b) }, col("doc_id"), toks)
+      val keptAgg = kept().groupBy(col("mix_source"))
+        .agg(sum(size(TextStats.tokens(col("text"))).cast("long")).as("__tok_kept"),
+          count(lit(1)).as("__docs_kept"),
+          sum(col("doc_id")).as("__id_sum_a"))
+      val keptAgg2 = kept().groupBy(col("mix_source"))
+        .agg(sum(col("doc_id")).as("__id_sum_b"))
+      val totals = srcs.map { case (n, df, b) =>
+        df.agg(lit(n).as("mix_source"),
+          count(lit(1)).as("n_docs_total"),
+          sum(toks).as("n_tokens_total"),
+          max(toks).as("__max_tok"),
+          lit(b).as("__budget"))
+      }.reduce(_ unionByName _)
+      totals
+        .join(keptAgg, Seq("mix_source"))
+        .join(keptAgg2, Seq("mix_source"))
+        .select(col("mix_source"), col("n_docs_total"), col("n_tokens_total"),
+          // the greedy-prefix contract
+          (col("__tok_kept") >= least(col("__budget"), col("n_tokens_total")))
+            .as("filled"),
+          (col("__tok_kept") < col("__budget") + col("__max_tok") ||
+            col("__tok_kept") === col("n_tokens_total")).as("within_one_doc"),
+          // two independent evaluations keep the identical document set
+          (col("__id_sum_a") === col("__id_sum_b")).as("deterministic"))
+        .orderBy("mix_source")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'web'
+           |         WHEN doc_id % 3 = 1 THEN 'books' ELSE 'wiki' END AS mix_source,
+           |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS tok
+           |  FROM documents)
+           |SELECT mix_source, CAST(count(*) AS BIGINT) AS n_docs_total,
+           |  CAST(sum(tok) AS BIGINT) AS n_tokens_total,
+           |  TRUE AS filled, TRUE AS within_one_doc, TRUE AS deterministic
+           |FROM toks GROUP BY mix_source
+           |ORDER BY mix_source ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
-    x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45)
+    x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46)
 }

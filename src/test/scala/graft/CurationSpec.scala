@@ -75,6 +75,27 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq(false, true))
   }
 
+  test("token-budget mixture: greedy prefix fills to within one doc, deterministic") {
+    import graft.ops.{Sampling, TextStats}
+    val docs = (1L to 20L).map(i => (i, (1 to 10).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text") // 10 tokens per doc, 200 total
+    val toks = size(TextStats.tokens($"text")).cast("long")
+    val got = Sampling.tokenBudget(Seq(("s", docs, 35L)), $"doc_id", toks)
+    // 10-token docs, budget 35: cum_before of kept docs < 35 → exactly 4 docs (40 tokens)
+    assert(got.count() == 4L, "35-token budget over 10-token docs keeps ceil(35/10)=4 docs")
+    val again = Sampling.tokenBudget(Seq(("s", docs, 35L)), $"doc_id", toks)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got.select("doc_id").as[Long].collect().toSet, "re-evaluation keeps the same set")
+    // budget above the source total keeps everything
+    assert(Sampling.tokenBudget(Seq(("s", docs, 1000L)), $"doc_id", toks).count() == 20L)
+    // multi-source: budgets apply independently per source
+    val two = Sampling.tokenBudget(
+      Seq(("a", docs.filter($"doc_id" <= 10), 15L), ("b", docs.filter($"doc_id" > 10), 1000L)),
+      $"doc_id", toks)
+    val bySrc = two.groupBy("mix_source").count().as[(String, Long)].collect().toMap
+    assert(bySrc == Map("a" -> 2L, "b" -> 10L), s"per-source budgets: $bySrc")
+  }
+
   test("approx quality prune: equals exact form on distinct scores, subset under ties") {
     import graft.ops.TextStats
     // token count drives the score monotonically (punct 0, stopwords 0)
