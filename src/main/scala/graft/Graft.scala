@@ -96,6 +96,13 @@ object Graft {
       lineSep: String = "\n"): DataFrame =
     Repetition.gopherStats(docs, idCol, textCol, lineSep)
 
+  /** Daily-ingest semantic dedup: new embedding batch vs existing corpus
+    * (corpus probed, never self-joined). Eager — `unpersist()` when done.
+    */
+  def dedupSemanticIncremental(corpus: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame =
+    Dedup.incrementalSemanticDedup(corpus, batch, idCol, vecCol, threshold, numPlanes, dim)
+
   // — similarity search ([[graft.ops.Similarity]], [[graft.ops.Ivf]]) ————
   def topKExact(queries: DataFrame, qid: String, qvec: String,
       corpus: DataFrame, cid: String, cvec: String, k: Int): DataFrame =

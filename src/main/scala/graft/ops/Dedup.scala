@@ -547,6 +547,91 @@ object Dedup {
     result
   }
 
+  /** Incremental SEMANTIC dedup: a new batch of embeddings against an
+    * EXISTING (already-deduped) embedding corpus — the embedding twin of
+    * [[incrementalDedup]], with the same asymmetry contract: the corpus is
+    * only ever PROBED (hash join + one sign-bucket equi-join), never
+    * self-joined, so corpus cost is one bucketing pass (persistable across
+    * batches in a real deployment) and pair work is |batch| × bucket-mates.
+    *
+    * Decision per batch vector, precedence:
+    *   1. `exact_dup` — a corpus vector with identical contents exists.
+    *      Detected by `xxhash64` equi-join, then verified by array
+    *      equality against the min-id representative of the hash group (a
+    *      64-bit collision can thus theoretically hide a true exact match
+    *      behind an unequal representative — vanishingly unlikely and the
+    *      pair still falls through to the cosine gate);
+    *   2. `near_dup`  — shares the LSH sign-bucket with ≥1 corpus vector
+    *      AND exact cosine ≥ `threshold` (every emitted match is
+    *      verified; recall is the LSH bucket-collision probability —
+    *      gated by the planted-neighbor probe family);
+    *   3. `new`.
+    *
+    * A vector has exactly ONE sign bucket, so each (batch, corpus) pair
+    * arises at most once — no candidate dedup pass is needed. Hot buckets
+    * (> maxBucket members over corpus∪batch) degrade to star candidates
+    * against the bucket's min-id corpus hub, keeping the fan-out linear
+    * in the batch while a batch vector that duplicates a mass-dup corpus
+    * direction is still found. Returns one eager cached row per batch id:
+    * (idCol, status, dup_of) — `unpersist()` when done.
+    */
+  def incrementalSemanticDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, numPlanes: Int, dim: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val planes = Similarity.hyperplanes(numPlanes, dim)
+    // 1. exact: hash probe + byte-equality verify against the hash group's
+    //    min-id representative (hashes shuffle, corpus vectors stay put)
+    val cHash = corpus
+      .select(xxhash64(col(vecCol)).as("__h"), col(idCol).as("__cid"), col(vecCol).as("__cvec"))
+      .groupBy(col("__h"))
+      .agg(min(col("__cid")).as("__exact_of"), min_by(col("__cvec"), col("__cid")).as("__rvec"))
+    val exactStatus = batch
+      .select(col(idCol).as("id"), col(vecCol).as("__bvec"), xxhash64(col(vecCol)).as("__h"))
+      .join(cHash, Seq("__h"), "left")
+      .select(col("id"),
+        when(col("__exact_of").isNotNull && col("__bvec") === col("__rvec"),
+          col("__exact_of")).as("__exact_of"))
+      .persist()
+    exactStatus.count()
+
+    // 2. near: sign-bucket probe, exact cosine verify on bucket-mates
+    val survivors = batch.join(
+      exactStatus.filter(col("__exact_of").isNotNull).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+    val bC = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cvec"),
+      Similarity.bucketId(col(vecCol), planes).as("__bucket")).localCheckpoint()
+    val bB = survivors.select(col(idCol).as("batch_id"), col(vecCol).as("__bvec"),
+      Similarity.bucketId(col(vecCol), planes).as("__bucket")).localCheckpoint()
+    val hot = bC.select(col("__bucket")).unionByName(bB.select(col("__bucket")))
+      .groupBy(col("__bucket")).agg(count(lit(1)).as("__bs"))
+      .filter(col("__bs") > maxBucket).select(col("__bucket"))
+    val cold = bB.join(hot, Seq("__bucket"), "left_anti")
+      .join(bC, Seq("__bucket"))
+    val hubs = bC.join(hot, Seq("__bucket"), "left_semi")
+      .groupBy(col("__bucket"))
+      .agg(min(col("corpus_id")).as("corpus_id"), min_by(col("__cvec"), col("corpus_id")).as("__cvec"))
+    val star = bB.join(hot, Seq("__bucket"), "left_semi")
+      .join(hubs, Seq("__bucket"))
+    val pairCols = Seq(col("batch_id"), col("__bvec"), col("corpus_id"), col("__cvec"))
+    val nearOf = cold.select(pairCols: _*).unionByName(star.select(pairCols: _*))
+      .withColumn("__cos", round(Similarity.cosine(col("__bvec"), col("__cvec")), 6))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("batch_id").as("id"))
+      .agg(min(col("corpus_id")).as("__near_of"))
+
+    val result = exactStatus
+      .join(nearOf, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("__exact_of").isNotNull, "exact_dup")
+          .when(col("__near_of").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        coalesce(col("__exact_of"), col("__near_of")).as("dup_of"))
+      .persist()
+    result.count()
+    bC.unpersist(); bB.unpersist(); exactStatus.unpersist()
+    result
+  }
+
   /** 63-bit SimHash per id (bit 63 unused to stay in positive Long range
     * under ANSI overflow checks): per-token `xxhash64`, ±1 vote per bit,
     * sign of the vote sum sets the bit — one pass through the custom

@@ -1603,7 +1603,54 @@ object ExtensionProbes {
            |FROM toks GROUP BY mix_source
            |ORDER BY mix_source ASC NULLS FIRST""".stripMargin))
 
+  // — incremental SEMANTIC dedup: planted batch = exact copies (identical
+  //   arrays → exact_dup), 2×-scaled copies (same direction, same sign
+  //   bucket BY CONSTRUCTION — positive scaling cannot flip a hyperplane
+  //   sign — cosine exactly 1 → near_dup), and reversed vectors (validated
+  //   < 0.9 vs every corpus vector → new). LSH recall is provably 1.0 on
+  //   this fixture, so the oracle recomputes every status and dup_of from
+  //   first principles (equality join + exact cosine join). ———————————————
+  private val x47 = Probe(
+    "x47_incremental_semantic",
+    (s, dir) => {
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
+      val batch = emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        when(col("vec_id") % 5 === 0, col("embedding"))
+          .when(col("vec_id") % 5 === 1, transform(col("embedding"), x => x * lit(2.0f)))
+          .otherwise(reverse(col("embedding"))).as("embedding"))
+      val res = Dedup.incrementalSemanticDedup(emb, batch, "vec_id", "embedding",
+        threshold = 0.9, numPlanes = 8, dim = 64)
+      res.orderBy("vec_id")
+    },
+    Some("""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+           |batch AS (
+           |  SELECT vec_id + 1000000 AS vec_id,
+           |    CASE WHEN vec_id % 5 = 0 THEN embedding
+           |         WHEN vec_id % 5 = 1 THEN list_transform(embedding, x -> x * 2)
+           |         ELSE list_reverse(embedding) END AS bvec
+           |  FROM corpus),
+           |ex AS (
+           |  SELECT b.vec_id, min(c.vec_id) AS eof
+           |  FROM batch b JOIN corpus c ON b.bvec = c.embedding GROUP BY 1),
+           |flat AS (
+           |  SELECT b.vec_id AS bid, c.vec_id AS cid,
+           |    CAST(unnest(b.bvec) AS DOUBLE) AS x, CAST(unnest(c.embedding) AS DOUBLE) AS y
+           |  FROM batch b, corpus c),
+           |dots AS (SELECT bid, cid, sum(x * y) AS d, sum(x * x) AS nx, sum(y * y) AS ny
+           |         FROM flat GROUP BY 1, 2),
+           |nr AS (SELECT bid AS vec_id, min(cid) AS nof FROM dots
+           |       WHERE round(d / (sqrt(nx) * sqrt(ny)), 6) >= 0.9 GROUP BY 1)
+           |SELECT b.vec_id,
+           |  CASE WHEN ex.eof IS NOT NULL THEN 'exact_dup'
+           |       WHEN nr.nof IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+           |  coalesce(ex.eof, nr.nof) AS dup_of
+           |FROM batch b
+           |LEFT JOIN ex ON ex.vec_id = b.vec_id
+           |LEFT JOIN nr ON nr.vec_id = b.vec_id
+           |ORDER BY b.vec_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
-    x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46)
+    x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47)
 }

@@ -119,6 +119,40 @@ class CurationSpec extends SparkSpec {
     assert(TextStats.qualityPruneApprox(distinct, "doc_id", 0.0).count() == 10L)
   }
 
+  test("incremental semantic dedup: exact copy / scaled copy / orthogonal classify correctly") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // byte-identical → exact_dup of 1
+      (11L, Array(3.0f, 0.0f, 0.0f, 0.0f)),  // same direction → near_dup of 1
+      (12L, Array(0.0f, 0.0f, 1.0f, 0.0f))   // orthogonal → new
+    ).toDF("vec_id", "embedding")
+    val res = Dedup.incrementalSemanticDedup(corpus, batch, "vec_id", "embedding",
+      threshold = 0.9, numPlanes = 4, dim = 4)
+    val got = res.orderBy("vec_id").as[(Long, String, Option[Long])].collect().toSeq
+    res.unpersist()
+    assert(got == Seq(
+      (10L, "exact_dup", Some(1L)),
+      (11L, "near_dup", Some(1L)),
+      (12L, "new", None)), s"got $got")
+  }
+
+  test("incremental semantic dedup: hot bucket degrades to star candidates, still found") {
+    // 20 corpus vectors in ONE direction (same sign bucket), cap at 8:
+    // the bucket is hot, and a batch vector duplicating the direction must
+    // still be classified near_dup of the hub (min corpus id), not 'new'
+    val corpus = (1L to 20L).map(i => (i, Array(i.toFloat, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq((100L, Array(0.5f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val res = Dedup.incrementalSemanticDedup(corpus, batch, "vec_id", "embedding",
+      threshold = 0.9, numPlanes = 4, dim = 4, maxBucket = 8)
+    val got = res.as[(Long, String, Option[Long])].collect().toSeq
+    res.unpersist()
+    assert(got == Seq((100L, "near_dup", Some(1L))), s"got $got")
+  }
+
   test("semantic dedup: identical-direction embeddings collapse, exact ≡ lsh on easy fixture") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
