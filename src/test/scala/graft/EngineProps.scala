@@ -100,4 +100,44 @@ object EngineProps extends Properties("engine") {
       val want = rows.groupBy(_._2).map { case (k, v) => k -> math.ceil(v.size * frac).toLong }
       want.forall { case (k, n) => got.getOrElse(k, 0L) == n }
     }
+
+  private val docGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(3, 25)
+    docs <- Gen.listOfN(n, for {
+      words <- Gen.choose(1, 30)
+      toks <- Gen.listOfN(words, Gen.oneOf("alpha", "beta", "gamma", "delta", "ep", "ze"))
+    } yield toks.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("tokenBudget fill contract: min(budget,total) <= kept < budget + maxDoc") =
+    forAll(docGen, Gen.choose(1L, 400L)) { (docs, budget) =>
+      val df = docs.toDF("doc_id", "text")
+      val toks = size(split($"text", " ")).cast("long")
+      val kept = graft.ops.Sampling.tokenBudget(Seq(("s", df, budget)), $"doc_id", toks)
+        .agg(coalesce(sum(size(split($"text", " "))).cast("long"), lit(0L))).as[Long].head()
+      val sizes = docs.map(_._2.split(" ").length.toLong)
+      val total = sizes.sum
+      kept >= math.min(budget, total) && (kept == total || kept < budget + sizes.max)
+    }
+
+  property("repetition fractions are always in [0,1]") = forAll(docGen) { docs =>
+    val df = docs.toDF("doc_id", "text")
+    val stats = graft.ops.Repetition.gopherStats(df, "doc_id", "text", lineSep = " ")
+    val cols = Seq("dup_line_frac", "dup_line_char_frac", "top_2gram_char_frac",
+      "dup_5gram_char_frac")
+    stats.filter(cols.map(c => col(c) < 0.0 || col(c) > 1.0).reduce(_ || _)).count() == 0L
+  }
+
+  property("decontaminate.clean is anti-monotone: result subset of corpus, empty bench = corpus") =
+    forAll(docGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val bench = df.filter($"doc_id" % 3 === 0).select($"doc_id".as("bid"), $"text".as("btext"))
+      val cleaned = graft.ops.Decontaminate.clean(df, "doc_id", $"text", bench, "bid", $"btext", 2)
+        .select("doc_id").as[Long].collect().toSet
+      val corpusIds = docs.map(_._1).toSet
+      val emptyBench = bench.filter(lit(false))
+      val keptAll = graft.ops.Decontaminate.clean(df, "doc_id", $"text",
+        emptyBench, "bid", $"btext", 2).count()
+      cleaned.subsetOf(corpusIds) && keptAll == docs.size.toLong
+    }
 }
