@@ -59,7 +59,8 @@ object Bench {
     "x27_sequence_pack",
     "x28_quality_prune",
     "x41_decontaminate",
-    "x43_repetition_stats")
+    "x43_repetition_stats",
+    "x48_curate_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -91,6 +91,14 @@ object Graft {
       n: Int = 13, minHits: Long = 1L): DataFrame =
     Decontaminate.clean(corpus, idCol, text, bench, benchIdCol, benchText, n, minHits)
 
+  /** The composed curation pipeline: scrub → quality gate → repetition
+    * gate → exact dedup → near-dup removal → decontamination.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      bench: Option[(DataFrame, String, String)] = None,
+      cfg: Curate.Config = Curate.Config()): DataFrame =
+    Curate.run(docs, idCol, textCol, bench, cfg)
+
   /** Gopher-style within-document repetition stats + keep verdict. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String = "text",
       lineSep: String = "\n"): DataFrame =

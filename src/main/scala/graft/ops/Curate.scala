@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The full pretraining-corpus curation pipeline composed from the
+  * engine's curation operators, in the order a production pipeline runs:
+  *
+  *   1. PII scrub (URLs → emails → phones, [[TextStats.scrub]]);
+  *   2. text stats + ABSOLUTE quality gate ([[TextStats.withStats]]).
+  *      Absolute, not the per-language fraction cut: a fraction cut's
+  *      result depends on what other stages have already removed, so it
+  *      belongs at the recipe layer ([[TextStats.qualityPrune]] /
+  *      [[TextStats.qualityPruneApprox]]), not inside the composition;
+  *   3. Gopher repetition gate ([[Repetition.gopherStats]] `keep`);
+  *   4. exact dedup, min id survives ([[Dedup.exactKeepFirst]]);
+  *   5. near-dup removal: n-gram Jaccard pairs → connected components →
+  *      drop non-canonical members ([[Dedup.dedupCorpusExact]]; swap the
+  *      MinHash pair stage in at 100 TB — the cluster/drop tail is
+  *      identical);
+  *   6. benchmark decontamination ([[Decontaminate.clean]]).
+  *
+  * Per-document gates (2-3) run before the pair stages (4-6) so the
+  * expensive self-joins see the smallest possible corpus; decontamination
+  * runs last so it scans only the deduped survivor set. Returns the
+  * surviving rows with scrubbed text plus the [[TextStats.withStats]]
+  * columns.
+  */
+object Curate {
+
+  /** Stage parameters; defaults are the published-shaped gates used by
+    * the individual operators.
+    */
+  final case class Config(
+      minQuality: Double = 0.0,
+      repetitionGate: Boolean = true,
+      lineSep: String = "\n",
+      dedupNgram: Int = 3,
+      dedupThreshold: Double = 0.5,
+      decontamNgram: Int = 3,
+      decontamMinHits: Long = 2L)
+
+  def run(docs: DataFrame, idCol: String, textCol: String,
+      bench: Option[(DataFrame, String, String)] = None,
+      cfg: Config = Config()): DataFrame = {
+    val scrubbed = docs.withColumn(textCol, TextStats.scrub(col(textCol)))
+    val stats = TextStats.withStats(scrubbed, textCol)
+    val gated = stats.filter(col("quality_score") >= cfg.minQuality)
+    val afterRep =
+      if (!cfg.repetitionGate) gated
+      else gated.join(
+        Repetition.gopherStats(gated, idCol, textCol, cfg.lineSep)
+          .filter(col("keep")).select(col(idCol)),
+        Seq(idCol), "left_semi")
+    val exactKept = Dedup.exactKeepFirst(afterRep, Seq(textCol), idCol)
+    val nearKept = Dedup.dedupCorpusExact(exactKept, idCol, col(textCol),
+      cfg.dedupNgram, cfg.dedupThreshold)
+    bench match {
+      case Some((b, bid, btext)) =>
+        Decontaminate.clean(nearKept, idCol, col(textCol), b, bid, col(btext),
+          cfg.decontamNgram, cfg.decontamMinHits)
+      case None => nearKept
+    }
+  }
+}

@@ -1650,7 +1650,113 @@ object ExtensionProbes {
            |LEFT JOIN nr ON nr.vec_id = b.vec_id
            |ORDER BY b.vec_id ASC NULLS FIRST""".stripMargin))
 
+  // — the COMPOSED curation pipeline (scrub → quality gate → repetition
+  //   gate → exact dedup → near-dup removal → decontamination) end to
+  //   end: every stage is individually oracled elsewhere, and this probe
+  //   replays the entire composition in one DuckDB query so stage
+  //   INTERACTIONS (each stage sees exactly the previous stage's
+  //   survivors) are value-checked too. URLs planted on doc_id % 7 = 1
+  //   make the scrub stage consequential; the fixture corpus is
+  //   single-line (verified: no chr(10) anywhere, and neither plant nor
+  //   scrub adds one) so the duplicate-line gates are identically zero
+  //   and only the n-gram repetition gates bind in the oracle. ————————————
+  private val x48 = Probe(
+    "x48_curate_pipeline",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 1, " see https://ex.com/z now").otherwise("")).as("text"))
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("bid"), col("text").as("btext"))
+      Curate.run(planted, "doc_id", "text", Some((bench, "bid", "btext")),
+          Curate.Config(minQuality = 0.6))
+        .select(col("doc_id"), col("n_tokens"), col("pred_lang"), col("quality_score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE planted AS (
+            |  SELECT doc_id,
+            |    text || CASE WHEN doc_id % 7 = 1 THEN ' see https://ex.com/z now' ELSE '' END AS text
+            |  FROM documents),
+            |scrub AS (
+            |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+            |    'https?://[^\\s]+', '<URL>', 'g'),
+            |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            |    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS text
+            |  FROM planted),
+            |base AS (SELECT doc_id, text,
+            |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+            |  FROM scrub),
+            |ratios AS (
+            |  SELECT doc_id, text, tok,
+            |    CAST(len(tok) AS BIGINT) AS n_tokens,
+            |    floor((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+            |      / nullif(length(text), 0)) * 10000 + 0.5) / 10000 AS punct_ratio,
+            |    floor((CAST(len(list_filter(tok, t -> t = 'the' OR t = 'a')) AS DOUBLE)
+            |      / nullif(len(tok), 0)) * 10000 + 0.5) / 10000 AS stopword_ratio
+            |  FROM base),
+            |scored AS (
+            |  SELECT doc_id, text, tok, n_tokens,
+            |    ${TextStats.langIdSql("text")} AS pred_lang,
+            |    floor((least(1.0, n_tokens / 64.0) * 0.4
+            |      + (1.0 - least(1.0, coalesce(punct_ratio, 0) * 10)) * 0.3
+            |      + least(1.0, coalesce(stopword_ratio, 0) * 20) * 0.3) * 10000 + 0.5) / 10000
+            |      AS quality_score
+            |  FROM ratios),
+            |gated AS (SELECT * FROM scored WHERE quality_score >= 0.6),
+            |g2 AS (SELECT doc_id, unnest([tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))]) AS gram FROM gated),
+            |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+            |top2 AS (SELECT doc_id, cnt * length(gram) AS topchars FROM (
+            |    SELECT doc_id, cnt, gram, row_number() OVER (
+            |      PARTITION BY doc_id ORDER BY cnt DESC, length(gram) DESC, gram DESC) AS rn
+            |    FROM c2) WHERE rn = 1),
+            |g5 AS (SELECT doc_id, unnest([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3] || ' ' || tok[i+4]
+            |    for i in range(1, len(tok) - 3)]) AS gram FROM gated),
+            |c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+            |dup5 AS (SELECT doc_id, sum(cnt * length(gram)) AS dupchars FROM c5 WHERE cnt >= 2 GROUP BY 1),
+            |repkept AS (
+            |  SELECT g.* FROM gated g
+            |  LEFT JOIN top2 USING (doc_id)
+            |  LEFT JOIN dup5 USING (doc_id)
+            |  WHERE (CASE WHEN length(g.text) = 0 OR top2.topchars IS NULL THEN 0.0
+            |         ELSE floor(top2.topchars * 1.0 / length(g.text) * 10000 + 0.5) / 10000 END) <= 0.20
+            |    AND (CASE WHEN length(g.text) = 0 OR dup5.dupchars IS NULL THEN 0.0
+            |         ELSE floor(dup5.dupchars * 1.0 / length(g.text) * 10000 + 0.5) / 10000 END) <= 0.15),
+            |exactkept AS (
+            |  SELECT * FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS __rn
+            |    FROM repkept) WHERE __rn = 1),
+            |sh AS (SELECT doc_id AS id, unnest(list_distinct(
+            |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
+            |  FROM exactkept),
+            |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+            |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+            |jac AS (SELECT id_a, id_b FROM inter
+            |  JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+            |  WHERE floor((i * 1.0 / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 >= 0.5),
+            |edges AS (SELECT id_a AS src, id_b AS dst FROM jac
+            |  UNION SELECT id_b, id_a FROM jac),
+            |reach AS (SELECT src, dst FROM edges
+            |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            |comp AS (SELECT src AS id, least(src, min(dst)) AS comp FROM reach GROUP BY src),
+            |deduped AS (SELECT * FROM exactkept
+            |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != comp)),
+            |bsh AS (SELECT doc_id AS bid, unnest(list_distinct(
+            |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
+            |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+            |        FROM documents WHERE doc_id % 37 = 0)),
+            |csh AS (SELECT doc_id AS id, unnest(list_distinct(
+            |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
+            |  FROM deduped),
+            |contaminated AS (SELECT id FROM (
+            |    SELECT c.id, b.bid, count(*) AS h FROM csh c JOIN bsh b ON c.s = b.s GROUP BY 1, 2)
+            |  WHERE h >= 2)
+            |SELECT doc_id, n_tokens, pred_lang, quality_score
+            |FROM deduped WHERE doc_id NOT IN (SELECT id FROM contaminated)
+            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
-    x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47)
+    x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48)
 }
