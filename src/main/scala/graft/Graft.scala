@@ -134,6 +134,18 @@ object Graft {
       k: Int, nprobe: Int, candMult: Int = 4): DataFrame =
     Ivf.searchQuantized(queries, qid, qvec, corpus, cid, cvec, cents, k, nprobe, candMult)
 
+  /** Persist / load / query an IVF index whose inverted lists are Hive
+    * partitions — build once, probe many batches, read only probed lists.
+    */
+  def ivfWriteIndex(path: String, corpus: DataFrame, cid: String, cvec: String,
+      cents: DataFrame): Unit = Ivf.writeIndex(path, corpus, cid, cvec, cents)
+  def ivfReadIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    Ivf.readIndex(spark, path)
+  def topKIvfIndexed(queries: DataFrame, qid: String, qvec: String,
+      lists: DataFrame, cid: String, cvec: String, cents: DataFrame,
+      k: Int, nprobe: Int): DataFrame =
+    Ivf.searchAssigned(queries, qid, qvec, lists, cid, cvec, cents, k, nprobe)
+
   // — text analysis ([[graft.ops.TextStats]]) ————————————————————————————
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     TextStats.withStats(docs, textCol)

@@ -151,7 +151,37 @@ object Ivf {
     val assigned = assign(corpus, cidCol, cvecCol, cents)
       .withColumn("__cnorm", vec_norm(col(cvecCol)))
       .localCheckpoint()
+    searchAssigned(queries, qidCol, qvecCol, assigned, cidCol, cvecCol, cents, k, nprobe)
+  }
 
+  /** Persist a trained index: the centroid table plus the norm-annotated
+    * assigned corpus, the latter written `partitionBy(centroid_id)` — the
+    * on-disk inverted-list layout. A query batch probing `nprobe` of the
+    * `numCentroids` lists reads ONLY those Hive partitions (partition
+    * pruning), i.e. ≈ nprobe/numCentroids of the index bytes — the
+    * build-once / probe-many deployment shape that amortizes assignment
+    * and norm computation across every future batch.
+    */
+  def writeIndex(path: String, corpus: DataFrame, cidCol: String, cvecCol: String,
+      cents: DataFrame): Unit = {
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    assign(corpus, cidCol, cvecCol, cents)
+      .withColumn("__cnorm", vec_norm(col(cvecCol)))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/lists")
+  }
+
+  /** Load a persisted index → (centroids, assigned lists). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/centroids"), spark.read.parquet(s"$path/lists"))
+
+  /** [[search]] over a pre-assigned (e.g. [[readIndex]]-loaded) corpus —
+    * `assigned` must carry `centroid_id` and `__cnorm` alongside the id
+    * and vector columns, exactly what [[writeIndex]] stores.
+    */
+  def searchAssigned(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      assigned: DataFrame, cidCol: String, cvecCol: String,
+      cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col("centroid_id").asc)
     val probes = queries.withColumn("__qnorm", vec_norm(col(qvecCol)))
       .crossJoin(broadcast(cents.withColumn("__cn", vec_norm(col("centroid_vec")))))

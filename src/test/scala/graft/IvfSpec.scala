@@ -65,6 +65,31 @@ class IvfSpec extends SparkSpec {
     assert(full == brute, "probing every trained list = exact search")
   }
 
+  test("persisted index: searchAssigned over readIndex equals live search; probes prune lists") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 8)
+    Ivf.writeIndex(dir, emb, "vec_id", "embedding", cents)
+    val (loadedCents, lists) = Ivf.readIndex(spark, dir)
+    val fromIndex = Ivf.searchAssigned(queries, "query_id", "qvec",
+        lists, "vec_id", "embedding", loadedCents, k = 5, nprobe = 2)
+      .select("query_id", "vec_id", "cosine_sim").as[(Long, Long, Double)].collect().toSet
+    val live = Ivf.search(queries, "query_id", "qvec", emb, "vec_id", "embedding",
+        cents, k = 5, nprobe = 2)
+      .select("query_id", "vec_id", "cosine_sim").as[(Long, Long, Double)].collect().toSet
+    assert(fromIndex == live, "the persisted index must answer identically to the live path")
+    // the on-disk inverted-list layout: filtering to probed lists prunes
+    // to those Hive partitions (PartitionFilters on centroid_id in the
+    // scan — inputFiles() lists the unpruned relation, so read the plan)
+    val minCent = lists.select(min("centroid_id")).as[Long].head()
+    val plan = lists.filter($"centroid_id" === minCent)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(s"PartitionFilters: [isnotnull(centroid_id") &&
+      plan.contains(s"= $minCent)"),
+      s"a probed-list read must carry a centroid_id partition filter:\n$plan")
+  }
+
   test("approx_count_distinct stays within 5% of exact (the documented 100-TB alternative)") {
     val ev = Readers.table(spark, sf0001, "events")
     val (exact, approx) = ev.agg(
