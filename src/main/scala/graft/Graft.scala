@@ -240,4 +240,11 @@ object Graft {
   def streamScd2Dim(changes: DataFrame, dimPath: String, checkpoint: String,
       keyCols: Seq[String], tsCol: String, payloadCols: Seq[String]) =
     StreamingIngest.scd2DimSink(changes, dimPath, checkpoint, keyCols, tsCol, payloadCols)
+
+  /** Document stream → curated, cross-batch-deduped corpus (append-only
+    * batch partitions, idempotent on replay).
+    */
+  def streamCuratedCorpus(docs: DataFrame, corpusPath: String, checkpoint: String,
+      idCol: String, textCol: String, cfg: Curate.Config = Curate.Config()) =
+    StreamingIngest.curatedCorpusSink(docs, corpusPath, checkpoint, idCol, textCol, cfg)
 }

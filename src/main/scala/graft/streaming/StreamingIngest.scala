@@ -216,6 +216,66 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming corpus curation: each micro-batch of documents is curated
+    * batch-locally (scrub → quality/repetition gates → intra-batch exact
+    * + near dedup via [[graft.ops.Curate.run]]), then deduped AGAINST THE
+    * ACCUMULATED CORPUS with [[graft.ops.Dedup.incrementalDedup]] — the
+    * corpus is only probed, never self-joined, so per-batch cost is
+    * bounded by the batch — and the survivors are appended as a new
+    * corpus partition.
+    *
+    * Exactly-once without a swap: each batch writes to its own
+    * `__batch=<id>` Hive partition with overwrite, so a replayed batch
+    * idempotently overwrites its own partition; the corpus read excludes
+    * the current batch id, so a replay's stale partial output never
+    * counts as corpus. Append-only — no rewrite of existing corpus bytes,
+    * the shape that scales to a daily 100-TB ingest.
+    */
+  def curatedCorpusSink(
+      docs: DataFrame,
+      corpusPath: String,
+      checkpoint: String,
+      idCol: String,
+      textCol: String,
+      cfg: graft.ops.Curate.Config = graft.ops.Curate.Config(),
+      numPerm: Int = 64,
+      bands: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val curated = graft.ops.Curate.run(batch.toDF(), idCol, textCol, None, cfg)
+        val base = new org.apache.hadoop.fs.Path(corpusPath)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // prior batch partitions with data (exclude this batch id: a crash
+        // replay must not see its own stale partial output as corpus)
+        val priorDirs =
+          if (!fs.exists(base)) Array.empty[String]
+          else fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+            .filter(p => p.getName.startsWith("__batch=") && p.getName != s"__batch=$batchId")
+            .filter(p => fs.listStatus(p).exists(_.getPath.getName.startsWith("part-")))
+            .map(_.toString)
+        val survivors =
+          if (priorDirs.isEmpty) curated
+          else {
+            val corpus = spark.read.option("basePath", corpusPath)
+              .parquet(priorDirs.toIndexedSeq: _*)
+            val res = graft.ops.Dedup.incrementalDedup(
+              corpus.select(col(idCol), col(textCol)), curated.select(col(idCol), col(textCol)),
+              idCol, col(textCol), cfg.dedupNgram, numPerm, bands, numPerm / bands,
+              cfg.dedupThreshold)
+            val out = curated.join(
+              res.filter(col("status") === "new").select(col(idCol)), Seq(idCol), "left_semi")
+              .localCheckpoint() // pin before releasing the dedup result cache
+            res.unpersist()
+            out
+          }
+        survivors.write.mode("overwrite").parquet(s"$corpusPath/__batch=$batchId")
+        ()
+      }
+      .start()
+
   /** Drive a streaming frame to completion against a memory sink and
     * return the collected result (test/local harness; production callers
     * use their own `writeStream` sink).

@@ -135,6 +135,35 @@ class StreamingSpec extends SparkSpec {
       full.select("user_id").distinct().count())
   }
 
+  test("streaming curated corpus ingest: cross-batch dedup, append-only batch partitions") {
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "curateds").toString
+    val (in, corpus, ckp) = (s"$base/in", s"$base/corpus", s"$base/ckp")
+    def doc(prefix: String, n: Int, lastOverride: String = ""): String = {
+      val toks = (1 to n).map(i => f"$prefix$i%02d")
+      (if (lastOverride.isEmpty) toks else toks.init :+ lastOverride).mkString(" ")
+    }
+    val t1 = doc("w", 20)
+    val t3 = doc("x", 20)
+    val batch1 = Seq((1L, t1), (2L, t1), (3L, t3)).toDF("doc_id", "text")
+    batch1.write.mode("append").parquet(in)
+    val q = StreamingIngest.curatedCorpusSink(
+      spark.readStream.schema(batch1.schema).parquet(in), corpus, ckp, "doc_id", "text")
+    try {
+      q.processAllAvailable() // batch 1: intra-batch exact dedup drops doc 2
+      Seq(
+        (4L, doc("w", 20, "zzz")), // near-dup of doc 1 (19/21-shingle jaccard)
+        (5L, doc("y", 20)),        // genuinely new
+        (6L, t3)                   // cross-batch exact dup of doc 3
+      ).toDF("doc_id", "text").write.mode("append").parquet(in)
+      q.processAllAvailable() // batch 2: corpus-probe dedup drops 4 and 6
+    } finally q.stop()
+    val got = spark.read.parquet(corpus)
+    assert(got.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L),
+      "corpus must keep one copy per exact/near-dup class across batches")
+    // append-only layout: each batch owns its own partition dir
+    assert(got.select("__batch").distinct().count() == 2)
+  }
+
   test("streaming sessionization produces sessions with positive event counts") {
     val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
     val sessions = StreamingIngest.runToMemory(spark,
