@@ -60,7 +60,10 @@ object Bench {
     "x28_quality_prune",
     "x41_decontaminate",
     "x43_repetition_stats",
-    "x48_curate_pipeline")
+    "x48_curate_pipeline",
+    "x49_paragraph_dedup",
+    "x51_bloom_incremental",
+    "x52_snapshot_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Decontaminate, Dedup, Packing, Repetition, Scd, Sessionize, Similarity, TextStats}
+import graft.ops.{Decontaminate, Dedup, Packing, Repetition, Scd, Sessionize, Similarity, Snapshot, TextStats}
 import graft.sources.Readers
 
 /** Empirical scaling pilot: run the heavy operator families at 1× and N×
@@ -248,7 +248,34 @@ object ScalePilot {
           numPlanes = np, dim = 64)
       }),
       "quality_prune_approx" -> (() => TextStats.qualityPruneApprox(
-        tbl(dir, "documents"), "doc_id", 0.2)))
+        tbl(dir, "documents"), "doc_id", 0.2)),
+      // round-3 bookkeeping additions: paragraph dedup (explode → digest
+      // shuffle → reassemble), the Bloom-pruned ingest classifier against a
+      // FIXED-size batch (the batch not scaling is the operator's point:
+      // only the corpus index pass grows), and a whole-corpus snapshot diff
+      "paragraph_dedup" -> (() => {
+        val docs = tbl(dir, "documents")
+        val fix = docs.select(col("doc_id"),
+          concat_ws("\n", col("text"), col("text")).as("text"))
+        Dedup.paragraphDedup(fix, "doc_id", "text")
+      }),
+      "bloom_incremental" -> (() => {
+        val corpus = tbl(dir, "documents")
+        val batch = corpus.filter(col("doc_id") < 100000000L) // copy 0 = constant size
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            when(col("doc_id") % 2 === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+        Dedup.incrementalExactBloom(corpus, batch, "doc_id", "text",
+          expectedItems = 500000L)
+      }),
+      "snapshot_diff" -> (() => {
+        val docs = tbl(dir, "documents")
+        val next = docs.filter(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        Snapshot.diff(docs, next, "doc_id", Seq("text"))
+      }))
 
     def queries(dir: String): Seq[(String, () => DataFrame)] =
       if (family == "dedup") dedupQueries(dir)

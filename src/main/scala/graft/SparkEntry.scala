@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.probes.{AnalyticProbes, EngineProbes, ExtensionProbes, ParityProbes}
+import graft.probes.{AnalyticProbes, EngineProbes, ExtensionProbes, ParityProbes, PipelineProbes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.probes.{AnalyticProbes, EngineProbes, ExtensionProbes, ParityProbes
 object SparkEntry {
 
   private val probes =
-    ParityProbes.all ++ AnalyticProbes.all ++ ExtensionProbes.all ++ EngineProbes.all
+    ParityProbes.all ++ AnalyticProbes.all ++ ExtensionProbes.all ++ EngineProbes.all ++
+      PipelineProbes.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's headline 4-KPI pipeline (notebook `report.ipynb:

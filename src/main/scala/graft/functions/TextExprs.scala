@@ -63,7 +63,41 @@ case class PositionalFingerprint(child: Expression) extends UnaryExpression {
   override def prettyName: String = "positional_fingerprint"
 }
 
+/** Unicode NFC normalization (java.text.Normalizer, Form.NFC) — the
+  * canonical-composition pass a corpus needs before content hashing:
+  * visually identical strings ("café" precomposed U+00E9 vs decomposed
+  * "e"+U+0301) otherwise hash apart and survive exact dedup as distinct
+  * documents. Spark has no built-in for this; a one-call codegen'd
+  * expression keeps it inside whole-stage codegen (DuckDB oracle twin:
+  * `nfc_normalize`).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires string input, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($a.toString(), java.text.Normalizer.Form.NFC));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
+  override def prettyName: String = "nfc_normalize"
+}
+
 object TextFunctions {
   def fingerprint(text: Column): Column =
     GraftSqlBridge.column(PositionalFingerprint(GraftSqlBridge.expression(text)))
+
+  def nfc(text: Column): Column =
+    GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))
 }

@@ -70,13 +70,17 @@ object Dedup {
     * the plain tagged hash, replayable as
     * `sha256(CAST(c IS NULL AS VARCHAR) || coalesce(c, ''))`.
     */
-  def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
-    val digest =
-      if (contentCols.size == 1) sha2(tagged(col(contentCols.head)), 256)
-      else sha2(concat(contentCols.map(c => sha2(tagged(col(c)), 256)): _*), 256)
-    df.groupBy(digest.as("content_hash"))
+  def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(contentDigest(contentCols).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
-  }
+
+  /** The alias-proof multi-column content digest [[exact]] groups on —
+    * public so other id-by-content operators ([[graft.ops.Snapshot]])
+    * share one definition of content identity.
+    */
+  def contentDigest(contentCols: Seq[String]): Column =
+    if (contentCols.size == 1) sha2(tagged(col(contentCols.head)), 256)
+    else sha2(concat(contentCols.map(c => sha2(tagged(col(c)), 256)): _*), 256)
 
   /** Keep-one projection of [[exact]]: the input minus exact duplicates. */
   def exactKeepFirst(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
@@ -84,6 +88,64 @@ object Dedup {
       .partitionBy(contentCols.map(c => tagged(col(c))): _*)
       .orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** [[exact]] over the NORMALIZED text form ([[TextStats.canonical]]:
+    * NFC + lowercase + whitespace collapse) — "fuzzy-exact" dedup, the
+    * ccnet-style pass that catches case/spacing/Unicode-composition
+    * variants plain content hashing misses. Same output contract as
+    * [[exact]]: (content_hash, keep_id, dup_count), hash over the
+    * canonical form.
+    */
+  def exactNormalized(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(tagged(TextStats.canonical(col(textCol))), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Keep-one projection of [[exactNormalized]]: rows whose id is the
+    * smallest in their canonical-form group. The ORIGINAL text is kept —
+    * normalization only decides identity, it does not rewrite content.
+    */
+  def exactNormalizedKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(tagged(TextStats.canonical(col(textCol))))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Paragraph-level exact dedup (the FineWeb/ccnet granularity): split
+    * each document on `sep`, drop every paragraph whose content already
+    * appeared in an earlier (id, position) slot ANYWHERE in the corpus,
+    * and reassemble the survivors in original order. Documents left with
+    * zero surviving paragraphs drop out entirely. Returns (idCol, textCol).
+    *
+    * Plan shape at 100 TB — three shuffles, none carrying bodies through
+    * the skewed key:
+    *   1. survivor election shuffles (sha256(paragraph), id, pos) ONLY —
+    *      a boilerplate paragraph repeated 10⁸ times lands as one fat
+    *      partition of 40-byte digests, not 10⁸ bodies;
+    *   2. a semi-join on (id, pos) brings the winning slots back to the
+    *      exploded bodies (hash-partitioned by id — unskewed by
+    *      construction, paragraph positions are unique per doc);
+    *   3. reassembly groups by id (same key as 2 — AQE/bucketing can
+    *      co-locate them).
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF(idCol, "__pos", "__para")
+      .filter(length(trim(col("__para"))) > 0)
+    val surv = paras
+      .select(sha2(col("__para"), 256).as("__h"), col(idCol), col("__pos"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__pos"))
+    paras.join(surv, Seq(idCol, "__pos"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          s => s.getField("__para"))).as(textCol))
   }
 
   /** Word n-gram shingles of a text column (distinct per doc). Empty/short
@@ -629,6 +691,60 @@ object Dedup {
       .persist()
     result.count()
     bC.unpersist(); bB.unpersist(); exactStatus.unpersist()
+    result
+  }
+
+  /** Bloom-pruned incremental EXACT dedup: classify a new batch against an
+    * existing corpus without joining the whole batch — the daily-ingest
+    * shape where the batch is overwhelmingly NEW content and an equi-join
+    * of every batch row against the corpus hash index wastes a shuffle on
+    * rows that match nothing.
+    *
+    *   1. Build a [[org.apache.spark.util.sketch.BloomFilter]] over
+    *      `xxhash64` content keys of the corpus (distributed tree-
+    *      aggregate; the finished sketch lives on the driver and ships to
+    *      executors once per task — `-n·ln(fpp)/ln²2` bits ≈ 1.2 GiB for
+    *      10⁹ items at 1% fpp, so size `expectedItems` to the corpus and
+    *      keep an eye on driver memory; a real deployment persists the
+    *      sketch alongside the corpus hash index and rebuilds neither per
+    *      batch).
+    *   2. Bloom-NEGATIVE batch rows are certainly new (no false
+    *      negatives) — they bypass the join entirely, costing one codegen'd
+    *      [[graft.functions.BloomMightContain]] probe per row.
+    *   3. Bloom-POSITIVE rows (true matches + fpp·|new|) verify against
+    *      the corpus sha256 hash index with the usual equi-join, so the
+    *      final classification is EXACT — the sketch only prunes.
+    *
+    * Returns one eager cached row per batch doc: (idCol, status ∈
+    * {exact_dup, new}, dup_of = min matching corpus id or null) —
+    * `unpersist()` when done. Compose with [[incrementalDedup]] when the
+    * near-dup gate is also needed.
+    */
+  def incrementalExactBloom(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    // one corpus pass feeds both the sketch and the verify index
+    val corpusHashes = corpus
+      .select(sha2(tagged(col(textCol)), 256).as("__h"), col(idCol).as("__cid"))
+      .groupBy(col("__h")).agg(min(col("__cid")).as("__exact_of"))
+      .persist()
+    val bf = corpusHashes.select(xxhash64(col("__h")).as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
+    val keyed = batch.select(col(idCol).as("id"),
+      sha2(tagged(col(textCol)), 256).as("__h"))
+    val positive = keyed
+      .filter(graft.functions.BloomFunctions.mightContain(xxhash64(col("__h")), bf))
+      .join(corpusHashes, Seq("__h"), "left")
+    val negative = keyed
+      .filter(!graft.functions.BloomFunctions.mightContain(xxhash64(col("__h")), bf))
+      .withColumn("__exact_of", lit(null).cast(corpus.schema(idCol).dataType))
+    val result = positive.unionByName(negative)
+      .select(col("id").as(idCol),
+        when(col("__exact_of").isNotNull, "exact_dup").otherwise("new").as("status"),
+        col("__exact_of").as("dup_of"))
+      .persist()
+    result.count()
+    corpusHashes.unpersist()
     result
   }
 

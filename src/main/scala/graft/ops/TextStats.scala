@@ -82,6 +82,16 @@ object TextStats {
         EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
 
+  /** Canonical text form for "fuzzy-exact" dedup (the ccnet-style
+    * normalization pass): Unicode NFC composition ([[graft.functions
+    * .TextFunctions.nfc]] — precomposed and decomposed accents hash
+    * apart otherwise), Unicode-aware lowercase, trim, and whitespace-run
+    * collapse. Every step is codegen'd and engine-portable (DuckDB:
+    * `regexp_replace(trim(lower(nfc_normalize(t))), '\s+', ' ', 'g')`).
+    */
+  def canonical(text: Column): Column =
+    regexp_replace(trim(lower(graft.functions.TextFunctions.nfc(text))), "\\s+", " ")
+
   def punctRatio(text: Column): Column =
     graft.Canonical.round4(length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") /
       nullif(length(text), lit(0)).cast("double"))

@@ -1,0 +1,154 @@
+package graft.probes
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.sources.Readers
+import ParityProbes.Probe
+
+/** Probe catalog for the round-3 pipeline-bookkeeping extensions:
+  * paragraph-level dedup, normalized ("fuzzy-exact") dedup, Bloom-pruned
+  * incremental dedup, and snapshot diffing. Every probe carries a full
+  * value oracle — the fixtures are deterministic transforms of the
+  * `documents` table that both engines replay from first principles.
+  */
+object PipelineProbes {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Readers.table(s, dir, n)
+
+  // — paragraph-level exact dedup (FineWeb granularity) ——————————————————
+  //   Fixture: two-paragraph documents built by pairing each text with its
+  //   successor's (wrapping at the end), so every paragraph appears in
+  //   exactly two documents and the (id, pos) survivor election is
+  //   exercised in both directions: doc i keeps its pos-2 paragraph (the
+  //   pos-1 copy already appeared as doc i-1's pos-2), and doc 0
+  //   additionally keeps its pos-1 paragraph (the wrap pairs it with the
+  //   LAST doc, whose id is larger).
+  private val x49 = Probe(
+    "x49_paragraph_dedup",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val w = Window.orderBy(col("doc_id"))
+      val whole = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val fix = docs.select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          coalesce(lead(col("text"), 1).over(w), first(col("text")).over(whole)))
+          .as("text"))
+      Dedup.paragraphDedup(fix, "doc_id", "text").orderBy("doc_id")
+    },
+    Some("""WITH fix AS (
+           |  SELECT doc_id, text || chr(10) || coalesce(
+           |      lead(text) OVER (ORDER BY doc_id),
+           |      first_value(text) OVER (ORDER BY doc_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS text
+           |  FROM documents),
+           |sp AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM fix),
+           |p AS (SELECT doc_id, u.pos, u.para FROM (
+           |    SELECT doc_id, unnest([{'pos': i, 'para': l[i]} for i in range(1, len(l) + 1)]) AS u
+           |    FROM sp)
+           |  WHERE length(trim(u.para)) > 0),
+           |surv AS (SELECT doc_id, pos, para FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+           |    FROM p) WHERE rn = 1)
+           |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+           |FROM surv GROUP BY doc_id
+           |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  // — normalized ("fuzzy-exact") dedup ———————————————————————————————————
+  //   Fixture: each document paired with a shifted-id variant that differs
+  //   only by case, doubled whitespace, and Unicode composition (NFC
+  //   " café" vs uppercase + NFD " cafe" + combining acute U+0301). Plain
+  //   content hashing sees 1000 distinct documents; the canonical form
+  //   collapses each pair, keeping the original id.
+  private val x50 = Probe(
+    "x50_normalized_dedup",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val fix = docs.select(col("doc_id"),
+          concat(col("text"), lit(" café")).as("text")) // NFC: U+00E9
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          // NFD: 'e' + combining acute U+0301, plus case + spacing noise
+          concat(upper(col("text")), lit("  café")).as("text")))
+      Dedup.exactNormalized(fix, "text", "doc_id").orderBy("content_hash")
+    },
+    Some("""WITH fix AS (
+           |  SELECT doc_id, text || ' caf' || chr(233) AS text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, upper(text) || '  cafe' || chr(769) FROM documents),
+           |canon AS (SELECT doc_id,
+           |    regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g') AS ct
+           |  FROM fix)
+           |SELECT sha256(CAST(ct IS NULL AS VARCHAR) || coalesce(ct, '')) AS content_hash,
+           |  min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+           |FROM canon GROUP BY 1
+           |ORDER BY content_hash ASC NULLS FIRST""".stripMargin))
+
+  // — Bloom-pruned incremental exact dedup ———————————————————————————————
+  //   Fixture batch: every 5th document is an exact corpus copy
+  //   (→ exact_dup of its source id), the rest get a ' v2' suffix
+  //   (→ new). The sketch prunes, the verify join decides — so the
+  //   classification is exact and DuckDB recomputes it with a plain
+  //   content join, false positives and all.
+  private val x51 = Probe(
+    "x51_bloom_incremental",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 5 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+      Dedup.incrementalExactBloom(docs, batch, "doc_id", "text",
+          expectedItems = 1000L, fpp = 0.01)
+        .orderBy("doc_id")
+    },
+    Some("""WITH batch AS (
+           |  SELECT doc_id + 1000000 AS bid,
+           |    CASE WHEN doc_id % 5 = 0 THEN text ELSE text || ' v2' END AS btext
+           |  FROM documents),
+           |m AS (SELECT b.bid, min(d.doc_id) AS dup_of
+           |      FROM batch b JOIN documents d ON d.text = b.btext GROUP BY 1)
+           |SELECT b.bid AS doc_id,
+           |  CASE WHEN m.dup_of IS NOT NULL THEN 'exact_dup' ELSE 'new' END AS status,
+           |  m.dup_of
+           |FROM batch b LEFT JOIN m ON m.bid = b.bid
+           |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  // — snapshot diff ———————————————————————————————————————————————————————
+  //   Fixture: new snapshot drops doc_id % 17 = 0, rewrites text where
+  //   doc_id % 13 = 0, and adds shifted-id rows for doc_id % 19 = 0 —
+  //   so all four statuses appear and interact (a dropped id can also
+  //   match the rewrite predicate; removal wins because the row simply
+  //   isn't there).
+  private val x52 = Probe(
+    "x52_snapshot_diff",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val next = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("added "), col("doc_id").cast("string")).as("text")))
+      Snapshot.diff(docs, next, "doc_id", Seq("text"))
+        .select(col("doc_id"), col("status")).orderBy("doc_id")
+    },
+    Some("""WITH oldsnap AS (SELECT doc_id, text FROM documents),
+           |newsnap AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 17 != 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, 'added ' || CAST(doc_id AS VARCHAR)
+           |  FROM documents WHERE doc_id % 19 = 0)
+           |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           |  CASE WHEN o.doc_id IS NULL THEN 'added'
+           |       WHEN n.doc_id IS NULL THEN 'removed'
+           |       WHEN o.text = n.text THEN 'unchanged'
+           |       ELSE 'changed' END AS status
+           |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+           |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  val all: Seq[Probe] = Seq(x49, x50, x51, x52)
+}

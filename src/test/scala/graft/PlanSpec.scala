@@ -104,6 +104,14 @@ class PlanSpec extends SparkSpec {
       graft.functions.TextFunctions.fingerprint(col("text")).as("f1"),
       graft.functions.TextFunctions.fingerprint(concat(col("text"), lit("x"))).as("f2"))
     assert(f.collect().length == 8)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    bf.putLong(42L)
+    val nb = docs2.select(
+      graft.functions.TextFunctions.nfc(col("text")).as("n1"),
+      graft.functions.TextFunctions.nfc(concat(col("text"), lit("é"))).as("n2"),
+      graft.functions.BloomFunctions.mightContain(xxhash64(col("text")), bf).as("b1"),
+      graft.functions.BloomFunctions.mightContain(lit(42L), bf).as("b2"))
+    assert(nb.collect().forall(_.getBoolean(3)), "bloom must contain the planted key")
   }
 
   test("ORC scan: predicate pushdown fires for the second columnar format") {
