@@ -63,7 +63,8 @@ object Bench {
     "x48_curate_pipeline",
     "x49_paragraph_dedup",
     "x51_bloom_incremental",
-    "x52_snapshot_diff")
+    "x52_snapshot_diff",
+    "x54_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,7 +81,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val fns = SparkEntry.queries
-    val names = headline.filter(fns.contains)
+    // local-iteration subset (driver sets no env → full headline)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val names = headline.filter(fns.contains).filter(n => only.forall(_.contains(n)))
 
     def runOne(name: String): Double = {
       val t0 = System.nanoTime()

@@ -40,12 +40,30 @@ object Curate {
       decontamNgram: Int = 3,
       decontamMinHits: Long = 2L)
 
+  /** Stage boundaries are pinned with eager `localCheckpoint`s: each stage
+    * consumes its predecessor's output SEVERAL times (the repetition gate
+    * joins `gated` against stats computed FROM `gated`; near-dup removal
+    * builds a shingle index from `exactKept` and then anti-joins
+    * `exactKept` against the drop set), so an unpinned composition
+    * re-executes the regex-heavy scrub+stats subtree once per consumer
+    * (cost-neutral at bench scale where exchange reuse hides most of it,
+    * but the re-executed subtree grows with every consumer and with
+    * per-document cost — at 100 TB the pin is the difference between one
+    * corpus scan per stage and one per stage-consumer). localCheckpoint
+    * rather than `persist()` keeps the stage outputs off the SQL cache
+    * manager (nothing for the caller to release; the ContextCleaner
+    * reclaims the blocks when the returned plan is dropped). The 100-TB
+    * deployment shape is the same discipline with durable storage: write
+    * each stage boundary to parquet and read it back — exactly what the
+    * streaming ingest sink does per micro-batch.
+    */
   def run(docs: DataFrame, idCol: String, textCol: String,
       bench: Option[(DataFrame, String, String)] = None,
       cfg: Config = Config()): DataFrame = {
     val scrubbed = docs.withColumn(textCol, TextStats.scrub(col(textCol)))
     val stats = TextStats.withStats(scrubbed, textCol)
     val gated = stats.filter(col("quality_score") >= cfg.minQuality)
+      .localCheckpoint()
     val afterRep =
       if (!cfg.repetitionGate) gated
       else gated.join(
@@ -53,6 +71,7 @@ object Curate {
           .filter(col("keep")).select(col(idCol)),
         Seq(idCol), "left_semi")
     val exactKept = Dedup.exactKeepFirst(afterRep, Seq(textCol), idCol)
+      .localCheckpoint()
     val nearKept = Dedup.dedupCorpusExact(exactKept, idCol, col(textCol),
       cfg.dedupNgram, cfg.dedupThreshold)
     bench match {

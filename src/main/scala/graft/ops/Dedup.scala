@@ -728,10 +728,17 @@ object Dedup {
       .select(sha2(tagged(col(textCol)), 256).as("__h"), col(idCol).as("__cid"))
       .groupBy(col("__h")).agg(min(col("__cid")).as("__exact_of"))
       .persist()
-    val bf = corpusHashes.select(xxhash64(col("__h")).as("__k"))
-      .stat.bloomFilter("__k", expectedItems, fpp)
     val keyed = batch.select(col(idCol).as("id"),
       sha2(tagged(col(textCol)), 256).as("__h"))
+    if (corpusHashes.isEmpty) { // stat.bloomFilter NPEs on zero rows
+      val result = keyed.select(col("id").as(idCol), lit("new").as("status"),
+        lit(null).cast(corpus.schema(idCol).dataType).as("dup_of")).persist()
+      result.count()
+      corpusHashes.unpersist()
+      return result
+    }
+    val bf = corpusHashes.select(xxhash64(col("__h")).as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
     val positive = keyed
       .filter(graft.functions.BloomFunctions.mightContain(xxhash64(col("__h")), bf))
       .join(corpusHashes, Seq("__h"), "left")

@@ -63,4 +63,35 @@ object Frequency {
     import spark.implicits._
     vocab.map(t => (t, cms.estimateCount(t))).toDF("term", "est_n")
   }
+
+  /** EXACT heavy hitters above a support threshold, without ever
+    * shuffling the term domain — the sketch-gated exact aggregation
+    * pattern (the CMS sibling of [[Dedup.incrementalExactBloom]]'s
+    * Bloom gate):
+    *
+    *   1. fold `xxhash64(term)` keys into a count-min sketch (one pass,
+    *      fixed-size grid, no shuffle);
+    *   2. gate every occurrence map-side on `estimate ≥ minFreq`
+    *      ([[graft.functions.CmsEstimate]], codegen'd). The sketch only
+    *      over-counts, so NO true heavy hitter is dropped — exactly the
+    *      Bloom no-false-negative guarantee, in frequency form;
+    *   3. exact `groupBy(term).count` over the SURVIVORS — the shuffle
+    *      carries partial counts of candidate terms only, not the
+    *      trillion-term tail — and a final exact `≥ minFreq` filter
+    *      discards the sketch's false candidates (collisions included).
+    *
+    * Output (term, n) is EXACT: step 3's count never sees a dropped
+    * occurrence of a candidate term, and the final filter applies to
+    * true counts. Two scans of the input, zero full-domain shuffles.
+    */
+  def heavyHitters(items: DataFrame, term: Column, minFreq: Long,
+      eps: Double = 1e-3, confidence: Double = 0.99, seed: Int = 7): DataFrame = {
+    require(minFreq > 0, s"minFreq must be positive, got $minFreq")
+    val keyed = items.select(term.as("term"), xxhash64(term).as("__k"))
+    val cms = sketch(keyed, col("__k"), eps, confidence, seed)
+    keyed
+      .filter(graft.functions.CmsFunctions.estimate(col("__k"), cms) >= minFreq)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minFreq)
+  }
 }

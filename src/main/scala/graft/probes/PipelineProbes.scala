@@ -150,5 +150,61 @@ object PipelineProbes {
            |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
-  val all: Seq[Probe] = Seq(x49, x50, x51, x52)
+  // — sharded export + verifiable manifest ———————————————————————————————
+  //   Real write path: documents land in 8 content-addressed shards
+  //   (portable fingerprint hash of the id string — NOT xxhash64, so the
+  //   oracle assigns every row to its shard independently), and the
+  //   manifest is computed from the files READ BACK — a lost or
+  //   double-written row changes n_rows/checksum and fails the value
+  //   compare. The checksum is an order-independent fingerprint sum.
+  private val x53 = Probe(
+    "x53_sharded_export",
+    (s, dir) => {
+      val tmp = s"/root/repo/target/tmp/x53_shards_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.etl.Export.sharded(s, t(s, dir, "documents"), "doc_id", "text",
+          tmp, nShards = 8)
+        .orderBy("shard")
+    },
+    Some("""WITH ids AS (
+           |  SELECT doc_id, coalesce(text, '') AS text,
+           |    CAST(doc_id AS VARCHAR) AS ids
+           |  FROM documents),
+           |fp AS (
+           |  SELECT doc_id,
+           |    CAST(coalesce(list_sum(list_transform(range(1, length(ids) + 1),
+           |      i -> ascii(ids[i]) * ((i % 64) + 1))), 0) AS BIGINT) % 8 AS shard,
+           |    CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+           |      i -> ascii(text[i]) * ((i % 64) + 1))), 0) AS BIGINT) AS cks
+           |  FROM ids)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+           |  CAST(sum(cks) AS BIGINT) AS checksum
+           |FROM fp GROUP BY shard
+           |ORDER BY shard ASC NULLS FIRST""".stripMargin))
+
+  // — sketch-gated exact heavy hitters ———————————————————————————————————
+  //   The CMS sibling of the x51 Bloom gate: estimate ≥ minFreq admits
+  //   candidates map-side (over-count only — no true hitter dropped), the
+  //   exact groupBy counts survivors, the final exact filter drops the
+  //   sketch's false candidates. Output is EXACT, so the oracle is a plain
+  //   GROUP BY ... HAVING. minFreq = 900 splits the fixture vocabulary
+  //   mid-distribution (term counts cluster ~870-940), so both gate
+  //   directions are exercised.
+  private val x54 = Probe(
+    "x54_heavy_hitters",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      Frequency.heavyHitters(
+          docs.select(explode(TextStats.tokens(col("text"))).as("term")),
+          col("term"), minFreq = 900L)
+        .orderBy("term")
+    },
+    Some("""WITH tok AS (
+           |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS term
+           |  FROM documents)
+           |SELECT term, CAST(count(*) AS BIGINT) AS n
+           |FROM tok GROUP BY term HAVING count(*) >= 900
+           |ORDER BY term ASC NULLS FIRST""".stripMargin))
+
+  val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54)
 }

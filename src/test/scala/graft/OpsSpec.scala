@@ -159,6 +159,11 @@ class OpsSpec extends SparkSpec {
       val cm = ss.getClass.getMethod("cacheManager").invoke(ss)
       cm.getClass.getMethod("isEmpty").invoke(cm).asInstanceOf[Boolean]
     }
+    // suites share the session and run in parallel: serialize with the
+    // other cache-sensitive sections (EngineProps' bloom property,
+    // PipelineOpsSpec's bloom test) so a neighbor's transient persist
+    // cannot trip the global-emptiness asserts
+    SparkSpec.session.synchronized {
     spark.catalog.clearCache()
     val small = docs.limit(60)
     val sig = Dedup.minhashSignatures(small, "doc_id", $"text", 3, 64)
@@ -185,6 +190,7 @@ class OpsSpec extends SparkSpec {
       "doc_id", $"text", 3, 64, 16, 4, 0.2)
     inc.unpersist()
     assert(sqlCacheEmpty, "incrementalDedup result released ⇒ cache empty")
+    }
   }
 
   test("simhash: identical docs get identical signatures, hamming 0; pairs surface them") {

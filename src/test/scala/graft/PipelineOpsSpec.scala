@@ -62,18 +62,36 @@ class PipelineOpsSpec extends SparkSpec {
       (103L, "brand new content a"),
       (104L, "brand new content b")
     ).toDF("doc_id", "text")
-    // fpp 0.4: false positives near-certain across 50 keys — the verify
-    // join must still classify the new docs as new
-    val got = Dedup.incrementalExactBloom(corpus, batch, "doc_id", "text",
-      expectedItems = 50L, fpp = 0.4)
-    val rows = got.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
-    got.unpersist()
-    assert(rows == Seq(
-      (101L, "exact_dup", Some(7L)),
-      (102L, "exact_dup", Some(7L)),
-      (103L, "new", None),
-      (104L, "new", None)), s"got: $rows")
-    assert(sqlCacheEmpty, "incrementalExactBloom must release the corpus hash cache")
+    // suites share one session and run in parallel; the cache-manager
+    // assertion is only meaningful while no other suite holds a transient
+    // persist — serialize on the session like OpsSpec's cache test
+    SparkSpec.session.synchronized {
+      // the cache-emptiness check is global, and unsynchronized suites may
+      // hold their own transient persists — only assert when the cache was
+      // quiet going in (the op's own lifecycle is what's under test)
+      val quiet = sqlCacheEmpty
+      // fpp 0.4: false positives near-certain across 50 keys — the verify
+      // join must still classify the new docs as new
+      val got = Dedup.incrementalExactBloom(corpus, batch, "doc_id", "text",
+        expectedItems = 50L, fpp = 0.4)
+      val rows = got.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+      got.unpersist()
+      assert(rows == Seq(
+        (101L, "exact_dup", Some(7L)),
+        (102L, "exact_dup", Some(7L)),
+        (103L, "new", None),
+        (104L, "new", None)), s"got: $rows")
+      if (quiet) assert(sqlCacheEmpty, "incrementalExactBloom must release the corpus hash cache")
+    }
+  }
+
+  test("bloom incremental dedup: empty corpus classifies the whole batch as new") {
+    val cDf = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val bDf = Seq((101L, "a"), (102L, "b")).toDF("doc_id", "text")
+    val res = Dedup.incrementalExactBloom(cDf, bDf, "doc_id", "text", expectedItems = 1L)
+    val got = res.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    res.unpersist()
+    assert(got == Seq((101L, "new", None), (102L, "new", None)))
   }
 
   test("bloom incremental dedup: no false negatives — every true dup is found at tight fpp") {
@@ -104,5 +122,35 @@ class PipelineOpsSpec extends SparkSpec {
     val got = Snapshot.diff(oldDf, newDf, "id", Seq("a", "b"))
       .select("status").as[String].head()
     assert(got == "changed", "column-boundary shift must register as a change")
+  }
+
+  test("heavy hitters: exact counts survive a deliberately collision-heavy sketch") {
+    val rows = (1 to 100).map(i => if (i % 2 == 0) "hot" else s"cold$i")
+    val df = rows.toDF("term")
+    // eps 0.5 → 4-wide grid: every cold term collides with something, the
+    // gate admits junk candidates — the exact count must discard them all
+    val got = Frequency.heavyHitters(df, $"term", minFreq = 10L, eps = 0.5)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("hot", 50L)), s"got: $got")
+    assert(Frequency.heavyHitters(df, $"term", minFreq = 51L, eps = 0.5).count() == 0,
+      "threshold above the true max must return nothing")
+  }
+
+  test("sharded export: manifest verifies the files, assignment is portable, re-export idempotent") {
+    val docs = graft.sources.Readers.table(spark, sf0001, "documents")
+    val tmp = "/root/repo/target/tmp/export_spec"
+    val man = graft.etl.Export.sharded(spark, docs, "doc_id", "text", tmp, nShards = 4)
+      .orderBy("shard").collect().toSeq
+    assert(man.map(_.getLong(1)).sum == docs.count(), "no row lost or double-written")
+    assert(man.map(_.getLong(0)).forall(s => s >= 0 && s < 4))
+    // every read-back row sits in the shard its id hashes to
+    val misplaced = spark.read.parquet(tmp)
+      .filter(col("shard").cast("long") =!= graft.etl.Export.shardOf("doc_id", 4))
+      .count()
+    assert(misplaced == 0, "shard dirs must match the content-addressed assignment")
+    // overwrite re-export lands the identical manifest (deterministic end to end)
+    val man2 = graft.etl.Export.sharded(spark, docs, "doc_id", "text", tmp, nShards = 4)
+      .orderBy("shard").collect().toSeq
+    assert(man2 == man)
   }
 }

@@ -202,9 +202,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("shuffle budget of the pipeline ops matches the scaladoc claims") {
+    // \bExchange matches shuffle exchanges only: neither ReusedExchange nor
+    // BroadcastExchange has a word boundary before the E. The old
+    // line-anchored form missed exchanges under a join's ':' branch prefix.
     def exchanges(df: DataFrame): Int =
-      "(?m)^\\s*(?:[+:]-\\s*)?\\*?\\(?\\d*\\)?\\s*Exchange ".r
-        .findAllIn(physical(df)).length
+      "\\bExchange ".r.findAllIn(physical(df)).length
     val docs = Readers.table(spark, sf0001, "documents")
     // chunking: tokenize + explode only — ZERO shuffles
     assert(exchanges(graft.ops.Packing.slidingChunks(
@@ -228,6 +230,24 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!approxPlan.contains("Window"),
       s"approx prune must not sort language partitions:\n$approxPlan")
+    // snapshot diff: ONE shuffle per side into the full-outer join, none
+    // after it (digests are computed map-side, bodies never shuffle)
+    val next = docs.filter(col("doc_id") % 2 === 0)
+    assert(exchanges(graft.ops.Snapshot.diff(docs, next, "doc_id", Seq("text"))) == 2)
+    // paragraph dedup: the scaladoc's 3 shuffle sites resolve to 4
+    // exchanges (the (id,pos) semi-join exchanges BOTH sides) + the
+    // reassembly agg; nothing beyond that — and the survivor-election
+    // window shuffles only (hash, id, pos), never paragraph bodies
+    val pd = graft.ops.Dedup.paragraphDedup(
+      docs.select(col("doc_id"), concat_ws("\n", col("text"), col("text")).as("text")),
+      "doc_id", "text")
+    assert(exchanges(pd) <= 4, s"paragraph dedup shuffle budget blown:\n${physical(pd)}")
+    val pdPlan = physical(pd)
+    assert(pdPlan.contains("Exchange hashpartitioning(__h"),
+      s"survivor election must shuffle on the digest key:\n$pdPlan")
+    val windowLines = pdPlan.linesIterator.filter(_.matches(".*\\bWindow\\b.*")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(!_.contains("__para")),
+      s"the election window must carry (digest, id, pos) only, not bodies:\n$pdPlan")
   }
 
   test("AQE splits the skewed join partition (skew=true in the executed join)") {
