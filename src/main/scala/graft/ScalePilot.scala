@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Decontaminate, Dedup, Packing, Repetition, Scd, Sessionize, Similarity, Snapshot, TextStats}
+import graft.ops.{Decontaminate, Dedup, Packing, Repetition, Sampling, Scd, Sessionize, Similarity, Snapshot, TextStats}
 import graft.sources.Readers
 
 /** Empirical scaling pilot: run the heavy operator families at 1× and N×
@@ -275,7 +275,27 @@ object ScalePilot {
             when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
               .otherwise(col("text")).as("text"))
         Snapshot.diff(docs, next, "doc_id", Seq("text"))
-      }))
+      }),
+      // round-4 plan-shape closes, piloted under the adversarial profile
+      // each fix exists for: keep-first with 10% of the corpus collapsed
+      // onto ONE boilerplate digest (the shift keeps doc_id % 10 stable
+      // across copies, so every copy contributes) — the agg + semi-join
+      // plan combines the hot digest map-side where the old content-keyed
+      // window funneled every copy (bodies included) through one sort
+      // task; and the token-budget prefix sum over a SINGLE dominant
+      // source — the bucketed two-pass plan spreads it over ≤256 sort
+      // tasks where the old per-source window used exactly one
+      "exact_keepfirst_hot" -> (() => {
+        val docs = tbl(dir, "documents")
+        val fix = docs.select(col("doc_id"),
+          when(col("doc_id") % 10 === 1,
+            lit("this site uses cookies accept our terms to continue"))
+            .otherwise(col("text")).as("text"))
+        Dedup.exactKeepFirst(fix, Seq("text"), "doc_id")
+      }),
+      "token_budget_one_source" -> (() => Sampling.tokenBudget(
+        Seq(("docs", tbl(dir, "documents"), 1000000L)),
+        col("doc_id"), size(TextStats.tokens(col("text"))))))
 
     def queries(dir: String): Seq[(String, () => DataFrame)] =
       if (family == "dedup") dedupQueries(dir)

@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   * it verifies CONTENT independent of row order within a shard — exactly
   * what a parallel loader needs.
   *
+  * Checksum wrap contract: the checksum is the per-shard fingerprint sum
+  * DEFINED MOD 2⁶⁴ (two's-complement, i.e. exactly what a 64-bit integer
+  * sum wraps to). Spark's non-ANSI long sum implements this natively; an
+  * auditor whose engine widens sums (DuckDB promotes BIGINT sums to
+  * HUGEINT) must apply the wrap explicitly —
+  * `CASE WHEN s % 2^64 >= 2^63 THEN s % 2^64 - 2^64 ELSE s % 2^64 END`
+  * over the HUGEINT sum `s` (fingerprints are non-negative). Without a
+  * defined wrap, a large shard (≳2⁴⁰ fingerprint-weighted chars)
+  * overflows silently in one engine and errors in the other.
+  *
   * Plan shape at 100 TB: one `partitionBy(shard)` write (each task
   * writes ≤ N shard files — with a `repartition(shardCol)` upstream each
   * task writes exactly one), one scan of the written data for the

@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
 object Curate {
 
   /** Stage parameters; defaults are the published-shaped gates used by
-    * the individual operators.
+    * the individual operators. `pinStages` controls the stage-boundary
+    * `localCheckpoint`s (see [[run]]): `true` (default) trades eager
+    * execution and executor-loss recomputability for one-corpus-scan-per-
+    * stage; set `false` for a fully lazy, lineage-recoverable plan (each
+    * stage subtree may then re-execute once per downstream consumer).
     */
   final case class Config(
       minQuality: Double = 0.0,
@@ -38,7 +42,8 @@ object Curate {
       dedupNgram: Int = 3,
       dedupThreshold: Double = 0.5,
       decontamNgram: Int = 3,
-      decontamMinHits: Long = 2L)
+      decontamMinHits: Long = 2L,
+      pinStages: Boolean = true)
 
   /** Stage boundaries are pinned with eager `localCheckpoint`s: each stage
     * consumes its predecessor's output SEVERAL times (the repetition gate
@@ -56,22 +61,29 @@ object Curate {
     * deployment shape is the same discipline with durable storage: write
     * each stage boundary to parquet and read it back — exactly what the
     * streaming ingest sink does per micro-batch.
+    *
+    * Trade-offs of the pin (`cfg.pinStages`, default on): localCheckpoint
+    * is EAGER — jobs fire at call time even if the returned plan is never
+    * acted on — and checkpointed blocks are NOT recomputable on executor
+    * loss (a lost block fails downstream actions instead of re-deriving
+    * from lineage). On preemptible/spot clusters prefer
+    * `pinStages = false` (lazy, lineage-recoverable, pays repeated stage
+    * subtrees) or the durable parquet-per-stage deployment shape above.
     */
   def run(docs: DataFrame, idCol: String, textCol: String,
       bench: Option[(DataFrame, String, String)] = None,
       cfg: Config = Config()): DataFrame = {
+    def pin(df: DataFrame): DataFrame = if (cfg.pinStages) df.localCheckpoint() else df
     val scrubbed = docs.withColumn(textCol, TextStats.scrub(col(textCol)))
     val stats = TextStats.withStats(scrubbed, textCol)
-    val gated = stats.filter(col("quality_score") >= cfg.minQuality)
-      .localCheckpoint()
+    val gated = pin(stats.filter(col("quality_score") >= cfg.minQuality))
     val afterRep =
       if (!cfg.repetitionGate) gated
       else gated.join(
         Repetition.gopherStats(gated, idCol, textCol, cfg.lineSep)
           .filter(col("keep")).select(col(idCol)),
         Seq(idCol), "left_semi")
-    val exactKept = Dedup.exactKeepFirst(afterRep, Seq(textCol), idCol)
-      .localCheckpoint()
+    val exactKept = pin(Dedup.exactKeepFirst(afterRep, Seq(textCol), idCol))
     val nearKept = Dedup.dedupCorpusExact(exactKept, idCol, col(textCol),
       cfg.dedupNgram, cfg.dedupThreshold)
     bench match {

@@ -82,13 +82,21 @@ object Dedup {
     if (contentCols.size == 1) sha2(tagged(col(contentCols.head)), 256)
     else sha2(concat(contentCols.map(c => sha2(tagged(col(c)), 256)): _*), 256)
 
-  /** Keep-one projection of [[exact]]: the input minus exact duplicates. */
-  def exactKeepFirst(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
-    val w = Window
-      .partitionBy(contentCols.map(c => tagged(col(c))): _*)
-      .orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-  }
+  /** Keep-one projection of [[exact]]: the input minus exact duplicates.
+    *
+    * Plan shape: [[exact]]'s digest aggregate elects `min(id)` per content
+    * group with MAP-SIDE partial aggregation (a 10⁸-copy boilerplate
+    * document combines to one row per input partition before the shuffle),
+    * then a `left_semi` join on the id brings the winning bodies through.
+    * Bodies shuffle keyed by the UNSKEWED id — or not at all when AQE
+    * broadcasts the keep-set — never through a window keyed by content,
+    * which would land every copy of a mass-duplicated document (bodies and
+    * all) in one sort partition. Requires `idCol` non-null and unique per
+    * row (it is the survivor's identity).
+    */
+  def exactKeepFirst(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame =
+    df.join(exact(df, contentCols, idCol).select(col("keep_id")),
+      col(idCol) === col("keep_id"), "left_semi")
 
   /** [[exact]] over the NORMALIZED text form ([[TextStats.canonical]]:
     * NFC + lowercase + whitespace collapse) — "fuzzy-exact" dedup, the
@@ -104,12 +112,13 @@ object Dedup {
   /** Keep-one projection of [[exactNormalized]]: rows whose id is the
     * smallest in their canonical-form group. The ORIGINAL text is kept —
     * normalization only decides identity, it does not rewrite content.
+    * Same agg + semi-join plan as [[exactKeepFirst]] (map-side combine on
+    * the canonical digest; bodies never shuffle on a content key);
+    * requires `idCol` non-null and unique per row.
     */
-  def exactNormalizedKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(tagged(TextStats.canonical(col(textCol))))
-      .orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-  }
+  def exactNormalizedKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.join(exactNormalized(df, textCol, idCol).select(col("keep_id")),
+      col(idCol) === col("keep_id"), "left_semi")
 
   /** Paragraph-level exact dedup (the FineWeb/ccnet granularity): split
     * each document on `sep`, drop every paragraph whose content already
@@ -119,9 +128,12 @@ object Dedup {
     *
     * Plan shape at 100 TB — three shuffles, none carrying bodies through
     * the skewed key:
-    *   1. survivor election shuffles (sha256(paragraph), id, pos) ONLY —
-    *      a boilerplate paragraph repeated 10⁸ times lands as one fat
-    *      partition of 40-byte digests, not 10⁸ bodies;
+    *   1. survivor election is `groupBy(digest).agg(min(struct(id, pos)))`
+    *      — MAP-SIDE partial aggregation combines a boilerplate paragraph
+    *      repeated 10⁸ times down to one (digest, min-slot) row per input
+    *      partition BEFORE the shuffle, so the hot digest never
+    *      materializes as a fat partition (a `row_number` window would
+    *      sort all 10⁸ digest rows in one task);
     *   2. a semi-join on (id, pos) brings the winning slots back to the
     *      exploded bodies (hash-partitioned by id — unskewed by
     *      construction, paragraph positions are unique per doc);
@@ -137,10 +149,9 @@ object Dedup {
       .filter(length(trim(col("__para"))) > 0)
     val surv = paras
       .select(sha2(col("__para"), 256).as("__h"), col(idCol), col("__pos"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("__pos"))
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__slot"))
+      .select(col("__slot")(idCol).as(idCol), col("__slot")("__pos").as("__pos"))
     paras.join(surv, Seq(idCol, "__pos"), "left_semi")
       .groupBy(col(idCol))
       .agg(concat_ws(sep,
@@ -730,29 +741,31 @@ object Dedup {
       .persist()
     val keyed = batch.select(col(idCol).as("id"),
       sha2(tagged(col(textCol)), 256).as("__h"))
-    if (corpusHashes.isEmpty) { // stat.bloomFilter NPEs on zero rows
-      val result = keyed.select(col("id").as(idCol), lit("new").as("status"),
-        lit(null).cast(corpus.schema(idCol).dataType).as("dup_of")).persist()
+    // try/finally: a throw from the sketch build, the verify join, or the
+    // eager count must not leak the cached corpus hash index
+    try {
+      if (corpusHashes.isEmpty) { // stat.bloomFilter NPEs on zero rows
+        val result = keyed.select(col("id").as(idCol), lit("new").as("status"),
+          lit(null).cast(corpus.schema(idCol).dataType).as("dup_of")).persist()
+        result.count()
+        return result
+      }
+      val bf = corpusHashes.select(xxhash64(col("__h")).as("__k"))
+        .stat.bloomFilter("__k", expectedItems, fpp)
+      val positive = keyed
+        .filter(graft.functions.BloomFunctions.mightContain(xxhash64(col("__h")), bf))
+        .join(corpusHashes, Seq("__h"), "left")
+      val negative = keyed
+        .filter(!graft.functions.BloomFunctions.mightContain(xxhash64(col("__h")), bf))
+        .withColumn("__exact_of", lit(null).cast(corpus.schema(idCol).dataType))
+      val result = positive.unionByName(negative)
+        .select(col("id").as(idCol),
+          when(col("__exact_of").isNotNull, "exact_dup").otherwise("new").as("status"),
+          col("__exact_of").as("dup_of"))
+        .persist()
       result.count()
-      corpusHashes.unpersist()
-      return result
-    }
-    val bf = corpusHashes.select(xxhash64(col("__h")).as("__k"))
-      .stat.bloomFilter("__k", expectedItems, fpp)
-    val positive = keyed
-      .filter(graft.functions.BloomFunctions.mightContain(xxhash64(col("__h")), bf))
-      .join(corpusHashes, Seq("__h"), "left")
-    val negative = keyed
-      .filter(!graft.functions.BloomFunctions.mightContain(xxhash64(col("__h")), bf))
-      .withColumn("__exact_of", lit(null).cast(corpus.schema(idCol).dataType))
-    val result = positive.unionByName(negative)
-      .select(col("id").as(idCol),
-        when(col("__exact_of").isNotNull, "exact_dup").otherwise("new").as("status"),
-        col("__exact_of").as("dup_of"))
-      .persist()
-    result.count()
-    corpusHashes.unpersist()
-    result
+      result
+    } finally corpusHashes.unpersist()
   }
 
   /** 63-bit SimHash per id (bit 63 unused to stay in positive Long range

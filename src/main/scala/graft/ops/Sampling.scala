@@ -17,16 +17,29 @@ import org.apache.spark.sql.functions._
   *     rows never move existing ones between splits.
   *   - [[stratifiedExact]]: exactly `ceil(frac · n_k)` rows per stratum k,
   *     chosen by hash order within the stratum (deterministic, unbiased
-  *     w.r.t. any column correlated with the sort order of the data). One
-  *     hash shuffle on the stratum key + one per-partition sort; the rank
-  *     threshold is data-dependent (`ceil(n_k · frac)`), so the full window
-  *     is evaluated — no global sort, but also no `WindowGroupLimit` rank
-  *     pushdown. [[stratifiedTopN]] (constant limit) is the variant where
-  *     that pushdown fires.
+  *     w.r.t. any column correlated with the sort order of the data).
+  *     Two-pass bucketed prefix-sum plan — no per-stratum window, so a
+  *     dominant stratum parallelizes across [[Buckets]] tasks (see the
+  *     method scaladoc). [[stratifiedTopN]] (constant limit) is the
+  *     single-window variant where the `WindowGroupLimit` rank pushdown
+  *     fires.
   */
 object Sampling {
 
   private val Slots = 10000L
+
+  /** Bucket fan-out of the two-pass rank/prefix-sum plans: the hash order
+    * is split into 256 contiguous ranges, so one stratum/source spreads
+    * over up to 256 sort tasks instead of one.
+    */
+  val Buckets = 256
+
+  /** Order-aligned bucket of a 64-bit hash: the ARITHMETIC shift keeps the
+    * bucket id (-128..127) monotone in the SIGNED hash order — the order
+    * `orderBy(hash)` sorts by — so per-bucket ranks concatenated in bucket
+    * order reproduce the global hash-order rank exactly.
+    */
+  private def bucketOf(h: Column): Column = shiftright(h, 56)
 
   /** Add a `split` column assigning each row to a named split by hashed id.
     * Fractions must sum to ~1 (trailing remainder goes to the last split).
@@ -47,14 +60,42 @@ object Sampling {
 
   /** Exactly `ceil(frac · count)` rows per value of `stratumCol`, picked in
     * `xxhash64(idCol)` order (ties broken by the id itself).
+    *
+    * Scale-safe two-pass plan (a single window per stratum would funnel a
+    * 50-TB dominant stratum through ONE sort task):
+    *
+    *   1. bucket every row by the top byte of its order hash
+    *      ([[bucketOf]] — contiguous hash RANGES, so bucket order IS hash
+    *      order) and count rows per (stratum, bucket) — a map-side-combined
+    *      aggregate producing ≤ |strata|·[[Buckets]] rows;
+    *   2. a window over that TINY frame turns counts into cumulative
+    *      offsets + stratum totals; joined back (AQE broadcasts it), the
+    *      global rank is `offset + row_number` within the (stratum,
+    *      bucket) window — up to [[Buckets]] parallel sort tasks per
+    *      stratum, each seeing only its hash range.
+    *
+    * The kept set is IDENTICAL to the single-window form: per-bucket ranks
+    * concatenated in bucket order reproduce the global (hash, id) rank
+    * because same-hash rows always share a bucket.
     */
   def stratifiedExact(df: DataFrame, stratumCol: Column, idCol: Column, frac: Double): DataFrame = {
     require(frac > 0 && frac <= 1, "frac must be in (0, 1]")
-    val w = Window.partitionBy(stratumCol).orderBy(xxhash64(idCol), idCol)
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(stratumCol)))
+    val base = df.withColumn("__strat", stratumCol)
+      .withColumn("__h", xxhash64(idCol))
+      .withColumn("__b", bucketOf(col("__h")))
+    val wOff = Window.partitionBy(col("__strat")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = base.groupBy(col("__strat"), col("__b")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(col("__strat"))))
+      .select(col("__strat").as("__cstrat"), col("__b").as("__cb"),
+        col("__off"), col("__n"))
+    val wIn = Window.partitionBy(col("__strat"), col("__b")).orderBy(col("__h"), idCol)
+    base
+      .join(cum, col("__strat") <=> col("__cstrat") && col("__b") === col("__cb"))
+      .withColumn("__rn", col("__off") + row_number().over(wIn))
       .filter(col("__rn") <= ceil(col("__n") * frac))
-      .drop("__rn", "__n")
+      .drop("__strat", "__h", "__b", "__cstrat", "__cb", "__off", "__n", "__rn")
   }
 
   /** Deterministic per-stratum top-N by an explicit order (the
@@ -89,11 +130,19 @@ object Sampling {
     * enough tokens, `kept = total` otherwise. Fully deterministic:
     * re-runs, retries and repartitioning keep the identical document set.
     *
-    * Plan: one shuffle on the source tag + a per-source running sum in
-    * hash order (same shape and skew caveat as [[stratifiedExact]] — a
-    * window over few fat partitions). The sketch-shaped alternative at
-    * extreme scale is [[mixture]] with `rate = budget / total_tokens`
-    * (document-count binomial instead of an exact token prefix).
+    * Scale-safe two-pass plan (same discipline as [[stratifiedExact]] —
+    * a single running-sum window per source would funnel a 50-TB source
+    * through ONE sort task): rows bucket by the top byte of the order
+    * hash ([[bucketOf]] — contiguous hash ranges, bucket order = hash
+    * order); pass 1 sums tokens per (source, bucket) and a window over
+    * that ≤ |sources|·[[Buckets]]-row frame yields each bucket's token
+    * offset; pass 2 joins the offsets back (AQE broadcasts) and computes
+    * `cum_before = bucket_offset + running sum WITHIN the (source,
+    * bucket) window` — up to [[Buckets]] parallel sort tasks per source,
+    * bit-identical to the single-window prefix sum (same-hash rows share
+    * a bucket). The sketch-shaped alternative at extreme scale is
+    * [[mixture]] with `rate = budget / total_tokens` (document-count
+    * binomial instead of an exact token prefix).
     */
   def tokenBudget(sources: Seq[(String, DataFrame, Long)],
       idCol: Column, tokenCount: Column): DataFrame = {
@@ -105,13 +154,24 @@ object Sampling {
         .withColumn("__budget", lit(budget))
         .withColumn("__tok", tokenCount.cast("long"))
     }.reduce(_ unionByName _)
-    val w = Window.partitionBy(col("mix_source"))
-      .orderBy(xxhash64(idCol, col("mix_source")), idCol)
+    val base = tagged
+      .withColumn("__h", xxhash64(idCol, col("mix_source")))
+      .withColumn("__b", bucketOf(col("__h")))
+    val wOff = Window.partitionBy(col("mix_source")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    tagged
-      .withColumn("__cum_before", coalesce(sum(col("__tok")).over(w), lit(0L)))
+    val cum = base.groupBy(col("mix_source"), col("__b"))
+      .agg(sum(col("__tok")).as("__btok"))
+      .withColumn("__off", coalesce(sum(col("__btok")).over(wOff), lit(0L)))
+      .select(col("mix_source").as("__csrc"), col("__b").as("__cb"), col("__off"))
+    val wIn = Window.partitionBy(col("mix_source"), col("__b"))
+      .orderBy(col("__h"), idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(cum, col("mix_source") === col("__csrc") && col("__b") === col("__cb"))
+      .withColumn("__cum_before",
+        col("__off") + coalesce(sum(col("__tok")).over(wIn), lit(0L)))
       .filter(col("__cum_before") < col("__budget"))
-      .drop("__cum_before", "__budget", "__tok")
+      .drop("__h", "__b", "__csrc", "__cb", "__off", "__cum_before", "__budget", "__tok")
   }
 
   def mixture(sources: Seq[(String, DataFrame, Double)], idCol: Column): DataFrame = {

@@ -21,6 +21,14 @@ object Snapshot {
   /** One row per id present in either snapshot:
     * (idCol, status ∈ {added, removed, changed, unchanged}, old_hash,
     * new_hash). `added`/`removed` are relative to `oldDf` → `newDf`.
+    *
+    * PRECONDITION: `idCol` is unique within each snapshot (it is the
+    * row's identity — a snapshot with duplicate ids has no well-defined
+    * per-id diff). Duplicate ids would fan out through the full-outer
+    * join, yielding multiple rows per id and a [[summary]] whose counts
+    * no longer partition the id set; run
+    * [[Dedup.exactKeepFirst]]/[[Dedup.exact]] per id first if the input
+    * may carry duplicates.
     */
   def diff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       contentCols: Seq[String]): DataFrame = {

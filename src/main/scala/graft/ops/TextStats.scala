@@ -115,59 +115,108 @@ object TextStats {
     * classifier scores — the highest-frequency trigrams of each language
     * from published frequency tables (the standard n-gram-profile langid
     * design, Cavnar & Trenkle '94). Deliberately small: 8 trigrams per
-    * language keeps the per-row expression inside codegen while separating
-    * en/fr/de cleanly; a production deployment swaps in a larger table
-    * behind the same formula.
+    * language keeps the per-row expression inside codegen while cleanly
+    * separating the 7 Latin-script languages on natural text; a
+    * production deployment swaps in a larger table behind the same
+    * formula. Alphabetical order IS the tie-break priority.
     */
   val LangTrigramProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "ein", "ich", "sch", "ie ", "ch "),
     "en" -> Seq("the", " th", "he ", " a ", "and", " an", "nd ", " of"),
-    "fr" -> Seq(" de", "de ", " le", "le ", "es ", "la ", " la", "et "))
+    "es" -> Seq(" el", "el ", "os ", " lo", "ión", "ado", "que", " qu"),
+    "fr" -> Seq(" de", "de ", " le", "le ", "es ", "la ", " la", "et "),
+    "it" -> Seq(" di", "di ", "to ", "no ", "lla", "ell", "are", "zio"),
+    "nl" -> Seq("een", " ee", "en ", "van", " va", "aar", "an ", "er "),
+    "pt" -> Seq("ão ", "ção", " da", "da ", " do", "do ", "em ", " os"))
 
-  /** Trigram-profile language ID, pure deterministic arithmetic (so the
+  /** Script-range detections, checked in order BEFORE the trigram score —
+    * non-Latin scripts identify a language (or its representative:
+    * Cyrillic → ru, Devanagari → hi — the script, not the specific
+    * member, is what a cheap heuristic can honestly claim) far more
+    * reliably than trigram statistics. Kana precedes Han because Japanese
+    * text mixes kanji WITH kana while Chinese has no kana.
+    */
+  val ScriptRanges: Seq[(String, Int, Int)] = Seq(
+    ("ja", 0x3040, 0x30ff), // hiragana + katakana
+    ("ko", 0xac00, 0xd7af), // hangul syllables
+    ("zh", 0x4e00, 0x9fff), // CJK unified ideographs
+    ("ru", 0x0400, 0x04ff), // cyrillic
+    ("ar", 0x0600, 0x06ff), // arabic
+    ("el", 0x0370, 0x03ff), // greek
+    ("hi", 0x0900, 0x097f)) // devanagari
+
+  /** Trigram-profile language ID over 14 languages (7 script-detected +
+    * 7 Latin trigram profiles), pure deterministic arithmetic (so the
     * DuckDB oracle replays it bit-for-bit via [[langIdSql]]):
     *
-    *   - CJK codepoint present → zh (profile-free script detection);
+    *   - a codepoint in a [[ScriptRanges]] range → that language
+    *     (profile-free script detection, first range wins);
     *   - else score each Latin profile as `H_l = Σ_t (length(x) −
     *     length(replace(x, t, '')))` over lowercased text — 3× the
     *     non-overlapping occurrence count, so H never needs a division;
-    *   - best profile wins (ties break alphabetically: de ≥ en ≥ fr);
+    *   - best profile wins (ties break alphabetically — first profile
+    *     with the max score);
     *   - `unknown` when the best profile density `H / length` < 0.02
     *     (too few profile trigrams to call a language).
     *
     * `replace`-counting keeps the whole classifier inside whole-stage
-    * codegen — no explode, no shuffle, no UDF.
+    * codegen — no explode, no shuffle, no UDF. The argmax is the ENCODED
+    * form `greatest((H_l << 4) + (15 − l_index))`: one flat `greatest`
+    * computes max score AND winning profile together (score dominates;
+    * on ties the larger priority nibble — the alphabetically FIRST
+    * profile — wins), so each profile's 8 trigram counts appear exactly
+    * once in the expression tree. The naive chained
+    * `when(h_l === greatest(…))` form duplicated the 56 replace-count
+    * subtrees per branch and janino failed on the ~15k-line nested-if
+    * method, dropping the whole projection out of codegen.
     */
   def langId(text: Column): Column = {
     val x = lower(text)
     def hits3(trigrams: Seq[String]): Column =
       trigrams.map(t => length(x) - length(replace(x, lit(t), lit("")))).reduce(_ + _)
-    val (hDe, hEn, hFr) = (hits3(LangTrigramProfiles(0)._2),
-      hits3(LangTrigramProfiles(1)._2), hits3(LangTrigramProfiles(2)._2))
-    when(text.isNull || length(text) === 0, "unknown")
-      .when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
-      .when(greatest(hDe, hEn, hFr).cast("double") < lit(0.02) * length(text).cast("double"),
-        "unknown")
-      .when(hDe >= hEn && hDe >= hFr, "de")
-      .when(hEn >= hFr, "en")
-      .otherwise("fr")
+    val enc = LangTrigramProfiles.zipWithIndex.map { case ((_, ts), i) =>
+      shiftleft(hits3(ts).cast("long"), 4) + lit((15 - i).toLong)
+    }
+    val bestEnc = greatest(enc: _*)
+    val bestH = shiftright(bestEnc, 4) // exact: scores are non-negative
+    val bestLang = element_at(
+      array(LangTrigramProfiles.map(p => lit(p._1)): _*),
+      (lit(15L) - bestEnc.bitwiseAND(lit(15L))).cast("int") + 1)
+    val base = when(text.isNull || length(text) === 0, "unknown")
+    val scripted = ScriptRanges.foldLeft(base) { case (acc, (l, lo, hi)) =>
+      acc.when(text.rlike(f"[\\u$lo%04x-\\u$hi%04x]"), l)
+    }
+    scripted
+      .when(bestH.cast("double") < lit(0.02) * length(text).cast("double"), "unknown")
+      .otherwise(bestLang)
   }
 
-  /** The DuckDB replay of [[langId]], generated from the SAME profile
-    * constants so the two engines cannot drift. `textExpr` is the SQL
-    * expression for the text column.
+  /** The DuckDB replay of [[langId]], generated from the SAME profile and
+    * script constants so the two engines cannot drift. `textExpr` is the
+    * SQL expression for the text column. The SQL uses the DE-ENCODED but
+    * bit-identical formulation of the argmax (`greatest` over the raw
+    * integer scores + first-match-wins WHEN chain): first profile
+    * reaching the max ≡ the encoded priority nibble, and the density
+    * gate compares the same integer best score — all-integer arithmetic
+    * on both engines, so no rounding can separate them.
     */
   def langIdSql(textExpr: String): String = {
     val x = s"lower($textExpr)"
     def hits3(trigrams: Seq[String]): String =
       "(" + trigrams.map(t => s"(length($x) - length(replace($x, '$t', '')))").mkString(" + ") + ")"
-    val h = LangTrigramProfiles.map { case (l, ts) => l -> hits3(ts) }.toMap
+    val hs = LangTrigramProfiles.map { case (l, ts) => l -> hits3(ts) }
+    val best = s"greatest(${hs.map(_._2).mkString(", ")})"
+    val scripts = ScriptRanges.map { case (l, lo, hi) =>
+      f" WHEN regexp_matches($textExpr%s, '[\\x{$lo%04x}-\\x{$hi%04x}]') THEN '$l%s'"
+    }.mkString
+    val profiles = hs.init.map { case (l, h) =>
+      s" WHEN $h = $best THEN '$l'"
+    }.mkString
     s"""CASE WHEN $textExpr IS NULL OR length($textExpr) = 0 THEN 'unknown'
-       | WHEN regexp_matches($textExpr, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-       | WHEN greatest(${h("de")}, ${h("en")}, ${h("fr")}) * 1.0 < 0.02 * length($textExpr) THEN 'unknown'
-       | WHEN ${h("de")} >= ${h("en")} AND ${h("de")} >= ${h("fr")} THEN 'de'
-       | WHEN ${h("en")} >= ${h("fr")} THEN 'en'
-       | ELSE 'fr' END""".stripMargin.linesIterator.mkString(" ")
+       |$scripts
+       | WHEN $best * 1.0 < 0.02 * length($textExpr) THEN 'unknown'
+       |$profiles
+       | ELSE '${hs.last._1}' END""".stripMargin.linesIterator.mkString(" ")
   }
 
   /** Position-weighted checksum fingerprint: `Σ codepoint(c_i)·((i mod

@@ -1223,36 +1223,61 @@ object ExtensionProbes {
            |  TRUE AS ivf_recall_ge_090,
            |  TRUE AS ivfq_recall_ge_090""".stripMargin))
 
-  // — trigram-profile language ID over a PLANTED ≥3-language fixture: the
+  /** One hand-written sentence per classifiable language (no single
+    * quotes — the strings embed verbatim in the oracle SQL). Residue
+    * `i+1 mod 23` of the doc_id space is replanted with sentence i; the
+    * langid unit test asserts each sentence classifies AS its language,
+    * so the planted fixture exercises every branch of the classifier.
+    */
+  val LangIdPlants: Seq[(String, String)] = Seq(
+    "fr" -> "le chat est sur la table et les enfants de la maison sont dans le jardin de la ville",
+    "de" -> "der hund und die katze laufen durch den wald und der mann ist ein freund der schule",
+    "zh" -> "这是一个中文句子用于语言识别测试",
+    "es" -> "el perro y el gato que juegan en el jardín son los animales que la familia quiere cuidar",
+    "it" -> "il treno della stazione di milano porta molto presto tutti verso le direzioni che vanno fino a napoli",
+    "pt" -> "a informação e a decisão do governo são dadas em documentos que falam da situação do país",
+    "nl" -> "een man en een vrouw lopen van de straat naar een huis en geven aan de kinderen een boek van hun vader",
+    "ru" -> "собака и кошка живут в доме у реки весь год",
+    "ja" -> "これは日本語のテストですとても簡単です",
+    "ko" -> "이것은 한국어 테스트입니다 아주 쉽습니다",
+    "ar" -> "هذا اختبار للغة العربية في المدينة الكبيرة",
+    "el" -> "αυτό είναι ένα ελληνικό κείμενο για δοκιμή στην πόλη",
+    "hi" -> "यह हिंदी भाषा की परीक्षा है और बहुत आसान है",
+    "en" -> "the man and the woman walk to the house of their friends and they like the garden of the city")
+
+  // — trigram-profile language ID over a PLANTED 14-language fixture: the
   //   documents corpus is English-ish word salad, so the probe replaces a
-  //   deterministic doc_id slice with hand-written French, German and
-  //   Chinese text (planting pattern, same as x25's PII). The classifier
-  //   is pure replace-count arithmetic, so DuckDB replays every row —
-  //   full value-level oracle, per-language counts included. —————————————
+  //   deterministic doc_id slice per language with a hand-written sentence
+  //   (planting pattern, same as x25's PII) — one per trigram profile and
+  //   one per script range, all from the shared [[LangIdPlants]] constant.
+  //   The classifier is pure replace-count/regex arithmetic, so DuckDB
+  //   replays every row — full value-level oracle. ————————————————————————
   private val x39 = Probe(
     "x39_langid_trigram",
     (s, dir) => {
-      val fr = "le chat est sur la table et les enfants de la maison sont dans le jardin de la ville"
-      val de = "der hund und die katze laufen durch den wald und der mann ist ein freund der schule"
-      val zh = "这是一个中文句子用于语言识别测试"
       val docs = Readers.fanOut(t(s, dir, "documents"))
-        .select(col("doc_id"),
-          when(col("doc_id") % 11 === 1, fr)
-            .when(col("doc_id") % 11 === 2, de)
-            .when(col("doc_id") % 11 === 3, zh)
-            .otherwise(col("text")).as("text"))
-      docs.select(col("doc_id"), TextStats.langId(col("text")).as("pred_lang"))
+      val plantedText = LangIdPlants.zipWithIndex
+        .foldLeft(null.asInstanceOf[org.apache.spark.sql.Column]) {
+          case (null, ((_, sent), i)) => when(col("doc_id") % 23 === (i + 1), sent)
+          case (acc, ((_, sent), i)) => acc.when(col("doc_id") % 23 === (i + 1), sent)
+        }.otherwise(col("text"))
+      docs.select(col("doc_id"), plantedText.as("text"))
+        .select(col("doc_id"), TextStats.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH planted AS (
-            |  SELECT doc_id,
-            |    CASE WHEN doc_id % 11 = 1 THEN 'le chat est sur la table et les enfants de la maison sont dans le jardin de la ville'
-            |         WHEN doc_id % 11 = 2 THEN 'der hund und die katze laufen durch den wald und der mann ist ein freund der schule'
-            |         WHEN doc_id % 11 = 3 THEN '这是一个中文句子用于语言识别测试'
-            |         ELSE text END AS text
-            |  FROM documents)
-            |SELECT doc_id, ${TextStats.langIdSql("text")} AS pred_lang
-            |FROM planted ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+    Some {
+      val cases = LangIdPlants.zipWithIndex.map { case ((_, sent), i) =>
+        s"         WHEN doc_id % 23 = ${i + 1} THEN '$sent'"
+      }.mkString("\n")
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE
+         |$cases
+         |         ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id, ${TextStats.langIdSql("text")} AS pred_lang
+         |FROM planted ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+    })
 
   /** Position-weighted checksum of a little-endian field as SQL: the
     * `nBytes` bytes of `v` starting at byte offset `at`, each weighted

@@ -1,6 +1,5 @@
 package graft.probes
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops._
 import graft.sources.Readers
@@ -24,26 +23,28 @@ object PipelineProbes {
   //   exercised in both directions: doc i keeps its pos-2 paragraph (the
   //   pos-1 copy already appeared as doc i-1's pos-2), and doc 0
   //   additionally keeps its pos-1 paragraph (the wrap pairs it with the
-  //   LAST doc, whose id is larger).
+  //   LAST doc, whose id is larger). The successor is fetched by a KEYED
+  //   modular equi-join (doc_ids are contiguous 0..n−1 in the fixture; the
+  //   coalesce self-pairs any id the join misses), not an unpartitioned
+  //   lead() window — the fixture build itself parallelizes at pilot scale.
   private val x49 = Probe(
     "x49_paragraph_dedup",
     (s, dir) => {
       val docs = Readers.fanOut(t(s, dir, "documents"))
-      val w = Window.orderBy(col("doc_id"))
-      val whole = Window.orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val fix = docs.select(col("doc_id"),
-        concat_ws("\n", col("text"),
-          coalesce(lead(col("text"), 1).over(w), first(col("text")).over(whole)))
-          .as("text"))
+      val n = docs.count()
+      val succ = docs.select(col("doc_id").as("__sid"), col("text").as("__stext"))
+      val fix = docs
+        .join(succ, pmod(col("doc_id") + 1, lit(n)) === col("__sid"), "left")
+        .select(col("doc_id"),
+          concat_ws("\n", col("text"), coalesce(col("__stext"), col("text")))
+            .as("text"))
       Dedup.paragraphDedup(fix, "doc_id", "text").orderBy("doc_id")
     },
-    Some("""WITH fix AS (
-           |  SELECT doc_id, text || chr(10) || coalesce(
-           |      lead(text) OVER (ORDER BY doc_id),
-           |      first_value(text) OVER (ORDER BY doc_id
-           |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS text
-           |  FROM documents),
+    Some("""WITH n AS (SELECT count(*) AS n FROM documents),
+           |fix AS (
+           |  SELECT a.doc_id, a.text || chr(10) || coalesce(b.text, a.text) AS text
+           |  FROM documents a CROSS JOIN n
+           |  LEFT JOIN documents b ON b.doc_id = (a.doc_id + 1) % n.n),
            |sp AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM fix),
            |p AS (SELECT doc_id, u.pos, u.para FROM (
            |    SELECT doc_id, unnest([{'pos': i, 'para': l[i]} for i in range(1, len(l) + 1)]) AS u
@@ -106,8 +107,14 @@ object PipelineProbes {
            |  SELECT doc_id + 1000000 AS bid,
            |    CASE WHEN doc_id % 5 = 0 THEN text ELSE text || ' v2' END AS btext
            |  FROM documents),
+           |-- join on the TAGGED form (null-flag || coalesce) so the oracle
+           |-- shares the operator's NULL==NULL content identity, not SQL
+           |-- equality (which would call a null-text corpus match 'new')
            |m AS (SELECT b.bid, min(d.doc_id) AS dup_of
-           |      FROM batch b JOIN documents d ON d.text = b.btext GROUP BY 1)
+           |      FROM batch b JOIN documents d
+           |        ON CAST(d.text IS NULL AS VARCHAR) || coalesce(d.text, '')
+           |         = CAST(b.btext IS NULL AS VARCHAR) || coalesce(b.btext, '')
+           |      GROUP BY 1)
            |SELECT b.bid AS doc_id,
            |  CASE WHEN m.dup_of IS NOT NULL THEN 'exact_dup' ELSE 'new' END AS status,
            |  m.dup_of
@@ -145,7 +152,9 @@ object PipelineProbes {
            |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
            |  CASE WHEN o.doc_id IS NULL THEN 'added'
            |       WHEN n.doc_id IS NULL THEN 'removed'
-           |       WHEN o.text = n.text THEN 'unchanged'
+           |       -- IS NOT DISTINCT FROM mirrors the operator's tagged
+           |       -- digest identity, where NULL text equals NULL text
+           |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
            |       ELSE 'changed' END AS status
            |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
@@ -178,7 +187,12 @@ object PipelineProbes {
            |  FROM ids)
            |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
            |  min(doc_id) AS min_id, max(doc_id) AS max_id,
-           |  CAST(sum(cks) AS BIGINT) AS checksum
+           |  -- the manifest's mod-2^64 wrap contract (Export scaladoc):
+           |  -- DuckDB sums BIGINT into HUGEINT, so the two's-complement
+           |  -- wrap Spark's long sum applies natively is made explicit
+           |  CAST(CASE WHEN sum(cks) % 18446744073709551616 >= 9223372036854775808
+           |       THEN sum(cks) % 18446744073709551616 - 18446744073709551616
+           |       ELSE sum(cks) % 18446744073709551616 END AS BIGINT) AS checksum
            |FROM fp GROUP BY shard
            |ORDER BY shard ASC NULLS FIRST""".stripMargin))
 

@@ -387,6 +387,39 @@ class OpsSpec extends SparkSpec {
     assert(ids == ids2, "hash-ordered pick is independent of input partitioning")
   }
 
+  test("bucketed two-pass sampling ≡ the single-window reference plan, row for row") {
+    import org.apache.spark.sql.expressions.Window
+    // the scale-safe bucketed rewrites must keep the IDENTICAL row set as
+    // the naive one-window-per-key formulation they replaced (concatenated
+    // per-bucket ranks = global hash-order rank; same-hash rows share a
+    // bucket, so ties resolve identically)
+    val ev = Readers.table(spark, sf0001, "events")
+    val naiveStrat = {
+      val w = Window.partitionBy($"event_type").orderBy(xxhash64($"event_id"), $"event_id")
+      ev.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy($"event_type")))
+        .filter($"__rn" <= ceil($"__n" * 0.2)).drop("__rn", "__n")
+        .select("event_id").as[Long].collect().toSet
+    }
+    val bucketedStrat = Sampling.stratifiedExact(ev, $"event_type", $"event_id", 0.2)
+      .select("event_id").as[Long].collect().toSet
+    assert(bucketedStrat == naiveStrat)
+
+    val docs = Readers.table(spark, sf0001, "documents")
+    val toks = size(graft.ops.TextStats.tokens($"text")).cast("long")
+    val naiveBudget = {
+      val w = Window.partitionBy(lit("s")).orderBy(xxhash64($"doc_id", lit("s")), $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.withColumn("__tok", toks)
+        .withColumn("__cum", coalesce(sum($"__tok").over(w), lit(0L)))
+        .filter($"__cum" < 2000L)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val bucketedBudget = Sampling.tokenBudget(Seq(("s", docs, 2000L)), $"doc_id", toks)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bucketedBudget == naiveBudget)
+  }
+
   test("Graft facade: front-door entry points delegate correctly") {
     val docsT = Readers.table(spark, sf0001, "documents")
     assert(Graft.textStats(docsT).count() == docsT.count())
@@ -728,19 +761,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("trigram langId separates en/fr/de/zh and degrades to unknown") {
-    val samples = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog and then the cat"),
-      (2L, "le chat est sur la table et les enfants de la maison sont la"),
-      (3L, "der hund und die katze laufen durch den wald und der mann ist ein freund"),
-      (4L, "这是一个中文句子"),
-      (5L, "zzzz qqqq xxxx wwww kkkk"), // no profile trigrams → unknown
-      (6L, null: String),
-      (7L, "")).toDF("id", "text")
-    val got = samples.select($"id", TextStats.langId($"text").as("l"))
-      .as[(Long, String)].collect().toMap
-    assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "zh",
-      5L -> "unknown", 6L -> "unknown", 7L -> "unknown"))
+  test("trigram langId separates all 14 planted languages and degrades to unknown") {
+    // every planted x39 fixture sentence must classify AS its language —
+    // this is the gate that keeps the probe's 14-way planting honest
+    val plants = graft.probes.ExtensionProbes.LangIdPlants.zipWithIndex
+      .map { case ((lang, sent), i) => (i.toLong, lang, sent) }
+    val edge = Seq(
+      (100L, "unknown", "zzzz qqqq xxxx wwww kkkk"), // no profile trigrams
+      (101L, "unknown", null: String),
+      (102L, "unknown", ""),
+      // kanji + kana mixed → ja (kana range checked before Han)
+      (103L, "ja", "日本語のテキストです"))
+    val samples = (plants ++ edge).map { case (id, lang, s) => (id, s, lang) }
+      .toDF("id", "text", "expected")
+    val got = samples.select($"id", TextStats.langId($"text").as("l"), $"expected")
+      .as[(Long, String, String)].collect()
+    val wrong = got.filter { case (_, l, exp) => l != exp }
+    assert(wrong.isEmpty, s"misclassified: ${wrong.mkString(", ")}")
   }
 
   test("tfidfTopTerms: a document's unique word outranks corpus-wide words") {
@@ -759,7 +796,9 @@ class OpsSpec extends SparkSpec {
     val st = ops.TextStats.withStats(docs).cache()
     assert(st.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)
     assert(st.filter($"quality_score" < 0 || $"quality_score" > 1).count() == 0)
-    assert(st.filter($"pred_lang".isin("en", "fr", "de", "zh", "unknown")).count() == st.count())
+    val langs = (ops.TextStats.LangTrigramProfiles.map(_._1) ++
+      ops.TextStats.ScriptRanges.map(_._1) :+ "unknown").distinct
+    assert(st.filter($"pred_lang".isin(langs: _*)).count() == st.count())
     val fp1 = st.select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
     val fp2 = ops.TextStats.withStats(docs).select("doc_id", "fingerprint")
       .as[(Long, Long)].collect().toMap

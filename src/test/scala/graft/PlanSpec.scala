@@ -112,6 +112,14 @@ class PlanSpec extends SparkSpec {
       graft.functions.BloomFunctions.mightContain(xxhash64(col("text")), bf).as("b1"),
       graft.functions.BloomFunctions.mightContain(lit(42L), bf).as("b2"))
     assert(nb.collect().forall(_.getBoolean(3)), "bloom must contain the planted key")
+    // the full text-stats projection — including the 14-language langId
+    // argmax — must codegen: the chained-when formulation regressed to a
+    // ~15k-line nested-if method janino could not compile (interpreted
+    // fallback in the hot path); the encoded-greatest argmax keeps it in
+    val ls = docs2.select(graft.ops.TextStats.langId(col("text")).as("l"))
+    assert(ls.collect().length == 8)
+    val ws = graft.ops.TextStats.withStats(docs2.select("doc_id", "text"))
+    assert(ws.collect().length == 8)
   }
 
   test("ORC scan: predicate pushdown fires for the second columnar format") {
@@ -236,8 +244,10 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(graft.ops.Snapshot.diff(docs, next, "doc_id", Seq("text"))) == 2)
     // paragraph dedup: the scaladoc's 3 shuffle sites resolve to 4
     // exchanges (the (id,pos) semi-join exchanges BOTH sides) + the
-    // reassembly agg; nothing beyond that — and the survivor-election
-    // window shuffles only (hash, id, pos), never paragraph bodies
+    // reassembly agg; nothing beyond that — and the survivor election is
+    // a map-side-combinable AGGREGATE on the digest, not a window (a hot
+    // boilerplate digest combines before the shuffle instead of sorting
+    // 10^8 rows in one task)
     val pd = graft.ops.Dedup.paragraphDedup(
       docs.select(col("doc_id"), concat_ws("\n", col("text"), col("text")).as("text")),
       "doc_id", "text")
@@ -245,9 +255,68 @@ class PlanSpec extends SparkSpec {
     val pdPlan = physical(pd)
     assert(pdPlan.contains("Exchange hashpartitioning(__h"),
       s"survivor election must shuffle on the digest key:\n$pdPlan")
-    val windowLines = pdPlan.linesIterator.filter(_.matches(".*\\bWindow\\b.*")).toSeq
-    assert(windowLines.nonEmpty && windowLines.forall(!_.contains("__para")),
-      s"the election window must carry (digest, id, pos) only, not bodies:\n$pdPlan")
+    assert(!pdPlan.linesIterator.exists(_.matches(".*\\bWindow\\b.*")),
+      s"election must be an agg (map-side combinable), not a window:\n$pdPlan")
+    // struct-min lowers to SortAggregate (not hash-aggregable), but the
+    // map-side partial_min is what kills the fat-digest partition
+    assert(pdPlan.linesIterator.exists(l =>
+      l.contains("Aggregate") && l.contains("__h") && l.contains("partial_min")),
+      s"election must partially aggregate min(id,pos) per digest map-side:\n$pdPlan")
+  }
+
+  test("keep-first dedup and Curate.run: no window keyed by document content anywhere") {
+    val docs = Readers.table(spark, sf0001, "documents")
+    // keep-first forms: agg + left_semi on the id — zero Window operators,
+    // and the digest aggregate combines map-side (partial_min before the
+    // exchange), so a 10^8-copy boilerplate document never concentrates
+    def assertAggSemiShape(df: DataFrame, label: String): Unit = {
+      val plan = physical(df)
+      assert(!plan.linesIterator.exists(_.matches(".*\\bWindow\\b.*")),
+        s"$label must not use a window:\n$plan")
+      assert(plan.contains("LeftSemi"), s"$label must keep via semi-join:\n$plan")
+      assert(plan.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial_min")),
+        s"$label must elect min(id) with map-side partial agg:\n$plan")
+    }
+    assertAggSemiShape(graft.ops.Dedup.exactKeepFirst(docs, Seq("text"), "doc_id"),
+      "exactKeepFirst")
+    assertAggSemiShape(graft.ops.Dedup.exactNormalizedKeepFirst(docs, "text", "doc_id"),
+      "exactNormalizedKeepFirst")
+    // the composed pipeline (pinStages=false exposes the full lazy plan —
+    // localCheckpoint would truncate it): whatever windows remain must not
+    // partition by the text column (i.e. no content-keyed sort anywhere)
+    val curated = graft.ops.Curate.run(docs, "doc_id", "text",
+      cfg = graft.ops.Curate.Config(pinStages = false))
+    val windowLines = physical(curated).linesIterator
+      .filter(_.matches(".*\\bWindow\\b.*")).toSeq
+    assert(windowLines.forall(l => !l.contains("text#")),
+      s"Curate.run must not sort any content-keyed window:\n${windowLines.mkString("\n")}")
+  }
+
+  test("two-pass sampling: rank/prefix windows partition by (key, hash-bucket), not key alone") {
+    val docs = Readers.table(spark, sf0001, "documents")
+    // stratifiedExact: the rank window must include the __b bucket in its
+    // partition spec — a dominant stratum spreads over up to 256 sort tasks
+    val strat = graft.ops.Sampling.stratifiedExact(
+      docs.withColumn("s", lit("one_fat_stratum")), col("s"), col("doc_id"), 0.1)
+    val stratWindows = physical(strat).linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(stratWindows.exists(_.contains("__b")),
+      s"stratifiedExact rank window must be bucketed:\n${stratWindows.mkString("\n")}")
+    // tokenBudget: same — the running-sum window partitions by (source, __b)
+    val tb = graft.ops.Sampling.tokenBudget(
+      Seq(("one_fat_source", docs, 1000000L)),
+      col("doc_id"), size(graft.ops.TextStats.tokens(col("text"))))
+    val tbWindows = physical(tb).linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(tbWindows.exists(_.contains("__b")),
+      s"tokenBudget prefix-sum window must be bucketed:\n${tbWindows.mkString("\n")}")
+    // and the bucketing is REAL at execution time: one stratum's rows land
+    // in many distinct hash-order buckets (parallel sort tasks at scale)
+    val nBuckets = docs
+      .select(shiftright(xxhash64(col("doc_id")), 56).as("b"))
+      .distinct().count()
+    assert(nBuckets > 64, s"expected the id space to span many order buckets, got $nBuckets")
   }
 
   test("AQE splits the skewed join partition (skew=true in the executed join)") {

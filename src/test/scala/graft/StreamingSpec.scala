@@ -164,6 +164,53 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("__batch").distinct().count() == 2)
   }
 
+  test("curated corpus sink: kill + checkpoint resume over a stale partial ≡ uninterrupted run") {
+    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "curatedkr").toString
+    def doc(prefix: String, n: Int): String = (1 to n).map(i => f"$prefix$i%02d").mkString(" ")
+    val b1 = Seq((1L, doc("w", 20)), (2L, doc("x", 20))).toDF("doc_id", "text")
+    val b2 = Seq(
+      (3L, doc("x", 20)), // cross-batch exact dup of doc 2
+      (4L, doc("y", 20))  // genuinely new
+    ).toDF("doc_id", "text")
+    val schema = b1.schema
+
+    // killed-and-resumed leg -------------------------------------------------
+    val (in, corpus, ckp) = (s"$base/in", s"$base/corpus", s"$base/ckp")
+    b1.write.mode("append").parquet(in)
+    val q1 = StreamingIngest.curatedCorpusSink(
+      spark.readStream.schema(schema).parquet(in), corpus, ckp, "doc_id", "text")
+    try q1.processAllAvailable() finally q1.stop() // batch 0 committed, then the "kill"
+    b2.write.mode("append").parquet(in) // arrives while the query is down
+    // simulate the crashed FIRST ATTEMPT of the replayed batch: a stale
+    // PARTIAL __batch=1 output exists but its checkpoint commit never
+    // happened. It is poisoned with doc 4's text under a foreign id — if
+    // recovery wrongly counted it as corpus, doc 4 would dedup away.
+    Seq((99L, doc("y", 20))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$corpus/__batch=1")
+    val q2 = StreamingIngest.curatedCorpusSink(
+      spark.readStream.schema(schema).parquet(in), corpus, ckp, "doc_id", "text")
+    try q2.processAllAvailable() finally q2.stop() // batch 1 replays + overwrites
+
+    // uninterrupted twin: same batch boundaries, no kill --------------------
+    val (in2, corpus2, ckp2) = (s"$base/in2", s"$base/corpus2", s"$base/ckp2")
+    b1.write.mode("append").parquet(in2)
+    val u = StreamingIngest.curatedCorpusSink(
+      spark.readStream.schema(schema).parquet(in2), corpus2, ckp2, "doc_id", "text")
+    try {
+      u.processAllAvailable()
+      b2.write.mode("append").parquet(in2)
+      u.processAllAvailable()
+    } finally u.stop()
+
+    val resumed = spark.read.parquet(corpus).select($"doc_id", $"text")
+    val unbroken = spark.read.parquet(corpus2).select($"doc_id", $"text")
+    assert(resumed.exceptAll(unbroken).isEmpty && unbroken.exceptAll(resumed).isEmpty,
+      "resumed corpus must equal the uninterrupted run row for row")
+    assert(resumed.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L),
+      "stale partial must be overwritten (no 99), dup dropped (no 3), new doc kept (4)")
+    assert(spark.read.parquet(corpus).select("__batch").distinct().count() == 2)
+  }
+
   test("streaming sessionization produces sessions with positive event counts") {
     val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
     val sessions = StreamingIngest.runToMemory(spark,
