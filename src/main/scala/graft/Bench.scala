@@ -209,18 +209,28 @@ object Bench {
       val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/target/sf1_synth")
       try {
         ScalePilot.buildScaled(spark, sfDir, sf1Dir, 10, ScalePilot.AllTables, eventsNs = true)
-        sf1Subset.filter(fns.contains).foreach { n =>
-          val t0 = System.nanoTime()
-          try {
-            fns(n)(spark, sf1Dir).write.format("noop").mode("overwrite").save()
-            val dt = (System.nanoTime() - t0) / 1e9
-            sf1Best.update(n, dt)
-            System.err.println(f"""{"bench_sample":"$n","phase":"sf1","sec":$dt%.3f}""")
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"""{"bench_sample":"$n","phase":"sf1","error":${escape(String.valueOf(e.getMessage).take(200))}}""")
+        // up to 2 passes, min per query: one ambient spike on a shared
+        // host would otherwise distort the recorded sf1 numbers (the
+        // first pass also carries codegen warm-up for the 10× plans)
+        var sf1Pass = 0
+        var lastPassWall = 0.0
+        while (sf1Pass == 0 || (sf1Pass < 2 && budgetS - elapsed() >= lastPassWall + 60)) {
+          val passT0 = System.nanoTime()
+          sf1Subset.filter(fns.contains).foreach { n =>
+            val t0 = System.nanoTime()
+            try {
+              fns(n)(spark, sf1Dir).write.format("noop").mode("overwrite").save()
+              val dt = (System.nanoTime() - t0) / 1e9
+              sf1Best.update(n, math.min(sf1Best.getOrElse(n, Double.MaxValue), dt))
+              System.err.println(f"""{"bench_sample":"$n","phase":"sf1_pass${sf1Pass + 1}%d","sec":$dt%.3f}""")
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"""{"bench_sample":"$n","phase":"sf1_pass${sf1Pass + 1}","error":${escape(String.valueOf(e.getMessage).take(200))}}""")
+            }
+            spark.catalog.clearCache()
           }
-          spark.catalog.clearCache()
+          lastPassWall = (System.nanoTime() - passT0) / 1e9
+          sf1Pass += 1
         }
       } catch {
         case e: Throwable =>

@@ -31,6 +31,14 @@ object Sampling {
   /** Bucket fan-out of the two-pass rank/prefix-sum plans: the hash order
     * is split into 256 contiguous ranges, so one stratum/source spreads
     * over up to 256 sort tasks instead of one.
+    *
+    * Note: when the stratum/source key is a CONSTANT literal (single
+    * source), Catalyst folds it out of the window partition specs; the
+    * per-row windows keep their `__b` bucket key (the partitioning that
+    * matters), but the per-bucket OFFSETS window — a frame of at most
+    * [[Buckets]] rows per source — degenerates to an unpartitioned
+    * window and Spark logs its "No Partition Defined" warning. Harmless:
+    * that frame is sketch-sized by construction.
     */
   val Buckets = 256
 

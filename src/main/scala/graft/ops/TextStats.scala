@@ -245,24 +245,78 @@ object TextStats {
     * key, so the kept set is deterministic and engine-portable. ONE
     * shuffle on the language key; both window passes share it.
     *
-    * Language skew note: natural corpora are dominated by one language,
-    * so the language partitions are few and fat. The rank window needs
-    * the whole partition sorted — at 100 TB compose with [[qualityScore]]
-    * + a pre-computed per-language threshold (2-pass approx_percentile)
-    * instead; this operator is the exact single-pass form.
+    * Language-skew-safe plan (natural corpora are dominated by one
+    * language, so a rank window partitioned by language would sort the
+    * dominant language in ONE task):
+    *
+    *   1. count rows per (language, score) — a MAP-SIDE-COMBINED
+    *     aggregate (score groups collapse before the shuffle, the same
+    *     discipline as the paragraph-dedup election), then a window over
+    *     that distinct-score frame yields each group's
+    *     rows-strictly-below count and the language total;
+    *   2. joined back (AQE broadcasts the group frame), a score group is
+    *     dropped WHOLE when it sits fully under the `floor(frac·n)`
+    *     boundary and kept whole when fully above — no per-row ranking,
+    *     no sort of the corpus;
+    *   3. only the ONE boundary score group per language ranks by id —
+    *     and that rank is sub-bucketed by the id's top byte (an
+    *     arithmetic shift is monotone in the signed id order, so
+    *     per-bucket ranks + bucket offsets reproduce the global id rank
+    *     exactly — the [[Sampling]] two-pass trick), so even mass ties
+    *     AT the threshold spread over up to 256 sort tasks. Non-integral
+    *     id types skip the sub-bucketing (one task per boundary group —
+    *     still only the tied rows, never the language).
+    *
+    * The kept set is bit-identical to the naive per-language rank window
+    * (equivalence unit-tested). The stats subtree is referenced twice
+    * (group counts + join-back) — two corpus scans; at scale prefer
+    * passing a persisted/checkpointed stats frame via `docs` if the scan
+    * dominates, or [[qualityPruneApprox]] (one scan, sketch threshold).
     */
   def qualityPrune(docs: DataFrame, idCol: String, frac: Double,
       textCol: String = "text"): DataFrame = {
     require(frac >= 0.0 && frac < 1.0, s"frac must be in [0,1), got $frac")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("pred_lang"))
-      .orderBy(col("quality_score").asc, col(idCol).asc)
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("pred_lang"))
-    withStats(docs, textCol)
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wAll))
-      .filter(col("__rn") > floor(col("__n") * frac))
-      .drop("__rn", "__n")
+    val W = org.apache.spark.sql.expressions.Window
+    val stats = withStats(docs, textCol)
+    val wBelow = W.partitionBy(col("__lang")).orderBy(col("__score"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val groups = stats
+      .groupBy(col("pred_lang").as("__lang"), col("quality_score").as("__score"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__below", coalesce(sum(col("__cnt")).over(wBelow), lit(0L)))
+      .withColumn("__drop",
+        floor(sum(col("__cnt")).over(W.partitionBy(col("__lang"))) * frac).cast("long"))
+      .select(col("__lang"), col("__score"), col("__cnt"), col("__below"), col("__drop"))
+    val joined = stats.join(groups,
+      col("pred_lang") <=> col("__lang") && col("quality_score") <=> col("__score"))
+    val survivors = joined.filter(col("__below") >= col("__drop"))
+    val boundary = joined.filter(
+      col("__below") < col("__drop") && col("__below") + col("__cnt") > col("__drop"))
+    // boundary rank by id, sub-bucketed: global rank in the score group =
+    // rows in lower id-buckets + row_number within the bucket
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idBucket = docs.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        shiftright(col(idCol).cast("long"), 56)
+      case _ => lit(0L)
+    }
+    val bb = boundary.withColumn("__ib", idBucket)
+    val wOff = W.partitionBy(col("__blang"), col("__bscore")).orderBy(col("__bib"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offs = bb.groupBy(col("__lang").as("__blang"), col("__score").as("__bscore"),
+        col("__ib").as("__bib"))
+      .agg(count(lit(1)).as("__bcnt"))
+      .withColumn("__off", coalesce(sum(col("__bcnt")).over(wOff), lit(0L)))
+      .select(col("__blang"), col("__bscore"), col("__bib"), col("__off"))
+    val wIn = W.partitionBy(col("__lang"), col("__ib")).orderBy(col(idCol))
+    val boundaryKept = bb
+      .join(offs, col("__lang") <=> col("__blang") && col("__score") <=> col("__bscore")
+        && col("__ib") === col("__bib"))
+      .withColumn("__rn", col("__off") + row_number().over(wIn))
+      .filter(col("__below") + col("__rn") > col("__drop"))
+      .drop("__blang", "__bscore", "__bib", "__off", "__ib", "__rn")
+    survivors.unionByName(boundaryKept)
+      .drop("__lang", "__score", "__cnt", "__below", "__drop")
   }
 
   /** The 100-TB form of [[qualityPrune]]: a 2-pass approx-threshold cut

@@ -420,6 +420,36 @@ class OpsSpec extends SparkSpec {
     assert(bucketedBudget == naiveBudget)
   }
 
+  test("quality prune exact ≡ the naive per-language rank window, row for row") {
+    import org.apache.spark.sql.expressions.Window
+    // the boundary-group rewrite must keep the identical row set as the
+    // per-language rank window it replaced (whole score groups classify
+    // by their cumulative counts; only the one straddling group ranks)
+    val docs = Readers.table(spark, sf0001, "documents")
+    val naive = {
+      val w = Window.partitionBy($"pred_lang").orderBy($"quality_score".asc, $"doc_id".asc)
+      val wAll = Window.partitionBy($"pred_lang")
+      ops.TextStats.withStats(docs)
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .filter($"__rn" > floor($"__n" * 0.2))
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val got = ops.TextStats.qualityPrune(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == naive)
+    // all-ties corpus: every row shares one score, so the ENTIRE language
+    // is the boundary group — the sub-bucketed id rank must drop exactly
+    // the floor(frac·n) smallest ids
+    val const = docs.select($"doc_id", lit("all docs share this text").as("text"))
+    val n = const.count()
+    val keptIds = ops.TextStats.qualityPrune(const, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = const.select("doc_id").as[Long].collect().sorted
+      .drop(math.floor(n * 0.3).toInt).toSet
+    assert(keptIds == expected)
+  }
+
   test("Graft facade: front-door entry points delegate correctly") {
     val docsT = Readers.table(spark, sf0001, "documents")
     assert(Graft.textStats(docsT).count() == docsT.count())
