@@ -153,6 +153,20 @@ object Bench {
     val hook = new Thread(() => if (!finalPrinted) { println(resultJson(partial = true)); Console.flush() })
     Runtime.getRuntime.addShutdownHook(hook)
 
+    // self-termination test knob: exit(143) from a timer mid-run drives
+    // the SAME shutdown-hook sequence an external SIGTERM does — the
+    // deterministic harness test that the partial artifact really prints
+    // (hunting the forked JVM's pid from outside races the run)
+    sys.env.get("SPARK_GRAFT_BENCH_SELFTERM_AFTER_S").map(_.toDouble).foreach { s =>
+      val t = new Thread(() => {
+        Thread.sleep((s * 1000).toLong)
+        System.err.println(s"""{"bench_note":"self-terminating after ${s}s (test knob)"}""")
+        Runtime.getRuntime.exit(143)
+      })
+      t.setDaemon(true)
+      t.start()
+    }
+
     /** One sample; returns seconds on success. Every outcome goes to
       * stderr as a JSONL line immediately.
       */

@@ -230,8 +230,23 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(graft.ops.Scd.fromHistory(
       Readers.table(spark, sf0001, "events").select(col("user_id"), col("ts"), col("event_type")),
       Seq("user_id"), "ts", Seq("event_type"))) == 1)
-    // quality pruning: ONE shuffle on the language partition key
-    assert(exchanges(graft.ops.TextStats.qualityPrune(docs, "doc_id", 0.2)) == 1)
+    // exact quality pruning: the round-4 re-plan trades the one fat
+    // language-window shuffle for several SMALL ones (distinct-score agg
+    // + tiny offsets windows + join-back) — so the budget here is shape,
+    // not count: the (language, score) election must partially aggregate
+    // map-side, no window may sort document bodies, and the boundary
+    // rank window must carry the __ib id-bucket (a mass tie at the
+    // threshold spreads over many sort tasks)
+    val qpPlan = physical(graft.ops.TextStats.qualityPrune(docs, "doc_id", 0.2))
+    assert(qpPlan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")),
+      s"score-group election must combine map-side:\n$qpPlan")
+    val qpWindows = qpPlan.linesIterator.filter(_.matches(".*\\bWindow\\b.*")).toSeq
+    assert(qpWindows.forall(l => !l.contains("text#")),
+      s"no window may sort document bodies:\n${qpWindows.mkString("\n")}")
+    assert(qpPlan.linesIterator.filter(_.contains("row_number"))
+      .forall(_.contains("__ib")),
+      s"the boundary rank must be sub-bucketed by __ib:\n$qpPlan")
     // approx quality pruning: NO window anywhere — the dominant-language
     // partition is never sorted (sketch agg + threshold join only)
     val approxPlan = graft.ops.TextStats.qualityPruneApprox(docs, "doc_id", 0.2)
