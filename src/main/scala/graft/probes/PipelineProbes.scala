@@ -220,5 +220,56 @@ object PipelineProbes {
            |FROM tok GROUP BY term HAVING count(*) >= 900
            |ORDER BY term ASC NULLS FIRST""".stripMargin))
 
-  val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54)
+  // — exact quality prune under MAXIMAL tie stress: every document is
+  //   replaced by one constant sentence, so the whole corpus is a single
+  //   (language, score) group and the drop boundary falls INSIDE it — the
+  //   sub-bucketed boundary rank (id-bucket offsets + within-bucket
+  //   row_number) decides EVERY row, the exact path a mass-tied threshold
+  //   exercises at scale. The oracle replays the stats formula on the
+  //   constant text and the naive rank window — DuckDB at probe scale can
+  //   afford the single-partition form the engine's plan avoids. —————————
+  private val x55 = Probe(
+    "x55_quality_prune_ties",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          lit("the quick brown fox, it jumps over a lazy dog.").as("text"))
+      TextStats.qualityPrune(docs, "doc_id", frac = 0.3)
+        .select(col("doc_id"), col("pred_lang"), col("quality_score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH base AS (
+            |  SELECT doc_id, 'the quick brown fox, it jumps over a lazy dog.' AS text
+            |  FROM documents),
+            |toks AS (
+            |  SELECT doc_id, text,
+            |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+            |  FROM base),
+            |ratios AS (
+            |  SELECT doc_id, text,
+            |    CAST(len(tok) AS BIGINT) AS n_tokens,
+            |    floor((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+            |      / nullif(length(text), 0)) * 10000 + 0.5) / 10000 AS punct_ratio,
+            |    floor((CAST(len(list_filter(tok, t -> t = 'the' OR t = 'a')) AS DOUBLE)
+            |      / nullif(len(tok), 0)) * 10000 + 0.5) / 10000 AS stopword_ratio
+            |  FROM toks),
+            |scored AS (
+            |  SELECT doc_id,
+            |    ${TextStats.langIdSql("text")} AS pred_lang,
+            |    floor((least(1.0, n_tokens / 64.0) * 0.4
+            |      + (1.0 - least(1.0, coalesce(punct_ratio, 0) * 10)) * 0.3
+            |      + least(1.0, coalesce(stopword_ratio, 0) * 20) * 0.3) * 10000 + 0.5) / 10000
+            |      AS quality_score
+            |  FROM ratios),
+            |ranked AS (
+            |  SELECT *,
+            |    row_number() OVER (PARTITION BY pred_lang
+            |      ORDER BY quality_score ASC, doc_id ASC) AS rn,
+            |    count(*) OVER (PARTITION BY pred_lang) AS n
+            |  FROM scored)
+            |SELECT doc_id, pred_lang, quality_score
+            |FROM ranked WHERE rn > floor(n * 0.3)
+            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55)
 }
