@@ -217,7 +217,14 @@ object Bench {
     val wantSf1 = sf1Mode match {
       case "1" => true
       case "0" => false
-      case _ => sfDir.endsWith("sf0.1") && budgetS - elapsed() >= Sf1ReserveS
+      case _ =>
+        // normalize a trailing slash so a driver-passed "sf0.1/" still
+        // qualifies; a heuristic skip leaves a visible trace
+        val isSf01 = sfDir.stripSuffix("/").endsWith("sf0.1")
+        val fits = budgetS - elapsed() >= Sf1ReserveS
+        if (!(isSf01 && fits))
+          System.err.println(f"""{"bench_note":"sf1 leg skipped","sf01_dir":$isSf01,"budget_fits":$fits}""")
+        isSf01 && fits
     }
     if (wantSf1) {
       val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/target/sf1_synth")
