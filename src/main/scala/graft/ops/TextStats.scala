@@ -269,15 +269,25 @@ object TextStats {
     *
     * The kept set is bit-identical to the naive per-language rank window
     * (equivalence unit-tested). The stats subtree is referenced twice
-    * (group counts + join-back) — two corpus scans; at scale prefer
-    * passing a persisted/checkpointed stats frame via `docs` if the scan
-    * dominates, or [[qualityPruneApprox]] (one scan, sketch threshold).
+    * (group counts + join-back) — two corpus scans when built inline; at
+    * scale score ONCE, persist/checkpoint, and call
+    * [[qualityPruneStats]] on the scored frame (the scans then read the
+    * materialized stats, not the raw corpus) — or use
+    * [[qualityPruneApprox]] (one scan, sketch threshold).
     */
   def qualityPrune(docs: DataFrame, idCol: String, frac: Double,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    qualityPruneStats(withStats(docs, textCol), idCol, frac)
+
+  /** [[qualityPrune]] over an ALREADY-SCORED frame: `stats` must carry
+    * the [[withStats]] columns (`pred_lang`, `quality_score`). The
+    * entry point for the persist-once deployment shape — the plan's two
+    * references then resolve to the materialized stats instead of
+    * re-deriving them from the raw corpus.
+    */
+  def qualityPruneStats(stats: DataFrame, idCol: String, frac: Double): DataFrame = {
     require(frac >= 0.0 && frac < 1.0, s"frac must be in [0,1), got $frac")
     val W = org.apache.spark.sql.expressions.Window
-    val stats = withStats(docs, textCol)
     val wBelow = W.partitionBy(col("__lang")).orderBy(col("__score"))
       .rowsBetween(W.unboundedPreceding, -1)
     val groups = stats
@@ -295,7 +305,7 @@ object TextStats {
     // boundary rank by id, sub-bucketed: global rank in the score group =
     // rows in lower id-buckets + row_number within the bucket
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val idBucket = docs.schema(idCol).dataType match {
+    val idBucket = stats.schema(idCol).dataType match {
       case LongType | IntegerType | ShortType | ByteType =>
         shiftright(col(idCol).cast("long"), 56)
       case _ => lit(0L)

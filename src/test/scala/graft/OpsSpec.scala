@@ -438,6 +438,13 @@ class OpsSpec extends SparkSpec {
     val got = ops.TextStats.qualityPrune(docs, "doc_id", 0.2)
       .select("doc_id").as[Long].collect().toSet
     assert(got == naive)
+    // the persist-once entry point (already-scored frame) keeps the set
+    val statsCached = ops.TextStats.withStats(docs).cache()
+    try {
+      val viaStats = ops.TextStats.qualityPruneStats(statsCached, "doc_id", 0.2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaStats == naive)
+    } finally statsCached.unpersist()
     // all-ties corpus: every row shares one score, so the ENTIRE language
     // is the boundary group — the sub-bucketed id rank must drop exactly
     // the floor(frac·n) smallest ids
