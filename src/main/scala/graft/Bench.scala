@@ -27,8 +27,16 @@ import scala.collection.concurrent.TrieMap
   *   - `SPARK_GRAFT_BENCH_BUDGET_S` (default 1700) is a wall-clock
   *     budget: timed rounds shrink 3→1 (and stop between rounds) when the
   *     projection exceeds it, with `"rounds_done"` recording what ran;
-  *   - a query failure lands in `"failed":[…]` in the JSON — never a
-  *     bogus near-zero min.
+  *   - a query failure lands in `"failed":[…]` in the JSON (cleared if a
+  *     later pass succeeds; sf1-leg failures go to `"sf1_failed"`) — never
+  *     a bogus near-zero min;
+  *   - the final (or partial) JSON is ALSO written verbatim to
+  *     `target/bench_artifact.json` — sbt's `[info] ` stdout prefix broke
+  *     the round-4 driver parse, and a bare file has no log decorator.
+  *
+  * Shuffle evidence: a [[ShuffleTap]] listener brackets every sample and
+  * the artifact carries per-query `"shuffle_mb":{q:{r,w,spill}}` — byte
+  * counts catch plan regressions that sf0.1 wall-clock noise hides.
   *
   * Scale leg: when the budget has ≥ `Sf1ReserveS` seconds left after the
   * sf0.1 rounds (and the bench ran at the sf0.1 default), the synthetic
@@ -131,10 +139,18 @@ object Bench {
     // best-so-far state, readable from the shutdown hook at any moment
     val best = TrieMap.empty[String, Double]    // min over TIMED rounds
     val warm = TrieMap.empty[String, Double]    // warm-up fallback samples
-    val failed = TrieMap.empty[String, String]  // query -> first error
+    val failed = TrieMap.empty[String, String]  // query -> first error, cleared on a later success
     val sf1Best = TrieMap.empty[String, Double]
+    val sf1Failed = TrieMap.empty[String, String]
+    // per-query shuffle/spill bytes (latest completed sample — the plans
+    // are deterministic, so bytes are stable across rounds even when the
+    // wall clock is not)
+    val shuffle = TrieMap.empty[String, ShuffleTap.Snap]
+    val tap = new ShuffleTap(spark)
     @volatile var roundsDone = 0
-    @volatile var finalPrinted = false
+    // guards the one-artifact-only contract between main and the hook
+    val emitLock = new Object
+    var finalPrinted = false // only touched under emitLock
 
     def resultJson(partial: Boolean): String = {
       val qs = names.flatMap(n => best.get(n).orElse(warm.get(n)).map(n -> _))
@@ -145,12 +161,43 @@ object Bench {
         if (sf1Best.isEmpty) ""
         else sf1Best.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
           .mkString(""","sf1_queries":{""", ",", "}")
+      val sf1FailedJson =
+        if (sf1Failed.isEmpty) ""
+        else sf1Failed.keys.toSeq.sorted.map("\"" + _ + "\"").mkString(""","sf1_failed":[""", ",", "]")
+      val shufJson =
+        if (shuffle.isEmpty) ""
+        else shuffle.toSeq.sortBy(_._1).map { case (k, s) =>
+          "\"" + k + f"""":{"r":${s.readMb}%.2f,"w":${s.writeMb}%.2f,"spill":${s.spillMb}%.2f}"""
+        }.mkString(""","shuffle_mb":{""", ",", "}")
       val partialJson = if (partial) ""","partial":true""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"sf":"$sfDir","rounds_done":$roundsDone,"failed":$failedJson$sf1Json$partialJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"sf":${escape(sfDir)},"rounds_done":$roundsDone,"failed":$failedJson$sf1Json$sf1FailedJson$shufJson$partialJson}"""
+    }
+
+    /** Emit the artifact exactly once: the JSON line on stdout AND a bare
+      * copy at `target/bench_artifact.json` that no log decorator (sbt's
+      * `[info] ` prefix broke the round-4 driver parse) can wrap. Both the
+      * normal path and the shutdown hook funnel through here; the lock
+      * makes a SIGTERM racing the final print harmless (single winner).
+      */
+    def emitArtifact(partial: Boolean): Unit = emitLock.synchronized {
+      if (!finalPrinted) {
+        val json = resultJson(partial)
+        println(json)
+        Console.flush()
+        try {
+          val p = java.nio.file.Paths.get("target", "bench_artifact.json")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"""{"bench_note":"artifact file write failed","error":${escape(String.valueOf(e.getMessage).take(200))}}""")
+        }
+        finalPrinted = true
+      }
     }
 
     // a SIGTERM'd / dying run still prints a parseable partial artifact
-    val hook = new Thread(() => if (!finalPrinted) { println(resultJson(partial = true)); Console.flush() })
+    val hook = new Thread(() => emitArtifact(partial = true))
     Runtime.getRuntime.addShutdownHook(hook)
 
     // self-termination test knob: exit(143) from a timer mid-run drives
@@ -171,6 +218,7 @@ object Bench {
       * stderr as a JSONL line immediately.
       */
     def runOne(name: String, phase: String): Option[Double] = {
+      val s0 = tap.settle() // drain the listener bus BEFORE the clock starts
       val t0 = System.nanoTime()
       val r =
         try {
@@ -182,7 +230,13 @@ object Bench {
             System.err.println(s"""{"bench_sample":"$name","phase":"$phase","error":${escape(String.valueOf(e.getMessage).take(200))}}""")
             None
         }
-      r.foreach(dt => System.err.println(f"""{"bench_sample":"$name","phase":"$phase","sec":$dt%.3f}"""))
+      r.foreach { dt =>
+        // a transient warm-up failure that later succeeds is not "failed"
+        failed.remove(name)
+        val d = tap.settle() - s0
+        shuffle.update(name, d)
+        System.err.println(f"""{"bench_sample":"$name","phase":"$phase","sec":$dt%.3f,"shuffle_r_mb":${d.readMb}%.2f,"shuffle_w_mb":${d.writeMb}%.2f,"spill_mb":${d.spillMb}%.2f}""")
+      }
       // drop persisted intermediates so queries are timed in isolation
       spark.catalog.clearCache()
       r
@@ -243,9 +297,11 @@ object Bench {
               fns(n)(spark, sf1Dir).write.format("noop").mode("overwrite").save()
               val dt = (System.nanoTime() - t0) / 1e9
               sf1Best.update(n, math.min(sf1Best.getOrElse(n, Double.MaxValue), dt))
+              sf1Failed.remove(n)
               System.err.println(f"""{"bench_sample":"$n","phase":"sf1_pass${sf1Pass + 1}%d","sec":$dt%.3f}""")
             } catch {
               case e: Throwable =>
+                sf1Failed.putIfAbsent(n, String.valueOf(e.getMessage).take(200))
                 System.err.println(s"""{"bench_sample":"$n","phase":"sf1_pass${sf1Pass + 1}","error":${escape(String.valueOf(e.getMessage).take(200))}}""")
             }
             spark.catalog.clearCache()
@@ -261,9 +317,7 @@ object Bench {
 
     if (sys.env.get("SPARK_GRAFT_BREAKDOWN").contains("1")) q17Breakdown(spark, sfDir)
 
-    println(resultJson(partial = false))
-    finalPrinted = true
-    Console.flush()
+    emitArtifact(partial = false)
     try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: IllegalStateException => }
     spark.stop()
   }

@@ -342,6 +342,41 @@ class PlanSpec extends SparkSpec {
       s"the 80%-hot key partition must be split by OptimizeSkewedJoin:\n$plan")
   }
 
+  test("x54 heavy hitters: sketch gate shrinks the measured shuffle bytes vs full-domain agg") {
+    // The Frequency.heavyHitters scaladoc claims "the shuffle carries
+    // partial counts of candidate terms only, not the trillion-term tail".
+    // That is a claim about BYTES — assert it with a ShuffleTap, the same
+    // listener the bench artifact uses, not by reading the plan string.
+    // Fixture: 8 hot terms x 2000 occurrences over a 400k-singleton tail.
+    import spark.implicits._
+    SparkSpec.session.synchronized { // counters are session-global (see cache tests)
+      val tail = spark.range(400000L).select(concat(lit("tail"), $"id").as("term"))
+      val hot = spark.range(16000L).select(concat(lit("hot"), $"id" % 8).as("term"))
+      val df = tail.unionAll(hot)
+      val tap = new ShuffleTap(spark)
+      try {
+        val (_, naive) = tap.measure {
+          df.groupBy($"term").agg(count(lit(1)).as("n")).filter($"n" >= 2000L)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val (_, gated) = tap.measure {
+          graft.ops.Frequency.heavyHitters(df, $"term", minFreq = 2000L)
+            .write.format("noop").mode("overwrite").save()
+        }
+        // the full-domain agg must shuffle the 400k tail; the gated path
+        // only the 8 candidates (wide margin absorbs concurrent-suite noise)
+        assert(naive.write > 1000000L,
+          s"fixture too small to be load-bearing: naive shuffled ${naive.write} B")
+        assert(gated.write < naive.write / 2,
+          s"gated shuffle ${gated.write} B should be far under naive ${naive.write} B")
+        // and the gate costs no exactness
+        val rows = graft.ops.Frequency.heavyHitters(df, $"term", minFreq = 2000L)
+          .as[(String, Long)].collect().toMap
+        assert(rows.size == 8 && rows.values.forall(_ == 2000L), rows.toString)
+      } finally tap.close()
+    }
+  }
+
   test("runtime bloom filter from the selective dim side reaches the fact scan") {
     val df = graft.probes.EngineProbes.bloomSession(spark, sf0001)
     df.collect() // finalize AQE so the injected filter shows in the plan
