@@ -27,17 +27,15 @@ object PipelineProbes {
   //   modular equi-join (doc_ids are contiguous 0..n−1 in the fixture; the
   //   coalesce self-pairs any id the join misses), not an unpartitioned
   //   lead() window — the fixture build itself parallelizes at pilot scale.
+  //   The synthesized frame is materialized ONCE per sf dir (parquet +
+  //   _SUCCESS marker, same marker-cache idea as ScalePilot.buildScaled):
+  //   round 4's bench showed the in-probe count()+join doubling x49's
+  //   timed number — the probe must track the OPERATOR, so every pass
+  //   after the first (the untimed warm-up, in the bench) just re-reads.
   private val x49 = Probe(
     "x49_paragraph_dedup",
     (s, dir) => {
-      val docs = Readers.fanOut(t(s, dir, "documents"))
-      val n = docs.count()
-      val succ = docs.select(col("doc_id").as("__sid"), col("text").as("__stext"))
-      val fix = docs
-        .join(succ, pmod(col("doc_id") + 1, lit(n)) === col("__sid"), "left")
-        .select(col("doc_id"),
-          concat_ws("\n", col("text"), coalesce(col("__stext"), col("text")))
-            .as("text"))
+      val fix = pairedParagraphFixture(s, dir)
       Dedup.paragraphDedup(fix, "doc_id", "text").orderBy("doc_id")
     },
     Some("""WITH n AS (SELECT count(*) AS n FROM documents),
@@ -270,6 +268,30 @@ object PipelineProbes {
             |SELECT doc_id, pred_lang, quality_score
             |FROM ranked WHERE rn > floor(n * 0.3)
             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  /** Build-once paired-paragraph fixture for x49 (see the probe comment).
+    * Marker-cached on disk per sf dir; stale only if the fixture FORMULA
+    * changes, in which case delete `target/tmp/x49_fix_*`.
+    */
+  private def pairedParagraphFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tmp = s"/root/repo/target/tmp/x49_fix_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val marker = new java.io.File(tmp, "_SUCCESS")
+    if (!marker.exists()) synchronized {
+      if (!marker.exists()) {
+        val docs = Readers.fanOut(t(s, dir, "documents"))
+        val n = docs.count()
+        val succ = docs.select(col("doc_id").as("__sid"), col("text").as("__stext"))
+        docs
+          .join(succ, pmod(col("doc_id") + 1, lit(n)) === col("__sid"), "left")
+          .select(col("doc_id"),
+            concat_ws("\n", col("text"), coalesce(col("__stext"), col("text")))
+              .as("text"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    s.read.parquet(tmp)
+  }
 
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55)
 }
