@@ -230,6 +230,16 @@ object TextStats {
   def fingerprint(text: Column): Column =
     graft.functions.TextFunctions.fingerprint(text)
 
+  /** The DuckDB replay of [[fingerprint]] over a SIMPLE column/alias
+    * reference `ref` (1-based char position, weight `(pos mod 64)+1` —
+    * the exact kernel loop; same phrasing as the x53 shard oracle, kept
+    * here so every oracle that replays the fingerprint shares one
+    * formula).
+    */
+  def fingerprintSql(ref: String): String =
+    s"CAST(coalesce(list_sum(list_transform(range(1, length($ref) + 1), " +
+      s"i -> ascii($ref[i]) * ((i % 64) + 1))), 0) AS BIGINT)"
+
   /** Quality pruning: drop the lowest `frac` of documents per predicted
     * language — the curriculum/quality gate a pretraining mix applies
     * after scoring. Per-language (not global) because score distributions
@@ -258,17 +268,22 @@ object TextStats {
     *     dropped WHOLE when it sits fully under the `floor(frac·n)`
     *     boundary and kept whole when fully above — no per-row ranking,
     *     no sort of the corpus;
-    *   3. only the ONE boundary score group per language ranks by id —
-    *     and that rank is sub-bucketed by the id's top byte (an
-    *     arithmetic shift is monotone in the signed id order, so
-    *     per-bucket ranks + bucket offsets reproduce the global id rank
-    *     exactly — the [[Sampling]] two-pass trick), so even mass ties
-    *     AT the threshold spread over up to 256 sort tasks. Non-integral
-    *     id types skip the sub-bucketing (one task per boundary group —
-    *     still only the tied rows, never the language).
+    *   3. only the ONE boundary score group per language ranks — in the
+    *     PORTABLE-HASH order `(fp mod 256, fp, id)` where `fp` is the
+    *     positional [[fingerprint]] of the id string. The bucket
+    *     (`fp mod 256`) is the order's own LEADING key, so per-bucket
+    *     ranks + bucket offsets reproduce the global rank exactly (the
+    *     [[Sampling]] two-pass trick) and mass ties AT the threshold
+    *     spread over up to 256 sort tasks — for ANY id type: dense
+    *     sequential longs (whose top byte is constant — the round-4
+    *     bucketing degenerated there) and string ids alike, because the
+    *     fingerprint mixes every digit/character. Unlike `xxhash64`, the
+    *     fingerprint is a plain weighted codepoint sum any SQL engine
+    *     recomputes, so the kept SET stays value-oracle-checkable.
     *
     * The kept set is bit-identical to the naive per-language rank window
-    * (equivalence unit-tested). The stats subtree is referenced twice
+    * over `(score, fp mod 256, fp, id)` (equivalence unit-tested, dense
+    * long and string ids). The stats subtree is referenced twice
     * (group counts + join-back) — two corpus scans when built inline; at
     * scale score ONCE, persist/checkpoint, and call
     * [[qualityPruneStats]] on the scored frame (the scans then read the
@@ -302,15 +317,13 @@ object TextStats {
     val survivors = joined.filter(col("__below") >= col("__drop"))
     val boundary = joined.filter(
       col("__below") < col("__drop") && col("__below") + col("__cnt") > col("__drop"))
-    // boundary rank by id, sub-bucketed: global rank in the score group =
-    // rows in lower id-buckets + row_number within the bucket
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val idBucket = stats.schema(idCol).dataType match {
-      case LongType | IntegerType | ShortType | ByteType =>
-        shiftright(col(idCol).cast("long"), 56)
-      case _ => lit(0L)
-    }
-    val bb = boundary.withColumn("__ib", idBucket)
+    // boundary rank in the portable-hash order (fp mod 256, fp, id):
+    // global rank in the score group = rows in lower buckets + row_number
+    // within the bucket. The bucket IS the order's leading key, so the
+    // concatenation is exact for any id type (see scaladoc step 3).
+    val fpCol = fingerprint(col(idCol).cast("string"))
+    val bb = boundary.withColumn("__fp", fpCol)
+      .withColumn("__ib", pmod(col("__fp"), lit(256L)))
     val wOff = W.partitionBy(col("__blang"), col("__bscore")).orderBy(col("__bib"))
       .rowsBetween(W.unboundedPreceding, -1)
     val offs = bb.groupBy(col("__lang").as("__blang"), col("__score").as("__bscore"),
@@ -318,13 +331,13 @@ object TextStats {
       .agg(count(lit(1)).as("__bcnt"))
       .withColumn("__off", coalesce(sum(col("__bcnt")).over(wOff), lit(0L)))
       .select(col("__blang"), col("__bscore"), col("__bib"), col("__off"))
-    val wIn = W.partitionBy(col("__lang"), col("__ib")).orderBy(col(idCol))
+    val wIn = W.partitionBy(col("__lang"), col("__ib")).orderBy(col("__fp"), col(idCol))
     val boundaryKept = bb
       .join(offs, col("__lang") <=> col("__blang") && col("__score") <=> col("__bscore")
         && col("__ib") === col("__bib"))
       .withColumn("__rn", col("__off") + row_number().over(wIn))
       .filter(col("__below") + col("__rn") > col("__drop"))
-      .drop("__blang", "__bscore", "__bib", "__off", "__ib", "__rn")
+      .drop("__blang", "__bscore", "__bib", "__off", "__ib", "__fp", "__rn")
     survivors.unionByName(boundaryKept)
       .drop("__lang", "__score", "__cnt", "__below", "__drop")
   }

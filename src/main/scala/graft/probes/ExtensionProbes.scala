@@ -821,9 +821,11 @@ object ExtensionProbes {
            |  start_in_seq ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin))
 
   // — per-language quality pruning: drop exactly floor(0.2·n) of each
-  //   language's documents, lowest composite score first (id tie-break →
-  //   fully deterministic), so the kept set is value-oracled end to end
-  //   (the quality formula replay is x08's oracle CTE). ————————————————————
+  //   language's documents, lowest composite score first; score ties break
+  //   in the PORTABLE-HASH order (fp%256, fp, id) of the id's positional
+  //   fingerprint — fully deterministic AND engine-replayable, so the kept
+  //   set is value-oracled end to end (the quality formula replay is x08's
+  //   oracle CTE, the fingerprint replay is x53's). ————————————————————————
   private val x28 = Probe(
     "x28_quality_prune",
     (s, dir) => TextStats.qualityPrune(
@@ -850,12 +852,15 @@ object ExtensionProbes {
            |      + least(1.0, coalesce(stopword_ratio, 0) * 20) * 0.3) * 10000 + 0.5) / 10000
            |      AS quality_score
            |  FROM ratios),
+           |fp AS (
+           |  SELECT *, ${TextStats.fingerprintSql("ids")} AS idfp
+           |  FROM (SELECT *, CAST(doc_id AS VARCHAR) AS ids FROM scored)),
            |ranked AS (
            |  SELECT *,
            |    row_number() OVER (PARTITION BY pred_lang
-           |      ORDER BY quality_score ASC, doc_id ASC) AS rn,
+           |      ORDER BY quality_score ASC, idfp % 256 ASC, idfp ASC, doc_id ASC) AS rn,
            |    count(*) OVER (PARTITION BY pred_lang) AS n
-           |  FROM scored)
+           |  FROM fp)
            |SELECT doc_id, pred_lang, quality_score
            |FROM ranked WHERE rn > floor(n * 0.2)
            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))

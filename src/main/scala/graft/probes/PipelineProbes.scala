@@ -221,11 +221,15 @@ object PipelineProbes {
   // — exact quality prune under MAXIMAL tie stress: every document is
   //   replaced by one constant sentence, so the whole corpus is a single
   //   (language, score) group and the drop boundary falls INSIDE it — the
-  //   sub-bucketed boundary rank (id-bucket offsets + within-bucket
-  //   row_number) decides EVERY row, the exact path a mass-tied threshold
-  //   exercises at scale. The oracle replays the stats formula on the
-  //   constant text and the naive rank window — DuckDB at probe scale can
-  //   afford the single-partition form the engine's plan avoids. —————————
+  //   sub-bucketed boundary rank (fingerprint-bucket offsets +
+  //   within-bucket row_number in (fp, id) order) decides EVERY row, the
+  //   exact path a mass-tied threshold exercises at scale. The doc_ids are
+  //   dense sequential longs — precisely the id shape whose constant top
+  //   byte degenerated the round-4 raw-id bucketing to ONE task — so this
+  //   probe now also exercises the real 256-way spread. The oracle replays
+  //   the stats formula on the constant text and the naive rank window in
+  //   the same portable order — DuckDB at probe scale can afford the
+  //   single-partition form the engine's plan avoids. ————————————————————
   private val x55 = Probe(
     "x55_quality_prune_ties",
     (s, dir) => {
@@ -259,12 +263,15 @@ object PipelineProbes {
             |      + least(1.0, coalesce(stopword_ratio, 0) * 20) * 0.3) * 10000 + 0.5) / 10000
             |      AS quality_score
             |  FROM ratios),
+            |fp AS (
+            |  SELECT *, ${TextStats.fingerprintSql("ids")} AS idfp
+            |  FROM (SELECT *, CAST(doc_id AS VARCHAR) AS ids FROM scored)),
             |ranked AS (
             |  SELECT *,
             |    row_number() OVER (PARTITION BY pred_lang
-            |      ORDER BY quality_score ASC, doc_id ASC) AS rn,
+            |      ORDER BY quality_score ASC, idfp % 256 ASC, idfp ASC, doc_id ASC) AS rn,
             |    count(*) OVER (PARTITION BY pred_lang) AS n
-            |  FROM scored)
+            |  FROM fp)
             |SELECT doc_id, pred_lang, quality_score
             |FROM ranked WHERE rn > floor(n * 0.3)
             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))

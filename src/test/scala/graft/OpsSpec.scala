@@ -420,14 +420,26 @@ class OpsSpec extends SparkSpec {
     assert(bucketedBudget == naiveBudget)
   }
 
+  // the JVM twin of the positional-fingerprint kernel (1-based position,
+  // weight (pos % 64) + 1) — lets the tests state expected tie-break
+  // orders independently of the Spark expression under test
+  private def fpOf(s: String): Long =
+    s.zipWithIndex.map { case (c, i) => c.toLong * (((i + 1) % 64) + 1) }.sum
+
   test("quality prune exact ≡ the naive per-language rank window, row for row") {
     import org.apache.spark.sql.expressions.Window
     // the boundary-group rewrite must keep the identical row set as the
     // per-language rank window it replaced (whole score groups classify
-    // by their cumulative counts; only the one straddling group ranks)
+    // by their cumulative counts; only the one straddling group ranks).
+    // Score ties break in the portable-hash order (fp%256, fp, id) of the
+    // id-string fingerprint, so the naive window replays that order.
     val docs = Readers.table(spark, sf0001, "documents")
+    def naiveOrder(idCol: org.apache.spark.sql.Column) = {
+      val fp = graft.functions.TextFunctions.fingerprint(idCol.cast("string"))
+      Seq($"quality_score".asc, pmod(fp, lit(256L)).asc, fp.asc, idCol.asc)
+    }
     val naive = {
-      val w = Window.partitionBy($"pred_lang").orderBy($"quality_score".asc, $"doc_id".asc)
+      val w = Window.partitionBy($"pred_lang").orderBy(naiveOrder($"doc_id"): _*)
       val wAll = Window.partitionBy($"pred_lang")
       ops.TextStats.withStats(docs)
         .withColumn("__rn", row_number().over(w))
@@ -446,15 +458,35 @@ class OpsSpec extends SparkSpec {
       assert(viaStats == naive)
     } finally statsCached.unpersist()
     // all-ties corpus: every row shares one score, so the ENTIRE language
-    // is the boundary group — the sub-bucketed id rank must drop exactly
-    // the floor(frac·n) smallest ids
+    // is the boundary group — the bucketed fingerprint rank must drop
+    // exactly the floor(frac·n) first ids in (fp%256, fp, id) order
     val const = docs.select($"doc_id", lit("all docs share this text").as("text"))
     val n = const.count()
     val keptIds = ops.TextStats.qualityPrune(const, "doc_id", 0.3)
       .select("doc_id").as[Long].collect().toSet
-    val expected = const.select("doc_id").as[Long].collect().sorted
+    val expected = const.select("doc_id").as[Long].collect()
+      .sortBy(id => (fpOf(id.toString) % 256, fpOf(id.toString), id))
       .drop(math.floor(n * 0.3).toInt).toSet
     assert(keptIds == expected)
+    // the 256-way spread is REAL for dense sequential longs (the round-4
+    // raw-id bucketing put every such id in bucket 0 — one sort task):
+    // measured at execution time, not read off the plan
+    val nBuckets = const
+      .select(pmod(graft.functions.TextFunctions.fingerprint($"doc_id".cast("string")),
+        lit(256L)).as("b"))
+      .distinct().count()
+    assert(nBuckets > 64, s"dense ids must spread over many buckets, got $nBuckets")
+    // string-id corpus (URL-ish ids — the case the round-4 plan sent to a
+    // single task): same all-ties equivalence, same portable order
+    val surl = docs.select(
+      concat(lit("https://example.com/doc/"), $"doc_id").as("url"),
+      lit("all docs share this text").as("text"))
+    val keptUrls = ops.TextStats.qualityPrune(surl, "url", 0.3)
+      .select("url").as[String].collect().toSet
+    val expectedUrls = surl.select("url").as[String].collect()
+      .sortBy(u => (fpOf(u) % 256, fpOf(u), u))
+      .drop(math.floor(n * 0.3).toInt).toSet
+    assert(keptUrls == expectedUrls)
   }
 
   test("Graft facade: front-door entry points delegate correctly") {

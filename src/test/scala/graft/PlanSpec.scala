@@ -235,8 +235,10 @@ class PlanSpec extends SparkSpec {
     // + tiny offsets windows + join-back) — so the budget here is shape,
     // not count: the (language, score) election must partially aggregate
     // map-side, no window may sort document bodies, and the boundary
-    // rank window must carry the __ib id-bucket (a mass tie at the
-    // threshold spreads over many sort tasks)
+    // rank window must carry the __ib fingerprint-bucket (a mass tie at
+    // the threshold spreads over many sort tasks for ANY id type; the
+    // OpsSpec equivalence test asserts the spread is real at execution
+    // time on dense long ids and string ids)
     val qpPlan = physical(graft.ops.TextStats.qualityPrune(docs, "doc_id", 0.2))
     assert(qpPlan.linesIterator.exists(l =>
       l.contains("HashAggregate") && l.contains("partial_count")),
