@@ -74,6 +74,22 @@ object Dedup {
     df.groupBy(contentDigest(contentCols).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** `idCol`, failing LOUDLY on null: the keep-first election is
+    * `min(id)` + a semi-join on the winner, and both silently IGNORE
+    * nulls — a null id would not elect, match nothing in the semi-join,
+    * and every row carrying it would vanish from the output. That is
+    * data loss, not dedup, so precondition violations throw (a runtime
+    * `AssertNotNull`, evaluated executor-side — no extra pass over the
+    * data) instead of shrinking the corpus. [[Curate.run]] feeds
+    * arbitrary user frames through this path.
+    */
+  private def idNotNull(idCol: String): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(idCol)),
+        Seq(s"keep-first dedup requires a non-null id: '$idCol' " +
+          "(a null id would be silently dropped, not deduplicated)")))
+
   /** The alias-proof multi-column content digest [[exact]] groups on —
     * public so other id-by-content operators ([[graft.ops.Snapshot]])
     * share one definition of content identity.
@@ -91,11 +107,13 @@ object Dedup {
     * Bodies shuffle keyed by the UNSKEWED id — or not at all when AQE
     * broadcasts the keep-set — never through a window keyed by content,
     * which would land every copy of a mass-duplicated document (bodies and
-    * all) in one sort partition. Requires `idCol` non-null and unique per
-    * row (it is the survivor's identity).
+    * all) in one sort partition. Requires `idCol` unique per row (it is
+    * the survivor's identity); a NULL id throws at runtime
+    * ([[idNotNull]]) rather than silently dropping the row.
     */
   def exactKeepFirst(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame =
-    df.join(exact(df, contentCols, idCol).select(col("keep_id")),
+    df.join(exact(df.withColumn(idCol, idNotNull(idCol)), contentCols, idCol)
+        .select(col("keep_id")),
       col(idCol) === col("keep_id"), "left_semi")
 
   /** [[exact]] over the NORMALIZED text form ([[TextStats.canonical]]:
@@ -114,10 +132,11 @@ object Dedup {
     * normalization only decides identity, it does not rewrite content.
     * Same agg + semi-join plan as [[exactKeepFirst]] (map-side combine on
     * the canonical digest; bodies never shuffle on a content key);
-    * requires `idCol` non-null and unique per row.
+    * requires `idCol` unique per row; a NULL id throws ([[idNotNull]]).
     */
   def exactNormalizedKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.join(exactNormalized(df, textCol, idCol).select(col("keep_id")),
+    df.join(exactNormalized(df.withColumn(idCol, idNotNull(idCol)), textCol, idCol)
+        .select(col("keep_id")),
       col(idCol) === col("keep_id"), "left_semi")
 
   /** Paragraph-level exact dedup (the FineWeb/ccnet granularity): split

@@ -36,6 +36,21 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.exactKeepFirst(df, Seq("text"), "id").count() == 2)
   }
 
+  test("keep-first dedup throws on a null id instead of silently dropping the row") {
+    // min() ignores nulls and the semi-join matches nothing on null, so
+    // without the guard a null-id row would VANISH (round-4 advice: data
+    // loss, not dedup). The precondition now fails loudly at runtime.
+    val df = Seq((java.lang.Long.valueOf(1L), "same"), (null: java.lang.Long, "same"))
+      .toDF("id", "text")
+    val e1 = intercept[Exception](Dedup.exactKeepFirst(df, Seq("text"), "id").count())
+    assert(e1.getMessage != null)
+    val e2 = intercept[Exception](Dedup.exactNormalizedKeepFirst(df, "text", "id").count())
+    assert(e2.getMessage != null)
+    // non-null ids still dedup exactly as before
+    val ok = Seq((1L, "same"), (2L, "same")).toDF("id", "text")
+    assert(Dedup.exactKeepFirst(ok, Seq("text"), "id").select("id").as[Long].head() == 1L)
+  }
+
   test("multi-column exact dedup: separator-adjacent values cannot alias across columns") {
     // under a '§'-joined preimage these two rows hashed identically
     val df = Seq((1L, "x§0y", "z"), (2L, "x", "y§0z")).toDF("id", "a", "b")
