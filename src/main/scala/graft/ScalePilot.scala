@@ -295,7 +295,22 @@ object ScalePilot {
       }),
       "token_budget_one_source" -> (() => Sampling.tokenBudget(
         Seq(("docs", tbl(dir, "documents"), 1000000L)),
-        col("doc_id"), size(TextStats.tokens(col("text"))))))
+        col("doc_id"), size(TextStats.tokens(col("text"))))),
+      // round-5 addition: substring (span) dedup under the adversarial
+      // hot-digest profile — 10% of the corpus (stable across copies)
+      // carries ONE shared 10-token boilerplate tail, so its window
+      // digests are the mass-duplicated keys; the agg election must
+      // combine them map-side and the anti-join/reassembly stay keyed by
+      // the unskewed (id, pos)/id
+      "substring_dedup_hot" -> (() => {
+        val docs = tbl(dir, "documents")
+        val fix = docs.select(col("doc_id"),
+          when(col("doc_id") % 10 === 1,
+            concat(col("text"),
+              lit(" this site uses cookies accept our terms of service to continue")))
+            .otherwise(col("text")).as("text"))
+        Dedup.substringDedup(fix, "doc_id", "text", k = 8)
+      }))
 
     def queries(dir: String): Seq[(String, () => DataFrame)] =
       if (family == "dedup") dedupQueries(dir)

@@ -178,6 +178,86 @@ object Dedup {
           s => s.getField("__para"))).as(textCol))
   }
 
+  /** Exact SUBSTRING dedup — the Lee et al. 2021 ("Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499) granularity
+    * between paragraph and document: remove duplicated ≥`k`-token SPANS
+    * shared across documents (boilerplate sentences inside otherwise
+    * unique pages — paragraph dedup misses them whenever paragraph
+    * boundaries differ). Returns (idCol, textCol).
+    *
+    * Semantics (deterministic, engine-replayable):
+    *   - every length-`k` token window (whitespace tokens, the
+    *     [[TextStats.tokens]] split) is digested; for each distinct
+    *     window content the occurrence with the smallest `(id, pos)`
+    *     slot WINS — every other occurrence loses;
+    *   - the union of token positions covered by a document's LOSING
+    *     windows is cut; surviving tokens reassemble in order, joined by
+    *     single spaces. Overlapping duplicated windows therefore merge
+    *     into maximal cut spans, and the first occurrence of a span
+    *     keeps its tokens (unless a DIFFERENT losing window covers
+    *     them). A document whose every token is covered drops out;
+    *   - a document with NO losing windows (including every document
+    *     shorter than `k` tokens) passes through byte-identical —
+    *     whitespace is only normalized where a cut actually rewrites.
+    *
+    * Lee et al. build one giant suffix array — the right shape for a
+    * single machine, the wrong one for a cluster (global order = global
+    * coordination). The Spark-first re-expression trades O(n·k) window
+    * hashing (embarrassingly parallel, whole-stage codegen) for the
+    * suffix array's O(n) span discovery, and reuses [[paragraphDedup]]'s
+    * skew-safe election:
+    *   1. window digests are built INSIDE a per-row projection
+    *      (`transform(sequence, slice, sha2)`) — no explode of token
+    *      bodies, only (id, pos, digest) triples leave the row;
+    *   2. survivor election is `groupBy(digest).agg(min(struct(id,
+    *      pos)))` — MAP-SIDE combine collapses a boilerplate window
+    *      repeated 10⁸ times to one row per input partition before the
+    *      shuffle, so hot digests never form a fat partition;
+    *   3. losers are the `left_anti` of occurrences vs winners keyed by
+    *      the UNSKEWED `(id, pos)` — digests never key a join;
+    *   4. per-document loser positions `collect_list` (bounded by the
+    *      document's own window count, like [[paragraphDedup]]'s
+    *      reassembly), join back on id, and the span cut runs as a pure
+    *      array expression (`sequence`/`flatten`/`filter`).
+    * Three shuffles total; bodies only ever shuffle keyed by id.
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val base = docs
+      .withColumn("__toks", TextStats.tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")))
+    val winArr = when(col("__n") >= k,
+      transform(sequence(lit(1), col("__n") - (k - 1)),
+        p => sha2(concat_ws(" ", slice(col("__toks"), p, lit(k))), 256)))
+      .otherwise(array().cast("array<string>"))
+    val wins = base.select(col(idCol), posexplode(winArr))
+      .select(col(idCol), (col("pos") + 1).as("__wpos"), col("col").as("__h"))
+    val winners = wins
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__wpos"))).as("__slot"))
+      .select(col("__slot")(idCol).as(idCol), col("__slot")("__wpos").as("__wpos"))
+    val loserLists = wins.select(col(idCol), col("__wpos"))
+      .join(winners, Seq(idCol, "__wpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__wpos")).as("__lose"))
+    val covered = array_distinct(flatten(
+      transform(col("__lose"), p => sequence(p, p + (k - 1)))))
+    base.join(loserLists, Seq(idCol), "left")
+      .withColumn("__cov", when(col("__lose").isNotNull, covered))
+      .filter(col("__lose").isNull || size(col("__cov")) < col("__n"))
+      .withColumn(textCol,
+        when(col("__lose").isNull, col(textCol))
+          .otherwise(concat_ws(" ",
+            transform(
+              filter(
+                transform(sequence(lit(1), col("__n")),
+                  i => struct(i.as("p"), element_at(col("__toks"), i).as("t"))),
+                s => !array_contains(col("__cov"), s.getField("p"))),
+              s => s.getField("t")))))
+      .select(col(idCol), col(textCol))
+  }
+
   /** Word n-gram shingles of a text column (distinct per doc). Empty/short
     * docs yield an empty set.
     */

@@ -276,6 +276,61 @@ object PipelineProbes {
             |FROM ranked WHERE rn > floor(n * 0.3)
             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — exact substring dedup (Lee et al. 2021 span granularity) ————————————
+  //   Fixture: every 3rd document gets the same 9-token boilerplate
+  //   sentence appended — a duplicated ≥8-token SPAN at paragraph-boundary-
+  //   free positions, exactly what paragraph dedup cannot see. The
+  //   smallest doc_id ≡ 0 (mod 3) wins the boilerplate windows and keeps
+  //   them; every other tagged document has the span cut (its straddling
+  //   windows are unique — the original tails differ — so only the
+  //   boilerplate tokens go). Any NATURAL duplicated 8-token spans in the
+  //   corpus dedup too; the oracle replays the full election from first
+  //   principles, so the surviving text of EVERY document is value-checked.
+  private val SharedSpan =
+    "graft shared boilerplate footer sentence tokens appear here verbatim"
+  private val x56 = Probe(
+    "x56_substring_dedup",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val fix = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" " + SharedSpan)))
+          .otherwise(col("text")).as("text"))
+      Dedup.substringDedup(fix, "doc_id", "text", k = 8).orderBy("doc_id")
+    },
+    Some(s"""WITH fix AS (
+            |  SELECT doc_id,
+            |    CASE WHEN doc_id % 3 = 0 THEN text || ' $SharedSpan' ELSE text END AS text
+            |  FROM documents),
+            |tok AS (
+            |  SELECT doc_id, text,
+            |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+            |  FROM fix),
+            |win AS (
+            |  SELECT doc_id, u.p, u.w FROM (
+            |    SELECT doc_id,
+            |      unnest([{'p': p, 'w': array_to_string(tk[p:p+7], ' ')}
+            |        for p in range(1, len(tk) - 6)]) AS u
+            |    FROM tok WHERE len(tk) >= 8)),
+            |ranked AS (
+            |  SELECT doc_id, p,
+            |    row_number() OVER (PARTITION BY w ORDER BY doc_id, p) AS rn
+            |  FROM win),
+            |cov AS (
+            |  SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS cp
+            |  FROM ranked WHERE rn > 1),
+            |covagg AS (
+            |  SELECT doc_id, list(cp) AS cps, count(*) AS ncov
+            |  FROM cov GROUP BY doc_id)
+            |SELECT t.doc_id,
+            |  CASE WHEN c.doc_id IS NULL THEN t.text
+            |       ELSE array_to_string(
+            |         [t.tk[i] for i in range(1, len(t.tk) + 1)
+            |          if NOT list_contains(c.cps, i)], ' ')
+            |  END AS text
+            |FROM tok t LEFT JOIN covagg c ON t.doc_id = c.doc_id
+            |WHERE c.doc_id IS NULL OR c.ncov < len(t.tk)
+            |ORDER BY t.doc_id ASC NULLS FIRST""".stripMargin))
+
   /** Build-once paired-paragraph fixture for x49 (see the probe comment).
     * Marker-cached on disk per sf dir; stale only if the fixture FORMULA
     * changes, in which case delete `target/tmp/x49_fix_*`.
@@ -300,5 +355,5 @@ object PipelineProbes {
     s.read.parquet(tmp)
   }
 
-  val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55)
+  val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56)
 }

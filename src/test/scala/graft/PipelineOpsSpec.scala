@@ -36,6 +36,48 @@ class PipelineOpsSpec extends SparkSpec {
       "null and 'a' are distinct canonical groups")
   }
 
+  test("substring dedup: duplicated k-token spans cut, first occurrence survives") {
+    // doc 1 and doc 2 share the 8-token span alpha..theta at DIFFERENT
+    // positions (the case paragraph dedup misses); doc 3 is a full copy
+    // of doc 1; doc 4 is shorter than k
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta unique1 tail1"),
+      (2L, "prefix2 alpha beta gamma delta epsilon zeta eta theta tail2"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta unique1 tail1"),
+      (4L, "short  text   only")).toDF("id", "text")
+    val got = Dedup.substringDedup(df, "id", "text", k = 8)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      // doc 1: every window wins (smallest id) -> byte-identical
+      (1L, "alpha beta gamma delta epsilon zeta eta theta unique1 tail1"),
+      // doc 2: its alpha..theta window loses to doc 1 pos 1 -> tokens
+      // 2..9 cut; its OTHER windows (prefix2.., ..tail2) are unique ->
+      // win -> but their positions overlap the cut span, so only the
+      // uncovered tokens survive
+      (2L, "prefix2 tail2"),
+      // doc 3 loses every window to doc 1 -> all 10 positions covered ->
+      // dropped entirely; doc 4 has no windows -> passes through with
+      // original whitespace
+      (4L, "short  text   only")), got.toString)
+  }
+
+  test("substring dedup: overlapping losing windows merge into one maximal cut span") {
+    // doc 12's long middle run duplicates doc 11's tokens at k=4 across
+    // several OVERLAPPING windows; the union of covered positions must
+    // cut one contiguous span, not k-sized islands
+    val df = Seq(
+      (11L, "a b c d e f g h i j"),
+      (12L, "x1 x2 c d e f g h x3 x4")).toDF("id", "text")
+    val got = Dedup.substringDedup(df, "id", "text", k = 4)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    // doc 12 windows: (x1 x2 c d) unique-wins, (x2 c d e) unique-wins,
+    // (c d e f)(d e f g)(e f g h) lose to doc 11, (f g h x3)(g h x3 x4)
+    // unique-win -> covered = 3..8 -> kept x1 x2 x3 x4
+    assert(got == Seq(
+      (11L, "a b c d e f g h i j"),
+      (12L, "x1 x2 x3 x4")), got.toString)
+  }
+
   test("paragraph dedup: corpus-wide (id, pos) survivor election and reassembly") {
     val df = Seq(
       (1L, "A\nB"),

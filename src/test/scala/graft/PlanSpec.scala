@@ -279,6 +279,21 @@ class PlanSpec extends SparkSpec {
     assert(pdPlan.linesIterator.exists(l =>
       l.contains("Aggregate") && l.contains("__h") && l.contains("partial_min")),
       s"election must partially aggregate min(id,pos) per digest map-side:\n$pdPlan")
+    // substring (span) dedup: same election discipline as paragraph dedup
+    // — digest agg with map-side partial_min, zero windows — and the
+    // loser anti-join must key on the unskewed (id, pos), NEVER the
+    // digest (a hot boilerplate window would otherwise become a fat join
+    // partition carrying 10^8 rows)
+    val sd = graft.ops.Dedup.substringDedup(docs, "doc_id", "text", k = 8)
+    val sdPlan = physical(sd)
+    assert(!sdPlan.linesIterator.exists(_.matches(".*\\bWindow\\b.*")),
+      s"substring dedup must not use a window:\n$sdPlan")
+    assert(sdPlan.linesIterator.exists(l =>
+      l.contains("Aggregate") && l.contains("__h") && l.contains("partial_min")),
+      s"span election must partially aggregate min(id,pos) map-side:\n$sdPlan")
+    val antiLines = sdPlan.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(antiLines.nonEmpty && antiLines.forall(!_.contains("__h#")),
+      s"loser anti-join must key on (id,pos), not the digest:\n${antiLines.mkString("\n")}")
   }
 
   test("keep-first dedup and Curate.run: no window keyed by document content anywhere") {
