@@ -112,22 +112,53 @@ object TextStats {
         least(lit(1.0), coalesce(stopword, lit(0.0)) * lit(20.0)) * lit(0.3))
 
   /** Character-trigram profiles for the Latin-script languages the
-    * classifier scores — the highest-frequency trigrams of each language
-    * from published frequency tables (the standard n-gram-profile langid
-    * design, Cavnar & Trenkle '94). Deliberately small: 8 trigrams per
-    * language keeps the per-row expression inside codegen while cleanly
-    * separating the 7 Latin-script languages on natural text; a
-    * production deployment swaps in a larger table behind the same
-    * formula. Alphabetical order IS the tie-break priority.
+    * classifier scores — high-frequency trigrams of each language in the
+    * standard n-gram-profile langid design (Cavnar & Trenkle '94), 40 per
+    * language (round 5 grew them from the round-4 toy depth of 8: real
+    * web text — short documents, code-mixed pages, es/pt near-boundary
+    * prose — needs profile depth, and the flat encoded-`greatest` argmax
+    * keeps even 7×40 replace-counts inside one codegen stage, asserted by
+    * the CODEGEN_ONLY PlanSpec test). Spaces are word boundaries and
+    * carry most of the signal. Alphabetical order IS the tie-break
+    * priority; a unit test pins each profile to 40 DISTINCT length-3
+    * entries (a duplicate would double-count one trigram's hits).
     */
   val LangTrigramProfiles: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "die", "und", "ein", "ich", "sch", "ie ", "ch "),
-    "en" -> Seq("the", " th", "he ", " a ", "and", " an", "nd ", " of"),
-    "es" -> Seq(" el", "el ", "os ", " lo", "ión", "ado", "que", " qu"),
-    "fr" -> Seq(" de", "de ", " le", "le ", "es ", "la ", " la", "et "),
-    "it" -> Seq(" di", "di ", "to ", "no ", "lla", "ell", "are", "zio"),
-    "nl" -> Seq("een", " ee", "en ", "van", " va", "aar", "an ", "er "),
-    "pt" -> Seq("ão ", "ção", " da", "da ", " do", "do ", "em ", " os"))
+    "de" -> Seq(
+      "der", "die", "und", "ein", "sch", "ich", "nde", "den", "che", " de",
+      "er ", "en ", "ie ", "ch ", "ung", "gen", " ge", "ten", "cht", " un",
+      "nd ", " ei", "ne ", "ver", " ve", "das", " da", "hen", "ist", " is",
+      "st ", " zu", "zu ", "ber", "ren", "men", "ter", "ges", "lic", "eit"),
+    "en" -> Seq(
+      "the", " th", "he ", "and", " an", "nd ", " of", "of ", "ing", "ng ",
+      " in", "in ", "ion", "ent", "er ", " to", "to ", "ed ", "es ", "is ",
+      " is", "at ", "on ", "tio", "ati", " re", "re ", " be", "as ", " as",
+      "his", " he", "hat", "tha", "for", " fo", "ere", "her", "ith", "wit"),
+    "es" -> Seq(
+      "ión", "ció", "aci", " el", "el ", "los", " lo", "las", "os ", "as ",
+      " la", "la ", "que", " qu", "ue ", "de ", " de", "en ", " en", "es ",
+      " es", "ado", "nte", "con", " co", " se", "res", "par", " pa", "ara",
+      "una", " un", "por", " po", "sta", "est", "cia", "ien", " y ", "ñas"),
+    "fr" -> Seq(
+      " de", "de ", "le ", " le", "la ", " la", "les", "des", "ent", "e d",
+      "ne ", "on ", "nt ", "ion", "er ", "es ", " pa", "et ", " et", "que",
+      " qu", "ue ", "eme", "men", " co", "ait", "ous", " po", "pou", "our",
+      "tre", " un", "une", "dan", " da", "ans", "eur", "e l", "r l", " pr"),
+    "it" -> Seq(
+      " di", "di ", "che", " ch", "he ", "to ", "no ", "la ", " la", "ell",
+      "lla", "del", " de", "re ", "na ", "zio", "ion", "one", "er ", "e d",
+      "ti ", " pe", "per", "ent", "nte", " in", "in ", "are", "ato", "gli",
+      " si", "si ", "le ", "ne ", "ia ", "con", " co", "men", "ri ", "ita"),
+    "nl" -> Seq(
+      "en ", "de ", " de", "van", " va", "an ", "een", " ee", "het", " he",
+      "et ", "der", "aar", "aan", " aa", "oor", " vo", "voo", "ver", " ve",
+      "ijk", "ij ", "zij", " zi", "nde", "den", "te ", " te", "ste", "dat",
+      " da", "at ", "ing", "ng ", "ere", " me", "met", "n d", "er ", "ter"),
+    "pt" -> Seq(
+      "ão ", "ção", "açã", " do", "do ", "da ", " da", "dos", "os ", " de",
+      "de ", "que", " qu", "ue ", "em ", " em", "com", " co", "uma", " um",
+      "ma ", "não", " nã", "ent", "nte", "es ", "as ", "ara", " pa", "par",
+      "ra ", " se", "is ", "ais", "men", "ado", " es", "est", "e a", "o d"))
 
   /** Script-range detections, checked in order BEFORE the trigram score —
     * non-Latin scripts identify a language (or its representative:
@@ -164,11 +195,12 @@ object TextStats {
     * form `greatest((H_l << 4) + (15 − l_index))`: one flat `greatest`
     * computes max score AND winning profile together (score dominates;
     * on ties the larger priority nibble — the alphabetically FIRST
-    * profile — wins), so each profile's 8 trigram counts appear exactly
+    * profile — wins), so each profile's trigram counts appear exactly
     * once in the expression tree. The naive chained
-    * `when(h_l === greatest(…))` form duplicated the 56 replace-count
-    * subtrees per branch and janino failed on the ~15k-line nested-if
-    * method, dropping the whole projection out of codegen.
+    * `when(h_l === greatest(…))` form duplicated every replace-count
+    * subtree per branch and janino failed on the ~15k-line nested-if
+    * method at 14×8 — at the round-5 depth of 7×40 Latin profiles the
+    * flat form still codegens in one stage (CODEGEN_ONLY-asserted).
     */
   def langId(text: Column): Column = {
     val x = lower(text)

@@ -1248,7 +1248,14 @@ object ExtensionProbes {
     "ar" -> "هذا اختبار للغة العربية في المدينة الكبيرة",
     "el" -> "αυτό είναι ένα ελληνικό κείμενο για δοκιμή στην πόλη",
     "hi" -> "यह हिंदी भाषा की परीक्षा है और बहुत आसान है",
-    "en" -> "the man and the woman walk to the house of their friends and they like the garden of the city")
+    "en" -> "the man and the woman walk to the house of their friends and they like the garden of the city",
+    // round-5 hard cases: SHORT documents (few trigram hits have to clear
+    // the density gate AND win the argmax) and the es/pt near-boundary
+    // (heavily overlapping profiles — ção/açã/não vs ión/ció/aci decide)
+    "es" -> "la región y la nación española que los niños quieren",
+    "pt" -> "a nação portuguesa não dá a informação da situação",
+    "en" -> "the cat sat on the mat",
+    "de" -> "ich bin in der schule und der wald ist schön")
 
   // — trigram-profile language ID over a PLANTED 14-language fixture: the
   //   documents corpus is English-ish word salad, so the probe replaces a
