@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout otherwise goes through sbt's logger, which
+// prefixes every line with "[info] " — that prefix is what kept the
+// driver from machine-parsing the Bench JSON artifact line in rounds
+// 3-5 (BENCH_r0{3,4,5}.json all show "parsed": null with the line
+// visibly wrapped in the tail). StdoutOutput inherits the parent's
+// stdio, so the one-line JSON contract reaches stdout bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

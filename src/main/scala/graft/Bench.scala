@@ -281,7 +281,7 @@ object Bench {
         isSf01 && fits
     }
     if (wantSf1) {
-      val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/target/sf1_synth")
+      val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", s"${graft.TmpDir.root}/sf1_synth")
       try {
         ScalePilot.buildScaled(spark, sfDir, sf1Dir, 10, ScalePilot.AllTables, eventsNs = true)
         // up to 2 passes, min per query: one ambient spike on a shared

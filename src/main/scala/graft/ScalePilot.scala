@@ -26,7 +26,7 @@ import graft.sources.Readers
 object BuildSf {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(1).getOrElse("/root/repo/target/sf1_synth")
+    val out = args.lift(1).getOrElse(s"${graft.TmpDir.root}/sf1_synth")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = Sessions.local("graft-build-sf")
     ScalePilot.buildScaled(spark, src, out, copies, ScalePilot.AllTables, eventsNs = true)
@@ -107,7 +107,7 @@ object ScalePilot {
     // family only (documents + embeddings), including a capped-vs-uncapped
     // twin that shows the hot-bucket guards cost nothing on unskewed data
     val family = sys.env.getOrElse("SPARK_GRAFT_SCALE_FAMILY", "all")
-    val out = s"/root/repo/target/scale_x$copies"
+    val out = s"${graft.TmpDir.root}/scale_x$copies"
     val spark = Sessions.local("graft-scale-pilot")
 
     val tables: Set[String] =
@@ -120,7 +120,7 @@ object ScalePilot {
     // 1× read through the same plain-parquet path as the N× tables so the
     // only difference is volume (Readers.table's events ns-shim applies
     // only to the original testdata files)
-    val x1Dir = s"/root/repo/target/scale_x1"
+    val x1Dir = s"${graft.TmpDir.root}/scale_x1"
     buildScaled(spark, sfDir, x1Dir, 1, tables)
 
     def tbl(dir: String, n: String) = spark.read.parquet(s"$dir/$n.parquet")

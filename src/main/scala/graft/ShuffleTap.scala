@@ -2,7 +2,7 @@ package graft
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 object ShuffleTap {
@@ -31,18 +31,32 @@ object ShuffleTap {
   * two settled snapshots attributes its bytes correctly even though
   * events lag task completion. Polling happens OUTSIDE the timed region
   * (settle first, then start the clock).
+  *
+  * `jobGroup`: when set, ONLY tasks of jobs launched under that
+  * `SparkContext.setJobGroup` id are counted — the counters are otherwise
+  * context-global, so on a SHARED session (the test JVM runs suites
+  * concurrently) an unrelated job that shuffles during a bracket would
+  * inflate the measurement. The bench leaves it unset (the bench JVM runs
+  * nothing else); byte-asserting tests MUST set it.
   */
-final class ShuffleTap(spark: SparkSession) {
+final class ShuffleTap(spark: SparkSession, jobGroup: Option[String] = None) {
   import ShuffleTap.Snap
 
   private val readB = new AtomicLong
   private val writeB = new AtomicLong
   private val spillB = new AtomicLong
+  // stage ids belonging to the tracked job group (unused when untagged)
+  private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
   private val listener = new SparkListener {
+    override def onJobStart(js: SparkListenerJobStart): Unit =
+      if (jobGroup.isDefined &&
+          jobGroup.contains(Option(js.properties)
+            .map(_.getProperty("spark.jobGroup.id")).orNull))
+        js.stageIds.foreach(stages.add)
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null) {
+      if (m != null && (jobGroup.isEmpty || stages.contains(te.stageId))) {
         readB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         writeB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         spillB.addAndGet(m.diskBytesSpilled)
@@ -55,6 +69,12 @@ final class ShuffleTap(spark: SparkSession) {
 
   /** Wait for the async listener bus to drain (two consecutive unchanged
     * polls), bounded by `maxWaitMs`; returns the settled snapshot.
+    *
+    * Exiting via the bound while the counters are STILL MOVING means late
+    * task-end events will be attributed to the next bracket, so that path
+    * leaves a stderr JSONL note — a skewed per-query `shuffle_mb` sample
+    * in the bench artifact is then identifiable in the stream instead of
+    * silently wrong (round-5 advice).
     */
   def settle(maxWaitMs: Long = 2000): Snap = {
     var prev = snap()
@@ -67,6 +87,9 @@ final class ShuffleTap(spark: SparkSession) {
       if (cur == prev) stable += 1
       else { stable = 0; prev = cur }
     }
+    if (stable < 2)
+      System.err.println(
+        s"""{"bench_note":"shuffle settle hit maxWaitMs","max_wait_ms":$maxWaitMs,"hint":"next sample's shuffle_mb may absorb late events"}""")
     prev
   }
 

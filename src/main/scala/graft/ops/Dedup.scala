@@ -87,8 +87,9 @@ object Dedup {
     org.apache.spark.sql.GraftSqlBridge.column(
       org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
         org.apache.spark.sql.GraftSqlBridge.expression(col(idCol)),
-        Seq(s"keep-first dedup requires a non-null id: '$idCol' " +
-          "(a null id would be silently dropped, not deduplicated)")))
+        Seq(s"dedup requires a non-null id: '$idCol' " +
+          "(a null id would be silently dropped or corrupt the keep-first " +
+          "election, not deduplicated)")))
 
   /** The alias-proof multi-column content digest [[exact]] groups on —
     * public so other id-by-content operators ([[graft.ops.Snapshot]])
@@ -161,7 +162,13 @@ object Dedup {
     */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
-    val paras = docs
+    // A null id would phantom-win the min(struct(id, pos)) election (null
+    // struct fields sort first) while matching nothing in the (id, pos)
+    // semi-join — other documents' genuine first occurrences get cut and
+    // the null-id document passes through untouched. Same loud-failure
+    // contract as the keep-first dedups ([[idNotNull]]).
+    val guarded = docs.withColumn(idCol, idNotNull(idCol))
+    val paras = guarded
       .select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .toDF(idCol, "__pos", "__para")
@@ -224,7 +231,12 @@ object Dedup {
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
+    // Same null-id hazard as [[paragraphDedup]]: the election would elect a
+    // phantom (null, pos) slot and the anti-join/join-back on id would cut
+    // every OTHER document's first occurrence — silent wrong output. Fail
+    // loudly instead ([[idNotNull]]).
     val base = docs
+      .withColumn(idCol, idNotNull(idCol))
       .withColumn("__toks", TextStats.tokens(col(textCol)))
       .withColumn("__n", size(col("__toks")))
     val winArr = when(col("__n") >= k,

@@ -22,7 +22,7 @@ object EngineProbes {
   private val q33 = Probe(
     "q33_orc_roundtrip",
     (s, dir) => {
-      val tmp = s"/root/repo/target/tmp/q33_orc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val tmp = s"${graft.TmpDir.root}/tmp/q33_orc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       t(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
           "l_discount", "l_returnflag", "l_linestatus")
@@ -327,7 +327,7 @@ object EngineProbes {
   private val q48 = Probe(
     "q48_partitioned_prune",
     (s, dir) => {
-      val tmp = s"/root/repo/target/tmp/q48_part_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val tmp = s"${graft.TmpDir.root}/tmp/q48_part_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       t(s, dir, "events")
         .withColumn("event_day", date_format(col("ts"), "yyyy-MM-dd"))
         .write.mode("overwrite").partitionBy("event_day").parquet(tmp)
@@ -506,7 +506,7 @@ object EngineProbes {
   private val q52 = Probe(
     "q52_sorted_store_prune",
     (s, dir) => {
-      val tmp = s"/root/repo/target/tmp/q52_sorted_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val tmp = s"${graft.TmpDir.root}/tmp/q52_sorted_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .repartitionByRange(8, col("value"))
@@ -590,7 +590,7 @@ object EngineProbes {
   private val q54 = Probe(
     "q54_corrupt_jsonl",
     (s, dir) => {
-      val tmp = s"/root/repo/target/tmp/q54_corrupt_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val tmp = s"${graft.TmpDir.root}/tmp/q54_corrupt_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       t(s, dir, "events")
         .select(
           when(col("event_id") % 10 === 3,
@@ -628,7 +628,7 @@ object EngineProbes {
   private val q55 = Probe(
     "q55_schema_evolution",
     (s, dir) => {
-      val tmp = s"/root/repo/target/tmp/q55_evolve_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val tmp = s"${graft.TmpDir.root}/tmp/q55_evolve_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val ev = t(s, dir, "events")
       ev.select(col("event_id"), col("event_type"))
         .write.mode("overwrite").parquet(s"$tmp/v=1")
@@ -663,7 +663,7 @@ object EngineProbes {
   private val q56 = Probe(
     "q56_compaction",
     (s, dir) => {
-      val tmp = s"/root/repo/target/tmp/q56_compact_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val tmp = s"${graft.TmpDir.root}/tmp/q56_compact_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .repartition(64) // shed 64 small files

@@ -401,7 +401,7 @@ object ExtensionProbes {
   private val x13 = Probe(
     "x13_stream_counts",
     (s, dir) => {
-      val tmp = s"/root/repo/target/tmp/x13_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val tmp = s"${graft.TmpDir.root}/tmp/x13_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       t(s, dir, "events").select(EventsVocab.eventJson.as("value"))
         .coalesce(4).write.mode("overwrite").text(tmp)
       val flat = graft.streaming.StreamingIngest.flatEvents(s, tmp)
@@ -426,7 +426,7 @@ object ExtensionProbes {
   private val x17 = Probe(
     "x17_stream_stateful",
     (s, dir) => {
-      val tmp = s"/root/repo/target/tmp/x17_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val tmp = s"${graft.TmpDir.root}/tmp/x17_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       t(s, dir, "events").select(EventsVocab.eventJson.as("value"))
         .coalesce(4).write.mode("overwrite").text(tmp)
       val flat = graft.streaming.StreamingIngest.flatEvents(s, tmp)
@@ -453,7 +453,7 @@ object ExtensionProbes {
   private val x18 = Probe(
     "x18_stream_dedup",
     (s, dir) => {
-      val tmp = s"/root/repo/target/tmp/x18_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val tmp = s"${graft.TmpDir.root}/tmp/x18_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       t(s, dir, "events").select(EventsVocab.eventJson.as("value"))
         .coalesce(4).write.mode("overwrite").text(tmp)
       val flat = graft.streaming.StreamingIngest.flatEvents(s, tmp)

@@ -35,7 +35,7 @@ object ParityProbes {
   private val q01 = Probe(
     "q01_csv_multiline_scan",
     (s, dir) => {
-      val tmp = s"/root/repo/target/tmp/q01_csv_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val tmp = s"${graft.TmpDir.root}/tmp/q01_csv_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       t(s, dir, "events").select(
           col("event_id"),
           fmtTs(col("ts")).as("ts_str"),
@@ -631,7 +631,7 @@ object ParityProbes {
   private val q24 = Probe(
     "q24_jsonl_scan",
     (s, dir) => {
-      val tmp = s"/root/repo/target/tmp/q24_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val tmp = s"${graft.TmpDir.root}/tmp/q24_jsonl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       t(s, dir, "events").select(EventsVocab.eventJson.as("value"))
         .coalesce(4).write.mode("overwrite").text(tmp)
       val raw = s.read.schema(Schemas.eventSchema).option("timestampFormat", Schemas.TsFmt).json(tmp)
@@ -747,8 +747,8 @@ object ParityProbes {
     "q47_warehouse_roundtrip",
     (s, dir) => {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val src = s"/root/repo/target/tmp/q47_src_$tag"
-      val whDir = s"/root/repo/target/tmp/q47_wh_$tag"
+      val src = s"${graft.TmpDir.root}/tmp/q47_src_$tag"
+      val whDir = s"${graft.TmpDir.root}/tmp/q47_wh_$tag"
       EventsVocab.synth(Readers.fanOut(t(s, dir, "events")))
         .coalesce(4).write.mode("overwrite")
         .options(Map("header" -> "true", "quote" -> "\"", "escape" -> "\""))

@@ -167,7 +167,7 @@ object PipelineProbes {
   private val x53 = Probe(
     "x53_sharded_export",
     (s, dir) => {
-      val tmp = s"/root/repo/target/tmp/x53_shards_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val tmp = s"${graft.TmpDir.root}/tmp/x53_shards_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       graft.etl.Export.sharded(s, t(s, dir, "documents"), "doc_id", "text",
           tmp, nShards = 8)
         .orderBy("shard")
@@ -331,13 +331,24 @@ object PipelineProbes {
             |WHERE c.doc_id IS NULL OR c.ncov < len(t.tk)
             |ORDER BY t.doc_id ASC NULLS FIRST""".stripMargin))
 
+  /** Formula version of [[pairedParagraphFixture]] — part of the cache dir
+    * name, so editing the fixture SQL below and bumping this token
+    * self-invalidates every stale on-disk copy (round-5 advice: a silent
+    * stale fixture breaks the DuckDB oracle, which recomputes from the
+    * live documents table).
+    */
+  private val X49FixtureV = "v2"
+
   /** Build-once paired-paragraph fixture for x49 (see the probe comment).
-    * Marker-cached on disk per sf dir; stale only if the fixture FORMULA
-    * changes, in which case delete `target/tmp/x49_fix_*`.
+    * Marker-cached on disk per (formula version, sf dir); bump
+    * [[X49FixtureV]] on any formula change. If the documents table is
+    * regenerated IN PLACE at the same path the marker cannot tell —
+    * delete `target/tmp/x49_fix_*` then (testdata is driver-written and
+    * immutable in practice).
     */
   private def pairedParagraphFixture(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val tmp = s"/root/repo/target/tmp/x49_fix_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val tmp = s"${graft.TmpDir.root}/tmp/x49_fix_${X49FixtureV}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     val marker = new java.io.File(tmp, "_SUCCESS")
     if (!marker.exists()) synchronized {
       if (!marker.exists()) {

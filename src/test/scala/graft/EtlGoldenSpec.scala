@@ -27,7 +27,7 @@ class EtlGoldenSpec extends SparkSpec {
   }
 
   private lazy val warehouseDir = {
-    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "golden").toString
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "golden").toString
     val rows = Seq(
       // SH1 complete: sent d1, delivered d3, picked d6 (+ a LATER duplicate
       // delivery on d4 that min(when) must ignore)
@@ -122,7 +122,7 @@ class EtlGoldenSpec extends SparkSpec {
   }
 
   test("uuid parity mode keeps FK closure via pinned evaluation") {
-    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "uuidwh").toString
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "uuidwh").toString
     val csvDir = warehouseDir.replace("/warehouse", "/input")
     val cfg = EtlJob.Config(csvDir, s"$base/warehouse",
       keyMode = SurrogateKeys.UuidParity, parityDedup = true,

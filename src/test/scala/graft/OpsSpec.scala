@@ -51,6 +51,31 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.exactKeepFirst(ok, Seq("text"), "id").select("id").as[Long].head() == 1L)
   }
 
+  test("paragraph and substring dedup throw on a null id instead of corrupting the election") {
+    // Worse than the keep-first case: a null id SORTS FIRST inside the
+    // min(struct(id, pos)) election, so it would phantom-win and cut OTHER
+    // documents' genuine first occurrences while the (id, pos) joins never
+    // match the null-id doc itself — silent wrong output on every row
+    // (round-5 advice). The guard fails loudly instead.
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), "shared para\nunique one"),
+      (null: java.lang.Long, "shared para\nunique two")).toDF("id", "text")
+    val e1 = intercept[Exception](Dedup.paragraphDedup(df, "id", "text").count())
+    assert(e1.getMessage != null)
+    val toks = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val sub = Seq(
+      (java.lang.Long.valueOf(1L), toks + " tail one"),
+      (null: java.lang.Long, toks + " tail two")).toDF("id", "text")
+    val e2 = intercept[Exception](Dedup.substringDedup(sub, "id", "text", k = 8).count())
+    assert(e2.getMessage != null)
+    // non-null ids: first occurrence still wins, duplicate paragraph cut
+    val ok = Seq((1L, "shared para\nunique one"), (2L, "shared para\nunique two"))
+      .toDF("id", "text")
+    val got = Dedup.paragraphDedup(ok, "id", "text").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "shared para\nunique one"), (2L, "unique two")))
+  }
+
   test("multi-column exact dedup: separator-adjacent values cannot alias across columns") {
     // under a '§'-joined preimage these two rows hashed identically
     val df = Seq((1L, "x§0y", "z"), (2L, "x", "y§0z")).toDF("id", "a", "b")
@@ -333,7 +358,7 @@ class OpsSpec extends SparkSpec {
 
   test("binaryFile source: glob-filtered files arrive as binary rows, bytes intact") {
     val dir = java.nio.file.Files
-      .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"), "media")
+      .createTempDirectory(java.nio.file.Paths.get(graft.TmpDir.root), "media")
     val payloads = Map("a.img" -> "alpha-bytes", "b.img" -> "beta", "skip.txt" -> "nope")
     payloads.foreach { case (name, content) =>
       java.nio.file.Files.write(dir.resolve(name), content.getBytes("UTF-8"))
@@ -862,6 +887,21 @@ class OpsSpec extends SparkSpec {
       .as[(Long, String, String)].collect()
     val wrong = got.filter { case (_, l, exp) => l != exp }
     assert(wrong.isEmpty, s"misclassified: ${wrong.mkString(", ")}")
+  }
+
+  test("every langid trigram profile holds exactly 40 distinct length-3 entries") {
+    // the scaladoc's pinned invariant: a duplicate entry would double-count
+    // one trigram's hits in that language's score with nothing failing
+    for ((lang, ts) <- TextStats.LangTrigramProfiles) {
+      assert(ts.size == 40, s"$lang: expected 40 trigrams, got ${ts.size}")
+      assert(ts.forall(_.length == 3),
+        s"$lang: non-length-3 entries: ${ts.filterNot(_.length == 3).mkString(", ")}")
+      assert(ts.distinct.size == 40,
+        s"$lang: duplicated entries: ${ts.diff(ts.distinct).mkString(", ")}")
+    }
+    // alphabetical order IS the tie-break priority — pin that too
+    val names = TextStats.LangTrigramProfiles.map(_._1)
+    assert(names == names.sorted, s"profiles must stay alphabetical: $names")
   }
 
   test("tfidfTopTerms: a document's unique word outranks corpus-wide words") {

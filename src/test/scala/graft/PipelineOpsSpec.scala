@@ -180,7 +180,7 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("sharded export: manifest verifies the files, assignment is portable, re-export idempotent") {
     val docs = graft.sources.Readers.table(spark, sf0001, "documents")
-    val tmp = "/root/repo/target/tmp/export_spec"
+    val tmp = s"${graft.TmpDir.root}/tmp/export_spec"
     val man = graft.etl.Export.sharded(spark, docs, "doc_id", "text", tmp, nShards = 4)
       .orderBy("shard").collect().toSeq
     assert(man.map(_.getLong(1)).sum == docs.count(), "no row lost or double-written")

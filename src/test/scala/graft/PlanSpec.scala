@@ -124,7 +124,7 @@ class PlanSpec extends SparkSpec {
 
   test("ORC scan: predicate pushdown fires for the second columnar format") {
     val tmp = java.nio.file.Files
-      .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"), "orc").toString
+      .createTempDirectory(java.nio.file.Paths.get(graft.TmpDir.root), "orc").toString
     Readers.table(spark, sf0001, "lineitem")
       .select("l_orderkey", "l_quantity", "l_returnflag").write.mode("overwrite").orc(tmp)
     val plan = physical(
@@ -181,7 +181,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("partitioned store: a day-range filter prunes to the matching partitions only") {
-    val tmp = "/root/repo/target/tmp/planspec_part"
+    val tmp = s"${graft.TmpDir.root}/tmp/planspec_part"
     Readers.table(spark, sf0001, "events")
       .withColumn("event_day", date_format(col("ts"), "yyyy-MM-dd"))
       .write.mode("overwrite").partitionBy("event_day").parquet(tmp)
@@ -366,11 +366,17 @@ class PlanSpec extends SparkSpec {
     // listener the bench artifact uses, not by reading the plan string.
     // Fixture: 8 hot terms x 2000 occurrences over a 400k-singleton tail.
     import spark.implicits._
-    SparkSpec.session.synchronized { // counters are session-global (see cache tests)
+    // The tap is scoped to a job group: suites share one SparkContext and
+    // run concurrently, so an untagged tap would count ANY suite's shuffle
+    // that lands inside the bracket (round-5 advice flagged the flake).
+    // setJobGroup is thread-local — only THIS test's jobs are counted.
+    val tag = s"plan-x54-${java.util.UUID.randomUUID()}"
+    spark.sparkContext.setJobGroup(tag, "x54 shuffle-byte measurement")
+    try {
       val tail = spark.range(400000L).select(concat(lit("tail"), $"id").as("term"))
       val hot = spark.range(16000L).select(concat(lit("hot"), $"id" % 8).as("term"))
       val df = tail.unionAll(hot)
-      val tap = new ShuffleTap(spark)
+      val tap = new ShuffleTap(spark, jobGroup = Some(tag))
       try {
         val (_, naive) = tap.measure {
           df.groupBy($"term").agg(count(lit(1)).as("n")).filter($"n" >= 2000L)
@@ -391,7 +397,7 @@ class PlanSpec extends SparkSpec {
           .as[(String, Long)].collect().toMap
         assert(rows.size == 8 && rows.values.forall(_ == 2000L), rows.toString)
       } finally tap.close()
-    }
+    } finally spark.sparkContext.clearJobGroup()
   }
 
   test("runtime bloom filter from the selective dim side reaches the fact scan") {

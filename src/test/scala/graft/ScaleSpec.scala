@@ -41,7 +41,7 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("partitioned fact write produces event_year/event_month dirs and prunes on read") {
-    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "partwh").toString
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "partwh").toString
     val flat = Flatten(EventsVocab.synth(Readers.table(spark, sf0001, "events"))).cache()
     flat.count()
     val wh = EtlJob.buildFromFlat(flat, EtlJob.Config("", base, clock = () => "2026-01-01 00:00:00"))
@@ -62,7 +62,7 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("range-partitioned sorted store: a narrow value filter reads only overlapping files") {
-    val tmp = Files.createTempDirectory(Paths.get("/root/repo/target"), "sorted").toString
+    val tmp = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "sorted").toString
     Readers.table(spark, sf0001, "events")
       .select($"event_id", $"event_type", $"value")
       .repartitionByRange(8, $"value")
@@ -81,7 +81,7 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("compaction shrinks a 64-file shed to ~4 even files, content intact") {
-    val tmp = Files.createTempDirectory(Paths.get("/root/repo/target"), "compact").toString + "/t"
+    val tmp = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "compact").toString + "/t"
     val src = Readers.table(spark, sf0001, "events")
       .select($"event_id", $"event_type", $"value")
     src.repartition(64).write.parquet(tmp)

@@ -16,7 +16,7 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val jsonlDir = {
-    val dir = Files.createTempDirectory(Paths.get("/root/repo/target"), "stream").toString
+    val dir = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "stream").toString
     Readers.table(spark, sf0001, "events")
       .select(EventsVocab.eventJson.as("value"))
       .coalesce(2)
@@ -114,7 +114,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming SCD2 dim maintenance equals batch fromHistory after two CDC batches") {
-    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "scd2s").toString
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "scd2s").toString
     val (in, dim, ckp) = (s"$base/in", s"$base/dim", s"$base/ckp")
     val full = Readers.table(spark, sf0001, "events")
       .select($"user_id", $"ts", $"event_type")
@@ -136,7 +136,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming curated corpus ingest: cross-batch dedup, append-only batch partitions") {
-    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "curateds").toString
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "curateds").toString
     val (in, corpus, ckp) = (s"$base/in", s"$base/corpus", s"$base/ckp")
     def doc(prefix: String, n: Int, lastOverride: String = ""): String = {
       val toks = (1 to n).map(i => f"$prefix$i%02d")
@@ -165,7 +165,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("curated corpus sink: kill + checkpoint resume over a stale partial ≡ uninterrupted run") {
-    val base = Files.createTempDirectory(Paths.get("/root/repo/target"), "curatedkr").toString
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "curatedkr").toString
     def doc(prefix: String, n: Int): String = (1 to n).map(i => f"$prefix$i%02d").mkString(" ")
     val b1 = Seq((1L, doc("w", 20)), (2L, doc("x", 20))).toDF("doc_id", "text")
     val b2 = Seq(
