@@ -47,7 +47,12 @@ object ScalePilot {
   private[graft] def buildScaled(spark: SparkSession, sfDir: String, out: String, copies: Int,
       tables: Set[String], eventsNs: Boolean = false): Unit = {
     val fs = java.nio.file.Paths.get(out)
-    val marker = fs.resolve(s"_built_${tables.toSeq.sorted.mkString("_")}")
+    // marker carries a source-content token: regenerating the source sf
+    // dir IN PLACE (the round-6 driver fixture regen) changes the token,
+    // so the scaled copy rebuilds instead of serving dead data
+    val srcTok = graft.TmpDir.sourceToken(
+      tables.toSeq.sorted.map(t => s"$sfDir/$t.parquet"): _*)
+    val marker = fs.resolve(s"_built_${tables.toSeq.sorted.mkString("_")}_$srcTok")
     if (java.nio.file.Files.exists(marker)) return
 
     def shifted(name: String, shift: (DataFrame, Int) => DataFrame, nCopies: Int = copies): Unit = {

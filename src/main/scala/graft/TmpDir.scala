@@ -18,4 +18,23 @@ object TmpDir {
     f.mkdirs()
     f.getAbsolutePath
   }
+
+  /** Cheap content token for a source dataset: a hex mix over the sorted
+    * (path, length, mtime) of every file under the given paths. Folded
+    * into marker-cache names (x49 fixture, [[ScalePilot.buildScaled]]'s
+    * `_built` marker) so a source regenerated IN PLACE — same path, new
+    * bytes, as the driver did to `/root/testdata` mid-round-6 — yields a
+    * different token and self-invalidates the stale cache. Metadata only:
+    * no file is read, so the token costs microseconds even on a large
+    * fixture tree.
+    */
+  def sourceToken(paths: String*): String = {
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(files)
+      else if (f.exists()) Seq(f) else Nil
+    val mixed = paths.flatMap(p => files(new java.io.File(p)))
+      .sortBy(_.getPath)
+      .foldLeft(17L)((a, f) => (a * 1000003L + f.length) * 1000003L + f.lastModified)
+    java.lang.Long.toHexString(mixed)
+  }
 }

@@ -116,9 +116,9 @@ object TextStats {
     * standard n-gram-profile langid design (Cavnar & Trenkle '94), 40 per
     * language (round 5 grew them from the round-4 toy depth of 8: real
     * web text — short documents, code-mixed pages, es/pt near-boundary
-    * prose — needs profile depth, and the flat encoded-`greatest` argmax
-    * keeps even 7×40 replace-counts inside one codegen stage, asserted by
-    * the CODEGEN_ONLY PlanSpec test). Spaces are word boundaries and
+    * prose — needs profile depth; scoring runs in the
+    * [[graft.functions.LangIdKernel]] static kernel, so profile depth no
+    * longer affects generated-code size). Spaces are word boundaries and
     * carry most of the signal. Alphabetical order IS the tie-break
     * priority; a unit test pins each profile to 40 DISTINCT length-3
     * entries (a duplicate would double-count one trigram's hits).
@@ -190,38 +190,22 @@ object TextStats {
     *   - `unknown` when the best profile density `H / length` < 0.02
     *     (too few profile trigrams to call a language).
     *
-    * `replace`-counting keeps the whole classifier inside whole-stage
-    * codegen — no explode, no shuffle, no UDF. The argmax is the ENCODED
-    * form `greatest((H_l << 4) + (15 − l_index))`: one flat `greatest`
-    * computes max score AND winning profile together (score dominates;
-    * on ties the larger priority nibble — the alphabetically FIRST
-    * profile — wins), so each profile's trigram counts appear exactly
-    * once in the expression tree. The naive chained
-    * `when(h_l === greatest(…))` form duplicated every replace-count
-    * subtree per branch and janino failed on the ~15k-line nested-if
-    * method at 14×8 — at the round-5 depth of 7×40 Latin profiles the
-    * flat form still codegens in one stage (CODEGEN_ONLY-asserted).
+    * The classifier is ONE codegen'd Catalyst expression
+    * ([[graft.functions.TrigramLangId]]) whose generated code is a single
+    * static call into [[graft.functions.LangIdKernel]] — no explode, no
+    * shuffle, no UDF, and a constant-size generated method. History: the
+    * round-4 chained-`when` column form duplicated every replace-count
+    * subtree per branch (janino failed on the ~15k-line nested-if at
+    * 14×8); the round-5 flat encoded-`greatest` form deduplicated the
+    * subtrees but at 7×40 profiles STILL crossed janino's 64 KB method
+    * limit — and with production `codegen.fallback=true` Spark silently
+    * ran the whole projection interpreted. The kernel call keeps the
+    * generated method tiny at any profile depth (CODEGEN_ONLY-asserted)
+    * and drops the 280 per-row `replace` allocations for allocation-free
+    * `indexOf` scans.
     */
-  def langId(text: Column): Column = {
-    val x = lower(text)
-    def hits3(trigrams: Seq[String]): Column =
-      trigrams.map(t => length(x) - length(replace(x, lit(t), lit("")))).reduce(_ + _)
-    val enc = LangTrigramProfiles.zipWithIndex.map { case ((_, ts), i) =>
-      shiftleft(hits3(ts).cast("long"), 4) + lit((15 - i).toLong)
-    }
-    val bestEnc = greatest(enc: _*)
-    val bestH = shiftright(bestEnc, 4) // exact: scores are non-negative
-    val bestLang = element_at(
-      array(LangTrigramProfiles.map(p => lit(p._1)): _*),
-      (lit(15L) - bestEnc.bitwiseAND(lit(15L))).cast("int") + 1)
-    val base = when(text.isNull || length(text) === 0, "unknown")
-    val scripted = ScriptRanges.foldLeft(base) { case (acc, (l, lo, hi)) =>
-      acc.when(text.rlike(f"[\\u$lo%04x-\\u$hi%04x]"), l)
-    }
-    scripted
-      .when(bestH.cast("double") < lit(0.02) * length(text).cast("double"), "unknown")
-      .otherwise(bestLang)
-  }
+  def langId(text: Column): Column =
+    coalesce(graft.functions.TextFunctions.langId(text), lit("unknown"))
 
   /** The DuckDB replay of [[langId]], generated from the SAME profile and
     * script constants so the two engines cannot drift. `textExpr` is the

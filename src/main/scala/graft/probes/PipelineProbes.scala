@@ -340,15 +340,17 @@ object PipelineProbes {
   private val X49FixtureV = "v2"
 
   /** Build-once paired-paragraph fixture for x49 (see the probe comment).
-    * Marker-cached on disk per (formula version, sf dir); bump
-    * [[X49FixtureV]] on any formula change. If the documents table is
-    * regenerated IN PLACE at the same path the marker cannot tell —
-    * delete `target/tmp/x49_fix_*` then (testdata is driver-written and
-    * immutable in practice).
+    * Marker-cached on disk per (formula version, sf dir, SOURCE CONTENT
+    * TOKEN); bump [[X49FixtureV]] on any formula change. The
+    * [[graft.TmpDir.sourceToken]] component makes an in-place regeneration
+    * of the documents table (same path, new bytes — the round-6 driver
+    * fixture regen) land in a fresh cache dir instead of silently reusing
+    * the stale fixture.
     */
   private def pairedParagraphFixture(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val tmp = s"${graft.TmpDir.root}/tmp/x49_fix_${X49FixtureV}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val srcTok = graft.TmpDir.sourceToken(s"$dir/documents.parquet")
+    val tmp = s"${graft.TmpDir.root}/tmp/x49_fix_${X49FixtureV}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcTok"
     val marker = new java.io.File(tmp, "_SUCCESS")
     if (!marker.exists()) synchronized {
       if (!marker.exists()) {

@@ -47,19 +47,29 @@ object Readers {
 
   /** Testdata table loader (`TESTDATA.md` layout: one parquet per table).
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects outright
-    * (PARQUET_TYPE_ILLEGAL). We read it as a raw nano count via the legacy
-    * conf and truncate to a µs timestamp — the same ns→µs truncation DuckDB
-    * applies, so both engines see identical values.
+    * `events.ts` has shipped as two physical types across fixture
+    * generations: parquet TIMESTAMP(NANOS) — which Spark rejects outright
+    * (PARQUET_TYPE_ILLEGAL) unless read as a raw nano count via the legacy
+    * conf — and plain µs TIMESTAMP. Dispatch on the *read schema* so both
+    * work: LongType (nanosAsLong in effect) → truncate ns→µs, the same
+    * truncation DuckDB applies, so both engines see identical values;
+    * any timestamp flavor → cast to the session timestamp type.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path)
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(path)
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => raw
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case other =>
+          throw new IllegalStateException(s"unsupported events.ts type: $other")
+      }
     } else spark.read.parquet(path)
   }
 }

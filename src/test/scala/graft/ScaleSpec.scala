@@ -40,6 +40,32 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("marker caches invalidate when the source is regenerated in place") {
+    // the round-6 hazard: the driver regenerated /root/testdata at the
+    // SAME path mid-round, and every path-keyed marker cache kept serving
+    // dead data. The source token folds (path, length, mtime) metadata
+    // into the marker name, so an in-place regen lands on a fresh marker.
+    val src = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "tokSrc").toString
+    val out = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "tokOut").toString
+    Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$src/documents.parquet")
+    val tok1 = TmpDir.sourceToken(s"$src/documents.parquet")
+    ScalePilot.buildScaled(spark, src, out, 1, Set("documents"))
+    assert(spark.read.parquet(s"$out/documents.parquet").count() == 2)
+    Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$src/documents.parquet")
+    // force mtimes past coarse filesystem timestamp granularity so the
+    // token must move even if the rewrite reused file names and sizes
+    new java.io.File(s"$src/documents.parquet").listFiles().foreach { f =>
+      f.setLastModified(f.lastModified() + 5000)
+    }
+    val tok2 = TmpDir.sourceToken(s"$src/documents.parquet")
+    assert(tok1 != tok2, "source token must change when content changes")
+    ScalePilot.buildScaled(spark, src, out, 1, Set("documents"))
+    assert(spark.read.parquet(s"$out/documents.parquet").count() == 3,
+      "scaled copy must rebuild after the source regenerated in place")
+  }
+
   test("partitioned fact write produces event_year/event_month dirs and prunes on read") {
     val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "partwh").toString
     val flat = Flatten(EventsVocab.synth(Readers.table(spark, sf0001, "events"))).cache()
