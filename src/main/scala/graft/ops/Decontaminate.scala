@@ -16,27 +16,50 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape at 100 TB: both sides explode to (id, shingle) and meet in
   * ONE equi-join keyed on the shingle. The benchmark side is an eval
-  * suite — thousands of documents, millions of shingles — so AQE
-  * broadcasts it at runtime and the corpus side never shuffles (scan →
-  * broadcast join → partial agg). No manual `broadcast()` hint: a
-  * deliberately large "benchmark" (e.g. decontaminating against another
-  * corpus split) must degrade to a hash join, not OOM the driver — the
-  * same hazard [[Scd.merge]] was cured of.
+  * suite — thousands of documents, millions of shingles — so it
+  * broadcasts and the corpus side never shuffles (scan → broadcast join
+  * → partial agg).
+  *
+  * The broadcast SIDE is decided by evidence, not size estimates: the
+  * corpus routinely arrives through checkpoint/anti-join subtrees (the
+  * [[Curate.run]] composition) whose Catalyst estimates collapse below
+  * the broadcast threshold, and the static planner then broadcast-builds
+  * the CORPUS side — backwards locally, a driver OOM at 100 TB. So
+  * [[overlaps]] probes the bench shingle side with a BOUNDED count
+  * (`limit(cap+1).count()` — never scans past the cap, and never touches
+  * the corpus): provably-small bench → explicit `broadcast(bench)`;
+  * over the cap (decontaminating against another corpus split) → both
+  * sides are hinted to a shuffled merge join, so neither unbounded side
+  * ever builds an in-memory hash relation — the degradation
+  * [[Scd.merge]] was cured of, now guaranteed in BOTH directions.
   */
 object Decontaminate {
+
+  /** Max bench shingle rows that still broadcast (~a few hundred MB of
+    * short strings — the comfortable hashed-relation band).
+    */
+  val BenchBroadcastCap: Long = 5000000L
 
   /** (corpus_id, bench_id, hits): every corpus×benchmark document pair
     * sharing ≥ `minHits` distinct word `n`-gram shingles.
     */
   def overlaps(corpus: DataFrame, idCol: String, text: Column,
       bench: DataFrame, benchIdCol: String, benchText: Column,
-      n: Int, minHits: Long = 1L): DataFrame = {
+      n: Int, minHits: Long = 1L,
+      benchBroadcastCap: Long = BenchBroadcastCap): DataFrame = {
     require(minHits >= 1, s"minHits must be >= 1, got $minHits")
     val c = corpus.select(col(idCol).as("corpus_id"),
       explode(Dedup.shingles(text, n)).as("shingle"))
     val b = bench.select(col(benchIdCol).as("bench_id"),
       explode(Dedup.shingles(benchText, n)).as("shingle"))
-    c.join(b, Seq("shingle"))
+    // bounded probe of the bench side only (see object scaladoc): decides
+    // broadcast-vs-merge from evidence instead of subtree size estimates
+    val benchIsSmall =
+      b.limit((benchBroadcastCap + 1).toInt).count() <= benchBroadcastCap
+    val joined =
+      if (benchIsSmall) c.join(broadcast(b), Seq("shingle"))
+      else c.hint("merge").join(b.hint("merge"), Seq("shingle"))
+    joined
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minHits)

@@ -38,6 +38,31 @@ class CurationSpec extends SparkSpec {
     assert(cleaned.select("doc_id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("decontaminate broadcasts the BENCH side even when corpus estimates collapse") {
+    // the Curate composition hands the corpus over through checkpoint /
+    // anti-join subtrees whose Catalyst size estimates fall below the
+    // broadcast threshold — the static planner then broadcast-built the
+    // CORPUS side of the shingle join (driver OOM at 100 TB). overlaps()
+    // now decides the side by a bounded probe of the bench: the bench
+    // subtree must sit under the BroadcastExchange (BuildRight), never
+    // the corpus.
+    val pinned = corpus.localCheckpoint() // the estimate-collapsing shape
+    val ov = Decontaminate.overlaps(pinned, "doc_id", $"text", bench, "bid", $"btext", 3)
+    ov.collect()
+    val plan = ov.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("BuildRight"),
+      s"bench side must broadcast-build:\n$plan")
+    assert(!plan.contains("BuildLeft"), s"corpus side must never broadcast-build:\n$plan")
+    // over-cap bench (cap = 0 forces the degrade): neither side may build
+    // an in-memory hash relation — shuffled merge join on the shingle key
+    val big = Decontaminate.overlaps(pinned, "doc_id", $"text", bench, "bid", $"btext", 3,
+      benchBroadcastCap = 0L)
+    big.collect()
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("SortMergeJoin") && !bigPlan.contains("BroadcastHashJoin"),
+      s"over-cap bench must degrade to a shuffled merge join:\n$bigPlan")
+  }
+
   test("line stats: hand-computed duplicate-line and char fractions") {
     val df = Seq(
       (1L, "a\nb\na\nc"),   // 4 lines, 3 distinct → 0.25; chars 4 vs 3 → 0.25
