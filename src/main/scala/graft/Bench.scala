@@ -237,8 +237,16 @@ object Bench {
         shuffle.update(name, d)
         System.err.println(f"""{"bench_sample":"$name","phase":"$phase","sec":$dt%.3f,"shuffle_r_mb":${d.readMb}%.2f,"shuffle_w_mb":${d.writeMb}%.2f,"spill_mb":${d.spillMb}%.2f}""")
       }
-      // drop persisted intermediates so queries are timed in isolation
+      // drop persisted intermediates so queries are timed in isolation.
+      // clearCache() misses localCheckpoint blocks (Dedup/Curate stage
+      // pins): those free only when the driver GCs the RDD reference and
+      // the ContextCleaner notices — by default up to 30 min later
+      // (spark.cleaner.periodicGC.interval), so a 4-pass 39-query run
+      // accumulates every dropped plan's blocks and later samples pay the
+      // storage/GC pressure. An explicit gc() between samples (outside
+      // the timed window) lets the cleaner reclaim them immediately.
       spark.catalog.clearCache()
+      System.gc()
       r
     }
 
