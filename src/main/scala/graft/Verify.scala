@@ -26,6 +26,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same hygiene as Bench.runOne: drop cached intermediates and let
+      // the ContextCleaner reclaim localCheckpoint blocks (otherwise the
+      // 114-query dump accumulates every dropped plan's blocks)
+      spark.catalog.clearCache()
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
