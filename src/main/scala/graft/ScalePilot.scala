@@ -327,8 +327,12 @@ object ScalePilot {
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>
       val t0 = System.nanoTime()
       fn().write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // same hygiene as Bench.runOne (outside the clock): reclaim cached
+      // intermediates AND dropped plans' localCheckpoint blocks
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      System.gc()
+      name -> dt
     }.toMap
 
     timeAll(x1Dir) // warm-up: JIT + codegen compile off the clock

@@ -51,6 +51,13 @@ object Dedup {
     */
   val DefaultMaxBucket: Int = 1638
 
+  /** Max batch rows that still broadcast in the incremental batch-vs-
+    * corpus probes (~a few hundred MB of banded vectors — the comfortable
+    * hashed-relation band; same evidence-over-estimates discipline as
+    * [[Decontaminate.BenchBroadcastCap]]).
+    */
+  val BatchBroadcastCap: Long = 1000000L
+
   /** Null-unambiguous string form of a content column: a null-flag prefix
     * ("true"/"false") + the value with null → "". A bare sentinel (e.g.
     * "␀") would collide with a document whose text IS the sentinel; the
@@ -761,7 +768,8 @@ object Dedup {
     */
   def incrementalSemanticDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
       vecCol: String, threshold: Double, numPlanes: Int, dim: Int,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      batchBroadcastCap: Long = BatchBroadcastCap): DataFrame = {
     val planes = Similarity.hyperplanes(numPlanes, dim)
     // 1. exact: hash probe + byte-equality verify against the hash group's
     //    min-id representative (hashes shuffle, corpus vectors stay put)
@@ -789,8 +797,18 @@ object Dedup {
     val hot = bC.select(col("__bucket")).unionByName(bB.select(col("__bucket")))
       .groupBy(col("__bucket")).agg(count(lit(1)).as("__bs"))
       .filter(col("__bs") > maxBucket).select(col("__bucket"))
-    val cold = bB.join(hot, Seq("__bucket"), "left_anti")
-      .join(bC, Seq("__bucket"))
+    // Both band frames are checkpoint-backed (LogicalRDD) and their size
+    // estimates are unreliable — the static planner has been observed
+    // broadcast-building the CORPUS side of the cold candidate join
+    // (driver OOM at real corpus scale). Decide the side from the
+    // MATERIALIZED batch count instead (bB is checkpointed — the count is
+    // a cached-block scan, and the eager pin already paid the compute):
+    // bounded batch → broadcast it; oversized batch → shuffled hash join,
+    // so neither unbounded side ever builds an in-memory hash relation.
+    val coldB = bB.join(hot, Seq("__bucket"), "left_anti")
+    val cold =
+      if (bB.count() <= batchBroadcastCap) bC.join(broadcast(coldB), Seq("__bucket"))
+      else bC.hint("shuffle_hash").join(coldB.hint("shuffle_hash"), Seq("__bucket"))
     val hubs = bC.join(hot, Seq("__bucket"), "left_semi")
       .groupBy(col("__bucket"))
       .agg(min(col("corpus_id")).as("corpus_id"), min_by(col("__cvec"), col("corpus_id")).as("__cvec"))

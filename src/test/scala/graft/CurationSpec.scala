@@ -178,6 +178,36 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq((100L, "near_dup", Some(1L))), s"got $got")
   }
 
+  test("incremental semantic dedup: corpus band frame never broadcast-builds") {
+    // both band frames are checkpoint-backed, so size estimates are
+    // unreliable — the planner was observed statically broadcasting the
+    // CORPUS side of the cold candidate join (OOM at real corpus scale).
+    // The operator now decides from the materialized batch count: small
+    // batch → the batch side sits under the BroadcastExchange; over-cap
+    // batch → shuffled hash join, no broadcast of either side.
+    val corpus = (1L to 50L).map(i => (i, Array(i.toFloat, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq((100L, Array(0.5f, -1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    def bxSubtreeHeads(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val ls = df.queryExecution.executedPlan.toString.linesIterator.toVector
+      ls.zipWithIndex.filter(_._1.contains("BroadcastExchange")).map { case (_, i) =>
+        ls.drop(i + 1).take(3).mkString("\n")
+      }
+    }
+    val res = Dedup.incrementalSemanticDedup(corpus, batch, "vec_id", "embedding",
+      threshold = 0.9, numPlanes = 2, dim = 4)
+    val heads = bxSubtreeHeads(res)
+    res.unpersist()
+    assert(!heads.exists(h => h.contains("corpus_id") && h.contains("__bucket")),
+      s"corpus band frame must never sit under a BroadcastExchange:\n${heads.mkString("\n---\n")}")
+    val big = Dedup.incrementalSemanticDedup(corpus, batch, "vec_id", "embedding",
+      threshold = 0.9, numPlanes = 2, dim = 4, batchBroadcastCap = 0L)
+    val bigPlan = big.queryExecution.executedPlan.toString
+    big.unpersist()
+    assert(!bxSubtreeHeads(big).exists(h => h.contains("corpus_id") && h.contains("__bucket")),
+      s"over-cap path must not broadcast the corpus band frame either:\n$bigPlan")
+  }
+
   test("semantic dedup: identical-direction embeddings collapse, exact ≡ lsh on easy fixture") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
