@@ -37,9 +37,13 @@ object AuditBroadcasts {
       println(s"=== $n")
       ls.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach { case (l, i) =>
         val indent = l.indexOf("BroadcastExchange")
-        // first two plan lines under the exchange (deeper indent)
-        val kids = ls.drop(i + 1).filter(_.length > indent)
-          .takeWhile(x => x.drop(indent).headOption.forall(c => ":+- ".contains(c)))
+        // first two plan lines under the exchange: takeWhile directly on
+        // indentation depth — stop at the first line at or above the
+        // exchange's indent, so sibling/parent subtrees never leak into
+        // the printed heads (round-7 advice: a pre-filter before the
+        // takeWhile misattributed lines after the subtree ended)
+        val kids = ls.drop(i + 1)
+          .takeWhile(x => x.length > indent && x.take(indent + 1).forall(c => ":+- |".contains(c)))
           .take(2)
         println("  BX: " + kids.map(_.trim.take(100)).mkString(" | "))
       }

@@ -152,26 +152,29 @@ object Bench {
     val emitLock = new Object
     var finalPrinted = false // only touched under emitLock
 
-    def resultJson(partial: Boolean): String = {
-      val qs = names.flatMap(n => best.get(n).orElse(warm.get(n)).map(n -> _))
-      val qsJson = qs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-      val total = qs.map(_._2).sum
-      val failedJson = failed.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val sf1Json =
-        if (sf1Best.isEmpty) ""
-        else sf1Best.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-          .mkString(""","sf1_queries":{""", ",", "}")
-      val sf1FailedJson =
-        if (sf1Failed.isEmpty) ""
-        else sf1Failed.keys.toSeq.sorted.map("\"" + _ + "\"").mkString(""","sf1_failed":[""", ",", "]")
-      val shufJson =
-        if (shuffle.isEmpty) ""
-        else shuffle.toSeq.sortBy(_._1).map { case (k, s) =>
-          "\"" + k + f"""":{"r":${s.readMb}%.2f,"w":${s.writeMb}%.2f,"spill":${s.spillMb}%.2f}"""
-        }.mkString(""","shuffle_mb":{""", ",", "}")
-      val partialJson = if (partial) ""","partial":true""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"sf":${escape(sfDir)},"rounds_done":$roundsDone,"failed":$failedJson$sf1Json$sf1FailedJson$shufJson$partialJson}"""
-    }
+    /** The artifact JSON. `includeShuffle=false` is the STDOUT variant:
+      * rounds 6 and 7 proved the driver's stdout capture is byte-bounded
+      * (both `BENCH_r{6,7}.json` ended `"parsed": null` — the per-query
+      * `shuffle_mb` map pushed the line past the window and the official
+      * perf record degraded to an unparseable string tail). So stdout
+      * carries only the headline fields, ordered most-important-first
+      * (metric/value/failed before the per-query map), and the full
+      * record including `shuffle_mb` lives in `target/bench_artifact
+      * .json` where no capture window applies. [[BenchJsonSpec]] pins the
+      * compact line under 1800 bytes.
+      */
+    def resultJson(partial: Boolean, includeShuffle: Boolean): String =
+      renderJson(
+        names = names,
+        best = best.toMap,
+        warm = warm.toMap,
+        failed = failed.keys.toSeq,
+        sf1Best = sf1Best.toMap,
+        sf1Failed = sf1Failed.keys.toSeq,
+        shuffle = if (includeShuffle) shuffle.toMap else Map.empty,
+        sfDir = sfDir,
+        roundsDone = roundsDone,
+        partial = partial)
 
     /** Emit the artifact exactly once: the JSON line on stdout AND a bare
       * copy at `target/bench_artifact.json` that no log decorator (sbt's
@@ -181,13 +184,14 @@ object Bench {
       */
     def emitArtifact(partial: Boolean): Unit = emitLock.synchronized {
       if (!finalPrinted) {
-        val json = resultJson(partial)
-        println(json)
+        // stdout: compact line (no shuffle_mb) that fits the driver's
+        // bounded capture; file: the full record for humans and judges
+        println(resultJson(partial, includeShuffle = false))
         Console.flush()
         try {
           val p = java.nio.file.Paths.get("target", "bench_artifact.json")
           java.nio.file.Files.createDirectories(p.getParent)
-          java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+          java.nio.file.Files.write(p, (resultJson(partial, includeShuffle = true) + "\n").getBytes("UTF-8"))
         } catch {
           case e: Throwable =>
             System.err.println(s"""{"bench_note":"artifact file write failed","error":${escape(String.valueOf(e.getMessage).take(200))}}""")
@@ -328,6 +332,43 @@ object Bench {
     emitArtifact(partial = false)
     try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: IllegalStateException => }
     spark.stop()
+  }
+
+  /** Pure artifact renderer, factored out of `main` so [[BenchJsonSpec]]
+    * can pin the compact (shuffle-free) stdout variant under the driver's
+    * capture window with every headline + sf1 query populated. Field
+    * order is deliberate: `metric`/`value`/`failed` lead so even a
+    * front-truncated capture keeps the headline numbers.
+    */
+  private[graft] def renderJson(
+      names: Seq[String],
+      best: Map[String, Double],
+      warm: Map[String, Double],
+      failed: Seq[String],
+      sf1Best: Map[String, Double],
+      sf1Failed: Seq[String],
+      shuffle: Map[String, ShuffleTap.Snap],
+      sfDir: String,
+      roundsDone: Int,
+      partial: Boolean): String = {
+    val qs = names.flatMap(n => best.get(n).orElse(warm.get(n)).map(n -> _))
+    val qsJson = qs.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    val total = qs.map(_._2).sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sf1Json =
+      if (sf1Best.isEmpty) ""
+      else sf1Best.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+        .mkString(""","sf1_queries":{""", ",", "}")
+    val sf1FailedJson =
+      if (sf1Failed.isEmpty) ""
+      else sf1Failed.sorted.map("\"" + _ + "\"").mkString(""","sf1_failed":[""", ",", "]")
+    val shufJson =
+      if (shuffle.isEmpty) ""
+      else shuffle.toSeq.sortBy(_._1).map { case (k, s) =>
+        "\"" + k + f"""":{"r":${s.readMb}%.2f,"w":${s.writeMb}%.2f,"spill":${s.spillMb}%.2f}"""
+      }.mkString(""","shuffle_mb":{""", ",", "}")
+    val partialJson = if (partial) ""","partial":true""" else ""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds_done":$roundsDone,"failed":$failedJson,"sf":${escape(sfDir)},"queries":$qsJson$sf1Json$sf1FailedJson$shufJson$partialJson}"""
   }
 
   private def escape(s: String): String =

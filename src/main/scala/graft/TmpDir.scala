@@ -26,15 +26,21 @@ object TmpDir {
     * bytes, as the driver did to `/root/testdata` mid-round-6 — yields a
     * different token and self-invalidates the stale cache. Metadata only:
     * no file is read, so the token costs microseconds even on a large
-    * fixture tree.
+    * fixture tree. Limitation: a rewrite that lands within the
+    * filesystem's mtime granularity AND preserves every file's size goes
+    * undetected — the token is a cache key, not an integrity hash.
     */
   def sourceToken(paths: String*): String = {
     def files(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(files)
       else if (f.exists()) Seq(f) else Nil
+    // path is FOLDED IN (not just a sort key): a content swap between two
+    // same-size files, or a regen preserving sizes+mtimes, still moves
+    // the token when any path changes (round-7 advice)
     val mixed = paths.flatMap(p => files(new java.io.File(p)))
       .sortBy(_.getPath)
-      .foldLeft(17L)((a, f) => (a * 1000003L + f.length) * 1000003L + f.lastModified)
+      .foldLeft(17L)((a, f) =>
+        ((a * 1000003L + f.getPath.hashCode) * 1000003L + f.length) * 1000003L + f.lastModified)
     java.lang.Long.toHexString(mixed)
   }
 }

@@ -54,8 +54,11 @@ object Decontaminate {
       explode(Dedup.shingles(benchText, n)).as("shingle"))
     // bounded probe of the bench side only (see object scaladoc): decides
     // broadcast-vs-merge from evidence instead of subtree size estimates
+    // clamp: a caller-supplied cap near Long.MaxValue must not overflow
+    // the limit() Int (negative limit throws; a tiny one misclassifies)
+    val probeLimit = math.min(benchBroadcastCap + 1, Int.MaxValue.toLong).toInt
     val benchIsSmall =
-      b.limit((benchBroadcastCap + 1).toInt).count() <= benchBroadcastCap
+      b.limit(probeLimit).count() <= benchBroadcastCap
     val joined =
       if (benchIsSmall) c.join(broadcast(b), Seq("shingle"))
       else c.hint("merge").join(b.hint("merge"), Seq("shingle"))

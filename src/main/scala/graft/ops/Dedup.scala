@@ -803,12 +803,16 @@ object Dedup {
     // (driver OOM at real corpus scale). Decide the side from the
     // MATERIALIZED batch count instead (bB is checkpointed — the count is
     // a cached-block scan, and the eager pin already paid the compute):
-    // bounded batch → broadcast it; oversized batch → shuffled hash join,
-    // so neither unbounded side ever builds an in-memory hash relation.
+    // bounded batch → broadcast it; oversized batch → sort-merge join
+    // (hinted on BOTH sides, as Decontaminate.overlaps degrades): a
+    // shuffled hash join would still build a per-partition hash relation
+    // from whichever side the same unreliable checkpoint-backed estimates
+    // call smaller — which can be the corpus (executor OOM at scale).
+    // Merge builds no hash relation from either unbounded side.
     val coldB = bB.join(hot, Seq("__bucket"), "left_anti")
     val cold =
       if (bB.count() <= batchBroadcastCap) bC.join(broadcast(coldB), Seq("__bucket"))
-      else bC.hint("shuffle_hash").join(coldB.hint("shuffle_hash"), Seq("__bucket"))
+      else bC.hint("merge").join(coldB.hint("merge"), Seq("__bucket"))
     val hubs = bC.join(hot, Seq("__bucket"), "left_semi")
       .groupBy(col("__bucket"))
       .agg(min(col("corpus_id")).as("corpus_id"), min_by(col("__cvec"), col("corpus_id")).as("__cvec"))

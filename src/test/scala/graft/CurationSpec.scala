@@ -184,7 +184,9 @@ class CurationSpec extends SparkSpec {
     // CORPUS side of the cold candidate join (OOM at real corpus scale).
     // The operator now decides from the materialized batch count: small
     // batch → the batch side sits under the BroadcastExchange; over-cap
-    // batch → shuffled hash join, no broadcast of either side.
+    // batch → shuffled MERGE join (round-7 advice: a shuffle_hash hint on
+    // both sides still let the estimate pick the corpus as the
+    // per-partition hash build side — merge builds no hash relation).
     val corpus = (1L to 50L).map(i => (i, Array(i.toFloat, 1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
     val batch = Seq((100L, Array(0.5f, -1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
@@ -206,6 +208,10 @@ class CurationSpec extends SparkSpec {
     big.unpersist()
     assert(!bxSubtreeHeads(big).exists(h => h.contains("corpus_id") && h.contains("__bucket")),
       s"over-cap path must not broadcast the corpus band frame either:\n$bigPlan")
+    assert(bigPlan.contains("SortMergeJoin"),
+      s"over-cap cold join must degrade to sort-merge:\n$bigPlan")
+    assert(!bigPlan.contains("ShuffledHashJoin"),
+      s"over-cap path must not build a per-partition hash relation from either unbounded side:\n$bigPlan")
   }
 
   test("semantic dedup: identical-direction embeddings collapse, exact ≡ lsh on easy fixture") {

@@ -66,6 +66,20 @@ class ScaleSpec extends SparkSpec {
       "scaled copy must rebuild after the source regenerated in place")
   }
 
+  test("source token folds file paths, not only sizes and mtimes") {
+    // round-7 advice: with path as a sort key only, a content swap
+    // between same-size files within mtime granularity kept the token —
+    // and silently served a stale cache. Path now folds into the mix.
+    val d = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "tokPath")
+    val t = 1700000000000L
+    val f1 = d.resolve("a.bin"); val f2 = d.resolve("b.bin")
+    Files.write(f1, Array[Byte](1, 2, 3)); f1.toFile.setLastModified(t)
+    Files.write(f2, Array[Byte](9, 9, 9)); f2.toFile.setLastModified(t)
+    assert(f1.toFile.length == f2.toFile.length && f1.toFile.lastModified == f2.toFile.lastModified)
+    assert(TmpDir.sourceToken(f1.toString) != TmpDir.sourceToken(f2.toString),
+      "same-size same-mtime files at different paths must produce different tokens")
+  }
+
   test("partitioned fact write produces event_year/event_month dirs and prunes on read") {
     val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "partwh").toString
     val flat = Flatten(EventsVocab.synth(Readers.table(spark, sf0001, "events"))).cache()
