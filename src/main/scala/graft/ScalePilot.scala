@@ -120,6 +120,7 @@ object ScalePilot {
       else if (family == "pipeline") Set("events", "documents")
       else if (family == "etl") Set("lineitem", "orders", "customer", "nation", "region", "events")
       else if (family == "curation") Set("documents", "embeddings")
+      else if (family == "ingest") Set("documents")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -317,11 +318,39 @@ object ScalePilot {
         Dedup.substringDedup(fix, "doc_id", "text", k = 8)
       }))
 
+    // round-8 ingest family: the per-batch cost claim behind the
+    // persisted hash index. The batch is CONSTANT size (copy 0 only) at
+    // every scale, so the live classifier's growth is pure corpus-rebuild
+    // cost — exactly what the persisted index eliminates. The index is
+    // built once per dir inside the warm-up pass (the marker is
+    // bloom.bin, written last); timed passes measure classify-only.
+    def ingestQueries(dir: String): Seq[(String, () => DataFrame)] = {
+      def batchOf(corpus: DataFrame) = corpus.filter(col("doc_id") < 100000000L)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+      Seq(
+        "bloom_incremental_live" -> (() => {
+          val corpus = tbl(dir, "documents")
+          Dedup.incrementalExactBloom(corpus, batchOf(corpus), "doc_id", "text",
+            expectedItems = 2000000L)
+        }),
+        "bloom_incremental_indexed" -> (() => {
+          val corpus = tbl(dir, "documents")
+          val idxPath = s"$dir/__hashidx_v1"
+          if (!new java.io.File(s"$idxPath/bloom.bin").exists())
+            Dedup.writeHashIndex(corpus, "doc_id", "text", idxPath, expectedItems = 2000000L)
+          Dedup.incrementalExactIndexed(Dedup.readHashIndex(spark, idxPath),
+            batchOf(corpus), "doc_id", "text")
+        }))
+    }
+
     def queries(dir: String): Seq[(String, () => DataFrame)] =
       if (family == "dedup") dedupQueries(dir)
       else if (family == "pipeline") pipelineQueries(dir)
       else if (family == "etl") etlQueries(dir)
       else if (family == "curation") curationQueries(dir)
+      else if (family == "ingest") ingestQueries(dir)
       else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>

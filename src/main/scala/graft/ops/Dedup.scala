@@ -849,9 +849,11 @@ object Dedup {
     *      aggregate; the finished sketch lives on the driver and ships to
     *      executors once per task — `-n·ln(fpp)/ln²2` bits ≈ 1.2 GiB for
     *      10⁹ items at 1% fpp, so size `expectedItems` to the corpus and
-    *      keep an eye on driver memory; a real deployment persists the
-    *      sketch alongside the corpus hash index and rebuilds neither per
-    *      batch).
+    *      keep an eye on driver memory). This variant rebuilds both
+    *      corpus artifacts per call — the one-shot shape; a standing
+    *      daily ingest should [[writeHashIndex]] once and classify each
+    *      batch with [[incrementalExactIndexed]] +
+    *      [[appendToHashIndex]], paying no corpus scan per batch.
     *   2. Bloom-NEGATIVE batch rows are certainly new (no false
     *      negatives) — they bypass the join entirely, costing one codegen'd
     *      [[graft.functions.BloomMightContain]] probe per row.
@@ -885,20 +887,156 @@ object Dedup {
       }
       val bf = corpusHashes.select(xxhash64(col("__h")).as("__k"))
         .stat.bloomFilter("__k", expectedItems, fpp)
-      val positive = keyed
-        .filter(graft.functions.BloomFunctions.mightContain(xxhash64(col("__h")), bf))
-        .join(corpusHashes, Seq("__h"), "left")
-      val negative = keyed
-        .filter(!graft.functions.BloomFunctions.mightContain(xxhash64(col("__h")), bf))
-        .withColumn("__exact_of", lit(null).cast(corpus.schema(idCol).dataType))
-      val result = positive.unionByName(negative)
-        .select(col("id").as(idCol),
-          when(col("__exact_of").isNotNull, "exact_dup").otherwise("new").as("status"),
-          col("__exact_of").as("dup_of"))
-        .persist()
-      result.count()
-      result
+      classifyExactWithBloom(corpusHashes, bf, keyed, idCol,
+        corpus.schema(idCol).dataType)
     } finally corpusHashes.unpersist()
+  }
+
+  /** The shared verify-join core of the Bloom-pruned exact classifiers:
+    * Bloom-negative rows bypass the hash-index join entirely (certainly
+    * new — the sketch has no false negatives); positives verify against
+    * the sha256 index so the classification stays exact. `keyed` must be
+    * (id, __h); `hashes` must be (__h, __exact_of).
+    */
+  private def classifyExactWithBloom(
+      hashes: DataFrame, bf: org.apache.spark.util.sketch.BloomFilter,
+      keyed: DataFrame, idCol: String,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val positive = keyed
+      .filter(graft.functions.BloomFunctions.mightContain(xxhash64(col("__h")), bf))
+      .join(hashes, Seq("__h"), "left")
+    val negative = keyed
+      .filter(!graft.functions.BloomFunctions.mightContain(xxhash64(col("__h")), bf))
+      .withColumn("__exact_of", lit(null).cast(idType))
+    val result = positive.unionByName(negative)
+      .select(col("id").as(idCol),
+        when(col("__exact_of").isNotNull, "exact_dup").otherwise("new").as("status"),
+        col("__exact_of").as("dup_of"))
+      .persist()
+    result.count()
+    result
+  }
+
+  // — persisted incremental-dedup state ———————————————————————————————————
+  //   [[incrementalExactBloom]]'s scaladoc admits the per-batch rebuild:
+  //   every call pays one full corpus scan for the hash index plus one
+  //   for the sketch. A daily 100-TB ingest must pay that ONCE — the
+  //   index persists alongside the corpus (the deployment shape
+  //   [[Ivf.writeIndex]] already has for ANN lists) and each batch costs
+  //   only |batch| probe work plus a parquet scan of the compact
+  //   (64-char hash, id) index on the verify join.
+
+  /** A loaded persistent exact-dedup index: the sha256→min-id hash table
+    * (parquet-backed — executors scan it, the driver never holds it) and
+    * the driver-resident Bloom sketch over `xxhash64` of the hashes.
+    * `expectedItems`/`fpp` are the sketch's creation parameters, kept so
+    * [[appendToHashIndex]] can build mergeable (bit-compatible) deltas.
+    */
+  final case class HashIndex(
+      hashes: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      expectedItems: Long,
+      fpp: Double)
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeBloomFile(spark: org.apache.spark.sql.SparkSession, path: String,
+      bf: org.apache.spark.util.sketch.BloomFilter, expectedItems: Long, fpp: Double): Unit = {
+    val (fs, p) = hadoopFs(spark, path)
+    val out = fs.create(p, true)
+    // header carries the creation params (they are not recoverable from
+    // the serialized bits) so append-time deltas stay bit-compatible
+    try {
+      val dos = new java.io.DataOutputStream(out)
+      dos.writeLong(expectedItems)
+      dos.writeDouble(fpp)
+      bf.writeTo(dos)
+      dos.flush()
+    } finally out.close()
+  }
+
+  /** Persist the corpus-side state of [[incrementalExactBloom]]:
+    * `path/hashes` (parquet: `__h` sha256 hex, `__exact_of` min corpus
+    * id) plus `path/bloom.bin` (the serialized sketch with its creation
+    * params). One corpus scan total; the sketch is rebuilt from the
+    * written index (a compact re-read, not a second corpus pass) so the
+    * two artifacts can never disagree about membership.
+    */
+  def writeHashIndex(corpus: DataFrame, idCol: String, textCol: String, path: String,
+      expectedItems: Long, fpp: Double = 0.01): Unit = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    val spark = corpus.sparkSession
+    corpus
+      .select(sha2(tagged(col(textCol)), 256).as("__h"), col(idCol).as("__cid"))
+      .groupBy(col("__h")).agg(min(col("__cid")).as("__exact_of"))
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    val persisted = spark.read.parquet(s"$path/hashes")
+    val bf =
+      if (persisted.isEmpty) // stat.bloomFilter NPEs on zero rows
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else persisted.select(xxhash64(col("__h")).as("__k"))
+        .stat.bloomFilter("__k", expectedItems, fpp)
+    writeBloomFile(spark, s"$path/bloom.bin", bf, expectedItems, fpp)
+  }
+
+  /** Load a persisted index. The hash table is a lazy parquet frame; only
+    * the sketch (sized by `expectedItems` at write time) is driver-held.
+    */
+  def readHashIndex(spark: org.apache.spark.sql.SparkSession, path: String): HashIndex = {
+    val (fs, p) = hadoopFs(spark, s"$path/bloom.bin")
+    val in = fs.open(p)
+    val (bf, items, fpp) =
+      try {
+        val dis = new java.io.DataInputStream(in)
+        val items = dis.readLong()
+        val fpp = dis.readDouble()
+        (org.apache.spark.util.sketch.BloomFilter.readFrom(dis), items, fpp)
+      } finally in.close()
+    HashIndex(spark.read.parquet(s"$path/hashes"), bf, items, fpp)
+  }
+
+  /** [[incrementalExactBloom]] against a persisted [[HashIndex]]: same
+    * exact classification, but the corpus is never scanned — per-batch
+    * cost drops to the Bloom probe per row plus the verify join of the
+    * (pruned) positives against the compact on-disk hash table. Returns
+    * the same eager cached (idCol, status, dup_of) frame.
+    */
+  def incrementalExactIndexed(index: HashIndex, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val idType = index.hashes.schema("__exact_of").dataType
+    val keyed = batch.select(col(idCol).as("id"),
+      sha2(tagged(col(textCol)), 256).as("__h"))
+    classifyExactWithBloom(index.hashes, index.bloom, keyed, idCol, idType)
+  }
+
+  /** Fold a batch's accepted documents into a persisted index without
+    * rebuilding it: new hash rows are anti-joined against the existing
+    * table (idempotent re-ingest; intra-batch duplicates elect min id)
+    * and appended as new parquet parts, and their keys merge into the
+    * sketch (a delta filter built with the SAME creation params is
+    * bit-compatible with the stored one — `mergeInPlace` is a bitwise
+    * OR). The sketch saturates past `expectedItems` total inserts (fpp
+    * degrades, correctness doesn't — positives always verify); rewrite
+    * with [[writeHashIndex]] when the corpus outgrows it.
+    */
+  def appendToHashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+    val index = readHashIndex(spark, path)
+    val fresh = newDocs
+      .select(sha2(tagged(col(textCol)), 256).as("__h"), col(idCol).as("__cid"))
+      .groupBy(col("__h")).agg(min(col("__cid")).as("__exact_of"))
+      .join(index.hashes, Seq("__h"), "left_anti")
+      .localCheckpoint() // pin BEFORE the append below rewrites the dir it reads
+    val delta =
+      if (fresh.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(index.expectedItems, index.fpp)
+      else fresh.select(xxhash64(col("__h")).as("__k"))
+        .stat.bloomFilter("__k", index.expectedItems, index.fpp)
+    fresh.write.mode("append").parquet(s"$path/hashes")
+    index.bloom.mergeInPlace(delta)
+    writeBloomFile(spark, s"$path/bloom.bin", index.bloom, index.expectedItems, index.fpp)
   }
 
   /** 63-bit SimHash per id (bit 63 unused to stay in positive Long range

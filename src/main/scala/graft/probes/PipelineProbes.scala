@@ -119,6 +119,55 @@ object PipelineProbes {
            |FROM batch b LEFT JOIN m ON m.bid = b.bid
            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — persisted hash index (daily-ingest deployment shape) ————————————————
+  //   Same fixture and classification contract as x51, but the corpus
+  //   index is BUILT ONCE into a marker-cached on-disk [[Dedup.HashIndex]]
+  //   (parquet hash table + serialized Bloom sketch) and the batch
+  //   classifies against the PERSISTED artifacts — the x51 semantics with
+  //   zero corpus scans on the batch path. The oracle is deliberately the
+  //   same content-join SQL as x51: the persisted path must be
+  //   indistinguishable from the live path, false-positive pruning and
+  //   all. Index version token + source token key the cache dir, so a
+  //   formula change or an in-place fixture regen rebuilds the index.
+  private val X57IndexV = "v1"
+  private def x57Index(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val srcTok = graft.TmpDir.sourceToken(s"$dir/documents.parquet")
+    val path = s"${graft.TmpDir.root}/tmp/x57_hashidx_${X57IndexV}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcTok"
+    // bloom.bin is written LAST by writeHashIndex, so its presence marks a
+    // complete index
+    if (!new java.io.File(s"$path/bloom.bin").exists()) synchronized {
+      if (!new java.io.File(s"$path/bloom.bin").exists())
+        Dedup.writeHashIndex(Readers.fanOut(t(s, dir, "documents")), "doc_id", "text",
+          path, expectedItems = 1000L)
+    }
+    path
+  }
+  private val x57 = Probe(
+    "x57_persisted_hash_index",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 5 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+      Dedup.incrementalExactIndexed(Dedup.readHashIndex(s, x57Index(s, dir)),
+          batch, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH batch AS (
+           |  SELECT doc_id + 1000000 AS bid,
+           |    CASE WHEN doc_id % 5 = 0 THEN text ELSE text || ' v2' END AS btext
+           |  FROM documents),
+           |m AS (SELECT b.bid, min(d.doc_id) AS dup_of
+           |      FROM batch b JOIN documents d
+           |        ON CAST(d.text IS NULL AS VARCHAR) || coalesce(d.text, '')
+           |         = CAST(b.btext IS NULL AS VARCHAR) || coalesce(b.btext, '')
+           |      GROUP BY 1)
+           |SELECT b.bid AS doc_id,
+           |  CASE WHEN m.dup_of IS NOT NULL THEN 'exact_dup' ELSE 'new' END AS status,
+           |  m.dup_of
+           |FROM batch b LEFT JOIN m ON m.bid = b.bid
+           |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
   // — snapshot diff ———————————————————————————————————————————————————————
   //   Fixture: new snapshot drops doc_id % 17 = 0, rewrites text where
   //   doc_id % 13 = 0, and adds shifted-id rows for doc_id % 19 = 0 —
@@ -368,5 +417,5 @@ object PipelineProbes {
     s.read.parquet(tmp)
   }
 
-  val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56)
+  val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57)
 }

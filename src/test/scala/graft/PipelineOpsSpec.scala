@@ -146,6 +146,70 @@ class PipelineOpsSpec extends SparkSpec {
     assert(nDup == 500L, s"all 500 copies must classify exact_dup, got $nDup")
   }
 
+  test("persisted hash index: indexed classification matches the live bloom path") {
+    val corpus = (1L to 50L).map(i => (i, s"corpus doc number $i")).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "corpus doc number 7"),
+      (102L, "corpus doc number 7"),
+      (103L, "brand new content a"),
+      (104L, null: String)  // null text: tagged identity, classifies vs corpus nulls
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "hashIdx").toString
+    Dedup.writeHashIndex(corpus, "doc_id", "text", path, expectedItems = 50L)
+    val live = Dedup.incrementalExactBloom(corpus, batch, "doc_id", "text", expectedItems = 50L)
+    val idx = Dedup.incrementalExactIndexed(Dedup.readHashIndex(spark, path), batch, "doc_id", "text")
+    val liveRows = live.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    val idxRows = idx.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    live.unpersist(); idx.unpersist()
+    assert(idxRows == liveRows, s"persisted path must classify identically:\nlive $liveRows\nidx  $idxRows")
+    assert(idxRows.take(2) == Seq((101L, "exact_dup", Some(7L)), (102L, "exact_dup", Some(7L))))
+  }
+
+  test("persisted hash index: append folds new docs in without a corpus rebuild") {
+    val corpus = (1L to 20L).map(i => (i, s"base doc $i")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "hashIdxApp").toString
+    Dedup.writeHashIndex(corpus, "doc_id", "text", path, expectedItems = 1000L)
+    // batch 1: one dup of the corpus, two new docs (one duplicated intra-batch)
+    val b1 = Seq((101L, "base doc 5"), (102L, "fresh a"), (103L, "fresh a"), (104L, "fresh b"))
+      .toDF("doc_id", "text")
+    val c1 = Dedup.incrementalExactIndexed(Dedup.readHashIndex(spark, path), b1, "doc_id", "text")
+    val r1 = c1.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    c1.unpersist()
+    assert(r1 == Seq((101L, "exact_dup", Some(5L)), (102L, "new", None),
+      (103L, "new", None), (104L, "new", None)), s"got $r1")
+    // fold batch 1's NEW docs into the index (min id elected intra-batch)
+    Dedup.appendToHashIndex(spark, path,
+      b1.filter($"doc_id" =!= 101L), "doc_id", "text")
+    // batch 2 re-sees batch 1's content → exact_dup of the appended ids;
+    // re-appending already-present content is a no-op (anti-join)
+    val b2 = Seq((201L, "fresh a"), (202L, "fresh b"), (203L, "base doc 5"), (204L, "fresh c"))
+      .toDF("doc_id", "text")
+    val c2 = Dedup.incrementalExactIndexed(Dedup.readHashIndex(spark, path), b2, "doc_id", "text")
+    val r2 = c2.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    c2.unpersist()
+    assert(r2 == Seq((201L, "exact_dup", Some(102L)), (202L, "exact_dup", Some(104L)),
+      (203L, "exact_dup", Some(5L)), (204L, "new", None)), s"got $r2")
+    Dedup.appendToHashIndex(spark, path, b2, "doc_id", "text")
+    val hashes = spark.read.parquet(s"$path/hashes")
+    assert(hashes.count() == 23, "20 base + fresh a/b/c — idempotent re-append must not duplicate")
+    assert(hashes.groupBy("__h").count().filter($"count" > 1).isEmpty,
+      "hash table must stay unique after appends")
+  }
+
+  test("persisted hash index: empty corpus round-trips and classifies all-new") {
+    val cDf = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "hashIdxEmpty").toString
+    Dedup.writeHashIndex(cDf, "doc_id", "text", path, expectedItems = 10L)
+    val res = Dedup.incrementalExactIndexed(Dedup.readHashIndex(spark, path),
+      Seq((101L, "a")).toDF("doc_id", "text"), "doc_id", "text")
+    val got = res.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    res.unpersist()
+    assert(got == Seq((101L, "new", None)))
+  }
+
   test("snapshot diff: all four statuses, hash-based change detection, summary roll-up") {
     val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null: String)).toDF("id", "text")
     val newDf = Seq((2L, "b"), (3L, "c2"), (4L, null: String), (5L, "e")).toDF("id", "text")
