@@ -77,20 +77,64 @@ object Curate {
     val scrubbed = docs.withColumn(textCol, TextStats.scrub(col(textCol)))
     val stats = TextStats.withStats(scrubbed, textCol)
     val gated = pin(stats.filter(col("quality_score") >= cfg.minQuality))
+    // repetition gate, fused: the LINE fractions are per-row expressions
+    // appended in place (no join), and the two n-gram families ride ONE
+    // tagged explode (Repetition.ngramCharAgg) instead of gopherStats'
+    // per-width explode+join pair; the verdict applies in one id-keyed
+    // left join. Values are identical to gopherStats — CurationSpec pins
+    // the fused gate against it row for row.
     val afterRep =
       if (!cfg.repetitionGate) gated
-      else gated.join(
-        Repetition.gopherStats(gated, idCol, textCol, cfg.lineSep)
-          .filter(col("keep")).select(col(idCol)),
-        Seq(idCol), "left_semi")
+      else {
+        val statsCols = gated.columns.map(col)
+        Repetition.withLineStats(gated, textCol, cfg.lineSep)
+          .withColumn("__len", length(col(textCol)).cast("long"))
+          .join(Repetition.ngramCharAgg(gated, idCol, textCol)
+            .withColumnRenamed("id", "__ngid"),
+            col(idCol) === col("__ngid"), "left")
+          .filter(
+            col("dup_line_frac") <= 0.30 &&
+              col("dup_line_char_frac") <= 0.20 &&
+              graft.Canonical.round4(
+                when(col("__len") === 0L || col("__top_chars").isNull, lit(0.0))
+                  .otherwise(col("__top_chars").cast("double") / col("__len").cast("double")))
+                <= 0.20 &&
+              graft.Canonical.round4(
+                when(col("__len") === 0L || col("__dup_chars").isNull, lit(0.0))
+                  .otherwise(col("__dup_chars").cast("double") / col("__len").cast("double")))
+                <= 0.15)
+          .select(statsCols: _*)
+      }
     val exactKept = pin(Dedup.exactKeepFirst(afterRep, Seq(textCol), idCol))
-    val nearKept = Dedup.dedupCorpusExact(exactKept, idCol, col(textCol),
-      cfg.dedupNgram, cfg.dedupThreshold)
+    // near-dup removal + decontamination share ONE shingle table when
+    // their gram widths agree (the composition's common case): the
+    // explode that feeds the pair self-join is filtered down to the
+    // near-dup survivors and fed straight into the decontamination join,
+    // instead of re-tokenizing and re-exploding the survivor corpus.
     bench match {
+      case Some((b, bid, btext)) if cfg.decontamNgram == cfg.dedupNgram =>
+        val sh = Dedup.shingleTable(exactKept, idCol, col(textCol), cfg.dedupNgram)
+          .localCheckpoint() // feeds pairs, verification, AND decontam
+        val labels = Dedup.components(
+          Dedup.ngramJaccardPairsFromShingles(sh, cfg.dedupThreshold))
+        val drop = labels
+          .filter(col("id") =!= col("comp"))
+          .select(col("id"))
+          .localCheckpoint()
+        labels.unpersist()
+        val nearKept = exactKept.join(drop.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+        val survivorSh = sh.join(drop, Seq("id"), "left_anti")
+          .select(col("id").as("corpus_id"), col("shingle"))
+        Decontaminate.cleanFromShingles(nearKept, idCol, survivorSh, b, bid, col(btext),
+          cfg.decontamNgram, cfg.decontamMinHits)
       case Some((b, bid, btext)) =>
+        val nearKept = Dedup.dedupCorpusExact(exactKept, idCol, col(textCol),
+          cfg.dedupNgram, cfg.dedupThreshold)
         Decontaminate.clean(nearKept, idCol, col(textCol), b, bid, col(btext),
           cfg.decontamNgram, cfg.decontamMinHits)
-      case None => nearKept
+      case None =>
+        Dedup.dedupCorpusExact(exactKept, idCol, col(textCol),
+          cfg.dedupNgram, cfg.dedupThreshold)
     }
   }
 }

@@ -46,12 +46,51 @@ object Decontaminate {
   def overlaps(corpus: DataFrame, idCol: String, text: Column,
       bench: DataFrame, benchIdCol: String, benchText: Column,
       n: Int, minHits: Long = 1L,
-      benchBroadcastCap: Long = BenchBroadcastCap): DataFrame = {
+      benchBroadcastCap: Long = BenchBroadcastCap,
+      maxDf: Int = Dedup.DefaultMaxBucket): DataFrame =
+    overlapsFromShingles(
+      corpus.select(col(idCol).as("corpus_id"),
+        explode(Dedup.shingles(text, n)).as("shingle")),
+      bench, benchIdCol, benchText, n, minHits, benchBroadcastCap, maxDf)
+
+  /** [[overlaps]] over a prebuilt corpus shingle frame
+    * (`(corpus_id, shingle)`, distinct per document — the
+    * [[Dedup.shingleTable]] shape) — use when the corpus shingles
+    * already exist for another stage (the [[Curate.run]] composition
+    * feeds its near-dup shingle table straight in, skipping a second
+    * corpus tokenize+explode).
+    *
+    * The bench shingle frame is `localCheckpoint`ed: it feeds the
+    * bounded side probe AND the join, and unpinned the explode subtree
+    * would execute twice (once per consumer). The checkpoint does
+    * materialize the full bench side before the bounded count — the
+    * trade is one full bench explode against two, and the probe's
+    * never-scans-past-the-cap property is retained in spirit: nothing
+    * beyond the bench's own size is ever computed.
+    *
+    * Over-cap degrade guard (`maxDf`): when BOTH sides are corpus-scale
+    * (merge-join arm), a stop-phrase shingle hot on both sides is a
+    * quadratic pocket — one sort-merge partition emits
+    * `df_bench × df_corpus` rows for that key. Shingles with df >
+    * `maxDf` on EITHER side are excluded from the join there, the same
+    * df-cap rationale as [[Dedup.ngramJaccardPairsFromShingles]]: true
+    * contamination is detected through RARE shared shingles (a
+    * benchmark answer string is low-df text on both sides); a pair
+    * sharing only boilerplate stop-phrases carries no contamination
+    * signal. The broadcast arm stays uncapped — its pocket is bounded
+    * by the bench's in-memory hash relation, and flagged pairs there
+    * are exact.
+    */
+  def overlapsFromShingles(corpusSh: DataFrame,
+      bench: DataFrame, benchIdCol: String, benchText: Column,
+      n: Int, minHits: Long = 1L,
+      benchBroadcastCap: Long = BenchBroadcastCap,
+      maxDf: Int = Dedup.DefaultMaxBucket): DataFrame = {
     require(minHits >= 1, s"minHits must be >= 1, got $minHits")
-    val c = corpus.select(col(idCol).as("corpus_id"),
-      explode(Dedup.shingles(text, n)).as("shingle"))
+    val c = corpusSh
     val b = bench.select(col(benchIdCol).as("bench_id"),
       explode(Dedup.shingles(benchText, n)).as("shingle"))
+      .localCheckpoint()
     // bounded probe of the bench side only (see object scaladoc): decides
     // broadcast-vs-merge from evidence instead of subtree size estimates
     // clamp: a caller-supplied cap near Long.MaxValue must not overflow
@@ -61,7 +100,15 @@ object Decontaminate {
       b.limit(probeLimit).count() <= benchBroadcastCap
     val joined =
       if (benchIsSmall) c.join(broadcast(b), Seq("shingle"))
-      else c.hint("merge").join(b.hint("merge"), Seq("shingle"))
+      else {
+        val hotB = b.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select(col("shingle"))
+        val hotC = c.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select(col("shingle"))
+        val hot = hotB.unionByName(hotC).distinct().localCheckpoint()
+        c.join(hot, Seq("shingle"), "left_anti").hint("merge")
+          .join(b.join(hot, Seq("shingle"), "left_anti").hint("merge"), Seq("shingle"))
+      }
     joined
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg(count(lit(1)).as("hits"))
@@ -75,6 +122,18 @@ object Decontaminate {
       bench: DataFrame, benchIdCol: String, benchText: Column,
       n: Int, minHits: Long = 1L): DataFrame = {
     val flagged = overlaps(corpus, idCol, text, bench, benchIdCol, benchText, n, minHits)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** [[clean]] against a prebuilt corpus shingle frame (see
+    * [[overlapsFromShingles]]); `corpusSh` must cover exactly the
+    * documents of `corpus`.
+    */
+  def cleanFromShingles(corpus: DataFrame, idCol: String, corpusSh: DataFrame,
+      bench: DataFrame, benchIdCol: String, benchText: Column,
+      n: Int, minHits: Long = 1L): DataFrame = {
+    val flagged = overlapsFromShingles(corpusSh, bench, benchIdCol, benchText, n, minHits)
       .select(col("corpus_id").as(idCol)).distinct()
     corpus.join(flagged, Seq(idCol), "left_anti")
   }

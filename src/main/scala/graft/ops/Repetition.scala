@@ -40,13 +40,17 @@ object Repetition {
     * [[Dedup.shingles]], which is the distinct set) — repetition counting
     * needs every occurrence.
     */
-  def ngrams(text: Column, n: Int): Column = {
-    val toks = filter(split(text, "\\s+"), t => t =!= lit(""))
+  def ngrams(text: Column, n: Int): Column =
+    ngramsFromToks(filter(split(text, "\\s+"), t => t =!= lit("")), n)
+
+  /** [[ngrams]] from a prebuilt token array — lets a caller that needs
+    * several gram widths tokenize ONCE and share the array.
+    */
+  private def ngramsFromToks(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Append `dup_line_frac` and `dup_line_char_frac` computed over the
     * `sep`-separated segments of `textCol` (default newline; pass `" "`
@@ -111,22 +115,68 @@ object Repetition {
         .as(s"dup_${n}gram_char_frac"))
   }
 
+  /** The fused n-gram half of the Gopher gate: per-id
+    * `(__top_chars, __dup_chars)` — the top-2-gram and dup-5-gram
+    * character masses — from ONE tokenize + ONE explode + the usual two
+    * keyed aggregates, where the per-width formulation
+    * ([[topNgramCharFrac]] + [[dupNgramCharFrac]]) pays two explodes,
+    * four shuffles and two join-backs. Both widths ride the same
+    * tagged explode: `(n, gram)` structs, counted per (id, n, gram),
+    * then conditionally aggregated per id. Documents with no grams at
+    * either width simply have no rows here (left-join and null→0.0 at
+    * the consumer, exactly like the per-width originals).
+    */
+  private[ops] def ngramCharAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    docs
+      .select(col(idCol).as("id"),
+        explode(concat(
+          transform(ngramsFromToks(toks, 2), g => struct(lit(2).as("n"), g.as("gram"))),
+          transform(ngramsFromToks(toks, 5), g => struct(lit(5).as("n"), g.as("gram"))))).as("ng"))
+      .groupBy(col("id"), col("ng.n").as("n"), col("ng.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(
+        // top-2-gram election: same (cnt, len, gram) max-struct tiebreak
+        // as topNgramCharFrac
+        max(when(col("n") === 2,
+          struct(col("cnt"), length(col("gram")).as("glen"), col("gram")))).as("__top"),
+        sum(when(col("n") === 5 && col("cnt") >= 2L,
+          col("cnt") * length(col("gram")).cast("long"))).as("__dup_chars"))
+      .select(col("id"),
+        (col("__top.cnt") * col("__top.glen").cast("long")).as("__top_chars"),
+        col("__dup_chars"))
+  }
+
   /** Gopher-style repetition gate: line stats + top-2-gram + dup-5-gram
     * fractions, with a `keep` verdict under the published-shaped
     * thresholds (Rae et al. '21 use 0.30 / 0.20 for the line family,
     * 0.20 for top-2-grams, 0.15 at 5-grams). Returns the id, the four
     * fractions, and `keep` — compose with an anti/semi join (or
-    * `filter(col("keep"))` + join back) to apply.
+    * `filter(col("keep"))` + join back) to apply. The two n-gram
+    * families share one explode ([[ngramCharAgg]]); values are
+    * identical to the per-width operators, which remain for callers
+    * needing a single width.
     */
   def gopherStats(docs: DataFrame, idCol: String, textCol: String,
       lineSep: String = "\n",
       maxDupLineFrac: Double = 0.30, maxDupLineCharFrac: Double = 0.20,
       maxTop2GramCharFrac: Double = 0.20, maxDup5GramCharFrac: Double = 0.15): DataFrame = {
     val lineStats = withLineStats(docs, textCol, lineSep)
-      .select(col(idCol), col("dup_line_frac"), col("dup_line_char_frac"))
+      .select(col(idCol), col("dup_line_frac"), col("dup_line_char_frac"),
+        length(col(textCol)).cast("long").as("__len"))
     lineStats
-      .join(topNgramCharFrac(docs, idCol, textCol, 2), Seq(idCol))
-      .join(dupNgramCharFrac(docs, idCol, textCol, 5), Seq(idCol))
+      .join(ngramCharAgg(docs, idCol, textCol).withColumnRenamed("id", "__ngid"),
+        col(idCol) === col("__ngid"), "left")
+      .select(col(idCol), col("dup_line_frac"), col("dup_line_char_frac"),
+        round4(when(col("__len").isNull || col("__len") === 0L || col("__top_chars").isNull,
+            lit(0.0))
+          .otherwise(col("__top_chars").cast("double") / col("__len").cast("double")))
+          .as("top_2gram_char_frac"),
+        round4(when(col("__len").isNull || col("__len") === 0L || col("__dup_chars").isNull,
+            lit(0.0))
+          .otherwise(col("__dup_chars").cast("double") / col("__len").cast("double")))
+          .as("dup_5gram_char_frac"))
       .withColumn("keep",
         col("dup_line_frac") <= maxDupLineFrac &&
           col("dup_line_char_frac") <= maxDupLineCharFrac &&

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Decontaminate, Dedup, Repetition}
+import graft.ops.{Curate, Decontaminate, Dedup, Repetition, TextStats}
 
 /** Corpus-curation operators: benchmark decontamination, Gopher-style
   * repetition stats, and end-to-end semantic dedup.
@@ -53,14 +53,84 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("BuildRight"),
       s"bench side must broadcast-build:\n$plan")
     assert(!plan.contains("BuildLeft"), s"corpus side must never broadcast-build:\n$plan")
-    // over-cap bench (cap = 0 forces the degrade): neither side may build
-    // an in-memory hash relation — shuffled merge join on the shingle key
+    // over-cap bench (cap = 0 forces the degrade): neither unbounded side
+    // may build an in-memory hash relation — the shingle equi-join must be
+    // a shuffled merge join. The hot-shingle GUARD anti-joins are exempt:
+    // their broadcast side is the df>maxDf aggregate, bounded by Zipf.
     val big = Decontaminate.overlaps(pinned, "doc_id", $"text", bench, "bid", $"btext", 3,
       benchBroadcastCap = 0L)
     big.collect()
     val bigPlan = big.queryExecution.executedPlan.toString
-    assert(bigPlan.contains("SortMergeJoin") && !bigPlan.contains("BroadcastHashJoin"),
+    assert(bigPlan.contains("SortMergeJoin"),
       s"over-cap bench must degrade to a shuffled merge join:\n$bigPlan")
+    val innerBhj = bigPlan.linesIterator
+      .filter(l => l.contains("BroadcastHashJoin") && !l.contains("LeftAnti"))
+    assert(innerBhj.isEmpty,
+      s"no unbounded side may broadcast-build in the over-cap arm:\n$bigPlan")
+  }
+
+  test("decontaminate: bench shingle frame pins — explode feeds probe and join from one run") {
+    // the bench explode has two consumers (the bounded side probe and the
+    // shingle join); the localCheckpoint runs it ONCE. Proof in two
+    // parts: (a) constructing overlaps() fires exactly 2 jobs — the
+    // checkpoint materialization and the bounded probe count; (b) the
+    // returned join plan reads the checkpoint (ExistingRDD), not the
+    // bench text — so executing it cannot re-explode.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def settled(): Int = { // poll the async listener bus to quiescence
+      var prev = -1; var cur = jobs.get(); var stable = 0; var waited = 0
+      while (stable < 2 && waited < 2000) {
+        Thread.sleep(25); waited += 25; prev = cur; cur = jobs.get()
+        if (cur == prev) stable += 1 else stable = 0
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(l)
+    try SparkSpec.session.synchronized {
+      settled(); jobs.set(0)
+      val ov = Decontaminate.overlaps(corpus, "doc_id", $"text", bench, "bid", $"btext", 3)
+      val constructionJobs = settled()
+      // checkpoint (1 job) + bounded probe count (1-2 jobs under AQE);
+      // without the pin the probe AND the later join would each run the
+      // explode subtree — the plan assertion below is the sharp proof
+      assert(constructionJobs >= 2 && constructionJobs <= 3,
+        s"overlaps() construction must cost only checkpoint + bounded probe, got $constructionJobs jobs")
+      assert(!ov.queryExecution.executedPlan.toString.contains("btext"),
+        "join plan must read the pinned bench shingles, not re-explode the bench text")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("decontaminate over-cap arm: hot-shingle df-cap prunes stop-phrase pockets only") {
+    // every doc on BOTH sides shares one boilerplate stop-shingle — the
+    // quadratic pocket in the merge-join arm. With a tight maxDf the
+    // stop-shingle is excluded: a pair sharing ONLY it is not flagged,
+    // while true contamination (rare shared shingles) still is. With the
+    // default (uncapped at this scale) df the result is the exact one.
+    val boiler = " click here to accept cookies"
+    val c2 = Seq(
+      (1L, "the quick brown fox jumps over dogs" + boiler),   // contaminated
+      (2L, "completely unrelated corpus text body" + boiler), // boilerplate-only overlap
+      (3L, "another unrelated document entirely here" + boiler)
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (100L, "the quick brown fox jumps over dogs" + boiler)
+    ).toDF("bid", "btext")
+    def flagged(maxDf: Int) =
+      Decontaminate.overlaps(c2, "doc_id", $"text", b2, "bid", $"btext",
+          n = 3, minHits = 1, benchBroadcastCap = 0L, maxDf = maxDf)
+        .select("corpus_id").as[Long].collect().toSet
+    // capped: the 5 boilerplate shingles (df 3 or 4 > 2 across sides)
+    // drop; doc 1 still flags through its rare shared shingles
+    assert(flagged(maxDf = 2) == Set(1L),
+      "df-capped arm must keep true contamination and drop boilerplate-only pairs")
+    // uncapped (df cap above every df here): exact semantics — docs 2 and
+    // 3 flag too, via the shared boilerplate shingles
+    assert(flagged(maxDf = 1000) == Set(1L, 2L, 3L))
   }
 
   test("line stats: hand-computed duplicate-line and char fractions") {
@@ -88,6 +158,52 @@ class CurationSpec extends SparkSpec {
     val dup = Repetition.dupNgramCharFrac(df, "id", "text", 2)
       .orderBy("id").select("dup_2gram_char_frac").as[Double].collect().toSeq
     assert(dup == Seq(0.6667, 0.0, 0.0))
+  }
+
+  test("fused gopher stats equal the per-width operators row for row") {
+    // gopherStats now computes both n-gram families from ONE tagged
+    // explode (ngramCharAgg); this pins it against the per-width
+    // originals on a fixture exercising ties, no-gram docs, repeats,
+    // empty and whitespace-only text
+    val df = Seq(
+      (1L, "x y x y z"),
+      (2L, "a b c d"),
+      (3L, "w"),
+      (4L, ""),
+      (5L, "p q r s t p q r s t p q r s t"),
+      (6L, "one two three four five six seven")
+    ).toDF("id", "text")
+    val fused = Repetition.gopherStats(df, "id", "text")
+      .orderBy("id")
+      .select("id", "top_2gram_char_frac", "dup_5gram_char_frac")
+      .as[(Long, Double, Double)].collect().toSeq
+    val perWidth = Repetition.topNgramCharFrac(df, "id", "text", 2)
+      .join(Repetition.dupNgramCharFrac(df, "id", "text", 5), Seq("id"))
+      .orderBy("id")
+      .select("id", "top_2gram_char_frac", "dup_5gram_char_frac")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(fused == perWidth, s"fused $fused\nper-width $perWidth")
+  }
+
+  test("curate fused repetition gate keeps exactly gopherStats' keep set") {
+    val docs = Seq(
+      (1L, "click here to buy click here to buy click here to buy click here to buy ok"),
+      (2L, "the quick brown fox jumps over a lazy dog and then it ran away home"),
+      (3L, "pad pad pad pad pad pad pad pad pad pad"),
+      (4L, "assorted natural words with no repetition at all whatsoever in sight today")
+    ).toDF("doc_id", "text")
+    // minQuality -1: quality gate passes everything, isolating the
+    // repetition stage; no bench → gate + dedup only
+    val fusedIds = Curate.run(docs, "doc_id", "text", None,
+        Curate.Config(minQuality = -1.0))
+      .select("doc_id").as[Long].collect().toSet
+    val stats = TextStats.withStats(
+      docs.withColumn("text", TextStats.scrub($"text")))
+    val refIds = stats
+      .join(Repetition.gopherStats(stats, "doc_id", "text").filter($"keep")
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    assert(fusedIds == refIds, s"fused $fusedIds vs gopherStats $refIds")
   }
 
   test("gopher gate: boilerplate loop fails, natural text passes") {
