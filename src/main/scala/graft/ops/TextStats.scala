@@ -23,6 +23,95 @@ object TextStats {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
+  // — deterministic BPE token counting ————————————————————————————————————
+  //   Training mixtures are stated in TOKENIZER tokens, not whitespace
+  //   words; a budget counted in engine-local units is not portable. This
+  //   is a deterministic byte-pair-encoding counter with a FIXED merge
+  //   table pinned in the repo: the classic BPE encode loop (Sennrich et
+  //   al. '16) — apply each merge rule in rank order, each merging every
+  //   adjacent occurrence left-to-right — expressed entirely in Catalyst
+  //   HOFs (`aggregate` folding `replace` over a bracketed symbol
+  //   string), so it stays inside whole-stage codegen with no UDF, and
+  //   DuckDB replays the identical arithmetic ([[bpeTokenCountSql]]).
+  //   The table is NOT a trained vocabulary of any real tokenizer — it is
+  //   a small public merge list over common English letter pairs, enough
+  //   to make budgets merge-sensitive and engine-portable.
+
+  /** Fixed public merge table, rank order = list order. A merge (a, b)
+    * fuses adjacent symbols `a`,`b` into `ab`; later ranks may consume
+    * earlier outputs ("th"+"e", "an"+"d").
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "r", "e" -> "n",
+    "a" -> "t", "e" -> "s", "o" -> "u", "in" -> "g", "s" -> "t",
+    "a" -> "r", "l" -> "e", "o" -> "f", "al" -> "l", "c" -> "h",
+    "ou" -> "t", "w" -> "h", "wh" -> "i", "c" -> "o", "co" -> "m",
+    "b" -> "e", "h" -> "a", "ha" -> "t", "th" -> "at", "f" -> "or",
+    "w" -> "as", "he" -> "r")
+
+  /** Symbol bracket (U+001F) and merge-pair separator (U+0001) — control
+    * characters scrubbed from the input before encoding, so a symbol
+    * boundary can never be forged by document text. Each symbol is stored
+    * bracketed (`␟sym␟`), so the merge rewrite `␟a␟␟b␟ → ␟ab␟` matches
+    * whole adjacent symbols only — "xa","by" adjacency cannot false-match
+    * a (a,b) merge mid-symbol. Symbol count = separator count / 2.
+    */
+  private val BpeSep = "\u001f"
+  private val BpePairSep = "\u0001"
+
+  /** Word-level BPE symbol count of every whitespace token summed — the
+    * deterministic token count for [[graft.ops.Sampling.tokenBudget]] /
+    * [[graft.ops.Packing]] budgets. Null text counts 0.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)] = BpeMerges): Column = {
+    val mergesLit = array(merges.map { case (a, b) => lit(a + BpePairSep + b) }: _*)
+    val clean = translate(text, BpeSep + BpePairSep, "")
+    val words = tokens(clean)
+    def wordSymbols(w: Column): Column = {
+      val state0 = array_join(
+        transform(split(w, ""), c => concat(lit(BpeSep), c, lit(BpeSep))), "")
+      val folded = aggregate(mergesLit, state0, (acc, m) => {
+        val a = element_at(split(m, BpePairSep), 1)
+        val b = element_at(split(m, BpePairSep), 2)
+        replace(acc,
+          concat(lit(BpeSep), a, lit(BpeSep), lit(BpeSep), b, lit(BpeSep)),
+          concat(lit(BpeSep), a, b, lit(BpeSep)))
+      })
+      (length(folded) - length(replace(folded, lit(BpeSep), lit("")))) / 2
+    }
+    coalesce(
+      aggregate(words, lit(0L), (acc, w) => acc + wordSymbols(w).cast("long")),
+      lit(0L))
+  }
+
+  /** DuckDB twin of [[bpeTokenCount]] over a SQL text expression — the
+    * same scrub, the same bracketed-symbol fold over the same pinned
+    * merge table (via `list_reduce` seeded by `list_prepend`), the same
+    * separator arithmetic. Used by probe oracles so budgets stated in
+    * BPE tokens are value-checked across engines.
+    */
+  def bpeTokenCountSql(textExpr: String): String = {
+    val mergesList = BpeMerges
+      .map { case (a, b) => s"'$a' || chr(1) || '$b'" }
+      .mkString("[", ", ", "]")
+    val fold =
+      s"""list_reduce(
+         |  list_prepend(
+         |    array_to_string(list_transform(range(1, length(w) + 1),
+         |      i -> chr(31) || w[i] || chr(31)), ''),
+         |    $mergesList),
+         |  (acc, m) -> replace(acc,
+         |    chr(31) || split_part(m, chr(1), 1) || chr(31) || chr(31) || split_part(m, chr(1), 2) || chr(31),
+         |    chr(31) || split_part(m, chr(1), 1) || split_part(m, chr(1), 2) || chr(31)))""".stripMargin
+    // bind the folded state once via a 1-element list_transform; CAST the
+    // sum back to BIGINT (DuckDB widens sum() over BIGINT to HUGEINT)
+    s"""CAST(coalesce(list_sum(list_transform(
+       |  list_filter(regexp_split_to_array(replace(replace($textExpr, chr(31), ''), chr(1), ''), '\\s+'), w -> w != ''),
+       |  w -> list_transform([$fold],
+       |    f -> CAST((length(f) - length(replace(f, chr(31), ''))) / 2 AS BIGINT))[1])), 0) AS BIGINT)""".stripMargin
+  }
+
   /** Top-k characteristic terms per document by smoothed tf-idf:
     * `score = (cnt/len) · (N+1)/(df+1)`, rounded to 4 decimals BEFORE
     * ranking (ties → term ascending), so the ranking is deterministic and

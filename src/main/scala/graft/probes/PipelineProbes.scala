@@ -168,6 +168,36 @@ object PipelineProbes {
            |FROM batch b LEFT JOIN m ON m.bid = b.bid
            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — deterministic BPE token counting ————————————————————————————————————
+  //   Mixture budgets are stated in tokenizer tokens; this value-checks
+  //   the repo-pinned BPE counter (TextStats.BpeMerges) by having DuckDB
+  //   replay the merge fold itself (list_reduce over the same table, same
+  //   bracketed-symbol arithmetic). The fixture appends a merge-active
+  //   planted vocabulary ("the"→1, "thinking"→2+2, "water"→3, …) so the
+  //   counter's merge behavior — not just its whitespace split — decides
+  //   the values; whitespace counts ride along to expose the compression.
+  private val x58 = Probe(
+    "x58_bpe_token_count",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val fix = docs.select(col("doc_id"),
+        concat(col("text"), lit(" the thinking and that water other hello"))
+          .as("text"))
+      fix.select(col("doc_id"),
+          graft.ops.TextStats.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          size(graft.ops.TextStats.tokens(col("text"))).cast("long").as("n_ws_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH fix AS (
+            |  SELECT doc_id,
+            |    text || ' the thinking and that water other hello' AS text
+            |  FROM documents)
+            |SELECT doc_id,
+            |  ${graft.ops.TextStats.bpeTokenCountSql("text")} AS n_bpe_tokens,
+            |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) AS n_ws_tokens
+            |FROM fix
+            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
   // — snapshot diff ———————————————————————————————————————————————————————
   //   Fixture: new snapshot drops doc_id % 17 = 0, rewrites text where
   //   doc_id % 13 = 0, and adds shifted-id rows for doc_id % 19 = 0 —
@@ -417,5 +447,5 @@ object PipelineProbes {
     s.read.parquet(tmp)
   }
 
-  val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57)
+  val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58)
 }

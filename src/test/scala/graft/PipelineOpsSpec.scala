@@ -146,6 +146,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(nDup == 500L, s"all 500 copies must classify exact_dup, got $nDup")
   }
 
+  test("bpe token count: hand-traced merge fold, nulls and separators handled") {
+    // trace under BpeMerges rank order:
+    //   "the"    t,h→th; th,e→the                              → 1
+    //   "and"    a,n→an; an,d→and                              → 1
+    //   "that"   t,h→th; a,t→at; th,at→that                    → 1
+    //   "thing"  t,h→th; i,n→in; in,g→ing                      → 2 (th,ing)
+    //   "water"  e,r→er; a,t→at                                → 3 (w,at,er)
+    //   "hello"  no merge applies                              → 5
+    val df = Seq(
+      (1L, "the and that thing water hello"),
+      (2L, ""),
+      (3L, null: String),
+      (4L, "thethethe") // control chars scrubbed → "thethethe" → ?
+    ).toDF("id", "text")
+    val got = df.select($"id", TextStats.bpeTokenCount($"text").as("n"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // "thethethe": t,h→th ×3; th,e→the ×3 → 3 symbols
+    assert(got == Seq((1L, 13L), (2L, 0L), (3L, 0L), (4L, 3L)), s"got $got")
+  }
+
+  test("bpe token count plugs into tokenBudget as the counter") {
+    val docs = (1L to 12L).map(i => (i, "the and that thing water hello")) // 13 bpe tokens each
+      .toDF("doc_id", "text")
+    val kept = Sampling.tokenBudget(Seq(("s", docs, 30L)),
+      $"doc_id", TextStats.bpeTokenCount($"text"))
+    // 13-token docs, 30-token budget: greedy prefix keeps docs while
+    // cum_before < 30 → exactly 3 docs (39 tokens, within one doc)
+    assert(kept.count() == 3L, "30-token budget over 13-bpe-token docs keeps 3 docs")
+  }
+
   test("persisted hash index: indexed classification matches the live bloom path") {
     val corpus = (1L to 50L).map(i => (i, s"corpus doc number $i")).toDF("doc_id", "text")
     val batch = Seq(
