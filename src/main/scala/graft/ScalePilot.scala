@@ -120,7 +120,7 @@ object ScalePilot {
       else if (family == "pipeline") Set("events", "documents")
       else if (family == "etl") Set("lineitem", "orders", "customer", "nation", "region", "events")
       else if (family == "curation") Set("documents", "embeddings")
-      else if (family == "ingest") Set("documents")
+      else if (family == "ingest" || family == "stream") Set("documents")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -130,6 +130,55 @@ object ScalePilot {
     buildScaled(spark, sfDir, x1Dir, 1, tables)
 
     def tbl(dir: String, n: String) = spark.read.parquet(s"$dir/$n.parquet")
+
+    // round-8 streaming pilot: curatedCorpusSink micro-batch latency at
+    // 1× vs N× — the streaming end-cap's scale evidence. The corpus is
+    // fed as `nb` equal micro-batches (doc_id mod split, so every copy
+    // contributes to every batch); each batch runs the full per-batch
+    // pipeline (Curate.run + incrementalDedup probe against the
+    // accumulated corpus partitions + partition append) and its wall is
+    // its `processAllAvailable()` time. Later batches probe a larger
+    // corpus, so the batch-index trend exposes corpus-growth cost on top
+    // of the batch-size effect.
+    if (family == "stream") {
+      import org.apache.spark.sql.functions.pmod
+      val nb = 4
+      def runStream(dir: String, tag: String): Seq[Double] = {
+        val docs = tbl(dir, "documents")
+        val base = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(graft.TmpDir.root), s"streamp_$tag").toString
+        val (in, corpus, ckp) = (s"$base/in", s"$base/corpus", s"$base/ckp")
+        val schema = docs.schema
+        // one long-lived query; each batch's wall is its own
+        // processAllAvailable() bracket (batch 0 also carries query
+        // startup — visible in the row, stable across scales)
+        docs.filter(pmod(col("doc_id"), lit(nb)) === 0)
+          .write.mode("append").parquet(in)
+        val q = graft.streaming.StreamingIngest.curatedCorpusSink(
+          spark.readStream.schema(schema).parquet(in), corpus, ckp, "doc_id", "text")
+        try {
+          (0 until nb).map { b =>
+            if (b > 0) docs.filter(pmod(col("doc_id"), lit(nb)) === b)
+              .write.mode("append").parquet(in)
+            val t0 = System.nanoTime()
+            q.processAllAvailable()
+            val dt = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache(); System.gc()
+            System.err.println(f"""{"stream_pilot":"$tag","batch":$b,"sec":$dt%.2f}""")
+            dt
+          }
+        } finally q.stop()
+      }
+      runStream(x1Dir, "warmup") // codegen + JIT off the clock
+      val t1 = runStream(x1Dir, "x1")
+      val tn = runStream(out, s"x$copies")
+      def js(v: Seq[Double]) = v.map(d => f"$d%.2f").mkString("[", ",", "]")
+      println(s"""{"metric":"stream_pilot","copies":$copies,"batches":$nb,""" +
+        s""""x1_batch_s":${js(t1)},"x${copies}_batch_s":${js(tn)},""" +
+        f""""x1_total_s":${t1.sum}%.2f,"x${copies}_total_s":${tn.sum}%.2f}""")
+      spark.stop()
+      return
+    }
 
     def dedupQueries(dir: String): Seq[(String, () => DataFrame)] = Seq(
       "minhash_lsh" -> (() => {
