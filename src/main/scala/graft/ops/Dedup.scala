@@ -58,6 +58,15 @@ object Dedup {
     */
   val BatchBroadcastCap: Long = 1000000L
 
+  /** Max corpus hash-index rows that still broadcast in the incremental
+    * exact probes (~tens of MB of 64-char hashes — comfortably inside a
+    * hashed relation). Above it the exact join degrades to sort-merge on
+    * the hash: the batch side of a left join is preserved and can never
+    * be the build side, so without this evidence gate a checkpoint-
+    * collapsed corpus estimate would static-broadcast the whole index.
+    */
+  val CorpusIndexBroadcastCap: Long = 1000000L
+
   /** Null-unambiguous string form of a content column: a null-flag prefix
     * ("true"/"false") + the value with null → "". A bare sentinel (e.g.
     * "␀") would collide with a document whose text IS the sentinel; the
@@ -661,22 +670,33 @@ object Dedup {
   def incrementalDedup(
       corpus: DataFrame, batch: DataFrame, idCol: String, text: Column,
       n: Int, numPerm: Int, bands: Int, rowsPerBand: Int, threshold: Double,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      corpusIndexBroadcastCap: Long = CorpusIndexBroadcastCap): DataFrame = {
     require(bands * rowsPerBand == numPerm,
       s"bands ($bands) × rowsPerBand ($rowsPerBand) must equal numPerm ($numPerm) — " +
         "anything else silently drops signature permutations from banding")
     def hashOf(df: DataFrame) = df.select(col(idCol).as("id"),
       sha2(tagged(text), 256).as("__h"))
     // 1. exact: batch hash ∈ corpus hashes (min corpus id per hash probes
-    //    the join — one shuffle of 64-char hashes). Persisted + eager:
-    //    it feeds BOTH the survivor anti-join and the final status join,
-    //    and without pinning it the corpus scan+hash would run twice.
+    //    the join — one shuffle of 64-char hashes). The index is the only
+    //    BROADCASTABLE side of this left join (batch preserved), so a
+    //    static broadcast from a checkpoint-collapsed corpus estimate
+    //    would ship the whole corpus index to the driver at scale —
+    //    decide from the materialized index count instead (the cache is
+    //    released as soon as the exact statuses are pinned).
     val corpusHashes = hashOf(corpus).groupBy(col("__h")).agg(min(col("id")).as("__exact_of"))
-    val exactStatus = hashOf(batch)
-      .join(corpusHashes, Seq("__h"), "left")
+      .persist()
+    val corpusHashRows = corpusHashes.count()
+    val exactJoined =
+      if (corpusHashRows <= corpusIndexBroadcastCap)
+        hashOf(batch).join(broadcast(corpusHashes), Seq("__h"), "left")
+      else
+        hashOf(batch).hint("merge").join(corpusHashes.hint("merge"), Seq("__h"), "left")
+    val exactStatus = exactJoined
       .select(col("id"), col("__exact_of"))
       .persist()
     exactStatus.count()
+    corpusHashes.unpersist()
 
     // 2. near: MinHash signatures both sides, band, batch-bands ⋈
     //    corpus-bands (equi), exact-Jaccard verify on the candidates.
@@ -772,19 +792,32 @@ object Dedup {
       batchBroadcastCap: Long = BatchBroadcastCap): DataFrame = {
     val planes = Similarity.hyperplanes(numPlanes, dim)
     // 1. exact: hash probe + byte-equality verify against the hash group's
-    //    min-id representative (hashes shuffle, corpus vectors stay put)
+    //    min-id representative (hashes shuffle, corpus vectors stay put).
+    //    The hash index is the BROADCASTABLE side of this left join (the
+    //    batch is preserved, so only the corpus side can build) — and it
+    //    carries full corpus vectors, so a static broadcast decided from
+    //    a checkpoint-collapsed corpus estimate is a driver OOM at scale
+    //    (the same hazard class as the band frame below, one join up).
+    //    Decide from the MATERIALIZED index count: truly small index →
+    //    broadcast it; big → sort-merge on the hash, neither side builds.
     val cHash = corpus
       .select(xxhash64(col(vecCol)).as("__h"), col(idCol).as("__cid"), col(vecCol).as("__cvec"))
       .groupBy(col("__h"))
       .agg(min(col("__cid")).as("__exact_of"), min_by(col("__cvec"), col("__cid")).as("__rvec"))
-    val exactStatus = batch
+      .persist()
+    val cHashRows = cHash.count()
+    val keyedB = batch
       .select(col(idCol).as("id"), col(vecCol).as("__bvec"), xxhash64(col(vecCol)).as("__h"))
-      .join(cHash, Seq("__h"), "left")
+    val exactJoined =
+      if (cHashRows <= batchBroadcastCap) keyedB.join(broadcast(cHash), Seq("__h"), "left")
+      else keyedB.hint("merge").join(cHash.hint("merge"), Seq("__h"), "left")
+    val exactStatus = exactJoined
       .select(col("id"),
         when(col("__exact_of").isNotNull && col("__bvec") === col("__rvec"),
           col("__exact_of")).as("__exact_of"))
       .persist()
     exactStatus.count()
+    cHash.unpersist() // exactStatus is materialized — the index is done
 
     // 2. near: sign-bucket probe, exact cosine verify on bucket-mates
     val survivors = batch.join(

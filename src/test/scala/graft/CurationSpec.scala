@@ -328,6 +328,11 @@ class CurationSpec extends SparkSpec {
       s"over-cap cold join must degrade to sort-merge:\n$bigPlan")
     assert(!bigPlan.contains("ShuffledHashJoin"),
       s"over-cap path must not build a per-partition hash relation from either unbounded side:\n$bigPlan")
+    // the hash-index frame (carries full corpus vectors as __rvec) is the
+    // only broadcastable side of the exact left join — over the cap it
+    // must degrade to merge, never broadcast-build
+    assert(!bxSubtreeHeads(big).exists(_.contains("__rvec")),
+      s"over-cap path must not broadcast the corpus hash index:\n$bigPlan")
   }
 
   test("semantic dedup: identical-direction embeddings collapse, exact ≡ lsh on easy fixture") {

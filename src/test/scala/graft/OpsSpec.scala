@@ -566,6 +566,26 @@ class OpsSpec extends SparkSpec {
       (102L, "new", None)))
   }
 
+  test("incrementalDedup: over-cap corpus hash index degrades to merge, never broadcast-builds") {
+    // the corpus hash index is the only broadcastable side of the exact
+    // left join (batch preserved) — with a checkpoint-backed corpus its
+    // size estimate collapses and a static broadcast would ship the whole
+    // index at scale. cap=0 forces the evidence-gated merge arm; results
+    // must be identical to the broadcast arm.
+    val corpus = Seq(
+      (10L, "a b c d e f g h"),
+      (11L, "p q r s t u v w")).toDF("doc_id", "text").localCheckpoint()
+    val batch = Seq(
+      (100L, "a b c d e f g h"),
+      (102L, "nothing in common with anything else at all")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch, "doc_id", $"text",
+      n = 3, numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 0.2,
+      corpusIndexBroadcastCap = 0L)
+    val rows = got.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    got.unpersist()
+    assert(rows == Seq((100L, "exact_dup", Some(10L)), (102L, "new", None)))
+  }
+
   test("quantizedTopK: int8 candidates + exact rerank reproduce brute-force top-k") {
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
