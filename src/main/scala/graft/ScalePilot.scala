@@ -391,6 +391,27 @@ object ScalePilot {
             Dedup.writeHashIndex(corpus, "doc_id", "text", idxPath, expectedItems = 2000000L)
           Dedup.incrementalExactIndexed(Dedup.readHashIndex(spark, idxPath),
             batchOf(corpus), "doc_id", "text")
+        }),
+        // near-dup twin: the live operator re-tokenizes + re-MinHashes the
+        // corpus per batch; the indexed one probes the persisted band
+        // index (built once in the warm-up pass, marker = meta.json)
+        "incremental_dedup_live" -> (() => {
+          val corpus = tbl(dir, "documents")
+          Dedup.incrementalDedup(corpus, batchOf(corpus), "doc_id", col("text"),
+            n = 3, numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        }),
+        "incremental_dedup_indexed" -> (() => {
+          val corpus = tbl(dir, "documents")
+          val hashPath = s"$dir/__hashidx_v1"
+          val bandPath = s"$dir/__bandidx_v1"
+          if (!new java.io.File(s"$hashPath/bloom.bin").exists())
+            Dedup.writeHashIndex(corpus, "doc_id", "text", hashPath, expectedItems = 2000000L)
+          if (!new java.io.File(s"$bandPath/meta.json").exists())
+            Dedup.writeBandIndex(corpus, "doc_id", col("text"), bandPath,
+              n = 3, numPerm = 64, numBands = 16, rowsPerBand = 4)
+          Dedup.incrementalDedupIndexed(
+            Dedup.readHashIndex(spark, hashPath), Dedup.readBandIndex(spark, bandPath),
+            batchOf(corpus), "doc_id", "text", threshold = 0.5)
         }))
     }
 

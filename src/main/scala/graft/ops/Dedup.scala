@@ -1072,6 +1072,222 @@ object Dedup {
     writeBloomFile(spark, s"$path/bloom.bin", index.bloom, index.expectedItems, index.fpp)
   }
 
+  // — persisted NEAR-dup probe state (band index) ——————————————————————————
+  //   The banding twin of [[writeHashIndex]]: [[incrementalDedup]] pays a
+  //   full corpus tokenize + shingle explode + 64-permutation MinHash per
+  //   batch — the dominant CPU of the incremental path, and pure rebuild
+  //   (the corpus didn't change). The band index persists the corpus
+  //   shingle table, set sizes, banded signatures and per-bucket
+  //   (count, hub) aggregates; a batch then classifies with batch-sized
+  //   compute plus COLUMN SCANS of the compact index tables (the per-
+  //   batch corpus cost drops from hash CPU to I/O — and the scans join
+  //   against broadcast batch-sized frames, so nothing corpus-scale ever
+  //   shuffles per batch).
+
+  /** A loaded persistent band index. All frames are lazy parquet scans;
+    * `buckets` carries the per-bucket corpus occupancy and min-id hub so
+    * hot-bucket detection and star degradation need no corpus band
+    * aggregate per batch.
+    */
+  final case class BandIndex(
+      bands: DataFrame,    // (corpus_id, band_idx, band_hash)
+      buckets: DataFrame,  // (band_idx, band_hash, __ccnt, __hub)
+      shingles: DataFrame, // (id, shingle)
+      sizes: DataFrame,    // (id, set_size)
+      n: Int, numPerm: Int, numBands: Int, rowsPerBand: Int)
+
+  private def writeTextFile(spark: org.apache.spark.sql.SparkSession, path: String,
+      content: String): Unit = {
+    val (fs, p) = hadoopFs(spark, path)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readTextFile(spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val (fs, p) = hadoopFs(spark, path)
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val arr = new Array[Byte](8192)
+      var r = in.read(arr)
+      while (r >= 0) { buf.write(arr, 0, r); r = in.read(arr) }
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** Persist the corpus-side state of [[incrementalDedup]]'s near stage:
+    * `path/{shingles,sizes,bands,buckets}` parquet plus `path/meta.json`
+    * (the shingle width and banding geometry — written LAST, so its
+    * presence marks a complete index). One corpus pass builds the
+    * shingle table; everything downstream derives from the persisted
+    * copy, so the artifacts can never disagree.
+    */
+  def writeBandIndex(corpus: DataFrame, idCol: String, text: Column, path: String,
+      n: Int, numPerm: Int, numBands: Int, rowsPerBand: Int): Unit = {
+    require(numBands * rowsPerBand == numPerm,
+      s"numBands ($numBands) × rowsPerBand ($rowsPerBand) must equal numPerm ($numPerm)")
+    val spark = corpus.sparkSession
+    shingleTable(corpus, idCol, text, n)
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    val shP = spark.read.parquet(s"$path/shingles")
+    shP.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
+      .write.mode("overwrite").parquet(s"$path/sizes")
+    minhashFromShingles(shP, numPerm)
+      .select(col("id").as("corpus_id"),
+        explode(array(bandExprs(numBands, rowsPerBand): _*)).as("band"))
+      .select(col("corpus_id"), col("band.band_idx"), col("band.band_hash"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    spark.read.parquet(s"$path/bands")
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__ccnt"), min(col("corpus_id")).as("__hub"))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    writeTextFile(spark, s"$path/meta.json",
+      s"""{"n":$n,"numPerm":$numPerm,"numBands":$numBands,"rowsPerBand":$rowsPerBand}""")
+  }
+
+  /** Load a persisted band index (lazy parquet frames + parsed meta). */
+  def readBandIndex(spark: org.apache.spark.sql.SparkSession, path: String): BandIndex = {
+    val meta = readTextFile(spark, s"$path/meta.json")
+    def intOf(k: String): Int =
+      s""""$k":\\s*(\\d+)""".r.findFirstMatchIn(meta)
+        .getOrElse(throw new IllegalArgumentException(s"band index meta missing $k: $meta"))
+        .group(1).toInt
+    BandIndex(
+      bands = spark.read.parquet(s"$path/bands"),
+      buckets = spark.read.parquet(s"$path/buckets"),
+      shingles = spark.read.parquet(s"$path/shingles"),
+      sizes = spark.read.parquet(s"$path/sizes"),
+      n = intOf("n"), numPerm = intOf("numPerm"),
+      numBands = intOf("numBands"), rowsPerBand = intOf("rowsPerBand"))
+  }
+
+  /** [[incrementalDedup]] against persisted indexes: the exact stage
+    * probes the [[HashIndex]] (Bloom-pruned — negatives skip the verify
+    * join), the near stage probes the [[BandIndex]]. Classification is
+    * IDENTICAL to the live operator (probe x59 shares x21's oracle); the
+    * per-batch corpus cost drops from tokenize+shingle+MinHash CPU to
+    * column scans of the index tables, each joined against a broadcast
+    * batch-sized frame — nothing corpus-scale shuffles per batch.
+    *
+    * Hot buckets: per-batch occupancy = persisted corpus count + batch
+    * count for every bucket the batch TOUCHES (corpus-hot buckets the
+    * batch never probes generate no candidates in the live operator
+    * either); star degradation pairs hot-bucket batch members with the
+    * bucket's persisted min-id hub.
+    */
+  def incrementalDedupIndexed(hashIndex: HashIndex, bandIndex: BandIndex,
+      batch: DataFrame, idCol: String, textCol: String, threshold: Double,
+      maxBucket: Int = DefaultMaxBucket,
+      batchBroadcastCap: Long = BatchBroadcastCap): DataFrame = {
+    import bandIndex.{numPerm, numBands, rowsPerBand}
+    // 1. exact via the persisted hash index
+    val exact = incrementalExactIndexed(hashIndex, batch, idCol, textCol)
+    val exactStatus = exact
+      .select(col(idCol).as("id"),
+        when(col("status") === "exact_dup", col("dup_of")).as("__exact_of"))
+      .persist()
+    exactStatus.count()
+    exact.unpersist()
+
+    // 2. near: batch-side shingles + signatures only; corpus side comes
+    //    from the index
+    val survivors = batch.join(
+      exactStatus.filter(col("__exact_of").isNotNull).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+    val shB = shingleTable(survivors, idCol, col(textCol), bandIndex.n).localCheckpoint()
+    val bandB = minhashFromShingles(shB, numPerm)
+      .select(col("id").as("batch_id"),
+        explode(array(bandExprs(numBands, rowsPerBand): _*)).as("band"))
+      .select(col("batch_id"), col("band.band_idx"), col("band.band_hash"))
+      .localCheckpoint()
+    // hot detection: persisted corpus occupancy + batch occupancy, for
+    // touched buckets only. batchCnt is batch-bounded → broadcast side of
+    // the buckets scan; batch-only buckets (absent from the corpus) are
+    // recovered with an anti-join against the (small) touched set.
+    val batchCnt = bandB.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__bcnt")).localCheckpoint()
+    val touched = bandIndex.buckets
+      .join(broadcast(batchCnt), Seq("band_idx", "band_hash"))
+    val batchOnly = batchCnt.join(touched.select(col("band_idx"), col("band_hash")),
+      Seq("band_idx", "band_hash"), "left_anti")
+    val hot = touched.filter(col("__ccnt") + col("__bcnt") > maxBucket)
+      .select(col("band_idx"), col("band_hash"), col("__hub"))
+      .unionByName(batchOnly.filter(col("__bcnt") > maxBucket)
+        .select(col("band_idx"), col("band_hash"), lit(null).cast("long").as("__hub")))
+      .localCheckpoint()
+    val hotKeys = hot.select(col("band_idx"), col("band_hash"))
+    // cold candidates: batch bands (hot excluded) against the persisted
+    // corpus bands — bounded batch side broadcasts (measured), else merge
+    val coldB = bandB.join(hotKeys, Seq("band_idx", "band_hash"), "left_anti")
+    val coldCands =
+      (if (bandB.count() <= batchBroadcastCap)
+        bandIndex.bands.join(broadcast(coldB), Seq("band_idx", "band_hash"))
+      else bandIndex.bands.hint("merge").join(coldB.hint("merge"), Seq("band_idx", "band_hash")))
+        .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+    // star candidates: hot-bucket batch members against the persisted hub
+    val starCands = bandB.join(hotKeys, Seq("band_idx", "band_hash"), "left_semi")
+      .join(broadcast(hot.filter(col("__hub").isNotNull)), Seq("band_idx", "band_hash"))
+      .select(col("batch_id").as("id_a"), col("__hub").as("id_b"))
+    val cands = coldCands.unionByName(starCands).distinct().localCheckpoint()
+
+    // 3. exact-Jaccard verify: corpus shingles/sizes restricted to the
+    //    candidate corpus docs (semi-join against the bounded candidate
+    //    id set → index scans, no corpus shuffle)
+    val candB = cands.select(col("id_b").as("id")).distinct()
+    val shC = bandIndex.shingles.join(broadcast(candB), Seq("id"), "left_semi")
+    val sizesC = bandIndex.sizes.join(broadcast(candB), Seq("id"), "left_semi")
+    val shAll = shB.unionByName(shC)
+    val sizesAll = shB.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
+      .unionByName(sizesC)
+    val nearOf = ngramJaccardForPairs(shAll, sizesAll, cands, threshold)
+      .groupBy(col("id_a").as("id"))
+      .agg(min(col("id_b")).as("__near_of"))
+
+    val result = exactStatus
+      .join(nearOf, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("__exact_of").isNotNull, "exact_dup")
+          .when(col("__near_of").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        coalesce(col("__exact_of"), col("__near_of")).as("dup_of"))
+      .persist()
+    result.count()
+    exactStatus.unpersist()
+    result
+  }
+
+  /** Fold a batch's accepted documents into a persisted band index:
+    * shingles, sizes and bands for the new ids append as parquet parts
+    * (ids must be new — idempotence is the caller's [[appendToHashIndex]]
+    * anti-join contract); the bucket aggregate is recomputed from the
+    * appended band table into a staging dir and swapped in (it is an
+    * aggregate — appending would double-count). Meta is unchanged.
+    */
+  def appendToBandIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+    val idx = readBandIndex(spark, path)
+    val sh = shingleTable(newDocs, idCol, col(textCol), idx.n).localCheckpoint()
+    sh.write.mode("append").parquet(s"$path/shingles")
+    sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
+      .write.mode("append").parquet(s"$path/sizes")
+    minhashFromShingles(sh, idx.numPerm)
+      .select(col("id").as("corpus_id"),
+        explode(array(bandExprs(idx.numBands, idx.rowsPerBand): _*)).as("band"))
+      .select(col("corpus_id"), col("band.band_idx"), col("band.band_hash"))
+      .write.mode("append").parquet(s"$path/bands")
+    // buckets: recompute from the appended band table via staging + swap
+    // (cannot overwrite a path feeding the plan being written)
+    spark.read.parquet(s"$path/bands")
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__ccnt"), min(col("corpus_id")).as("__hub"))
+      .write.mode("overwrite").parquet(s"$path/buckets.staging")
+    val (fs, bp) = hadoopFs(spark, s"$path/buckets")
+    val staging = new org.apache.hadoop.fs.Path(s"$path/buckets.staging")
+    if (fs.exists(bp)) fs.delete(bp, true)
+    if (!fs.rename(staging, bp))
+      throw new java.io.IOException(s"band index bucket swap $staging -> $bp failed")
+  }
+
   /** 63-bit SimHash per id (bit 63 unused to stay in positive Long range
     * under ANSI overflow checks): per-token `xxhash64`, ±1 vote per bit,
     * sign of the vote sum sets the bit — one pass through the custom

@@ -168,6 +168,86 @@ object PipelineProbes {
            |FROM batch b LEFT JOIN m ON m.bid = b.bid
            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — persisted band index (near-dup daily-ingest shape) ——————————————————
+  //   The banding twin of x57: x21's exact fixture and oracle, but the
+  //   corpus side comes entirely from a marker-cached on-disk
+  //   [[Dedup.BandIndex]] (+ the hash index for the exact stage) — the
+  //   persisted near-dup path must classify every batch row identically
+  //   to the live operator, so it shares x21's full per-row value oracle
+  //   (banding recall is exactly 1.0 on this fixture, same pin as x21).
+  private val X59IndexV = "v1"
+  private def x59Index(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val srcTok = graft.TmpDir.sourceToken(s"$dir/documents.parquet")
+    val base = s"${graft.TmpDir.root}/tmp/x59_bandidx_${X59IndexV}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcTok"
+    val marker = new java.io.File(s"$base/band/meta.json") // written LAST
+    if (!marker.exists()) synchronized {
+      if (!marker.exists()) {
+        val corpus = Readers.fanOut(t(s, dir, "documents"))
+          .select(col("doc_id"), col("text")).filter(col("doc_id") % 5 =!= 0)
+        Dedup.writeHashIndex(corpus, "doc_id", "text", s"$base/hash", expectedItems = 1000L)
+        Dedup.writeBandIndex(corpus, "doc_id", col("text"), s"$base/band",
+          n = 3, numPerm = 64, numBands = 16, rowsPerBand = 4)
+      }
+    }
+    base
+  }
+  private val x59 = Probe(
+    "x59_incremental_dedup_indexed",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents")).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .unionByName(corpus.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val base = x59Index(s, dir)
+      Dedup.incrementalDedupIndexed(
+          Dedup.readHashIndex(s, s"$base/hash"), Dedup.readBandIndex(s, s"$base/band"),
+          batch, "doc_id", "text", threshold = 0.2)
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+           |batch AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+           |  WHERE doc_id % 5 != 0 AND doc_id % 7 = 1),
+           |ex AS (
+           |  SELECT b.doc_id, min(c.doc_id) AS exact_of
+           |  FROM batch b JOIN corpus c
+           |    ON c.text IS NOT DISTINCT FROM b.text GROUP BY 1),
+           |surv AS (SELECT * FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+           |shc AS (
+           |  SELECT doc_id AS id, unnest(list_distinct(
+           |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
+           |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tok
+           |        FROM corpus)),
+           |shb AS (
+           |  SELECT doc_id AS id, unnest(list_distinct(
+           |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
+           |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tok
+           |        FROM surv)),
+           |szc AS (SELECT id, count(*) AS n FROM shc GROUP BY id),
+           |szb AS (SELECT id, count(*) AS n FROM shb GROUP BY id),
+           |inter AS (
+           |  SELECT b.id AS id_a, c.id AS id_b, count(*) AS i
+           |  FROM shb b JOIN shc c ON b.s = c.s GROUP BY 1, 2),
+           |jac AS (
+           |  SELECT id_a, id_b
+           |  FROM inter
+           |  JOIN szb sa ON sa.id = id_a
+           |  JOIN szc sb ON sb.id = id_b
+           |  WHERE floor((i * 1.0 / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 >= 0.2),
+           |near AS (SELECT id_a AS doc_id, min(id_b) AS near_of FROM jac GROUP BY 1)
+           |SELECT b.doc_id,
+           |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+           |       WHEN nr.near_of IS NOT NULL THEN 'near_dup'
+           |       ELSE 'new' END AS status,
+           |  coalesce(e.exact_of, nr.near_of) AS dup_of
+           |FROM batch b
+           |LEFT JOIN ex e ON e.doc_id = b.doc_id
+           |LEFT JOIN near nr ON nr.doc_id = b.doc_id
+           |ORDER BY b.doc_id ASC NULLS FIRST""".stripMargin))
+
   // — deterministic BPE token counting ————————————————————————————————————
   //   Mixture budgets are stated in tokenizer tokens; this value-checks
   //   the repo-pinned BPE counter (TextStats.BpeMerges) by having DuckDB
@@ -447,5 +527,5 @@ object PipelineProbes {
     s.read.parquet(tmp)
   }
 
-  val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58)
+  val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59)
 }

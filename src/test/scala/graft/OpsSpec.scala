@@ -566,6 +566,68 @@ class OpsSpec extends SparkSpec {
       (102L, "new", None)))
   }
 
+  test("incrementalDedupIndexed: persisted hash+band indexes classify identically to the live path") {
+    val corpus = Seq(
+      (10L, "a b c d e f g h"),
+      (11L, "p q r s t u v w"),
+      (12L, "completely unrelated words here now ok yes")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "a b c d e f g h"), // exact dup of 10
+      (101L, "a b c d e f g X"), // near dup of 10
+      (102L, "nothing in common with anything else at all")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "bandIdx").toString
+    Dedup.writeHashIndex(corpus, "doc_id", "text", s"$base/hash", expectedItems = 100L)
+    Dedup.writeBandIndex(corpus, "doc_id", $"text", s"$base/band",
+      n = 3, numPerm = 64, numBands = 16, rowsPerBand = 4)
+    val live = Dedup.incrementalDedup(corpus, batch, "doc_id", $"text",
+      n = 3, numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 0.2)
+    val idx = Dedup.incrementalDedupIndexed(
+      Dedup.readHashIndex(spark, s"$base/hash"), Dedup.readBandIndex(spark, s"$base/band"),
+      batch, "doc_id", "text", threshold = 0.2)
+    val liveRows = live.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    val idxRows = idx.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    live.unpersist(); idx.unpersist()
+    assert(idxRows == liveRows, s"live $liveRows\nidx  $idxRows")
+    assert(idxRows == Seq(
+      (100L, "exact_dup", Some(10L)),
+      (101L, "near_dup", Some(10L)),
+      (102L, "new", None)))
+  }
+
+  test("incrementalDedupIndexed: append folds accepted docs in; hot bucket star-degrades via persisted hub") {
+    val corpus = (1L to 30L).map(i => (i, s"common shared boilerplate tail here x$i"))
+      .toDF("doc_id", "text") // every doc shares most 3-grams → one hot-ish cluster
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "bandIdxApp").toString
+    Dedup.writeHashIndex(corpus, "doc_id", "text", s"$base/hash", expectedItems = 1000L)
+    Dedup.writeBandIndex(corpus, "doc_id", $"text", s"$base/band",
+      n = 3, numPerm = 64, numBands = 16, rowsPerBand = 4)
+    def classify(b: org.apache.spark.sql.DataFrame, maxBucket: Int = Dedup.DefaultMaxBucket) =
+      Dedup.incrementalDedupIndexed(
+        Dedup.readHashIndex(spark, s"$base/hash"), Dedup.readBandIndex(spark, s"$base/band"),
+        b, "doc_id", "text", threshold = 0.2, maxBucket = maxBucket)
+    // tight maxBucket forces the star path: a batch doc near-dup of the
+    // hot cluster must still be found via the persisted min-id hub
+    val b1 = Seq((200L, "common shared boilerplate tail here y200"),
+      (201L, "zz yy xx ww vv uu tt ss")).toDF("doc_id", "text")
+    val c1 = classify(b1, maxBucket = 2)
+    val r1 = c1.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    c1.unpersist()
+    assert(r1.head == (200L, "near_dup", Some(1L)),
+      s"hot-cluster near dup must resolve to the persisted hub: $r1")
+    assert(r1(1) == (201L, "new", None), s"got $r1")
+    // append doc 201 (the accepted new doc) and re-see its content
+    Dedup.appendToHashIndex(spark, s"$base/hash", b1.filter($"doc_id" === 201L), "doc_id", "text")
+    Dedup.appendToBandIndex(spark, s"$base/band", b1.filter($"doc_id" === 201L), "doc_id", "text")
+    val b2 = Seq((300L, "zz yy xx ww vv uu tt ss"),   // exact dup of appended 201
+      (301L, "zz yy xx ww vv uu tt QQ")).toDF("doc_id", "text") // near dup of appended 201
+    val c2 = classify(b2)
+    val r2 = c2.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    c2.unpersist()
+    assert(r2 == Seq((300L, "exact_dup", Some(201L)), (301L, "near_dup", Some(201L))), s"got $r2")
+  }
+
   test("incrementalDedup: over-cap corpus hash index degrades to merge, never broadcast-builds") {
     // the corpus hash index is the only broadcastable side of the exact
     // left join (batch preserved) — with a checkpoint-backed corpus its
