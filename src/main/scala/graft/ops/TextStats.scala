@@ -492,4 +492,168 @@ object TextStats {
       .withColumn("fingerprint", fingerprint(t))
       .drop("toks")
   }
+
+  // — C4-style line-level cleaning ————————————————————————————————————————
+  //   The boilerplate stage every web-corpus pipeline runs BEFORE dedup
+  //   (C4, Raffel et al. 2020 §2.2; Dolma; FineWeb): drop navigation
+  //   stubs, cookie banners, and code fragments at LINE grain, then drop
+  //   documents left with too few clean lines. Pure per-row HOFs
+  //   (`filter` over `split`) — no shuffle anywhere, the whole stage is
+  //   one codegen'd projection that scales strictly linearly at 100 TB.
+
+  /** Phrases whose presence disqualifies a line (case-insensitive) — the
+    * C4 "javascript"-line rule plus the standard boilerplate markers.
+    */
+  val LineBlocklist: Seq[String] = Seq(
+    "javascript", "lorem ipsum", "cookie policy", "terms of use",
+    "all rights reserved", "privacy policy")
+
+  /** The C4 per-line keep predicate over a raw (untrimmed) line:
+    *   1. ends in a terminal punctuation mark (`.` `!` `?` or a closing
+    *      quote) — navigation/menu stubs rarely do;
+    *   2. carries at least `minWords` alphanumeric words;
+    *   3. contains no [[LineBlocklist]] phrase (lowercased match).
+    */
+  def lineKeep(line: Column, minWords: Int = 3,
+      blocklist: Seq[String] = LineBlocklist): Column = {
+    val t = trim(line)
+    val terminal = t.rlike("[.!?\"']$")
+    val words = size(regexp_extract_all(t, lit("[A-Za-z0-9]+"), lit(0))) >= minWords
+    val clean = blocklist.map(p => !lower(t).contains(p)).reduce(_ && _)
+    terminal && words && clean
+  }
+
+  /** C4-style document cleaning: split `textCol` on newlines, keep lines
+    * passing [[lineKeep]], reassemble with newlines, and drop documents
+    * with fewer than `minLines` survivors. Adds bookkeeping columns
+    * `n_lines` (pre-clean) and `n_kept`. Returns
+    * (idCol, textCol, n_lines, n_kept).
+    *
+    * 100-TB shape: a single narrow projection + filter — no explode (the
+    * line array lives and dies inside one row), no shuffle, no window;
+    * predicate and reassembly are whole-stage-codegen HOFs.
+    */
+  def cleanLines(docs: DataFrame, idCol: String, textCol: String = "text",
+      minWords: Int = 3, minLines: Int = 1,
+      blocklist: Seq[String] = LineBlocklist): DataFrame = {
+    require(minLines >= 1, s"minLines must be >= 1, got $minLines")
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => lineKeep(l, minWords, blocklist))
+    docs.select(
+        col(idCol),
+        array_join(kept, "\n").as(textCol),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"))
+      .filter(col("n_kept") >= minLines)
+  }
+
+  // — n-gram LM perplexity gate (CCNet-style) —————————————————————————————
+  //   CCNet (Wenzek et al. 2020) ranks web documents by a language-model
+  //   perplexity and keeps the fluent "head"/"middle" — the standard
+  //   fluency gate between heuristic quality scores and model-based
+  //   filters. The deterministic, engine-portable re-expression: a FIXED
+  //   unigram table of common-English log-probabilities pinned in the
+  //   repo (centi-log10 INTEGERS, so the per-document sum is exact
+  //   integer arithmetic — order-free and bit-identical in any engine;
+  //   the single final division to a mean is one IEEE double op). The
+  //   table is NOT a trained model — it is a small public Zipf-shaped
+  //   word list, enough to separate natural prose from symbol soup and
+  //   keep the gate value-oracle-checkable cross-engine.
+
+  /** Pinned unigram centi-log10 probabilities (−115 ⇒ log10 p = −1.15),
+    * Zipf-shaped over common English function/content words.
+    */
+  val LmCentiLogProbs: Seq[(String, Int)] = Seq(
+    "the" -> -115, "of" -> -145, "and" -> -150, "a" -> -155, "to" -> -160,
+    "in" -> -165, "is" -> -180, "it" -> -195, "was" -> -200, "for" -> -205,
+    "on" -> -210, "that" -> -215, "with" -> -220, "as" -> -225, "at" -> -235,
+    "this" -> -240, "by" -> -245, "be" -> -250, "are" -> -255, "from" -> -260,
+    "or" -> -265, "an" -> -270, "his" -> -280, "not" -> -285, "has" -> -290,
+    "but" -> -295, "have" -> -300, "had" -> -305, "they" -> -310, "you" -> -315,
+    "were" -> -320, "all" -> -330, "we" -> -335, "when" -> -340, "there" -> -345,
+    "can" -> -350, "more" -> -355, "if" -> -360, "out" -> -365, "so" -> -370,
+    "said" -> -380, "what" -> -385, "its" -> -390, "about" -> -395, "into" -> -400,
+    "than" -> -405, "them" -> -410, "only" -> -415, "other" -> -420, "time" -> -425)
+
+  /** Centi-log10 probability charged to a word absent from the table. */
+  val LmOovCenti: Int = -600
+
+  /** CCNet-style bucket thresholds on the MEAN log10 probability (not
+    * perplexity — perplexity is `10^(−mean)`, a monotone transform, and
+    * `pow` is the one op whose last ulp differs across libm
+    * implementations, so the gate compares means directly).
+    */
+  val LmHeadThreshold: Double = -3.2
+  val LmMiddleThreshold: Double = -4.5
+
+  /** LM tokens: lowercased alphanumeric runs. */
+  def lmTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Per-document LM fluency columns over `textCol`:
+    *   - `lm_n_toks`     — token count (long);
+    *   - `lm_centi_sum`  — exact integer sum of per-token centi-log10
+    *     probabilities (long; order-free — safe under any partitioning);
+    *   - `lm_mean_log10p` — `centi_sum / (100·n)` rounded to 4 places
+    *     (null for token-free documents);
+    *   - `lm_bucket`     — `head` / `middle` / `tail` by the thresholds
+    *     above (token-free documents land in `tail`).
+    *
+    * 100-TB shape: one shuffle-free projection; the pinned table rides
+    * along as a map LITERAL (`typedlit`), so the lookup is a per-token
+    * probe of driver-constant data — nothing joins, nothing broadcasts.
+    */
+  def lmAnnotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lm = typedlit(LmCentiLogProbs.toMap)
+    val toks = lmTokens(col(textCol))
+    val centi = aggregate(
+      transform(toks, t => coalesce(element_at(lm, t), lit(LmOovCenti)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val mean = graft.Canonical.round4(
+      col("lm_centi_sum").cast("double") / (lit(100.0) * col("lm_n_toks")))
+    docs
+      .withColumn("lm_n_toks", size(toks).cast("long"))
+      .withColumn("lm_centi_sum", centi)
+      .withColumn("lm_mean_log10p", when(col("lm_n_toks") > 0, mean))
+      .withColumn("lm_bucket",
+        when(col("lm_mean_log10p") >= LmHeadThreshold, "head")
+          .when(col("lm_mean_log10p") >= LmMiddleThreshold, "middle")
+          .otherwise("tail"))
+  }
+
+  /** The CCNet gate: keep documents whose [[lmAnnotate]] bucket is in
+    * `keep` (default head+middle — drop the disfluent tail).
+    */
+  def perplexityPrune(docs: DataFrame, textCol: String = "text",
+      keep: Seq[String] = Seq("head", "middle")): DataFrame =
+    lmAnnotate(docs, textCol).filter(col("lm_bucket").isin(keep: _*))
+
+  /** DuckDB twin of [[lmAnnotate]]'s arithmetic (a CTE chain ending in
+    * `__lm`, reading `__lm_in`) — shared with the probe oracle so the
+    * pinned table is written ONCE. The mean replays the same single
+    * division and the same [[graft.Canonical.round4]] formula; buckets
+    * compare the ROUNDED mean exactly as the Spark side does.
+    */
+  def lmAnnotateSql(textExpr: String): String = {
+    val vals = LmCentiLogProbs.map { case (w, c) => s"('$w', $c)" }.mkString(", ")
+    val mean = graft.Canonical.round4Sql("CAST(lm_centi_sum AS DOUBLE) / (100.0 * lm_n_toks)")
+    s"""ts AS (SELECT *, regexp_extract_all(lower($textExpr), '[a-z0-9]+') AS __toks FROM __lm_in),
+       |lm(__w, __c) AS (VALUES $vals),
+       |ex AS (SELECT *, CAST(len(__toks) AS BIGINT) AS lm_n_toks,
+       |         unnest(CASE WHEN len(__toks) = 0 THEN [NULL] ELSE __toks END) AS __tok
+       |       FROM ts),
+       |sc AS (SELECT * EXCLUDE (__w, __c),
+       |         CASE WHEN __tok IS NULL THEN 0 ELSE coalesce(__c, ${LmOovCenti}) END AS __lp
+       |       FROM ex LEFT JOIN lm ON __tok = __w),
+       |ag AS (SELECT * EXCLUDE (__tok, __lp, __toks),
+       |         CAST(sum(__lp) AS BIGINT) AS lm_centi_sum
+       |       FROM sc GROUP BY ALL),
+       |__lm AS (SELECT *,
+       |    CASE WHEN lm_n_toks > 0 THEN $mean END AS lm_mean_log10p,
+       |    CASE
+       |      WHEN lm_n_toks > 0 AND $mean >= ${LmHeadThreshold} THEN 'head'
+       |      WHEN lm_n_toks > 0 AND $mean >= ${LmMiddleThreshold} THEN 'middle'
+       |      ELSE 'tail' END AS lm_bucket
+       |  FROM ag)""".stripMargin
+  }
 }

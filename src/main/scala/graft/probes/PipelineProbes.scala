@@ -527,5 +527,97 @@ object PipelineProbes {
     s.read.parquet(tmp)
   }
 
-  val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59)
+  // — C4-style line cleaning ——————————————————————————————————————————————
+  //   Fixture: every document becomes 5 lines planted to hit each rule
+  //   exactly once — a corpus-derived first line (the fixture corpus is
+  //   unpunctuated word soup, so doc_id≡0 mod 3 gets a planted terminal
+  //   period → kept, doc_id≡0 mod 7 collapses to a 2-word punctuated stub
+  //   → word-count drop, everything else keeps the raw text → terminal-
+  //   punct drop), a 2-word line (word-count drop), a blocklist line
+  //   mentioning javascript (phrase drop despite clean shape), a
+  //   guaranteed-clean doc_id-stamped sentence (every doc keeps ≥1 line,
+  //   so minLines=1 drops nothing and the doc set stays comparable), and
+  //   an unpunctuated line (terminal-punct drop). Both engines replay the
+  //   predicate on the same planted frame.
+  private val x60 = Probe(
+    "x60_line_clean",
+    (s, dir) => {
+      val fix = Readers.fanOut(t(s, dir, "documents")).select(col("doc_id"),
+        concat_ws("\n",
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("Ok fine."))
+            .when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(".")))
+            .otherwise(col("text")),
+          lit("Too short."),
+          concat(lit("Enable javascript to view doc "), col("doc_id"),
+            lit(" properly today.")),
+          concat(lit("A clean closing sentence for document "), col("doc_id"),
+            lit(".")),
+          lit("this line has no terminal punctuation at all")).as("text"))
+      TextStats.cleanLines(fix, "doc_id").orderBy("doc_id")
+    },
+    Some("""WITH fix AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN 'Ok fine.'
+           |         WHEN doc_id % 3 = 0 THEN text || '.'
+           |         ELSE text END || chr(10) || 'Too short.'
+           |      || chr(10) || 'Enable javascript to view doc ' || CAST(doc_id AS VARCHAR) || ' properly today.'
+           |      || chr(10) || 'A clean closing sentence for document ' || CAST(doc_id AS VARCHAR) || '.'
+           |      || chr(10) || 'this line has no terminal punctuation at all' AS text
+           |  FROM documents),
+           |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM fix),
+           |k AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+           |  list_filter(ls, l ->
+           |    regexp_matches(trim(l), '[.!?"'']$')
+           |    AND len(regexp_extract_all(trim(l), '[A-Za-z0-9]+')) >= 3
+           |    AND NOT contains(lower(trim(l)), 'javascript')
+           |    AND NOT contains(lower(trim(l)), 'lorem ipsum')
+           |    AND NOT contains(lower(trim(l)), 'cookie policy')
+           |    AND NOT contains(lower(trim(l)), 'terms of use')
+           |    AND NOT contains(lower(trim(l)), 'all rights reserved')
+           |    AND NOT contains(lower(trim(l)), 'privacy policy')) AS kept
+           |  FROM sp)
+           |SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+           |  n_lines, CAST(len(kept) AS BIGINT) AS n_kept
+           |FROM k WHERE len(kept) >= 1
+           |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  // — CCNet-style LM fluency gate —————————————————————————————————————————
+  //   Fixture: the corpus text, except doc_id≡0 (mod 17) becomes symbol
+  //   soup (zero LM tokens → the empty-document path → `tail`), doc_id≡0
+  //   (mod 5) becomes pure head-of-table function words (a guaranteed
+  //   `head`), and doc_id≡1 (mod 5) a half-OOV mix landing between the
+  //   thresholds (`middle`) — all three buckets, the n=0 guard, and the
+  //   OOV charge are exercised deterministically (the raw corpus is
+  //   mostly table-absent word soup → deep `tail`). The oracle replays the pinned
+  //   centi-log10 table (integer sums — order-free, engine-exact) via
+  //   [[graft.ops.TextStats.lmAnnotateSql]], so table and arithmetic are
+  //   written once and shared.
+  private val x61 = Probe(
+    "x61_lm_perplexity",
+    (s, dir) => {
+      val fix = Readers.fanOut(t(s, dir, "documents")).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(17)) === 0, lit("@@@ ###"))
+          .when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("the of and a to in is it was for"))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            lit("the quickly of brown and fox a jumps"))
+          .otherwise(col("text")).as("text"))
+      TextStats.lmAnnotate(fix)
+        .select(col("doc_id"), col("lm_n_toks"), col("lm_centi_sum"),
+          col("lm_mean_log10p"), col("lm_bucket"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH __lm_in AS (
+            |  SELECT doc_id,
+            |    CASE WHEN doc_id % 17 = 0 THEN '@@@ ###'
+            |         WHEN doc_id % 5 = 0 THEN 'the of and a to in is it was for'
+            |         WHEN doc_id % 5 = 1 THEN 'the quickly of brown and fox a jumps'
+            |         ELSE text END AS text
+            |  FROM documents),
+            |${TextStats.lmAnnotateSql("text")}
+            |SELECT doc_id, lm_n_toks, lm_centi_sum, lm_mean_log10p, lm_bucket
+            |FROM __lm ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
+    x60, x61)
 }

@@ -289,4 +289,63 @@ class PipelineOpsSpec extends SparkSpec {
       .orderBy("shard").collect().toSeq
     assert(man2 == man)
   }
+
+  test("line clean: each C4 rule fires independently, doc below minLines drops") {
+    val df = Seq(
+      (1L, "A good first sentence here.\nno punct at the end\nOk fine.\nPlease enable JavaScript to continue browsing.\nAnother keeper stays right here!"),
+      (2L, "every line of this document\nfails some rule\nso the doc drops"),
+      (3L, "He said \"stop that now.\"\nShort one.")).toDF("id", "text")
+    val got = TextStats.cleanLines(df, "id").orderBy("id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // "no punct" fails rule 1, "Ok fine." fails word count, JavaScript
+      // line fails the (case-insensitive) blocklist
+      (1L, "A good first sentence here.\nAnother keeper stays right here!", 5L, 2L),
+      // doc 2 has zero survivors -> dropped entirely by minLines=1
+      // closing double-quote counts as terminal punctuation
+      (3L, "He said \"stop that now.\"", 2L, 1L)))
+    // minLines=2 additionally drops doc 3
+    assert(TextStats.cleanLines(df, "id", minLines = 2)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // minWords is honored: at minWords=2 the "Ok fine." line survives
+    val loose = TextStats.cleanLines(df, "id", minWords = 2).orderBy("id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(loose.head._4 == 3L && loose.head._2.contains("Ok fine."))
+  }
+
+  test("line clean: single-line and whitespace-only documents") {
+    val df = Seq(
+      (1L, "One clean single line stands alone."),
+      (2L, "   \n  \n"),
+      (3L, "")).toDF("id", "text")
+    val got = TextStats.cleanLines(df, "id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "One clean single line stands alone.", 1L, 1L)))
+  }
+
+  test("lm annotate: hand-traced integer arithmetic, OOV charge, empty doc") {
+    val df = Seq(
+      (1L, "The time of day"),          // the(-115) time(-425) of(-145) day(OOV -600) = -1285, n=4
+      (2L, "@@ ##"),                    // zero tokens
+      (3L, "the of and")).toDF("id", "text") // -115-145-150 = -410, n=3
+    val got = TextStats.lmAnnotate(df).orderBy("id")
+      .select("id", "lm_n_toks", "lm_centi_sum", "lm_mean_log10p", "lm_bucket")
+      .as[(Long, Long, Long, Option[Double], String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, -1285L, Some(-3.2125), "middle"),
+      (2L, 0L, 0L, None, "tail"),
+      (3L, 3L, -410L, Some(-1.3667), "head")))
+  }
+
+  test("lm perplexity prune: default gate keeps head+middle, drops tail") {
+    val df = Seq(
+      (1L, "the of and a to"),                       // head
+      (2L, "the zzz of qqq"),                        // (-115-600-145-600)/400 = -3.65 middle
+      (3L, "zzz qqq www eee")).toDF("id", "text")    // all OOV -6.0 tail
+    val kept = TextStats.perplexityPrune(df).select("id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 2L))
+    val headOnly = TextStats.perplexityPrune(df, keep = Seq("head"))
+      .select("id").as[Long].collect().toSeq
+    assert(headOnly == Seq(1L))
+  }
 }
