@@ -64,4 +64,97 @@ object Export {
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"),
         sum(graft.functions.TextFunctions.fingerprint(
           coalesce(col(contentCol), lit("")))).as("checksum"))
+
+  // — deterministic training order ————————————————————————————————————————
+  //   A training dataloader needs a reproducible global shuffle (an
+  //   "epoch permutation") plus a shard/position manifest: worker w reads
+  //   shard w and steps through positions in order. `sample(...)`/`rand()`
+  //   orders change across retries and partitionings; these are pure
+  //   functions of (seed, id), so epoch 3 of run B is bit-identical to
+  //   epoch 3 of run A on any cluster.
+
+  /** Bucket fan-out of the rank plans (shared discipline with
+    * [[graft.ops.Sampling]]): the seeded order is DEFINED as
+    * `(fp mod 256, fp, id)` with `fp = fingerprint(seed || ':' || id)`,
+    * so the bucket is the order's own leading key and per-bucket
+    * row_numbers + bucket offsets concatenate into the exact global rank
+    * while the sort runs in up to 256 parallel tasks.
+    */
+  private val OrderBuckets = 256L
+
+  private def seededFp(idCol: String, seed: String) =
+    graft.functions.TextFunctions.fingerprint(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")))
+
+  /** Deterministic epoch shuffle: adds
+    *   - `ord`   — the row's 1-based position in the seeded global order;
+    *   - `shard` — `(ord−1) mod nShards` (round-robin interleave, so
+    *     shard row counts differ by ≤1 and every shard samples the whole
+    *     order uniformly);
+    *   - `pos`   — `(ord−1) div nShards`, the row's position WITHIN its
+    *     shard.
+    *
+    * A new seed is a new permutation (epoch reshuffle); the same seed
+    * reproduces the same (ord, shard, pos) for every row on any engine —
+    * the fingerprint order is engine-portable, unlike `xxhash64`.
+    *
+    * Scale shape: two-pass bucketed rank — a map-side-combined per-bucket
+    * count, a window over that 256-row frame for offsets (AQE broadcasts
+    * the join-back), then `row_number` WITHIN each bucket. No global
+    * sort task ever sees more than ~1/256 of the data.
+    */
+  def trainOrder(df: DataFrame, idCol: String, seed: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__fp", seededFp(idCol, seed))
+      .withColumn("__b", pmod(col("__fp"), lit(OrderBuckets)))
+    val wOff = W.orderBy(col("__b")).rowsBetween(W.unboundedPreceding, -1)
+    val offs = base.groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select(col("__b").as("__ob"), col("__off"))
+    val wIn = W.partitionBy(col("__b")).orderBy(col("__fp"), col(idCol))
+    base.join(offs, col("__b") === col("__ob"))
+      .withColumn("ord", col("__off") + row_number().over(wIn))
+      .withColumn("shard", pmod(col("ord") - 1, lit(nShards.toLong)))
+      .withColumn("pos", floor((col("ord") - 1) / nShards).cast("long"))
+      .drop("__fp", "__b", "__ob", "__off")
+  }
+
+  /** Token-balanced CONTIGUOUS shards over the same seeded order: shard
+    * boundaries fall on token-prefix quantiles —
+    * `shard = floor(tokens_before · nShards / total_tokens)` — so every
+    * shard carries `total/nShards` tokens ± one document, the balance
+    * target when documents vary 100× in length and workers step in
+    * lock-step batches. `ord` orders rows within a shard.
+    *
+    * Same two-pass bucketed plan with a token prefix sum instead of a
+    * count ([[graft.ops.Sampling.tokenBudget]]'s discipline over the
+    * portable order).
+    */
+  def trainOrderTokenShards(df: DataFrame, idCol: String, seed: String,
+      nShards: Int, tokenCount: org.apache.spark.sql.Column): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__tok", tokenCount.cast("long"))
+      .withColumn("__fp", seededFp(idCol, seed))
+      .withColumn("__b", pmod(col("__fp"), lit(OrderBuckets)))
+    val wOff = W.orderBy(col("__b")).rowsBetween(W.unboundedPreceding, -1)
+    val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val offs = base.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__tok")).as("__btok"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .withColumn("__toff", coalesce(sum(col("__btok")).over(wOff), lit(0L)))
+      .withColumn("__total", sum(col("__btok")).over(wAll))
+      .select(col("__b").as("__ob"), col("__off"), col("__toff"), col("__total"))
+    val wIn = W.partitionBy(col("__b")).orderBy(col("__fp"), col(idCol))
+    val wInTok = wIn.rowsBetween(W.unboundedPreceding, -1)
+    base.join(offs, col("__b") === col("__ob"))
+      .withColumn("ord", col("__off") + row_number().over(wIn))
+      .withColumn("__before",
+        col("__toff") + coalesce(sum(col("__tok")).over(wInTok), lit(0L)))
+      .withColumn("shard",
+        least(floor(col("__before") * nShards / greatest(col("__total"), lit(1L))),
+          lit(nShards - 1L)).cast("long"))
+      .drop("__tok", "__fp", "__b", "__ob", "__off", "__toff", "__total", "__before")
+  }
 }

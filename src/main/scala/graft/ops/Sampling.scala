@@ -182,6 +182,57 @@ object Sampling {
       .drop("__h", "__b", "__csrc", "__cb", "__off", "__cum_before", "__budget", "__tok")
   }
 
+  /** Per-GROUP token cap over dynamic group values — the domain-capping
+    * stage of a web-corpus pipeline (Dolma/FineWeb cap each domain's
+    * contribution so boilerplate-heavy hosts can't dominate the mix):
+    * within every value of `groupCol`, keep documents in the PORTABLE
+    * fingerprint order until the group's token budget is reached, with
+    * the same greedy prefix semantics as [[tokenBudget]] (a document is
+    * kept iff the tokens BEFORE it are under the cap — so
+    * `cap ≤ kept < cap + max_doc_tokens` for any group that exceeds it,
+    * everything kept otherwise).
+    *
+    * Differs from [[tokenBudget]] in both contract halves: groups are
+    * DATA (any number of domains, discovered at runtime), the budget is
+    * one constant — and the order hash is the engine-portable positional
+    * fingerprint of the id (`(fp mod 256, fp, id)`, the
+    * [[graft.ops.TextStats.qualityPrune]] order), so the kept SET is
+    * value-oracle-checkable, not just row-counted.
+    *
+    * Scale shape: the same two-pass bucketed prefix sum as
+    * [[tokenBudget]] — pass 1 is a map-side-combined (group, bucket)
+    * token sum; a window over that ≤ |groups|·[[Buckets]]-row frame
+    * yields bucket offsets (AQE broadcasts the join-back); pass 2 ranks
+    * only WITHIN (group, bucket) — a dominant domain spreads over up to
+    * [[Buckets]] sort tasks instead of one. The bucket is the order's own
+    * leading key, so per-bucket prefix sums concatenated in bucket order
+    * equal the global per-group prefix sum exactly.
+    */
+  def groupTokenCap(df: DataFrame, groupCol: Column, idCol: Column,
+      tokenCount: Column, capTokens: Long): DataFrame = {
+    require(capTokens > 0L, s"capTokens must be positive, got $capTokens")
+    val base = df.withColumn("__grp", groupCol)
+      .withColumn("__tok", tokenCount.cast("long"))
+      .withColumn("__fp",
+        graft.functions.TextFunctions.fingerprint(idCol.cast("string")))
+      .withColumn("__b", pmod(col("__fp"), lit(Buckets.toLong)))
+    val wOff = Window.partitionBy(col("__grp")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = base.groupBy(col("__grp"), col("__b"))
+      .agg(sum(col("__tok")).as("__btok"))
+      .withColumn("__off", coalesce(sum(col("__btok")).over(wOff), lit(0L)))
+      .select(col("__grp").as("__cgrp"), col("__b").as("__cb"), col("__off"))
+    val wIn = Window.partitionBy(col("__grp"), col("__b"))
+      .orderBy(col("__fp"), idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(cum, col("__grp") <=> col("__cgrp") && col("__b") === col("__cb"))
+      .withColumn("__cum_before",
+        col("__off") + coalesce(sum(col("__tok")).over(wIn), lit(0L)))
+      .filter(col("__cum_before") < lit(capTokens))
+      .drop("__grp", "__tok", "__fp", "__b", "__cgrp", "__cb", "__off", "__cum_before")
+  }
+
   def mixture(sources: Seq[(String, DataFrame, Double)], idCol: Column): DataFrame = {
     require(sources.nonEmpty, "need >=1 source")
     sources.foreach { case (name, _, rate) =>

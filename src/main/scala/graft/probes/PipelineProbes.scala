@@ -618,6 +618,102 @@ object PipelineProbes {
             |SELECT doc_id, lm_n_toks, lm_centi_sum, lm_mean_log10p, lm_bucket
             |FROM __lm ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — per-domain token cap ————————————————————————————————————————————————
+  //   Dolma/FineWeb-style domain capping: every source keeps documents in
+  //   the portable fingerprint order until a 4000-char budget is spent
+  //   (the fixture's 20 sources carry ~7k chars each, so every group is
+  //   cut mid-list and the greedy prefix boundary is exercised 20 times).
+  //   The oracle replays the fingerprint order and prefix sum verbatim.
+  private val x62 = Probe(
+    "x62_source_token_cap",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      Sampling.groupTokenCap(docs, col("source"), col("doc_id"), col("n_chars"), 4000L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH f AS (SELECT doc_id, source, n_chars,
+            |    CAST(doc_id AS VARCHAR) AS ids FROM documents),
+            |fp AS (SELECT doc_id, source, n_chars,
+            |    ${TextStats.fingerprintSql("ids")} AS fp FROM f),
+            |o AS (SELECT doc_id, source, n_chars,
+            |    coalesce(sum(n_chars) OVER (PARTITION BY source
+            |      ORDER BY fp % 256, fp, doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            |  FROM fp)
+            |SELECT doc_id, source, n_chars FROM o WHERE bef < 4000
+            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  // — DSIR importance scoring —————————————————————————————————————————————
+  //   Target = the corpus's English slice, raw = the whole corpus: the
+  //   centi-llr table is estimated from both (1024 hashed buckets,
+  //   add-one smoothing), then every document scores the integer sum of
+  //   its tokens' units — English-like documents score high. The oracle
+  //   rebuilds the table AND the scores from first principles (same
+  //   fingerprint buckets, same explicitly-associated log10 arithmetic,
+  //   same floor(x·100+0.5) quantization, integer sums).
+  private val x63 = Probe(
+    "x63_dsir_score",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val table = Dsir.featureTable(docs.filter(col("lang") === "en"), docs)
+      Dsir.annotate(docs, table)
+        .select(col("doc_id"), col("dsir_n_toks"), col("dsir_centi"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH __dsir_target AS (SELECT text FROM documents WHERE lang = 'en'),
+            |__dsir_in AS (SELECT doc_id, text FROM documents),
+            |${Dsir.annotateSql()}
+            |SELECT doc_id, dsir_n_toks, dsir_centi FROM __dsir
+            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  // — deterministic epoch shuffle (round-robin shards) ————————————————————
+  //   The training dataloader contract: ord = position in the seeded
+  //   portable permutation, shard = round-robin over 8 workers, pos =
+  //   position within the shard. The oracle recomputes the permutation
+  //   with one window over the replayed fingerprint order.
+  private val x64 = Probe(
+    "x64_train_order",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      graft.etl.Export.trainOrder(docs, "doc_id", "epoch1", 8)
+        .select(col("doc_id"), col("ord"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH f AS (SELECT doc_id,
+            |    'epoch1:' || CAST(doc_id AS VARCHAR) AS k FROM documents),
+            |fp AS (SELECT doc_id, ${TextStats.fingerprintSql("k")} AS fp FROM f),
+            |o AS (SELECT doc_id,
+            |    row_number() OVER (ORDER BY fp % 256, fp, doc_id) AS ord FROM fp)
+            |SELECT doc_id, ord, (ord - 1) % 8 AS shard,
+            |  CAST(floor((ord - 1) / 8) AS BIGINT) AS pos
+            |FROM o ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  // — token-balanced contiguous shards ————————————————————————————————————
+  //   Same seeded order, shard boundaries on token-prefix quantiles: each
+  //   of the 8 shards carries ~1/8 of total chars ± one document. The
+  //   oracle replays the prefix sum and the floor(before·n/total) split.
+  private val x65 = Probe(
+    "x65_token_shards",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      graft.etl.Export.trainOrderTokenShards(docs, "doc_id", "epoch1", 8, col("n_chars"))
+        .select(col("doc_id"), col("ord"), col("shard"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH f AS (SELECT doc_id, n_chars,
+            |    'epoch1:' || CAST(doc_id AS VARCHAR) AS k FROM documents),
+            |fp AS (SELECT doc_id, n_chars, ${TextStats.fingerprintSql("k")} AS fp FROM f),
+            |o AS (SELECT doc_id,
+            |    row_number() OVER (ORDER BY fp % 256, fp, doc_id) AS ord,
+            |    coalesce(sum(n_chars) OVER (ORDER BY fp % 256, fp, doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+            |    sum(n_chars) OVER () AS total
+            |  FROM fp)
+            |SELECT doc_id, ord,
+            |  CAST(least(floor(bef * 8 / greatest(total, 1)), 7) AS BIGINT) AS shard
+            |FROM o ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61)
+    x60, x61, x62, x63, x64, x65)
 }
