@@ -634,6 +634,32 @@ object Dedup {
     emb.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-bounded semantic near-dup removal — SemDeDup as published
+    * (Abbas et al. '23): quantize the corpus with the caller's centroid
+    * table, compare embeddings only WITHIN each cluster
+    * ([[Similarity.clusterCosinePairs]]), connect the ≥`threshold` pairs,
+    * keep each component's minimum id. Differs from
+    * [[dedupCorpusSemantic]] in the candidate bound: learned clusters
+    * (Σ|cluster|² pair work, misses cross-cluster pairs — the paper's
+    * accepted trade) instead of random-hyperplane sign buckets. With a
+    * deterministic quantizer ([[Ivf.seedCentroids]]) the whole result is
+    * value-oracle-checkable; with [[Ivf.train]] it is the production
+    * path. Cache lifecycle mirrors [[dedupCorpusExact]]: only the drop
+    * set stays checkpointed to feed the returned anti-join.
+    */
+  def dedupCorpusSemanticClustered(emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, threshold: Double, clusterCap: Long = 100000L,
+      maxIter: Int = 20): DataFrame = {
+    val pairs = Similarity.clusterCosinePairs(emb, idCol, vecCol, cents, threshold, clusterCap)
+    val labels = components(pairs, maxIter)
+    val drop = labels
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+      .localCheckpoint()
+    labels.unpersist()
+    emb.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Incremental dedup: a NEW batch of documents against an EXISTING
     * (already-deduped) corpus — the daily-ingest shape of a training-data
     * pipeline. The critical scale property is asymmetry: the corpus side

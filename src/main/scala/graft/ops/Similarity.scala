@@ -213,6 +213,65 @@ object Similarity {
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"), col("cosine_sim"))
   }
 
+  /** Cluster-bounded embedding-cosine near-duplicate pairs — the literal
+    * SemDeDup pair stage (Abbas et al. '23 §3: k-means the corpus, compare
+    * only WITHIN each cluster). The quantizer is the caller's centroid
+    * table ([[Ivf.seedCentroids]] for a deterministic/oracle-checkable
+    * run, [[Ivf.train]] for production): assignment is [[Ivf.assign]]'s
+    * broadcast argmax, and the pair stage is an EQUI-join on
+    * `centroid_id` — candidate work is Σ |cluster|², never corpus², and
+    * with k ≈ √N clusters the expected per-cluster population is √N, so
+    * the pair stage costs ~N^1.5 dot products spread over k shuffle keys.
+    *
+    * Pairs crossing a cluster boundary are missed by construction — that
+    * is SemDeDup's documented recall trade (the paper accepts it for the
+    * compute bound); the LSH-bucket variant ([[cosinePairs]]) makes the
+    * opposite trade (random-hyperplane buckets, no training).
+    *
+    * Hot-cluster guard, same discipline as `Dedup.lshCandidates`: a
+    * cluster whose occupancy exceeds `clusterCap` (a degenerate quantizer
+    * or a mass-duplicated corpus pocket) degrades to STAR pairs against
+    * the cluster's min-id hub — linear in the cluster, and a mass-dup
+    * cluster is still FOUND (members pair with the hub) rather than
+    * silently skipped. Star pairs are verified by the same exact-cosine
+    * threshold, so every emitted pair is a true near-duplicate either way.
+    */
+  def clusterCosinePairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, threshold: Double, clusterCap: Long = 100000L): DataFrame = {
+    // one assignment pass; localCheckpoint feeds both self-join sides
+    // without staying registered in the SQL cache manager
+    val a = Ivf.assign(corpus, idCol, vecCol, cents)
+      .select(col(idCol), col(vecCol), col("centroid_id"),
+        vec_norm(col(vecCol)).as("__n"))
+      .localCheckpoint()
+    // occupancy + hub per cluster: k rows — broadcast-sized by the same
+    // argument as the centroid table itself
+    val occ = a.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__occ"), min(col(idCol)).as("__hub"))
+    val tagged = a.join(broadcast(occ), Seq("centroid_id"))
+    val cold = tagged.filter(col("__occ") <= clusterCap)
+    val pairsCold = cold.as("l").join(cold.as("r"),
+        col("l.centroid_id") === col("r.centroid_id") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .withColumn("cosine_sim",
+        round(cosineWithNorms(col(s"l.$vecCol"), col(s"r.$vecCol"),
+          col("l.__n"), col("r.__n")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"), col("cosine_sim"))
+    val hot = tagged.filter(col("__occ") > clusterCap)
+    val hubs = hot.filter(col(idCol) === col("__hub"))
+      .select(col("centroid_id"), col(vecCol).as("__hv"), col("__n").as("__hn"))
+    val pairsHot = hot.filter(col(idCol) =!= col("__hub"))
+      .join(broadcast(hubs), Seq("centroid_id"))
+      .withColumn("cosine_sim",
+        round(cosineWithNorms(col("__hv"), col(vecCol), col("__hn"), col("__n")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      // the hub is the cluster min id, so it is always id_a
+      .select(col("__hub").as("id_a"), col(idCol).as("id_b"), col("cosine_sim"))
+    pairsCold.unionByName(pairsHot)
+  }
+
   /** Exact all-pairs cosine near-duplicates (the oracle-checkable variant —
     * quadratic, use [[cosinePairs]] at scale).
     */

@@ -714,6 +714,136 @@ object PipelineProbes {
             |  CAST(least(floor(bef * 8 / greatest(total, 1)), 7) AS BIGINT) AS shard
             |FROM o ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — URL/provenance filter ———————————————————————————————————————————————
+  //   Dolma/RefinedWeb-style metadata gate. The documents fixture has no
+  //   URL column, so one is synthesized from doc_id covering every rule
+  //   arm: a blocked registered domain (subdomain form), a two-level
+  //   public suffix (registered domain must be example.co.uk, not co.uk),
+  //   a www+keyword host, userinfo/port stripping, an invalid non-URL, a
+  //   blocked-TLD host, and a trailing-dot host (clean survivors: the
+  //   co.uk, example.com, and example.net arms). Both engines replay
+  //   host extraction, the suffix-aware registered domain, and the gate
+  //   from the same RE2-safe regexes.
+  private val x66 = Probe(
+    "x66_url_filter",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val fix = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("https://ads.tracker-network.com/banner?id="), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(7)) === 1,
+            concat(lit("https://news.example.co.uk/story/"), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(7)) === 2,
+            concat(lit("http://www.BestCasino-win.org/"), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(7)) === 3,
+            concat(lit("https://user:pw@docs.example.com:8080/read/"), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(7)) === 4,
+            concat(lit("not a url at all "), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(7)) === 5,
+            concat(lit("https://files.download-hub.zip/get/"), col("doc_id")))
+          .otherwise(concat(lit("ftp://mirror.example.net./file/"), col("doc_id")))
+          .as("url"))
+      Urls.gate(fix, "url")
+        .select(col("doc_id"), col("url_host"), col("url_domain"),
+          col("url_tld"), col("url_valid"), col("url_kept"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH fix AS (SELECT doc_id,
+           |    CASE doc_id % 7
+           |      WHEN 0 THEN 'https://ads.tracker-network.com/banner?id=' || doc_id
+           |      WHEN 1 THEN 'https://news.example.co.uk/story/' || doc_id
+           |      WHEN 2 THEN 'http://www.BestCasino-win.org/' || doc_id
+           |      WHEN 3 THEN 'https://user:pw@docs.example.com:8080/read/' || doc_id
+           |      WHEN 4 THEN 'not a url at all ' || doc_id
+           |      WHEN 5 THEN 'https://files.download-hub.zip/get/' || doc_id
+           |      ELSE 'ftp://mirror.example.net./file/' || doc_id END AS url
+           |  FROM documents),
+           |h AS (SELECT doc_id,
+           |    lower(regexp_replace(regexp_replace(regexp_replace(
+           |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+           |      '^.*@', ''), ':[0-9]+$', ''), '\.$', '')) AS url_host
+           |  FROM fix),
+           |n AS (SELECT doc_id, url_host,
+           |    regexp_replace(url_host, '^www\.', '') AS hn FROM h),
+           |p AS (SELECT doc_id, url_host, hn, string_split(hn, '.') AS parts FROM n),
+           |d AS (SELECT doc_id, url_host, hn, parts[-1] AS url_tld,
+           |    CASE WHEN hn = '' THEN NULL
+           |         WHEN len(parts) <= 2 THEN hn
+           |         WHEN (parts[-2] || '.' || parts[-1]) IN
+           |              ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+           |               'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+           |               'com.mx','com.tr','com.ar','co.in','co.kr','co.za','co.nz')
+           |              AND parts[-3] IS NOT NULL
+           |           THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+           |         ELSE parts[-2] || '.' || parts[-1] END AS url_domain
+           |  FROM p)
+           |SELECT doc_id, url_host, url_domain, url_tld,
+           |  url_host <> '' AS url_valid,
+           |  url_host <> ''
+           |    AND coalesce(url_domain, '') NOT IN
+           |        ('tracker-network.com','spam-mill.net','contentfarm.example')
+           |    AND coalesce(url_tld, '') NOT IN ('zip','mov','country')
+           |    AND NOT contains(hn, 'casino')
+           |    AND NOT contains(hn, 'porn')
+           |    AND NOT contains(hn, 'xxx') AS url_kept
+           |FROM d ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+
+  // — SemDeDup (cluster-bounded semantic dedup, as published) —————————————
+  //   The literal Abbas '23 shape: quantize with a centroid table, compare
+  //   embeddings only within a cluster, connect >=threshold pairs, keep
+  //   each component's min id. The deterministic seed quantizer (4
+  //   lowest-id vectors) makes assignment pure arithmetic both engines
+  //   replay: argmax of round-6 cosine with centroid-id tiebreak, then
+  //   within-cluster pairs, then the same recursive-components roll-up as
+  //   x44. On the fixture the 4 clusters are near-balanced (117-133
+  //   members at sf0.01) so the cluster bound — not a degenerate single
+  //   bucket — is what's exercised.
+  private val x67 = Probe(
+    "x67_semdedup_cluster",
+    (s, dir) => {
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
+      val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 4)
+      Dedup.dedupCorpusSemanticClustered(emb, "vec_id", "embedding", cents, 0.4)
+        .select(col("vec_id")).orderBy("vec_id")
+    },
+    Some("""WITH RECURSIVE cents AS (
+           |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+           |  ORDER BY vec_id LIMIT 4),
+           |ap AS (SELECT e.vec_id, c.cid, e.embedding AS v, c.cvec
+           |       FROM embeddings e CROSS JOIN cents c),
+           |af AS (SELECT vec_id, cid, CAST(unnest(v) AS DOUBLE) AS x,
+           |              CAST(unnest(cvec) AS DOUBLE) AS y FROM ap),
+           |ad AS (SELECT vec_id, cid, sum(x*y) AS d, sum(x*x) AS nx,
+           |              sum(y*y) AS ny FROM af GROUP BY 1, 2),
+           |sim AS (SELECT vec_id, cid,
+           |              round(d / (sqrt(nx) * sqrt(ny)), 6) AS s FROM ad),
+           |asg AS (SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM sim)
+           |  WHERE rn = 1),
+           |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    ea.embedding AS ea, eb.embedding AS eb
+           |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+           |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+           |cf AS (SELECT id_a, id_b, CAST(unnest(ea) AS DOUBLE) AS x,
+           |              CAST(unnest(eb) AS DOUBLE) AS y FROM cand),
+           |cd AS (SELECT id_a, id_b, sum(x*y) AS d, sum(x*x) AS nx,
+           |              sum(y*y) AS ny FROM cf GROUP BY 1, 2),
+           |jac AS (SELECT id_a, id_b FROM cd
+           |        WHERE round(d / (sqrt(nx) * sqrt(ny)), 6) >= 0.4),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM jac
+           |          UNION SELECT id_b, id_a FROM jac),
+           |reach AS (SELECT src, dst FROM edges
+           |          UNION SELECT r.src, e.dst FROM reach r
+           |          JOIN edges e ON r.dst = e.src),
+           |comp AS (SELECT src AS id, least(src, min(dst)) AS comp
+           |         FROM reach GROUP BY src)
+           |SELECT vec_id FROM embeddings
+           |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id != comp)
+           |ORDER BY vec_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61, x62, x63, x64, x65)
+    x60, x61, x62, x63, x64, x65, x66, x67)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Curate, Decontaminate, Dedup, Repetition, TextStats}
+import graft.ops.{Curate, Decontaminate, Dedup, Ivf, Repetition, Similarity, TextStats}
 
 /** Corpus-curation operators: benchmark decontamination, Gopher-style
   * repetition stats, and end-to-end semantic dedup.
@@ -352,5 +352,55 @@ class CurationSpec extends SparkSpec {
     // ops is asserted in OpsSpec under a cleared cache; a global isEmpty
     // check here would race with concurrently-running suites that share
     // the JVM-wide CacheManager
+  }
+
+  test("semdedup clustered: within-cluster dups collapse, cross-cluster pair is the accepted miss") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),    // seed centroid A
+      (2L, Array(0.0f, 1.0f)),    // seed centroid B
+      (3L, Array(0.9f, 0.1f)),    // cluster A, near-dup of 1
+      (4L, Array(0.0f, 0.95f)),   // cluster B, exact-direction dup of 2
+      (5L, Array(-1.0f, 0.0f)),   // cluster B (cos 0 beats cos -1), no dup
+      (6L, Array(0.71f, 0.70f)),  // cluster A ─┐ mutual cosine ≈ 0.9999 but
+      (7L, Array(0.70f, 0.71f))   // cluster B ─┘ split across clusters → kept
+    ).toDF("vec_id", "embedding")
+    val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 2)
+    val surv = Dedup.dedupCorpusSemanticClustered(emb, "vec_id", "embedding", cents, 0.95)
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    // 3 collapses into 1, 4 into 2; 6/7 survive despite being near-dups —
+    // the cluster-boundary recall trade the SemDeDup paper accepts
+    assert(surv == Seq(1L, 2L, 5L, 6L, 7L), surv.toString)
+  }
+
+  test("semdedup clustered: over-cap cluster degrades to hub star and still collapses") {
+    val emb = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(1.0f, 0.0f)),
+      (12L, Array(2.0f, 0.0f)),
+      (13L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 1)
+    val pairs = Similarity.clusterCosinePairs(emb, "vec_id", "embedding", cents, 0.99,
+      clusterCap = 2L)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    // star vs hub (min id 10) only — linear in the cluster, not quadratic
+    assert(got == Seq((10L, 11L), (10L, 12L), (10L, 13L)), got.toString)
+    val surv = Dedup.dedupCorpusSemanticClustered(emb, "vec_id", "embedding", cents, 0.99,
+        clusterCap = 2L)
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    assert(surv == Seq(10L), s"mass-dup cluster found via the hub, not skipped: $surv")
+  }
+
+  test("semdedup clustered: pair stage is an equi-join on centroid_id, no cartesian") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 2)
+    val plan = Similarity.clusterCosinePairs(emb, "vec_id", "embedding", cents, 0.5)
+      .queryExecution.executedPlan.toString
+    // the only cartesian allowed is assign's broadcast of the centroid
+    // table (BroadcastNestedLoopJoin over k rows); the corpus self-join
+    // must be keyed
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus self-join must be an equi-join on centroid_id:\n$plan")
   }
 }

@@ -348,4 +348,46 @@ class PipelineOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(headOnly == Seq(1L))
   }
+
+  test("url filter: host/domain/tld extraction covers userinfo, port, www, suffix list") {
+    val df = Seq(
+      (1L, "https://user:pw@Docs.Example.COM:8080/read?x=1"),
+      (2L, "https://news.example.co.uk/story"),
+      (3L, "http://www.sub.tracker-network.com/pixel"),
+      (4L, "ftp://mirror.example.net./file"),
+      (5L, "nonsense with no scheme"),
+      (6L, "https://localhost/admin")).toDF("id", "url")
+    val got = Urls.annotate(df, "url").orderBy("id")
+      .select("url_host", "url_domain", "url_tld", "url_valid")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1),
+        r.getString(2), r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      ("docs.example.com", "example.com", "com", true),
+      ("news.example.co.uk", "example.co.uk", "uk", true),
+      ("www.sub.tracker-network.com", "tracker-network.com", "com", true),
+      ("mirror.example.net", "example.net", "net", true),
+      ("", null, "", false),
+      ("localhost", "localhost", "localhost", true)), got.toString)
+  }
+
+  test("url filter: gate blocks domain, tld, and keyword arms; filterBlocked keeps schema") {
+    val df = Seq(
+      (1L, "https://clean.example.org/a"),
+      (2L, "https://x.tracker-network.com/a"),   // blocked registered domain
+      (3L, "https://files.archive.zip/a"),       // blocked tld
+      (4L, "https://www.bestcasino-win.org/a"),  // keyword in www-stripped host
+      (5L, "garbage")).toDF("id", "url")
+    val kept = Urls.gate(df, "url").orderBy("id")
+      .select("url_kept").collect().map(_.getBoolean(0)).toSeq
+    assert(kept == Seq(true, false, false, false, false), kept.toString)
+    val surv = Urls.filterBlocked(df, "url")
+    assert(surv.columns.toSeq == Seq("id", "url"), "annotation columns dropped")
+    assert(surv.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("url filter: the gate stays a shuffle-free scan-side filter") {
+    val df = Seq((1L, "https://a.example.org/x")).toDF("id", "url")
+    val plan = Urls.filterBlocked(df, "url").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }
