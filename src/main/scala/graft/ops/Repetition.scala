@@ -30,7 +30,12 @@ import graft.Canonical.round4
   *     appearing ≥ 2 times, over `length(text)`. Overlapping occurrences
   *     are each counted (the Dolma-style approximation of Gopher's
   *     covered-character definition; exact interval coverage needs a
-  *     per-row merge pass that can't stay declarative).
+  *     per-row merge pass that can't stay declarative) — so the raw
+  *     char MASS can exceed the text length on pathologically repetitive
+  *     input (`a a a a`: three overlapping copies of `a a`), and both
+  *     n-gram fractions are therefore CAPPED at 1.0 to keep the
+  *     fraction contract (gate decisions are unaffected: every
+  *     published threshold is ≪ 1).
   * All fractions are [[round4]]-canonicalized so DuckDB replays them
   * bit-for-bit.
   */
@@ -92,7 +97,8 @@ object Repetition {
       .join(top, Seq("id"), "left")
       .select(col("id").as(idCol), round4(
         when(col("__len").isNull || col("__len") === 0L || col("__top_chars").isNull, lit(0.0))
-          .otherwise(col("__top_chars").cast("double") / col("__len").cast("double")))
+          .otherwise(least(lit(1.0),
+            col("__top_chars").cast("double") / col("__len").cast("double"))))
         .as(s"top_${n}gram_char_frac"))
   }
 
@@ -111,7 +117,8 @@ object Repetition {
       .join(dupChars, Seq("id"), "left")
       .select(col("id").as(idCol), round4(
         when(col("__len").isNull || col("__len") === 0L || col("__dup_chars").isNull, lit(0.0))
-          .otherwise(col("__dup_chars").cast("double") / col("__len").cast("double")))
+          .otherwise(least(lit(1.0),
+            col("__dup_chars").cast("double") / col("__len").cast("double"))))
         .as(s"dup_${n}gram_char_frac"))
   }
 
@@ -171,11 +178,13 @@ object Repetition {
       .select(col(idCol), col("dup_line_frac"), col("dup_line_char_frac"),
         round4(when(col("__len").isNull || col("__len") === 0L || col("__top_chars").isNull,
             lit(0.0))
-          .otherwise(col("__top_chars").cast("double") / col("__len").cast("double")))
+          .otherwise(least(lit(1.0),
+            col("__top_chars").cast("double") / col("__len").cast("double"))))
           .as("top_2gram_char_frac"),
         round4(when(col("__len").isNull || col("__len") === 0L || col("__dup_chars").isNull,
             lit(0.0))
-          .otherwise(col("__dup_chars").cast("double") / col("__len").cast("double")))
+          .otherwise(least(lit(1.0),
+            col("__dup_chars").cast("double") / col("__len").cast("double"))))
           .as("dup_5gram_char_frac"))
       .withColumn("keep",
         col("dup_line_frac") <= maxDupLineFrac &&

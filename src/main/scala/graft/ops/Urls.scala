@@ -158,4 +158,59 @@ object Urls {
     docs.filter(keepPredicate(h, registeredDomain(hostNorm(h)), tld(hostNorm(h)),
       blockedDomains, blockedTlds, blockedSubstrings))
   }
+
+  /** Query parameters the canonical form drops — the tracking junk that
+    * makes one page present as thousands of distinct URLs (the reason
+    * URL-keyed dedup canonicalizes first). Anchored pattern in the
+    * Java-regex ∩ RE2 subset; matched against each `name=value` (or bare
+    * `name`) pair.
+    */
+  val TrackingParamRe: String =
+    "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)(=.*)?$"
+
+  /** Canonical form of a URL, the identity URL-keyed dedup groups on:
+    * fragment dropped; scheme and host lowercased; userinfo, a scheme
+    * default port (`:80` http / `:443` https), and a trailing host dot
+    * stripped; trailing path slashes removed (`/a/` ≡ `/a`, `/` ≡ ``);
+    * tracking parameters ([[TrackingParamRe]]) dropped and the surviving
+    * query pairs SORTED (param order never distinguishes pages). A value
+    * without scheme-authority shape passes through unchanged, so exact
+    * equality still groups malformed records. One codegen'd expression —
+    * extraction regexes plus array arithmetic over the split query — no
+    * shuffle, no UDF.
+    */
+  def canonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    val hostPort = lower(regexp_replace(auth, "^.*@", ""))
+    val noDefPort = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val hostC = regexp_replace(noDefPort, "\\.$", "")
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+      "/+$", "")
+    val q = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val keptParams = array_sort(filter(split(q, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe)))
+    val qc = array_join(keptParams, "&")
+    when(auth === "", url).otherwise(
+      concat(scheme, lit("://"), hostC, path,
+        when(qc === "", lit("")).otherwise(concat(lit("?"), qc))))
+  }
+
+  /** URL-keyed exact dedup — the cut web pipelines run BEFORE content
+    * dedup (recrawls and tracking-param variants of one page are the
+    * cheapest duplicates to kill, no content ever hashes). Keep-first on
+    * the [[canonicalize]]d URL via [[Dedup.exactKeepFirst]], so the plan
+    * is the scale-proven digest aggregate (map-side combine over the
+    * canonical-URL hash) + id-keyed semi-join — never a window keyed by
+    * URL, which would sort every recrawl of a hot page in one task.
+    * Caller's schema is preserved.
+    */
+  def dedupByUrl(docs: DataFrame, urlCol: String, idCol: String): DataFrame =
+    Dedup.exactKeepFirst(
+        docs.withColumn("__curl", canonicalize(col(urlCol))), Seq("__curl"), idCol)
+      .drop("__curl")
 }

@@ -1473,9 +1473,9 @@ object ExtensionProbes {
          |fr AS (
          |  SELECT t.doc_id, ls.dup_line_frac, ls.dup_line_char_frac,
          |    CASE WHEN t.tlen = 0 OR top2.topchars IS NULL THEN 0.0
-         |         ELSE ${r4("top2.topchars * 1.0 / t.tlen")} END AS top_2gram_char_frac,
+         |         ELSE ${r4("least(1.0, top2.topchars * 1.0 / t.tlen)")} END AS top_2gram_char_frac,
          |    CASE WHEN t.tlen = 0 OR dup5.dupchars IS NULL THEN 0.0
-         |         ELSE ${r4("dup5.dupchars * 1.0 / t.tlen")} END AS dup_5gram_char_frac
+         |         ELSE ${r4("least(1.0, dup5.dupchars * 1.0 / t.tlen)")} END AS dup_5gram_char_frac
          |  FROM toks t
          |  JOIN linestats ls USING (doc_id)
          |  LEFT JOIN top2 USING (doc_id)

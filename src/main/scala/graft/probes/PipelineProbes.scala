@@ -844,6 +844,109 @@ object PipelineProbes {
            |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id != comp)
            |ORDER BY vec_id ASC NULLS FIRST""".stripMargin))
 
+  // — HTML-to-text extraction ————————————————————————————————————————————
+  //   The stage BEFORE every content heuristic (C4 extracts body text
+  //   from crawled HTML first). Four template arms wrap the documents
+  //   text in markup covering each chain: script+style+heading, comments
+  //   + double-encoded entities, no markup at all, and list tags with
+  //   &nbsp;. The oracle SQL's extraction expression is EMITTED by
+  //   Html.htmlToTextSql from the same constant chains the Spark column
+  //   folds over, so the two engines cannot drift.
+  private val x68 = Probe(
+    "x68_html_extract",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val fix = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("<html><head><style>p{color:red}</style><script>var a='<p>'" +
+              "</script></head><body><h1>Doc</h1><p>"), col("text"),
+              lit("</p></body></html>")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("<div>"), col("text"),
+              lit("</div><!-- hidden <b>note</b> --><p>x &amp;lt; y &lt;tag&gt;</p>")))
+          .when(pmod(col("doc_id"), lit(4)) === 2, col("text"))
+          .otherwise(concat(lit("<ul><li>"), col("text"),
+            lit("</li><li>extra&nbsp;item &quot;q&#39;</li></ul>")))
+          .as("html"))
+      Html.extractText(fix, "html").select(col("doc_id"), col("text_extracted"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH fix AS (SELECT doc_id,
+            |    CASE doc_id % 4
+            |      WHEN 0 THEN '<html><head><style>p{color:red}</style><script>var a=''<p>''' ||
+            |        '</script></head><body><h1>Doc</h1><p>' || text || '</p></body></html>'
+            |      WHEN 1 THEN '<div>' || text ||
+            |        '</div><!-- hidden <b>note</b> --><p>x &amp;lt; y &lt;tag&gt;</p>'
+            |      WHEN 2 THEN text
+            |      ELSE '<ul><li>' || text ||
+            |        '</li><li>extra&nbsp;item &quot;q&#39;</li></ul>' END AS html
+            |  FROM documents)
+            |SELECT doc_id, ${Html.htmlToTextSql("html")} AS text_extracted
+            |FROM fix ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  // — URL-keyed dedup ————————————————————————————————————————————————————
+  //   The cheapest dedup cut: recrawl/tracking variants of one page
+  //   collapse on the canonical URL before any content hashes. Five
+  //   surface arms per page group (doc_id mod 97 → the page, mod 5 → the
+  //   variant): bare, trailing slash, default port + fragment,
+  //   tracking-only query, userinfo + tracking — arms 0-2 canonicalize
+  //   to the bare form, arms 3-4 to the ?a=1&b=2 form (unsorted +
+  //   tracking-polluted spellings of the same query), so each page
+  //   yields at most two survivors with min-doc_id election. The oracle
+  //   replays every canonicalization step (fragment, userinfo, default
+  //   port, trailing dot/slash, tracking filter + param sort) in CTEs.
+  private val x69 = Probe(
+    "x69_url_dedup",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val g = pmod(col("doc_id"), lit(97))
+      val fix = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("https://shop.example.com/item/"), g))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit("https://shop.example.com/item/"), g, lit("/")))
+          .when(pmod(col("doc_id"), lit(5)) === 2,
+            concat(lit("https://shop.example.com:443/item/"), g, lit("#reviews")))
+          .when(pmod(col("doc_id"), lit(5)) === 3,
+            concat(lit("https://shop.example.com/item/"), g,
+              lit("?b=2&a=1&utm_source=feed")))
+          .otherwise(concat(lit("https://user@shop.example.com/item/"), g,
+            lit("?a=1&ref=tw&b=2")))
+          .as("url"))
+      Urls.dedupByUrl(fix, "url", "doc_id").orderBy("doc_id")
+    },
+    Some(s"""WITH fix AS (SELECT doc_id,
+            |    CASE doc_id % 5
+            |      WHEN 0 THEN 'https://shop.example.com/item/' || (doc_id % 97)
+            |      WHEN 1 THEN 'https://shop.example.com/item/' || (doc_id % 97) || '/'
+            |      WHEN 2 THEN 'https://shop.example.com:443/item/' || (doc_id % 97) || '#reviews'
+            |      WHEN 3 THEN 'https://shop.example.com/item/' || (doc_id % 97) || '?b=2&a=1&utm_source=feed'
+            |      ELSE 'https://user@shop.example.com/item/' || (doc_id % 97) || '?a=1&ref=tw&b=2'
+            |    END AS url FROM documents),
+            |nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nofrag FROM fix),
+            |parts AS (SELECT doc_id, url,
+            |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            |    regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS auth,
+            |    regexp_replace(regexp_extract(nofrag,
+            |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') AS path,
+            |    regexp_extract(nofrag, '\\?([^#]*)', 1) AS q
+            |  FROM nf),
+            |hp AS (SELECT *, lower(regexp_replace(auth, '^.*@', '')) AS hostport FROM parts),
+            |hc AS (SELECT *, regexp_replace(
+            |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+            |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+            |         ELSE hostport END, '\\.$$', '') AS hostc FROM hp),
+            |qq AS (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+            |    string_split(q, '&'), p -> p <> '' AND NOT regexp_matches(p,
+            |      '${Urls.TrackingParamRe}'))), '&'), '') AS qc FROM hc),
+            |canon AS (SELECT doc_id, url,
+            |    CASE WHEN auth = '' THEN url ELSE scheme || '://' || hostc || path ||
+            |      CASE WHEN qc = '' THEN '' ELSE '?' || qc END END AS curl FROM qq),
+            |keep AS (SELECT curl, min(doc_id) AS kid FROM canon GROUP BY curl)
+            |SELECT c.doc_id, c.url FROM canon c
+            |JOIN keep k ON c.doc_id = k.kid AND c.curl = k.curl
+            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61, x62, x63, x64, x65, x66, x67)
+    x60, x61, x62, x63, x64, x65, x66, x67, x68, x69)
 }

@@ -216,6 +216,21 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq(false, true))
   }
 
+  test("overlap-heavy repeats: n-gram char fractions cap at 1.0 (EngineProps regression)") {
+    // the scalacheck-falsified input: overlapping dup 5-grams double-count
+    // (raw mass 112 chars over a 63-char text) — the declarative
+    // approximation's documented limit, capped to keep the [0,1] contract
+    val df = Seq(
+      (0L, "alpha beta gamma alpha alpha alpha beta gamma alpha alpha alpha"))
+      .toDF("id", "text")
+    val r = Repetition.gopherStats(df, "id", "text", lineSep = " ").collect().head
+    assert(r.getAs[Double]("dup_5gram_char_frac") == 1.0, r.toString)
+    assert(r.getAs[Double]("top_2gram_char_frac") == 0.6984, r.toString)
+    val d5 = Repetition.dupNgramCharFrac(df, "id", "text", 5)
+      .collect().head.getAs[Double]("dup_5gram_char_frac")
+    assert(d5 == 1.0, s"per-width form caps identically: $d5")
+  }
+
   test("token-budget mixture: greedy prefix fills to within one doc, deterministic") {
     import graft.ops.{Sampling, TextStats}
     val docs = (1L to 20L).map(i => (i, (1 to 10).map(j => s"t${i}_$j").mkString(" ")))

@@ -390,4 +390,75 @@ class PipelineOpsSpec extends SparkSpec {
     val plan = Urls.filterBlocked(df, "url").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("html extract: tags, script/style, entities, whitespace — hand-traced") {
+    val df = Seq(
+      (1L, "<html><head><style>p{color:red}</style><script>var x='<p>'</script>" +
+        "</head><body><!-- note: <b>hidden</b> --><h1>Title</h1>" +
+        "<p>One &amp; two &lt;three&gt;</p>\n\n\n<div>  spaced   out </div>" +
+        "<span>tail</span></body></html>"),
+      (2L, "plain text, no markup"),
+      (3L, "double &amp;lt; encodes once"),
+      (4L, "<p>a</p><p></p><p></p><p>b</p>")).toDF("id", "html")
+    val got = Html.extractText(df, "html").orderBy("id")
+      .select("text_extracted").collect().map(_.getString(0)).toSeq
+    // adjacent block elements separate with one blank line (the \n{3,}
+    // cap), inline <span> butts against the preceding newline
+    assert(got(0) == "Title\n\nOne & two <three>\n\nspaced out\ntail", got(0))
+    assert(got(1) == "plain text, no markup")
+    assert(got(2) == "double &lt; encodes once", got(2))
+    // blank-run cap: consecutive empty blocks collapse to one empty line
+    assert(got(3) == "a\n\nb", got(3).replace("\n", "\\n"))
+  }
+
+  test("html extract: unclosed script keeps body (documented), null in null out") {
+    val df = Seq((1L, "<script>trunc"), (2L, null: String)).toDF("id", "html")
+    val got = Html.extractText(df, "html").orderBy("id")
+      .select("text_extracted").collect().map(r => Option(r.getString(0))).toSeq
+    assert(got == Seq(Some("trunc"), None), got.toString)
+  }
+
+  test("html extract: one shuffle-free projection") {
+    val df = Seq((1L, "<p>x</p>")).toDF("id", "html")
+    val plan = Html.extractText(df, "html").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("url canonicalize: fragment, userinfo, default ports, dot, slash, tracking, sort") {
+    val df = Seq(
+      (1L, "HTTPS://user@News.Example.com.:443/a/b/?utm_source=x&z=1&a=2#frag"),
+      (2L, "http://example.com:80/"),
+      (3L, "http://example.com:8080/x"),
+      (4L, "https://example.com/p?b=2&a=1"),
+      (5L, "https://example.com/p?a=1&b=2&gclid=abc"),
+      (6L, "not a url")).toDF("id", "url")
+    val got = df.select(Urls.canonicalize(col("url"))).collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "https://news.example.com/a/b?a=2&z=1",
+      "http://example.com",
+      "http://example.com:8080/x",   // non-default port kept
+      "https://example.com/p?a=1&b=2",
+      "https://example.com/p?a=1&b=2",
+      "not a url"), got.toString)
+  }
+
+  test("url dedup: canonical variants collapse to min id, schema preserved") {
+    val df = Seq(
+      (10L, "https://example.com/p?b=2&a=1", "v10"),
+      (11L, "https://example.com/p/?a=1&b=2&utm_medium=m", "v11"),
+      (12L, "https://EXAMPLE.com:443/p?a=1&b=2#top", "v12"),
+      (13L, "https://example.com/q", "v13")).toDF("id", "url", "payload")
+    val surv = Urls.dedupByUrl(df, "url", "id")
+    assert(surv.columns.toSeq == Seq("id", "url", "payload"))
+    assert(surv.select("id").as[Long].collect().toSeq.sorted == Seq(10L, 13L))
+  }
+
+  test("html extract sql emitter: chains round-trip through the literal escaper") {
+    val sql = Html.htmlToTextSql("t")
+    // every chain entry appears exactly once; newline replacements ride as chr(10)
+    assert(sql.contains("chr(10)"))
+    assert(sql.contains("<[^>]+>") && sql.contains("&amp;") && sql.contains("{3,}"))
+    assert((Html.TagChain ++ Html.EntityChain ++ Html.SpaceChain).sizeIs ==
+      "regexp_replace".r.findAllIn(sql).size)
+  }
 }
