@@ -60,7 +60,28 @@ case class PositionalFingerprint(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(c: Expression): PositionalFingerprint = copy(c)
+
   override def prettyName: String = "positional_fingerprint"
+}
+
+object PositionalFingerprint {
+  /** Driver-side replica of the kernel loop — for hashing CONSTANTS
+    * (e.g. a pinned classifier vocabulary) into the same bucket space
+    * executor-side expressions use. Keep in lockstep with
+    * `nullSafeEval`/`doGenCode` above.
+    */
+  def of(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    var pos = 1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc += cp.toLong * ((pos % 64) + 1)
+      i += Character.charCount(cp)
+      pos += 1
+    }
+    acc
+  }
 }
 
 /** Unicode NFC normalization (java.text.Normalizer, Form.NFC) — the

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed-feature linear quality classifier — the fastText inference
+  * shape (Joulin et al. '16) that CCNet-descended pipelines run as their
+  * learned quality filter: word unigram + bigram features, hashed into a
+  * fixed bucket space, a linear weight per bucket, classify on the mean
+  * weight. This is the INFERENCE path (a pinned model ships with the
+  * job); [[Dsir]] is the companion that ESTIMATES a table from data.
+  * Completes the quality family: heuristic ([[TextStats.qualityScore]])
+  * → LM fluency ([[TextStats.lmAnnotate]]) → importance ([[Dsir]]) →
+  * learned linear (this).
+  *
+  * Engine-portable determinism (the [[TextStats.lmAnnotate]]/[[Dsir]]
+  * discipline): weights are INTEGER centi-logits, a document's score is
+  * an exact order-free integer sum over its features, and the gate never
+  * computes a sigmoid — σ is monotone, so `σ(mean) ≥ σ(t)` is decided as
+  * the all-integer cross-multiplication `Σw ≥ t·n` (zero FP anywhere in
+  * the decision; the reported `clf_score` mean pays exactly one IEEE
+  * division, [[graft.Canonical.round4]]-canonicalized).
+  *
+  * Hashing-trick fine print: vocabulary entries landing in the same
+  * bucket SUM their weights, and any corpus feature colliding into a
+  * vocabulary bucket picks up that bucket's weight — faithful to how a
+  * real hashed model behaves, surfaced by [[weightTable]] being the
+  * collision-summed map rather than a term dictionary.
+  *
+  * 100-TB shape: the model is a driver CONSTANT (≤ [[Buckets]] entries)
+  * riding into the plan as a `typedlit` map literal, so scoring is a
+  * SHUFFLE-FREE codegen'd projection — each feature costs one
+  * fingerprint + one map probe, nothing corpus-scale moves, and the
+  * gate collapses to a scan-side filter.
+  */
+object Classify {
+
+  /** Hashed bucket space. 4096 keeps the demo vocabulary collision-free
+    * in practice while exercising real modular hashing; a production
+    * fastText table (millions of buckets) rides the same way.
+    */
+  val Buckets = 4096
+
+  /** Pinned demo model: centi-logit weights for natural-prose indicators
+    * (positive) and boilerplate/spam indicators (negative), unigrams and
+    * bigrams. A real exported model substitutes its own (term, weight)
+    * rows; everything downstream is term-agnostic.
+    */
+  val DefaultVocab: Seq[(String, Long)] = Seq(
+    // prose indicators
+    "the" -> 15L, "and" -> 12L, "because" -> 30L, "however" -> 35L,
+    "therefore" -> 35L, "which" -> 20L, "would" -> 18L, "about" -> 15L,
+    "of the" -> 25L, "in the" -> 22L, "it is" -> 20L, "there are" -> 25L,
+    "such as" -> 30L, "as well" -> 25L,
+    // boilerplate / spam indicators
+    "click" -> -60L, "subscribe" -> -45L, "cookie" -> -40L,
+    "javascript" -> -70L, "login" -> -35L, "password" -> -40L,
+    "click here" -> -90L, "buy now" -> -90L, "free shipping" -> -70L,
+    "sign up" -> -55L, "casino" -> -120L, "winner" -> -50L,
+    "lorem" -> -100L, "ipsum" -> -100L,
+    "rights reserved" -> -45L, "terms of" -> -35L, "privacy policy" -> -40L)
+
+  /** Portable bucket of one feature string:
+    * `fingerprint(f) mod Buckets` — the same positional fingerprint
+    * every other sketch op hashes with, so the oracle recomputes bucket
+    * ids independently.
+    */
+  def bucketOf(f: Column): Column =
+    pmod(graft.functions.TextFunctions.fingerprint(f), lit(Buckets.toLong))
+
+  /** The collision-summed bucket→centi-weight map a vocabulary compiles
+    * to (driver-side, bounded by the vocabulary size).
+    */
+  def weightTable(vocab: Seq[(String, Long)] = DefaultVocab): Map[Long, Long] =
+    vocab.groupBy { case (term, _) =>
+      Math.floorMod(graft.functions.PositionalFingerprint.of(term), Buckets.toLong)
+    }.map { case (b, entries) => b -> entries.map(_._2).sum }
+
+  /** Unigram + bigram feature array (with multiplicity, fastText-style)
+    * over [[TextStats.lmTokens]]' lowercased alphanumeric runs.
+    */
+  def features(text: Column): Column = {
+    val toks = TextStats.lmTokens(text)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(toks, bigrams)
+  }
+
+  /** Annotate each document with
+    *   - `clf_n_feats` — feature count (unigrams + bigrams, long);
+    *   - `clf_centi`   — exact integer sum of hashed-bucket centi-logit
+    *     weights (0 for feature-free documents);
+    *   - `clf_score`   — the mean logit `clf_centi / (100·clf_n_feats)`,
+    *     [[graft.Canonical.round4]]ed (0.0 when feature-free) — the
+    *     number a sigmoid would be applied to, reported raw so the
+    *     oracle never touches `exp`.
+    */
+  def annotate(docs: DataFrame, textCol: String = "text",
+      vocab: Seq[(String, Long)] = DefaultVocab): DataFrame = {
+    val lut = typedlit(weightTable(vocab))
+    val fs = features(col(textCol))
+    val centi = aggregate(
+      transform(fs, f => coalesce(element_at(lut, bucketOf(f)), lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    docs
+      .withColumn("clf_n_feats", size(fs).cast("long"))
+      .withColumn("clf_centi", centi)
+      .withColumn("clf_score", graft.Canonical.round4(
+        when(col("clf_n_feats") === 0L, lit(0.0))
+          .otherwise(col("clf_centi").cast("double") /
+            (col("clf_n_feats").cast("double") * lit(100.0)))))
+  }
+
+  /** The keep verdict at mean-centi-logit threshold `minMeanCenti`
+    * (default 0 = sigmoid 0.5): `clf_centi ≥ minMeanCenti · clf_n_feats`
+    * — all-integer, no sigmoid, exactly σ(mean) ≥ σ(threshold) by
+    * monotonicity. Feature-free documents fail (nothing to classify on,
+    * the conservative call for a quality gate).
+    */
+  def keepPredicate(minMeanCenti: Long = 0L): Column =
+    col("clf_n_feats") > 0L &&
+      col("clf_centi") >= lit(minMeanCenti) * col("clf_n_feats")
+
+  /** [[annotate]] + `clf_keep` (audit form). */
+  def gate(docs: DataFrame, textCol: String = "text",
+      vocab: Seq[(String, Long)] = DefaultVocab,
+      minMeanCenti: Long = 0L): DataFrame =
+    annotate(docs, textCol, vocab).withColumn("clf_keep", keepPredicate(minMeanCenti))
+
+  /** The classifier's survivors with the caller's schema (cutting form). */
+  def filterLowQuality(docs: DataFrame, textCol: String = "text",
+      vocab: Seq[(String, Long)] = DefaultVocab,
+      minMeanCenti: Long = 0L): DataFrame = {
+    val cols = docs.columns.toSeq
+    gate(docs, textCol, vocab, minMeanCenti)
+      .filter(col("clf_keep"))
+      .select(cols.map(col): _*)
+  }
+}

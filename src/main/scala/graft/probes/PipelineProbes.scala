@@ -947,6 +947,52 @@ object PipelineProbes {
             |JOIN keep k ON c.doc_id = k.kid AND c.curl = k.curl
             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — hashed linear quality classifier —————————————————————————————————————
+  //   fastText-inference shape: pinned (term, centi-weight) vocabulary →
+  //   collision-summed bucket table → per-document integer weight sum
+  //   over unigram+bigram features → sigmoid-free logit-threshold gate.
+  //   The oracle rebuilds the bucket table FROM THE SAME interpolated
+  //   vocabulary rows (fingerprint-mod hashing replayed in SQL), builds
+  //   the same feature list, and replays sum, mean, and gate — so model
+  //   compilation AND inference arithmetic are both cross-checked.
+  private val x70 = Probe(
+    "x70_quality_classifier",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      Classify.gate(docs, "text")
+        .select(col("doc_id"), col("clf_n_feats"), col("clf_centi"),
+          col("clf_score"), col("clf_keep"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val vocabRows = Classify.DefaultVocab
+        .map { case (t, w) => s"('${t}', ${w})" }.mkString(", ")
+      val b = Classify.Buckets
+      def fpb(ref: String): String =
+        s"(${graft.ops.TextStats.fingerprintSql(ref)} % $b + $b) % $b"
+      s"""WITH vocab(term, w) AS (VALUES $vocabRows),
+         |lut AS (SELECT ${fpb("term")} AS bucket, sum(w) AS w FROM vocab GROUP BY 1),
+         |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+         |  FROM documents),
+         |withf AS (SELECT doc_id,
+         |    list_concat(tk, CASE WHEN len(tk) >= 2
+         |      THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+         |      ELSE [] END) AS fs FROM toks),
+         |feats AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS nf,
+         |    unnest(CASE WHEN len(fs) = 0 THEN [NULL] ELSE fs END) AS f FROM withf),
+         |sc AS (SELECT doc_id, any_value(nf) AS clf_n_feats,
+         |    CAST(sum(CASE WHEN f IS NULL THEN 0 ELSE coalesce(l.w, 0) END) AS BIGINT)
+         |      AS clf_centi
+         |  FROM feats LEFT JOIN lut l ON l.bucket = ${fpb("f")}
+         |  GROUP BY doc_id)
+         |SELECT doc_id, clf_n_feats, clf_centi,
+         |  CASE WHEN clf_n_feats = 0 THEN 0.0
+         |       ELSE ${graft.Canonical.round4Sql("clf_centi * 1.0 / (clf_n_feats * 100.0)")}
+         |  END AS clf_score,
+         |  clf_n_feats > 0 AND clf_centi >= 0 AS clf_keep
+         |FROM sc ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+    })
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61, x62, x63, x64, x65, x66, x67, x68, x69)
+    x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70)
 }

@@ -453,6 +453,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(surv.select("id").as[Long].collect().toSeq.sorted == Seq(10L, 13L))
   }
 
+  test("quality classifier: spam scores negative and drops, prose keeps; exact replica sum") {
+    val df = Seq(
+      (1L, "click here to buy now free shipping winner"),
+      (2L, "the study shows that the results matter because it is clear however " +
+        "there are limits which we discuss"),
+      (3L, "")).toDF("id", "text")
+    val got = Classify.gate(df, "text").orderBy("id")
+      .select("clf_n_feats", "clf_centi", "clf_keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // expected centi via the driver-side fingerprint replica — guards the
+    // executor expression against hash/bucket drift
+    val table = Classify.weightTable()
+    def expected(text: String): (Long, Long) = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+      val fs = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      (fs.size.toLong, fs.map(f => table.getOrElse(
+        Math.floorMod(graft.functions.PositionalFingerprint.of(f), Classify.Buckets.toLong),
+        0L)).sum)
+    }
+    val (n1, c1) = expected("click here to buy now free shipping winner")
+    val (n2, c2) = expected("the study shows that the results matter because it is clear " +
+      "however there are limits which we discuss")
+    assert(got(0) == ((n1, c1, false)) && c1 < 0L, s"${got(0)} vs ($n1,$c1)")
+    assert(got(1) == ((n2, c2, true)) && c2 > 0L, s"${got(1)} vs ($n2,$c2)")
+    assert(got(2) == ((0L, 0L, false)), "feature-free docs fail the gate")
+  }
+
+  test("quality classifier: collision-summed table, threshold is integer cross-multiply") {
+    // duplicate vocabulary terms land in one bucket and SUM
+    val t = Classify.weightTable(Seq("aa" -> 10L, "aa" -> 5L, "bb" -> -3L))
+    assert(t(Math.floorMod(graft.functions.PositionalFingerprint.of("aa"),
+      Classify.Buckets.toLong)) == 15L)
+    // default vocab is collision-free at 4096 buckets (documented demo property)
+    assert(Classify.weightTable().size == Classify.DefaultVocab.size)
+    // gate at minMeanCenti=5: mean 4.9 fails, 5.0 passes — no FP anywhere
+    val df = Seq((1L, 10L, 49L), (2L, 10L, 50L))
+      .toDF("id", "clf_n_feats", "clf_centi")
+    val kept = df.filter(Classify.keepPredicate(minMeanCenti = 5L))
+      .select("id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+
+  test("quality classifier: scoring is a shuffle-free projection") {
+    val df = Seq((1L, "some text")).toDF("id", "text")
+    val plan = Classify.filterLowQuality(df, "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("html extract sql emitter: chains round-trip through the literal escaper") {
     val sql = Html.htmlToTextSql("t")
     // every chain entry appears exactly once; newline replacements ride as chr(10)
