@@ -16,4 +16,19 @@ object Canonical {
 
   /** DuckDB twin of [[round4]]. */
   def round4Sql(expr: String): String = s"floor(($expr) * 10000 + 0.5) / 10000"
+
+  /** Let-binding for expressions consumed inside higher-order-function
+    * lambdas: evaluate `e` ONCE per row and hand the body a lambda
+    * VARIABLE instead of the expression tree. HOFs are interpreted
+    * (CodegenFallback) with no cross-invocation subexpression
+    * elimination, so a lambda like `i => slice(toks, i, n)` whose `toks`
+    * is a `split`/`regexp` tree re-runs that tree for EVERY element —
+    * O(len²) work per row (the 32× scale pilot caught the classifier
+    * paying 40 s over 5 000 docs this way). `bindOnce(toks)(tk => …)`
+    * makes every access a variable lookup. Implementation: a
+    * single-element `transform` whose argument is evaluated once and
+    * whose element IS the binding.
+    */
+  def bindOnce(e: Column)(body: Column => Column): Column =
+    element_at(transform(array(e), body), 1)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Decontaminate, Dedup, Packing, Repetition, Sampling, Scd, Sessionize, Similarity, Snapshot, TextStats}
+import graft.ops.{Classify, Decontaminate, Dedup, Html, Ivf, Packing, Repetition, Sampling, Scd, Sessionize, Similarity, Snapshot, TextStats, Urls}
 import graft.sources.Readers
 
 /** Empirical scaling pilot: run the heavy operator families at 1× and N×
@@ -121,6 +121,7 @@ object ScalePilot {
       else if (family == "etl") Set("lineitem", "orders", "customer", "nation", "region", "events")
       else if (family == "curation") Set("documents", "embeddings")
       else if (family == "ingest" || family == "stream") Set("documents")
+      else if (family == "web") Set("documents", "embeddings")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -415,12 +416,77 @@ object ScalePilot {
         }))
     }
 
+    // round-8 web-curation family: the pre-content cuts (URL gate, HTML
+    // extraction, hashed linear classifier — shuffle-free projections
+    // whose pilot claim is LINEAR wall growth with zero shuffle) plus the
+    // two new dedups: URL-keyed keep-first over per-copy-stable variant
+    // groups (group = doc_id/5, so group size stays ~5 at every scale),
+    // and SemDeDup with k grown ~√N — the paper's deployment discipline;
+    // a FIXED k would grow within-cluster pair work quadratically with
+    // the corpus. The k computation (a parquet metadata count) runs at
+    // list-build time, outside every per-query clock.
+    def webQueries(dir: String): Seq[(String, () => DataFrame)] = {
+      val embN = tbl(dir, "embeddings").count()
+      val k = math.max(4, math.ceil(math.sqrt(embN.toDouble)).toInt)
+      def urlFix(docs: DataFrame) = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("https://ads.tracker-network.com/banner?id="), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(7)) === 1,
+            concat(lit("https://news.example.co.uk/story/"), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(7)) === 2,
+            concat(lit("http://www.BestCasino-win.org/"), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(7)) === 3,
+            concat(lit("https://user:pw@docs.example.com:8080/read/"), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(7)) === 4,
+            concat(lit("not a url at all "), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(7)) === 5,
+            concat(lit("https://files.download-hub.zip/get/"), col("doc_id")))
+          .otherwise(concat(lit("ftp://mirror.example.net./file/"), col("doc_id")))
+          .as("url"))
+      Seq(
+        "url_gate" -> (() => Urls.filterBlocked(urlFix(tbl(dir, "documents")), "url")),
+        "html_extract" -> (() => {
+          val docs = tbl(dir, "documents")
+          val fix = docs.select(col("doc_id"),
+            concat(lit("<html><head><style>p{c}</style><script>var a=1</script>" +
+              "</head><body><h1>T</h1><p>"), col("text"),
+              lit("</p><!-- c --></body></html>")).as("html"))
+          Html.extractText(fix, "html")
+        }),
+        "quality_classifier" -> (() =>
+          Classify.filterLowQuality(tbl(dir, "documents"), "text")),
+        "url_dedup" -> (() => {
+          val docs = tbl(dir, "documents")
+          val g = floor(col("doc_id") / 5)
+          val fix = docs.select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+                concat(lit("https://shop.example.com/item/"), g))
+              .when(pmod(col("doc_id"), lit(5)) === 1,
+                concat(lit("https://shop.example.com/item/"), g, lit("/")))
+              .when(pmod(col("doc_id"), lit(5)) === 2,
+                concat(lit("https://shop.example.com:443/item/"), g, lit("#reviews")))
+              .when(pmod(col("doc_id"), lit(5)) === 3,
+                concat(lit("https://shop.example.com/item/"), g,
+                  lit("?b=2&a=1&utm_source=feed")))
+              .otherwise(concat(lit("https://user@shop.example.com/item/"), g,
+                lit("?a=1&ref=tw&b=2")))
+              .as("url"))
+          Urls.dedupByUrl(fix, "url", "doc_id")
+        }),
+        "semdedup_cluster" -> (() => {
+          val emb = tbl(dir, "embeddings")
+          val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", k)
+          Dedup.dedupCorpusSemanticClustered(emb, "vec_id", "embedding", cents, 0.4)
+        }))
+    }
+
     def queries(dir: String): Seq[(String, () => DataFrame)] =
       if (family == "dedup") dedupQueries(dir)
       else if (family == "pipeline") pipelineQueries(dir)
       else if (family == "etl") etlQueries(dir)
       else if (family == "curation") curationQueries(dir)
       else if (family == "ingest") ingestQueries(dir)
+      else if (family == "web") webQueries(dir)
       else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>

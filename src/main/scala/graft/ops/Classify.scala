@@ -77,16 +77,21 @@ object Classify {
     }.map { case (b, entries) => b -> entries.map(_._2).sum }
 
   /** Unigram + bigram feature array (with multiplicity, fastText-style)
-    * over [[TextStats.lmTokens]]' lowercased alphanumeric runs.
+    * from a prebuilt token array, let-bound ([[graft.Canonical.bindOnce]])
+    * so the bigram lambda reads a VARIABLE: higher-order functions are
+    * interpreted (CodegenFallback), and an expression tree captured
+    * inside the lambda re-runs per ELEMENT — tokenization inlined here
+    * made scoring O(tokens²) regex work per document (caught by the 32×
+    * scale pilot: 40 s for 5 000 docs).
     */
-  def features(text: Column): Column = {
-    val toks = TextStats.lmTokens(text)
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    concat(toks, bigrams)
-  }
+  def featuresFromToks(toksE: Column): Column =
+    graft.Canonical.bindOnce(toksE) { toks =>
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      concat(toks, bigrams)
+    }
 
   /** Annotate each document with
     *   - `clf_n_feats` — feature count (unigrams + bigrams, long);
@@ -100,17 +105,18 @@ object Classify {
   def annotate(docs: DataFrame, textCol: String = "text",
       vocab: Seq[(String, Long)] = DefaultVocab): DataFrame = {
     val lut = typedlit(weightTable(vocab))
-    val fs = features(col(textCol))
-    val centi = aggregate(
-      transform(fs, f => coalesce(element_at(lut, bucketOf(f)), lit(0L))),
-      lit(0L), (acc, x) => acc + x)
     docs
-      .withColumn("clf_n_feats", size(fs).cast("long"))
-      .withColumn("clf_centi", centi)
+      .withColumn("__clf_toks", TextStats.lmTokens(col(textCol)))
+      .withColumn("__clf_fs", featuresFromToks(col("__clf_toks")))
+      .withColumn("clf_n_feats", size(col("__clf_fs")).cast("long"))
+      .withColumn("clf_centi", aggregate(
+        transform(col("__clf_fs"), f => coalesce(element_at(lut, bucketOf(f)), lit(0L))),
+        lit(0L), (acc, x) => acc + x))
       .withColumn("clf_score", graft.Canonical.round4(
         when(col("clf_n_feats") === 0L, lit(0.0))
           .otherwise(col("clf_centi").cast("double") /
             (col("clf_n_feats").cast("double") * lit(100.0)))))
+      .drop("__clf_toks", "__clf_fs")
   }
 
   /** The keep verdict at mean-centi-logit threshold `minMeanCenti`

@@ -289,14 +289,17 @@ object Dedup {
   /** Word n-gram shingles of a text column (distinct per doc). Empty/short
     * docs yield an empty set.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = filter(split(text, "\\s+"), t => t =!= lit(""))
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array().cast("array<string>")))
-  }
+  def shingles(text: Column, n: Int): Column =
+    // bindOnce: the slice lambda must see a VARIABLE, not the
+    // filter(split(…)) tree — interpreted HOFs would re-tokenize the
+    // whole text per shingle position (O(len²) per row)
+    graft.Canonical.bindOnce(filter(split(text, "\\s+"), t => t =!= lit(""))) { toks =>
+      array_distinct(
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))
+          .otherwise(array().cast("array<string>")))
+    }
 
   /** Exploded (id, shingle) table — build it ONCE (persist + eager count)
     * when several stages consume the same shingle set (signatures +

@@ -276,7 +276,11 @@ object Multimodal {
     media.select(
       col("media_id"), col("kind"),
       length(col("bytes")).cast("long").as("byte_len"),
-      aggregate(sequence(lit(1), length(col("bytes"))), lit(0L),
-        (acc, i) => acc + ascii(decode(col("bytes"), "UTF-8").substr(i, lit(1))).cast("long") * (((i - 1) % 64) + 1).cast("long")
-      ).as("checksum"))
+      // bindOnce: the decoded string referenced inside the fold lambda
+      // would re-decode the whole payload per POSITION (O(bytes²) per
+      // row) in the interpreted HOF path
+      graft.Canonical.bindOnce(decode(col("bytes"), "UTF-8")) { s =>
+        aggregate(sequence(lit(1), length(s)), lit(0L),
+          (acc, i) => acc + ascii(s.substr(i, lit(1))).cast("long") * (((i - 1) % 64) + 1).cast("long"))
+      }.as("checksum"))
 }

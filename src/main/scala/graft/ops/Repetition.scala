@@ -49,13 +49,18 @@ object Repetition {
     ngramsFromToks(filter(split(text, "\\s+"), t => t =!= lit("")), n)
 
   /** [[ngrams]] from a prebuilt token array — lets a caller that needs
-    * several gram widths tokenize ONCE and share the array.
+    * several gram widths tokenize ONCE and share the array. The array is
+    * let-bound ([[graft.Canonical.bindOnce]]) so the slice lambda reads a
+    * variable — an expression-tree `toks` would re-evaluate per n-gram
+    * position in the interpreted HOF (O(len²) per row).
     */
-  private def ngramsFromToks(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+  private def ngramsFromToks(toksE: Column, n: Int): Column =
+    graft.Canonical.bindOnce(toksE) { toks =>
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Append `dup_line_frac` and `dup_line_char_frac` computed over the
     * `sep`-separated segments of `textCol` (default newline; pass `" "`

@@ -124,12 +124,16 @@ object Similarity {
     * formula (not `round`) is deliberate: it is reproducible bit-for-bit
     * across engines (see [[graft.Canonical]]).
     */
-  def quantizeInt8(vec: Column): Column = {
-    val qmax = greatest(array_max(transform(vec, x => abs(x.cast("double")))), lit(1e-30))
-    struct(
-      transform(vec, x => floor(x.cast("double") * 127.0 / qmax + 0.5).cast("tinyint")).as("q"),
-      (qmax / 127.0).as("s"))
-  }
+  def quantizeInt8(vec: Column): Column =
+    // bindOnce: qmax referenced inside the per-element lambda would
+    // re-run its array_max for EVERY coordinate (O(dim²) per row) in the
+    // interpreted HOF path
+    graft.Canonical.bindOnce(
+        greatest(array_max(transform(vec, x => abs(x.cast("double")))), lit(1e-30))) { qmax =>
+      struct(
+        transform(vec, x => floor(x.cast("double") * 127.0 / qmax + 0.5).cast("tinyint")).as("q"),
+        (qmax / 127.0).as("s"))
+    }
 
   /** Quantized-candidate top-k with exact rerank — the shuffle-byte
     * reduction path for 100-TB ANN. Candidate scoring runs over the int8

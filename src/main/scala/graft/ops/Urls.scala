@@ -187,7 +187,10 @@ object Urls {
     val noDefPort = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
-    val hostC = regexp_replace(noDefPort, "\\.$", "")
+    // ALL trailing dots (not just the FQDN-root one): a host like
+    // "example.com.." must reach its fixed point in one pass so
+    // canonicalize is idempotent (property-tested)
+    val hostC = regexp_replace(noDefPort, "\\.+$", "")
     val path = regexp_replace(
       regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
       "/+$", "")

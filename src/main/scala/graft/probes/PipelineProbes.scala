@@ -935,7 +935,7 @@ object PipelineProbes {
             |hc AS (SELECT *, regexp_replace(
             |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
             |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
-            |         ELSE hostport END, '\\.$$', '') AS hostc FROM hp),
+            |         ELSE hostport END, '\\.+$$', '') AS hostc FROM hp),
             |qq AS (SELECT *, coalesce(array_to_string(list_sort(list_filter(
             |    string_split(q, '&'), p -> p <> '' AND NOT regexp_matches(p,
             |      '${Urls.TrackingParamRe}'))), '&'), '') AS qc FROM hc),

@@ -202,4 +202,58 @@ object EngineProps extends Properties("engine") {
       }.toSet
       got == expect
     }
+
+  // url-ish generator: valid scheme://[userinfo@]host[:port][/path][?query][#frag]
+  // shapes interleaved with garbage, dot-heavy hosts, and tracking params
+  private val urlGen: Gen[String] = {
+    val hostG = Gen.oneOf("Example.COM", "news.example.co.uk", "shop.example.com.",
+      "example.com..", "localhost", ".", "a.b.c")
+    val valid = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "ftp")
+      user <- Gen.oneOf("", "u:p@")
+      host <- hostG
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/a/b", "/a/b/", "/x//")
+      q <- Gen.oneOf("", "?b=2&a=1", "?utm_source=x", "?a=1&utm_b=2&ref=t", "?a=?b", "?")
+      frag <- Gen.oneOf("", "#f", "#a#b")
+    } yield s"$scheme://$user$host$port$path$q$frag"
+    Gen.oneOf(valid, Gen.oneOf("", "not a url", "https:///x", "x://", "http:/half"))
+  }
+
+  property("urls.canonicalize is idempotent") =
+    forAll(Gen.listOfN(20, urlGen)) { urls =>
+      val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+      val once = graft.ops.Urls.canonicalize(col("url"))
+      val twice = graft.ops.Urls.canonicalize(once)
+      df.select(once.as("c1"), twice.as("c2"))
+        .filter(not($"c1" <=> $"c2")).count() == 0L
+    }
+
+  property("html extraction never grows the text") =
+    forAll(Gen.listOfN(10, Gen.oneOf(
+      "<p>a</p><p>b</p>", "<script>x</script>tail", "plain",
+      "&amp;lt; &nbsp;&quot;", "a   b\n\n\n\nc", "<div><ul><li>i</li></ul></div>",
+      "<unclosed", "<!-- c --><br/><br/>"))) { htmls =>
+      val df = htmls.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("id", "html")
+      graft.ops.Html.extractText(df, "html")
+        .filter(length($"text_extracted") > length($"html")).count() == 0L
+    }
+
+  property("classifier centi sum matches the driver-side fingerprint replica") =
+    forAll(Gen.listOfN(8, Gen.listOfN(12, Gen.oneOf(
+      "the", "click", "buy", "now", "casino", "of", "in", "is", "qx7", "zz",
+      "Lorem", "IPSUM", "rights", "reserved", "0", "!!")).map(_.mkString(" ")))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = graft.ops.Classify.annotate(df, "text").orderBy("id")
+        .select("clf_n_feats", "clf_centi").as[(Long, Long)].collect().toSeq
+      val table = graft.ops.Classify.weightTable()
+      val expect = texts.map { t =>
+        val toks = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+        val fs = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+        (fs.size.toLong, fs.map(f => table.getOrElse(Math.floorMod(
+          graft.functions.PositionalFingerprint.of(f),
+          graft.ops.Classify.Buckets.toLong), 0L)).sum)
+      }
+      got == expect
+    }
 }
