@@ -27,7 +27,8 @@ object AuditBroadcasts {
       "x03_dedup_minhash_lsh", "x02_dedup_ngram_jaccard", "q17_parcel_etl_fact",
       "x29_dedup_corpus", "x44_semantic_dedup", "x47_incremental_semantic",
       "x51_bloom_incremental", "x41_decontaminate", "x28_quality_prune",
-      "x46_token_budget_mixture", "x52_snapshot_diff", "q13_using_chain")
+      "x46_token_budget_mixture", "x52_snapshot_diff", "q13_using_chain",
+      "x67_semdedup_cluster", "x69_url_dedup")
     val fns = SparkEntry.queries
     names.filter(fns.contains).foreach { n =>
       val df = fns(n)(spark, dir)

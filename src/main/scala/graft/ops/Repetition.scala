@@ -197,4 +197,82 @@ object Repetition {
           col("top_2gram_char_frac") <= maxTop2GramCharFrac &&
           col("dup_5gram_char_frac") <= maxDup5GramCharFrac)
   }
+
+  /** The stop words of Gopher's "must contain at least two" rule
+    * (Rae et al. '21 table A1).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The NON-repetition half of Gopher's table-A1 quality filters —
+    * document-shape rules published alongside the repetition gate
+    * ([[gopherStats]]): word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio (`#` and ellipsis), bullet-start and
+    * ellipsis-end line fractions, alphabetic-word fraction, and the
+    * ≥2-distinct-stop-words rule. Appends the stat columns plus
+    * `quality_keep`.
+    *
+    * 100-TB shape: one shuffle-free projection — token and line arrays
+    * live and die inside the row ([[graft.Canonical.bindOnce]]-bound so
+    * every rule reads the SAME evaluated array; the struct stages
+    * through a real column so derived fractions don't re-run the HOFs).
+    * Fractions are [[round4]]-canonicalized; thresholds are the
+    * published defaults.
+    */
+  def gopherQualityStats(docs: DataFrame, idCol: String, textCol: String = "text",
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9, maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8, minStopwordHits: Long = 2L,
+      stopwords: Seq[String] = GopherStopwords): DataFrame = {
+    val text = col(textCol)
+    val tokStats = graft.Canonical.bindOnce(TextStats.tokens(text)) { tk =>
+      struct(
+        size(tk).cast("long").as("n"),
+        aggregate(tk, lit(0L), (a, w) => a + length(w).cast("long")).as("chars"),
+        size(filter(tk, t => t.rlike("[A-Za-z]"))).cast("long").as("alpha"),
+        size(array_intersect(array_distinct(transform(tk, t => lower(t))),
+          array(stopwords.map(lit): _*))).cast("long").as("stops"))
+    }
+    val lineStats = graft.Canonical.bindOnce(
+        filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")) { ln =>
+      struct(
+        size(ln).cast("long").as("n"),
+        size(filter(ln, l =>
+          l.startsWith("•") || l.startsWith("-") || l.startsWith("*")))
+          .cast("long").as("bullet"),
+        size(filter(ln, l => l.endsWith("...") || l.endsWith("…")))
+          .cast("long").as("ellip"))
+    }
+    // '#' chars + non-overlapping "..." runs + '…' chars, counted by
+    // length deltas (replace is non-overlapping left-to-right in both
+    // engines)
+    val symbols =
+      (length(text) - length(replace(text, lit("#"), lit("")))) +
+        (length(text) - length(replace(text, lit("..."), lit("")))) / 3 +
+        (length(text) - length(replace(text, lit("…"), lit(""))))
+    def frac(num: Column, den: Column): Column =
+      round4(when(den > 0L, num.cast("double") / den.cast("double")).otherwise(lit(0.0)))
+    docs
+      .withColumn("__gq_t", tokStats)
+      .withColumn("__gq_l", lineStats)
+      .withColumn("n_words", col("__gq_t.n"))
+      .withColumn("mean_word_len", frac(col("__gq_t.chars"), col("__gq_t.n")))
+      .withColumn("symbol_word_ratio", frac(symbols.cast("long"), col("__gq_t.n")))
+      .withColumn("bullet_line_frac", frac(col("__gq_l.bullet"), col("__gq_l.n")))
+      .withColumn("ellipsis_line_frac", frac(col("__gq_l.ellip"), col("__gq_l.n")))
+      .withColumn("alpha_word_frac", frac(col("__gq_t.alpha"), col("__gq_t.n")))
+      .withColumn("stopword_hits", col("__gq_t.stops"))
+      .withColumn("quality_keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen &&
+          col("symbol_word_ratio") <= maxSymbolWordRatio &&
+          col("bullet_line_frac") <= maxBulletLineFrac &&
+          col("ellipsis_line_frac") <= maxEllipsisLineFrac &&
+          col("alpha_word_frac") >= minAlphaWordFrac &&
+          col("stopword_hits") >= minStopwordHits)
+      .drop("__gq_t", "__gq_l")
+  }
 }

@@ -993,6 +993,95 @@ object PipelineProbes {
          |FROM sc ORDER BY doc_id ASC NULLS FIRST""".stripMargin
     })
 
+  // — Gopher document-shape quality rules ————————————————————————————————
+  //   The non-repetition half of Rae '21 table A1 (word-count and
+  //   mean-word-length bounds, #/ellipsis symbol ratio, bullet-start and
+  //   ellipsis-end line fractions, alpha-word fraction, ≥2 stop words),
+  //   complementing x43's repetition half. Eight fixture arms plant each
+  //   rule's failure mode on top of the natural text; the oracle replays
+  //   every count, fraction, and the conjunction with list arithmetic.
+  private val x71 = Probe(
+    "x71_gopher_quality",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val fix = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(8)) === 0, col("text"))
+          .when(pmod(col("doc_id"), lit(8)) === 1, lit("tiny doc"))
+          .when(pmod(col("doc_id"), lit(8)) === 2,
+            concat(lit("### ## the of "), col("text")))
+          .when(pmod(col("doc_id"), lit(8)) === 3,
+            concat(lit("- one\n- two\n- three\n"), col("text")))
+          .when(pmod(col("doc_id"), lit(8)) === 4,
+            concat(col("text"), lit(" wait...\nmore to come...")))
+          .when(pmod(col("doc_id"), lit(8)) === 5,
+            lit("1 2 3 4 5 6 7 8 9 0 11 22 33 44 55"))
+          .when(pmod(col("doc_id"), lit(8)) === 6,
+            concat(lit("pneumonoultramicroscopic volcanoconiosis "), col("text")))
+          .otherwise(concat(lit("the of and that "), col("text")))
+          .as("text"))
+      Repetition.gopherQualityStats(fix, "doc_id", "text", minWords = 5L)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_word_ratio"), col("bullet_line_frac"),
+          col("ellipsis_line_frac"), col("alpha_word_frac"),
+          col("stopword_hits"), col("quality_keep"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val stops = Repetition.GopherStopwords.map(s0 => s"'$s0'").mkString("[", ",", "]")
+      def r4(e: String) = graft.Canonical.round4Sql(e)
+      s"""WITH fix AS (SELECT doc_id,
+         |    CASE doc_id % 8
+         |      WHEN 0 THEN text
+         |      WHEN 1 THEN 'tiny doc'
+         |      WHEN 2 THEN '### ## the of ' || text
+         |      WHEN 3 THEN '- one' || chr(10) || '- two' || chr(10) || '- three' || chr(10) || text
+         |      WHEN 4 THEN text || ' wait...' || chr(10) || 'more to come...'
+         |      WHEN 5 THEN '1 2 3 4 5 6 7 8 9 0 11 22 33 44 55'
+         |      WHEN 6 THEN 'pneumonoultramicroscopic volcanoconiosis ' || text
+         |      ELSE 'the of and that ' || text END AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, text,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '') AS toks
+         |  FROM fix),
+         |st AS (SELECT doc_id, text,
+         |    CAST(len(toks) AS BIGINT) AS n,
+         |    CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS BIGINT) AS chars,
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha,
+         |    CAST(len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))),
+         |      $stops)) AS BIGINT) AS stops
+         |  FROM tk),
+         |ln AS (SELECT doc_id,
+         |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+         |      l -> l <> '') AS lines
+         |  FROM fix),
+         |ls AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS nl,
+         |    CAST(len(list_filter(lines, l -> starts_with(l, '•')
+         |      OR starts_with(l, '-') OR starts_with(l, '*'))) AS BIGINT) AS bullet,
+         |    CAST(len(list_filter(lines, l -> ends_with(l, '...')
+         |      OR ends_with(l, '…'))) AS BIGINT) AS ellip
+         |  FROM ln),
+         |sym AS (SELECT doc_id,
+         |    CAST((length(text) - length(replace(text, '#', '')))
+         |      + (length(text) - length(replace(text, '...', ''))) / 3
+         |      + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS symbols
+         |  FROM fix),
+         |fr AS (SELECT st.doc_id, st.n AS n_words,
+         |    CASE WHEN st.n > 0 THEN ${r4("st.chars * 1.0 / st.n")} ELSE 0.0 END AS mean_word_len,
+         |    CASE WHEN st.n > 0 THEN ${r4("sym.symbols * 1.0 / st.n")} ELSE 0.0 END AS symbol_word_ratio,
+         |    CASE WHEN ls.nl > 0 THEN ${r4("ls.bullet * 1.0 / ls.nl")} ELSE 0.0 END AS bullet_line_frac,
+         |    CASE WHEN ls.nl > 0 THEN ${r4("ls.ellip * 1.0 / ls.nl")} ELSE 0.0 END AS ellipsis_line_frac,
+         |    CASE WHEN st.n > 0 THEN ${r4("st.alpha * 1.0 / st.n")} ELSE 0.0 END AS alpha_word_frac,
+         |    st.stops AS stopword_hits
+         |  FROM st JOIN ls ON st.doc_id = ls.doc_id JOIN sym ON st.doc_id = sym.doc_id)
+         |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+         |  ellipsis_line_frac, alpha_word_frac, stopword_hits,
+         |  (n_words >= 5 AND n_words <= 100000 AND mean_word_len >= 3.0
+         |   AND mean_word_len <= 10.0 AND symbol_word_ratio <= 0.1
+         |   AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+         |   AND alpha_word_frac >= 0.8 AND stopword_hits >= 2) AS quality_keep
+         |FROM fr ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+    })
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70)
+    x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71)
 }

@@ -231,6 +231,45 @@ class CurationSpec extends SparkSpec {
     assert(d5 == 1.0, s"per-width form caps identically: $d5")
   }
 
+  test("gopher quality rules: each document-shape rule hand-traced") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over dogs"),        // clean → keep
+      (2L, "## # x"),                                     // symbol ratio + alpha fail
+      (3L, "- a\n- b\nthe c"),                            // bullet 2/3 fail
+      (4L, "the end...\nmore text..."),                   // ellipsis-end 2/2 fail
+      (5L, ""),                                           // n_words 0 fail
+      (6L, "zzz qqq www rrr sss")                         // no stopwords fail
+    ).toDF("id", "text")
+    val got = Repetition.gopherQualityStats(df, "id", "text",
+        minWords = 3L, maxWords = 100L, minMeanWordLen = 1.0, maxMeanWordLen = 8.0,
+        maxSymbolWordRatio = 0.2, maxBulletLineFrac = 0.5, maxEllipsisLineFrac = 0.5,
+        minAlphaWordFrac = 0.5, minStopwordHits = 1L)
+      .orderBy("id")
+      .select("n_words", "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "stopword_hits", "quality_keep")
+      .collect()
+    def row(i: Int) = got(i).toSeq
+    // doc 1: 7 words, 29 chars → 4.1429 mean; 'the' = 1 stop hit
+    assert(row(0) == Seq(7L, 4.1429, 0.0, 0.0, 0.0, 1.0, 1L, true), row(0).toString)
+    // doc 2: 3 words, 3 '#' → ratio 1.0; alpha 1/3
+    assert(row(1) == Seq(3L, 1.3333, 1.0, 0.0, 0.0, 0.3333, 0L, false), row(1).toString)
+    // doc 3: bullet lines 2/3
+    assert(row(2)(3) == 0.6667 && row(2)(7) == false, row(2).toString)
+    // doc 4: both lines end with "..."; two "..." runs over 4 words = 0.5 symbols
+    assert(row(3)(4) == 1.0 && row(3)(2) == 0.5 && row(3)(7) == false, row(3).toString)
+    // doc 5: empty → all-zero stats, fails word floor
+    assert(row(4) == Seq(0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0L, false), row(4).toString)
+    // doc 6: clean shape but zero stop words
+    assert(row(5)(6) == 0L && row(5)(7) == false, row(5).toString)
+  }
+
+  test("gopher quality rules: shuffle-free projection") {
+    val df = Seq((1L, "some text")).toDF("id", "text")
+    val plan = Repetition.gopherQualityStats(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("token-budget mixture: greedy prefix fills to within one doc, deterministic") {
     import graft.ops.{Sampling, TextStats}
     val docs = (1L to 20L).map(i => (i, (1 to 10).map(j => s"t${i}_$j").mkString(" ")))
