@@ -137,4 +137,42 @@ object Curate {
           cfg.dedupNgram, cfg.dedupThreshold)
     }
   }
+
+  /** The WEB pre-cleaning pipeline — the metadata+markup stages a
+    * crawled corpus runs BEFORE [[run]]'s content pipeline:
+    *
+    *   1. URL-keyed dedup ([[Urls.dedupByUrl]] — recrawls and
+    *      tracking-param variants die on the canonical URL, no content
+    *      ever hashed);
+    *   2. URL/provenance gate ([[Urls.filterBlocked]]);
+    *   3. HTML-to-text extraction ([[Html.extractText]], markup column
+    *      dropped);
+    *   4. Gopher document-shape rules
+    *      ([[Repetition.gopherQualityStats]] `quality_keep`);
+    *   5. hashed linear quality classifier
+    *      ([[Classify.filterLowQuality]]).
+    *
+    * Provenance cuts run FIRST so the HTML bytes of blocked and
+    * duplicate pages are never parsed — at 100 TB the regex chain is
+    * the expensive stage and stages 1-2 shrink its input for free
+    * (stage 1's digest aggregate is the composition's only shuffle;
+    * 2-5 are scan-side projections/filters). Returns survivors with
+    * `textCol` holding the extracted text and the caller's other
+    * columns intact.
+    */
+  def webPreclean(docs: DataFrame, idCol: String, urlCol: String, htmlCol: String,
+      textCol: String = "text",
+      minWords: Long = 50L,
+      minStopwordHits: Long = 2L,
+      clfMinMeanCenti: Long = 0L): DataFrame = {
+    val urlDeduped = Urls.dedupByUrl(docs, urlCol, idCol)
+    val gated = Urls.filterBlocked(urlDeduped, urlCol)
+    val extracted = Html.extractText(gated, htmlCol, textCol).drop(htmlCol)
+    val cols = extracted.columns.toSeq
+    val shaped = Repetition.gopherQualityStats(extracted, idCol, textCol,
+        minWords = minWords, minStopwordHits = minStopwordHits)
+      .filter(col("quality_keep"))
+      .select(cols.map(col): _*)
+    Classify.filterLowQuality(shaped, textCol, minMeanCenti = clfMinMeanCenti)
+  }
 }

@@ -1082,6 +1082,170 @@ object PipelineProbes {
          |FROM fr ORDER BY doc_id ASC NULLS FIRST""".stripMargin
     })
 
+  // — composed web pre-cleaning pipeline —————————————————————————————————
+  //   Curate.webPreclean end-to-end: URL dedup → URL gate → HTML extract
+  //   → Gopher shape rules → hashed classifier. The fixture wires the
+  //   stages so each one CUTS: 5 URL variant arms per page group (2
+  //   canonical survivors each), every 11th page group on a blocked
+  //   domain (gate kills whole groups AFTER dedup), a markup template
+  //   whose script/comment noise the extractor must strip before the
+  //   shape rules see the text. The oracle is the five stage replays
+  //   CHAINED — survivor interactions (a page dropped at stage 1 never
+  //   reaches stage 4) are exactly what a per-stage oracle can't check.
+  private val x72 = Probe(
+    "x72_web_preclean",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val g = pmod(col("doc_id"), lit(97))
+      val host = when(pmod(g, lit(11)) === 0, lit("sub.tracker-network.com"))
+        .otherwise(lit("shop.example.com"))
+      val fix = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("https://"), host, lit("/item/"), g))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit("https://"), host, lit("/item/"), g, lit("/")))
+          .when(pmod(col("doc_id"), lit(5)) === 2,
+            concat(lit("https://"), host, lit(":443/item/"), g, lit("#reviews")))
+          .when(pmod(col("doc_id"), lit(5)) === 3,
+            concat(lit("https://"), host, lit("/item/"), g,
+              lit("?b=2&a=1&utm_source=feed")))
+          .otherwise(concat(lit("https://user@"), host, lit("/item/"), g,
+            lit("?a=1&ref=tw&b=2")))
+          .as("url"),
+        concat(lit("<html><head><script>var x='<p>'</script></head><body>" +
+            "<h1>Post</h1><p>"), col("text"),
+          lit("</p><!-- footer --></body></html>")).as("html"))
+      Curate.webPreclean(fix, "doc_id", "url", "html",
+          minWords = 5L, minStopwordHits = 1L, clfMinMeanCenti = -100L)
+        .orderBy("doc_id")
+    },
+    Some {
+      val stops = Repetition.GopherStopwords.map(s0 => s"'$s0'").mkString("[", ",", "]")
+      val vocabRows = Classify.DefaultVocab
+        .map { case (t0, w) => s"('${t0}', ${w})" }.mkString(", ")
+      val b = Classify.Buckets
+      def fpb(ref: String): String =
+        s"(${graft.ops.TextStats.fingerprintSql(ref)} % $b + $b) % $b"
+      def r4(e: String) = graft.Canonical.round4Sql(e)
+      s"""WITH fix AS (SELECT doc_id,
+         |    CASE doc_id % 5
+         |      WHEN 0 THEN 'https://' || h || '/item/' || g
+         |      WHEN 1 THEN 'https://' || h || '/item/' || g || '/'
+         |      WHEN 2 THEN 'https://' || h || ':443/item/' || g || '#reviews'
+         |      WHEN 3 THEN 'https://' || h || '/item/' || g || '?b=2&a=1&utm_source=feed'
+         |      ELSE 'https://user@' || h || '/item/' || g || '?a=1&ref=tw&b=2' END AS url,
+         |    '<html><head><script>var x=''<p>''</script></head><body><h1>Post</h1><p>'
+         |      || text || '</p><!-- footer --></body></html>' AS html
+         |  FROM (SELECT doc_id, text, doc_id % 97 AS g,
+         |          CASE WHEN (doc_id % 97) % 11 = 0 THEN 'sub.tracker-network.com'
+         |               ELSE 'shop.example.com' END AS h
+         |        FROM documents)),
+         |nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nofrag FROM fix),
+         |parts AS (SELECT doc_id, url,
+         |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS auth,
+         |    regexp_replace(regexp_extract(nofrag,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$$', '') AS path,
+         |    regexp_extract(nofrag, '\\?([^#]*)', 1) AS q
+         |  FROM nf),
+         |hp AS (SELECT *, lower(regexp_replace(auth, '^.*@', '')) AS hostport FROM parts),
+         |hc AS (SELECT *, regexp_replace(
+         |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+         |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+         |         ELSE hostport END, '\\.+$$', '') AS hostc FROM hp),
+         |qq AS (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+         |    string_split(q, '&'), p -> p <> '' AND NOT regexp_matches(p,
+         |      '${Urls.TrackingParamRe}'))), '&'), '') AS qc FROM hc),
+         |canon AS (SELECT doc_id, url,
+         |    CASE WHEN auth = '' THEN url ELSE scheme || '://' || hostc || path ||
+         |      CASE WHEN qc = '' THEN '' ELSE '?' || qc END END AS curl FROM qq),
+         |dkeep AS (SELECT curl, min(doc_id) AS kid FROM canon GROUP BY curl),
+         |s1 AS (SELECT c.doc_id, c.url, fx.html FROM canon c
+         |  JOIN dkeep k ON c.doc_id = k.kid AND c.curl = k.curl
+         |  JOIN fix fx ON fx.doc_id = c.doc_id),
+         |gh AS (SELECT doc_id, url, html,
+         |    lower(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+         |      '^.*@', ''), ':[0-9]+$$', ''), '\\.$$', '')) AS url_host
+         |  FROM s1),
+         |gn AS (SELECT *, regexp_replace(url_host, '^www\\.', '') AS hn FROM gh),
+         |gp AS (SELECT *, string_split(hn, '.') AS hparts FROM gn),
+         |gd AS (SELECT *, hparts[-1] AS url_tld,
+         |    CASE WHEN hn = '' THEN NULL
+         |         WHEN len(hparts) <= 2 THEN hn
+         |         WHEN (hparts[-2] || '.' || hparts[-1]) IN
+         |              ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+         |               'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+         |               'com.mx','com.tr','com.ar','co.in','co.kr','co.za','co.nz')
+         |              AND hparts[-3] IS NOT NULL
+         |           THEN hparts[-3] || '.' || hparts[-2] || '.' || hparts[-1]
+         |         ELSE hparts[-2] || '.' || hparts[-1] END AS url_domain
+         |  FROM gp),
+         |s2 AS (SELECT doc_id, url, html FROM gd
+         |  WHERE url_host <> ''
+         |    AND coalesce(url_domain, '') NOT IN
+         |        ('tracker-network.com','spam-mill.net','contentfarm.example')
+         |    AND coalesce(url_tld, '') NOT IN ('zip','mov','country')
+         |    AND NOT contains(hn, 'casino') AND NOT contains(hn, 'porn')
+         |    AND NOT contains(hn, 'xxx')),
+         |ex AS (SELECT doc_id, url, ${Html.htmlToTextSql("html")} AS text FROM s2),
+         |gtk AS (SELECT doc_id, text,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '') AS gtoks
+         |  FROM ex),
+         |gst AS (SELECT doc_id, text,
+         |    CAST(len(gtoks) AS BIGINT) AS n,
+         |    CAST(coalesce(list_sum(list_transform(gtoks, w -> length(w))), 0) AS BIGINT) AS chars,
+         |    CAST(len(list_filter(gtoks, t2 -> regexp_matches(t2, '[A-Za-z]'))) AS BIGINT) AS alpha,
+         |    CAST(len(list_intersect(list_distinct(list_transform(gtoks, t2 -> lower(t2))),
+         |      $stops)) AS BIGINT) AS stops
+         |  FROM gtk),
+         |gln AS (SELECT doc_id,
+         |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+         |      l -> l <> '') AS glines
+         |  FROM ex),
+         |gls AS (SELECT doc_id, CAST(len(glines) AS BIGINT) AS nl,
+         |    CAST(len(list_filter(glines, l -> starts_with(l, '•')
+         |      OR starts_with(l, '-') OR starts_with(l, '*'))) AS BIGINT) AS bullet,
+         |    CAST(len(list_filter(glines, l -> ends_with(l, '...')
+         |      OR ends_with(l, '…'))) AS BIGINT) AS ellip
+         |  FROM gln),
+         |gsym AS (SELECT doc_id,
+         |    CAST((length(text) - length(replace(text, '#', '')))
+         |      + (length(text) - length(replace(text, '...', ''))) / 3
+         |      + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS symbols
+         |  FROM ex),
+         |s3 AS (SELECT e.doc_id, e.url, e.text FROM ex e
+         |  JOIN gst ON e.doc_id = gst.doc_id
+         |  JOIN gls ON e.doc_id = gls.doc_id
+         |  JOIN gsym ON e.doc_id = gsym.doc_id
+         |  WHERE gst.n >= 5 AND gst.n <= 100000
+         |    AND (CASE WHEN gst.n > 0 THEN ${r4("gst.chars * 1.0 / gst.n")} ELSE 0.0 END) >= 3.0
+         |    AND (CASE WHEN gst.n > 0 THEN ${r4("gst.chars * 1.0 / gst.n")} ELSE 0.0 END) <= 10.0
+         |    AND (CASE WHEN gst.n > 0 THEN ${r4("gsym.symbols * 1.0 / gst.n")} ELSE 0.0 END) <= 0.1
+         |    AND (CASE WHEN gls.nl > 0 THEN ${r4("gls.bullet * 1.0 / gls.nl")} ELSE 0.0 END) <= 0.9
+         |    AND (CASE WHEN gls.nl > 0 THEN ${r4("gls.ellip * 1.0 / gls.nl")} ELSE 0.0 END) <= 0.3
+         |    AND (CASE WHEN gst.n > 0 THEN ${r4("gst.alpha * 1.0 / gst.n")} ELSE 0.0 END) >= 0.8
+         |    AND gst.stops >= 1),
+         |vocab(term, w) AS (VALUES $vocabRows),
+         |lut AS (SELECT ${fpb("term")} AS bucket, sum(w) AS w FROM vocab GROUP BY 1),
+         |ctk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ctoks
+         |  FROM s3),
+         |cwf AS (SELECT doc_id,
+         |    list_concat(ctoks, CASE WHEN len(ctoks) >= 2
+         |      THEN list_transform(range(1, len(ctoks)), i -> ctoks[i] || ' ' || ctoks[i + 1])
+         |      ELSE [] END) AS cfs FROM ctk),
+         |cfe AS (SELECT doc_id, CAST(len(cfs) AS BIGINT) AS nf,
+         |    unnest(CASE WHEN len(cfs) = 0 THEN [NULL] ELSE cfs END) AS f FROM cwf),
+         |csc AS (SELECT doc_id, any_value(nf) AS nf,
+         |    CAST(sum(CASE WHEN f IS NULL THEN 0 ELSE coalesce(l.w, 0) END) AS BIGINT) AS centi
+         |  FROM cfe LEFT JOIN lut l ON l.bucket = ${fpb("f")}
+         |  GROUP BY doc_id)
+         |SELECT s.doc_id, s.url, s.text FROM s3 s
+         |JOIN csc c ON s.doc_id = c.doc_id
+         |WHERE c.nf > 0 AND c.centi >= -100 * c.nf
+         |ORDER BY s.doc_id ASC NULLS FIRST""".stripMargin
+    })
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71)
+    x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72)
 }

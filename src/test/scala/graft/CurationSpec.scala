@@ -263,6 +263,25 @@ class CurationSpec extends SparkSpec {
     assert(row(5)(6) == 0L && row(5)(7) == false, row(5).toString)
   }
 
+  test("webPreclean: each stage cuts — url dup, blocked domain, shape fail, spam classifier") {
+    val prose = "the quick brown fox jumps over the lazy dog because it is fast and that " +
+      "should be enough words to pass the floor with room to spare"
+    val df = Seq(
+      (1L, "https://a.example.org/p?x=1", s"<p>$prose</p>"),                 // survives all
+      (2L, "https://a.example.org/p?x=1&utm_source=t", s"<p>$prose</p>"),   // url dup of 1
+      (3L, "https://x.tracker-network.com/p", s"<p>$prose</p>"),            // blocked domain
+      (4L, "https://b.example.org/q", "<p>tiny</p>"),                        // fails word floor
+      (5L, "https://c.example.org/r",                                       // classifier spam
+        "<p>click here buy now click here buy now casino winner click here " +
+          "buy now casino winner lorem ipsum lorem ipsum the of and that</p>")
+    ).toDF("doc_id", "url", "html")
+    val surv = Curate.webPreclean(df, "doc_id", "url", "html",
+      minWords = 5L, minStopwordHits = 1L, clfMinMeanCenti = 0L)
+    assert(surv.columns.toSeq == Seq("doc_id", "url", "text"))
+    assert(surv.select("doc_id").as[Long].collect().toSeq == Seq(1L), surv.collect().toSeq.toString)
+    assert(surv.select("text").as[String].collect().head == prose, "markup stripped")
+  }
+
   test("gopher quality rules: shuffle-free projection") {
     val df = Seq((1L, "some text")).toDF("id", "text")
     val plan = Repetition.gopherQualityStats(df, "id", "text")
