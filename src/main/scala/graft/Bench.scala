@@ -93,7 +93,16 @@ object Bench {
     "x49_paragraph_dedup",
     "x51_bloom_incremental",
     "x52_snapshot_diff",
-    "x54_heavy_hitters")
+    "x54_heavy_hitters",
+    // round-8 additions: persisted-index incremental dedup, BPE token
+    // counting, DSIR scoring, SemDeDup, HTML extraction, and the composed
+    // web pre-cleaning pipeline (the second-heaviest composition)
+    "x58_bpe_token_count",
+    "x59_incremental_dedup_indexed",
+    "x63_dsir_score",
+    "x67_semdedup_cluster",
+    "x68_html_extract",
+    "x72_web_preclean")
 
   /** The heavy-query subset run once at synthetic sf1 when budget allows:
     * the ETL/join spine plus the dedup/ANN/curation paths whose scaling
@@ -110,6 +119,7 @@ object Bench {
     "x21_incremental_dedup",
     "x49_paragraph_dedup",
     "x52_snapshot_diff",
+    "x72_web_preclean",
     // the heaviest headline query — its 10× point is the one the judge
     // reads first; runs last so a budget-tight pass still lands the rest
     "x48_curate_pipeline")
