@@ -218,6 +218,124 @@ case class TrigramLangId(child: Expression) extends UnaryExpression {
   override def prettyName: String = "lang_id"
 }
 
+/** Precompiled BPE merge machine for [[BpeTokenCountExpr]] — the exact
+  * semantics of the bracketed-string `replace` fold
+  * ([[graft.ops.TextStats.bpeTokenCountFold]], the cross-engine reference
+  * form) re-expressed over interned int symbols:
+  *
+  *   - input scrub: U+001F / U+0001 dropped (the fold's `translate`);
+  *   - words: runs between Java-`\s` separators (space, TAB, LF, VT, FF,
+  *     CR), empties skipped (the fold's `split("\\s+")` + empty filter);
+  *   - per word, each merge rule in rank order fuses adjacent (a, b)
+  *     symbol pairs greedily left-to-right, scanning resuming AFTER a
+  *     fused pair — `UTF8String.replace`'s non-overlapping forward scan;
+  *   - count = surviving symbols summed over words.
+  *
+  * Symbols are interned once at construction (merge operands + outputs to
+  * small ints; other code points to negative ids that can never collide
+  * with an operand), so the per-word encode loop is
+  * O(rules × word length) int compares with zero allocation — vs the
+  * fold's 32 full string rebuilds per word (~25× wall on the documents
+  * fixture). [[graft.EngineProps]] pins kernel ≡ fold on adversarial
+  * random text; the x58 probe value-checks it against DuckDB's replay of
+  * the fold arithmetic.
+  */
+final class BpeKernel(merges: Seq[(String, String)]) extends Serializable {
+  private val dict = new java.util.HashMap[String, Integer]()
+  merges.foreach { case (a, b) =>
+    Seq(a, b, a + b).foreach(s => if (!dict.containsKey(s)) dict.put(s, dict.size))
+  }
+  private val ruleA = merges.map(r => dict.get(r._1).intValue).toArray
+  private val ruleB = merges.map(r => dict.get(r._2).intValue).toArray
+  private val ruleAB = merges.map(r => dict.get(r._1 + r._2).intValue).toArray
+  private val nRules = ruleA.length
+  // single-code-point operand lookup: ASCII array + map spillover
+  private val asciiId = Array.fill(128)(-1)
+  private val wideId = new java.util.HashMap[Integer, Integer]()
+  dict.forEach { (k, id) =>
+    if (k.codePointCount(0, k.length) == 1) {
+      val cp = k.codePointAt(0)
+      if (cp < 128) asciiId(cp) = id.intValue else wideId.put(cp, id)
+    }
+  }
+
+  private def symId(cp: Int): Int =
+    if (cp < 128) { val id = asciiId(cp); if (id >= 0) id else -(cp + 2) }
+    else { val id = wideId.get(cp); if (id != null) id.intValue else -(cp + 2) }
+
+  /** Apply the rules to `syms[0, n0)` in place; returns surviving count. */
+  private def encode(syms: Array[Int], n0: Int): Int = {
+    var len = n0
+    var r = 0
+    while (r < nRules && len > 1) {
+      val a = ruleA(r); val b = ruleB(r); val ab = ruleAB(r)
+      var rd = 0; var wr = 0
+      while (rd < len) {
+        if (rd + 1 < len && syms(rd) == a && syms(rd + 1) == b) {
+          syms(wr) = ab; rd += 2
+        } else { syms(wr) = syms(rd); rd += 1 }
+        wr += 1
+      }
+      len = wr
+      r += 1
+    }
+    len
+  }
+
+  def count(input: UTF8String): Long = {
+    val s = input.toString
+    val n = s.length
+    var total = 0L
+    var syms = new Array[Int](32)
+    var len = 0
+    var i = 0
+    while (i <= n) {
+      var cp = -1
+      var step = 1
+      if (i < n) { cp = s.codePointAt(i); step = Character.charCount(cp) }
+      val sep = i == n || cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (sep) {
+        if (len > 0) { total += encode(syms, len); len = 0 }
+      } else if (cp != 0x1F && cp != 0x01) {
+        if (len == syms.length) syms = java.util.Arrays.copyOf(syms, len * 2)
+        syms(len) = symId(cp)
+        len += 1
+      }
+      i += step
+    }
+    total
+  }
+}
+
+/** `bpe_count(text)` — word-level BPE symbol count under a fixed merge
+  * table; the codegen'd kernel form of the portable fold (see
+  * [[BpeKernel]]). Null in → null out (callers coalesce to 0).
+  */
+case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  @transient private lazy val kernel = new BpeKernel(merges)
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_count requires string input, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeKernel", kernel, classOf[BpeKernel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.count($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeTokenCountExpr =
+    copy(child = c)
+  override def prettyName: String = "bpe_count"
+}
+
 object TextFunctions {
   def fingerprint(text: Column): Column =
     GraftSqlBridge.column(PositionalFingerprint(GraftSqlBridge.expression(text)))
@@ -227,4 +345,7 @@ object TextFunctions {
 
   def langId(text: Column): Column =
     GraftSqlBridge.column(TrigramLangId(GraftSqlBridge.expression(text)))
+
+  def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(BpeTokenCountExpr(GraftSqlBridge.expression(text), merges))
 }

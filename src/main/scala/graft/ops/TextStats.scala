@@ -63,8 +63,24 @@ object TextStats {
   /** Word-level BPE symbol count of every whitespace token summed — the
     * deterministic token count for [[graft.ops.Sampling.tokenBudget]] /
     * [[graft.ops.Packing]] budgets. Null text counts 0.
+    *
+    * Computed by the codegen'd [[graft.functions.BpeKernel]] (one interned
+    * int-symbol merge loop per word, zero allocation); semantically
+    * identical to the portable HOF fold [[bpeTokenCountFold]] that
+    * [[bpeTokenCountSql]] replays in DuckDB — [[graft.EngineProps]] pins
+    * kernel ≡ fold, the x58 probe pins kernel ≡ DuckDB.
     */
-  def bpeTokenCount(text: Column, merges: Seq[(String, String)] = BpeMerges): Column = {
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)] = BpeMerges): Column =
+    coalesce(graft.functions.TextFunctions.bpeCount(text, merges), lit(0L))
+
+  /** The cross-engine reference form of [[bpeTokenCount]]: the classic
+    * encode loop as a Catalyst HOF fold — each merge rule `replace`s its
+    * bracketed adjacent pair over the whole symbol string in rank order.
+    * ~25× slower than the kernel (32 full string rebuilds per word); kept
+    * as the executable specification the DuckDB oracle mirrors and the
+    * property suite cross-checks.
+    */
+  def bpeTokenCountFold(text: Column, merges: Seq[(String, String)] = BpeMerges): Column = {
     val mergesLit = array(merges.map { case (a, b) => lit(a + BpePairSep + b) }: _*)
     val clean = translate(text, BpeSep + BpePairSep, "")
     val words = tokens(clean)

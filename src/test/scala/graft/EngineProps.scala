@@ -256,4 +256,23 @@ object EngineProps extends Properties("engine") {
       }
       got == expect
     }
+
+  property("bpe kernel == portable HOF fold on adversarial text") = {
+    // adversarial alphabet: merge-operand letters, merge OUTPUT digraphs as
+    // raw text ("th" must re-merge identically), every Java-\s separator,
+    // the scrubbed control chars, wide/non-ASCII code points
+    val piece = Gen.oneOf(
+      "t", "h", "e", "i", "n", "a", "d", "th", "the", "and", "ing", "wh",
+      " ", "\t", "\n", "\u000b", "\f", "\r", "\u001f", "\u0001",
+      "é", "漢", "😀", "x", "0", "!")
+    forAll(Gen.listOfN(6, Gen.listOfN(30, piece).map(_.mkString))) { texts =>
+      val df = (texts :+ "" :+ (null: String)).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = df.select(
+          graft.ops.TextStats.bpeTokenCount($"text").as("k"),
+          graft.ops.TextStats.bpeTokenCountFold($"text").as("f"))
+        .as[(Long, Long)].collect().toSeq
+      got.forall { case (k, f) => k == f }
+    }
+  }
 }
