@@ -72,8 +72,62 @@ object Curate {
     */
   def run(docs: DataFrame, idCol: String, textCol: String,
       bench: Option[(DataFrame, String, String)] = None,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config()): DataFrame =
+    pipeline(docs, idCol, textCol, bench, cfg, audit = false)._1
+
+  /** [[run]] plus per-document drop attribution — the removal-rate
+    * accounting every production curation report publishes (what fraction
+    * died at each gate, per Gopher/C4/FineWeb reporting convention).
+    *
+    * `attribution` holds EVERY input id exactly once with the first stage
+    * that dropped it — `quality`, `repetition`, `exact_dup`, `near_dup`,
+    * `contaminated` — or `kept`; "first" is well-defined because stage
+    * survivor sets are nested (a doc the quality gate killed is never
+    * seen by the repetition gate). Built from id-only projections of the
+    * stage boundaries in five id-keyed left joins: the attribution adds
+    * no content shuffle at any scale, and in `pinStages` mode the extra
+    * boundary consumers read the stage checkpoints instead of re-running
+    * stage subtrees (the 100-TB deployment shape writes each boundary to
+    * parquet and derives this same frame from the id columns for free).
+    */
+  def runAudited(docs: DataFrame, idCol: String, textCol: String,
+      bench: Option[(DataFrame, String, String)] = None,
+      cfg: Config = Config()): AuditedRun = {
+    val (result, b) = pipeline(docs, idCol, textCol, bench, cfg, audit = true)
+    def flag(df: DataFrame, name: String): DataFrame =
+      df.select(col(idCol)).withColumn(name, lit(true))
+    val attribution = docs.select(col(idCol))
+      .join(flag(b.gated, "__q"), Seq(idCol), "left")
+      .join(flag(b.afterRep, "__r"), Seq(idCol), "left")
+      .join(flag(b.exactKept, "__e"), Seq(idCol), "left")
+      .join(flag(b.nearKept, "__n"), Seq(idCol), "left")
+      .join(flag(result, "__k"), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__q").isNull, "quality")
+          .when(col("__r").isNull, "repetition")
+          .when(col("__e").isNull, "exact_dup")
+          .when(col("__n").isNull, "near_dup")
+          .when(col("__k").isNull, "contaminated")
+          .otherwise("kept").as("stage"))
+    AuditedRun(result, attribution)
+  }
+
+  /** Survivors plus the (idCol, stage) attribution frame of [[runAudited]]. */
+  final case class AuditedRun(survivors: DataFrame, attribution: DataFrame)
+
+  /** Stage-boundary survivor frames captured for attribution. */
+  private final case class Boundaries(
+      gated: DataFrame, afterRep: DataFrame, exactKept: DataFrame, nearKept: DataFrame)
+
+  private def pipeline(docs: DataFrame, idCol: String, textCol: String,
+      bench: Option[(DataFrame, String, String)],
+      cfg: Config, audit: Boolean): (DataFrame, Boundaries) = {
     def pin(df: DataFrame): DataFrame = if (cfg.pinStages) df.localCheckpoint() else df
+    // a boundary consumed once by the pipeline gains a second consumer in
+    // audit mode (the attribution join) — pin those too, plus the final
+    // survivor frame, so no stage subtree executes twice
+    def pinIfAudit(df: DataFrame): DataFrame =
+      if (audit && cfg.pinStages) df.localCheckpoint() else df
     val scrubbed = docs.withColumn(textCol, TextStats.scrub(col(textCol)))
     val stats = TextStats.withStats(scrubbed, textCol)
     val gated = pin(stats.filter(col("quality_score") >= cfg.minQuality))
@@ -105,13 +159,14 @@ object Curate {
                 <= 0.15)
           .select(statsCols: _*)
       }
-    val exactKept = pin(Dedup.exactKeepFirst(afterRep, Seq(textCol), idCol))
+    val afterRepB = pinIfAudit(afterRep)
+    val exactKept = pin(Dedup.exactKeepFirst(afterRepB, Seq(textCol), idCol))
     // near-dup removal + decontamination share ONE shingle table when
     // their gram widths agree (the composition's common case): the
     // explode that feeds the pair self-join is filtered down to the
     // near-dup survivors and fed straight into the decontamination join,
     // instead of re-tokenizing and re-exploding the survivor corpus.
-    bench match {
+    val (result, nearKeptB) = bench match {
       case Some((b, bid, btext)) if cfg.decontamNgram == cfg.dedupNgram =>
         val sh = Dedup.shingleTable(exactKept, idCol, col(textCol), cfg.dedupNgram)
           .localCheckpoint() // feeds pairs, verification, AND decontam
@@ -122,20 +177,26 @@ object Curate {
           .select(col("id"))
           .localCheckpoint()
         labels.unpersist()
-        val nearKept = exactKept.join(drop.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+        val nearKept = pinIfAudit(
+          exactKept.join(drop.select(col("id").as(idCol)), Seq(idCol), "left_anti"))
         val survivorSh = sh.join(drop, Seq("id"), "left_anti")
           .select(col("id").as("corpus_id"), col("shingle"))
-        Decontaminate.cleanFromShingles(nearKept, idCol, survivorSh, b, bid, col(btext),
-          cfg.decontamNgram, cfg.decontamMinHits)
+        (Decontaminate.cleanFromShingles(nearKept, idCol, survivorSh, b, bid, col(btext),
+          cfg.decontamNgram, cfg.decontamMinHits), nearKept)
       case Some((b, bid, btext)) =>
-        val nearKept = Dedup.dedupCorpusExact(exactKept, idCol, col(textCol),
-          cfg.dedupNgram, cfg.dedupThreshold)
-        Decontaminate.clean(nearKept, idCol, col(textCol), b, bid, col(btext),
-          cfg.decontamNgram, cfg.decontamMinHits)
+        val nearKept = pinIfAudit(Dedup.dedupCorpusExact(exactKept, idCol, col(textCol),
+          cfg.dedupNgram, cfg.dedupThreshold))
+        (Decontaminate.clean(nearKept, idCol, col(textCol), b, bid, col(btext),
+          cfg.decontamNgram, cfg.decontamMinHits), nearKept)
       case None =>
-        Dedup.dedupCorpusExact(exactKept, idCol, col(textCol),
-          cfg.dedupNgram, cfg.dedupThreshold)
+        val nearKept = pinIfAudit(Dedup.dedupCorpusExact(exactKept, idCol, col(textCol),
+          cfg.dedupNgram, cfg.dedupThreshold))
+        (nearKept, nearKept)
     }
+    // with no bench the survivors ARE the near-dup boundary — don't
+    // checkpoint the same frame twice
+    val resultB = if (result eq nearKeptB) result else pinIfAudit(result)
+    (resultB, Boundaries(gated, afterRepB, exactKept, nearKeptB))
   }
 
   /** The WEB pre-cleaning pipeline — the metadata+markup stages a

@@ -1697,21 +1697,68 @@ object ExtensionProbes {
   //   single-line (verified: no chr(10) anywhere, and neither plant nor
   //   scrub adds one) so the duplicate-line gates are identically zero
   //   and only the n-gram repetition gates bind in the oracle. ————————————
+  /** The x48 fixture, shared with the x73 attribution probe. */
+  private def curateFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Readers.fanOut(t(s, dir, "documents"))
+    val planted = docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 1, " see https://ex.com/z now").otherwise("")).as("text"))
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").as("bid"), col("text").as("btext"))
+    (planted, bench)
+  }
+
   private val x48 = Probe(
     "x48_curate_pipeline",
     (s, dir) => {
-      val docs = Readers.fanOut(t(s, dir, "documents"))
-      val planted = docs.select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 7 === 1, " see https://ex.com/z now").otherwise("")).as("text"))
-      val bench = docs.filter(col("doc_id") % 37 === 0)
-        .select(col("doc_id").as("bid"), col("text").as("btext"))
+      val (planted, bench) = curateFixture(s, dir)
       Curate.run(planted, "doc_id", "text", Some((bench, "bid", "btext")),
           Curate.Config(minQuality = 0.6))
         .select(col("doc_id"), col("n_tokens"), col("pred_lang"), col("quality_score"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH RECURSIVE planted AS (
+    Some(s"""$curateOracleCtes
+            |SELECT doc_id, n_tokens, pred_lang, quality_score
+            |FROM deduped WHERE doc_id NOT IN (SELECT id FROM contaminated)
+            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  // — per-document drop attribution over the SAME composed pipeline: the
+  //   removal-rate accounting a production curation run reports. Every
+  //   input id appears exactly once labeled with the first stage that
+  //   dropped it (stage survivor sets are nested) or 'kept'; the oracle
+  //   replays the x48 CTE chain and derives the same label from the
+  //   stage-boundary CTEs, so the attribution arithmetic AND the stage
+  //   interactions are value-checked together. —————————————————————————
+  private val x73 = Probe(
+    "x73_curate_audit",
+    (s, dir) => {
+      val (planted, bench) = curateFixture(s, dir)
+      Curate.runAudited(planted, "doc_id", "text", Some((bench, "bid", "btext")),
+          Curate.Config(minQuality = 0.6))
+        .attribution
+        .orderBy("doc_id")
+    },
+    Some(s"""$curateOracleCtes
+            |SELECT p.doc_id,
+            |  CASE WHEN g.doc_id IS NULL THEN 'quality'
+            |       WHEN r.doc_id IS NULL THEN 'repetition'
+            |       WHEN e.doc_id IS NULL THEN 'exact_dup'
+            |       WHEN d.doc_id IS NULL THEN 'near_dup'
+            |       WHEN ct.id IS NOT NULL THEN 'contaminated'
+            |       ELSE 'kept' END AS stage
+            |FROM planted p
+            |LEFT JOIN (SELECT doc_id FROM gated) g ON g.doc_id = p.doc_id
+            |LEFT JOIN (SELECT doc_id FROM repkept) r ON r.doc_id = p.doc_id
+            |LEFT JOIN (SELECT doc_id FROM exactkept) e ON e.doc_id = p.doc_id
+            |LEFT JOIN (SELECT doc_id FROM deduped) d ON d.doc_id = p.doc_id
+            |LEFT JOIN (SELECT DISTINCT id FROM contaminated) ct ON ct.id = p.doc_id
+            |ORDER BY p.doc_id ASC NULLS FIRST""".stripMargin))
+
+  /** The x48/x73 shared DuckDB replay of the composed curation pipeline,
+    * ending at the `contaminated` CTE; callers append their final SELECT.
+    */
+  private lazy val curateOracleCtes: String =
+    s"""WITH RECURSIVE planted AS (
             |  SELECT doc_id,
             |    text || CASE WHEN doc_id % 7 = 1 THEN ' see https://ex.com/z now' ELSE '' END AS text
             |  FROM documents),
@@ -1788,12 +1835,9 @@ object ExtensionProbes {
             |  FROM deduped),
             |contaminated AS (SELECT id FROM (
             |    SELECT c.id, b.bid, count(*) AS h FROM csh c JOIN bsh b ON c.s = b.s GROUP BY 1, 2)
-            |  WHERE h >= 2)
-            |SELECT doc_id, n_tokens, pred_lang, quality_score
-            |FROM deduped WHERE doc_id NOT IN (SELECT id FROM contaminated)
-            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+            |  WHERE h >= 2)""".stripMargin
 
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
-    x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48)
+    x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73)
 }

@@ -476,4 +476,48 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"corpus self-join must be an equi-join on centroid_id:\n$plan")
   }
+
+  test("curate audit: every input attributed to its first dropping stage; kept == survivors") {
+    // one doc per stage. Unique filler words keep the "clean" docs free of
+    // repeated n-grams; leading "the a" supplies stopword mass so the
+    // quality gate (minQuality 0.6) passes everywhere except doc 1.
+    def words(tag: String, n: Int): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val keptText = s"the a ${words("kw", 28)}"
+    val nearText = s"the a ${words("kw", 26)} zz1 zz2" // 2 words swapped vs kept
+    val uniqText = s"the a ${words("uq", 24)} shared run of tokens"
+    val docs = Seq(
+      (1L, "!!!"),                          // quality: punct-only, tiny
+      (2L, ("the a " * 40).trim),           // repetition: one dominant 2-gram
+      (3L, keptText),                       // kept (min id of the exact pair)
+      (4L, keptText),                       // exact_dup of 3
+      (5L, nearText),                       // near_dup of 3 (jaccard >= 0.5)
+      (6L, uniqText)                        // contaminated via bench overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((900L, "a shared run of tokens here")).toDF("bid", "btext")
+    val audited = Curate.runAudited(docs, "doc_id", "text",
+      Some((bench, "bid", "btext")), Curate.Config(minQuality = 0.6))
+    val att = audited.attribution.as[(Long, String)].collect().toMap
+    assert(att == Map(1L -> "quality", 2L -> "repetition", 3L -> "kept",
+      4L -> "exact_dup", 5L -> "near_dup", 6L -> "contaminated"), s"got $att")
+    val kept = audited.survivors.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L), s"survivors must be exactly the kept ids: $kept")
+    // the audited path returns the same survivors as the plain run
+    val plain = Curate.run(docs, "doc_id", "text",
+      Some((bench, "bid", "btext")), Curate.Config(minQuality = 0.6))
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == kept)
+  }
+
+  test("curate audit without a bench: contaminated never fires, attribution still partitions") {
+    val docs = Seq(
+      (1L, "x"), // quality fail at minQuality 0.6
+      (2L, s"the a ${(0 until 20).map(i => s"w$i").mkString(" ")}"),
+      (3L, s"the a ${(0 until 20).map(i => s"w$i").mkString(" ")}")
+    ).toDF("doc_id", "text")
+    val audited = Curate.runAudited(docs, "doc_id", "text", None,
+      Curate.Config(minQuality = 0.6))
+    val att = audited.attribution.as[(Long, String)].collect().toMap
+    assert(att == Map(1L -> "quality", 2L -> "kept", 3L -> "exact_dup"), s"got $att")
+  }
 }
