@@ -137,4 +137,95 @@ object Decontaminate {
       .select(col("corpus_id").as(idCol)).distinct()
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** Max bench EMBEDDING rows that still broadcast in [[semanticOverlaps]]
+    * (~a few hundred MB of float arrays at dim 64-1024 — smaller than the
+    * shingle cap because each row is a dense vector, not a short string).
+    */
+  val BenchVecBroadcastCap: Long = 300000L
+
+  /** EMBEDDING-space decontamination: `(corpus_id, bench_id, cosine_sim)`
+    * for every corpus×benchmark pair with cosine ≥ `threshold` — the
+    * paraphrase-contamination gate n-gram collision ([[overlaps]]) cannot
+    * see (a reworded benchmark answer shares no 8-gram with the original
+    * but sits at cosine ≈ 0.9 in a sentence-embedding space).
+    *
+    * Arms, decided by the SAME evidence discipline as [[overlaps]] (a
+    * bounded `limit(cap+1).count()` probe of the bench side only — the
+    * corpus is never counted, and checkpoint-collapsed Catalyst estimates
+    * are never trusted with a broadcast decision):
+    *
+    *   - bench under `benchBroadcastCap` (every real eval suite):
+    *     `exact = true` scores ALL corpus×bench pairs through one
+    *     broadcast nested-loop pass — |bench| fused dot products per
+    *     corpus row, zero shuffle, recall 1.0, and fully value-oracled;
+    *     `exact = false` probes only sign-bucket collisions
+    *     ([[Similarity.bucketId]], Hamming-1 multi-probe on the bench
+    *     side) — ~(numPlanes+1)/2^numPlanes of the bench per corpus row,
+    *     the arm for wide benches × huge corpora.
+    *   - bench OVER the cap (decontaminating against another corpus
+    *     split): exact mode throws (quadratic by definition); bucket mode
+    *     degrades to a merge-hinted shuffle join on the bucket key, so
+    *     neither unbounded side builds a hash relation. Bucket occupancy
+    *     is corpus/2^numPlanes — at this scale `numPlanes` must grow with
+    *     log₂(corpus) to keep per-key fan-out bounded, which the require
+    *     below enforces coarsely (≥ 16 planes in the over-cap arm).
+    *
+    * Cosines are exact for every scored pair (buckets only GENERATE
+    * candidates), rounded to 6 places for cross-engine stability.
+    */
+  def semanticOverlaps(corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchIdCol: String, benchVecCol: String,
+      threshold: Double, numPlanes: Int = 8, dim: Int = 64,
+      exact: Boolean = false,
+      benchBroadcastCap: Long = BenchVecBroadcastCap): DataFrame = {
+    val b = bench.select(col(benchIdCol).as("bench_id"), col(benchVecCol).as("__bvec"))
+      .localCheckpoint() // feeds the bounded probe AND the join once
+    val probeLimit = math.min(benchBroadcastCap + 1, Int.MaxValue.toLong).toInt
+    val benchIsSmall = b.limit(probeLimit).count() <= benchBroadcastCap
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cvec"))
+    val scored =
+      if (exact) {
+        require(benchIsSmall,
+          s"semanticOverlaps(exact=true) scores all corpus x bench pairs - the bench side " +
+            s"exceeded benchBroadcastCap=$benchBroadcastCap; use the bucketed arm (exact=false)")
+        c.crossJoin(broadcast(b))
+      } else {
+        val planes = Similarity.hyperplanes(numPlanes, dim)
+        val cb = c.withColumn("__bucket", Similarity.bucketId(col("__cvec"), planes))
+        // bench probes its own bucket + every Hamming-1 neighbor; a corpus
+        // vector lives in exactly one bucket, so each pair scores once
+        val bb = b
+          .withColumn("__b0", Similarity.bucketId(col("__bvec"), planes))
+          .withColumn("__bucket",
+            explode(array((col("__b0") +:
+              (0 until numPlanes).map(i => col("__b0").bitwiseXOR(lit(1L << i)))): _*)))
+          .drop("__b0")
+        if (benchIsSmall) cb.join(broadcast(bb), Seq("__bucket"))
+        else {
+          require(numPlanes >= 16,
+            s"over-cap bench with $numPlanes planes: bucket fan-out is |corpus|/2^planes " +
+              s"per key - raise numPlanes to >= 16 before joining two corpus-scale sides")
+          cb.hint("merge").join(bb.hint("merge"), Seq("__bucket"))
+        }
+      }
+    scored
+      .withColumn("cosine_sim", round(Similarity.cosine(col("__cvec"), col("__bvec")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("corpus_id"), col("bench_id"), col("cosine_sim"))
+  }
+
+  /** The corpus with semantically contaminated documents removed (anti-
+    * join on the [[semanticOverlaps]] flag set). Column layout of
+    * `corpus` is preserved; `corpus` must carry the embedding column.
+    */
+  def semanticClean(corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchIdCol: String, benchVecCol: String,
+      threshold: Double, numPlanes: Int = 8, dim: Int = 64,
+      exact: Boolean = false): DataFrame = {
+    val flagged = semanticOverlaps(corpus, idCol, vecCol,
+        bench, benchIdCol, benchVecCol, threshold, numPlanes, dim, exact)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
 }

@@ -612,6 +612,46 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupCorpusExact]] with QUALITY-RANKED canonical selection: each
+    * near-dup cluster keeps its highest-`quality` member (ties → min id)
+    * instead of the min id. This is the composition pipelines ship when
+    * ingest order is not preference order — near-dup clusters routinely
+    * span sources (the same article on a mirror and on the origin site),
+    * and keep-first would keep whichever shard happened to sort lower.
+    *
+    * The election is one aggregate per cluster — `min(struct(-q, id))`
+    * orders by quality descending then id ascending, so the canonical
+    * member costs a single map-side-combinable shuffle on the (already
+    * contracted) component key, never a content-wide window. Cache
+    * lifecycle mirrors [[dedupCorpusExact]]: shingles and labels are
+    * released before returning; only the id-only drop set stays
+    * checkpointed to feed the returned anti-join.
+    *
+    * `quality` is any expression over `docs`' columns (a planted score, a
+    * [[TextStats.qualityScore]], a model score); `-0.0` scores are the
+    * caller's hazard (negation distinguishes ±0.0 under IEEE ordering).
+    */
+  def dedupCorpusKeepBest(docs: DataFrame, idCol: String, text: Column,
+      quality: Column, n: Int, threshold: Double, maxIter: Int = 20): DataFrame = {
+    val sh = shingleTable(docs, idCol, text, n).persist()
+    sh.count() // eager: feeds the self-join, set sizes, and hot correction
+    val labels = components(ngramJaccardPairsFromShingles(sh, threshold), maxIter)
+    sh.unpersist()
+    // only clustered ids need a quality lookup — labels' nodes are exactly
+    // the ids that appeared in a pair, a small frame after contraction
+    val member = labels.join(
+      docs.select(col(idCol).as("id"), quality.cast("double").as("__q")), Seq("id"))
+    val keep = member.groupBy(col("comp"))
+      .agg(min(struct((-col("__q")).as("nq"), col("id").as("kid"))).as("__k"))
+      .select(col("comp"), col("__k").getField("kid").as("__keep"))
+    val drop = member.join(keep, Seq("comp"))
+      .filter(col("id") =!= col("__keep"))
+      .select(col("id").as(idCol))
+      .localCheckpoint()
+    labels.unpersist()
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** End-to-end SEMANTIC near-dup removal over an embedding column — the
     * SemDeDup shape (Abbas et al. '23): embedding-cosine pairs →
     * [[components]] → keep the component-minimum id. `exact = true` swaps

@@ -43,7 +43,7 @@ object ExtensionProbes {
     * of [[Dedup.ngramJaccardPairs]]; the df-cap cannot bind at fixture
     * corpus sizes, so the capped and uncapped operators coincide).
     */
-  private def jacCte(threshold: Double): String =
+  private[probes] def jacCte(threshold: Double): String =
     s"""sh AS (
        |  SELECT doc_id AS id, unnest(list_distinct(
        |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s

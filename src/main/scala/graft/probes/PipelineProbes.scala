@@ -1246,6 +1246,109 @@ object PipelineProbes {
          |ORDER BY s.doc_id ASC NULLS FIRST""".stripMargin
     })
 
+  // — quality-ranked near-dup canonical selection ————————————————————————
+  //   dedupCorpusExact's cluster tail with argmax-quality (tie → min id)
+  //   instead of min-id keep-first: the planted quality (doc_id·37 mod
+  //   101, integer arithmetic both engines replay exactly) is
+  //   deliberately NOT monotone in doc_id, so most clusters elect a
+  //   non-minimum canonical and the probe discriminates keep-best from
+  //   keep-first. The oracle replays the x29 pair CTE + recursive
+  //   closure, then the quality election as a per-component rank.
+  private val x74 = Probe(
+    "x74_dedup_keep_best",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+        .withColumn("quality", col("doc_id") * 37 % 101)
+      Dedup.dedupCorpusKeepBest(docs, "doc_id", col("text"), col("quality"),
+          n = 3, threshold = 0.2)
+        .select(col("doc_id"), col("quality"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${ExtensionProbes.jacCte(0.2)},
+            |edges AS (
+            |  SELECT id_a AS src, id_b AS dst FROM jac
+            |  UNION
+            |  SELECT id_b AS src, id_a AS dst FROM jac),
+            |reach AS (
+            |  SELECT src, dst FROM edges
+            |  UNION
+            |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            |comp AS (
+            |  SELECT src AS id, least(src, min(dst)) AS comp
+            |  FROM reach GROUP BY src),
+            |member AS (
+            |  SELECT c.id, c.comp, d.doc_id * 37 % 101 AS q
+            |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+            |elect AS (
+            |  SELECT id, comp,
+            |    row_number() OVER (PARTITION BY comp
+            |      ORDER BY q DESC NULLS LAST, id ASC NULLS FIRST) AS rn
+            |  FROM member)
+            |SELECT doc_id, doc_id * 37 % 101 AS quality, n_chars
+            |FROM documents
+            |WHERE doc_id NOT IN (SELECT id FROM elect WHERE rn > 1)
+            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  // — embedding-space decontamination (exact arm = the value oracle) —————
+  //   Bench = every 41st corpus embedding re-labeled (+1_000_000), so the
+  //   flag set provably contains each bench vector's corpus original at
+  //   cosine 1.0 plus whatever planted near neighbors clear 0.8. The
+  //   exact arm scores ALL corpus×bench pairs (broadcast nested-loop, no
+  //   shuffle), and the oracle replays the identical dot/norm/round
+  //   arithmetic, so every flagged pair is value-checked. The bucketed
+  //   arm is recall-gated against this exact arm in OpsSpec.
+  private val x75 = Probe(
+    "x75_semantic_decontaminate",
+    (s, dir) => {
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
+      val bench = emb.filter(col("vec_id") % 41 === 0)
+        .select((col("vec_id") + 1000000L).as("bench_id"), col("embedding"))
+      Decontaminate.semanticOverlaps(emb, "vec_id", "embedding",
+          bench, "bench_id", "embedding", threshold = 0.8, exact = true)
+        .orderBy("corpus_id", "bench_id")
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id + 1000000 AS bench_id, embedding AS qe
+           |  FROM embeddings WHERE vec_id % 41 = 0),
+           |pairs AS (
+           |  SELECT e.vec_id AS corpus_id, q.bench_id, e.embedding AS ce, q.qe
+           |  FROM embeddings e, q),
+           |flat AS (
+           |  SELECT corpus_id, bench_id, CAST(unnest(ce) AS DOUBLE) AS x,
+           |    CAST(unnest(qe) AS DOUBLE) AS y
+           |  FROM pairs),
+           |dots AS (
+           |  SELECT corpus_id, bench_id, sum(x * y) AS d, sum(x * x) AS nx,
+           |    sum(y * y) AS ny
+           |  FROM flat GROUP BY 1, 2)
+           |SELECT corpus_id, bench_id,
+           |  round(d / (sqrt(nx) * sqrt(ny)), 6) AS cosine_sim
+           |FROM dots
+           |WHERE round(d / (sqrt(nx) * sqrt(ny)), 6) >= 0.8
+           |ORDER BY corpus_id ASC NULLS FIRST, bench_id ASC NULLS FIRST""".stripMargin))
+
+  // — BPE merge training (the learner for x58's counter) ———————————————
+  //   Six merge rounds over the documents corpus: every round's weighted
+  //   pair counts, argmax election (count desc, lexicographic tie), and
+  //   greedy whole-symbol rewrite are replayed by six chained oracle
+  //   CTEs, so the FULL training trajectory is value-checked — a wrong
+  //   count in round 2 shifts every later election. The fixture appends
+  //   a high-frequency suffix so early merges are forced through a known
+  //   dense region ("the"-family pairs) at every sf.
+  private val x76 = Probe(
+    "x76_bpe_train",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val fix = docs.select(
+        concat(col("text"), lit(" the theme then that breathe")).as("text"))
+      Bpe.train(fix, col("text"), numMerges = 6).orderBy("rank")
+    },
+    Some(s"""WITH fix AS (
+            |  SELECT text || ' the theme then that breathe' AS text
+            |  FROM documents),
+            |${Bpe.trainSql("fix", "text", 6)}
+            |ORDER BY rank ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72)
+    x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76)
 }

@@ -882,6 +882,72 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("dedupCorpusKeepBest elects the argmax-quality member, min id on ties") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon", 5.0),
+      (2L, "alpha beta gamma delta epsilon", 9.0), // clone of 1, best quality
+      (3L, "alpha beta gamma delta zeta", 7.0),    // near-dup of 1/2
+      (4L, "totally different text entirely here", 1.0)
+    ).toDF("id", "text", "q")
+    val kept = Dedup.dedupCorpusKeepBest(df, "id", $"text", $"q", n = 3, threshold = 0.4)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L), "cluster {1,2,3} must keep the quality-9 member, not min id")
+    // tie on quality -> min id wins (coincides with keep-first)
+    val tied = df.withColumn("q", lit(3.0))
+    val keptTied = Dedup.dedupCorpusKeepBest(tied, "id", $"text", $"q", n = 3, threshold = 0.4)
+      .select("id").as[Long].collect().toSet
+    assert(keptTied == Set(1L, 4L))
+  }
+
+  test("semanticOverlaps: bucketed candidates are a subset of the exact arm " +
+      "and self-matches always surface; over-cap guards throw") {
+    val bench = emb.filter($"vec_id" % 41 === 0)
+      .select(($"vec_id" + 1000000L).as("bench_id"), $"embedding")
+    val exact = Decontaminate.semanticOverlaps(emb, "vec_id", "embedding",
+        bench, "bench_id", "embedding", threshold = 0.8, exact = true)
+      .select($"corpus_id", $"bench_id").persist()
+    val bucketed = Decontaminate.semanticOverlaps(emb, "vec_id", "embedding",
+        bench, "bench_id", "embedding", threshold = 0.8, numPlanes = 4)
+      .select($"corpus_id", $"bench_id").persist()
+    // candidates only prune; scored pairs carry exact cosines, so every
+    // bucketed flag must also be an exact flag
+    assert(bucketed.join(exact, Seq("corpus_id", "bench_id"), "left_anti").isEmpty)
+    // each bench vector's corpus original shares its bucket (identical
+    // vector -> identical signs), so self-matches never depend on recall
+    val selfPairs = bucketed.filter($"corpus_id" + 1000000L === $"bench_id").count()
+    assert(selfPairs == bench.count(), "every re-labeled bench vector must flag its original")
+    exact.unpersist(); bucketed.unpersist()
+    // exact mode refuses an over-cap bench instead of going quadratic
+    intercept[IllegalArgumentException] {
+      Decontaminate.semanticOverlaps(emb, "vec_id", "embedding",
+        bench, "bench_id", "embedding", threshold = 0.8, exact = true,
+        benchBroadcastCap = 1L).count()
+    }
+    // over-cap bucketed arm demands enough planes to bound bucket fan-out
+    intercept[IllegalArgumentException] {
+      Decontaminate.semanticOverlaps(emb, "vec_id", "embedding",
+        bench, "bench_id", "embedding", threshold = 0.8, numPlanes = 8,
+        benchBroadcastCap = 1L).count()
+    }
+  }
+
+  test("Bpe.train: frequency-ordered merges, overlap counting, greedy rewrite, early exhaustion") {
+    val df = Seq("aa aa ab").toDF("text")
+    val got = Bpe.train(df, $"text", numMerges = 6)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, "a", "a", 2L), (2, "a", "b", 1L)),
+      "merge 1 = most frequent pair; exhaustion stops training at 2 rows")
+    // overlapping occurrences all count, and merged symbols re-pair next round
+    val tri = Seq("aaa").toDF("text")
+    val gotTri = Bpe.train(tri, $"text", numMerges = 6)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(gotTri == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+    // counting with the learned table reproduces training-time segmentation
+    val learned = Bpe.mergesOf(Bpe.train(df, $"text", 2))
+    val n = df.select(TextStats.bpeTokenCount($"text", learned)).as[Long].head()
+    assert(n == 3L, "'aa' 'aa' 'ab' all collapse to one symbol each")
+  }
+
   test("slidingChunks: overlap, short-doc single chunk, and exact chunk text") {
     val df = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens: chunks [0,6) [4,10)
