@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Canonical.bindOnce
+import graft.functions.VectorFunctions.vec_dot
+
+/** Product quantization (Jégou et al. '11) — the memory-compression path
+  * for embedding search at 100 TB: a dim-`D` float vector (4·D bytes)
+  * compresses to `m` one-byte codes by splitting into `m` subspaces and
+  * snapping each subvector to its nearest codeword from a per-subspace
+  * codebook of `ks` entries. At m=8 over dim-64 floats that is 32× less
+  * candidate-scan I/O than [[Similarity.bruteForceTopK]] reads, and 4×
+  * less than the int8 path ([[Similarity.quantizeInt8]]) — the difference
+  * between an embedding index that fits executor memory and one that
+  * doesn't.
+  *
+  * Search is asymmetric distance computation (ADC): each query computes a
+  * LOOKUP TABLE of m·ks partial dot products ONCE (query subvector ×
+  * every codeword), and every candidate then scores with m table lookups
+  * instead of D multiplies. The scored value approximates the raw DOT
+  * product (the MIPS convention); compose with an exact rerank
+  * ([[adcTopKRerank]]) when true-cosine order matters.
+  *
+  * Codebooks are DRIVER-SIDE literals by design, like
+  * [[Similarity.hyperplanes]]: m·ks·(D/m) doubles (= D·ks, a few KB) ride
+  * into the plan as one `typedlit`, so encode and ADC are shuffle-free
+  * scans — no join touches the corpus until the top-k window.
+  * [[seedCodebooks]] (subvectors of the ks lowest-id vectors) is the
+  * deterministic oracle-checkable quantizer; [[train]] refines it with
+  * per-subspace Lloyd iterations — the production path, exactly the
+  * [[Ivf.seedCentroids]]/[[Ivf.train]] split one level down.
+  *
+  * All distances/dots round half-up at 6 decimals before any argmin or
+  * ranking (ties → lower code / lower id), so encode → LUT → ADC → rank
+  * is deterministic and engine-replayable end to end (probe x77).
+  */
+object Pq {
+
+  /** cb(j)(k)(t): subspace j, codeword k, element t — m × ks × (dim/m). */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  /** Deterministic degenerate codebooks: subspace j's codewords are the
+    * j-th subvectors of the `ks` lowest-id corpus vectors.
+    */
+  def seedCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ks: Int, dim: Int): Codebooks = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val ds = dim / m
+    val vecs = corpus.orderBy(col(idCol)).limit(ks)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(vecs.length == ks, s"corpus has ${vecs.length} rows, need ks=$ks for seeding")
+    Array.tabulate(m)(j => Array.tabulate(ks)(k => vecs(k).slice(j * ds, (j + 1) * ds)))
+  }
+
+  private def cbLit(cb: Codebooks): Column =
+    typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Encode every vector to its `m` nearest-codeword codes (squared-L2
+    * per subspace, round-6 then tie → lower code). Shuffle-free: one
+    * interpreted-HOF scan with the codebooks as a literal; every
+    * subexpression a lambda reuses is [[bindOnce]]-bound (slices and
+    * codebook rows would otherwise re-evaluate per codeword).
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame = {
+    val (m, ks, ds) = (cb.length, cb(0).length, cb(0)(0).length)
+    val codes = bindOnce(col(vecCol).cast("array<double>")) { v =>
+      bindOnce(cbLit(cb)) { c =>
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          bindOnce(slice(v, j * lit(ds) + 1, lit(ds))) { sub =>
+            bindOnce(element_at(c, j + 1)) { cwj =>
+              array_min(transform(sequence(lit(0), lit(ks - 1)), k =>
+                struct(
+                  round(aggregate(zip_with(sub, element_at(cwj, k + 1),
+                    (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x), 6).as("d"),
+                  k.as("c"))))
+                .getField("c")
+            }
+          })
+      }
+    }
+    corpus.select(col(idCol), codes.as("codes"))
+  }
+
+  /** ADC top-k over a PQ-encoded corpus: per query, one m·ks LUT, then m
+    * lookups per candidate; rank by approximate dot (desc, id asc).
+    * Queries broadcast with their LUTs — the corpus side streams codes
+    * and never shuffles before the per-query top-k window.
+    */
+  def adcTopK(queries: DataFrame, qidCol: String, qvecCol: String,
+      codes: DataFrame, cidCol: String, cb: Codebooks, k: Int): DataFrame = {
+    val (m, _, ds) = (cb.length, cb(0).length, cb(0)(0).length)
+    val lut = bindOnce(col(qvecCol).cast("array<double>")) { v =>
+      bindOnce(cbLit(cb)) { c =>
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          bindOnce(slice(v, j * lit(ds) + 1, lit(ds))) { sub =>
+            // pdots stay UNROUNDED: the only rounding is the final ADC
+            // round-6, so a candidate whose codes reconstruct its vector
+            // exactly (e.g. a codebook seed) scores its true round-6 dot
+            transform(element_at(c, j + 1), cw =>
+              aggregate(zip_with(sub, cw, (a, b) => a * b),
+                lit(0.0), (acc, x) => acc + x))
+          })
+      }
+    }
+    val q = queries.select(col(qidCol), lut.as("__lut"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("adc_dot").desc, col(cidCol).asc)
+    codes.crossJoin(broadcast(q))
+      .filter(col(qidCol) =!= col(cidCol))
+      .withColumn("adc_dot", round(
+        bindOnce(col("__lut")) { l =>
+          bindOnce(col("codes")) { cd =>
+            aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+              (acc, j) => acc + element_at(element_at(l, j + 1), element_at(cd, j + 1) + 1))
+          }
+        }, 6))
+      .select(col(qidCol), col(cidCol), col("adc_dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[adcTopK]] with an exact-cosine rerank tail: the ADC pass keeps
+    * `k·candMult` candidates per query over codes only, then ONLY those
+    * pairs read full vectors — the [[Ivf.searchQuantized]] candidate-cut
+    * discipline with PQ bytes instead of int8.
+    */
+  def adcTopKRerank(queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, cidCol: String, cvecCol: String,
+      cb: Codebooks, k: Int, candMult: Int = 4): DataFrame = {
+    val cands = adcTopK(queries, qidCol, qvecCol,
+        encode(corpus, cidCol, cvecCol, cb), cidCol, cb, k * candMult)
+      .select(col(qidCol), col(cidCol))
+    val qn = queries.select(col(qidCol), col(qvecCol),
+      graft.functions.VectorFunctions.vec_norm(col(qvecCol)).as("__qn"))
+    val cn = corpus.select(col(cidCol), col(cvecCol),
+      graft.functions.VectorFunctions.vec_norm(col(cvecCol)).as("__cn"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine_sim").desc, col(cidCol).asc)
+    cands.join(broadcast(qn), Seq(qidCol)).join(cn, Seq(cidCol))
+      .withColumn("cosine_sim",
+        round(vec_dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn")), 6))
+      .select(col(qidCol), col(cidCol), col("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Mean round-6 squared-L2 of every subvector to its chosen codeword —
+    * the quantization distortion Lloyd training minimizes; a training
+    * diagnostic and the monotonicity gate in the spec.
+    */
+  def distortion(corpus: DataFrame, idCol: String, vecCol: String, cb: Codebooks): Double = {
+    val (m, _, ds) = (cb.length, cb(0).length, cb(0)(0).length)
+    val d = bindOnce(col(vecCol).cast("array<double>")) { v =>
+      bindOnce(cbLit(cb)) { c =>
+        bindOnce(col("codes")) { cd =>
+          aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+            acc + bindOnce(slice(v, j * lit(ds) + 1, lit(ds))) { sub =>
+              round(aggregate(zip_with(sub,
+                element_at(element_at(c, j + 1), element_at(cd, j + 1) + 1),
+                (a, b) => (a - b) * (a - b)), lit(0.0), (acc2, x) => acc2 + x), 6)
+            })
+        }
+      }
+    }
+    encode(corpus, idCol, vecCol, cb)
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(avg(d).as("__d")).collect()(0).getDouble(0)
+  }
+
+  /** Per-subspace Lloyd refinement of [[seedCodebooks]] — the production
+    * quantizer. Each iteration encodes the corpus with the current
+    * codebooks (one scan), averages every (subspace, code) cluster's
+    * subvector elements (one keyed aggregate over m·ks·ds cells), and
+    * collects the ~D·ks-double result back as the next literal. Empty
+    * clusters keep their previous codeword. Float-mean reduction order
+    * makes training runs host-dependent in the last ulp — train is the
+    * production path; [[seedCodebooks]] is the oracle path.
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ks: Int, dim: Int, iters: Int): Codebooks = {
+    val ds = dim / m
+    var cb = seedCodebooks(corpus, idCol, vecCol, m, ks, dim)
+    for (_ <- 0 until iters) {
+      val enc = encode(corpus, idCol, vecCol, cb)
+      val cells = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+        .join(enc, Seq(idCol))
+        .select(col("__v"), posexplode(col("codes")).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("__v"), col("j") * ds + 1, lit(ds))).as(Seq("t", "x")))
+        .groupBy(col("j"), col("code"), col("t"))
+        .agg(avg(col("x")).as("mean"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      cells.foreach { r =>
+        next(r.getAs[Int]("j"))(r.getAs[Int]("code"))(r.getAs[Int]("t")) =
+          r.getAs[Double]("mean")
+      }
+      cb = next
+    }
+    cb
+  }
+}

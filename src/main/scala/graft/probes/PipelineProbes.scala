@@ -1349,6 +1349,66 @@ object PipelineProbes {
             |${Bpe.trainSql("fix", "text", 6)}
             |ORDER BY rank ASC NULLS FIRST""".stripMargin))
 
+  // — product-quantized ANN (ADC over seed codebooks) ————————————————————
+  //   Deterministic end-to-end PQ: seed codebooks (subvectors of the 16
+  //   lowest-id vectors), encode the whole corpus (round-6 argmin, tie →
+  //   lower code), per-query LUT, ADC top-3 by approximate dot. The
+  //   oracle rebuilds codebooks, codes, LUTs, and scores from the raw
+  //   embeddings table, so quantization AND scoring arithmetic are
+  //   value-checked — a wrong code on any of the corpus's m·N cells
+  //   shifts some query's ranking. Recall vs the exact ANN baseline is
+  //   gated separately in OpsSpec (seed-corpus exactness).
+  private val x77 = Probe(
+    "x77_sim_topk_pq_adc",
+    (s, dir) => {
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
+      val cb = Pq.seedCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16, dim = 64)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Pq.adcTopK(queries, "query_id", "qvec",
+          Pq.encode(emb, "vec_id", "embedding", cb), "vec_id", cb, k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH cbv AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k, embedding
+           |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+           |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+           |ts AS (SELECT unnest(generate_series(1, 8)) AS t),
+           |cb AS (
+           |  SELECT j, k, t, CAST(embedding[j * 8 + t] AS DOUBLE) AS c
+           |  FROM cbv, js, ts),
+           |sub AS (
+           |  SELECT vec_id, j, t, CAST(embedding[j * 8 + t] AS DOUBLE) AS x
+           |  FROM embeddings, js, ts),
+           |dist AS (
+           |  SELECT s.vec_id, s.j, cb.k,
+           |    round(sum((s.x - cb.c) * (s.x - cb.c)), 6) AS d
+           |  FROM sub s JOIN cb ON cb.j = s.j AND cb.t = s.t
+           |  GROUP BY 1, 2, 3),
+           |codes AS (
+           |  SELECT vec_id, j, k AS code FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+           |      ORDER BY d ASC, k ASC) AS rn
+           |    FROM dist) WHERE rn = 1),
+           |lut AS (
+           |  SELECT q.vec_id AS query_id, q.j, cb.k, sum(q.x * cb.c) AS pdot
+           |  FROM (SELECT * FROM sub WHERE vec_id < 5) q
+           |  JOIN cb ON cb.j = q.j AND cb.t = q.t
+           |  GROUP BY 1, 2, 3),
+           |score AS (
+           |  SELECT l.query_id, c.vec_id, round(sum(l.pdot), 6) AS adc_dot
+           |  FROM codes c JOIN lut l ON l.j = c.j AND l.k = c.code
+           |  WHERE c.vec_id != l.query_id
+           |  GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY adc_dot DESC NULLS LAST, vec_id ASC NULLS FIRST) AS rank
+           |  FROM score)
+           |SELECT query_id, vec_id, adc_dot, CAST(rank AS BIGINT) AS rank
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76)
+    x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77)
 }

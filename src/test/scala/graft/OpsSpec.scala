@@ -948,6 +948,45 @@ class OpsSpec extends SparkSpec {
     assert(n == 3L, "'aa' 'aa' 'ab' all collapse to one symbol each")
   }
 
+  test("Pq: seed vectors encode to their own codes, ADC over a seed corpus equals " +
+      "exact dot ranking, training reduces distortion, rerank finds a planted clone") {
+    val seeds = emb.orderBy("vec_id").limit(16).persist()
+    val cb = Pq.seedCodebooks(seeds, "vec_id", "embedding", m = 8, ks = 16, dim = 64)
+    // codes of seed k are [k]*m: every subvector hits its own codeword at dist 0
+    val codes = Pq.encode(seeds, "vec_id", "embedding", cb)
+    val rankByIdx = seeds.select($"vec_id").as[Long].collect().sorted.zipWithIndex.toMap
+    Pq.encode(seeds, "vec_id", "embedding", cb).as[(Long, Seq[Int])].collect().foreach {
+      case (id, cs) => assert(cs.forall(_ == rankByIdx(id)), s"seed $id codes $cs")
+    }
+    // over a corpus the codebooks reconstruct EXACTLY, ADC == exact dot
+    val queries = seeds.select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val adc = Pq.adcTopK(queries, "query_id", "qvec", codes, "vec_id", cb, k = 3)
+      .select($"query_id", $"vec_id", $"rank")
+    val wExact = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+      .orderBy($"d".desc, $"vec_id".asc)
+    val exact = queries.crossJoin(seeds).filter($"query_id" =!= $"vec_id")
+      .withColumn("d", round(vec_dot($"qvec", $"embedding"), 6))
+      .withColumn("rank", row_number().over(wExact)).filter($"rank" <= 3)
+      .select($"query_id", $"vec_id", $"rank")
+    assert(adc.exceptAll(exact).isEmpty && exact.exceptAll(adc).isEmpty,
+      "ADC over an exactly-reconstructed corpus must reproduce exact dot ranking")
+    seeds.unpersist()
+    // Lloyd refinement never increases quantization distortion
+    val d0 = Pq.distortion(emb, "vec_id", "embedding", cb)
+    val cb2 = Pq.train(emb, "vec_id", "embedding", m = 8, ks = 16, dim = 64, iters = 2)
+    val d2 = Pq.distortion(emb, "vec_id", "embedding", cb2)
+    assert(d2 <= d0 + 1e-9, s"distortion rose after training: $d0 -> $d2")
+    // exact rerank surfaces a planted clone at cosine 1.0
+    val clone = emb.filter($"vec_id" === 0L)
+      .select(lit(999999L).as("vec_id"), $"embedding", lit(0).as("label"))
+    val q0 = emb.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val top1 = Pq.adcTopKRerank(q0, "query_id", "qvec",
+        emb.unionByName(clone), "vec_id", "embedding", cb, k = 1)
+      .select($"vec_id", $"cosine_sim").as[(Long, Double)].head()
+    assert(top1 == ((999999L, 1.0)), s"clone not found: $top1")
+  }
+
   test("slidingChunks: overlap, short-doc single chunk, and exact chunk text") {
     val df = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens: chunks [0,6) [4,10)

@@ -20,8 +20,16 @@ class PlanAuditSpec extends SparkSpec {
     "x37_sim_topk_ivf_quantized", // probe×centroid scoring, like x12; PlanSpec
                                   // separately pins BNL count ≤ 2 (centroids only)
     "x38_ann_planted_recall",  // embeds the x05 brute-force pass as its ground truth
-    "x44_semantic_dedup"       // probes the exact=true variant so the surviving set
+    "x44_semantic_dedup",      // probes the exact=true variant so the surviving set
                                // is value-oracled; the LSH pair stage is the scale path
+    "x75_semantic_decontaminate", // probes the exact=true arm (bench×corpus broadcast
+                                 // nested-loop, linear in corpus) so every flagged
+                                 // pair is value-oracled; the sign-bucket arm is the
+                                 // wide-bench scale path, recall-gated in OpsSpec
+    "x77_sim_topk_pq_adc"      // ADC candidate scan IS corpus×queries by design,
+                               // like x22 — the win is m byte-lookups per pair
+                               // (32× less I/O than float), not asymptotics;
+                               // compose with IVF lists for the sublinear path
   )
 
   // streaming probes execute a query at construction time; plan-audited
