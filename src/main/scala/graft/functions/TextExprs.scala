@@ -263,6 +263,27 @@ final class BpeKernel(merges: Seq[(String, String)]) extends Serializable {
     if (cp < 128) { val id = asciiId(cp); if (id >= 0) id else -(cp + 2) }
     else { val id = wideId.get(cp); if (id != null) id.intValue else -(cp + 2) }
 
+  /** Engine-portable token id per interned symbol: a single-code-point
+    * symbol is its code point; a merged symbol is `0x110000 + r` where
+    * `r` is the FIRST merge rank whose output concatenation equals it
+    * (0x110000 = one past the Unicode range, so the two id spaces can
+    * never collide). A multi-char OPERAND no rule outputs can never
+    * appear in an encoded stream (symbols start as single chars and only
+    * rules create longer ones), so its slot value is never read.
+    */
+  private val portable: Array[Long] = {
+    val arr = new Array[Long](dict.size)
+    dict.forEach { (k, id) =>
+      arr(id.intValue) =
+        if (k.codePointCount(0, k.length) == 1) k.codePointAt(0).toLong
+        else 0x110000L + math.max(merges.indexWhere(r => r._1 + r._2 == k), 0)
+    }
+    arr
+  }
+
+  private def portableOf(id: Int): Long =
+    if (id >= 0) portable(id) else (-id - 2).toLong
+
   /** Apply the rules to `syms[0, n0)` in place; returns surviving count. */
   private def encode(syms: Array[Int], n0: Int): Int = {
     var len = n0
@@ -306,6 +327,40 @@ final class BpeKernel(merges: Seq[(String, String)]) extends Serializable {
     }
     total
   }
+
+  /** Word-level encode emitting the surviving symbols' portable ids in
+    * stream order — the tokenize twin of [[count]] (identical scan and
+    * merge loop; `tokenIds(t).length == count(t)` always).
+    */
+  def tokenIds(input: UTF8String): Array[Long] = {
+    val s = input.toString
+    val n = s.length
+    val out = Array.newBuilder[Long]
+    var syms = new Array[Int](32)
+    var len = 0
+    var i = 0
+    while (i <= n) {
+      var cp = -1
+      var step = 1
+      if (i < n) { cp = s.codePointAt(i); step = Character.charCount(cp) }
+      val sep = i == n || cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (sep) {
+        if (len > 0) {
+          val m = encode(syms, len)
+          var t = 0
+          while (t < m) { out += portableOf(syms(t)); t += 1 }
+          len = 0
+        }
+      } else if (cp != 0x1F && cp != 0x01) {
+        if (len == syms.length) syms = java.util.Arrays.copyOf(syms, len * 2)
+        syms(len) = symId(cp)
+        len += 1
+      }
+      i += step
+    }
+    out.result()
+  }
 }
 
 /** `bpe_count(text)` — word-level BPE symbol count under a fixed merge
@@ -336,6 +391,39 @@ case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
   override def prettyName: String = "bpe_count"
 }
 
+/** `bpe_tokenize(text)` — word-level BPE token-id sequence under a fixed
+  * merge table: the SAME kernel scan as `bpe_count`, emitting each
+  * surviving symbol's engine-portable id (code point for single-char
+  * symbols, 0x110000 + first producing merge rank for merged ones) in
+  * stream order. Null in → null out.
+  */
+case class BpeTokenizeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  @transient private lazy val kernel = new BpeKernel(merges)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_tokenize requires string input, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      kernel.tokenIds(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeKernel", kernel, classOf[BpeKernel].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($ref.tokenIds($a));")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeTokenizeExpr =
+    copy(child = c)
+  override def prettyName: String = "bpe_tokenize"
+}
+
 object TextFunctions {
   def fingerprint(text: Column): Column =
     GraftSqlBridge.column(PositionalFingerprint(GraftSqlBridge.expression(text)))
@@ -348,4 +436,7 @@ object TextFunctions {
 
   def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
     GraftSqlBridge.column(BpeTokenCountExpr(GraftSqlBridge.expression(text), merges))
+
+  def bpeTokenize(text: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(BpeTokenizeExpr(GraftSqlBridge.expression(text), merges))
 }

@@ -73,6 +73,17 @@ object TextStats {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)] = BpeMerges): Column =
     coalesce(graft.functions.TextFunctions.bpeCount(text, merges), lit(0L))
 
+  /** Word-level BPE token-id sequence (the array a training shard
+    * actually stores): the same kernel scan as [[bpeTokenCount]],
+    * emitting each surviving symbol's engine-portable id — code point
+    * for single-char symbols, 0x110000 + first producing merge rank for
+    * merged ones. `size(bpeTokenize(t)) == bpeTokenCount(t)` always
+    * (pinned in OpsSpec); null text → empty sequence.
+    */
+  def bpeTokenize(text: Column, merges: Seq[(String, String)] = BpeMerges): Column =
+    coalesce(graft.functions.TextFunctions.bpeTokenize(text, merges),
+      typedlit(Seq.empty[Long]))
+
   /** The cross-engine reference form of [[bpeTokenCount]]: the classic
     * encode loop as a Catalyst HOF fold — each merge rule `replace`s its
     * bracketed adjacent pair over the whole symbol string in rank order.
@@ -107,19 +118,35 @@ object TextStats {
     * separator arithmetic. Used by probe oracles so budgets stated in
     * BPE tokens are value-checked across engines.
     */
-  def bpeTokenCountSql(textExpr: String): String = {
-    val mergesList = BpeMerges
+  /** DuckDB expression for one word's folded bracketed-symbol string —
+    * the shared merge-replay core of [[bpeTokenCountSql]] and the x78
+    * tokenize oracle. `wExpr` is the word expression (already scrubbed of
+    * chr(31)/chr(1) by the caller).
+    */
+  def bpeFoldSql(wExpr: String, merges: Seq[(String, String)] = BpeMerges): String = {
+    val mergesList = merges
       .map { case (a, b) => s"'$a' || chr(1) || '$b'" }
       .mkString("[", ", ", "]")
-    val fold =
-      s"""list_reduce(
-         |  list_prepend(
-         |    array_to_string(list_transform(range(1, length(w) + 1),
-         |      i -> chr(31) || w[i] || chr(31)), ''),
-         |    $mergesList),
-         |  (acc, m) -> replace(acc,
-         |    chr(31) || split_part(m, chr(1), 1) || chr(31) || chr(31) || split_part(m, chr(1), 2) || chr(31),
-         |    chr(31) || split_part(m, chr(1), 1) || split_part(m, chr(1), 2) || chr(31)))""".stripMargin
+    s"""list_reduce(
+       |  list_prepend(
+       |    array_to_string(list_transform(range(1, length($wExpr) + 1),
+       |      i -> chr(31) || ($wExpr)[i] || chr(31)), ''),
+       |    $mergesList),
+       |  (acc, m) -> replace(acc,
+       |    chr(31) || split_part(m, chr(1), 1) || chr(31) || chr(31) || split_part(m, chr(1), 2) || chr(31),
+       |    chr(31) || split_part(m, chr(1), 1) || split_part(m, chr(1), 2) || chr(31)))""".stripMargin
+  }
+
+  /** DuckDB VALUES relation `(r, a, b)` of a merge table with 0-based
+    * ranks — the lookup side of the x78 portable-token-id replay.
+    */
+  def bpeMergeRanksSql(merges: Seq[(String, String)] = BpeMerges): String =
+    merges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '$a', '$b')" }
+      .mkString("(VALUES ", ", ", ") mr(r, a, b)")
+
+  def bpeTokenCountSql(textExpr: String): String = {
+    val fold = bpeFoldSql("w")
     // bind the folded state once via a 1-element list_transform; CAST the
     // sum back to BIGINT (DuckDB widens sum() over BIGINT to HUGEINT)
     s"""CAST(coalesce(list_sum(list_transform(

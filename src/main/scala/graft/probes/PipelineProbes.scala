@@ -1409,6 +1409,55 @@ object PipelineProbes {
            |FROM ranked WHERE rank <= 3
            |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
 
+  // — BPE tokenization to portable ids (the shard payload) ———————————————
+  //   x58 counts tokens; this emits the actual id sequence a training
+  //   shard stores, one row per (doc, pos) so every id is hash-compared
+  //   scalar-wise (array columns stringify differently across engines).
+  //   Ids are engine-portable by construction — code point for single
+  //   chars, 0x110000 + producing merge rank for merged symbols — and
+  //   the oracle replays the fold, the split, and the id mapping from
+  //   first principles. The planted suffix guarantees merged-symbol ids
+  //   (the "th"/"the"/"and"/"that" family) appear at every sf.
+  private val x78 = Probe(
+    "x78_bpe_tokenize",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val fix = docs.select(col("doc_id"),
+        concat(substring(col("text"), 1, 400), lit(" the thinking and that")).as("text"))
+      fix.select(col("doc_id"),
+          posexplode(TextStats.bpeTokenize(col("text"))).as(Seq("pos", "token_id")))
+        .orderBy("doc_id", "pos")
+    },
+    Some(s"""WITH fix AS (
+            |  SELECT doc_id, left(text, 400) || ' the thinking and that' AS text
+            |  FROM documents),
+            |ws AS (
+            |  SELECT doc_id, list_filter(regexp_split_to_array(
+            |      replace(replace(text, chr(31), ''), chr(1), ''), '\\s+'),
+            |      x -> x != '') AS ws
+            |  FROM fix),
+            |wi AS (
+            |  SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, ws
+            |  FROM ws),
+            |words AS (SELECT doc_id, wi, ws[wi] AS w FROM wi),
+            |folded AS (
+            |  SELECT doc_id, wi,
+            |    string_split(trim(${TextStats.bpeFoldSql("w")}, chr(31)),
+            |      chr(31) || chr(31)) AS l
+            |  FROM words),
+            |si AS (
+            |  SELECT doc_id, wi, unnest(generate_series(1, len(l))) AS si, l
+            |  FROM folded),
+            |syms AS (SELECT doc_id, wi, si, l[si] AS sym FROM si)
+            |SELECT doc_id,
+            |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, si) - 1 AS INT) AS pos,
+            |  CAST(CASE WHEN length(sym) = 1 THEN unicode(sym)
+            |       ELSE 1114112 + (SELECT min(r) FROM ${TextStats.bpeMergeRanksSql()}
+            |                       WHERE a || b = sym) END AS BIGINT) AS token_id
+            |FROM syms
+            |ORDER BY doc_id ASC NULLS FIRST, pos ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
-    x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77)
+    x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
+    x78)
 }

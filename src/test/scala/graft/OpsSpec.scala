@@ -987,6 +987,24 @@ class OpsSpec extends SparkSpec {
     assert(top1 == ((999999L, 1.0)), s"clone not found: $top1")
   }
 
+  test("bpeTokenize: length equals bpeTokenCount, ids decode merged vs raw symbols") {
+    // corpus-wide invariant: the tokenize scan and the count scan agree
+    val bad = docs.select(
+        (size(TextStats.bpeTokenize($"text")).cast("long") =!=
+          TextStats.bpeTokenCount($"text")).as("m"))
+      .filter($"m").count()
+    assert(bad == 0, "size(bpeTokenize) != bpeTokenCount on the fixture corpus")
+    // 'the' folds to the single merged symbol of rank 1 (t+h then th+e);
+    // 'xq' stays two raw chars = code points
+    val ids = Seq("the xq").toDF("text")
+      .select(TextStats.bpeTokenize($"text")).as[Seq[Long]].head()
+    assert(ids == Seq(0x110000L + 1, 'x'.toLong, 'q'.toLong), s"got $ids")
+    // null text -> empty sequence, not null
+    val nul = Seq((1L, Option.empty[String])).toDF("id", "text")
+      .select(TextStats.bpeTokenize($"text")).as[Seq[Long]].head()
+    assert(nul == Seq.empty)
+  }
+
   test("slidingChunks: overlap, short-doc single chunk, and exact chunk text") {
     val df = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens: chunks [0,6) [4,10)
