@@ -136,6 +136,60 @@ object Ivf {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ search — the fully composed 100-TB ANN plan (the faiss
+    * `IVFPQ` shape): the coarse quantizer restricts each query to
+    * `nprobe` inverted lists, candidates WITHIN the probed lists score
+    * via product-quantization ADC ([[Pq.adcScore]] — `m` byte-table
+    * lookups per pair over codes precomputed once per corpus row, 4×
+    * less candidate I/O than [[searchQuantized]]'s int8 and 32× less
+    * than float), and the top `k·candMult` rerank with EXACT cosine over
+    * full vectors. With [[seedCentroids]] + [[Pq.seedCodebooks]] every
+    * stage is deterministic and value-oracled (probe x79); with
+    * [[train]] + [[Pq.train]] it is the production path.
+    */
+  def searchPq(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, cidCol: String, cvecCol: String,
+      cents: DataFrame, cb: Pq.Codebooks, k: Int, nprobe: Int,
+      candMult: Int = 4): DataFrame = {
+    // one assignment pass; PQ codes + norms hoisted once per corpus row
+    val assigned = assign(corpus, cidCol, cvecCol, cents)
+      .withColumn("__codes", Pq.codesColumn(col(cvecCol), cb))
+      .withColumn("__cnorm", vec_norm(col(cvecCol)))
+      .localCheckpoint() // feeds the candidate join and the exact rerank
+
+    val wProbe = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col("centroid_id").asc)
+    val probes = queries
+      .withColumn("__lut", Pq.lutColumn(col(qvecCol), cb))
+      .withColumn("__qnorm", vec_norm(col(qvecCol)))
+      .crossJoin(broadcast(cents.withColumn("__cn", vec_norm(col("centroid_vec")))))
+      .withColumn("__sim",
+        round(vec_dot(col(qvecCol), col("centroid_vec")) / (col("__qnorm") * col("__cn")), 6))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col("__lut"), col("__qnorm"), col("centroid_id"))
+
+    // candidate cut over PQ codes only (full corpus vectors NOT read here)
+    val wCand = Window.partitionBy(col(qidCol)).orderBy(col("__adc").desc, col(cidCol).asc)
+    val cands = probes.join(
+        assigned.select(col(cidCol), col("centroid_id"), col("__codes")),
+        Seq("centroid_id"))
+      .filter(col(qidCol) =!= col(cidCol))
+      .withColumn("__adc", Pq.adcScore(col("__lut"), col("__codes"), cb.length))
+      .withColumn("__r", row_number().over(wCand))
+      .filter(col("__r") <= k * candMult)
+      .select(col(qidCol), col(qvecCol), col("__qnorm"), col(cidCol))
+
+    // exact rerank over full vectors, candidates only
+    val wRank = Window.partitionBy(col(qidCol)).orderBy(col("cosine_sim").desc, col(cidCol).asc)
+    cands.join(assigned.select(col(cidCol), col(cvecCol), col("__cnorm")), Seq(cidCol))
+      .withColumn("cosine_sim",
+        round(vec_dot(col(qvecCol), col(cvecCol)) / (col("__qnorm") * col("__cnorm")), 6))
+      .select(col(qidCol), col(cidCol), col("cosine_sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF search: probe `nprobe` lists per query, exact-rerank, top-k.
     * Deterministic (6-decimal rounding + id tiebreaks) when `cents` is.
     */

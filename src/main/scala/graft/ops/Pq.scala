@@ -64,9 +64,14 @@ object Pq {
     * subexpression a lambda reuses is [[bindOnce]]-bound (slices and
     * codebook rows would otherwise re-evaluate per codeword).
     */
-  def encode(corpus: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame = {
+  /** The encode expression alone — `m` nearest-codeword codes for a
+    * vector column (squared-L2 per subspace, round-6 then tie → lower
+    * code); composable onto any frame (e.g. [[Ivf.searchPq]]'s assigned
+    * inverted lists).
+    */
+  def codesColumn(vec: Column, cb: Codebooks): Column = {
     val (m, ks, ds) = (cb.length, cb(0).length, cb(0)(0).length)
-    val codes = bindOnce(col(vecCol).cast("array<double>")) { v =>
+    bindOnce(vec.cast("array<double>")) { v =>
       bindOnce(cbLit(cb)) { c =>
         transform(sequence(lit(0), lit(m - 1)), j =>
           bindOnce(slice(v, j * lit(ds) + 1, lit(ds))) { sub =>
@@ -81,41 +86,53 @@ object Pq {
           })
       }
     }
-    corpus.select(col(idCol), codes.as("codes"))
   }
+
+  def encode(corpus: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame =
+    corpus.select(col(idCol), codesColumn(col(vecCol), cb).as("codes"))
 
   /** ADC top-k over a PQ-encoded corpus: per query, one m·ks LUT, then m
     * lookups per candidate; rank by approximate dot (desc, id asc).
     * Queries broadcast with their LUTs — the corpus side streams codes
     * and never shuffles before the per-query top-k window.
     */
-  def adcTopK(queries: DataFrame, qidCol: String, qvecCol: String,
-      codes: DataFrame, cidCol: String, cb: Codebooks, k: Int): DataFrame = {
+  /** The per-query ADC lookup table — `m × ks` partial dots of the query
+    * subvectors against every codeword. Pdots stay UNROUNDED: the only
+    * rounding is the final ADC round-6, so a candidate whose codes
+    * reconstruct its vector exactly (e.g. a codebook seed) scores its
+    * true round-6 dot.
+    */
+  def lutColumn(qvec: Column, cb: Codebooks): Column = {
     val (m, _, ds) = (cb.length, cb(0).length, cb(0)(0).length)
-    val lut = bindOnce(col(qvecCol).cast("array<double>")) { v =>
+    bindOnce(qvec.cast("array<double>")) { v =>
       bindOnce(cbLit(cb)) { c =>
         transform(sequence(lit(0), lit(m - 1)), j =>
           bindOnce(slice(v, j * lit(ds) + 1, lit(ds))) { sub =>
-            // pdots stay UNROUNDED: the only rounding is the final ADC
-            // round-6, so a candidate whose codes reconstruct its vector
-            // exactly (e.g. a codebook seed) scores its true round-6 dot
             transform(element_at(c, j + 1), cw =>
               aggregate(zip_with(sub, cw, (a, b) => a * b),
                 lit(0.0), (acc, x) => acc + x))
           })
       }
     }
-    val q = queries.select(col(qidCol), lut.as("__lut"))
+  }
+
+  /** Round-6 ADC score: `m` table lookups, one per code. */
+  def adcScore(lut: Column, codes: Column, m: Int): Column =
+    round(
+      bindOnce(lut) { l =>
+        bindOnce(codes) { cd =>
+          aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+            (acc, j) => acc + element_at(element_at(l, j + 1), element_at(cd, j + 1) + 1))
+        }
+      }, 6)
+
+  def adcTopK(queries: DataFrame, qidCol: String, qvecCol: String,
+      codes: DataFrame, cidCol: String, cb: Codebooks, k: Int): DataFrame = {
+    val q = queries.select(col(qidCol), lutColumn(col(qvecCol), cb).as("__lut"))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("adc_dot").desc, col(cidCol).asc)
     codes.crossJoin(broadcast(q))
       .filter(col(qidCol) =!= col(cidCol))
-      .withColumn("adc_dot", round(
-        bindOnce(col("__lut")) { l =>
-          bindOnce(col("codes")) { cd =>
-            aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-              (acc, j) => acc + element_at(element_at(l, j + 1), element_at(cd, j + 1) + 1))
-          }
-        }, 6))
+      .withColumn("adc_dot", adcScore(col("__lut"), col("codes"), cb.length))
       .select(col(qidCol), col(cidCol), col("adc_dot"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

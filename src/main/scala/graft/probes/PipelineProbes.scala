@@ -1457,7 +1457,159 @@ object PipelineProbes {
             |FROM syms
             |ORDER BY doc_id ASC NULLS FIRST, pos ASC NULLS FIRST""".stripMargin))
 
+  // — IVF-PQ search (the fully composed ANN stack) ———————————————————————
+  //   Coarse quantizer (16 seed centroids, nprobe 4) bounds the scan to
+  //   probed lists, PQ ADC (8 seed codebooks of 16) cuts candidates with
+  //   byte lookups, exact cosine reranks the 20 survivors per query. All
+  //   three stages deterministic, so the oracle replays assignment,
+  //   probes, codes, LUTs, ADC cut, and rerank from the raw table — the
+  //   x37 (IVF+int8) discipline with the PQ candidate stage swapped in.
+  private val x79 = Probe(
+    "x79_sim_topk_ivf_pq",
+    (s, dir) => {
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 16)
+      val cb = Pq.seedCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16, dim = 64)
+      Ivf.searchPq(queries, "query_id", "qvec", emb, "vec_id", "embedding", cents, cb,
+          k = 5, nprobe = 4, candMult = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH cents AS (
+           |  SELECT vec_id AS centroid_id, embedding AS cvec
+           |  FROM embeddings ORDER BY vec_id LIMIT 16),
+           |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+           |cc AS (SELECT vec_id, centroid_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           |              CAST(unnest(cvec) AS DOUBLE) AS y FROM embeddings, cents),
+           |ccs AS (SELECT vec_id, centroid_id,
+           |          round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS sim
+           |        FROM cc GROUP BY 1, 2),
+           |assigned AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY sim DESC NULLS LAST, centroid_id ASC NULLS FIRST) AS rn FROM ccs)
+           |  WHERE rn = 1),
+           |qc AS (SELECT query_id, centroid_id, CAST(unnest(qe) AS DOUBLE) AS x,
+           |              CAST(unnest(cvec) AS DOUBLE) AS y FROM q, cents),
+           |qcs AS (SELECT query_id, centroid_id,
+           |          round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS sim
+           |        FROM qc GROUP BY 1, 2),
+           |probes AS (
+           |  SELECT query_id, centroid_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC NULLS LAST, centroid_id ASC NULLS FIRST) AS rn FROM qcs)
+           |  WHERE rn <= 4),
+           |cbv AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k, embedding
+           |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+           |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+           |ts AS (SELECT unnest(generate_series(1, 8)) AS t),
+           |cb AS (
+           |  SELECT j, k, t, CAST(embedding[j * 8 + t] AS DOUBLE) AS c
+           |  FROM cbv, js, ts),
+           |sub AS (
+           |  SELECT vec_id, j, t, CAST(embedding[j * 8 + t] AS DOUBLE) AS x
+           |  FROM embeddings, js, ts),
+           |dist AS (
+           |  SELECT s.vec_id, s.j, cb.k,
+           |    round(sum((s.x - cb.c) * (s.x - cb.c)), 6) AS d
+           |  FROM sub s JOIN cb ON cb.j = s.j AND cb.t = s.t
+           |  GROUP BY 1, 2, 3),
+           |codes AS (
+           |  SELECT vec_id, j, k AS code FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+           |      ORDER BY d ASC, k ASC) AS rn
+           |    FROM dist) WHERE rn = 1),
+           |lut AS (
+           |  SELECT q2.vec_id AS query_id, q2.j, cb.k, sum(q2.x * cb.c) AS pdot
+           |  FROM (SELECT * FROM sub WHERE vec_id < 10) q2
+           |  JOIN cb ON cb.j = q2.j AND cb.t = q2.t
+           |  GROUP BY 1, 2, 3),
+           |candset AS (
+           |  SELECT p.query_id, a.vec_id FROM probes p
+           |  JOIN assigned a USING (centroid_id) WHERE a.vec_id != p.query_id),
+           |adc AS (
+           |  SELECT cs.query_id, cs.vec_id, round(sum(l.pdot), 6) AS ap
+           |  FROM candset cs
+           |  JOIN codes c ON c.vec_id = cs.vec_id
+           |  JOIN lut l ON l.query_id = cs.query_id AND l.j = c.j AND l.k = c.code
+           |  GROUP BY 1, 2),
+           |cands AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY ap DESC NULLS LAST, vec_id ASC NULLS FIRST) AS r FROM adc)
+           |  WHERE r <= 20),
+           |nrm AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nn
+           |  FROM embeddings),
+           |rflat AS (
+           |  SELECT c.query_id, c.vec_id, CAST(unnest(qn.embedding) AS DOUBLE) AS x,
+           |    CAST(unnest(cn.embedding) AS DOUBLE) AS y
+           |  FROM cands c
+           |  JOIN nrm qn ON qn.vec_id = c.query_id
+           |  JOIN nrm cn ON cn.vec_id = c.vec_id),
+           |sims AS (
+           |  SELECT f.query_id, f.vec_id,
+           |    round(sum(f.x * f.y) / (any_value(qn.nn) * any_value(cn.nn)), 6) AS cosine_sim
+           |  FROM rflat f
+           |  JOIN nrm qn ON qn.vec_id = f.query_id
+           |  JOIN nrm cn ON cn.vec_id = f.vec_id
+           |  GROUP BY 1, 2)
+           |SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine_sim DESC NULLS LAST, vec_id ASC NULLS FIRST) AS rank
+           |  FROM sims) WHERE rank <= 5
+           |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
+
+  // — dataset card (corpus report with rollup totals) ————————————————————
+  //   One pass, one rollup aggregate: per-(source, language) doc/token/
+  //   byte counts and exact 1e-4-unit quality sums, plus the per-source
+  //   and grand-total grains SQL ROLLUP defines. The oracle recomputes
+  //   every per-document stat (langId, ratios, quality, BPE count) from
+  //   first principles and re-aggregates with GROUP BY ROLLUP, so the
+  //   whole report — including the null-keyed rollup rows — is
+  //   value-checked.
+  private val x80 = Probe(
+    "x80_dataset_card",
+    (s, dir) => Report.datasetCard(Readers.fanOut(t(s, dir, "documents")))
+      .orderBy(col("source").asc_nulls_first, col("pred_lang").asc_nulls_first),
+    Some(s"""WITH base AS (
+            |  SELECT source, text,
+            |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+            |  FROM documents),
+            |ratios AS (
+            |  SELECT source, text, tok,
+            |    CAST(len(tok) AS BIGINT) AS n_tokens,
+            |    floor((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+            |      / nullif(length(text), 0)) * 10000 + 0.5) / 10000 AS punct_ratio,
+            |    floor((CAST(len(list_filter(tok, t -> t = 'the' OR t = 'a')) AS DOUBLE)
+            |      / nullif(len(tok), 0)) * 10000 + 0.5) / 10000 AS stopword_ratio
+            |  FROM base),
+            |scored AS (
+            |  SELECT source,
+            |    ${TextStats.langIdSql("text")} AS pred_lang,
+            |    n_tokens,
+            |    CAST(length(text) AS BIGINT) AS n_chars,
+            |    ${TextStats.bpeTokenCountSql("text")} AS n_bpe,
+            |    CAST(floor((least(1.0, n_tokens / 64.0) * 0.4
+            |      + (1.0 - least(1.0, coalesce(punct_ratio, 0) * 10)) * 0.3
+            |      + least(1.0, coalesce(stopword_ratio, 0) * 20) * 0.3) * 10000 + 0.5)
+            |      AS BIGINT) AS q1e4
+            |  FROM ratios)
+            |SELECT source, pred_lang,
+            |  CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(n_tokens) AS BIGINT) AS n_ws_tokens,
+            |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+            |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+            |  CAST(sum(q1e4) AS BIGINT) AS quality_sum_1e4
+            |FROM scored
+            |GROUP BY ROLLUP (source, pred_lang)
+            |ORDER BY source ASC NULLS FIRST, pred_lang ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
-    x78)
+    x78, x79, x80)
 }

@@ -1005,6 +1005,21 @@ class OpsSpec extends SparkSpec {
     assert(nul == Seq.empty)
   }
 
+  test("searchPq with an exhaustive candidate cut equals plain IVF search " +
+      "(ADC only prunes; the rerank is the same exact cosine)") {
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 16)
+    val cb = Pq.seedCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16, dim = 64)
+    // candMult large enough that no probed-list member is cut -> the PQ
+    // stage is a no-op and the composed plan must reproduce Ivf.search
+    val pq = Ivf.searchPq(queries, "query_id", "qvec", emb, "vec_id", "embedding",
+      cents, cb, k = 5, nprobe = 4, candMult = 1000)
+    val plain = Ivf.search(queries, "query_id", "qvec", emb, "vec_id", "embedding",
+      cents, k = 5, nprobe = 4)
+    assert(pq.exceptAll(plain).isEmpty && plain.exceptAll(pq).isEmpty)
+  }
+
   test("slidingChunks: overlap, short-doc single chunk, and exact chunk text") {
     val df = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens: chunks [0,6) [4,10)

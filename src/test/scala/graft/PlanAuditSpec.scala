@@ -26,10 +26,13 @@ class PlanAuditSpec extends SparkSpec {
                                  // nested-loop, linear in corpus) so every flagged
                                  // pair is value-oracled; the sign-bucket arm is the
                                  // wide-bench scale path, recall-gated in OpsSpec
-    "x77_sim_topk_pq_adc"      // ADC candidate scan IS corpus×queries by design,
+    "x77_sim_topk_pq_adc",     // ADC candidate scan IS corpus×queries by design,
                                // like x22 — the win is m byte-lookups per pair
                                // (32× less I/O than float), not asymptotics;
                                // compose with IVF lists for the sublinear path
+    "x79_sim_topk_ivf_pq"      // probe×centroid scoring is a small cross
+                               // product, exactly like x12/x37; the candidate
+                               // stage itself is a list-id equi-join
   )
 
   // streaming probes execute a query at construction time; plan-audited
