@@ -102,7 +102,13 @@ object Bench {
     "x63_dsir_score",
     "x67_semdedup_cluster",
     "x68_html_extract",
-    "x72_web_preclean")
+    "x72_web_preclean",
+    // round-8 late additions: the composed IVF-PQ stack and the rollup
+    // dataset card (the flat-PQ and keep-best families are covered by
+    // these two plus the existing x21/x03 dedup costs — the compact
+    // stdout line's 1800-byte pin bounds how many entries can ride)
+    "x79_sim_topk_ivf_pq",
+    "x80_dataset_card")
 
   /** The heavy-query subset run once at synthetic sf1 when budget allows:
     * the ETL/join spine plus the dedup/ANN/curation paths whose scaling
@@ -381,7 +387,13 @@ object Bench {
         "\"" + k + f"""":{"r":${s.readMb}%.2f,"w":${s.writeMb}%.2f,"spill":${s.spillMb}%.2f}"""
       }.mkString(""","shuffle_mb":{""", ",", "}")
     val partialJson = if (partial) ""","partial":true""" else ""
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds_done":$roundsDone,"failed":$failedJson,"sf":${escape(sfDir)},"queries":$qsJson$sf1Json$sf1FailedJson$shufJson$partialJson}"""
+    // compact (stdout) variant: sf as basename, rounds_done omitted —
+    // both ride in the file artifact; every byte of the stdout line
+    // competes with query entries under the driver's bounded capture
+    val compact = shuffle.isEmpty
+    val sfJson = escape(if (compact) sfDir.stripSuffix("/").split('/').last else sfDir)
+    val roundsJson = if (compact) "" else s""""rounds_done":$roundsDone,"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec",$roundsJson"failed":$failedJson,"sf":$sfJson,"queries":$qsJson$sf1Json$sf1FailedJson$shufJson$partialJson}"""
   }
 
   private def escape(s: String): String =
