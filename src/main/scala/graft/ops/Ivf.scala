@@ -157,7 +157,19 @@ object Ivf {
       .withColumn("__codes", Pq.codesColumn(col(cvecCol), cb))
       .withColumn("__cnorm", vec_norm(col(cvecCol)))
       .localCheckpoint() // feeds the candidate join and the exact rerank
+    searchPqAssigned(queries, qidCol, qvecCol, assigned, cidCol, cvecCol,
+      cents, cb, k, nprobe, candMult)
+  }
 
+  /** [[searchPq]] over a pre-assigned, pre-encoded corpus — `assigned`
+    * must carry `centroid_id`, `__codes`, and `__cnorm` alongside the id
+    * and vector columns, exactly what [[writePqIndex]] stores.
+    */
+  def searchPqAssigned(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      assigned: DataFrame, cidCol: String, cvecCol: String,
+      cents: DataFrame, cb: Pq.Codebooks, k: Int, nprobe: Int,
+      candMult: Int = 4): DataFrame = {
     val wProbe = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col("centroid_id").asc)
     val probes = queries
       .withColumn("__lut", Pq.lutColumn(col(qvecCol), cb))
@@ -227,6 +239,47 @@ object Ivf {
   /** Load a persisted index → (centroids, assigned lists). */
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/centroids"), spark.read.parquet(s"$path/lists"))
+
+  /** Persist a trained IVF-PQ index: centroids, codebooks (as (j, k, t, c)
+    * rows), and the assigned corpus with PQ codes + norms precomputed,
+    * written `partitionBy(centroid_id)` — the on-disk inverted-list
+    * layout where a probe reads ≈ nprobe/numCentroids of the index bytes
+    * AND the candidate stage's code column prunes to a fraction of each
+    * list's bytes (column pruning inside partition pruning — the
+    * build-once / probe-many deployment that amortizes assignment,
+    * encoding, and norm computation across every future query batch).
+    */
+  def writePqIndex(path: String, corpus: DataFrame, cidCol: String, cvecCol: String,
+      cents: DataFrame, cb: Pq.Codebooks): Unit = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    cb.zipWithIndex.flatMap { case (cwj, j) =>
+      cwj.zipWithIndex.flatMap { case (cw, k) =>
+        cw.zipWithIndex.map { case (c, t) => (j, k, t, c) }
+      }
+    }.toSeq.toDF("j", "k", "t", "c")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    assign(corpus, cidCol, cvecCol, cents)
+      .withColumn("__codes", Pq.codesColumn(col(cvecCol), cb))
+      .withColumn("__cnorm", vec_norm(col(cvecCol)))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/lists")
+  }
+
+  /** Load a persisted IVF-PQ index → (centroids, assigned lists,
+    * codebooks) — feed straight into [[searchPqAssigned]].
+    */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame, Pq.Codebooks) = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("j"), col("k"), col("t"), col("c")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val ks = rows.map(_.getInt(1)).max + 1
+    val ds = rows.map(_.getInt(2)).max + 1
+    val cb = Array.fill(m, ks, ds)(0.0)
+    rows.foreach(r => cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+    (spark.read.parquet(s"$path/centroids"), spark.read.parquet(s"$path/lists"), cb)
+  }
 
   /** [[search]] over a pre-assigned (e.g. [[readIndex]]-loaded) corpus —
     * `assigned` must carry `centroid_id` and `__cnorm` alongside the id

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
-import graft.ops.{Ivf, Similarity}
+import graft.ops.{Ivf, Pq, Similarity}
 import graft.sources.Readers
 
 class IvfSpec extends SparkSpec {
@@ -88,6 +88,26 @@ class IvfSpec extends SparkSpec {
     assert(plan.contains(s"PartitionFilters: [isnotnull(centroid_id") &&
       plan.contains(s"= $minCent)"),
       s"a probed-list read must carry a centroid_id partition filter:\n$plan")
+  }
+
+  test("persisted IVF-PQ index: searchPqAssigned over readPqIndex equals the live path, " +
+      "codebooks roundtrip exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 8)
+    val cb = Pq.seedCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16, dim = 64)
+    Ivf.writePqIndex(dir, emb, "vec_id", "embedding", cents, cb)
+    val (loadedCents, lists, loadedCb) = Ivf.readPqIndex(spark, dir)
+    assert(loadedCb.map(_.map(_.toSeq).toSeq).toSeq == cb.map(_.map(_.toSeq).toSeq).toSeq,
+      "codebooks must roundtrip bit-for-bit")
+    val fromIndex = Ivf.searchPqAssigned(queries, "query_id", "qvec",
+        lists, "vec_id", "embedding", loadedCents, loadedCb, k = 5, nprobe = 2)
+      .select("query_id", "vec_id", "cosine_sim").as[(Long, Long, Double)].collect().toSet
+    val live = Ivf.searchPq(queries, "query_id", "qvec", emb, "vec_id", "embedding",
+        cents, cb, k = 5, nprobe = 2)
+      .select("query_id", "vec_id", "cosine_sim").as[(Long, Long, Double)].collect().toSet
+    assert(fromIndex == live, "the persisted PQ index must answer identically to the live path")
   }
 
   test("approx_count_distinct stays within 5% of exact (the documented 100-TB alternative)") {
