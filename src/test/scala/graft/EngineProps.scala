@@ -275,4 +275,46 @@ object EngineProps extends Properties("engine") {
       got.forall { case (k, f) => k == f }
     }
   }
+
+  /** Independent driver-side replay of the bracketed replace-fold +
+    * portable-id mapping (java String.replace IS the non-overlapping
+    * left-to-right scan UTF8String.replace performs) — the tokenize
+    * twin's reference semantics, kept separate from the kernel under
+    * test.
+    */
+  private def refTokenIds(text: String): Seq[Long] = {
+    if (text == null) return Seq.empty
+    val S = "\u001f"
+    val merges = graft.ops.TextStats.BpeMerges
+    val clean = text.filterNot(c => c == '\u001f' || c == '\u0001')
+    clean.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { w =>
+      var s = w.codePoints().toArray
+        .map(cp => S + new String(Character.toChars(cp)) + S).mkString
+      merges.foreach { case (a, b) =>
+        s = s.replace(S + a + S + S + b + S, S + a + b + S)
+      }
+      s.stripPrefix(S).stripSuffix(S).split(S + S).toSeq.map { sym =>
+        if (sym.codePointCount(0, sym.length) == 1) sym.codePointAt(0).toLong
+        else 0x110000L + merges.indexWhere(r => r._1 + r._2 == sym)
+      }
+    }
+  }
+
+  property("bpe tokenize ids == driver-side fold replay; length == count") = {
+    val piece = Gen.oneOf(
+      "t", "h", "e", "i", "n", "a", "d", "th", "the", "and", "ing", "wh",
+      " ", "\t", "\n", "\u000b", "\f", "\r", "\u001f", "\u0001",
+      "é", "漢", "😀", "x", "0", "!")
+    forAll(Gen.listOfN(6, Gen.listOfN(30, piece).map(_.mkString))) { texts =>
+      val all = texts :+ "" :+ (null: String)
+      val df = all.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = df.orderBy("id").select(
+          graft.ops.TextStats.bpeTokenize($"text").as("ids"),
+          graft.ops.TextStats.bpeTokenCount($"text").as("k"))
+        .as[(Seq[Long], Long)].collect().toSeq
+      got.zip(all).forall { case ((ids, k), t) =>
+        ids == refTokenIds(t) && ids.length.toLong == k
+      }
+    }
+  }
 }
