@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Classify, Decontaminate, Dedup, Html, Ivf, Packing, Repetition, Sampling, Scd, Sessionize, Similarity, Snapshot, TextStats, Urls}
+import graft.ops.{Bpe, Classify, Decontaminate, Dedup, Html, Ivf, Packing, Pq, Repetition, Report, Sampling, Scd, Sessionize, Similarity, Snapshot, TextStats, Urls}
 import graft.sources.Readers
 
 /** Empirical scaling pilot: run the heavy operator families at 1× and N×
@@ -122,6 +122,7 @@ object ScalePilot {
       else if (family == "curation") Set("documents", "embeddings")
       else if (family == "ingest" || family == "stream") Set("documents")
       else if (family == "web") Set("documents", "embeddings")
+      else if (family == "round8") Set("documents", "embeddings")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -425,6 +426,48 @@ object ScalePilot {
     // a FIXED k would grow within-cluster pair work quadratically with
     // the corpus. The k computation (a parquet metadata count) runs at
     // list-build time, outside every per-query clock.
+    // round-8 late additions: quality-ranked canonical selection, semantic
+    // decontamination (FIXED bench — ids below the 1× range, so only the
+    // corpus side grows), BPE merge training, flat-PQ ADC, the composed
+    // IVF-PQ stack, and the rollup dataset card. Queries/bench/codebooks
+    // are pinned to the 1×-range ids at every scale so the measured
+    // growth is pure corpus volume.
+    def round8Queries(dir: String): Seq[(String, () => DataFrame)] = Seq(
+      "keep_best_dedup" -> (() => {
+        val docs = tbl(dir, "documents")
+        Dedup.dedupCorpusKeepBest(docs, "doc_id", col("text"),
+          col("doc_id") * 37 % 101, n = 3, threshold = 0.2)
+      }),
+      "semantic_decontaminate" -> (() => {
+        val emb = tbl(dir, "embeddings")
+        val bench = emb.filter(col("vec_id") < 2000 && col("vec_id") % 41 === 0)
+          .select((col("vec_id") + 1000000L).as("bench_id"), col("embedding"))
+        Decontaminate.semanticOverlaps(emb, "vec_id", "embedding",
+          bench, "bench_id", "embedding", threshold = 0.8, exact = true)
+      }),
+      "bpe_train" -> (() =>
+        Bpe.train(tbl(dir, "documents"), col("text"), numMerges = 6)),
+      "pq_adc_topk" -> (() => {
+        val emb = tbl(dir, "embeddings")
+        val seeds = emb.filter(col("vec_id") < 2000)
+        val cb = Pq.seedCodebooks(seeds, "vec_id", "embedding", m = 8, ks = 16, dim = 64)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        Pq.adcTopK(queries, "query_id", "qvec",
+          Pq.encode(emb, "vec_id", "embedding", cb), "vec_id", cb, k = 5)
+      }),
+      "ivf_pq_search" -> (() => {
+        val emb = tbl(dir, "embeddings")
+        val seeds = emb.filter(col("vec_id") < 2000)
+        val cents = Ivf.seedCentroids(seeds, "vec_id", "embedding", 16)
+        val cb = Pq.seedCodebooks(seeds, "vec_id", "embedding", m = 8, ks = 16, dim = 64)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        Ivf.searchPq(queries, "query_id", "qvec", emb, "vec_id", "embedding",
+          cents, cb, k = 5, nprobe = 4)
+      }),
+      "dataset_card" -> (() => Report.datasetCard(tbl(dir, "documents"))))
+
     def webQueries(dir: String): Seq[(String, () => DataFrame)] = {
       val embN = tbl(dir, "embeddings").count()
       val k = math.max(4, math.ceil(math.sqrt(embN.toDouble)).toInt)
@@ -487,6 +530,7 @@ object ScalePilot {
       else if (family == "curation") curationQueries(dir)
       else if (family == "ingest") ingestQueries(dir)
       else if (family == "web") webQueries(dir)
+      else if (family == "round8") round8Queries(dir)
       else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>

@@ -1609,7 +1609,44 @@ object PipelineProbes {
             |GROUP BY ROLLUP (source, pred_lang)
             |ORDER BY source ASC NULLS FIRST, pred_lang ASC NULLS FIRST""".stripMargin))
 
+  // — semantic decontamination: the SURVIVING corpus (x42 twin) ——————————
+  //   x75 oracles the flagged pairs; this oracles the anti-join tail the
+  //   pipeline actually ships — corpus minus every vector flagged at
+  //   cosine ≥ 0.8 against the planted bench. Survivor interactions
+  //   (a vector flagged by TWO bench items must drop once) come free.
+  private val x81 = Probe(
+    "x81_semantic_decontaminate_clean",
+    (s, dir) => {
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
+      val bench = emb.filter(col("vec_id") % 41 === 0)
+        .select((col("vec_id") + 1000000L).as("bench_id"), col("embedding"))
+      Decontaminate.semanticClean(emb, "vec_id", "embedding",
+          bench, "bench_id", "embedding", threshold = 0.8, exact = true)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id + 1000000 AS bench_id, embedding AS qe
+           |  FROM embeddings WHERE vec_id % 41 = 0),
+           |pairs AS (
+           |  SELECT e.vec_id AS corpus_id, q.bench_id, e.embedding AS ce, q.qe
+           |  FROM embeddings e, q),
+           |flat AS (
+           |  SELECT corpus_id, bench_id, CAST(unnest(ce) AS DOUBLE) AS x,
+           |    CAST(unnest(qe) AS DOUBLE) AS y
+           |  FROM pairs),
+           |dots AS (
+           |  SELECT corpus_id, bench_id, sum(x * y) AS d, sum(x * x) AS nx,
+           |    sum(y * y) AS ny
+           |  FROM flat GROUP BY 1, 2),
+           |flagged AS (
+           |  SELECT DISTINCT corpus_id FROM dots
+           |  WHERE round(d / (sqrt(nx) * sqrt(ny)), 6) >= 0.8)
+           |SELECT vec_id, label FROM embeddings
+           |WHERE vec_id NOT IN (SELECT corpus_id FROM flagged)
+           |ORDER BY vec_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
-    x78, x79, x80)
+    x78, x79, x80, x81)
 }
