@@ -599,17 +599,67 @@ object Dedup {
       n: Int, threshold: Double, maxIter: Int = 20): DataFrame = {
     val sh = shingleTable(docs, idCol, text, n).persist()
     sh.count() // eager: feeds the self-join, set sizes, and hot correction
-    val labels = components(ngramJaccardPairsFromShingles(sh, threshold), maxIter)
-    sh.unpersist() // labels is an eager localCheckpoint — shingles no longer needed
-    // localCheckpoint, not persist: the drop set must survive into the
-    // returned lazy anti-join without staying registered in the SQL cache
-    // manager (ContextCleaner releases it when the result is dropped)
-    val drop = labels
-      .filter(col("id") =!= col("comp"))
-      .select(col("id").as(idCol))
-      .localCheckpoint()
+    val pairs = ngramJaccardPairsFromShingles(sh, threshold)
+    val result = dropNonCanonical(docs, idCol, pairs, quality = None, maxIter)
+    sh.unpersist() // the drop set is checkpointed — shingles no longer needed
+    result
+  }
+
+  /** Shared cluster/drop tail of every corpus near-dup removal: pairs →
+    * [[components]] → canonical election (min id, or argmax `quality`
+    * with min-id tiebreak) → one anti-join of the id-only drop set.
+    * The drop set is `localCheckpoint`ed, not persisted: it must survive
+    * into the returned lazy anti-join without staying registered in the
+    * SQL cache manager (ContextCleaner releases it when the result is
+    * dropped); the intermediate labels are released before returning.
+    */
+  private def dropNonCanonical(docs: DataFrame, idCol: String, pairs: DataFrame,
+      quality: Option[Column], maxIter: Int): DataFrame = {
+    val labels = components(pairs, maxIter)
+    val drop = quality match {
+      case None =>
+        labels.filter(col("id") =!= col("comp"))
+          .select(col("id").as(idCol))
+          .localCheckpoint()
+      case Some(q) =>
+        // only clustered ids need a quality lookup — labels' nodes are
+        // exactly the ids that appeared in a pair, small after contraction
+        val member = labels.join(
+          docs.select(col(idCol).as("id"), q.cast("double").as("__q")), Seq("id"))
+        val keep = member.groupBy(col("comp"))
+          .agg(min(struct((-col("__q")).as("nq"), col("id").as("kid"))).as("__k"))
+          .select(col("comp"), col("__k").getField("kid").as("__keep"))
+        member.join(keep, Seq("comp"))
+          .filter(col("id") =!= col("__keep"))
+          .select(col("id").as(idCol))
+          .localCheckpoint()
+    }
     labels.unpersist()
     docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Corpus near-dup removal with the MINHASH+LSH pair stage — the
+    * 100-TB arm of [[dedupCorpusExact]]/[[dedupCorpusKeepBest]] (whose
+    * exact-pair stage is the value-oracle arm; the round-8 32× pilot
+    * measured it 8.2× at 32× data while every LSH-family query stayed
+    * ≤3×). Candidates come from banded signature buckets (hot buckets
+    * star-degrade, never drop), every candidate verifies with EXACT
+    * Jaccard over full shingle sets, and the cluster/drop tail is
+    * byte-identical to the exact arm — so the only semantic difference
+    * is pair RECALL: a true near-dup pair at jaccard j surfaces with
+    * probability 1-(1-j^rowsPerBand)^bands (identical documents always
+    * collide). `quality = Some(...)` elects argmax-quality canonicals.
+    */
+  def dedupCorpusLsh(docs: DataFrame, idCol: String, text: Column,
+      n: Int, numPerm: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      quality: Option[Column] = None,
+      maxBucket: Int = DefaultMaxBucket, maxIter: Int = 20): DataFrame = {
+    require(bands * rowsPerBand <= numPerm,
+      s"bands*rowsPerBand = ${bands * rowsPerBand} exceeds numPerm = $numPerm")
+    val sig = minhashSignatures(docs, idCol, text, n, numPerm)
+    val cand = lshCandidates(sig, idCol, bands, rowsPerBand, maxBucket)
+    val pairs = jaccardVerify(docs, idCol, text, n, cand, threshold)
+    dropNonCanonical(docs, idCol, pairs, quality, maxIter)
   }
 
   /** [[dedupCorpusExact]] with QUALITY-RANKED canonical selection: each
@@ -635,21 +685,10 @@ object Dedup {
       quality: Column, n: Int, threshold: Double, maxIter: Int = 20): DataFrame = {
     val sh = shingleTable(docs, idCol, text, n).persist()
     sh.count() // eager: feeds the self-join, set sizes, and hot correction
-    val labels = components(ngramJaccardPairsFromShingles(sh, threshold), maxIter)
+    val pairs = ngramJaccardPairsFromShingles(sh, threshold)
+    val result = dropNonCanonical(docs, idCol, pairs, Some(quality), maxIter)
     sh.unpersist()
-    // only clustered ids need a quality lookup — labels' nodes are exactly
-    // the ids that appeared in a pair, a small frame after contraction
-    val member = labels.join(
-      docs.select(col(idCol).as("id"), quality.cast("double").as("__q")), Seq("id"))
-    val keep = member.groupBy(col("comp"))
-      .agg(min(struct((-col("__q")).as("nq"), col("id").as("kid"))).as("__k"))
-      .select(col("comp"), col("__k").getField("kid").as("__keep"))
-    val drop = member.join(keep, Seq("comp"))
-      .filter(col("id") =!= col("__keep"))
-      .select(col("id").as(idCol))
-      .localCheckpoint()
-    labels.unpersist()
-    docs.join(drop, Seq(idCol), "left_anti")
+    result
   }
 
   /** End-to-end SEMANTIC near-dup removal over an embedding column — the
@@ -668,13 +707,7 @@ object Dedup {
     val pairs =
       if (exact) Similarity.cosinePairsExact(emb, idCol, vecCol, threshold)
       else Similarity.cosinePairs(emb, idCol, vecCol, threshold, numPlanes, dim)
-    val labels = components(pairs, maxIter)
-    val drop = labels
-      .filter(col("id") =!= col("comp"))
-      .select(col("id").as(idCol))
-      .localCheckpoint()
-    labels.unpersist()
-    emb.join(drop, Seq(idCol), "left_anti")
+    dropNonCanonical(emb, idCol, pairs, quality = None, maxIter)
   }
 
   /** Cluster-bounded semantic near-dup removal — SemDeDup as published
@@ -694,13 +727,7 @@ object Dedup {
       cents: DataFrame, threshold: Double, clusterCap: Long = 100000L,
       maxIter: Int = 20): DataFrame = {
     val pairs = Similarity.clusterCosinePairs(emb, idCol, vecCol, cents, threshold, clusterCap)
-    val labels = components(pairs, maxIter)
-    val drop = labels
-      .filter(col("id") =!= col("comp"))
-      .select(col("id").as(idCol))
-      .localCheckpoint()
-    labels.unpersist()
-    emb.join(drop, Seq(idCol), "left_anti")
+    dropNonCanonical(emb, idCol, pairs, quality = None, maxIter)
   }
 
   /** Incremental dedup: a NEW batch of documents against an EXISTING

@@ -1020,6 +1020,38 @@ class OpsSpec extends SparkSpec {
     assert(pq.exceptAll(plain).isEmpty && plain.exceptAll(pq).isEmpty)
   }
 
+  test("dedupCorpusLsh: planted clones always collapse, drops are a subset of the " +
+      "exact arm, and the quality election applies") {
+    // identical text -> identical signatures -> guaranteed bucket collision,
+    // so clone recall never depends on LSH luck
+    val base = docs.select($"doc_id", $"text")
+    val corpus = base.unionByName(
+      base.select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+    val lsh = Dedup.dedupCorpusLsh(corpus, "doc_id", $"text",
+        n = 3, numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 0.2)
+      .select("doc_id").persist()
+    assert(lsh.filter($"doc_id" >= 100000L).count() == 0,
+      "every planted clone must collapse onto its lower-id original")
+    // LSH candidates only PRUNE the exact pair set, so exact-arm survivors
+    // are always a subset of LSH-arm survivors
+    val exact = Dedup.dedupCorpusExact(corpus, "doc_id", $"text", n = 3, threshold = 0.2)
+      .select("doc_id")
+    assert(exact.exceptAll(lsh).isEmpty,
+      "an exact-arm survivor was dropped by the LSH arm")
+    lsh.unpersist()
+    // argmax-quality canonical: the clone cluster {1, 2} keeps quality-9
+    val tiny = Seq(
+      (1L, "alpha beta gamma delta epsilon", 5.0),
+      (2L, "alpha beta gamma delta epsilon", 9.0),
+      (4L, "totally different text entirely here", 1.0)
+    ).toDF("id", "text", "q")
+    val kept = Dedup.dedupCorpusLsh(tiny, "id", $"text",
+        n = 3, numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 0.4,
+        quality = Some($"q"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("slidingChunks: overlap, short-doc single chunk, and exact chunk text") {
     val df = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens: chunks [0,6) [4,10)
