@@ -1190,17 +1190,22 @@ object ExtensionProbes {
         emb, "vec_id", "embedding", cents, k = 5, nprobe = 4)
       val ivfq = Ivf.searchQuantized(queries, "query_id", "qvec",
         emb, "vec_id", "embedding", cents, k = 5, nprobe = 4, candMult = 4)
+      val cb = Pq.seedCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16, dim = 64)
+      val ivfpq = Ivf.searchPq(queries, "query_id", "qvec",
+        emb, "vec_id", "embedding", cents, cb, k = 5, nprobe = 4, candMult = 4)
       scalarRow(
         "n_queries" -> queries.agg(count(lit(1))),
         "n_bf_top1_planted" -> found(bf1).agg(count(lit(1))),
         "__n_lsh" -> found(lsh).agg(count(lit(1))),
         "__n_ivf" -> found(ivf).agg(count(lit(1))),
-        "__n_ivfq" -> found(ivfq).agg(count(lit(1))))
+        "__n_ivfq" -> found(ivfq).agg(count(lit(1))),
+        "__n_ivfpq" -> found(ivfpq).agg(count(lit(1))))
         .select(
           col("n_queries"), col("n_bf_top1_planted"),
           (col("__n_lsh") >= col("n_queries") * 0.9).as("lsh_recall_ge_090"),
           (col("__n_ivf") >= col("n_queries") * 0.9).as("ivf_recall_ge_090"),
-          (col("__n_ivfq") >= col("n_queries") * 0.9).as("ivfq_recall_ge_090"))
+          (col("__n_ivfq") >= col("n_queries") * 0.9).as("ivfq_recall_ge_090"),
+          (col("__n_ivfpq") >= col("n_queries") * 0.9).as("ivfpq_recall_ge_090"))
     },
     Some("""WITH q AS (
            |  SELECT vec_id, vec_id + 10000000 AS query_id,
@@ -1226,7 +1231,8 @@ object ExtensionProbes {
            |    AS n_bf_top1_planted,
            |  TRUE AS lsh_recall_ge_090,
            |  TRUE AS ivf_recall_ge_090,
-           |  TRUE AS ivfq_recall_ge_090""".stripMargin))
+           |  TRUE AS ivfq_recall_ge_090,
+           |  TRUE AS ivfpq_recall_ge_090""".stripMargin))
 
   /** One hand-written sentence per classifiable language (no single
     * quotes — the strings embed verbatim in the oracle SQL). Residue
