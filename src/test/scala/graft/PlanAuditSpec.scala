@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSpec {
                                  // nested-loop, linear in corpus) so every flagged
                                  // pair is value-oracled; the sign-bucket arm is the
                                  // wide-bench scale path, recall-gated in OpsSpec
+    "x81_semantic_decontaminate_clean", // the anti-join tail over the same exact arm
     "x77_sim_topk_pq_adc",     // ADC candidate scan IS corpus×queries by design,
                                // like x22 — the win is m byte-lookups per pair
                                // (32× less I/O than float), not asymptotics;
