@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
@@ -283,4 +283,53 @@ object Multimodal {
         aggregate(sequence(lit(1), length(s)), lit(0L),
           (acc, i) => acc + ascii(s.substr(i, lit(1))).cast("long") * (((i - 1) % 64) + 1).cast("long"))
       }.as("checksum"))
+
+  /** 64-bit average perceptual hash (aHash) of a decoded RGB raster — the
+    * image near-dup primitive (pHash-family; LAION-scale image dedup
+    * runs exactly this shape): downsample to an 8×8 luminance grid by
+    * nearest-neighbor point sampling, set bit `c` iff cell c's luminance
+    * is strictly above the grid mean. All arithmetic is integer
+    * (`L·64 > ΣL` instead of a mean division; luminance = r+g+b unscaled)
+    * so the hash is bit-identical across engines and a DuckDB oracle
+    * replays it from the raw pixel list.
+    *
+    * `pixels` is a row-major interleaved RGB `array<int>` of length
+    * `w·h·3` (the [[MediaCodec]] raster layout). Cell (cx, cy) samples
+    * source pixel (cx·w/8, cy·h/8) — integer floors, the same NN
+    * convention as [[MediaCodec.resize]]. The 64 cell expressions are
+    * generated STATICALLY (one `element_at` chain per cell, a literal
+    * mask per bit) — no variable shifts, no per-element lambda work
+    * beyond the two shared bindings.
+    */
+  def aHash64(pixels: Column, w: Int, h: Int): Column = {
+    require(w >= 8 && h >= 8, s"aHash needs at least an 8x8 source, got ${w}x$h")
+    graft.Canonical.bindOnce(pixels) { p =>
+      val lumCols = (0 until 64).map { c =>
+        val (cx, cy) = (c % 8, c / 8)
+        val base = ((cy * h / 8) * w + (cx * w / 8)) * 3
+        (element_at(p, base + 1) + element_at(p, base + 2) + element_at(p, base + 3))
+          .cast("long")
+      }
+      graft.Canonical.bindOnce(array(lumCols: _*)) { ls =>
+        graft.Canonical.bindOnce(aggregate(ls, lit(0L), (a, x) => a + x)) { total =>
+          (0 until 64).map { c =>
+            when(element_at(ls, c + 1) * 64 > total, lit(1L << c)).otherwise(lit(0L))
+          }.reduce(_.bitwiseOR(_))
+        }
+      }
+    }
+  }
+
+  /** Image near-dup pairs within Hamming distance `maxDist` over aHash
+    * signatures — [[Dedup.simhashPairs]]' chunk-bucket machinery
+    * (pigeonhole-exact candidates, hot buckets star-degrade) applied to
+    * the perceptual hash, so image dedup scales exactly like text
+    * SimHash: no all-pairs comparison ever materializes.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, pixels: Column,
+      w: Int, h: Int, maxDist: Int,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    Dedup.simhashPairs(
+      df.select(col(idCol), aHash64(pixels, w, h).as("simhash")),
+      idCol, maxDist, maxBucket)
 }

@@ -1646,7 +1646,70 @@ object PipelineProbes {
            |WHERE vec_id NOT IN (SELECT corpus_id FROM flagged)
            |ORDER BY vec_id ASC NULLS FIRST""".stripMargin))
 
+  // — perceptual image hashing (aHash near-dup over rasters) —————————————
+  //   Synthetic 16×12 RGB rasters keyed by ⌊doc_id/2⌋, so consecutive ids
+  //   share a pattern and the odd member perturbs exactly one pixel —
+  //   every (2g, 2g+1) pair lands within Hamming ≤ 1; cross-group slopes
+  //   mostly sit far apart (the structured ramps do produce some
+  //   incidental near-collisions, all equally value-checked). The pairs
+  //   come from the SimHash chunk machinery (pigeonhole-exact for the
+  //   Hamming bound), so the oracle's all-pairs replay — hash arithmetic
+  //   included, via a generated bit-power lookup (DuckDB refuses 1<<63;
+  //   bit 63 rides as -2⁶³ exactly) — is the complete expected answer.
+  private val x82 = Probe(
+    "x82_image_ahash_neardup",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val g = floor(col("media_id") / 2).cast("long")
+      val odd = pmod(col("media_id"), lit(2))
+      // per-group SLOPE (2g+3, odd so it cycles the full mod-256 ring):
+      // an additive per-group shift would leave every luminance ordering
+      // — and so the hash — unchanged across groups
+      val px = transform(sequence(lit(0), lit(16 * 12 * 3 - 1)), i =>
+        (pmod((i.cast("long") + 1) * (g * 2 + 3), lit(256)) +
+          when(odd === 1 && i === 0, 1L).otherwise(0L)).cast("int"))
+      val fix = docs.select(col("doc_id").as("media_id")).select(col("media_id"), px.as("px"))
+      Multimodal.imageNearDupPairs(fix, "media_id", col("px"), w = 16, h = 12, maxDist = 2)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val pw = (0 until 64).map(c =>
+        s"($c, ${if (c == 63) "(-9223372036854775807 - 1)" else (1L << c).toString})")
+        .mkString(", ")
+      def idx(off: Int) =
+        s"(((c // 8) * 12 // 8) * 16 + ((c % 8) * 16 // 8)) * 3 + $off"
+      s"""WITH base AS (
+         |  SELECT doc_id AS media_id, doc_id // 2 AS g, doc_id % 2 AS odd
+         |  FROM documents),
+         |px AS (
+         |  SELECT media_id,
+         |    list_transform(range(0, 576), i ->
+         |      ((i + 1) * (g * 2 + 3)) % 256
+         |        + CASE WHEN odd = 1 AND i = 0 THEN 1 ELSE 0 END) AS p
+         |  FROM base),
+         |cells AS (SELECT unnest(generate_series(0, 63)) AS c),
+         |lum AS (
+         |  SELECT media_id, c,
+         |    CAST(p[${idx(1)}] + p[${idx(2)}] + p[${idx(3)}] AS BIGINT) AS lu
+         |  FROM px, cells),
+         |tot AS (SELECT media_id, sum(lu) AS total FROM lum GROUP BY 1),
+         |pw AS (SELECT * FROM (VALUES $pw) t(c, v)),
+         |bits AS (
+         |  SELECT l.media_id,
+         |    CAST(sum(CASE WHEN l.lu * 64 > t.total THEN pw.v ELSE 0 END) AS BIGINT) AS h
+         |  FROM lum l
+         |  JOIN tot t ON t.media_id = l.media_id
+         |  JOIN pw ON pw.c = l.c
+         |  GROUP BY 1)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |FROM bits a JOIN bits b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.h, b.h)) <= 2
+         |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
+    })
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
-    x78, x79, x80, x81)
+    x78, x79, x80, x81, x82)
 }

@@ -1052,6 +1052,26 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(2L, 4L))
   }
 
+  test("aHash64/imageNearDupPairs: clones at hamming 0, one-pixel nudge within 1, " +
+      "unrelated pattern excluded, undersized raster refused") {
+    def raster(seedMul: Int, bump: Int): Seq[Int] =
+      (0 until 16 * 12 * 3).map(i => (i * seedMul) % 256)
+        .updated(0, ((0 * seedMul) % 256 + bump) % 256)
+    val df = Seq(
+      (1L, raster(7, 0)), (2L, raster(7, 0)),   // exact clones
+      (3L, raster(7, 1)),                       // one-pixel nudge of 1/2
+      (4L, raster(151, 0))                      // unrelated pattern
+    ).toDF("id", "px")
+    val pairs = Multimodal.imageNearDupPairs(df, "id", $"px", w = 16, h = 12, maxDist = 2)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(pairs.contains((1L, 2L, 0)), s"clone pair missing: $pairs")
+    assert(pairs.filter(p => p._1 == 1L && p._2 == 3L).forall(_._3 <= 1))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L), s"unrelated id joined a pair: $pairs")
+    intercept[IllegalArgumentException] {
+      Multimodal.aHash64($"px", w = 4, h = 4)
+    }
+  }
+
   test("slidingChunks: overlap, short-doc single chunk, and exact chunk text") {
     val df = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens: chunks [0,6) [4,10)
