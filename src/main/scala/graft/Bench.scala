@@ -193,7 +193,8 @@ object Bench {
         shuffle = if (includeShuffle) shuffle.toMap else Map.empty,
         sfDir = sfDir,
         roundsDone = roundsDone,
-        partial = partial)
+        partial = partial,
+        compact = !includeShuffle)
 
     /** Emit the artifact exactly once: the JSON line on stdout AND a bare
       * copy at `target/bench_artifact.json` that no log decorator (sbt's
@@ -369,7 +370,8 @@ object Bench {
       shuffle: Map[String, ShuffleTap.Snap],
       sfDir: String,
       roundsDone: Int,
-      partial: Boolean): String = {
+      partial: Boolean,
+      compact: Boolean): String = {
     val qs = names.flatMap(n => best.get(n).orElse(warm.get(n)).map(n -> _))
     val qsJson = qs.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     val total = qs.map(_._2).sum
@@ -389,8 +391,11 @@ object Bench {
     val partialJson = if (partial) ""","partial":true""" else ""
     // compact (stdout) variant: sf as basename, rounds_done omitted —
     // both ride in the file artifact; every byte of the stdout line
-    // competes with query entries under the driver's bounded capture
-    val compact = shuffle.isEmpty
+    // competes with query entries under the driver's bounded capture.
+    // An EXPLICIT flag, not inferred from shuffle emptiness: a run dying
+    // before any sample completes has an empty shuffle map on the FILE
+    // variant too, and the file artifact must never self-degrade in
+    // exactly the failure-diagnosis case it exists for
     val sfJson = escape(if (compact) sfDir.stripSuffix("/").split('/').last else sfDir)
     val roundsJson = if (compact) "" else s""""rounds_done":$roundsDone,"""
     f"""{"metric":"total","value":$total%.3f,"unit":"sec",$roundsJson"failed":$failedJson,"sf":$sfJson,"queries":$qsJson$sf1Json$sf1FailedJson$shufJson$partialJson}"""

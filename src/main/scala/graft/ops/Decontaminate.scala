@@ -182,11 +182,11 @@ object Decontaminate {
     val b = bench.select(col(benchIdCol).as("bench_id"), col(benchVecCol).as("__bvec"))
       .localCheckpoint() // feeds the bounded probe AND the join once
     val probeLimit = math.min(benchBroadcastCap + 1, Int.MaxValue.toLong).toInt
-    val benchIsSmall = b.limit(probeLimit).count() <= benchBroadcastCap
+    val benchCount = b.limit(probeLimit).count()
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cvec"))
     val scored =
       if (exact) {
-        require(benchIsSmall,
+        require(benchCount <= benchBroadcastCap,
           s"semanticOverlaps(exact=true) scores all corpus x bench pairs - the bench side " +
             s"exceeded benchBroadcastCap=$benchBroadcastCap; use the bucketed arm (exact=false)")
         c.crossJoin(broadcast(b))
@@ -201,11 +201,21 @@ object Decontaminate {
             explode(array((col("__b0") +:
               (0 until numPlanes).map(i => col("__b0").bitwiseXOR(lit(1L << i)))): _*)))
           .drop("__b0")
-        if (benchIsSmall) cb.join(broadcast(bb), Seq("__bucket"))
+        // the BROADCAST relation here is the EXPLODED frame — numPlanes+1
+        // full-vector rows per bench row — so the cap the probe enforced
+        // on raw rows shrinks by that factor before it licenses one
+        if (benchCount <= math.max(1L, benchBroadcastCap / (numPlanes + 1)))
+          cb.join(broadcast(bb), Seq("__bucket"))
         else {
-          require(numPlanes >= 16,
-            s"over-cap bench with $numPlanes planes: bucket fan-out is |corpus|/2^planes " +
-              s"per key - raise numPlanes to >= 16 before joining two corpus-scale sides")
+          // a mid-band bench (over the broadcast budget but under the raw
+          // cap) is still provably bounded — merge join is safe as-is; the
+          // plane demand applies only to a TRULY unbounded bench (the
+          // probe hit cap+1), where per-bucket fan-out is
+          // |corpus|/2^planes × |bench|/2^planes
+          if (benchCount > benchBroadcastCap)
+            require(numPlanes >= 16,
+              s"over-cap bench with $numPlanes planes: bucket fan-out is |corpus|/2^planes " +
+                s"per key - raise numPlanes to >= 16 before joining two corpus-scale sides")
           cb.hint("merge").join(bb.hint("merge"), Seq("__bucket"))
         }
       }

@@ -615,7 +615,14 @@ object Dedup {
     */
   private def dropNonCanonical(docs: DataFrame, idCol: String, pairs: DataFrame,
       quality: Option[Column], maxIter: Int): DataFrame = {
-    val labels = components(pairs, maxIter)
+    // components() consumes the pair frame twice (node set + initial
+    // edges); without this pin an LSH/semantic pair stage — candidate
+    // self-join plus full verification — would execute twice per call.
+    // Both consumers are materialized inside components(), so the pin is
+    // released as soon as it returns.
+    val p = pairs.localCheckpoint()
+    val labels = components(p, maxIter)
+    p.unpersist()
     val drop = quality match {
       case None =>
         labels.filter(col("id") =!= col("comp"))
@@ -623,16 +630,25 @@ object Dedup {
           .localCheckpoint()
       case Some(q) =>
         // only clustered ids need a quality lookup — labels' nodes are
-        // exactly the ids that appeared in a pair, small after contraction
+        // exactly the ids that appeared in a pair, small after
+        // contraction. Checkpointed: it feeds both the election aggregate
+        // and the drop join (docs would otherwise re-scan per consumer).
+        // NULL quality ranks LAST (a doc with no score must never beat a
+        // scored one — min(struct) alone would elect it, nulls sorting
+        // first), matching the oracle's ORDER BY q DESC NULLS LAST.
         val member = labels.join(
           docs.select(col(idCol).as("id"), q.cast("double").as("__q")), Seq("id"))
+          .localCheckpoint()
         val keep = member.groupBy(col("comp"))
-          .agg(min(struct((-col("__q")).as("nq"), col("id").as("kid"))).as("__k"))
+          .agg(min(struct(coalesce(-col("__q"), lit(Double.MaxValue)).as("nq"),
+            col("id").as("kid"))).as("__k"))
           .select(col("comp"), col("__k").getField("kid").as("__keep"))
-        member.join(keep, Seq("comp"))
+        val d = member.join(keep, Seq("comp"))
           .filter(col("id") =!= col("__keep"))
           .select(col("id").as(idCol))
           .localCheckpoint()
+        member.unpersist()
+        d
     }
     labels.unpersist()
     docs.join(drop, Seq(idCol), "left_anti")

@@ -181,13 +181,17 @@ object Ivf {
       .filter(col("__rn") <= nprobe)
       .select(col(qidCol), col(qvecCol), col("__lut"), col("__qnorm"), col("centroid_id"))
 
-    // candidate cut over PQ codes only (full corpus vectors NOT read here)
+    // candidate cut over PQ codes + norms only (full corpus vectors NOT
+    // read here). The cut ranks the ADC COSINE — normalizing by the true
+    // norms exactly as searchQuantized's int8 cut does; a raw-dot cut
+    // would drop small-norm true neighbors before the exact rerank
     val wCand = Window.partitionBy(col(qidCol)).orderBy(col("__adc").desc, col(cidCol).asc)
     val cands = probes.join(
-        assigned.select(col(cidCol), col("centroid_id"), col("__codes")),
+        assigned.select(col(cidCol), col("centroid_id"), col("__codes"), col("__cnorm")),
         Seq("centroid_id"))
       .filter(col(qidCol) =!= col(cidCol))
-      .withColumn("__adc", Pq.adcScore(col("__lut"), col("__codes"), cb.length))
+      .withColumn("__adc",
+        Pq.adcCosine(col("__lut"), col("__codes"), cb.length, col("__qnorm"), col("__cnorm")))
       .withColumn("__r", row_number().over(wCand))
       .filter(col("__r") <= k * candMult)
       .select(col(qidCol), col(qvecCol), col("__qnorm"), col(cidCol))

@@ -116,15 +116,28 @@ object Pq {
     }
   }
 
-  /** Round-6 ADC score: `m` table lookups, one per code. */
+  private def adcSum(lut: Column, codes: Column, m: Int): Column =
+    bindOnce(lut) { l =>
+      bindOnce(codes) { cd =>
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, j) => acc + element_at(element_at(l, j + 1), element_at(cd, j + 1) + 1))
+      }
+    }
+
+  /** Round-6 ADC DOT score: `m` table lookups, one per code. */
   def adcScore(lut: Column, codes: Column, m: Int): Column =
-    round(
-      bindOnce(lut) { l =>
-        bindOnce(codes) { cd =>
-          aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-            (acc, j) => acc + element_at(element_at(l, j + 1), element_at(cd, j + 1) + 1))
-        }
-      }, 6)
+    round(adcSum(lut, codes, m), 6)
+
+  /** Round-6 ADC COSINE approximation: the ADC dot over the true norms
+    * (both precomputed once per side). Candidate cuts that feed an
+    * exact-COSINE rerank must rank on this, not the raw dot — a raw-dot
+    * cut silently drops small-norm true neighbors whenever embedding
+    * norms vary ([[Ivf.searchQuantized]] normalizes its int8 cut the
+    * same way).
+    */
+  def adcCosine(lut: Column, codes: Column, m: Int,
+      qnorm: Column, cnorm: Column): Column =
+    round(adcSum(lut, codes, m) / (qnorm * cnorm), 6)
 
   def adcTopK(queries: DataFrame, qidCol: String, qvecCol: String,
       codes: DataFrame, cidCol: String, cb: Codebooks, k: Int): DataFrame = {
@@ -146,15 +159,29 @@ object Pq {
   def adcTopKRerank(queries: DataFrame, qidCol: String, qvecCol: String,
       corpus: DataFrame, cidCol: String, cvecCol: String,
       cb: Codebooks, k: Int, candMult: Int = 4): DataFrame = {
-    val cands = adcTopK(queries, qidCol, qvecCol,
-        encode(corpus, cidCol, cvecCol, cb), cidCol, cb, k * candMult)
-      .select(col(qidCol), col(cidCol))
-    val qn = queries.select(col(qidCol), col(qvecCol),
-      graft.functions.VectorFunctions.vec_norm(col(qvecCol)).as("__qn"))
-    val cn = corpus.select(col(cidCol), col(cvecCol),
-      graft.functions.VectorFunctions.vec_norm(col(cvecCol)).as("__cn"))
+    import graft.functions.VectorFunctions.vec_norm
+    // the cut reads CODES + NORMS only (the PQ I/O win); full vectors
+    // join back for the cut survivors alone. Ranking the cut by the ADC
+    // COSINE, not the raw dot — a raw-dot cut drops small-norm true
+    // neighbors the exact-cosine rerank was supposed to rescue.
+    val coded = corpus.select(col(cidCol),
+      codesColumn(col(cvecCol), cb).as("__codes"),
+      vec_norm(col(cvecCol)).as("__cn"))
+    val q = queries.select(col(qidCol),
+      lutColumn(col(qvecCol), cb).as("__lut"),
+      vec_norm(col(qvecCol)).as("__qn"))
+    val wCand = Window.partitionBy(col(qidCol)).orderBy(col("__adc").desc, col(cidCol).asc)
+    val cands = coded.crossJoin(broadcast(q))
+      .filter(col(qidCol) =!= col(cidCol))
+      .withColumn("__adc",
+        adcCosine(col("__lut"), col("__codes"), cb.length, col("__qn"), col("__cn")))
+      .withColumn("__r", row_number().over(wCand))
+      .filter(col("__r") <= k * candMult)
+      .select(col(qidCol), col(cidCol), col("__qn"), col("__cn"))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine_sim").desc, col(cidCol).asc)
-    cands.join(broadcast(qn), Seq(qidCol)).join(cn, Seq(cidCol))
+    cands
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .join(corpus.select(col(cidCol), col(cvecCol)), Seq(cidCol))
       .withColumn("cosine_sim",
         round(vec_dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn")), 6))
       .select(col(qidCol), col(cidCol), col("cosine_sim"))

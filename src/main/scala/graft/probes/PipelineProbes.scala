@@ -1530,21 +1530,24 @@ object PipelineProbes {
            |candset AS (
            |  SELECT p.query_id, a.vec_id FROM probes p
            |  JOIN assigned a USING (centroid_id) WHERE a.vec_id != p.query_id),
+           |nrm AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nn
+           |  FROM embeddings),
            |adc AS (
-           |  SELECT cs.query_id, cs.vec_id, round(sum(l.pdot), 6) AS ap
+           |  SELECT cs.query_id, cs.vec_id,
+           |    round(sum(l.pdot) / (any_value(qn.nn) * any_value(cn.nn)), 6) AS ap
            |  FROM candset cs
            |  JOIN codes c ON c.vec_id = cs.vec_id
            |  JOIN lut l ON l.query_id = cs.query_id AND l.j = c.j AND l.k = c.code
+           |  JOIN nrm qn ON qn.vec_id = cs.query_id
+           |  JOIN nrm cn ON cn.vec_id = cs.vec_id
            |  GROUP BY 1, 2),
            |cands AS (
            |  SELECT query_id, vec_id FROM (
            |    SELECT *, row_number() OVER (PARTITION BY query_id
            |      ORDER BY ap DESC NULLS LAST, vec_id ASC NULLS FIRST) AS r FROM adc)
            |  WHERE r <= 20),
-           |nrm AS (
-           |  SELECT vec_id, embedding,
-           |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nn
-           |  FROM embeddings),
            |rflat AS (
            |  SELECT c.query_id, c.vec_id, CAST(unnest(qn.embedding) AS DOUBLE) AS x,
            |    CAST(unnest(cn.embedding) AS DOUBLE) AS y

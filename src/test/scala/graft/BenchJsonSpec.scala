@@ -22,11 +22,13 @@ class BenchJsonSpec extends AnyFunSuite {
 
   private def compact(partial: Boolean = false): String =
     Bench.renderJson(Bench.headline, best, Map.empty, Nil, sf1, Nil,
-      shuffle = Map.empty, sfDir = "/root/testdata/sf0.1", roundsDone = 3, partial = partial)
+      shuffle = Map.empty, sfDir = "/root/testdata/sf0.1", roundsDone = 3,
+      partial = partial, compact = true)
 
   private def full: String =
     Bench.renderJson(Bench.headline, best, Map.empty, Nil, sf1, Nil,
-      shuffle = shuf, sfDir = "/root/testdata/sf0.1", roundsDone = 3, partial = false)
+      shuffle = shuf, sfDir = "/root/testdata/sf0.1", roundsDone = 3,
+      partial = false, compact = false)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -49,6 +51,17 @@ class BenchJsonSpec extends AnyFunSuite {
     // capture still keeps the totals
     assert(line.indexOf("\"value\"") < line.indexOf("\"queries\""))
     assert(line.indexOf("\"failed\"") < line.indexOf("\"queries\""))
+  }
+
+  test("file artifact keeps its full fields even when no sample completed (early death)") {
+    val earlyDeath = Bench.renderJson(Bench.headline, Map.empty, Map.empty, Nil,
+      Map.empty, Nil, shuffle = Map.empty, sfDir = "/root/testdata/sf0.1",
+      roundsDone = 0, partial = true, compact = false)
+    val node = mapper.readTree(earlyDeath)
+    assert(node.get("rounds_done").asInt() == 0,
+      "rounds_done must survive an empty shuffle map on the file variant")
+    assert(node.get("sf").asText() == "/root/testdata/sf0.1",
+      "the file variant must keep the full sf dir path")
   }
 
   test("file artifact keeps the full shuffle record and still parses") {

@@ -897,6 +897,18 @@ class OpsSpec extends SparkSpec {
     val keptTied = Dedup.dedupCorpusKeepBest(tied, "id", $"text", $"q", n = 3, threshold = 0.4)
       .select("id").as[Long].collect().toSet
     assert(keptTied == Set(1L, 4L))
+    // an UNSCORED member (null quality) must never beat a scored one —
+    // struct-min alone would elect it (nulls sort first in an ASC struct)
+    val withNull = df.withColumn("q", when($"id" === 1L, lit(null).cast("double"))
+      .otherwise($"q"))
+    val keptNull = Dedup.dedupCorpusKeepBest(withNull, "id", $"text", $"q", n = 3, threshold = 0.4)
+      .select("id").as[Long].collect().toSet
+    assert(keptNull == Set(2L, 4L), "null-quality member elected canonical over quality 9")
+    // all-null cluster degrades to keep-first
+    val allNull = df.withColumn("q", lit(null).cast("double"))
+    val keptAllNull = Dedup.dedupCorpusKeepBest(allNull, "id", $"text", $"q", n = 3, threshold = 0.4)
+      .select("id").as[Long].collect().toSet
+    assert(keptAllNull == Set(1L, 4L))
   }
 
   test("semanticOverlaps: bucketed candidates are a subset of the exact arm " +
