@@ -170,8 +170,13 @@ object Curate {
       case Some((b, bid, btext)) if cfg.decontamNgram == cfg.dedupNgram =>
         val sh = Dedup.shingleTable(exactKept, idCol, col(textCol), cfg.dedupNgram)
           .localCheckpoint() // feeds pairs, verification, AND decontam
-        val labels = Dedup.components(
-          Dedup.ngramJaccardPairsFromShingles(sh, cfg.dedupThreshold))
+        // pin: components() consumes the pair frame twice (node set +
+        // initial edges) — unpinned, the pair self-join + verification
+        // would execute twice, halving the fusion's point
+        val pairs = Dedup.ngramJaccardPairsFromShingles(sh, cfg.dedupThreshold)
+          .localCheckpoint()
+        val labels = Dedup.components(pairs, maxIter = 20)
+        pairs.unpersist() // both consumers materialized inside components()
         val drop = labels
           .filter(col("id") =!= col("comp"))
           .select(col("id"))

@@ -69,17 +69,18 @@ object Decontaminate {
     * beyond the bench's own size is ever computed.
     *
     * Over-cap degrade guard (`maxDf`): when BOTH sides are corpus-scale
-    * (merge-join arm), a stop-phrase shingle hot on both sides is a
-    * quadratic pocket — one sort-merge partition emits
-    * `df_bench × df_corpus` rows for that key. Shingles with df >
-    * `maxDf` on EITHER side are excluded from the join there, the same
-    * df-cap rationale as [[Dedup.ngramJaccardPairsFromShingles]]: true
-    * contamination is detected through RARE shared shingles (a
-    * benchmark answer string is low-df text on both sides); a pair
-    * sharing only boilerplate stop-phrases carries no contamination
-    * signal. The broadcast arm stays uncapped — its pocket is bounded
-    * by the bench's in-memory hash relation, and flagged pairs there
-    * are exact.
+    * (merge-join arm), a shingle hot on both sides is a quadratic
+    * pocket — one sort-merge partition emits `df_bench × df_corpus`
+    * rows for that key. The guard therefore caps the PRODUCT: shingles
+    * with `df_bench · df_corpus > maxDf²` are excluded from the join.
+    * One-sided-hot shingles stay in — a benchmark passage mass-pasted
+    * across the corpus has huge df_corpus but df_bench ≈ 1, exactly the
+    * widespread contamination this pass exists to catch, and a per-side
+    * cap would silently exempt it (and make classification flip with
+    * the bench-size arm choice). Only both-sides-hot stop-phrases, which
+    * carry no per-pair signal, are cut. The broadcast arm stays
+    * uncapped — its pocket is bounded by the bench's in-memory hash
+    * relation, and flagged pairs there are exact.
     */
   def overlapsFromShingles(corpusSh: DataFrame,
       bench: DataFrame, benchIdCol: String, benchText: Column,
@@ -101,12 +102,28 @@ object Decontaminate {
     val joined =
       if (benchIsSmall) c.join(broadcast(b), Seq("shingle"))
       else {
-        val hotB = b.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxDf).select(col("shingle"))
-        val hotC = c.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxDf).select(col("shingle"))
-        val hot = hotB.unionByName(hotC).distinct().localCheckpoint()
-        c.join(hot, Seq("shingle"), "left_anti").hint("merge")
+        // pin: the corpus shingle frame feeds the df aggregate AND the
+        // join — unpinned, the full corpus tokenize+explode would execute
+        // twice (blocks are ContextCleaner-released with the result)
+        val cc = c.localCheckpoint()
+        // PRODUCT cap, not per-side df: one merge partition for shingle s
+        // emits df_bench(s)·df_corpus(s) rows, so only keys whose PRODUCT
+        // exceeds the budget (maxDf², ≈2.7M rows — the same order as the
+        // LSH bucket-pair budget) are excluded. One-sided-hot shingles
+        // stay in: a benchmark passage mass-pasted into the corpus has
+        // df_corpus ≫ cap but df_bench ≈ 1, and a per-side cap would
+        // silently exempt exactly that widespread contamination (and make
+        // classification depend on which join arm the bench size chose).
+        // Only shingles hot on BOTH sides — stop-phrases carrying no
+        // per-pair signal — are cut.
+        val budget = maxDf.toLong * maxDf.toLong
+        val dfB = b.groupBy(col("shingle")).agg(count(lit(1)).as("__dfb"))
+        val dfC = cc.groupBy(col("shingle")).agg(count(lit(1)).as("__dfc"))
+        val hot = dfB.join(dfC, Seq("shingle"))
+          .filter(col("__dfb") * col("__dfc") > budget)
+          .select(col("shingle"))
+          .localCheckpoint()
+        cc.join(hot, Seq("shingle"), "left_anti").hint("merge")
           .join(b.join(hot, Seq("shingle"), "left_anti").hint("merge"), Seq("shingle"))
       }
     joined
@@ -183,12 +200,17 @@ object Decontaminate {
       .localCheckpoint() // feeds the bounded probe AND the join once
     val probeLimit = math.min(benchBroadcastCap + 1, Int.MaxValue.toLong).toInt
     val benchCount = b.limit(probeLimit).count()
+    // byte-aware license: bench rows carry dim-sized vectors, so the row
+    // cap shrinks with dim (the raw row cap alone would license multi-GB
+    // broadcasts at dim ≥ 512)
+    val effCap = math.min(benchBroadcastCap, Similarity.vecBroadcastRows(dim))
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cvec"))
     val scored =
       if (exact) {
-        require(benchCount <= benchBroadcastCap,
+        require(benchCount <= effCap,
           s"semanticOverlaps(exact=true) scores all corpus x bench pairs - the bench side " +
-            s"exceeded benchBroadcastCap=$benchBroadcastCap; use the bucketed arm (exact=false)")
+            s"exceeded the broadcast license (rows=$benchCount, cap=$effCap at dim=$dim); " +
+            s"use the bucketed arm (exact=false)")
         c.crossJoin(broadcast(b))
       } else {
         val planes = Similarity.hyperplanes(numPlanes, dim)
@@ -204,7 +226,7 @@ object Decontaminate {
         // the BROADCAST relation here is the EXPLODED frame — numPlanes+1
         // full-vector rows per bench row — so the cap the probe enforced
         // on raw rows shrinks by that factor before it licenses one
-        if (benchCount <= math.max(1L, benchBroadcastCap / (numPlanes + 1)))
+        if (benchCount <= math.max(1L, effCap / (numPlanes + 1)))
           cb.join(broadcast(bb), Seq("__bucket"))
         else {
           // a mid-band bench (over the broadcast budget but under the raw

@@ -918,10 +918,14 @@ object Dedup {
       .agg(min(col("__cid")).as("__exact_of"), min_by(col("__cvec"), col("__cid")).as("__rvec"))
       .persist()
     val cHashRows = cHash.count()
+    // byte-aware license: every index row carries a full dim-sized vector
+    // (__rvec), so the row cap shrinks with dim — a 1M-row cap justified
+    // for short strings would ship a multi-GB broadcast at dim ≥ 512
+    val vecCap = math.min(batchBroadcastCap, Similarity.vecBroadcastRows(dim))
     val keyedB = batch
       .select(col(idCol).as("id"), col(vecCol).as("__bvec"), xxhash64(col(vecCol)).as("__h"))
     val exactJoined =
-      if (cHashRows <= batchBroadcastCap) keyedB.join(broadcast(cHash), Seq("__h"), "left")
+      if (cHashRows <= vecCap) keyedB.join(broadcast(cHash), Seq("__h"), "left")
       else keyedB.hint("merge").join(cHash.hint("merge"), Seq("__h"), "left")
     val exactStatus = exactJoined
       .select(col("id"),
@@ -956,7 +960,7 @@ object Dedup {
     // Merge builds no hash relation from either unbounded side.
     val coldB = bB.join(hot, Seq("__bucket"), "left_anti")
     val cold =
-      if (bB.count() <= batchBroadcastCap) bC.join(broadcast(coldB), Seq("__bucket"))
+      if (bB.count() <= vecCap) bC.join(broadcast(coldB), Seq("__bucket"))
       else bC.hint("merge").join(coldB.hint("merge"), Seq("__bucket"))
     val hubs = bC.join(hot, Seq("__bucket"), "left_semi")
       .groupBy(col("__bucket"))
@@ -1378,7 +1382,16 @@ object Dedup {
   def appendToBandIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newDocs: DataFrame, idCol: String, textCol: String): Unit = {
     val idx = readBandIndex(spark, path)
-    val sh = shingleTable(newDocs, idCol, col(textCol), idx.n).localCheckpoint()
+    // idempotence is THIS function's job (the hash-index twin anti-joins
+    // the same way): a replayed/retried batch must not double-insert —
+    // duplicate shingle rows would inflate every later verification's
+    // intersection counts and duplicate sizes rows would double set_size,
+    // corrupting Jaccard for the re-appended ids. Ids already present in
+    // the persisted sizes table are dropped before any write.
+    val freshDocs = newDocs
+      .join(idx.sizes.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint() // pin BEFORE the appends below rewrite what it reads
+    val sh = shingleTable(freshDocs, idCol, col(textCol), idx.n).localCheckpoint()
     sh.write.mode("append").parquet(s"$path/shingles")
     sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
       .write.mode("append").parquet(s"$path/sizes")

@@ -138,7 +138,7 @@ object Repetition {
     * either width simply have no rows here (left-join and null→0.0 at
     * the consumer, exactly like the per-width originals).
     */
-  private[ops] def ngramCharAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[graft] def ngramCharAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
     docs
       .select(col(idCol).as("id"),

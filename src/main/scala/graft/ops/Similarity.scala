@@ -26,6 +26,20 @@ import graft.functions.VectorFunctions.{vec_dot, vec_norm}
   */
 object Similarity {
 
+  /** Broadcast byte budget for VECTOR-carrying relations (≈256 MB — the
+    * comfortable hashed-relation band). A row-count cap tuned for short
+    * strings licenses a multi-GB broadcast once every row carries a
+    * dim-sized array, so row caps for such frames derive from this
+    * budget via [[vecBroadcastRows]].
+    */
+  val VecBroadcastBytes: Long = 256L * 1024 * 1024
+
+  /** Max rows of a dim-`dim` vector-carrying frame that still fit the
+    * [[VecBroadcastBytes]] broadcast budget (8 bytes per element).
+    */
+  def vecBroadcastRows(dim: Int): Long =
+    math.max(1L, VecBroadcastBytes / (8L * math.max(dim, 1)))
+
   /** Dot product of two numeric array columns, accumulated in double. */
   def dot(a: Column, b: Column): Column = vec_dot(a, b)
 

@@ -105,32 +105,41 @@ class CurationSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
-  test("decontaminate over-cap arm: hot-shingle df-cap prunes stop-phrase pockets only") {
-    // every doc on BOTH sides shares one boilerplate stop-shingle — the
-    // quadratic pocket in the merge-join arm. With a tight maxDf the
-    // stop-shingle is excluded: a pair sharing ONLY it is not flagged,
-    // while true contamination (rare shared shingles) still is. With the
-    // default (uncapped at this scale) df the result is the exact one.
+  test("decontaminate over-cap arm: PRODUCT df-cap prunes both-sides-hot pockets only, " +
+      "one-sided-hot contamination matches the broadcast arm") {
+    // the quadratic pocket in the merge-join arm is per-KEY pair fan-out
+    // df_bench·df_corpus, so the guard caps the PRODUCT: a boilerplate
+    // stop-shingle hot on BOTH sides drops; contamination detected
+    // through rare shingles (or hot on ONE side only) always stays.
     val boiler = " click here to accept cookies"
     val c2 = Seq(
       (1L, "the quick brown fox jumps over dogs" + boiler),   // contaminated
       (2L, "completely unrelated corpus text body" + boiler), // boilerplate-only overlap
       (3L, "another unrelated document entirely here" + boiler)
     ).toDF("doc_id", "text")
+    // three bench docs all carry the boilerplate: its shingles are hot on
+    // both sides (df_b·df_c = 9 > maxDf² = 4) → excluded from the join
     val b2 = Seq(
-      (100L, "the quick brown fox jumps over dogs" + boiler)
+      (100L, "the quick brown fox jumps over dogs" + boiler),
+      (101L, "benchmark question about geography facts" + boiler),
+      (102L, "benchmark question about arithmetic sums" + boiler)
     ).toDF("bid", "btext")
-    def flagged(maxDf: Int) =
-      Decontaminate.overlaps(c2, "doc_id", $"text", b2, "bid", $"btext",
-          n = 3, minHits = 1, benchBroadcastCap = 0L, maxDf = maxDf)
+    def flagged(bench: org.apache.spark.sql.DataFrame, maxDf: Int, cap: Long) =
+      Decontaminate.overlaps(c2, "doc_id", $"text", bench, "bid", $"btext",
+          n = 3, minHits = 1, benchBroadcastCap = cap, maxDf = maxDf)
         .select("corpus_id").as[Long].collect().toSet
-    // capped: the 5 boilerplate shingles (df 3 or 4 > 2 across sides)
-    // drop; doc 1 still flags through its rare shared shingles
-    assert(flagged(maxDf = 2) == Set(1L),
-      "df-capped arm must keep true contamination and drop boilerplate-only pairs")
-    // uncapped (df cap above every df here): exact semantics — docs 2 and
-    // 3 flag too, via the shared boilerplate shingles
-    assert(flagged(maxDf = 1000) == Set(1L, 2L, 3L))
+    assert(flagged(b2, maxDf = 2, cap = 0L) == Set(1L),
+      "both-sides-hot stop-shingles must drop; rare-shingle contamination must stay")
+    // product cap above every product here: exact semantics
+    assert(flagged(b2, maxDf = 1000, cap = 0L) == Set(1L, 2L, 3L))
+    // ONE-SIDED-hot shingles stay in: mass-pasted contamination (hot in
+    // the corpus, df_bench = 1 → product 3 ≤ 4) must classify exactly as
+    // the broadcast arm would — the arm choice must not change the answer
+    val b1 = Seq((100L, "the quick brown fox jumps over dogs" + boiler)).toDF("bid", "btext")
+    val mergeArm = flagged(b1, maxDf = 2, cap = 0L)
+    val broadcastArm = flagged(b1, maxDf = 2, cap = Decontaminate.BenchBroadcastCap)
+    assert(mergeArm == broadcastArm && mergeArm == Set(1L, 2L, 3L),
+      s"arm-dependent classification: merge=$mergeArm broadcast=$broadcastArm")
   }
 
   test("line stats: hand-computed duplicate-line and char fractions") {

@@ -626,6 +626,18 @@ class OpsSpec extends SparkSpec {
     val r2 = c2.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
     c2.unpersist()
     assert(r2 == Seq((300L, "exact_dup", Some(201L)), (301L, "near_dup", Some(201L))), s"got $r2")
+    // REPLAYED append (a retried ingest): both index appends must be
+    // idempotent — duplicate shingle/size rows would inflate Jaccard and
+    // flip classifications
+    val sizesBefore = Dedup.readBandIndex(spark, s"$base/band").sizes.count()
+    Dedup.appendToHashIndex(spark, s"$base/hash", b1.filter($"doc_id" === 201L), "doc_id", "text")
+    Dedup.appendToBandIndex(spark, s"$base/band", b1.filter($"doc_id" === 201L), "doc_id", "text")
+    assert(Dedup.readBandIndex(spark, s"$base/band").sizes.count() == sizesBefore,
+      "a replayed batch double-inserted band-index rows")
+    val c3 = classify(b2)
+    val r3 = c3.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    c3.unpersist()
+    assert(r3 == r2, s"classification changed after an append replay: $r3 vs $r2")
   }
 
   test("incrementalDedup: over-cap corpus hash index degrades to merge, never broadcast-builds") {
