@@ -246,4 +246,40 @@ object Sampling {
         .withColumn("mix_source", lit(name))
     }.reduce(_ unionByName _)
   }
+
+  /** Temperature-weighted mixture RATES — the multilingual-pretraining
+    * recipe (mBERT/XLM-R/mT5): source s samples with probability
+    * `p_s ∝ n_s^α` (α < 1 upweights low-resource sources), so against a
+    * total `budget` of documents the keep rate is
+    * `min(1, budget·p_s / n_s)`, floored at the [[mixture]] granularity.
+    * Rates derive from EXACT driver-side counts and canonical round-4
+    * arithmetic, so the rate table itself is value-oracle-checkable
+    * (α = 0.5 keeps even the power step engine-exact — IEEE `sqrt` is
+    * correctly rounded everywhere, `pow` is not; other α are fine for
+    * production but cross-engine replay should gate with tolerances).
+    * Returns one (name, n_docs, rate) per source, input order.
+    */
+  def temperatureRates(sources: Seq[(String, DataFrame)], alpha: Double,
+      budget: Long): Seq[(String, Long, Double)] = {
+    require(sources.nonEmpty, "need >=1 source")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = sources.map { case (name, df) => (name, df.count()) }
+    val weights = counts.map { case (_, c) => math.pow(c.toDouble, alpha) }
+    val z = weights.sum
+    counts.zip(weights).map { case ((name, c), w) =>
+      val raw = math.min(1.0, budget.toDouble * (w / z) / math.max(c.toDouble, 1.0))
+      val rate = math.max(1.0 / Slots, math.floor(raw * 10000 + 0.5) / 10000)
+      (name, c, rate)
+    }
+  }
+
+  /** [[mixture]] with [[temperatureRates]] — sample each source at its
+    * temperature-derived keep rate (deterministic hash coin per row).
+    */
+  def temperatureMixture(sources: Seq[(String, DataFrame)], idCol: Column,
+      alpha: Double, budget: Long): DataFrame = {
+    val rates = temperatureRates(sources, alpha, budget).map(r => r._1 -> r._3).toMap
+    mixture(sources.map { case (name, df) => (name, df, rates(name)) }, idCol)
+  }
 }

@@ -1712,7 +1712,54 @@ object PipelineProbes {
          |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
     })
 
+  // — temperature-weighted mixture (mBERT/XLM-R/mT5 recipe) ———————————————
+  //   Rates p_s ∝ √n_s against a 300-doc budget over the x31 meta-corpora.
+  //   The RATE TABLE is value-checked (α = 0.5 keeps the power step
+  //   engine-exact — IEEE sqrt is correctly rounded, pow is not; the
+  //   division/round-4 chain is replayed verbatim); the realized keep
+  //   fractions are hash-coin gated with the x31 tolerance discipline
+  //   (margins verified with headroom at every fixture sf).
+  private val x83 = Probe(
+    "x83_temperature_mixture",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val srcNum = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+      def grp(lo: Int, hi: Int) = docs.filter(srcNum.between(lo, hi))
+      val sources = Seq(("wiki", grp(0, 6)), ("books", grp(7, 13)), ("web", grp(14, 19)))
+      val rates = Sampling.temperatureRates(sources, alpha = 0.5, budget = 300L)
+      val mixed = Sampling.temperatureMixture(sources, col("doc_id"), alpha = 0.5, budget = 300L)
+      val kept = mixed.groupBy("mix_source").agg(count(lit(1)).as("__kept"))
+      val totals = docs
+        .select(when(srcNum <= 6, "wiki").when(srcNum <= 13, "books")
+          .otherwise("web").as("mix_source"))
+        .groupBy("mix_source").agg(count(lit(1)).as("n_total"))
+      val rateCol = rates.foldLeft(lit(null).cast("double")) { case (acc, (n, _, r)) =>
+        when(col("mix_source") === n, lit(r)).otherwise(acc)
+      }
+      totals.join(kept, Seq("mix_source"), "left")
+        .select(col("mix_source"), col("n_total"), rateCol.as("rate"),
+          (abs(coalesce(col("__kept"), lit(0L)).cast("double") / col("n_total") - rateCol)
+            <= 0.12).as("frac_ok"))
+        .orderBy("mix_source")
+    },
+    Some("""WITH g AS (
+           |  SELECT CASE WHEN CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) <= 6
+           |              THEN 'wiki'
+           |              WHEN CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) <= 13
+           |              THEN 'books'
+           |              ELSE 'web' END AS mix_source
+           |  FROM documents),
+           |t AS (SELECT mix_source, CAST(count(*) AS BIGINT) AS n_total FROM g GROUP BY 1),
+           |z AS (SELECT sum(sqrt(CAST(n_total AS DOUBLE))) AS z FROM t)
+           |SELECT mix_source, n_total,
+           |  greatest(0.0001,
+           |    floor(least(1.0, 300 * (sqrt(CAST(n_total AS DOUBLE)) / z.z)
+           |        / greatest(CAST(n_total AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000) AS rate,
+           |  TRUE AS frac_ok
+           |FROM t, z
+           |ORDER BY mix_source ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82)
+    x78, x79, x80, x81, x82, x83)
 }

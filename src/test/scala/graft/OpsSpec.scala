@@ -1096,6 +1096,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("temperatureRates: alpha=1 is proportional, alpha<1 upweights the small source, " +
+      "budget over corpus caps at 1, floor guards the mixture granularity") {
+    val big = docs.filter($"doc_id" < 400)   // 400 docs
+    val small = docs.filter($"doc_id" >= 400) // 100 docs
+    val srcs = Seq(("big", big), ("small", small))
+    // alpha = 1: p_s = n_s/N, so every rate is budget/N — uniform thinning
+    val r1 = Sampling.temperatureRates(srcs, alpha = 1.0, budget = 100L).map(r => r._1 -> r._3).toMap
+    assert(math.abs(r1("big") - 0.2) < 1e-9 && math.abs(r1("small") - 0.2) < 1e-9)
+    // alpha = 0.5: the small source's rate strictly exceeds the big one's
+    val r05 = Sampling.temperatureRates(srcs, alpha = 0.5, budget = 100L).map(r => r._1 -> r._3).toMap
+    assert(r05("small") > r05("big"), s"got $r05")
+    // budget >= corpus: every rate caps at 1.0 and mixture keeps everything
+    val rAll = Sampling.temperatureRates(srcs, alpha = 0.5, budget = 10000L)
+    assert(rAll.forall(_._3 == 1.0))
+    assert(Sampling.temperatureMixture(srcs, $"doc_id", 0.5, 10000L).count() == docs.count())
+    // a tiny budget floors at the mixture granularity instead of throwing
+    val rTiny = Sampling.temperatureRates(srcs, alpha = 0.5, budget = 1L)
+    assert(rTiny.forall(_._3 >= 1.0 / 10000))
+  }
+
   test("slidingChunks: overlap, short-doc single chunk, and exact chunk text") {
     val df = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens: chunks [0,6) [4,10)
