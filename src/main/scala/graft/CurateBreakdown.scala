@@ -39,29 +39,11 @@ object CurateBreakdown {
       TextStats.withStats(planted.withColumn("text", TextStats.scrub(col("text"))))
         .filter(col("quality_score") >= 0.6).localCheckpoint()
     }
-    // the ACTUAL fused gate from Curate.pipeline — per-row line fracs,
-    // one tagged n-gram explode, one id-keyed left join — not the
-    // gopherStats semi-join form (that recomputes line stats internally
-    // and would overstate this stage's wall)
+    // the ACTUAL fused gate — the same Repetition.fusedGopherFiltered
+    // call Curate.pipeline makes, so this stage's wall can never drift
+    // from the composition it diagnoses
     val afterRep = timed("fused repetition gate (checkpoint)") {
-      val statsCols = gated.columns.map(col)
-      Repetition.withLineStats(gated, "text")
-        .withColumn("__len", length(col("text")).cast("long"))
-        .join(Repetition.ngramCharAgg(gated, "doc_id", "text")
-            .withColumnRenamed("id", "__ngid"),
-          col("doc_id") === col("__ngid"), "left")
-        .filter(
-          col("dup_line_frac") <= 0.30 &&
-            col("dup_line_char_frac") <= 0.20 &&
-            graft.Canonical.round4(
-              when(col("__len") === 0L || col("__top_chars").isNull, lit(0.0))
-                .otherwise(col("__top_chars").cast("double") / col("__len").cast("double")))
-              <= 0.20 &&
-            graft.Canonical.round4(
-              when(col("__len") === 0L || col("__dup_chars").isNull, lit(0.0))
-                .otherwise(col("__dup_chars").cast("double") / col("__len").cast("double")))
-              <= 0.15)
-        .select(statsCols: _*).localCheckpoint()
+      Repetition.fusedGopherFiltered(gated, "doc_id", "text").localCheckpoint()
     }
     val exactKept = timed("exact dedup (checkpoint)") {
       Dedup.exactKeepFirst(afterRep, Seq("text"), "doc_id").localCheckpoint()

@@ -139,26 +139,7 @@ object Curate {
     // the fused gate against it row for row.
     val afterRep =
       if (!cfg.repetitionGate) gated
-      else {
-        val statsCols = gated.columns.map(col)
-        Repetition.withLineStats(gated, textCol, cfg.lineSep)
-          .withColumn("__len", length(col(textCol)).cast("long"))
-          .join(Repetition.ngramCharAgg(gated, idCol, textCol)
-            .withColumnRenamed("id", "__ngid"),
-            col(idCol) === col("__ngid"), "left")
-          .filter(
-            col("dup_line_frac") <= 0.30 &&
-              col("dup_line_char_frac") <= 0.20 &&
-              graft.Canonical.round4(
-                when(col("__len") === 0L || col("__top_chars").isNull, lit(0.0))
-                  .otherwise(col("__top_chars").cast("double") / col("__len").cast("double")))
-                <= 0.20 &&
-              graft.Canonical.round4(
-                when(col("__len") === 0L || col("__dup_chars").isNull, lit(0.0))
-                  .otherwise(col("__dup_chars").cast("double") / col("__len").cast("double")))
-                <= 0.15)
-          .select(statsCols: _*)
-      }
+      else Repetition.fusedGopherFiltered(gated, idCol, textCol, cfg.lineSep)
     val afterRepB = pinIfAudit(afterRep)
     val exactKept = pin(Dedup.exactKeepFirst(afterRepB, Seq(textCol), idCol))
     // near-dup removal + decontamination share ONE shingle table when

@@ -116,11 +116,15 @@ object Decontaminate {
         // classification depend on which join arm the bench size chose).
         // Only shingles hot on BOTH sides — stop-phrases carrying no
         // per-pair signal — are cut.
-        val budget = maxDf.toLong * maxDf.toLong
+        val budget = maxDf.toDouble * maxDf.toDouble
         val dfB = b.groupBy(col("shingle")).agg(count(lit(1)).as("__dfb"))
         val dfC = cc.groupBy(col("shingle")).agg(count(lit(1)).as("__dfc"))
+        // product compared in DOUBLE: two corpus-scale dfs (~3e9 each)
+        // overflow a Long product — wrapping negative would re-admit the
+        // hottest pocket (or throw under ANSI); double precision loss at
+        // 2^53 is irrelevant for a threshold test
         val hot = dfB.join(dfC, Seq("shingle"))
-          .filter(col("__dfb") * col("__dfc") > budget)
+          .filter(col("__dfb").cast("double") * col("__dfc").cast("double") > budget)
           .select(col("shingle"))
           .localCheckpoint()
         cc.join(hot, Seq("shingle"), "left_anti").hint("merge")

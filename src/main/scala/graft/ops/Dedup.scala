@@ -633,14 +633,16 @@ object Dedup {
         // exactly the ids that appeared in a pair, small after
         // contraction. Checkpointed: it feeds both the election aggregate
         // and the drop join (docs would otherwise re-scan per consumer).
-        // NULL quality ranks LAST (a doc with no score must never beat a
-        // scored one — min(struct) alone would elect it, nulls sorting
-        // first), matching the oracle's ORDER BY q DESC NULLS LAST.
+        // NULL quality ranks LAST via an explicit isNull field (false <
+        // true, so every SCORED member — even -Infinity — beats every
+        // unscored one; a sentinel value would tie or lose against
+        // extreme scores), matching the oracle's ORDER BY q DESC NULLS
+        // LAST.
         val member = labels.join(
           docs.select(col(idCol).as("id"), q.cast("double").as("__q")), Seq("id"))
           .localCheckpoint()
         val keep = member.groupBy(col("comp"))
-          .agg(min(struct(coalesce(-col("__q"), lit(Double.MaxValue)).as("nq"),
+          .agg(min(struct(col("__q").isNull.as("nu"), (-col("__q")).as("nq"),
             col("id").as("kid"))).as("__k"))
           .select(col("comp"), col("__k").getField("kid").as("__keep"))
         val d = member.join(keep, Seq("comp"))
@@ -1386,16 +1388,26 @@ object Dedup {
     // the same way): a replayed/retried batch must not double-insert —
     // duplicate shingle rows would inflate every later verification's
     // intersection counts and duplicate sizes rows would double set_size,
-    // corrupting Jaccard for the re-appended ids. Ids already present in
-    // the persisted sizes table are dropped before any write.
-    val freshDocs = newDocs
-      .join(idx.sizes.select(col("id").as(idCol)), Seq(idCol), "left_anti")
-      .localCheckpoint() // pin BEFORE the appends below rewrite what it reads
-    val sh = shingleTable(freshDocs, idCol, col(textCol), idx.n).localCheckpoint()
-    sh.write.mode("append").parquet(s"$path/shingles")
-    sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
+    // corrupting Jaccard for the re-appended ids. The guard is PER TABLE
+    // (each append drops ids already present in ITS OWN target), so a
+    // retry after a crash BETWEEN the three appends completes exactly the
+    // missing tables: a single up-front guard on one table would either
+    // re-insert into already-written tables or permanently skip the
+    // unwritten ones, depending on which side of the crash the guard
+    // table sat. All three fresh sets are pinned before any write
+    // rewrites the directories they read.
+    def freshVs(existing: DataFrame, existingId: String): DataFrame =
+      newDocs.join(existing.select(col(existingId).as(idCol)), Seq(idCol), "left_anti")
+        .localCheckpoint()
+    val freshSh = freshVs(idx.shingles, "id")
+    val freshSz = freshVs(idx.sizes, "id")
+    val freshBd = freshVs(idx.bands, "corpus_id")
+    shingleTable(freshSh, idCol, col(textCol), idx.n)
+      .write.mode("append").parquet(s"$path/shingles")
+    shingleTable(freshSz, idCol, col(textCol), idx.n)
+      .groupBy(col("id")).agg(count(lit(1)).as("set_size"))
       .write.mode("append").parquet(s"$path/sizes")
-    minhashFromShingles(sh, idx.numPerm)
+    minhashFromShingles(shingleTable(freshBd, idCol, col(textCol), idx.n), idx.numPerm)
       .select(col("id").as("corpus_id"),
         explode(array(bandExprs(idx.numBands, idx.rowsPerBand): _*)).as("band"))
       .select(col("corpus_id"), col("band.band_idx"), col("band.band_hash"))

@@ -196,11 +196,13 @@ object Ivf {
       .filter(col("__r") <= k * candMult)
       .select(col(qidCol), col(qvecCol), col("__qnorm"), col(cidCol))
 
-    // exact rerank over full vectors, candidates only
+    // exact rerank over full vectors, candidates only (zero norms score
+    // NULL → desc default nulls last, same guard as Pq.adcCosine)
     val wRank = Window.partitionBy(col(qidCol)).orderBy(col("cosine_sim").desc, col(cidCol).asc)
     cands.join(assigned.select(col(cidCol), col(cvecCol), col("__cnorm")), Seq(cidCol))
       .withColumn("cosine_sim",
-        round(vec_dot(col(qvecCol), col(cvecCol)) / (col("__qnorm") * col("__cnorm")), 6))
+        when(col("__qnorm") <= 0.0 || col("__cnorm") <= 0.0, lit(null).cast("double"))
+          .otherwise(round(vec_dot(col(qvecCol), col(cvecCol)) / (col("__qnorm") * col("__cnorm")), 6)))
       .select(col(qidCol), col(cidCol), col("cosine_sim"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)

@@ -133,11 +133,14 @@ object Pq {
     * exact-COSINE rerank must rank on this, not the raw dot — a raw-dot
     * cut silently drops small-norm true neighbors whenever embedding
     * norms vary ([[Ivf.searchQuantized]] normalizes its int8 cut the
-    * same way).
+    * same way). A ZERO norm scores NULL, not NaN/∞ — under a DESC rank
+    * (default nulls last) a zero embedding falls to the bottom of the
+    * cut instead of hijacking every query's top slot.
     */
   def adcCosine(lut: Column, codes: Column, m: Int,
       qnorm: Column, cnorm: Column): Column =
-    round(adcSum(lut, codes, m) / (qnorm * cnorm), 6)
+    when(qnorm <= 0.0 || cnorm <= 0.0, lit(null).cast("double"))
+      .otherwise(round(adcSum(lut, codes, m) / (qnorm * cnorm), 6))
 
   def adcTopK(queries: DataFrame, qidCol: String, qvecCol: String,
       codes: DataFrame, cidCol: String, cb: Codebooks, k: Int): DataFrame = {
@@ -183,7 +186,8 @@ object Pq {
       .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
       .join(corpus.select(col(cidCol), col(cvecCol)), Seq(cidCol))
       .withColumn("cosine_sim",
-        round(vec_dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn")), 6))
+        when(col("__qn") <= 0.0 || col("__cn") <= 0.0, lit(null).cast("double"))
+          .otherwise(round(vec_dot(col(qvecCol), col(cvecCol)) / (col("__qn") * col("__cn")), 6)))
       .select(col(qidCol), col(cidCol), col("cosine_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

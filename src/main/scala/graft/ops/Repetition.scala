@@ -138,7 +138,7 @@ object Repetition {
     * either width simply have no rows here (left-join and null→0.0 at
     * the consumer, exactly like the per-width originals).
     */
-  private[graft] def ngramCharAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[ops] def ngramCharAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
     docs
       .select(col(idCol).as("id"),
@@ -170,6 +170,36 @@ object Repetition {
     * identical to the per-width operators, which remain for callers
     * needing a single width.
     */
+  /** The FUSED Gopher repetition gate: per-row line fractions appended in
+    * place (no join), both n-gram families on ONE tagged explode, the
+    * verdict applied in one id-keyed left join — returns `docs`' rows
+    * that pass, original columns preserved. Values are identical to
+    * [[gopherStats]]' keep flag row for row (CurationSpec pins it); this
+    * is the single definition the composed pipeline ([[Curate]]) and the
+    * stage-timing diagnostic both call, so the thresholds and the plan
+    * shape can never drift apart between them.
+    */
+  def fusedGopherFiltered(docs: DataFrame, idCol: String, textCol: String,
+      lineSep: String = "\n",
+      maxDupLineFrac: Double = 0.30, maxDupLineCharFrac: Double = 0.20,
+      maxTop2GramCharFrac: Double = 0.20, maxDup5GramCharFrac: Double = 0.15): DataFrame = {
+    val docCols = docs.columns.map(col)
+    withLineStats(docs, textCol, lineSep)
+      .withColumn("__len", length(col(textCol)).cast("long"))
+      .join(ngramCharAgg(docs, idCol, textCol).withColumnRenamed("id", "__ngid"),
+        col(idCol) === col("__ngid"), "left")
+      .filter(
+        col("dup_line_frac") <= maxDupLineFrac &&
+          col("dup_line_char_frac") <= maxDupLineCharFrac &&
+          round4(when(col("__len") === 0L || col("__top_chars").isNull, lit(0.0))
+            .otherwise(col("__top_chars").cast("double") / col("__len").cast("double")))
+            <= maxTop2GramCharFrac &&
+          round4(when(col("__len") === 0L || col("__dup_chars").isNull, lit(0.0))
+            .otherwise(col("__dup_chars").cast("double") / col("__len").cast("double")))
+            <= maxDup5GramCharFrac)
+      .select(docCols: _*)
+  }
+
   def gopherStats(docs: DataFrame, idCol: String, textCol: String,
       lineSep: String = "\n",
       maxDupLineFrac: Double = 0.30, maxDupLineCharFrac: Double = 0.20,

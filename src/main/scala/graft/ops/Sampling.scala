@@ -265,7 +265,13 @@ object Sampling {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
     require(budget > 0, s"budget must be positive, got $budget")
     val counts = sources.map { case (name, df) => (name, df.count()) }
-    val weights = counts.map { case (_, c) => math.pow(c.toDouble, alpha) }
+    // alpha = 0.5 routes through sqrt EXPLICITLY: Math.pow is licensed to
+    // 1 ulp (not correctly rounded) and need not equal Math.sqrt at 0.5,
+    // while IEEE sqrt is correctly rounded in both engines — the
+    // exactness the oracle replay relies on
+    val weights = counts.map { case (_, c) =>
+      if (alpha == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, alpha)
+    }
     val z = weights.sum
     counts.zip(weights).map { case ((name, c), w) =>
       val raw = math.min(1.0, budget.toDouble * (w / z) / math.max(c.toDouble, 1.0))
@@ -276,10 +282,19 @@ object Sampling {
 
   /** [[mixture]] with [[temperatureRates]] — sample each source at its
     * temperature-derived keep rate (deterministic hash coin per row).
+    * Callers that already hold the rate table (e.g. to report it) should
+    * use the rates overload — this one counts every source.
     */
   def temperatureMixture(sources: Seq[(String, DataFrame)], idCol: Column,
-      alpha: Double, budget: Long): DataFrame = {
-    val rates = temperatureRates(sources, alpha, budget).map(r => r._1 -> r._3).toMap
-    mixture(sources.map { case (name, df) => (name, df, rates(name)) }, idCol)
+      alpha: Double, budget: Long): DataFrame =
+    temperatureMixture(sources, idCol, temperatureRates(sources, alpha, budget))
+
+  /** [[mixture]] over a precomputed [[temperatureRates]] table — no
+    * re-counting of the sources.
+    */
+  def temperatureMixture(sources: Seq[(String, DataFrame)], idCol: Column,
+      rates: Seq[(String, Long, Double)]): DataFrame = {
+    val byName = rates.map(r => r._1 -> r._3).toMap
+    mixture(sources.map { case (name, df) => (name, df, byName(name)) }, idCol)
   }
 }

@@ -1727,7 +1727,7 @@ object PipelineProbes {
       def grp(lo: Int, hi: Int) = docs.filter(srcNum.between(lo, hi))
       val sources = Seq(("wiki", grp(0, 6)), ("books", grp(7, 13)), ("web", grp(14, 19)))
       val rates = Sampling.temperatureRates(sources, alpha = 0.5, budget = 300L)
-      val mixed = Sampling.temperatureMixture(sources, col("doc_id"), alpha = 0.5, budget = 300L)
+      val mixed = Sampling.temperatureMixture(sources, col("doc_id"), rates)
       val kept = mixed.groupBy("mix_source").agg(count(lit(1)).as("__kept"))
       val totals = docs
         .select(when(srcNum <= 6, "wiki").when(srcNum <= 13, "books")
