@@ -269,14 +269,24 @@ final class BpeKernel(merges: Seq[(String, String)]) extends Serializable {
     * (0x110000 = one past the Unicode range, so the two id spaces can
     * never collide). A multi-char OPERAND no rule outputs can never
     * appear in an encoded stream (symbols start as single chars and only
-    * rules create longer ones), so its slot value is never read.
+    * rules create longer ones — such a rule is DEAD and never fires;
+    * the pinned public table contains a few, e.g. 'al' in "al"->"l"),
+    * so its slot is never read. It maps to an out-of-band SENTINEL
+    * (Long.MinValue — outside both id spaces) rather than clamping to
+    * rank 0's id: if the never-read argument were ever violated the
+    * sentinel surfaces as an impossible token id instead of silently
+    * COLLIDING with a real one.
     */
+  private[functions] val PortableSentinel: Long = Long.MinValue
   private val portable: Array[Long] = {
     val arr = new Array[Long](dict.size)
     dict.forEach { (k, id) =>
       arr(id.intValue) =
         if (k.codePointCount(0, k.length) == 1) k.codePointAt(0).toLong
-        else 0x110000L + math.max(merges.indexWhere(r => r._1 + r._2 == k), 0)
+        else {
+          val producer = merges.indexWhere(r => r._1 + r._2 == k)
+          if (producer >= 0) 0x110000L + producer else PortableSentinel
+        }
     }
     arr
   }

@@ -73,14 +73,18 @@ object Decontaminate {
     * pocket — one sort-merge partition emits `df_bench × df_corpus`
     * rows for that key. The guard therefore caps the PRODUCT: shingles
     * with `df_bench · df_corpus > maxDf²` are excluded from the join.
-    * One-sided-hot shingles stay in — a benchmark passage mass-pasted
-    * across the corpus has huge df_corpus but df_bench ≈ 1, exactly the
-    * widespread contamination this pass exists to catch, and a per-side
-    * cap would silently exempt it (and make classification flip with
-    * the bench-size arm choice). Only both-sides-hot stop-phrases, which
-    * carry no per-pair signal, are cut. The broadcast arm stays
-    * uncapped — its pocket is bounded by the bench's in-memory hash
-    * relation, and flagged pairs there are exact.
+    * One-sided-hot shingles stay in UP TO the product bound — a shingle
+    * with df_bench = 1 survives to df_corpus ≤ maxDf² (≈2.7M docs at the
+    * default), so a benchmark passage mass-pasted across the corpus is
+    * caught far past where a per-side df cap (which would cut it at
+    * maxDf, and make classification flip with the bench-size arm choice)
+    * gives up; beyond maxDf²/df_bench corpus occurrences even this guard
+    * excludes the key, so merge-arm vs broadcast-arm classification can
+    * still diverge at that extreme. The excluded-key count is logged to
+    * stderr (`decon_product_cap_excluded`) so that recall loss is
+    * observable, never silent. The broadcast arm stays uncapped — its
+    * pocket is bounded by the bench's in-memory hash relation, and
+    * flagged pairs there are exact.
     */
   def overlapsFromShingles(corpusSh: DataFrame,
       bench: DataFrame, benchIdCol: String, benchText: Column,
@@ -110,12 +114,13 @@ object Decontaminate {
         // emits df_bench(s)·df_corpus(s) rows, so only keys whose PRODUCT
         // exceeds the budget (maxDf², ≈2.7M rows — the same order as the
         // LSH bucket-pair budget) are excluded. One-sided-hot shingles
-        // stay in: a benchmark passage mass-pasted into the corpus has
-        // df_corpus ≫ cap but df_bench ≈ 1, and a per-side cap would
-        // silently exempt exactly that widespread contamination (and make
-        // classification depend on which join arm the bench size chose).
-        // Only shingles hot on BOTH sides — stop-phrases carrying no
-        // per-pair signal — are cut.
+        // stay in up to the product bound: a benchmark passage mass-
+        // pasted into the corpus has df_corpus ≫ cap but df_bench ≈ 1,
+        // so it survives to df_corpus ≤ maxDf² where a per-side cap would
+        // cut it at maxDf (and make classification depend on which join
+        // arm the bench size chose). Past maxDf²/df_bench occurrences the
+        // key is excluded even here — the count below makes that loss
+        // observable instead of silent.
         val budget = maxDf.toDouble * maxDf.toDouble
         val dfB = b.groupBy(col("shingle")).agg(count(lit(1)).as("__dfb"))
         val dfC = cc.groupBy(col("shingle")).agg(count(lit(1)).as("__dfc"))
@@ -127,6 +132,12 @@ object Decontaminate {
           .filter(col("__dfb").cast("double") * col("__dfc").cast("double") > budget)
           .select(col("shingle"))
           .localCheckpoint()
+        // the checkpoint is eager, so this count is a cached-block scan —
+        // excluded keys are a recall loss and must be visible, not silent
+        val excluded = hot.count()
+        if (excluded > 0)
+          System.err.println(
+            s"""{"decon_product_cap_excluded":$excluded,"budget":${budget.toLong}}""")
         cc.join(hot, Seq("shingle"), "left_anti").hint("merge")
           .join(b.join(hot, Seq("shingle"), "left_anti").hint("merge"), Seq("shingle"))
       }

@@ -667,6 +667,12 @@ object Dedup {
     * is pair RECALL: a true near-dup pair at jaccard j surfaces with
     * probability 1-(1-j^rowsPerBand)^bands (identical documents always
     * collide). `quality = Some(...)` elects argmax-quality canonicals.
+    *
+    * The corpus is tokenized and exploded ONCE: a single persisted
+    * [[shingleTable]] feeds both the signature aggregation and the exact
+    * verification (the same sharing discipline as [[dedupCorpusExact]] /
+    * [[dedupCorpusKeepBest]]) — tokenize+explode is the dominant CPU of
+    * the pair stage, and rebuilding it for verification would double it.
     */
   def dedupCorpusLsh(docs: DataFrame, idCol: String, text: Column,
       n: Int, numPerm: Int, bands: Int, rowsPerBand: Int, threshold: Double,
@@ -674,10 +680,14 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket, maxIter: Int = 20): DataFrame = {
     require(bands * rowsPerBand <= numPerm,
       s"bands*rowsPerBand = ${bands * rowsPerBand} exceeds numPerm = $numPerm")
-    val sig = minhashSignatures(docs, idCol, text, n, numPerm)
-    val cand = lshCandidates(sig, idCol, bands, rowsPerBand, maxBucket)
-    val pairs = jaccardVerify(docs, idCol, text, n, cand, threshold)
-    dropNonCanonical(docs, idCol, pairs, quality, maxIter)
+    val sh = shingleTable(docs, idCol, text, n).persist()
+    sh.count() // eager: feeds signatures AND verification
+    val sig = minhashFromShingles(sh, numPerm)
+    val cand = lshCandidates(sig, "id", bands, rowsPerBand, maxBucket)
+    val pairs = jaccardFromShingles(sh, cand, threshold)
+    val result = dropNonCanonical(docs, idCol, pairs, quality, maxIter)
+    sh.unpersist() // the drop set is checkpointed — shingles no longer needed
+    result
   }
 
   /** [[dedupCorpusExact]] with QUALITY-RANKED canonical selection: each

@@ -123,9 +123,17 @@ object TextStats {
     * tokenize oracle. `wExpr` is the word expression (already scrubbed of
     * chr(31)/chr(1) by the caller).
     */
+  /** A merge symbol as a single-quoted SQL literal, apostrophes doubled:
+    * trained tables flow into the oracle-SQL generators below, and an
+    * English corpus can legitimately learn a merge touching `'` (pairs
+    * around the apostrophe in "don't") — unescaped it would generate
+    * invalid or wrong oracle SQL.
+    */
+  private[graft] def sqlSymLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   def bpeFoldSql(wExpr: String, merges: Seq[(String, String)] = BpeMerges): String = {
     val mergesList = merges
-      .map { case (a, b) => s"'$a' || chr(1) || '$b'" }
+      .map { case (a, b) => s"${sqlSymLit(a)} || chr(1) || ${sqlSymLit(b)}" }
       .mkString("[", ", ", "]")
     s"""list_reduce(
        |  list_prepend(
@@ -142,7 +150,7 @@ object TextStats {
     */
   def bpeMergeRanksSql(merges: Seq[(String, String)] = BpeMerges): String =
     merges.zipWithIndex
-      .map { case ((a, b), r) => s"($r, '$a', '$b')" }
+      .map { case ((a, b), r) => s"($r, ${sqlSymLit(a)}, ${sqlSymLit(b)})" }
       .mkString("(VALUES ", ", ", ") mr(r, a, b)")
 
   def bpeTokenCountSql(textExpr: String): String = {
