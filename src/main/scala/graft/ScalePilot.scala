@@ -120,7 +120,8 @@ object ScalePilot {
       else if (family == "pipeline") Set("events", "documents")
       else if (family == "etl") Set("lineitem", "orders", "customer", "nation", "region", "events")
       else if (family == "curation") Set("documents", "embeddings")
-      else if (family == "ingest" || family == "stream") Set("documents")
+      else if (family == "ingest") Set("documents", "embeddings")
+      else if (family == "stream") Set("documents")
       else if (family == "web") Set("documents", "embeddings")
       else if (family == "round8") Set("documents", "embeddings")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
@@ -414,8 +415,38 @@ object ScalePilot {
           Dedup.incrementalDedupIndexed(
             Dedup.readHashIndex(spark, hashPath), Dedup.readBandIndex(spark, bandPath),
             batchOf(corpus), "doc_id", "text", threshold = 0.5)
+        }),
+        // round-9 semantic twin: the live operator re-hashes + re-buckets
+        // the embedding corpus per batch; the indexed one probes the
+        // persisted vec index (built once in the warm-up pass, marker =
+        // meta.json). The batch is copy-0-sized at every scale (exact /
+        // 2×-scaled / reversed thirds, the x47 fixture shape), so the
+        // live-vs-indexed ratio gap is pure corpus-rebuild cost.
+        "incremental_semantic_live" -> (() => {
+          val emb = tbl(dir, "embeddings")
+          Dedup.incrementalSemanticDedup(emb, vecBatchOf(emb), "vec_id", "embedding",
+            threshold = 0.9, numPlanes = 8, dim = 64)
+        }),
+        "incremental_semantic_indexed" -> (() => {
+          val emb = tbl(dir, "embeddings")
+          val vecPath = s"$dir/__vecidx_v1"
+          if (!new java.io.File(s"$vecPath/meta.json").exists())
+            Dedup.writeVecIndex(emb, "vec_id", "embedding", vecPath,
+              numPlanes = 8, dim = 64, expectedItems = 2000000L)
+          Dedup.incrementalSemanticIndexed(Dedup.readVecIndex(spark, vecPath),
+            vecBatchOf(emb), "vec_id", "embedding", threshold = 0.9)
         }))
     }
+
+    /** Fixed-size (copy-0) embedding batch: exact copies / same-direction
+      * 2×-scaled / reversed thirds — the x47 fixture shape.
+      */
+    def vecBatchOf(emb: DataFrame): DataFrame =
+      emb.filter(col("vec_id") < 100000000L)
+        .select((col("vec_id") + 1000000000L).as("vec_id"),
+          when(col("vec_id") % 5 === 0, col("embedding"))
+            .when(col("vec_id") % 5 === 1, transform(col("embedding"), x => x * lit(2.0f)))
+            .otherwise(reverse(col("embedding"))).as("embedding"))
 
     // round-8 web-curation family: the pre-content cuts (URL gate, HTML
     // extraction, hashed linear classifier — shuffle-free projections

@@ -1435,6 +1435,242 @@ object Dedup {
       throw new java.io.IOException(s"band index bucket swap $staging -> $bp failed")
   }
 
+  // — persisted SEMANTIC incremental-dedup state (vec index) ———————————————
+  //   The embedding twin of the hash/band indexes above:
+  //   [[incrementalSemanticDedup]] rebuilds the corpus xxhash index AND the
+  //   sign-bucket frame every batch — a daily embedding ingest pays a full
+  //   corpus scan per batch for state that did not change. The vec index
+  //   persists both (plus a Bloom sketch over the content hashes, so
+  //   certainly-new batch vectors skip the exact verify join entirely) and
+  //   each batch classifies with batch-sized compute plus column scans of
+  //   the compact index tables joined against broadcast batch-sized frames
+  //   — nothing corpus-scale shuffles per batch.
+
+  /** A loaded persistent vec index. All frames are lazy parquet scans;
+    * `buckets` carries per-bucket corpus occupancy, min-id hub AND the
+    * hub's vector, so hot-bucket detection + star verification need no
+    * corpus aggregate per batch. The hyperplane geometry (numPlanes, dim,
+    * seed) rides in meta so batch bucketing can never silently
+    * desynchronize from the persisted corpus bucketing.
+    */
+  final case class VecIndex(
+      hashes: DataFrame,  // (__h xxhash64(vec), __exact_of min id, __rvec rep vector)
+      vecs: DataFrame,    // (corpus_id, __cvec, __bucket)
+      buckets: DataFrame, // (__bucket, __ccnt, __hub, __hubvec)
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      expectedItems: Long, fpp: Double,
+      numPlanes: Int, dim: Int, seed: Long)
+
+  /** Persist the corpus-side state of [[incrementalSemanticDedup]]:
+    * `path/{vecs,hashes,buckets}` parquet + `path/bloom.bin` (sketch over
+    * the xxhash64 content keys, creation params in the header) +
+    * `path/meta.json` (hyperplane geometry — written LAST, so its
+    * presence marks a complete index). One corpus pass builds the
+    * bucketed vector table; hashes and buckets derive from the persisted
+    * copy, so the artifacts can never disagree.
+    */
+  def writeVecIndex(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      numPlanes: Int, dim: Int, expectedItems: Long, fpp: Double = 0.01,
+      seed: Long = 42L): Unit = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    val spark = corpus.sparkSession
+    val planes = Similarity.hyperplanes(numPlanes, dim, seed)
+    corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("__cvec"),
+        Similarity.bucketId(col(vecCol), planes).as("__bucket"))
+      .write.mode("overwrite").parquet(s"$path/vecs")
+    val vecsP = spark.read.parquet(s"$path/vecs")
+    vecsP
+      .groupBy(xxhash64(col("__cvec")).as("__h"))
+      .agg(min(col("corpus_id")).as("__exact_of"),
+        min_by(col("__cvec"), col("corpus_id")).as("__rvec"))
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    vecsP
+      .groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__ccnt"), min(col("corpus_id")).as("__hub"),
+        min_by(col("__cvec"), col("corpus_id")).as("__hubvec"))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    val hashesP = spark.read.parquet(s"$path/hashes")
+    val bf =
+      if (hashesP.isEmpty) // stat.bloomFilter NPEs on zero rows
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else hashesP.stat.bloomFilter("__h", expectedItems, fpp)
+    writeBloomFile(spark, s"$path/bloom.bin", bf, expectedItems, fpp)
+    writeTextFile(spark, s"$path/meta.json",
+      s"""{"numPlanes":$numPlanes,"dim":$dim,"seed":$seed}""")
+  }
+
+  /** Load a persisted vec index (lazy parquet frames + sketch + meta). */
+  def readVecIndex(spark: org.apache.spark.sql.SparkSession, path: String): VecIndex = {
+    val meta = readTextFile(spark, s"$path/meta.json")
+    def longOf(k: String): Long =
+      s""""$k":\\s*(-?\\d+)""".r.findFirstMatchIn(meta)
+        .getOrElse(throw new IllegalArgumentException(s"vec index meta missing $k: $meta"))
+        .group(1).toLong
+    val (fs, p) = hadoopFs(spark, s"$path/bloom.bin")
+    val in = fs.open(p)
+    val (bf, items, fpp) =
+      try {
+        val dis = new java.io.DataInputStream(in)
+        val items = dis.readLong()
+        val fpp = dis.readDouble()
+        (org.apache.spark.util.sketch.BloomFilter.readFrom(dis), items, fpp)
+      } finally in.close()
+    VecIndex(
+      hashes = spark.read.parquet(s"$path/hashes"),
+      vecs = spark.read.parquet(s"$path/vecs"),
+      buckets = spark.read.parquet(s"$path/buckets"),
+      bloom = bf, expectedItems = items, fpp = fpp,
+      numPlanes = longOf("numPlanes").toInt, dim = longOf("dim").toInt,
+      seed = longOf("seed"))
+  }
+
+  /** [[incrementalSemanticDedup]] against a persisted [[VecIndex]]:
+    * classification is IDENTICAL to the live operator (the x84 probe
+    * shares x47's per-row value oracle), but the corpus is never
+    * re-hashed or re-bucketed — per-batch corpus cost drops to column
+    * scans of the index tables. The exact stage is additionally
+    * Bloom-pruned: certainly-new vectors (no false negatives) skip the
+    * hash verify join entirely; positives verify by array equality
+    * against the persisted hash group's min-id representative, so the
+    * classification stays exact (same 64-bit-collision fine print as the
+    * live operator). Hot buckets: persisted corpus occupancy + batch
+    * occupancy for buckets the batch TOUCHES; star degradation pairs
+    * hot-bucket batch members with the persisted min-id hub, verified
+    * against the persisted hub vector. Returns the same eager cached
+    * (idCol, status, dup_of) frame — `unpersist()` when done.
+    */
+  def incrementalSemanticIndexed(index: VecIndex, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      maxBucket: Int = DefaultMaxBucket,
+      batchBroadcastCap: Long = BatchBroadcastCap): DataFrame = {
+    val planes = Similarity.hyperplanes(index.numPlanes, index.dim, index.seed)
+    val idType = index.hashes.schema("__exact_of").dataType
+    val keyedB = batch.select(col(idCol).as("id"), col(vecCol).as("__bvec"),
+      xxhash64(col(vecCol)).as("__h"))
+    // 1. exact: Bloom prune, then verify positives against the persisted
+    //    hash index (rep-vector equality keeps it exact)
+    val positive = keyedB
+      .filter(graft.functions.BloomFunctions.mightContain(col("__h"), index.bloom))
+      .join(index.hashes, Seq("__h"), "left")
+      .select(col("id"), col("__bvec"),
+        when(col("__exact_of").isNotNull && col("__bvec") === col("__rvec"),
+          col("__exact_of")).as("__exact_of"))
+    val negative = keyedB
+      .filter(!graft.functions.BloomFunctions.mightContain(col("__h"), index.bloom))
+      .select(col("id"), col("__bvec"), lit(null).cast(idType).as("__exact_of"))
+    val exactStatus = positive.unionByName(negative).persist()
+    exactStatus.count()
+
+    // 2. near: batch-side bucketing only; corpus side comes from the index
+    val bB = exactStatus.filter(col("__exact_of").isNull)
+      .select(col("id").as("batch_id"), col("__bvec"),
+        Similarity.bucketId(col("__bvec"), planes).as("__bucket"))
+      .localCheckpoint()
+    // hot detection: persisted corpus occupancy + batch occupancy for
+    // touched buckets only (corpus-hot buckets the batch never probes
+    // generate no candidates in the live operator either); batch-only
+    // buckets are recovered with an anti-join against the touched set
+    val batchCnt = bB.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__bcnt")).localCheckpoint()
+    val touched = index.buckets.join(broadcast(batchCnt), Seq("__bucket"))
+    val batchOnly = batchCnt.join(touched.select(col("__bucket")),
+      Seq("__bucket"), "left_anti")
+    val vecType = index.vecs.schema("__cvec").dataType
+    val hot = touched.filter(col("__ccnt") + col("__bcnt") > maxBucket)
+      .select(col("__bucket"), col("__hub"), col("__hubvec"))
+      .unionByName(batchOnly.filter(col("__bcnt") > maxBucket)
+        .select(col("__bucket"), lit(null).cast(idType).as("__hub"),
+          lit(null).cast(vecType).as("__hubvec")))
+      .localCheckpoint()
+    val hotKeys = hot.select(col("__bucket"))
+    // cold candidates: persisted corpus vectors against the (bounded)
+    // batch side — byte-aware broadcast license, merge-join degrade on
+    // BOTH sides past it (same discipline as the live operator)
+    val vecCap = math.min(batchBroadcastCap, Similarity.vecBroadcastRows(index.dim))
+    val coldB = bB.join(hotKeys, Seq("__bucket"), "left_anti")
+    val cold =
+      if (bB.count() <= vecCap) index.vecs.join(broadcast(coldB), Seq("__bucket"))
+      else index.vecs.hint("merge").join(coldB.hint("merge"), Seq("__bucket"))
+    // star candidates: hot-bucket batch members vs the persisted hub (a
+    // null hub = batch-only hot bucket — no corpus member to match)
+    val star = bB.join(hotKeys, Seq("__bucket"), "left_semi")
+      .join(broadcast(hot.filter(col("__hub").isNotNull)), Seq("__bucket"))
+      .select(col("batch_id"), col("__bvec"),
+        col("__hub").as("corpus_id"), col("__hubvec").as("__cvec"))
+    val pairCols = Seq(col("batch_id"), col("__bvec"), col("corpus_id"), col("__cvec"))
+    val nearOf = cold.select(pairCols: _*).unionByName(star.select(pairCols: _*))
+      .withColumn("__cos", round(Similarity.cosine(col("__bvec"), col("__cvec")), 6))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("batch_id").as("id"))
+      .agg(min(col("corpus_id")).as("__near_of"))
+
+    val result = exactStatus
+      .join(nearOf, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("__exact_of").isNotNull, "exact_dup")
+          .when(col("__near_of").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        coalesce(col("__exact_of"), col("__near_of")).as("dup_of"))
+      .persist()
+    result.count()
+    exactStatus.unpersist()
+    result
+  }
+
+  /** Fold a batch's accepted vectors into a persisted vec index: bucketed
+    * vector rows for the new ids append as parquet parts, new hash rows
+    * anti-join the existing table on the content key (keep-first: an
+    * existing hash group's representative survives; intra-batch
+    * duplicates elect min id) and merge into the sketch, and the bucket
+    * aggregate is recomputed from the appended vector table via staging +
+    * swap (it is an aggregate — appending would double-count). Guards
+    * are PER TABLE, so a retry after a crash between the appends
+    * completes exactly the missing tables (same idempotence contract as
+    * [[appendToBandIndex]]). Meta is unchanged; the sketch saturates past
+    * `expectedItems` total inserts (fpp degrades, correctness doesn't —
+    * positives always verify); rewrite with [[writeVecIndex]] when the
+    * corpus outgrows it.
+    */
+  def appendToVecIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val idx = readVecIndex(spark, path)
+    val planes = Similarity.hyperplanes(idx.numPlanes, idx.dim, idx.seed)
+    // all fresh sets are pinned BEFORE any write rewrites the dirs they read
+    val freshVecRows = newVecs
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("__cvec"),
+        Similarity.bucketId(col(vecCol), planes).as("__bucket"))
+      .join(idx.vecs.select(col("corpus_id")), Seq("corpus_id"), "left_anti")
+      .localCheckpoint()
+    val freshHashes = newVecs
+      .select(xxhash64(col(vecCol)).as("__h"), col(idCol).as("__cid"),
+        col(vecCol).as("__v"))
+      .groupBy(col("__h"))
+      .agg(min(col("__cid")).as("__exact_of"), min_by(col("__v"), col("__cid")).as("__rvec"))
+      .join(idx.hashes.select(col("__h")), Seq("__h"), "left_anti")
+      .localCheckpoint()
+    val delta =
+      if (freshHashes.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(idx.expectedItems, idx.fpp)
+      else freshHashes.stat.bloomFilter("__h", idx.expectedItems, idx.fpp)
+    freshVecRows.write.mode("append").parquet(s"$path/vecs")
+    freshHashes.write.mode("append").parquet(s"$path/hashes")
+    idx.bloom.mergeInPlace(delta)
+    writeBloomFile(spark, s"$path/bloom.bin", idx.bloom, idx.expectedItems, idx.fpp)
+    // buckets: recompute from the appended vector table via staging + swap
+    // (cannot overwrite a path feeding the plan being written)
+    spark.read.parquet(s"$path/vecs")
+      .groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__ccnt"), min(col("corpus_id")).as("__hub"),
+        min_by(col("__cvec"), col("corpus_id")).as("__hubvec"))
+      .write.mode("overwrite").parquet(s"$path/buckets.staging")
+    val (fs, bp) = hadoopFs(spark, s"$path/buckets")
+    val staging = new org.apache.hadoop.fs.Path(s"$path/buckets.staging")
+    if (fs.exists(bp)) fs.delete(bp, true)
+    if (!fs.rename(staging, bp))
+      throw new java.io.IOException(s"vec index bucket swap $staging -> $bp failed")
+  }
+
   /** 63-bit SimHash per id (bit 63 unused to stay in positive Long range
     * under ANSI overflow checks): per-token `xxhash64`, ±1 vote per bit,
     * sign of the vote sum sets the bit — one pass through the custom

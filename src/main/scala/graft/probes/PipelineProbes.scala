@@ -1759,7 +1759,67 @@ object PipelineProbes {
            |FROM t, z
            |ORDER BY mix_source ASC NULLS FIRST""".stripMargin))
 
+  // — persisted vec index (semantic daily-ingest shape) ———————————————————
+  //   The embedding twin of x59: x47's exact fixture and oracle (exact
+  //   copies / 2×-scaled copies / reversed vectors — LSH recall is
+  //   provably 1.0, see ExtensionProbes.x47), but the corpus side comes
+  //   entirely from a marker-cached on-disk [[Dedup.VecIndex]]. The
+  //   persisted semantic path must classify every batch row identically
+  //   to the live operator, so it shares x47's full per-row value oracle.
+  private val X84IndexV = "v1"
+  private def x84Index(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val srcTok = graft.TmpDir.sourceToken(s"$dir/embeddings.parquet")
+    val base = s"${graft.TmpDir.root}/tmp/x84_vecidx_${X84IndexV}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcTok"
+    val marker = new java.io.File(s"$base/vec/meta.json") // written LAST
+    if (!marker.exists()) synchronized {
+      if (!marker.exists())
+        Dedup.writeVecIndex(Readers.fanOut(t(s, dir, "embeddings")), "vec_id", "embedding",
+          s"$base/vec", numPlanes = 8, dim = 64, expectedItems = 1000000L)
+    }
+    base
+  }
+  private val x84 = Probe(
+    "x84_incremental_semantic_indexed",
+    (s, dir) => {
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
+      val batch = emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        when(col("vec_id") % 5 === 0, col("embedding"))
+          .when(col("vec_id") % 5 === 1, transform(col("embedding"), x => x * lit(2.0f)))
+          .otherwise(reverse(col("embedding"))).as("embedding"))
+      val base = x84Index(s, dir)
+      Dedup.incrementalSemanticIndexed(Dedup.readVecIndex(s, s"$base/vec"),
+          batch, "vec_id", "embedding", threshold = 0.9)
+        .orderBy("vec_id")
+    },
+    Some("""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+           |batch AS (
+           |  SELECT vec_id + 1000000 AS vec_id,
+           |    CASE WHEN vec_id % 5 = 0 THEN embedding
+           |         WHEN vec_id % 5 = 1 THEN list_transform(embedding, x -> x * 2)
+           |         ELSE list_reverse(embedding) END AS bvec
+           |  FROM corpus),
+           |ex AS (
+           |  SELECT b.vec_id, min(c.vec_id) AS eof
+           |  FROM batch b JOIN corpus c ON b.bvec = c.embedding GROUP BY 1),
+           |flat AS (
+           |  SELECT b.vec_id AS bid, c.vec_id AS cid,
+           |    CAST(unnest(b.bvec) AS DOUBLE) AS x, CAST(unnest(c.embedding) AS DOUBLE) AS y
+           |  FROM batch b, corpus c),
+           |dots AS (SELECT bid, cid, sum(x * y) AS d, sum(x * x) AS nx, sum(y * y) AS ny
+           |         FROM flat GROUP BY 1, 2),
+           |nr AS (SELECT bid AS vec_id, min(cid) AS nof FROM dots
+           |       WHERE round(d / (sqrt(nx) * sqrt(ny)), 6) >= 0.9 GROUP BY 1)
+           |SELECT b.vec_id,
+           |  CASE WHEN ex.eof IS NOT NULL THEN 'exact_dup'
+           |       WHEN nr.nof IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+           |  coalesce(ex.eof, nr.nof) AS dup_of
+           |FROM batch b
+           |LEFT JOIN ex ON ex.vec_id = b.vec_id
+           |LEFT JOIN nr ON nr.vec_id = b.vec_id
+           |ORDER BY b.vec_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83)
+    x78, x79, x80, x81, x82, x83, x84)
 }

@@ -376,6 +376,110 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq((100L, "near_dup", Some(1L))), s"got $got")
   }
 
+  test("incrementalSemanticIndexed: persisted vec index classifies identically to the live path") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // byte-identical → exact_dup of 1
+      (11L, Array(3.0f, 0.0f, 0.0f, 0.0f)),  // same direction → near_dup of 1
+      (12L, Array(0.0f, 0.0f, 1.0f, 0.0f))   // orthogonal → new
+    ).toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "vecIdx").toString
+    Dedup.writeVecIndex(corpus, "vec_id", "embedding", s"$base/vec",
+      numPlanes = 4, dim = 4, expectedItems = 100L)
+    val live = Dedup.incrementalSemanticDedup(corpus, batch, "vec_id", "embedding",
+      threshold = 0.9, numPlanes = 4, dim = 4)
+    val idx = Dedup.incrementalSemanticIndexed(Dedup.readVecIndex(spark, s"$base/vec"),
+      batch, "vec_id", "embedding", threshold = 0.9)
+    val liveRows = live.orderBy("vec_id").as[(Long, String, Option[Long])].collect().toSeq
+    val idxRows = idx.orderBy("vec_id").as[(Long, String, Option[Long])].collect().toSeq
+    live.unpersist(); idx.unpersist()
+    assert(idxRows == liveRows, s"live $liveRows\nidx  $idxRows")
+    assert(idxRows == Seq(
+      (10L, "exact_dup", Some(1L)),
+      (11L, "near_dup", Some(1L)),
+      (12L, "new", None)), s"got $idxRows")
+  }
+
+  test("incrementalSemanticIndexed: hot bucket star-degrades via persisted hub; " +
+      "append folds accepted vectors in idempotently") {
+    // 20 corpus vectors in ONE direction (same sign bucket), cap at 8: the
+    // bucket is hot, so a batch vector duplicating the direction must be
+    // found via the PERSISTED min-id hub (+ hub vector), not classified new
+    val corpus = (1L to 20L).map(i => (i, Array(i.toFloat, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "vecIdxApp").toString
+    Dedup.writeVecIndex(corpus, "vec_id", "embedding", s"$base/vec",
+      numPlanes = 4, dim = 4, expectedItems = 1000L)
+    def classify(b: org.apache.spark.sql.DataFrame, maxBucket: Int = Dedup.DefaultMaxBucket) =
+      Dedup.incrementalSemanticIndexed(Dedup.readVecIndex(spark, s"$base/vec"),
+        b, "vec_id", "embedding", threshold = 0.9, maxBucket = maxBucket)
+    val b1 = Seq(
+      (100L, Array(0.5f, 0.0f, 0.0f, 0.0f)),    // hot-bucket near dup → hub 1
+      (101L, Array(0.0f, 0.0f, -1.0f, 0.0f))).toDF("vec_id", "embedding") // new
+    val c1 = classify(b1, maxBucket = 8)
+    val r1 = c1.orderBy("vec_id").as[(Long, String, Option[Long])].collect().toSeq
+    c1.unpersist()
+    assert(r1 == Seq((100L, "near_dup", Some(1L)), (101L, "new", None)),
+      s"hot-cluster near dup must resolve to the persisted hub: $r1")
+    // append the accepted new vector and re-see its content
+    Dedup.appendToVecIndex(spark, s"$base/vec",
+      b1.filter($"vec_id" === 101L), "vec_id", "embedding")
+    val b2 = Seq(
+      (300L, Array(0.0f, 0.0f, -1.0f, 0.0f)),   // exact dup of appended 101
+      (301L, Array(0.0f, 0.0f, -4.0f, 0.0f))).toDF("vec_id", "embedding") // near dup of 101
+    val c2 = classify(b2)
+    val r2 = c2.orderBy("vec_id").as[(Long, String, Option[Long])].collect().toSeq
+    c2.unpersist()
+    assert(r2 == Seq((300L, "exact_dup", Some(101L)), (301L, "near_dup", Some(101L))), s"got $r2")
+    // REPLAYED append (a retried ingest): both vector rows and hash rows
+    // must not double-insert (duplicate vec rows would duplicate candidate
+    // pairs; duplicate hash rows would make the rep-vector verify ambiguous)
+    val idxBefore = Dedup.readVecIndex(spark, s"$base/vec")
+    val (vecsBefore, hashesBefore) = (idxBefore.vecs.count(), idxBefore.hashes.count())
+    Dedup.appendToVecIndex(spark, s"$base/vec",
+      b1.filter($"vec_id" === 101L), "vec_id", "embedding")
+    val idxAfter = Dedup.readVecIndex(spark, s"$base/vec")
+    assert(idxAfter.vecs.count() == vecsBefore && idxAfter.hashes.count() == hashesBefore,
+      "a replayed batch double-inserted vec-index rows")
+    val c3 = classify(b2)
+    val r3 = c3.orderBy("vec_id").as[(Long, String, Option[Long])].collect().toSeq
+    c3.unpersist()
+    assert(r3 == r2, s"classification changed after an append replay: $r3 vs $r2")
+  }
+
+  test("incrementalSemanticIndexed: corpus-scale index frames never broadcast-build") {
+    // same hazard class as the live operator: the vecs frame and the hash
+    // index both carry full corpus vectors — over the batch cap the cold
+    // join must degrade to merge, never build from the corpus side
+    val corpus = (1L to 50L).map(i => (i, Array(i.toFloat, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq((100L, Array(0.5f, -1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "vecIdxBx").toString
+    Dedup.writeVecIndex(corpus, "vec_id", "embedding", s"$base/vec",
+      numPlanes = 2, dim = 4, expectedItems = 100L)
+    def bxSubtreeHeads(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val ls = df.queryExecution.executedPlan.toString.linesIterator.toVector
+      ls.zipWithIndex.filter(_._1.contains("BroadcastExchange")).map { case (_, i) =>
+        ls.drop(i + 1).take(3).mkString("\n")
+      }
+    }
+    val big = Dedup.incrementalSemanticIndexed(Dedup.readVecIndex(spark, s"$base/vec"),
+      batch, "vec_id", "embedding", threshold = 0.9, batchBroadcastCap = 0L)
+    val bigPlan = big.queryExecution.executedPlan.toString
+    val heads = bxSubtreeHeads(big)
+    big.unpersist()
+    assert(!heads.exists(h => h.contains("corpus_id") && h.contains("__cvec")),
+      s"over-cap path must not broadcast the persisted corpus vectors:\n$bigPlan")
+    assert(bigPlan.contains("SortMergeJoin"),
+      s"over-cap cold join must degrade to sort-merge:\n$bigPlan")
+  }
+
   test("incremental semantic dedup: corpus band frame never broadcast-builds") {
     // both band frames are checkpoint-backed, so size estimates are
     // unreliable — the planner was observed statically broadcasting the
