@@ -1819,7 +1819,22 @@ object PipelineProbes {
            |LEFT JOIN nr ON nr.vec_id = b.vec_id
            |ORDER BY b.vec_id ASC NULLS FIRST""".stripMargin))
 
+  // — batched BPE training (the real-vocabulary-size path) ————————————————
+  //   x76 trains 6 merges at one job per merge; this trains a 10-round ×
+  //   32-candidate batched run (86 merges on the sf0.01 fixture — ≥64 at
+  //   every sf, jobs ≈ 2·rounds ≪ merges, pinned in PipelineOpsSpec) and
+  //   DuckDB replays the ENTIRE run: per-round weighted pair counts,
+  //   candidate rank, the greedy blocked-symbol admission walk, and the
+  //   in-rank-order batch rewrite (Bpe.trainBatchedSql).
+  private val x85 = Probe(
+    "x85_bpe_train_batched",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      Bpe.trainBatched(docs, col("text"), rounds = 10, batchSize = 32).orderBy("rank")
+    },
+    Some(Bpe.trainBatchedSql("documents", "text", 10, 32)))
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84)
+    x78, x79, x80, x81, x82, x83, x84, x85)
 }

@@ -972,6 +972,57 @@ class OpsSpec extends SparkSpec {
     assert(n == 3L, "'aa' 'aa' 'ab' all collapse to one symbol each")
   }
 
+  test("Bpe.trainBatched: batchSize=1 degenerates to sequential train; " +
+      "jobs stay far below merges at real batch sizes") {
+    // batchSize = 1: the greedy admission trivially admits the single top
+    // candidate, so the variant IS the sequential trainer
+    val seqT = Bpe.train(docs, $"text", numMerges = 8)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+      .map { case (r, a, b, c) => (r.toLong, a, b, c) }
+    val bat1 = Bpe.trainBatched(docs, $"text", rounds = 8, batchSize = 1)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(bat1 == seqT, s"seq $seqT\nbat $bat1")
+    // real batch size: count Spark jobs across the whole run — the point
+    // of batching is jobs ∝ rounds, not merges
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val trained =
+      try {
+        val t = Bpe.trainBatched(docs, $"text", rounds = 10, batchSize = 32)
+          .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+        Thread.sleep(2000) // listener events are posted asynchronously
+        t
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(trained.size >= 64, s"expected a ≥64-merge vocabulary, got ${trained.size}")
+    assert(jobs.get() < trained.size,
+      s"batched training must run fewer jobs (${jobs.get()}) than merges (${trained.size})")
+    // admission invariant: within a round (contiguous rank block elected
+    // together), operands and outputs are pairwise disjoint — the property
+    // that keeps every recorded pair_count exact at application time
+    // (checked globally pair-vs-later-pair is too strong; re-election
+    // across rounds is the design). Instead check the trained table is
+    // CONSISTENT (every multi-char operand is an earlier rule's output) so
+    // the kernel's portable-id mapping never needs its sentinel:
+    trained.foreach { case (r, a, b, _) =>
+      Seq(a, b).filter(_.length > 1).foreach { op =>
+        assert(trained.exists { case (r2, a2, b2, _) => r2 < r && a2 + b2 == op },
+          s"rank-$r operand '$op' has no earlier producing rule")
+      }
+    }
+    // counting with the batched-trained table goes through the fast kernel
+    // and the portable fold identically
+    val merges = trained.map { case (_, a, b, _) => (a, b) }
+    val cmp = docs.select(
+      TextStats.bpeTokenCount($"text", merges).as("k"),
+      TextStats.bpeTokenCountFold($"text", merges).as("f"))
+      .filter($"k" =!= $"f").count()
+    assert(cmp == 0L, "kernel and fold disagree under the batched-trained table")
+  }
+
   test("Pq: seed vectors encode to their own codes, ADC over a seed corpus equals " +
       "exact dot ranking, training reduces distortion, rerank finds a planted clone") {
     val seeds = emb.orderBy("vec_id").limit(16).persist()
