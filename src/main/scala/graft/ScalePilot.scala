@@ -124,6 +124,7 @@ object ScalePilot {
       else if (family == "stream") Set("documents")
       else if (family == "web") Set("documents", "embeddings")
       else if (family == "round8") Set("documents", "embeddings")
+      else if (family == "round9") Set("documents")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -499,6 +500,22 @@ object ScalePilot {
       }),
       "dataset_card" -> (() => Report.datasetCard(tbl(dir, "documents"))))
 
+    // round-9 family: the production keep-best arm (LSH pair stage +
+    // quality election — round 8 piloted only the exact-pair oracle arm,
+    // which is quadratic-leaning by design) and batched BPE training
+    // (jobs ∝ rounds; the corpus pass is v0 only, so wall should track
+    // the one corpus scan, with rounds flat in corpus size once the
+    // distinct-word vocab saturates — which this fixture's does).
+    def round9Queries(dir: String): Seq[(String, () => DataFrame)] = Seq(
+      "keep_best_lsh" -> (() => {
+        val docs = tbl(dir, "documents")
+        Dedup.dedupCorpusLsh(docs, "doc_id", col("text"),
+          n = 3, numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 0.5,
+          quality = Some(col("doc_id") * 37 % 101))
+      }),
+      "bpe_train_batched" -> (() =>
+        Bpe.trainBatched(tbl(dir, "documents"), col("text"), rounds = 10, batchSize = 32)))
+
     def webQueries(dir: String): Seq[(String, () => DataFrame)] = {
       val embN = tbl(dir, "embeddings").count()
       val k = math.max(4, math.ceil(math.sqrt(embN.toDouble)).toInt)
@@ -562,6 +579,7 @@ object ScalePilot {
       else if (family == "ingest") ingestQueries(dir)
       else if (family == "web") webQueries(dir)
       else if (family == "round8") round8Queries(dir)
+      else if (family == "round9") round9Queries(dir)
       else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>

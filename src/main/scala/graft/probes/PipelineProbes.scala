@@ -1834,7 +1834,60 @@ object PipelineProbes {
     },
     Some(Bpe.trainBatchedSql("documents", "text", 10, 32)))
 
+  // — keep-best through the LSH arm (the production path) ————————————————
+  //   x74 oracles dedupCorpusKeepBest (exact pairs + quality election);
+  //   this oracles dedupCorpusLsh(quality = ...) — the arm a deployment
+  //   actually ships — at threshold 1.0, where LSH recall is PROVABLY 1:
+  //   jaccard = 1 means identical shingle sets, identical sets give
+  //   identical signatures/bands, so every true pair shares all its
+  //   buckets (hot buckets still reach the cluster via the star hub and
+  //   components close it transitively). The oracle replays the whole
+  //   semantics from first principles: group by the sorted distinct
+  //   shingle set (empty sets are singletons — they share no shingle, so
+  //   the verifier can never pair them), keep each group's argmax-quality
+  //   member (quality DESC NULLS LAST, id ASC — dropNonCanonical's
+  //   election order). Planted clones (doc_id % 4, shifted +1e6) carry a
+  //   different quality than their originals, so the election is
+  //   consequential on every group.
+  private val x86 = Probe(
+    "x86_dedup_keep_best_lsh",
+    (s, dir) => {
+      val base = Readers.fanOut(t(s, dir, "documents")).select(col("doc_id"), col("text"))
+      val clones = base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val corpus = base.unionByName(clones)
+        .withColumn("q", (col("doc_id") * 37 % 101).cast("double"))
+      Dedup.dedupCorpusLsh(corpus, "doc_id", col("text"),
+          n = 3, numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 1.0,
+          quality = Some(col("q")))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (SELECT doc_id, text FROM documents),
+           |corpus AS (
+           |  SELECT doc_id, text FROM base
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 4 = 0),
+           |q AS (SELECT doc_id, CAST(doc_id * 37 % 101 AS DOUBLE) AS q FROM corpus),
+           |sh AS (
+           |  SELECT doc_id, list_sort(list_distinct(
+           |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS ss
+           |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS tok
+           |        FROM corpus)),
+           |grp AS (
+           |  SELECT doc_id,
+           |    CASE WHEN ss IS NULL OR len(ss) = 0 THEN 'E' || doc_id
+           |         ELSE array_to_string(ss, chr(31)) END AS g
+           |  FROM sh),
+           |rank AS (
+           |  SELECT gr.doc_id,
+           |    row_number() OVER (PARTITION BY gr.g
+           |      ORDER BY q.q DESC NULLS LAST, gr.doc_id ASC) AS rn
+           |  FROM grp gr JOIN q ON q.doc_id = gr.doc_id)
+           |SELECT doc_id FROM rank WHERE rn = 1
+           |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84, x85)
+    x78, x79, x80, x81, x82, x83, x84, x85, x86)
 }

@@ -1127,6 +1127,26 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(2L, 4L))
   }
 
+  test("dedupCorpusLsh with quality equals dedupCorpusKeepBest where LSH recall is 1") {
+    // identical documents collide in every band, so at threshold 1.0 (pair
+    // iff identical shingle SETS) the LSH arm's pair set equals the exact
+    // arm's — the production keep-best path must then elect identical
+    // survivors to dedupCorpusKeepBest
+    val base = docs.select($"doc_id", $"text")
+    val corpus = base.unionByName(
+        base.filter($"doc_id" % 3 === 0).select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+      .withColumn("q", ($"doc_id" * 37 % 101).cast("double"))
+    val lsh = Dedup.dedupCorpusLsh(corpus, "doc_id", $"text",
+        n = 3, numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 1.0,
+        quality = Some($"q"))
+      .select("doc_id")
+    val best = Dedup.dedupCorpusKeepBest(corpus, "doc_id", $"text", $"q",
+        n = 3, threshold = 1.0)
+      .select("doc_id")
+    assert(lsh.exceptAll(best).isEmpty && best.exceptAll(lsh).isEmpty,
+      "LSH+quality survivors diverged from keep-best under recall-1 conditions")
+  }
+
   test("aHash64/imageNearDupPairs: clones at hamming 0, one-pixel nudge within 1, " +
       "unrelated pattern excluded, undersized raster refused") {
     def raster(seedMul: Int, bump: Int): Seq[Int] =
