@@ -38,11 +38,14 @@ import scala.collection.concurrent.TrieMap
   * the artifact carries per-query `"shuffle_mb":{q:{r,w,spill}}` — byte
   * counts catch plan regressions that sf0.1 wall-clock noise hides.
   *
-  * Scale leg: when the budget has ≥ `Sf1ReserveS` seconds left after the
-  * sf0.1 rounds (and the bench ran at the sf0.1 default), the synthetic
-  * sf1 directory (10× key-shifted copies, `ScalePilot.buildScaled` — the
-  * build is marker-cached across runs) is materialized and the heavy
-  * subset runs once at sf1, reported under `"sf1_queries"`. Override with
+  * Scale leg: when the bench runs at the sf0.1 default, `Sf1ReserveS`
+  * seconds are withheld from the sf0.1 round budget up front, the
+  * synthetic sf1 directory (10× key-shifted copies,
+  * `ScalePilot.buildScaled` — the build is marker-cached across runs) is
+  * materialized, and the heavy subset runs MIN-OF-2 passes at sf1,
+  * reported under `"sf1_queries"` with `"sf1_rounds"` recording how many
+  * passes fed the min and per-query `"sf1_shuffle_mb"` (file artifact
+  * only) carrying the 10× shuffle/spill signature. Override with
   * `SPARK_GRAFT_BENCH_SF1=0|1`.
   *
   * `SPARK_GRAFT_BREAKDOWN=1` additionally prints a stage-level timing of
@@ -130,8 +133,12 @@ object Bench {
     // reads first; runs last so a budget-tight pass still lands the rest
     "x48_curate_pipeline")
 
-  /** Wall-clock seconds reserved for the sf1 leg (build + one pass). */
-  private val Sf1ReserveS = 600.0
+  /** Wall-clock seconds reserved for the sf1 leg (build + TWO passes —
+    * the min-of-2 discipline; withheld from the sf0.1 round budget up
+    * front so the official artifact's sf1 numbers are never one-pass
+    * contention noise).
+    */
+  private val Sf1ReserveS = 700.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -165,8 +172,10 @@ object Bench {
     // are deterministic, so bytes are stable across rounds even when the
     // wall clock is not)
     val shuffle = TrieMap.empty[String, ShuffleTap.Snap]
+    val sf1Shuffle = TrieMap.empty[String, ShuffleTap.Snap]
     val tap = new ShuffleTap(spark)
     @volatile var roundsDone = 0
+    @volatile var sf1RoundsDone = 0
     // guards the one-artifact-only contract between main and the hook
     val emitLock = new Object
     var finalPrinted = false // only touched under emitLock
@@ -194,7 +203,9 @@ object Bench {
         sfDir = sfDir,
         roundsDone = roundsDone,
         partial = partial,
-        compact = !includeShuffle)
+        compact = !includeShuffle,
+        sf1Rounds = sf1RoundsDone,
+        sf1Shuffle = if (includeShuffle) sf1Shuffle.toMap else Map.empty)
 
     /** Emit the artifact exactly once: the JSON line on stdout AND a bare
       * copy at `target/bench_artifact.json` that no log decorator (sbt's
@@ -281,14 +292,26 @@ object Bench {
     names.foreach(n => runOne(n, "warmup").foreach(dt => warm.update(n, dt)))
     val warmWall = (System.nanoTime() - warmT0) / 1e9
 
+    // will the sf1 leg run? Decide BEFORE fitting the sf0.1 rounds so its
+    // reserve comes out of the round budget — round 8 spent the budget on
+    // sf0.1 rounds and the sf1 leg degraded to a single noisy pass
+    val sf1Mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1", "auto")
+    val sf1Planned = sf1Mode match {
+      case "1" => true
+      case "0" => false
+      // normalize a trailing slash so a driver-passed "sf0.1/" qualifies
+      case _ => sfDir.stripSuffix("/").endsWith("sf0.1")
+    }
+    val roundBudgetS = if (sf1Planned) budgetS - Sf1ReserveS else budgetS
+
     // budget-aware round count: each timed round costs ~warmWall (warm JVM
     // makes it an upper bound); shrink 3→1 rather than blow the budget
-    val fit = math.max(1, ((budgetS - elapsed()) / math.max(warmWall, 1e-9)).toInt)
+    val fit = math.max(1, ((roundBudgetS - elapsed()) / math.max(warmWall, 1e-9)).toInt)
     val effRounds = math.max(1, math.min(rounds, fit))
     if (effRounds < rounds)
       System.err.println(f"""{"bench_note":"budget shrank rounds","rounds":$effRounds,"warm_wall_s":$warmWall%.1f,"budget_s":$budgetS%.0f}""")
     var r = 0
-    while (r < effRounds && (r == 0 || elapsed() + warmWall <= budgetS)) {
+    while (r < effRounds && (r == 0 || elapsed() + warmWall <= roundBudgetS)) {
       names.foreach { n =>
         runOne(n, s"round${r + 1}").foreach { dt =>
           best.update(n, math.min(best.getOrElse(n, Double.MaxValue), dt))
@@ -298,48 +321,53 @@ object Bench {
       roundsDone = r
     }
 
-    // sf1 scale leg: only from the sf0.1 default, only inside budget
-    val sf1Mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1", "auto")
-    val wantSf1 = sf1Mode match {
-      case "1" => true
-      case "0" => false
-      case _ =>
-        // normalize a trailing slash so a driver-passed "sf0.1/" still
-        // qualifies; a heuristic skip leaves a visible trace
-        val isSf01 = sfDir.stripSuffix("/").endsWith("sf0.1")
-        val fits = budgetS - elapsed() >= Sf1ReserveS
-        if (!(isSf01 && fits))
-          System.err.println(f"""{"bench_note":"sf1 leg skipped","sf01_dir":$isSf01,"budget_fits":$fits}""")
-        isSf01 && fits
+    // sf1 scale leg: planned up front (its reserve was withheld from the
+    // sf0.1 rounds); a late budget collapse still leaves a visible trace
+    val wantSf1 = {
+      val fits = budgetS - elapsed() >= 120
+      if (sf1Planned && !fits)
+        System.err.println(f"""{"bench_note":"sf1 leg skipped","budget_fits":$fits}""")
+      else if (!sf1Planned && sf1Mode == "auto")
+        System.err.println("""{"bench_note":"sf1 leg skipped","sf01_dir":false}""")
+      sf1Planned && fits
     }
     if (wantSf1) {
       val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", s"${graft.TmpDir.root}/sf1_synth")
       try {
         ScalePilot.buildScaled(spark, sfDir, sf1Dir, 10, ScalePilot.AllTables, eventsNs = true)
-        // up to 2 passes, min per query: one ambient spike on a shared
-        // host would otherwise distort the recorded sf1 numbers (the
-        // first pass also carries codegen warm-up for the 10× plans)
+        // min-of-2 passes per query: one ambient spike on a shared host
+        // would otherwise distort the recorded sf1 numbers (the first
+        // pass also carries codegen warm-up for the 10× plans). The
+        // artifact records sf1_rounds so the discipline is auditable.
         var sf1Pass = 0
         var lastPassWall = 0.0
-        while (sf1Pass == 0 || (sf1Pass < 2 && budgetS - elapsed() >= lastPassWall + 60)) {
+        while (sf1Pass == 0 || (sf1Pass < 2 && budgetS - elapsed() >= lastPassWall * 1.05)) {
           val passT0 = System.nanoTime()
           sf1Subset.filter(fns.contains).foreach { n =>
+            val s0 = tap.settle()
             val t0 = System.nanoTime()
             try {
               fns(n)(spark, sf1Dir).write.format("noop").mode("overwrite").save()
               val dt = (System.nanoTime() - t0) / 1e9
               sf1Best.update(n, math.min(sf1Best.getOrElse(n, Double.MaxValue), dt))
               sf1Failed.remove(n)
-              System.err.println(f"""{"bench_sample":"$n","phase":"sf1_pass${sf1Pass + 1}%d","sec":$dt%.3f}""")
+              // shuffle/spill bytes per sf1 query (plans are deterministic,
+              // so bytes are stable across passes): a skew or spill
+              // signature at 10× must be visible in the artifact
+              val d = tap.settle() - s0
+              sf1Shuffle.update(n, d)
+              System.err.println(f"""{"bench_sample":"$n","phase":"sf1_pass${sf1Pass + 1}%d","sec":$dt%.3f,"shuffle_r_mb":${d.readMb}%.2f,"shuffle_w_mb":${d.writeMb}%.2f,"spill_mb":${d.spillMb}%.2f}""")
             } catch {
               case e: Throwable =>
                 sf1Failed.putIfAbsent(n, String.valueOf(e.getMessage).take(200))
                 System.err.println(s"""{"bench_sample":"$n","phase":"sf1_pass${sf1Pass + 1}","error":${escape(String.valueOf(e.getMessage).take(200))}}""")
             }
             spark.catalog.clearCache()
+            System.gc()
           }
           lastPassWall = (System.nanoTime() - passT0) / 1e9
           sf1Pass += 1
+          sf1RoundsDone = sf1Pass
         }
       } catch {
         case e: Throwable =>
@@ -371,23 +399,29 @@ object Bench {
       sfDir: String,
       roundsDone: Int,
       partial: Boolean,
-      compact: Boolean): String = {
+      compact: Boolean,
+      sf1Rounds: Int = 0,
+      sf1Shuffle: Map[String, ShuffleTap.Snap] = Map.empty): String = {
     val qs = names.flatMap(n => best.get(n).orElse(warm.get(n)).map(n -> _))
     val qsJson = qs.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     val total = qs.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // sf1_rounds rides on BOTH variants (16 bytes on the compact line):
+    // the min-of-N discipline of the sf1 leg is only auditable when the
+    // official artifact records how many passes fed the min
     val sf1Json =
       if (sf1Best.isEmpty) ""
       else sf1Best.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.2f" }
-        .mkString(""","sf1_queries":{""", ",", "}")
+        .mkString(s""","sf1_rounds":$sf1Rounds,"sf1_queries":{""", ",", "}")
     val sf1FailedJson =
       if (sf1Failed.isEmpty) ""
       else sf1Failed.sorted.map("\"" + _ + "\"").mkString(""","sf1_failed":[""", ",", "]")
-    val shufJson =
-      if (shuffle.isEmpty) ""
-      else shuffle.toSeq.sortBy(_._1).map { case (k, s) =>
+    def shufMap(m: Map[String, ShuffleTap.Snap], field: String): String =
+      if (m.isEmpty) ""
+      else m.toSeq.sortBy(_._1).map { case (k, s) =>
         "\"" + k + f"""":{"r":${s.readMb}%.2f,"w":${s.writeMb}%.2f,"spill":${s.spillMb}%.2f}"""
-      }.mkString(""","shuffle_mb":{""", ",", "}")
+      }.mkString(s""","$field":{""", ",", "}")
+    val shufJson = shufMap(shuffle, "shuffle_mb") + shufMap(sf1Shuffle, "sf1_shuffle_mb")
     val partialJson = if (partial) ""","partial":true""" else ""
     // compact (stdout) variant: sf as basename, rounds_done omitted —
     // both ride in the file artifact; every byte of the stdout line

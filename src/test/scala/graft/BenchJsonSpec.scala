@@ -20,15 +20,17 @@ class BenchJsonSpec extends AnyFunSuite {
   private val sf1 = Bench.sf1Subset.map(_ -> 999.994).toMap
   private val shuf = Bench.headline.map(_ -> ShuffleTap.Snap(123456789L, 123456789L, 123456789L)).toMap
 
+  private val sf1Shuf = Bench.sf1Subset.map(_ -> ShuffleTap.Snap(123456789L, 123456789L, 123456789L)).toMap
+
   private def compact(partial: Boolean = false): String =
     Bench.renderJson(Bench.headline, best, Map.empty, Nil, sf1, Nil,
       shuffle = Map.empty, sfDir = "/root/testdata/sf0.1", roundsDone = 3,
-      partial = partial, compact = true)
+      partial = partial, compact = true, sf1Rounds = 2)
 
   private def full: String =
     Bench.renderJson(Bench.headline, best, Map.empty, Nil, sf1, Nil,
       shuffle = shuf, sfDir = "/root/testdata/sf0.1", roundsDone = 3,
-      partial = false, compact = false)
+      partial = false, compact = false, sf1Rounds = 2, sf1Shuffle = sf1Shuf)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -46,7 +48,10 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(node.get("unit").asText() == "sec")
     assert(node.get("queries").size() == Bench.headline.size)
     assert(node.get("sf1_queries").size() == Bench.sf1Subset.size)
+    assert(node.get("sf1_rounds").asInt() == 2,
+      "the min-of-N discipline of the sf1 leg must be auditable from the compact line")
     assert(node.get("shuffle_mb") == null, "shuffle_mb must not appear on stdout")
+    assert(node.get("sf1_shuffle_mb") == null, "sf1_shuffle_mb must not appear on stdout")
     // headline fields precede the per-query map so a FRONT-truncated
     // capture still keeps the totals
     assert(line.indexOf("\"value\"") < line.indexOf("\"queries\""))
@@ -69,5 +74,11 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(node.get("shuffle_mb").size() == Bench.headline.size)
     val snap = node.get("shuffle_mb").get(Bench.headline.head)
     assert(snap.get("r").isNumber && snap.get("w").isNumber && snap.get("spill").isNumber)
+    // the sf1 leg's shuffle/spill signature rides in the file artifact —
+    // a skew or spill regression at 10× must not be wall-clock-only
+    assert(node.get("sf1_shuffle_mb").size() == Bench.sf1Subset.size)
+    val s1 = node.get("sf1_shuffle_mb").get(Bench.sf1Subset.head)
+    assert(s1.get("r").isNumber && s1.get("w").isNumber && s1.get("spill").isNumber)
+    assert(node.get("sf1_rounds").asInt() == 2)
   }
 }
