@@ -211,15 +211,113 @@ object Curate {
       textCol: String = "text",
       minWords: Long = 50L,
       minStopwordHits: Long = 2L,
-      clfMinMeanCenti: Long = 0L): DataFrame = {
-    val urlDeduped = Urls.dedupByUrl(docs, urlCol, idCol)
-    val gated = Urls.filterBlocked(urlDeduped, urlCol)
+      clfMinMeanCenti: Long = 0L): DataFrame =
+    precleanStages(docs, idCol, urlCol, htmlCol, textCol,
+      minWords, minStopwordHits, clfMinMeanCenti, identity).last._2
+
+  /** [[webPreclean]]'s stage boundaries in pipeline order, each wrapped by
+    * `pin` as it is produced (identity for single-consumer callers; a
+    * `localCheckpoint` when each boundary gains a second consumer, as in
+    * [[assemblePretraining]]'s attribution joins). Names are the fate a
+    * document missing from that boundary is attributed:
+    * `url_dup`, `url_blocked`, `shape`, `classifier`.
+    */
+  private def precleanStages(docs: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String, textCol: String, minWords: Long, minStopwordHits: Long,
+      clfMinMeanCenti: Long, pin: DataFrame => DataFrame): Seq[(String, DataFrame)] = {
+    val urlDeduped = pin(Urls.dedupByUrl(docs, urlCol, idCol))
+    val gated = pin(Urls.filterBlocked(urlDeduped, urlCol))
     val extracted = Html.extractText(gated, htmlCol, textCol).drop(htmlCol)
     val cols = extracted.columns.toSeq
-    val shaped = Repetition.gopherQualityStats(extracted, idCol, textCol,
+    val shaped = pin(Repetition.gopherQualityStats(extracted, idCol, textCol,
         minWords = minWords, minStopwordHits = minStopwordHits)
       .filter(col("quality_keep"))
-      .select(cols.map(col): _*)
-    Classify.filterLowQuality(shaped, textCol, minMeanCenti = clfMinMeanCenti)
+      .select(cols.map(col): _*))
+    val classified =
+      pin(Classify.filterLowQuality(shaped, textCol, minMeanCenti = clfMinMeanCenti))
+    Seq("url_dup" -> urlDeduped, "url_blocked" -> gated,
+      "shape" -> shaped, "classifier" -> classified)
+  }
+
+  /** End-to-end pretraining-data ASSEMBLY: web-raw pages → ordered token
+    * shards, with per-document fate attribution — the full composition a
+    * production pipeline runs as one lineage (every stage of which is
+    * individually oracled by its own probe):
+    *
+    *   1-4. [[webPreclean]] (URL dedup → domain gate → HTML extract →
+    *        Gopher shape rules → hashed classifier);
+    *   5. benchmark decontamination over the EXTRACTED text
+    *      ([[Decontaminate.clean]]);
+    *   6. temperature-weighted mixture over caller-named source slices
+    *      ([[Sampling.temperatureMixturePortable]] — the portable coin,
+    *      so the kept set replays cross-engine);
+    *   7. token-balanced contiguous shards in the seeded epoch order
+    *      ([[graft.etl.Export.trainOrderTokenShards]]; `tokenCount`
+    *      defaults to `length(textCol)`, the char proxy).
+    *
+    * Returns ONE row per input page: `(idCol, stage, shard, ord)` where
+    * `stage` is the first stage that dropped the page (`url_dup`,
+    * `url_blocked`, `shape`, `classifier`, `contaminated`, `mixture`) or
+    * `kept`, and `shard`/`ord` are the training-order coordinates of kept
+    * pages (null otherwise). "First" is well-defined because stage
+    * survivor sets are nested. A page matching NO source predicate never
+    * enters the mixture and reports `mixture`.
+    *
+    * Scale shape: the composition inherits each stage's own discipline —
+    * the URL-dedup digest aggregate and the decontamination shingle join
+    * are the only content shuffles; the attribution is id-only left joins
+    * against pinned stage boundaries ([[runAudited]]'s pattern: no
+    * content shuffle, and with `pinStages` each boundary's subtree runs
+    * once even though the attribution re-consumes it). The 100-TB
+    * deployment writes each boundary to durable parquet instead — the
+    * attribution frame then derives from the id columns for free.
+    */
+  def assemblePretraining(pages: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String,
+      sources: Seq[(String, org.apache.spark.sql.Column)],
+      bench: DataFrame, benchIdCol: String, benchText: org.apache.spark.sql.Column,
+      textCol: String = "text",
+      minWords: Long = 50L,
+      minStopwordHits: Long = 2L,
+      clfMinMeanCenti: Long = 0L,
+      decontamNgram: Int = 3,
+      decontamMinHits: Long = 2L,
+      alpha: Double = 0.5,
+      budget: Long = 1000L,
+      seed: String = "epoch1",
+      nShards: Int = 8,
+      tokenCount: Option[org.apache.spark.sql.Column] = None,
+      pinStages: Boolean = true): DataFrame = {
+    require(sources.nonEmpty, "need >=1 mixture source")
+    def pin(df: DataFrame): DataFrame = if (pinStages) df.localCheckpoint() else df
+    val pre = precleanStages(pages, idCol, urlCol, htmlCol, textCol,
+      minWords, minStopwordHits, clfMinMeanCenti, pin)
+    val classified = pre.last._2
+    val decont = pin(Decontaminate.clean(classified, idCol, col(textCol),
+      bench, benchIdCol, benchText, n = decontamNgram, minHits = decontamMinHits))
+    val named = sources.map { case (name, pred) => (name, decont.filter(pred)) }
+    val rates = Sampling.temperatureRates(named, alpha, budget)
+    val mixed = Sampling.temperatureMixturePortable(named, col(idCol), rates)
+    val tok = tokenCount.getOrElse(length(col(textCol)).cast("long"))
+    val shards = pin(graft.etl.Export.trainOrderTokenShards(mixed, idCol, seed, nShards, tok)
+      .select(col(idCol), col("ord"), col("shard")))
+    def flag(df: DataFrame, name: String): DataFrame =
+      df.select(col(idCol)).withColumn(name, lit(true))
+    pages.select(col(idCol))
+      .join(flag(pre(0)._2, "__s1"), Seq(idCol), "left")
+      .join(flag(pre(1)._2, "__s2"), Seq(idCol), "left")
+      .join(flag(pre(2)._2, "__s3"), Seq(idCol), "left")
+      .join(flag(pre(3)._2, "__s4"), Seq(idCol), "left")
+      .join(flag(decont, "__s5"), Seq(idCol), "left")
+      .join(shards, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__s1").isNull, "url_dup")
+          .when(col("__s2").isNull, "url_blocked")
+          .when(col("__s3").isNull, "shape")
+          .when(col("__s4").isNull, "classifier")
+          .when(col("__s5").isNull, "contaminated")
+          .when(col("ord").isNull, "mixture")
+          .otherwise("kept").as("stage"),
+        col("shard"), col("ord"))
   }
 }

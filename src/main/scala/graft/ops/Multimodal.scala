@@ -320,6 +320,48 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference perceptual hash (dHash) of a decoded RGB raster —
+    * the gradient member of the perceptual-hash family. Samples a 9×8
+    * luminance grid (nearest-neighbor, integer floors — the same NN
+    * convention as [[aHash64]]); bit `c` (cell `(cx, cy)`, `c = cy·8+cx`)
+    * is set iff cell `(cx+1, cy)`'s luminance strictly exceeds cell
+    * `(cx, cy)`'s.
+    *
+    * Why carry both hashes: aHash compares every cell against the GLOBAL
+    * grid mean, so pixel saturation anywhere (a brightness shift that
+    * clamps highlights — the classic re-encode artifact) moves the mean
+    * and flips bits in untouched regions; dHash compares each cell only
+    * with its horizontal neighbor, so any monotone per-pixel tone change
+    * (brightness/contrast, clamping included, as long as no two compared
+    * samples BOTH saturate) preserves every bit. Probe x87 plants
+    * exactly that scenario: a clamped brightness shift that flips ≥3
+    * aHash bits in every step class of its fixture (exhaustively
+    * asserted in OpsSpec) while dHash stays at Hamming 0, so aHash
+    * misses every planted pair that dHash catches. All arithmetic is integer
+    * and statically generated, like [[aHash64]] — a DuckDB oracle
+    * replays it from the raw pixel list.
+    */
+  def dHash64(pixels: Column, w: Int, h: Int): Column = {
+    require(w >= 9 && h >= 8, s"dHash needs at least a 9x8 source, got ${w}x$h")
+    graft.Canonical.bindOnce(pixels) { p =>
+      // 72 sampled luminances (9 columns × 8 rows), bound once so each is
+      // computed a single time even though interior columns feed two bits
+      val lumCols = (0 until 72).map { i =>
+        val (cx, cy) = (i % 9, i / 9)
+        val base = ((cy * h / 8) * w + (cx * w / 9)) * 3
+        (element_at(p, base + 1) + element_at(p, base + 2) + element_at(p, base + 3))
+          .cast("long")
+      }
+      graft.Canonical.bindOnce(array(lumCols: _*)) { ls =>
+        (0 until 64).map { c =>
+          val (cx, cy) = (c % 8, c / 8)
+          when(element_at(ls, cy * 9 + cx + 2) > element_at(ls, cy * 9 + cx + 1),
+            lit(1L << c)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_))
+      }
+    }
+  }
+
   /** Image near-dup pairs within Hamming distance `maxDist` over aHash
     * signatures — [[Dedup.simhashPairs]]' chunk-bucket machinery
     * (pigeonhole-exact candidates, hot buckets star-degrade) applied to
@@ -331,5 +373,16 @@ object Multimodal {
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
     Dedup.simhashPairs(
       df.select(col(idCol), aHash64(pixels, w, h).as("simhash")),
+      idCol, maxDist, maxBucket)
+
+  /** [[imageNearDupPairs]] over [[dHash64]] signatures — the pair
+    * machinery is hash-agnostic, so the gradient hash rides the same
+    * chunk-bucketed candidate generation (no all-pairs).
+    */
+  def imageNearDupPairsDHash(df: DataFrame, idCol: String, pixels: Column,
+      w: Int, h: Int, maxDist: Int,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    Dedup.simhashPairs(
+      df.select(col(idCol), dHash64(pixels, w, h).as("simhash")),
       idCol, maxDist, maxBucket)
 }

@@ -233,7 +233,37 @@ object Sampling {
       .drop("__grp", "__tok", "__fp", "__b", "__cgrp", "__cb", "__off", "__cum_before")
   }
 
-  def mixture(sources: Seq[(String, DataFrame, Double)], idCol: Column): DataFrame = {
+  def mixture(sources: Seq[(String, DataFrame, Double)], idCol: Column): DataFrame =
+    mixtureWith(sources, idCol,
+      (id, name) => pmod(xxhash64(id, lit(name)), lit(Slots)))
+
+  /** [[mixture]] with the engine-PORTABLE coin: the slot is a
+    * multiplicative mix of the positional fingerprint of `"name:id"`
+    * (`((fp mod 100000) · 2654435761) mod Slots` — Knuth's golden-ratio
+    * constant) instead of `xxhash64`. The raw fingerprint alone is NOT a
+    * usable coin: a short key's fingerprint is a small positionally-
+    * weighted ASCII sum, clustered in a narrow band far below [[Slots]],
+    * so `fp mod Slots` would keep nearly everything regardless of rate.
+    * The multiplier is coprime to Slots, so it permutes the residues and
+    * scatters the band across the full slot range (the pre-mod 100000
+    * bound keeps the product far from Long overflow under ANSI
+    * arithmetic — coin uniformity only needs the low decades).
+    *
+    * Trades a little mixing quality for cross-engine replay — the kept
+    * SET is value-oracle-checkable row by row, which is what lets the
+    * end-to-end assembly probe (x88) pin the mixture stage exactly
+    * instead of tolerance-gating realized fractions (x83's compromise).
+    * Production callers that never replay outside Spark should prefer
+    * [[mixture]].
+    */
+  def mixturePortable(sources: Seq[(String, DataFrame, Double)], idCol: Column): DataFrame =
+    mixtureWith(sources, idCol,
+      (id, name) => pmod(pmod(graft.functions.TextFunctions.fingerprint(
+        concat(lit(name), lit(":"), id.cast("string"))), lit(100000L))
+        * lit(2654435761L), lit(Slots)))
+
+  private def mixtureWith(sources: Seq[(String, DataFrame, Double)], idCol: Column,
+      slot: (Column, String) => Column): DataFrame = {
     require(sources.nonEmpty, "need >=1 source")
     sources.foreach { case (name, _, rate) =>
       require(rate > 0.0 && rate <= 1.0, s"rate for '$name' must be in (0,1], got $rate")
@@ -242,7 +272,7 @@ object Sampling {
       require(math.round(rate * Slots) >= 1,
         s"rate for '$name' ($rate) is below the ${1.0 / Slots} granularity floor") }
     sources.map { case (name, df, rate) =>
-      df.filter(pmod(xxhash64(idCol, lit(name)), lit(Slots)) < math.round(rate * Slots))
+      df.filter(slot(idCol, name) < math.round(rate * Slots))
         .withColumn("mix_source", lit(name))
     }.reduce(_ unionByName _)
   }
@@ -296,5 +326,14 @@ object Sampling {
       rates: Seq[(String, Long, Double)]): DataFrame = {
     val byName = rates.map(r => r._1 -> r._3).toMap
     mixture(sources.map { case (name, df) => (name, df, byName(name)) }, idCol)
+  }
+
+  /** [[temperatureMixture]] through the [[mixturePortable]] coin — same
+    * rate table, engine-replayable per-row keeps.
+    */
+  def temperatureMixturePortable(sources: Seq[(String, DataFrame)], idCol: Column,
+      rates: Seq[(String, Long, Double)]): DataFrame = {
+    val byName = rates.map(r => r._1 -> r._3).toMap
+    mixturePortable(sources.map { case (name, df) => (name, df, byName(name)) }, idCol)
   }
 }

@@ -1092,55 +1092,100 @@ object PipelineProbes {
   //   shape rules see the text. The oracle is the five stage replays
   //   CHAINED — survivor interactions (a page dropped at stage 1 never
   //   reaches stage 4) are exactly what a per-stage oracle can't check.
+  /** Scala half of the x72/x88 web-page fixture: URL variant arms (2
+    * canonical survivors per page group), every 11th page group on a
+    * blocked domain, and a markup template whose script/comment noise the
+    * extractor must strip. `withSource` carries the natural `source`
+    * column through for the mixture stage (x88).
+    */
+  /** The spam payload of the x88 classifier arm: heavy negative-vocab
+    * terms, alphabetic and stopword-bearing so it passes the SHAPE rules
+    * and dies only at the classifier (4 repetitions outweigh the natural
+    * text's positive prose indicators).
+    */
+  private val SpamPayload = " click here to buy now free casino bonus"
+  private val SpamReps = 4
+
+  private def webFixture(docs: org.apache.spark.sql.DataFrame,
+      withSource: Boolean, spamArm: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val g = pmod(col("doc_id"), lit(97))
+    val host = when(pmod(g, lit(11)) === 0, lit("sub.tracker-network.com"))
+      .otherwise(lit("shop.example.com"))
+    val spam = if (spamArm)
+      when(pmod(col("doc_id"), lit(23)) === 5, lit(SpamPayload * SpamReps)).otherwise(lit(""))
+    else lit("")
+    val base = Seq(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("https://"), host, lit("/item/"), g))
+        .when(pmod(col("doc_id"), lit(5)) === 1,
+          concat(lit("https://"), host, lit("/item/"), g, lit("/")))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          concat(lit("https://"), host, lit(":443/item/"), g, lit("#reviews")))
+        .when(pmod(col("doc_id"), lit(5)) === 3,
+          concat(lit("https://"), host, lit("/item/"), g,
+            lit("?b=2&a=1&utm_source=feed")))
+        .otherwise(concat(lit("https://user@"), host, lit("/item/"), g,
+          lit("?a=1&ref=tw&b=2")))
+        .as("url"),
+      concat(lit("<html><head><script>var x='<p>'</script></head><body>" +
+          "<h1>Post</h1><p>"), col("text"), spam,
+        lit("</p><!-- footer --></body></html>")).as("html"))
+    docs.select((if (withSource) base :+ col("source") else base): _*)
+  }
+
+  /** DuckDB half of the fixture: the `fix` CTE body. */
+  private def webFixtureSql(withSource: Boolean, spamArm: Boolean = false): String = {
+    val src = if (withSource) ", source" else ""
+    val spam = if (spamArm)
+      s" || CASE WHEN doc_id % 23 = 5 THEN repeat('$SpamPayload', $SpamReps) ELSE '' END"
+    else ""
+    s"""fix AS (SELECT doc_id$src,
+       |    CASE doc_id % 5
+       |      WHEN 0 THEN 'https://' || h || '/item/' || g
+       |      WHEN 1 THEN 'https://' || h || '/item/' || g || '/'
+       |      WHEN 2 THEN 'https://' || h || ':443/item/' || g || '#reviews'
+       |      WHEN 3 THEN 'https://' || h || '/item/' || g || '?b=2&a=1&utm_source=feed'
+       |      ELSE 'https://user@' || h || '/item/' || g || '?a=1&ref=tw&b=2' END AS url,
+       |    '<html><head><script>var x=''<p>''</script></head><body><h1>Post</h1><p>'
+       |      || text$spam || '</p><!-- footer --></body></html>' AS html
+       |  FROM (SELECT doc_id$src, text, doc_id % 97 AS g,
+       |          CASE WHEN (doc_id % 97) % 11 = 0 THEN 'sub.tracker-network.com'
+       |               ELSE 'shop.example.com' END AS h
+       |        FROM documents))""".stripMargin
+  }
+
   private val x72 = Probe(
     "x72_web_preclean",
     (s, dir) => {
-      val docs = Readers.fanOut(t(s, dir, "documents"))
-      val g = pmod(col("doc_id"), lit(97))
-      val host = when(pmod(g, lit(11)) === 0, lit("sub.tracker-network.com"))
-        .otherwise(lit("shop.example.com"))
-      val fix = docs.select(col("doc_id"),
-        when(pmod(col("doc_id"), lit(5)) === 0,
-            concat(lit("https://"), host, lit("/item/"), g))
-          .when(pmod(col("doc_id"), lit(5)) === 1,
-            concat(lit("https://"), host, lit("/item/"), g, lit("/")))
-          .when(pmod(col("doc_id"), lit(5)) === 2,
-            concat(lit("https://"), host, lit(":443/item/"), g, lit("#reviews")))
-          .when(pmod(col("doc_id"), lit(5)) === 3,
-            concat(lit("https://"), host, lit("/item/"), g,
-              lit("?b=2&a=1&utm_source=feed")))
-          .otherwise(concat(lit("https://user@"), host, lit("/item/"), g,
-            lit("?a=1&ref=tw&b=2")))
-          .as("url"),
-        concat(lit("<html><head><script>var x='<p>'</script></head><body>" +
-            "<h1>Post</h1><p>"), col("text"),
-          lit("</p><!-- footer --></body></html>")).as("html"))
+      val fix = webFixture(Readers.fanOut(t(s, dir, "documents")), withSource = false)
       Curate.webPreclean(fix, "doc_id", "url", "html",
           minWords = 5L, minStopwordHits = 1L, clfMinMeanCenti = -100L)
         .orderBy("doc_id")
     },
-    Some {
-      val stops = Repetition.GopherStopwords.map(s0 => s"'$s0'").mkString("[", ",", "]")
-      val vocabRows = Classify.DefaultVocab
-        .map { case (t0, w) => s"('${t0}', ${w})" }.mkString(", ")
-      val b = Classify.Buckets
-      def fpb(ref: String): String =
-        s"(${graft.ops.TextStats.fingerprintSql(ref)} % $b + $b) % $b"
-      def r4(e: String) = graft.Canonical.round4Sql(e)
-      s"""WITH fix AS (SELECT doc_id,
-         |    CASE doc_id % 5
-         |      WHEN 0 THEN 'https://' || h || '/item/' || g
-         |      WHEN 1 THEN 'https://' || h || '/item/' || g || '/'
-         |      WHEN 2 THEN 'https://' || h || ':443/item/' || g || '#reviews'
-         |      WHEN 3 THEN 'https://' || h || '/item/' || g || '?b=2&a=1&utm_source=feed'
-         |      ELSE 'https://user@' || h || '/item/' || g || '?a=1&ref=tw&b=2' END AS url,
-         |    '<html><head><script>var x=''<p>''</script></head><body><h1>Post</h1><p>'
-         |      || text || '</p><!-- footer --></body></html>' AS html
-         |  FROM (SELECT doc_id, text, doc_id % 97 AS g,
-         |          CASE WHEN (doc_id % 97) % 11 = 0 THEN 'sub.tracker-network.com'
-         |               ELSE 'shop.example.com' END AS h
-         |        FROM documents)),
-         |nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nofrag FROM fix),
+    // plain concatenation, no outer stripMargin: the helpers' already-
+    // stripped lines may legitimately START with `||` continuations,
+    // which a second stripMargin would eat
+    Some(s"WITH ${webFixtureSql(withSource = false)},\n" +
+      precleanCtes(minWords = 5, minStop = 1, clfMin = -100) + "\n" +
+      "SELECT doc_id, url, text FROM s4\n" +
+      "ORDER BY doc_id ASC NULLS FIRST"))
+
+  /** DuckDB replay of [[Curate.webPreclean]] stage by stage, consuming a
+    * `fix(doc_id, url, html, …)` CTE: `s1` = post-URL-dedup, `s2` =
+    * post-domain-gate, `ex` = extracted text, `s3` = post-shape-rules,
+    * `s4(doc_id, url, text)` = post-classifier survivors. Shared by the
+    * x72 preclean probe and the x88 end-to-end assembly probe — the chain
+    * is written once so the two probes can't drift.
+    */
+  private def precleanCtes(minWords: Long, minStop: Long, clfMin: Long): String = {
+    val stops = Repetition.GopherStopwords.map(s0 => s"'$s0'").mkString("[", ",", "]")
+    val vocabRows = Classify.DefaultVocab
+      .map { case (t0, w) => s"('${t0}', ${w})" }.mkString(", ")
+    val b = Classify.Buckets
+    def fpb(ref: String): String =
+      s"(${graft.ops.TextStats.fingerprintSql(ref)} % $b + $b) % $b"
+    def r4(e: String) = graft.Canonical.round4Sql(e)
+    s"""nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nofrag FROM fix),
          |parts AS (SELECT doc_id, url,
          |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
          |    regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS auth,
@@ -1218,14 +1263,14 @@ object PipelineProbes {
          |  JOIN gst ON e.doc_id = gst.doc_id
          |  JOIN gls ON e.doc_id = gls.doc_id
          |  JOIN gsym ON e.doc_id = gsym.doc_id
-         |  WHERE gst.n >= 5 AND gst.n <= 100000
+         |  WHERE gst.n >= $minWords AND gst.n <= 100000
          |    AND (CASE WHEN gst.n > 0 THEN ${r4("gst.chars * 1.0 / gst.n")} ELSE 0.0 END) >= 3.0
          |    AND (CASE WHEN gst.n > 0 THEN ${r4("gst.chars * 1.0 / gst.n")} ELSE 0.0 END) <= 10.0
          |    AND (CASE WHEN gst.n > 0 THEN ${r4("gsym.symbols * 1.0 / gst.n")} ELSE 0.0 END) <= 0.1
          |    AND (CASE WHEN gls.nl > 0 THEN ${r4("gls.bullet * 1.0 / gls.nl")} ELSE 0.0 END) <= 0.9
          |    AND (CASE WHEN gls.nl > 0 THEN ${r4("gls.ellip * 1.0 / gls.nl")} ELSE 0.0 END) <= 0.3
          |    AND (CASE WHEN gst.n > 0 THEN ${r4("gst.alpha * 1.0 / gst.n")} ELSE 0.0 END) >= 0.8
-         |    AND gst.stops >= 1),
+         |    AND gst.stops >= $minStop),
          |vocab(term, w) AS (VALUES $vocabRows),
          |lut AS (SELECT ${fpb("term")} AS bucket, sum(w) AS w FROM vocab GROUP BY 1),
          |ctk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ctoks
@@ -1239,12 +1284,11 @@ object PipelineProbes {
          |csc AS (SELECT doc_id, any_value(nf) AS nf,
          |    CAST(sum(CASE WHEN f IS NULL THEN 0 ELSE coalesce(l.w, 0) END) AS BIGINT) AS centi
          |  FROM cfe LEFT JOIN lut l ON l.bucket = ${fpb("f")}
-         |  GROUP BY doc_id)
-         |SELECT s.doc_id, s.url, s.text FROM s3 s
-         |JOIN csc c ON s.doc_id = c.doc_id
-         |WHERE c.nf > 0 AND c.centi >= -100 * c.nf
-         |ORDER BY s.doc_id ASC NULLS FIRST""".stripMargin
-    })
+         |  GROUP BY doc_id),
+         |s4 AS (SELECT s.doc_id, s.url, s.text FROM s3 s
+         |  JOIN csc c ON s.doc_id = c.doc_id
+         |  WHERE c.nf > 0 AND c.centi >= $clfMin * c.nf)""".stripMargin
+  }
 
   // — quality-ranked near-dup canonical selection ————————————————————————
   //   dedupCorpusExact's cluster tail with argmax-quality (tie → min id)
@@ -1887,7 +1931,194 @@ object PipelineProbes {
            |SELECT doc_id FROM rank WHERE rn = 1
            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — dHash vs aHash under clamped brightness (the re-encode artifact) ————
+  //   Fixture: pairs (2g, 2g+1) share a ramp image; the odd member is the
+  //   SAME image through a clamped brightness shift (+150/channel,
+  //   saturating at 255). Pixel columns x ∈ {2,4,6} are pinned at 255 —
+  //   aHash's 8×8 grid samples them (px = 2·cx), dHash's 9×8 grid
+  //   (px = ⌊cx·16/9⌋ ∈ {0,1,3,5,7,8,10,12,14}) never does. So every
+  //   dHash-sampled value rides the ramp (< 107 ≤ 255−150: the shift is
+  //   EXACT there) and all 64 horizontal orderings survive → planted
+  //   dHamming ≡ 0; while aHash's mean moves by less than the unclamped
+  //   +450/lum (the 24 saturated cells contribute +0), so ramp cells with
+  //   luminance in the ~169-wide band under the mean flip 0→1 — the ramp
+  //   step s = ((2g+3) mod 105)+1 keeps ≥3 flips for EVERY one of the 105
+  //   possible step classes (exhaustively asserted in OpsSpec), so aHash
+  //   misses every planted pair at maxDist 2. Both arms are full value
+  //   oracles: DuckDB replays both hashes all-pairs, so the incidental
+  //   same-step collisions across groups (s has period 105 in g) are
+  //   checked too, not just the planted pairs.
+  private val x87 = Probe(
+    "x87_image_dhash_brightness",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val g = floor(col("media_id") / 2).cast("long")
+      val odd = pmod(col("media_id"), lit(2L))
+      val step = pmod(g * 2 + 3, lit(105L)) + 1L
+      val px = flatten(transform(sequence(lit(0L), lit(16 * 12 - 1L)), p => {
+        val raw = when(pmod(p, lit(16L)).isin(2L, 4L, 6L), lit(255L))
+          .otherwise(pmod((p + 1L) * step, lit(107L)))
+        val v = least(lit(255L), raw + lit(150L) * odd).cast("int")
+        array(v, v, v)
+      }))
+      val fix = docs.select(col("doc_id").as("media_id"))
+        .select(col("media_id"), px.as("px"))
+      val a = Multimodal.imageNearDupPairs(fix, "media_id", col("px"),
+          w = 16, h = 12, maxDist = 2)
+        .withColumn("arm", lit("ahash"))
+      val d = Multimodal.imageNearDupPairsDHash(fix, "media_id", col("px"),
+          w = 16, h = 12, maxDist = 2)
+        .withColumn("arm", lit("dhash"))
+      a.unionByName(d)
+        .select(col("arm"), col("id_a"), col("id_b"), col("hamming").cast("long"))
+        .orderBy("arm", "id_a", "id_b")
+    },
+    Some {
+      val pw = (0 until 64).map(c =>
+        s"($c, ${if (c == 63) "(-9223372036854775807 - 1)" else (1L << c).toString})")
+        .mkString(", ")
+      val lum = "3 * least(255, CASE WHEN p % 16 IN (2, 4, 6) THEN 255" +
+        " ELSE ((p + 1) * s) % 107 END + 150 * odd)"
+      s"""WITH base AS (
+         |  SELECT doc_id AS media_id, ((doc_id // 2) * 2 + 3) % 105 + 1 AS s,
+         |    doc_id % 2 AS odd
+         |  FROM documents),
+         |pw AS (SELECT * FROM (VALUES $pw) t(c, v)),
+         |ca AS (
+         |  SELECT c, ((c // 8) * 12 // 8) * 16 + (c % 8) * 2 AS p
+         |  FROM (SELECT unnest(generate_series(0, 63)) AS c)),
+         |lumA AS (
+         |  SELECT b.media_id, ca.c, CAST($lum AS BIGINT) AS lu
+         |  FROM base b, ca),
+         |totA AS (SELECT media_id, sum(lu) AS total FROM lumA GROUP BY 1),
+         |bitsA AS (
+         |  SELECT l.media_id,
+         |    CAST(sum(CASE WHEN l.lu * 64 > t.total THEN pw.v ELSE 0 END) AS BIGINT) AS h
+         |  FROM lumA l JOIN totA t ON t.media_id = l.media_id
+         |  JOIN pw ON pw.c = l.c GROUP BY 1),
+         |gd AS (
+         |  SELECT j, ((j // 9) * 12 // 8) * 16 + (j % 9) * 16 // 9 AS p
+         |  FROM (SELECT unnest(generate_series(0, 71)) AS j)),
+         |lumD AS (
+         |  SELECT b.media_id, gd.j, CAST($lum AS BIGINT) AS lu
+         |  FROM base b, gd),
+         |bitsD AS (
+         |  SELECT l.media_id,
+         |    CAST(sum(CASE WHEN r.lu > l.lu THEN pw.v ELSE 0 END) AS BIGINT) AS h
+         |  FROM (SELECT unnest(generate_series(0, 63)) AS c) cd
+         |  JOIN lumD l ON l.j = (cd.c // 8) * 9 + (cd.c % 8)
+         |  JOIN lumD r ON r.media_id = l.media_id AND r.j = (cd.c // 8) * 9 + (cd.c % 8) + 1
+         |  JOIN pw ON pw.c = cd.c
+         |  GROUP BY 1),
+         |pairs AS (
+         |  SELECT 'ahash' AS arm, a.media_id AS id_a, b.media_id AS id_b,
+         |    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |  FROM bitsA a JOIN bitsA b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.h, b.h)) <= 2
+         |  UNION ALL
+         |  SELECT 'dhash' AS arm, a.media_id AS id_a, b.media_id AS id_b,
+         |    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |  FROM bitsD a JOIN bitsD b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.h, b.h)) <= 2)
+         |SELECT arm, id_a, id_b, hamming FROM pairs
+         |ORDER BY arm ASC NULLS FIRST, id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
+    })
+
+  // — end-to-end pretraining assembly (web-raw → ordered token shards) ————
+  //   Curate.assemblePretraining over the x72 web fixture plus a spam arm
+  //   (doc_id%23=5 pages carry repeated negative-vocab payload that
+  //   passes the shape rules and dies at the classifier): URL dedup →
+  //   domain gate → HTML extract → shape rules → classifier →
+  //   decontamination (bench = the raw doc_id%37 slice, so every
+  //   surviving %37 page is provably contaminated by its own bench twin)
+  //   → temperature mixture over the natural source slices (budget 60
+  //   cuts at sf0.01+; the PORTABLE coin makes per-row keeps
+  //   replayable — x83 could only tolerance-gate its xxhash coin) →
+  //   token-balanced shards in the seeded epoch order. One row per input
+  //   page: first-dropping stage or kept + (shard, ord). The oracle
+  //   chains the x72 preclean CTEs (shared helper — written once) with
+  //   the x41 shingle replay, the x83 rate arithmetic, the fingerprint
+  //   coin, and the x65 prefix-sum shard replay: survivor interactions
+  //   across all seven stages are exactly what the per-stage oracles
+  //   can't check.
+  private val x88 = Probe(
+    "x88_pretrain_assembly",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val fix = webFixture(docs, withSource = true, spamArm = true)
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("bid"), col("text").as("btext"))
+      val srcNum = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+      val sources = Seq(
+        "wiki" -> (srcNum <= 6),
+        "books" -> srcNum.between(7, 13),
+        "web" -> (srcNum >= 14))
+      Curate.assemblePretraining(fix, "doc_id", "url", "html", sources,
+          bench, "bid", col("btext"),
+          minWords = 5L, minStopwordHits = 1L, clfMinMeanCenti = 0L,
+          decontamNgram = 3, decontamMinHits = 2L,
+          alpha = 0.5, budget = 60L, seed = "epoch1", nShards = 8)
+        .orderBy("doc_id")
+    },
+    Some {
+      def fp(ref: String) = graft.ops.TextStats.fingerprintSql(ref)
+      val srcCase = "CASE WHEN CAST(regexp_extract(d.source, 'src(\\d+)', 1) AS INT) <= 6" +
+        " THEN 'wiki' WHEN CAST(regexp_extract(d.source, 'src(\\d+)', 1) AS INT) <= 13" +
+        " THEN 'books' ELSE 'web' END"
+      s"WITH ${webFixtureSql(withSource = true, spamArm = true)},\n" +
+        precleanCtes(minWords = 5, minStop = 1, clfMin = 0) + ",\n" +
+        s"""dsh AS (SELECT doc_id AS id, unnest(list_distinct(
+           |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS g3
+           |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+           |        FROM s4)),
+           |bsh AS (SELECT doc_id AS id, unnest(list_distinct(
+           |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS g3
+           |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+           |        FROM documents WHERE doc_id % 37 = 0)),
+           |ov AS (SELECT c.id FROM dsh c JOIN bsh b ON c.g3 = b.g3
+           |  GROUP BY c.id, b.id HAVING count(*) >= 2),
+           |s5 AS (SELECT doc_id, text FROM s4
+           |  WHERE doc_id NOT IN (SELECT id FROM ov)),
+           |src AS (SELECT s5.doc_id, s5.text, $srcCase AS mix_source
+           |  FROM s5 JOIN documents d ON d.doc_id = s5.doc_id),
+           |cnt AS (SELECT mix_source, CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1),
+           |z AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS z FROM cnt),
+           |rates AS (SELECT mix_source,
+           |    greatest(0.0001, floor(least(1.0, 60 * (sqrt(CAST(n AS DOUBLE)) / z.z)
+           |        / greatest(CAST(n AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000) AS rate
+           |  FROM cnt, z),
+           |ck AS (SELECT src.doc_id, src.text, r.rate,
+           |    src.mix_source || ':' || CAST(src.doc_id AS VARCHAR) AS k
+           |  FROM src JOIN rates r ON r.mix_source = src.mix_source),
+           |s6 AS (SELECT doc_id, text FROM ck
+           |  WHERE ((${fp("k")} % 100000) * 2654435761) % 10000
+           |    < CAST(floor(rate * 10000 + 0.5) AS BIGINT)),
+           |tf AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS tok,
+           |    'epoch1:' || CAST(doc_id AS VARCHAR) AS ek FROM s6),
+           |tfp AS (SELECT doc_id, tok, ${fp("ek")} AS fpv FROM tf),
+           |o AS (SELECT doc_id,
+           |    row_number() OVER (ORDER BY fpv % 256, fpv, doc_id) AS ord,
+           |    coalesce(sum(tok) OVER (ORDER BY fpv % 256, fpv, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+           |    sum(tok) OVER () AS total
+           |  FROM tfp),
+           |sh AS (SELECT doc_id, ord,
+           |    CAST(least(floor(bef * 8 / greatest(total, 1)), 7) AS BIGINT) AS shard
+           |  FROM o)
+           |SELECT f.doc_id,
+           |  CASE WHEN f.doc_id NOT IN (SELECT doc_id FROM s1) THEN 'url_dup'
+           |       WHEN f.doc_id NOT IN (SELECT doc_id FROM s2) THEN 'url_blocked'
+           |       WHEN f.doc_id NOT IN (SELECT doc_id FROM s3) THEN 'shape'
+           |       WHEN f.doc_id NOT IN (SELECT doc_id FROM s4) THEN 'classifier'
+           |       WHEN f.doc_id NOT IN (SELECT doc_id FROM s5) THEN 'contaminated'
+           |       WHEN sh.doc_id IS NULL THEN 'mixture'
+           |       ELSE 'kept' END AS stage,
+           |  sh.shard, sh.ord
+           |FROM fix f LEFT JOIN sh ON sh.doc_id = f.doc_id
+           |ORDER BY f.doc_id ASC NULLS FIRST""".stripMargin
+    })
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84, x85, x86)
+    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88)
 }

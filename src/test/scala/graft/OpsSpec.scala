@@ -1167,6 +1167,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dHash64: clamped brightness shift keeps dHash at hamming 0 and flips >2 aHash bits " +
+      "for ALL 105 x87 step classes; undersized raster refused") {
+    // the exact x87 fixture, enumerated over every reachable step class
+    // (s has period 105 in g): this is the exhaustive proof that the
+    // probe's planted pairs are aHash-missed / dHash-caught at EVERY sf
+    val ids = spark.range(0, 210).select($"id".as("media_id"))
+    val g = floor($"media_id" / 2).cast("long")
+    val odd = pmod($"media_id", lit(2L))
+    val step = pmod(g * 2 + 3, lit(105L)) + 1L
+    val px = flatten(transform(sequence(lit(0L), lit(16 * 12 - 1L)), p => {
+      val raw = when(pmod(p, lit(16L)).isin(2L, 4L, 6L), lit(255L))
+        .otherwise(pmod((p + 1L) * step, lit(107L)))
+      val v = least(lit(255L), raw + lit(150L) * odd).cast("int")
+      array(v, v, v)
+    }))
+    val hashed = ids
+      .select(g.as("g"), odd.as("odd"),
+        Multimodal.aHash64(px, 16, 12).as("ah"), Multimodal.dHash64(px, 16, 12).as("dh"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (gv, o, ah, dh) => (gv, o) -> ((ah, dh)) }.toMap
+    val hams = (0L until 105L).map { gv =>
+      val (ah0, dh0) = hashed((gv, 0L))
+      val (ah1, dh1) = hashed((gv, 1L))
+      (gv, java.lang.Long.bitCount(ah0 ^ ah1), java.lang.Long.bitCount(dh0 ^ dh1))
+    }
+    assert(hams.forall(_._3 == 0),
+      s"dHash not brightness-invariant: ${hams.filter(_._3 != 0)}")
+    assert(hams.forall(_._2 > 2),
+      s"aHash caught a planted pair (hamming <= maxDist): ${hams.filter(_._2 <= 2)}")
+    intercept[IllegalArgumentException] {
+      Multimodal.dHash64($"px", w = 8, h = 8)
+    }
+  }
+
   test("temperatureRates: alpha=1 is proportional, alpha<1 upweights the small source, " +
       "budget over corpus caps at 1, floor guards the mixture granularity") {
     val big = docs.filter($"doc_id" < 400)   // 400 docs
@@ -1185,6 +1219,23 @@ class OpsSpec extends SparkSpec {
     // a tiny budget floors at the mixture granularity instead of throwing
     val rTiny = Sampling.temperatureRates(srcs, alpha = 0.5, budget = 1L)
     assert(rTiny.forall(_._3 >= 1.0 / 10000))
+  }
+
+  test("mixturePortable: short-key coin is unbiased (realized fraction tracks the rate) " +
+      "and disjoint from nothing the caller didn't sample") {
+    // the raw positional fingerprint of a short key clusters far below
+    // the slot count — this pins the multiplicative mix actually fixed
+    // the bias (pre-fix this fixture kept ~100% at rate 0.3)
+    val df = spark.range(0, 2000).toDF("id")
+    for (rate <- Seq(0.2, 0.5, 0.8)) {
+      val frac = Sampling.mixturePortable(Seq(("src", df, rate)), $"id")
+        .count().toDouble / 2000
+      assert(math.abs(frac - rate) < 0.06, s"rate $rate realized $frac")
+    }
+    // determinism: same inputs, same kept set
+    val a = Sampling.mixturePortable(Seq(("s", df, 0.4)), $"id").select("id")
+    val b = Sampling.mixturePortable(Seq(("s", df, 0.4)), $"id").select("id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
   test("slidingChunks: overlap, short-doc single chunk, and exact chunk text") {
