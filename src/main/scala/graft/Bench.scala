@@ -111,7 +111,10 @@ object Bench {
     // these two plus the existing x21/x03 dedup costs — the compact
     // stdout line's 1800-byte pin bounds how many entries can ride)
     "x79_sim_topk_ivf_pq",
-    "x80_dataset_card")
+    "x80_dataset_card",
+    // round-9: the end-to-end assembly (web-raw → token shards) — the
+    // heaviest composition in the catalog, benched at sf0.1 AND sf1
+    "x88_pretrain_assembly")
 
   /** The heavy-query subset run once at synthetic sf1 when budget allows:
     * the ETL/join spine plus the dedup/ANN/curation paths whose scaling
@@ -127,8 +130,11 @@ object Bench {
     "x12_sim_topk_ivf",
     "x21_incremental_dedup",
     "x49_paragraph_dedup",
-    "x52_snapshot_diff",
+    // x52 snapshot-diff dropped from the sf1 leg in round 9 (its anti-join
+    // 10× point is on record in the BENCH_r08 file artifact) to make byte
+    // room on the compact line for the end-to-end assembly's 10× point
     "x72_web_preclean",
+    "x88_pretrain_assembly",
     // the heaviest headline query — its 10× point is the one the judge
     // reads first; runs last so a budget-tight pass still lands the rest
     "x48_curate_pipeline")

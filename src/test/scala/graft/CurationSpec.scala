@@ -622,6 +622,55 @@ class CurationSpec extends SparkSpec {
     assert(plain == kept)
   }
 
+  test("assemblePretraining: one row per page, fates nested on webPreclean, kept ⇔ sharded") {
+    val article = "the plain and simple article text which is about things " +
+      "such as life and it is because however therefore good"
+    val contaminated = "alpha beta gamma delta and some extra words to pass " +
+      "the shape gate because it is long therefore"
+    val pages = spark.range(0, 40).select($"id".as("doc_id"),
+      concat(lit("https://"),
+        when($"id" % 10 === 4, lit("ads.tracker-network.com"))
+          .otherwise(lit("ok.example.com")),
+        lit("/p/"), floor($"id" / 2),
+        when($"id" % 2 === 1, lit("?utm_source=x")).otherwise(lit(""))).as("url"),
+      concat(lit("<body><p>"),
+        when($"id" % 10 === 6, lit("too short"))
+          .when($"id" % 10 === 0, lit(contaminated))
+          .otherwise(lit(article)),
+        lit("</p></body>")).as("html"))
+    val bench = Seq((900L, "alpha beta gamma delta")).toDF("bid", "btext")
+    val out = Curate.assemblePretraining(pages, "doc_id", "url", "html",
+        sources = Seq("all" -> lit(true)),
+        bench, "bid", $"btext",
+        minWords = 5L, minStopwordHits = 1L, clfMinMeanCenti = -1000L,
+        budget = 4L, nShards = 4)
+      .as[(Long, String, Option[Long], Option[Long])].collect().toSeq
+    // totality: exactly one row per input page
+    assert(out.map(_._1).sorted == (0L until 40L).toSeq, s"got ${out.size} rows")
+    val byStage = out.groupBy(_._2)
+    assert(byStage.keySet.subsetOf(Set("url_dup", "url_blocked", "shape",
+      "classifier", "contaminated", "mixture", "kept")), s"got ${byStage.keySet}")
+    // nesting vs the standalone preclean: the first four fates are exactly
+    // the pages webPreclean drops
+    val pre = Curate.webPreclean(pages, "doc_id", "url", "html",
+        minWords = 5L, minStopwordHits = 1L, clfMinMeanCenti = -1000L)
+      .select("doc_id").as[Long].collect().toSet
+    val preDropped = out.filter(r => Set("url_dup", "url_blocked", "shape",
+      "classifier").contains(r._2)).map(_._1).toSet
+    assert(preDropped == (0L until 40L).toSet -- pre)
+    // planted fates all fire: the odd URL variants dup against their even
+    // twin, the %10==4 host is blocked, %10==6 fails shape, %10==0 shares
+    // two trigrams with the bench
+    assert(byStage.contains("url_dup") && byStage.contains("url_blocked") &&
+      byStage.contains("shape") && byStage.contains("contaminated"), s"${byStage.keySet}")
+    assert(byStage("contaminated").map(_._1).forall(_ % 10 == 0))
+    // kept ⇔ shard coords; ord is a dense 1..k rank, shard in [0, nShards)
+    val kept = out.filter(_._2 == "kept")
+    assert(out.forall(r => (r._2 == "kept") == (r._4.nonEmpty && r._3.nonEmpty)))
+    assert(kept.flatMap(_._4).sorted == (1L to kept.size.toLong).toSeq)
+    assert(kept.flatMap(_._3).forall(s => s >= 0 && s < 4))
+  }
+
   test("curate audit without a bench: contaminated never fires, attribution still partitions") {
     val docs = Seq(
       (1L, "x"), // quality fail at minQuality 0.6
