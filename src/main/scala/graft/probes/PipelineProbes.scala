@@ -1866,7 +1866,7 @@ object PipelineProbes {
   // — batched BPE training (the real-vocabulary-size path) ————————————————
   //   x76 trains 6 merges at one job per merge; this trains a 10-round ×
   //   32-candidate batched run (86 merges on the sf0.01 fixture — ≥64 at
-  //   every sf, jobs ≈ 2·rounds ≪ merges, pinned in PipelineOpsSpec) and
+  //   every sf, jobs ≈ 2·rounds ≪ merges, pinned in OpsSpec) and
   //   DuckDB replays the ENTIRE run: per-round weighted pair counts,
   //   candidate rank, the greedy blocked-symbol admission walk, and the
   //   in-rank-order batch rewrite (Bpe.trainBatchedSql).
