@@ -304,7 +304,16 @@ object Sampling {
     }
     val z = weights.sum
     counts.zip(weights).map { case ((name, c), w) =>
-      val raw = math.min(1.0, budget.toDouble * (w / z) / math.max(c.toDouble, 1.0))
+      // z = 0 ⇔ every source is empty (weights are n^α ≥ 0, zero only at
+      // n = 0): 0/0 would poison the rate with NaN and fail mixture's
+      // require mid-pipeline — an upstream stage that dropped everything
+      // (seen on the synthetic-sf1 assembly bench, where the dense bench
+      // slice contaminated every survivor) must degrade to an empty
+      // result, not an exception. The floor rate keeps nothing because
+      // the sources are empty.
+      val raw =
+        if (z == 0.0) 0.0
+        else math.min(1.0, budget.toDouble * (w / z) / math.max(c.toDouble, 1.0))
       val rate = math.max(1.0 / Slots, math.floor(raw * 10000 + 0.5) / 10000)
       (name, c, rate)
     }

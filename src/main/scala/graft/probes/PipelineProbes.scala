@@ -1106,13 +1106,26 @@ object PipelineProbes {
   private val SpamPayload = " click here to buy now free casino bonus"
   private val SpamReps = 4
 
+  /** The leak payload of the x88 contamination arm: a benchmark sentence
+    * planted verbatim into doc_id%31=2 pages AND into the bench side, so
+    * the `contaminated` fate provably fires at every sf — including the
+    * synthetic-sf1 bench corpus, where the id-sliced natural bench alone
+    * is either too dense (%37 contaminated EVERY survivor at 10× text
+    * copies) or statistically thin.
+    */
+  private val LeakSentence = " the held out benchmark passage appears verbatim in this page"
+
   private def webFixture(docs: org.apache.spark.sql.DataFrame,
-      withSource: Boolean, spamArm: Boolean = false): org.apache.spark.sql.DataFrame = {
+      withSource: Boolean, spamArm: Boolean = false,
+      leakArm: Boolean = false): org.apache.spark.sql.DataFrame = {
     val g = pmod(col("doc_id"), lit(97))
     val host = when(pmod(g, lit(11)) === 0, lit("sub.tracker-network.com"))
       .otherwise(lit("shop.example.com"))
     val spam = if (spamArm)
       when(pmod(col("doc_id"), lit(23)) === 5, lit(SpamPayload * SpamReps)).otherwise(lit(""))
+    else lit("")
+    val leak = if (leakArm)
+      when(pmod(col("doc_id"), lit(31)) === 2, lit(LeakSentence)).otherwise(lit(""))
     else lit("")
     val base = Seq(col("doc_id"),
       when(pmod(col("doc_id"), lit(5)) === 0,
@@ -1128,17 +1141,22 @@ object PipelineProbes {
           lit("?a=1&ref=tw&b=2")))
         .as("url"),
       concat(lit("<html><head><script>var x='<p>'</script></head><body>" +
-          "<h1>Post</h1><p>"), col("text"), spam,
+          "<h1>Post</h1><p>"), col("text"), spam, leak,
         lit("</p><!-- footer --></body></html>")).as("html"))
     docs.select((if (withSource) base :+ col("source") else base): _*)
   }
 
   /** DuckDB half of the fixture: the `fix` CTE body. */
-  private def webFixtureSql(withSource: Boolean, spamArm: Boolean = false): String = {
+  private def webFixtureSql(withSource: Boolean, spamArm: Boolean = false,
+      leakArm: Boolean = false): String = {
     val src = if (withSource) ", source" else ""
-    val spam = if (spamArm)
+    val spamSql = if (spamArm)
       s" || CASE WHEN doc_id % 23 = 5 THEN repeat('$SpamPayload', $SpamReps) ELSE '' END"
     else ""
+    val leakSql = if (leakArm)
+      s" || CASE WHEN doc_id % 31 = 2 THEN '$LeakSentence' ELSE '' END"
+    else ""
+    val spam = spamSql + leakSql
     s"""fix AS (SELECT doc_id$src,
        |    CASE doc_id % 5
        |      WHEN 0 THEN 'https://' || h || '/item/' || g
@@ -2029,13 +2047,23 @@ object PipelineProbes {
   //   (doc_id%23=5 pages carry repeated negative-vocab payload that
   //   passes the shape rules and dies at the classifier): URL dedup →
   //   domain gate → HTML extract → shape rules → classifier →
-  //   decontamination (bench = the raw doc_id%37 slice, so every
-  //   surviving %37 page is provably contaminated by its own bench twin)
-  //   → temperature mixture over the natural source slices (budget 60
+  //   decontamination (bench = the sparse doc_id%149 slice PLUS a planted
+  //   leak row matching the doc_id%31=2 pages' embedded benchmark
+  //   sentence — guaranteed `contaminated` hits at every sf without the
+  //   dense-slice catastrophe: a %37 bench over the synthetic-sf1 corpus,
+  //   10× text copies, contaminated EVERY survivor and starved the
+  //   mixture) → temperature mixture over the natural source slices (budget 60
   //   cuts at sf0.01+; the PORTABLE coin makes per-row keeps
   //   replayable — x83 could only tolerance-gate its xxhash coin) →
   //   token-balanced shards in the seeded epoch order. One row per input
-  //   page: first-dropping stage or kept + (shard, ord). The oracle
+  //   page: first-dropping stage or kept + (shard, ord). On the bench's
+  //   SYNTHETIC sf1 corpus the tail stages run survivor-starved (the
+  //   copy-prefix `c{i}_` that de-dups scaled text also erases stopwords,
+  //   so the shape gate keeps only payload-carrying pages — the sf1 row
+  //   measures the heavy stages, URL-dedup shuffle + extract + shape at
+  //   full volume, which is where the 10× cost lives; the 50k-row
+  //   attribution was value-checked against DuckDB at sf1 in round 9).
+  //   The oracle
   //   chains the x72 preclean CTEs (shared helper — written once) with
   //   the x41 shingle replay, the x83 rate arithmetic, the fingerprint
   //   coin, and the x65 prefix-sum shard replay: survivor interactions
@@ -2045,9 +2073,11 @@ object PipelineProbes {
     "x88_pretrain_assembly",
     (s, dir) => {
       val docs = Readers.fanOut(t(s, dir, "documents"))
-      val fix = webFixture(docs, withSource = true, spamArm = true)
-      val bench = docs.filter(col("doc_id") % 37 === 0)
+      val fix = webFixture(docs, withSource = true, spamArm = true, leakArm = true)
+      val bench = docs.filter(col("doc_id") % 149 === 0)
         .select(col("doc_id").as("bid"), col("text").as("btext"))
+        .unionByName(docs.sparkSession.range(1)
+          .select(lit(9999999L).as("bid"), lit(LeakSentence.trim).as("btext")))
       val srcNum = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
       val sources = Seq(
         "wiki" -> (srcNum <= 6),
@@ -2065,7 +2095,7 @@ object PipelineProbes {
       val srcCase = "CASE WHEN CAST(regexp_extract(d.source, 'src(\\d+)', 1) AS INT) <= 6" +
         " THEN 'wiki' WHEN CAST(regexp_extract(d.source, 'src(\\d+)', 1) AS INT) <= 13" +
         " THEN 'books' ELSE 'web' END"
-      s"WITH ${webFixtureSql(withSource = true, spamArm = true)},\n" +
+      s"WITH ${webFixtureSql(withSource = true, spamArm = true, leakArm = true)},\n" +
         precleanCtes(minWords = 5, minStop = 1, clfMin = 0) + ",\n" +
         s"""dsh AS (SELECT doc_id AS id, unnest(list_distinct(
            |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS g3
@@ -2074,7 +2104,8 @@ object PipelineProbes {
            |bsh AS (SELECT doc_id AS id, unnest(list_distinct(
            |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS g3
            |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
-           |        FROM documents WHERE doc_id % 37 = 0)),
+           |        FROM (SELECT doc_id, text FROM documents WHERE doc_id % 149 = 0
+           |              UNION ALL SELECT 9999999, trim('$LeakSentence')))),
            |ov AS (SELECT c.id FROM dsh c JOIN bsh b ON c.g3 = b.g3
            |  GROUP BY c.id, b.id HAVING count(*) >= 2),
            |s5 AS (SELECT doc_id, text FROM s4

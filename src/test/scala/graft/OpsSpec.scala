@@ -1219,6 +1219,14 @@ class OpsSpec extends SparkSpec {
     // a tiny budget floors at the mixture granularity instead of throwing
     val rTiny = Sampling.temperatureRates(srcs, alpha = 0.5, budget = 1L)
     assert(rTiny.forall(_._3 >= 1.0 / 10000))
+    // ALL sources empty (an upstream stage dropped everything): z = 0
+    // must degrade to floor rates and an empty mixture, never a NaN rate
+    // poisoning mixture's require — the sf1 assembly bench hit this
+    val none = docs.filter($"doc_id" < 0)
+    val rEmpty = Sampling.temperatureRates(Seq(("a", none), ("b", none)), 0.5, 100L)
+    assert(rEmpty.forall(r => !r._3.isNaN && r._3 == 1.0 / 10000), s"got $rEmpty")
+    assert(Sampling.temperatureMixture(Seq(("a", none), ("b", none)), $"doc_id", 0.5, 100L)
+      .count() == 0L)
   }
 
   test("mixturePortable: short-key coin is unbiased (realized fraction tracks the rate) " +
