@@ -1156,7 +1156,7 @@ object PipelineProbes {
     val leakSql = if (leakArm)
       s" || CASE WHEN doc_id % 31 = 2 THEN '$LeakSentence' ELSE '' END"
     else ""
-    val spam = spamSql + leakSql
+    val payload = spamSql + leakSql
     s"""fix AS (SELECT doc_id$src,
        |    CASE doc_id % 5
        |      WHEN 0 THEN 'https://' || h || '/item/' || g
@@ -1165,7 +1165,7 @@ object PipelineProbes {
        |      WHEN 3 THEN 'https://' || h || '/item/' || g || '?b=2&a=1&utm_source=feed'
        |      ELSE 'https://user@' || h || '/item/' || g || '?a=1&ref=tw&b=2' END AS url,
        |    '<html><head><script>var x=''<p>''</script></head><body><h1>Post</h1><p>'
-       |      || text$spam || '</p><!-- footer --></body></html>' AS html
+       |      || text$payload || '</p><!-- footer --></body></html>' AS html
        |  FROM (SELECT doc_id$src, text, doc_id % 97 AS g,
        |          CASE WHEN (doc_id % 97) % 11 = 0 THEN 'sub.tracker-network.com'
        |               ELSE 'shop.example.com' END AS h
