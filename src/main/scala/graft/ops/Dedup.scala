@@ -1104,6 +1104,20 @@ object Dedup {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** An "empty" sketch that stays BIT-COMPATIBLE with the data-built ones:
+    * `BloomFilter.create(n, fpp)` and `DataFrame.stat.bloomFilter(_, n,
+    * fpp)` can disagree on the bit count for large `n` (the SQL aggregate
+    * caps its bits), and `mergeInPlace` refuses mismatched sizes — so
+    * every sketch that might later merge is built through the SAME stat
+    * path, seeded with one sentinel key (an fpp epsilon: a real key
+    * colliding with it just probes and verify-fails, like any false
+    * positive).
+    */
+  private def emptyBloom(spark: org.apache.spark.sql.SparkSession,
+      expectedItems: Long, fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    spark.range(1).select(xxhash64(lit("__graft_empty_bloom")).as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
+
   private def writeBloomFile(spark: org.apache.spark.sql.SparkSession, path: String,
       bf: org.apache.spark.util.sketch.BloomFilter, expectedItems: Long, fpp: Double): Unit = {
     val (fs, p) = hadoopFs(spark, path)
@@ -1137,7 +1151,7 @@ object Dedup {
     val persisted = spark.read.parquet(s"$path/hashes")
     val bf =
       if (persisted.isEmpty) // stat.bloomFilter NPEs on zero rows
-        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+        emptyBloom(spark, expectedItems, fpp)
       else persisted.select(xxhash64(col("__h")).as("__k"))
         .stat.bloomFilter("__k", expectedItems, fpp)
     writeBloomFile(spark, s"$path/bloom.bin", bf, expectedItems, fpp)
@@ -1192,7 +1206,7 @@ object Dedup {
       .join(index.hashes, Seq("__h"), "left_anti")
       .localCheckpoint() // pin BEFORE the append below rewrites the dir it reads
     val delta =
-      if (fresh.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(index.expectedItems, index.fpp)
+      if (fresh.isEmpty) emptyBloom(spark, index.expectedItems, index.fpp)
       else fresh.select(xxhash64(col("__h")).as("__k"))
         .stat.bloomFilter("__k", index.expectedItems, index.fpp)
     fresh.write.mode("append").parquet(s"$path/hashes")
@@ -1493,7 +1507,7 @@ object Dedup {
     val hashesP = spark.read.parquet(s"$path/hashes")
     val bf =
       if (hashesP.isEmpty) // stat.bloomFilter NPEs on zero rows
-        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+        emptyBloom(spark, expectedItems, fpp)
       else hashesP.stat.bloomFilter("__h", expectedItems, fpp)
     writeBloomFile(spark, s"$path/bloom.bin", bf, expectedItems, fpp)
     writeTextFile(spark, s"$path/meta.json",
@@ -1651,7 +1665,7 @@ object Dedup {
       .localCheckpoint()
     val delta =
       if (freshHashes.isEmpty)
-        org.apache.spark.util.sketch.BloomFilter.create(idx.expectedItems, idx.fpp)
+        emptyBloom(spark, idx.expectedItems, idx.fpp)
       else freshHashes.stat.bloomFilter("__h", idx.expectedItems, idx.fpp)
     freshVecRows.write.mode("append").parquet(s"$path/vecs")
     freshHashes.write.mode("append").parquet(s"$path/hashes")
@@ -1669,6 +1683,294 @@ object Dedup {
     if (fs.exists(bp)) fs.delete(bp, true)
     if (!fs.rename(staging, bp))
       throw new java.io.IOException(s"vec index bucket swap $staging -> $bp failed")
+  }
+
+  // — streaming-maintained ingest index ————————————————————————————————————
+  //   The STREAMING twin of the hash/band indexes above, designed for a
+  //   sink that must be exactly-once under micro-batch replay. Two deltas
+  //   from [[writeHashIndex]]/[[writeBandIndex]]:
+  //
+  //   1. BATCH PROVENANCE. Every table row lives in a Hive-style
+  //      `__ingest=<batchId>` partition owned by the batch that appended
+  //      it, so (a) an append is a plain partition OVERWRITE — a replayed
+  //      batch rewrites its own partition byte-for-byte, no anti-join
+  //      guards needed — and (b) a probe can EXCLUDE the current batch id,
+  //      so a replay that crashed after its index append still classifies
+  //      against exactly the pre-append corpus and reproduces the original
+  //      decision. Without the exclusion, a replayed batch would find its
+  //      own first-attempt rows and classify every doc as a duplicate of
+  //      itself, emptying the corpus partition it is about to rewrite.
+  //   2. NO PERSISTED BUCKET AGGREGATE. [[appendToBandIndex]] recomputes
+  //      the bucket table from the FULL band table per append — a
+  //      corpus-scale aggregate per micro-batch. Here occupancy and hub
+  //      are computed per batch for TOUCHED buckets only, from a band-scan
+  //      joined against the broadcast batch key set (map-side-combined, so
+  //      the shuffled state is touched-bucket counts — batch-bounded).
+  //      The probe thus pays two column scans of the compact band table
+  //      (occupancy + candidates) instead of one scan each of buckets and
+  //      bands, and the append drops to pure parquet partition writes.
+  //
+  //   Bloom lifecycle: the sketch accumulates every appended content key
+  //   (merge = bitwise OR — replay-idempotent) and is rewritten via
+  //   tmp+rename; a crash in the rename window self-heals on the next
+  //   read by rebuilding from the hash table (a compact re-read). A
+  //   replayed batch's own keys being present is harmless: positives
+  //   always verify against the provenance-FILTERED hash table.
+
+  /** A loaded streaming ingest index. Frames are lazy parquet scans
+    * carrying the `__ingest` partition column (empty-schema frames before
+    * the first append); only the Bloom sketch is driver-held.
+    */
+  final case class IngestIndex(
+      hashes: DataFrame,   // (__h sha256 hex, __exact_of min id, __ingest)
+      shingles: DataFrame, // (id, shingle, __ingest)
+      sizes: DataFrame,    // (id, set_size, __ingest)
+      bands: DataFrame,    // (corpus_id, band_idx, band_hash, __ingest)
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      expectedItems: Long, fpp: Double,
+      n: Int, numPerm: Int, numBands: Int, rowsPerBand: Int)
+
+  /** Rewrite `path/bloom.bin` via tmp + rename so a crash mid-write never
+    * leaves a truncated sketch: the worst case (crash between delete and
+    * rename) leaves the file MISSING, which [[readIngestIndex]] self-heals
+    * by rebuilding from the persisted hash table.
+    */
+  private def writeBloomFileAtomic(spark: org.apache.spark.sql.SparkSession, dir: String,
+      bf: org.apache.spark.util.sketch.BloomFilter, expectedItems: Long, fpp: Double): Unit = {
+    writeBloomFile(spark, s"$dir/bloom.bin.tmp", bf, expectedItems, fpp)
+    val (fs, dst) = hadoopFs(spark, s"$dir/bloom.bin")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin.tmp")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"bloom swap $tmp -> $dst failed")
+  }
+
+  /** Create an EMPTY ingest index: sketch + `meta.json` (geometry and
+    * sketch params — written LAST, so its presence marks a usable index).
+    * Tables materialize on first [[appendToIngestIndex]]; probing the
+    * empty index classifies everything `new`, so the first batch needs no
+    * special casing.
+    */
+  def initIngestIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      n: Int, numPerm: Int, numBands: Int, rowsPerBand: Int,
+      expectedItems: Long, fpp: Double = 0.01): Unit = {
+    require(numBands * rowsPerBand == numPerm,
+      s"numBands ($numBands) × rowsPerBand ($rowsPerBand) must equal numPerm ($numPerm)")
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    writeBloomFileAtomic(spark, path,
+      emptyBloom(spark, expectedItems, fpp), expectedItems, fpp)
+    writeTextFile(spark, s"$path/meta.json",
+      s"""{"n":$n,"numPerm":$numPerm,"numBands":$numBands,"rowsPerBand":$rowsPerBand,""" +
+        s""""expectedItems":$expectedItems,"fpp":$fpp}""")
+  }
+
+  /** Load a streaming ingest index. `idType` supplies the id column type
+    * for the empty-frame fallback (before the first append the table
+    * directories have no files to infer a schema from). A missing
+    * `bloom.bin` (crash inside [[writeBloomFileAtomic]]'s rename window)
+    * is rebuilt from the persisted hash table and rewritten — the rebuilt
+    * sketch contains at least every key the lost one did, so
+    * classification is unaffected.
+    */
+  def readIngestIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idType: org.apache.spark.sql.types.DataType): IngestIndex = {
+    import org.apache.spark.sql.types._
+    val meta = readTextFile(spark, s"$path/meta.json")
+    def numOf(k: String): String =
+      s""""$k":\\s*([0-9.eE+-]+)""".r.findFirstMatchIn(meta)
+        .getOrElse(throw new IllegalArgumentException(s"ingest index meta missing $k: $meta"))
+        .group(1)
+    val (n, numPerm) = (numOf("n").toInt, numOf("numPerm").toInt)
+    val (numBands, rowsPerBand) = (numOf("numBands").toInt, numOf("rowsPerBand").toInt)
+    val expectedItems = numOf("expectedItems").toLong
+    val fpp = numOf("fpp").toDouble
+    val ing = StructField("__ingest", IntegerType)
+    def tbl(sub: String, schema: StructType): DataFrame = {
+      val (fs, _) = hadoopFs(spark, path)
+      val parts = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$path/$sub/__ingest=*/part-*")))
+      if (parts.exists(_.nonEmpty)) spark.read.parquet(s"$path/$sub")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val hashes = tbl("hashes", StructType(Seq(
+      StructField("__h", StringType), StructField("__exact_of", idType), ing)))
+    val shingles = tbl("shingles", StructType(Seq(
+      StructField("id", idType), StructField("shingle", StringType), ing)))
+    val sizes = tbl("sizes", StructType(Seq(
+      StructField("id", idType), StructField("set_size", LongType), ing)))
+    val bands = tbl("bands", StructType(Seq(
+      StructField("corpus_id", idType), StructField("band_idx", IntegerType),
+      StructField("band_hash", LongType), ing)))
+    val (fs, bp) = hadoopFs(spark, s"$path/bloom.bin")
+    val bloom =
+      if (fs.exists(bp)) {
+        val in = fs.open(bp)
+        try {
+          val dis = new java.io.DataInputStream(in)
+          dis.readLong(); dis.readDouble() // creation params: meta is authoritative here
+          org.apache.spark.util.sketch.BloomFilter.readFrom(dis)
+        } finally in.close()
+      } else { // self-heal the rename window: rebuild from the hash table
+        val bf =
+          if (hashes.isEmpty)
+            emptyBloom(spark, expectedItems, fpp)
+          else hashes.select(xxhash64(col("__h")).as("__k"))
+            .stat.bloomFilter("__k", expectedItems, fpp)
+        writeBloomFileAtomic(spark, path, bf, expectedItems, fpp)
+        bf
+      }
+    IngestIndex(hashes, shingles, sizes, bands, bloom, expectedItems, fpp,
+      n, numPerm, numBands, rowsPerBand)
+  }
+
+  /** [[incrementalDedup]] against a streaming [[IngestIndex]], excluding
+    * rows appended by ingest `excludeIngest` (pass the CURRENT batch id:
+    * on a clean first attempt the partition doesn't exist and the filter
+    * is a no-op; on a crash replay it hides the first attempt's own
+    * appends, so the replay reproduces the original classification).
+    * Classification is identical to the live operator — exact via the
+    * Bloom-pruned hash probe, near via band candidates (hot buckets
+    * star-degrade to the persisted min-id hub) with exact-Jaccard
+    * verification.
+    *
+    * Per-batch corpus cost: the exact verify join of the Bloom positives,
+    * plus two column scans of the compact band table — occupancy for
+    * TOUCHED buckets (aggregated map-side; shuffled state is
+    * batch-bounded) and candidate generation — plus shingle/size scans
+    * restricted to candidate ids. Every corpus-side scan joins against a
+    * broadcast batch-bounded frame (evidence-gated: past
+    * `batchBroadcastCap` the candidate join merge-hints BOTH sides), so
+    * nothing corpus-scale shuffles per batch. Returns the eager cached
+    * (idCol, status, dup_of) frame — `unpersist()` it when done.
+    */
+  def probeIngestIndex(index: IngestIndex, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double, excludeIngest: Long,
+      maxBucket: Int = DefaultMaxBucket,
+      batchBroadcastCap: Long = BatchBroadcastCap): DataFrame = {
+    import index.{n, numPerm, numBands, rowsPerBand}
+    val idType = batch.schema(idCol).dataType
+    def excl(df: DataFrame): DataFrame =
+      df.filter(col("__ingest").cast("long") =!= excludeIngest)
+    // 1. exact via the provenance-filtered hash table (Bloom-pruned; a
+    //    replayed batch's own keys in the sketch just verify-fail)
+    val keyed = batch.select(col(idCol).as("id"),
+      sha2(tagged(col(textCol)), 256).as("__h"))
+    val exact = classifyExactWithBloom(
+      excl(index.hashes).select(col("__h"), col("__exact_of")),
+      index.bloom, keyed, idCol, idType)
+    val exactStatus = exact
+      .select(col(idCol).as("id"),
+        when(col("status") === "exact_dup", col("dup_of")).as("__exact_of"))
+      .persist()
+    exactStatus.count()
+    exact.unpersist()
+
+    // 2. near: batch-side shingles + signatures; corpus side from the index
+    val survivors = batch.join(
+      exactStatus.filter(col("__exact_of").isNotNull).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+    val shB = shingleTable(survivors, idCol, col(textCol), n).localCheckpoint()
+    val bandB = minhashFromShingles(shB, numPerm)
+      .select(col("id").as("batch_id"),
+        explode(array(bandExprs(numBands, rowsPerBand): _*)).as("band"))
+      .select(col("batch_id"), col("band.band_idx"), col("band.band_hash"))
+      .localCheckpoint()
+    val bandsF = excl(index.bands)
+      .select(col("corpus_id"), col("band_idx"), col("band_hash"))
+    // occupancy scan: corpus count + min-id hub for touched buckets only
+    // (a left join covers batch-only buckets — null __ccnt/__hub)
+    val batchCnt = bandB.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__bcnt")).localCheckpoint()
+    val corpusOcc = bandsF
+      .join(broadcast(batchCnt.select(col("band_idx"), col("band_hash"))),
+        Seq("band_idx", "band_hash"))
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__ccnt"), min(col("corpus_id")).as("__hub"))
+    val hot = batchCnt.join(corpusOcc, Seq("band_idx", "band_hash"), "left")
+      .filter(coalesce(col("__ccnt"), lit(0L)) + col("__bcnt") > maxBucket)
+      .select(col("band_idx"), col("band_hash"), col("__hub"))
+      .localCheckpoint()
+    val hotKeys = hot.select(col("band_idx"), col("band_hash"))
+    // candidate scan: cold batch bands against the filtered corpus bands
+    val coldB = bandB.join(hotKeys, Seq("band_idx", "band_hash"), "left_anti")
+    val coldCands =
+      (if (bandB.count() <= batchBroadcastCap)
+        bandsF.join(broadcast(coldB), Seq("band_idx", "band_hash"))
+      else bandsF.hint("merge").join(coldB.hint("merge"), Seq("band_idx", "band_hash")))
+        .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+    // star: hot-bucket batch members vs the hub (null hub = batch-only)
+    val starCands = bandB.join(hotKeys, Seq("band_idx", "band_hash"), "left_semi")
+      .join(broadcast(hot.filter(col("__hub").isNotNull)), Seq("band_idx", "band_hash"))
+      .select(col("batch_id").as("id_a"), col("__hub").as("id_b"))
+    val cands = coldCands.unionByName(starCands).distinct().localCheckpoint()
+
+    // 3. exact-Jaccard verify: corpus shingles/sizes restricted to the
+    //    candidate corpus docs
+    val candB = cands.select(col("id_b").as("id")).distinct()
+    val shC = excl(index.shingles).select(col("id"), col("shingle"))
+      .join(broadcast(candB), Seq("id"), "left_semi")
+    val sizesC = excl(index.sizes).select(col("id"), col("set_size"))
+      .join(broadcast(candB), Seq("id"), "left_semi")
+    val shAll = shB.unionByName(shC)
+    val sizesAll = shB.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
+      .unionByName(sizesC)
+    val nearOf = ngramJaccardForPairs(shAll, sizesAll, cands, threshold)
+      .groupBy(col("id_a").as("id"))
+      .agg(min(col("id_b")).as("__near_of"))
+
+    val result = exactStatus
+      .join(nearOf, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("__exact_of").isNotNull, "exact_dup")
+          .when(col("__near_of").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        coalesce(col("__exact_of"), col("__near_of")).as("dup_of"))
+      .persist()
+    result.count()
+    exactStatus.unpersist()
+    result
+  }
+
+  /** Fold a batch's accepted documents into the ingest index under their
+    * batch's own `__ingest=<ingestId>` partitions, mode OVERWRITE — the
+    * idempotence story in one move: a replayed or crash-retried batch
+    * rewrites exactly its own partitions (any subset of the four tables a
+    * previous attempt managed to write is simply replaced), and no other
+    * batch's rows are readable from them. The caller must append only
+    * PROBE SURVIVORS (`status = new`), which keeps content hashes unique
+    * across partitions — the invariant the exact verify join's fan-out
+    * relies on. Pure parquet partition writes: no corpus-scale aggregate
+    * per append (contrast [[appendToBandIndex]]'s bucket recompute). The
+    * sketch merge is a bitwise OR (replay-idempotent) and the rewrite is
+    * crash-safe via [[writeBloomFileAtomic]].
+    */
+  def appendToIngestIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String, ingestId: Long): Unit = {
+    val idx = readIngestIndex(spark, path, newDocs.schema(idCol).dataType)
+    val docs = newDocs.select(col(idCol), col(textCol)).localCheckpoint()
+    val hashRows = docs
+      .select(sha2(tagged(col(textCol)), 256).as("__h"), col(idCol).as("__cid"))
+      .groupBy(col("__h")).agg(min(col("__cid")).as("__exact_of"))
+      .localCheckpoint()
+    hashRows.write.mode("overwrite").parquet(s"$path/hashes/__ingest=$ingestId")
+    // one shingle table feeds shingles, sizes AND bands
+    val sh = shingleTable(docs, idCol, col(textCol), idx.n).localCheckpoint()
+    sh.write.mode("overwrite").parquet(s"$path/shingles/__ingest=$ingestId")
+    sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
+      .write.mode("overwrite").parquet(s"$path/sizes/__ingest=$ingestId")
+    minhashFromShingles(sh, idx.numPerm)
+      .select(col("id").as("corpus_id"),
+        explode(array(bandExprs(idx.numBands, idx.rowsPerBand): _*)).as("band"))
+      .select(col("corpus_id"), col("band.band_idx"), col("band.band_hash"))
+      .write.mode("overwrite").parquet(s"$path/bands/__ingest=$ingestId")
+    val delta =
+      if (hashRows.isEmpty) // stat.bloomFilter NPEs on zero rows
+        emptyBloom(spark, idx.expectedItems, idx.fpp)
+      else hashRows.select(xxhash64(col("__h")).as("__k"))
+        .stat.bloomFilter("__k", idx.expectedItems, idx.fpp)
+    idx.bloom.mergeInPlace(delta)
+    writeBloomFileAtomic(spark, path, idx.bloom, idx.expectedItems, idx.fpp)
   }
 
   /** 63-bit SimHash per id (bit 63 unused to stay in positive Long range

@@ -276,6 +276,84 @@ object StreamingIngest {
       }
       .start()
 
+  /** [[curatedCorpusSink]] with a streaming-maintained dedup index — the
+    * deployment shape for a daily 100-TB ingest. The live sink re-runs
+    * [[graft.ops.Dedup.incrementalDedup]] against ALL prior corpus
+    * partitions every micro-batch: a full corpus re-tokenize + re-shingle
+    * + re-MinHash per batch, for state that did not change. Here the
+    * corpus-side state persists in a
+    * [[graft.ops.Dedup.IngestIndex]] at `indexPath`, so a batch pays
+    * batch-sized compute plus column scans of the compact index tables —
+    * batch cost tracks the batch, not the corpus.
+    *
+    * Exactly-once under replay, without a swap, THROUGH the index:
+    *
+    *   - the corpus partition (`__batch=<id>`) and every index partition
+    *     (`__ingest=<id>`) are owned by their batch and written with
+    *     OVERWRITE, so any replay rewrites only its own output;
+    *   - the probe EXCLUDES `__ingest=<batchId>`: a replay whose first
+    *     attempt crashed after the index append classifies against
+    *     exactly the pre-append corpus and reproduces the original
+    *     survivor set (without the exclusion it would find its own
+    *     first-attempt rows and dedup itself away);
+    *   - the Bloom sketch merge is a bitwise OR (replay-idempotent), its
+    *     rewrite is tmp+rename crash-safe, and a replayed batch's keys
+    *     already in the sketch are harmless — positives verify against
+    *     the provenance-filtered hash table.
+    *
+    * Crash windows, all recovered by the replay: before the corpus write
+    * (nothing happened), between corpus write and index append (replay
+    * reclassifies identically — the index has no `__ingest=<id>` rows —
+    * and rewrites both), mid-append (replay overwrites every table
+    * partition, complete or not), after append but before checkpoint
+    * commit (the exclusion makes the replay's classification identical).
+    *
+    * The index geometry is pinned in `meta.json` at first use; a restart
+    * with different `cfg.dedupNgram`/`numPerm`/`bands` fails loudly
+    * rather than silently probing with mismatched banding.
+    */
+  def curatedCorpusIndexedSink(
+      docs: DataFrame,
+      corpusPath: String,
+      indexPath: String,
+      checkpoint: String,
+      idCol: String,
+      textCol: String,
+      cfg: graft.ops.Curate.Config = graft.ops.Curate.Config(),
+      numPerm: Int = 64,
+      bands: Int = 16,
+      expectedItems: Long = 10000000L,
+      fpp: Double = 0.01): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val curated = graft.ops.Curate.run(batch.toDF(), idCol, textCol, None, cfg)
+        val metaP = new org.apache.hadoop.fs.Path(s"$indexPath/meta.json")
+        val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(metaP))
+          graft.ops.Dedup.initIngestIndex(spark, indexPath, cfg.dedupNgram,
+            numPerm, bands, numPerm / bands, expectedItems, fpp)
+        val idx = graft.ops.Dedup.readIngestIndex(spark, indexPath,
+          curated.schema(idCol).dataType)
+        require(idx.n == cfg.dedupNgram && idx.numPerm == numPerm && idx.numBands == bands,
+          s"ingest index at $indexPath was built with (n=${idx.n}, numPerm=${idx.numPerm}, " +
+            s"bands=${idx.numBands}); caller passed (n=${cfg.dedupNgram}, numPerm=$numPerm, " +
+            s"bands=$bands) — probing with mismatched banding would misclassify silently")
+        val res = graft.ops.Dedup.probeIngestIndex(idx, curated, idCol, textCol,
+          cfg.dedupThreshold, excludeIngest = batchId)
+        val survivors = curated.join(
+          res.filter(col("status") === "new").select(col(idCol)), Seq(idCol), "left_semi")
+          .localCheckpoint() // pin before releasing the probe result cache
+        res.unpersist()
+        survivors.write.mode("overwrite").parquet(s"$corpusPath/__batch=$batchId")
+        graft.ops.Dedup.appendToIngestIndex(spark, indexPath,
+          survivors.select(col(idCol), col(textCol)), idCol, textCol, batchId)
+        ()
+      }
+      .start()
+
   /** Drive a streaming frame to completion against a memory sink and
     * return the collected result (test/local harness; production callers
     * use their own `writeStream` sink).

@@ -640,6 +640,114 @@ class OpsSpec extends SparkSpec {
     assert(r3 == r2, s"classification changed after an append replay: $r3 vs $r2")
   }
 
+  test("probeIngestIndex: live-path parity; excluding the batch's own partition reproduces the pre-append decision") {
+    val corpus = Seq(
+      (10L, "a b c d e f g h"),
+      (11L, "p q r s t u v w"),
+      (12L, "completely unrelated words here now ok yes")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "a b c d e f g h"), // exact dup of 10
+      (101L, "a b c d e f g X"), // near dup of 10
+      (102L, "nothing in common with anything else at all")).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "ingestIdx").toString
+    Dedup.initIngestIndex(spark, base, n = 3, numPerm = 64, numBands = 16,
+      rowsPerBand = 4, expectedItems = 1000L)
+    def idx() = Dedup.readIngestIndex(spark, base, org.apache.spark.sql.types.LongType)
+    def probe(b: org.apache.spark.sql.DataFrame, exclude: Long) = {
+      val r = Dedup.probeIngestIndex(idx(), b, "doc_id", "text",
+        threshold = 0.2, excludeIngest = exclude)
+      val rows = r.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+      r.unpersist()
+      rows
+    }
+    // empty index (no appends yet): everything classifies new
+    val r0 = probe(corpus, exclude = 0L)
+    assert(r0.forall(_._2 == "new"), s"empty index must classify all new: $r0")
+    Dedup.appendToIngestIndex(spark, base, corpus, "doc_id", "text", ingestId = 0L)
+    val live = Dedup.incrementalDedup(corpus, batch, "doc_id", $"text",
+      n = 3, numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 0.2)
+    val liveRows = live.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    live.unpersist()
+    val r1 = probe(batch, exclude = 1L)
+    assert(r1 == liveRows, s"live $liveRows\ningest $r1")
+    assert(r1 == Seq(
+      (100L, "exact_dup", Some(10L)),
+      (101L, "near_dup", Some(10L)),
+      (102L, "new", None)))
+    // crash replay: batch 1's survivor was already appended but the commit
+    // was lost — the own-partition exclusion must reproduce the original
+    // classification exactly (no self-dedup)
+    Dedup.appendToIngestIndex(spark, base,
+      batch.filter($"doc_id" === 102L), "doc_id", "text", ingestId = 1L)
+    val r2 = probe(batch, exclude = 1L)
+    assert(r2 == r1, s"replay classification changed after the batch's own append: $r2 vs $r1")
+    // a LATER batch must see batch 1's appended survivor
+    val b2 = Seq(
+      (200L, "nothing in common with anything else at all"), // exact dup of appended 102
+      (201L, "nothing in common with anything else at QQ")   // near dup of appended 102
+    ).toDF("doc_id", "text")
+    val r3 = probe(b2, exclude = 2L)
+    assert(r3 == Seq((200L, "exact_dup", Some(102L)), (201L, "near_dup", Some(102L))),
+      s"got $r3")
+    // an all-duplicate batch appends ZERO survivors; the empty partition
+    // must not disturb later classification
+    Dedup.appendToIngestIndex(spark, base,
+      b2.limit(0), "doc_id", "text", ingestId = 2L)
+    assert(probe(b2, exclude = 3L) == r3, "empty append changed classification")
+  }
+
+  test("ingest index: hot bucket star-degrades via the indexed hub; bloom self-heals; append overwrite is replay-idempotent") {
+    val corpus = (1L to 30L).map(i => (i, s"common shared boilerplate tail here x$i"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "ingestHot").toString
+    Dedup.initIngestIndex(spark, base, n = 3, numPerm = 64, numBands = 16,
+      rowsPerBand = 4, expectedItems = 1000L)
+    Dedup.appendToIngestIndex(spark, base, corpus, "doc_id", "text", ingestId = 0L)
+    def probe(b: org.apache.spark.sql.DataFrame, exclude: Long, maxBucket: Int) = {
+      val r = Dedup.probeIngestIndex(
+        Dedup.readIngestIndex(spark, base, org.apache.spark.sql.types.LongType),
+        b, "doc_id", "text", threshold = 0.2, excludeIngest = exclude,
+        maxBucket = maxBucket)
+      val rows = r.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+      r.unpersist()
+      rows
+    }
+    // tight maxBucket forces the star path: a batch doc near-dup of the
+    // hot cluster must resolve via the min-id hub computed from the index
+    val b1 = Seq((200L, "common shared boilerplate tail here y200"),
+      (201L, "zz yy xx ww vv uu tt ss")).toDF("doc_id", "text")
+    val r1 = probe(b1, exclude = 1L, maxBucket = 2)
+    assert(r1 == Seq((200L, "near_dup", Some(1L)), (201L, "new", None)),
+      s"hot-cluster near dup must resolve to the indexed hub: $r1")
+    // bloom rename crash window: bloom.bin missing → read self-heals from
+    // the hash table and classification is unaffected
+    val bloomP = new org.apache.hadoop.fs.Path(s"$base/bloom.bin")
+    val fs = bloomP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(bloomP, false))
+    val r1b = probe(b1, exclude = 1L, maxBucket = 2)
+    assert(fs.exists(bloomP), "self-heal must rewrite the sketch")
+    assert(r1b == r1, s"classification changed after bloom self-heal: $r1b vs $r1")
+    // replayed append (retried ingest) overwrites its own partition —
+    // duplicate shingle/size rows would inflate Jaccard
+    Dedup.appendToIngestIndex(spark, base,
+      b1.filter($"doc_id" === 201L), "doc_id", "text", ingestId = 1L)
+    val sizesOnce = Dedup.readIngestIndex(spark, base,
+      org.apache.spark.sql.types.LongType).sizes.count()
+    Dedup.appendToIngestIndex(spark, base,
+      b1.filter($"doc_id" === 201L), "doc_id", "text", ingestId = 1L)
+    assert(Dedup.readIngestIndex(spark, base,
+      org.apache.spark.sql.types.LongType).sizes.count() == sizesOnce,
+      "a replayed append double-inserted index rows")
+    // a later batch sees the appended doc through both exact and near paths
+    val b2 = Seq((300L, "zz yy xx ww vv uu tt ss"),
+      (301L, "zz yy xx ww vv uu tt QQ")).toDF("doc_id", "text")
+    val r2 = probe(b2, exclude = 2L, maxBucket = Dedup.DefaultMaxBucket)
+    assert(r2 == Seq((300L, "exact_dup", Some(201L)), (301L, "near_dup", Some(201L))),
+      s"got $r2")
+  }
+
   test("incrementalDedup: over-cap corpus hash index degrades to merge, never broadcast-builds") {
     // the corpus hash index is the only broadcastable side of the exact
     // left join (batch preserved) — with a checkpoint-backed corpus its

@@ -211,6 +211,120 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).select("__batch").distinct().count() == 2)
   }
 
+  test("indexed curated corpus sink: cross-batch dedup through the persisted index equals the live sink") {
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "curatedix").toString
+    def doc(prefix: String, n: Int, lastOverride: String = ""): String = {
+      val toks = (1 to n).map(i => f"$prefix$i%02d")
+      (if (lastOverride.isEmpty) toks else toks.init :+ lastOverride).mkString(" ")
+    }
+    val t1 = doc("w", 20)
+    val t3 = doc("x", 20)
+    val b1 = Seq((1L, t1), (2L, t1), (3L, t3)).toDF("doc_id", "text")
+    val b2 = Seq(
+      (4L, doc("w", 20, "zzz")), // near-dup of doc 1
+      (5L, doc("y", 20)),        // genuinely new
+      (6L, t3)                   // cross-batch exact dup of doc 3
+    ).toDF("doc_id", "text")
+    val b3 = Seq(
+      (7L, doc("y", 20, "qqq")), // near-dup of doc 5 — INDEXED by batch 2's append
+      (8L, t1),                  // exact dup of doc 1 — indexed by batch 1's append
+      (9L, doc("v", 20))         // genuinely new
+    ).toDF("doc_id", "text")
+    val schema = b1.schema
+
+    val (in, corpus, index, ckp) = (s"$base/in", s"$base/corpus", s"$base/index", s"$base/ckp")
+    b1.write.mode("append").parquet(in)
+    val q = StreamingIngest.curatedCorpusIndexedSink(
+      spark.readStream.schema(schema).parquet(in), corpus, index, ckp, "doc_id", "text")
+    try {
+      q.processAllAvailable() // batch 1: intra-batch exact dedup drops doc 2
+      b2.write.mode("append").parquet(in)
+      q.processAllAvailable() // batch 2: index probe drops 4 and 6
+      b3.write.mode("append").parquet(in)
+      q.processAllAvailable() // batch 3: probes state appended by batches 1 AND 2
+    } finally q.stop()
+    val got = spark.read.parquet(corpus)
+    assert(got.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L, 9L),
+      "corpus must keep one copy per exact/near-dup class across all batches")
+    assert(got.select("__batch").distinct().count() == 3)
+
+    // live-sink twin on the same batch boundaries: identical corpus
+    val (in2, corpus2, ckp2) = (s"$base/in2", s"$base/corpus2", s"$base/ckp2")
+    b1.write.mode("append").parquet(in2)
+    val u = StreamingIngest.curatedCorpusSink(
+      spark.readStream.schema(schema).parquet(in2), corpus2, ckp2, "doc_id", "text")
+    try {
+      u.processAllAvailable()
+      b2.write.mode("append").parquet(in2)
+      u.processAllAvailable()
+      b3.write.mode("append").parquet(in2)
+      u.processAllAvailable()
+    } finally u.stop()
+    val live = spark.read.parquet(corpus2).select($"doc_id", $"text")
+    val indexed = got.select($"doc_id", $"text")
+    assert(indexed.exceptAll(live).isEmpty && live.exceptAll(indexed).isEmpty,
+      "indexed sink corpus must equal the live sink row for row")
+  }
+
+  test("indexed sink: kill + resume over a poisoned partial INCLUDING a stale index partition ≡ uninterrupted run") {
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "curatedixkr").toString
+    def doc(prefix: String, n: Int): String = (1 to n).map(i => f"$prefix$i%02d").mkString(" ")
+    val b1 = Seq((1L, doc("w", 20)), (2L, doc("x", 20))).toDF("doc_id", "text")
+    val b2 = Seq(
+      (3L, doc("x", 20)), // cross-batch exact dup of doc 2
+      (4L, doc("y", 20))  // genuinely new
+    ).toDF("doc_id", "text")
+    val schema = b1.schema
+
+    // killed-and-resumed leg ------------------------------------------------
+    val (in, corpus, index, ckp) = (s"$base/in", s"$base/corpus", s"$base/index", s"$base/ckp")
+    b1.write.mode("append").parquet(in)
+    val q1 = StreamingIngest.curatedCorpusIndexedSink(
+      spark.readStream.schema(schema).parquet(in), corpus, index, ckp, "doc_id", "text")
+    try q1.processAllAvailable() finally q1.stop() // batch 0 committed, then the "kill"
+    b2.write.mode("append").parquet(in) // arrives while the query is down
+    // simulate the crashed FIRST ATTEMPT of batch 1: it wrote its corpus
+    // partition AND appended to the index, but the checkpoint commit never
+    // happened. Both are poisoned with doc 4's text under a foreign id —
+    // if recovery counted EITHER as corpus, doc 4 would dedup away.
+    Seq((99L, doc("y", 20))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$corpus/__batch=1")
+    graft.ops.Dedup.appendToIngestIndex(spark, index,
+      Seq((99L, doc("y", 20))).toDF("doc_id", "text"), "doc_id", "text", ingestId = 1L)
+    val q2 = StreamingIngest.curatedCorpusIndexedSink(
+      spark.readStream.schema(schema).parquet(in), corpus, index, ckp, "doc_id", "text")
+    try q2.processAllAvailable() finally q2.stop() // batch 1 replays + overwrites both
+
+    // uninterrupted twin ----------------------------------------------------
+    val (in2, corpus2, index2, ckp2) = (s"$base/in2", s"$base/corpus2", s"$base/index2", s"$base/ckp2")
+    b1.write.mode("append").parquet(in2)
+    val u = StreamingIngest.curatedCorpusIndexedSink(
+      spark.readStream.schema(schema).parquet(in2), corpus2, index2, ckp2, "doc_id", "text")
+    try {
+      u.processAllAvailable()
+      b2.write.mode("append").parquet(in2)
+      u.processAllAvailable()
+    } finally u.stop()
+
+    val resumed = spark.read.parquet(corpus).select($"doc_id", $"text")
+    val unbroken = spark.read.parquet(corpus2).select($"doc_id", $"text")
+    assert(resumed.exceptAll(unbroken).isEmpty && unbroken.exceptAll(resumed).isEmpty,
+      "resumed corpus must equal the uninterrupted run row for row")
+    assert(resumed.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L),
+      "stale partials must be overwritten (no 99), dup dropped (no 3), new doc kept (4)")
+    // the stale index partition was overwritten too: doc 4's content is
+    // indexed under ITS id, so a later duplicate resolves to 4, not 99
+    val idx = graft.ops.Dedup.readIngestIndex(spark, index,
+      org.apache.spark.sql.types.LongType)
+    val later = Seq((500L, doc("y", 20))).toDF("doc_id", "text")
+    val res = graft.ops.Dedup.probeIngestIndex(idx, later, "doc_id", "text",
+      threshold = 0.5, excludeIngest = 2L)
+    val rows = res.as[(Long, String, Option[Long])].collect().toSeq
+    res.unpersist()
+    assert(rows == Seq((500L, "exact_dup", Some(4L))),
+      s"index must hold the replay's survivors under their true ids: $rows")
+  }
+
   test("streaming sessionization produces sessions with positive event counts") {
     val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
     val sessions = StreamingIngest.runToMemory(spark,
