@@ -2149,7 +2149,148 @@ object PipelineProbes {
            |ORDER BY f.doc_id ASC NULLS FIRST""".stripMargin
     })
 
+  // — streaming indexed curated-corpus ingest, run to completion in the
+  //   correctness gate. Three micro-batches of the documents table (split
+  //   by doc_id % 3, with planted cross-batch exact duplicates under
+  //   shifted ids) flow through curatedCorpusIndexedSink: per batch,
+  //   Curate scrubs and intra-batch-dedups (keep-first exact + connected-
+  //   component near), then the batch probes the streaming-maintained
+  //   ingest index and survivors append under their batch-owned
+  //   partitions. The FINAL CORPUS — every surviving (doc_id, batch,
+  //   n_tokens) — is value-oracled: DuckDB replays the scrub, each
+  //   batch's intra dedup (exact election + pair CTE + recursive
+  //   closure), and the growing-corpus exact/near probe chain across all
+  //   three batches. Cross-batch near classification rides MinHash
+  //   banding whose recall is exact 1.0 at these corpus sizes (16×4 bands
+  //   at jaccard ≥ 0.2 — the same empirical pin as x03/x21); intra-batch
+  //   pair generation is exact by construction. The config disables the
+  //   quality and repetition gates (those stages are oracled by x48/x73)
+  //   so the replay isolates the multi-batch INDEX semantics.
+  private val x89ScrubSql: String =
+    """regexp_replace(regexp_replace(regexp_replace(text,
+      |    'https?://[^\s]+', '<URL>', 'g'),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')""".stripMargin
+
+  /** Intra-batch dedup replay for scrubbed batch CTE `b$k`: keep-first
+    * exact election, exact 3-gram Jaccard pairs, recursive transitive
+    * closure, canonical-min drop → `k$k` (survivors with text).
+    */
+  private def x89IntraCtes(k: Int): String =
+    s"""e$k AS (
+       |  SELECT doc_id, text FROM b$k
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM b$k GROUP BY text)),
+       |sh$k AS (
+       |  SELECT doc_id AS id, unnest(list_distinct(
+       |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+       |        FROM e$k)),
+       |sz$k AS (SELECT id, count(*) AS n FROM sh$k GROUP BY id),
+       |jp$k AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT l.id AS id_a, r.id AS id_b, count(*) AS i
+       |    FROM sh$k l JOIN sh$k r ON l.s = r.s AND l.id < r.id GROUP BY 1, 2) x
+       |  JOIN sz$k sa ON sa.id = x.id_a
+       |  JOIN sz$k sb ON sb.id = x.id_b
+       |  WHERE floor((i * 1.0 / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 >= 0.2),
+       |ed$k AS (SELECT id_a AS src, id_b AS dst FROM jp$k
+       |  UNION SELECT id_b, id_a FROM jp$k),
+       |re$k AS (SELECT src, dst FROM ed$k
+       |  UNION SELECT r.src, e.dst FROM re$k r JOIN ed$k e ON r.dst = e.src),
+       |k$k AS (
+       |  SELECT doc_id, text FROM e$k WHERE doc_id NOT IN (
+       |    SELECT src FROM re$k GROUP BY src HAVING least(src, min(dst)) != src))""".stripMargin
+
+  /** Cross-batch probe replay: batch `k`'s intra survivors `k$k` against
+    * corpus CTE `$corpus` — exact text match, then 3-gram Jaccard ≥ 0.2
+    * for the exact-survivors — → `s$k` (the docs batch `k` appends).
+    */
+  private def x89ProbeCtes(k: Int, corpus: String): String =
+    s"""x$k AS (
+       |  SELECT DISTINCT q.doc_id FROM k$k q JOIN $corpus c
+       |    ON c.text IS NOT DISTINCT FROM q.text),
+       |csh$k AS (
+       |  SELECT doc_id AS id, unnest(list_distinct(
+       |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
+       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+       |        FROM $corpus)),
+       |csz$k AS (SELECT id, count(*) AS n FROM csh$k GROUP BY id),
+       |pn$k AS (
+       |  SELECT DISTINCT x.id_a FROM (
+       |    SELECT l.id AS id_a, r.id AS id_b, count(*) AS i
+       |    FROM (SELECT * FROM sh$k
+       |          WHERE id IN (SELECT doc_id FROM k$k)
+       |            AND id NOT IN (SELECT doc_id FROM x$k)) l
+       |    JOIN csh$k r ON l.s = r.s GROUP BY 1, 2) x
+       |  JOIN sz$k sa ON sa.id = x.id_a
+       |  JOIN csz$k sb ON sb.id = x.id_b
+       |  WHERE floor((i * 1.0 / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 >= 0.2),
+       |s$k AS (SELECT doc_id, text FROM k$k
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM x$k)
+       |    AND doc_id NOT IN (SELECT id_a FROM pn$k))""".stripMargin
+
+  private val x89 = Probe(
+    "x89_streaming_indexed_ingest",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.TmpDir.root}/tmp/x89_${tag}_${System.nanoTime()}"
+      val docs = Readers.fanOut(t(s, dir, "documents")).select(col("doc_id"), col("text"))
+      def slice(k: Int) = docs.filter(col("doc_id") % 3 === k)
+      val b0 = slice(0)
+      val b1 = slice(1).unionByName(
+        b0.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val b2 = slice(2).unionByName(
+        docs.filter(col("doc_id") % 3 < 2 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      val schema = b0.schema
+      val (in, corpus, index, ckp) = (s"$base/in", s"$base/corpus", s"$base/index", s"$base/ckp")
+      val cfg = graft.ops.Curate.Config(minQuality = 0.0, repetitionGate = false,
+        dedupNgram = 3, dedupThreshold = 0.2)
+      b0.write.mode("append").parquet(in)
+      val q = graft.streaming.StreamingIngest.curatedCorpusIndexedSink(
+        s.readStream.schema(schema).parquet(in), corpus, index, ckp, "doc_id", "text", cfg)
+      try {
+        q.processAllAvailable()
+        b1.write.mode("append").parquet(in)
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(in)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(corpus)
+        .select(col("doc_id"), col("__batch").cast("long").as("batch"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+            |raw0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+            |raw1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+            |  UNION ALL
+            |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+            |  WHERE doc_id % 3 = 0 AND doc_id % 7 = 1),
+            |raw2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+            |  UNION ALL
+            |  SELECT doc_id + 4000000 AS doc_id, text FROM documents
+            |  WHERE doc_id % 3 < 2 AND doc_id % 5 = 0),
+            |b0 AS (SELECT doc_id, $x89ScrubSql AS text FROM raw0),
+            |b1 AS (SELECT doc_id, $x89ScrubSql AS text FROM raw1),
+            |b2 AS (SELECT doc_id, $x89ScrubSql AS text FROM raw2),
+            |${x89IntraCtes(0)},
+            |c0 AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS batch FROM k0),
+            |${x89IntraCtes(1)},
+            |${x89ProbeCtes(1, "c0")},
+            |c1 AS (SELECT * FROM c0
+            |  UNION ALL SELECT doc_id, text, CAST(1 AS BIGINT) AS batch FROM s1),
+            |${x89IntraCtes(2)},
+            |${x89ProbeCtes(2, "c1")},
+            |c2 AS (SELECT * FROM c1
+            |  UNION ALL SELECT doc_id, text, CAST(2 AS BIGINT) AS batch FROM s2)
+            |SELECT doc_id, batch,
+            |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT)
+            |    AS n_tokens
+            |FROM c2
+            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88)
+    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89)
 }
