@@ -146,40 +146,61 @@ object ScalePilot {
     // of the batch-size effect.
     if (family == "stream") {
       import org.apache.spark.sql.functions.pmod
-      val nb = 4
-      def runStream(dir: String, tag: String): Seq[Double] = {
+      // deployment-regime pilot: a micro-batch is SMALL relative to the
+      // corpus (a daily ingest is ~0.1-3% of the accumulated corpus, not
+      // 25% of it). Bootstrap ~94% of the docs as batch 0, then measure
+      // four ~1.5% micro-batches. The live sink re-reads and re-bands the
+      // WHOLE accumulated corpus inside every micro-batch, so its
+      // small-batch wall tracks the CORPUS; the indexed sink probes the
+      // persisted ingest index, so its small-batch wall should track the
+      // BATCH. Batch 0 (the bootstrap) is reported separately — for the
+      // indexed arm it contains the one-time index build.
+      val smallBatches = 4
+      val loadMod = 64 // corpus slice = doc_id % 64 >= 4 (60/64 ≈ 94%)
+      def runStream(dir: String, tag: String, indexed: Boolean): (Double, Seq[Double]) = {
         val docs = tbl(dir, "documents")
         val base = java.nio.file.Files.createTempDirectory(
           java.nio.file.Paths.get(graft.TmpDir.root), s"streamp_$tag").toString
         val (in, corpus, ckp) = (s"$base/in", s"$base/corpus", s"$base/ckp")
         val schema = docs.schema
-        // one long-lived query; each batch's wall is its own
-        // processAllAvailable() bracket (batch 0 also carries query
-        // startup — visible in the row, stable across scales)
-        docs.filter(pmod(col("doc_id"), lit(nb)) === 0)
+        docs.filter(pmod(col("doc_id"), lit(loadMod)) >= smallBatches)
           .write.mode("append").parquet(in)
-        val q = graft.streaming.StreamingIngest.curatedCorpusSink(
-          spark.readStream.schema(schema).parquet(in), corpus, ckp, "doc_id", "text")
+        val src = spark.readStream.schema(schema).parquet(in)
+        val q =
+          if (indexed) graft.streaming.StreamingIngest.curatedCorpusIndexedSink(
+            src, corpus, s"$base/index", ckp, "doc_id", "text")
+          else graft.streaming.StreamingIngest.curatedCorpusSink(
+            src, corpus, ckp, "doc_id", "text")
         try {
-          (0 until nb).map { b =>
-            if (b > 0) docs.filter(pmod(col("doc_id"), lit(nb)) === b)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val boot = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"""{"stream_pilot":"$tag","bootstrap_sec":$boot%.2f}""")
+          val walls = (0 until smallBatches).map { b =>
+            docs.filter(pmod(col("doc_id"), lit(loadMod)) === b)
               .write.mode("append").parquet(in)
-            val t0 = System.nanoTime()
+            val t1 = System.nanoTime()
             q.processAllAvailable()
-            val dt = (System.nanoTime() - t0) / 1e9
+            val dt = (System.nanoTime() - t1) / 1e9
             spark.catalog.clearCache(); System.gc()
             System.err.println(f"""{"stream_pilot":"$tag","batch":$b,"sec":$dt%.2f}""")
             dt
           }
+          (boot, walls)
         } finally q.stop()
       }
-      runStream(x1Dir, "warmup") // codegen + JIT off the clock
-      val t1 = runStream(x1Dir, "x1")
-      val tn = runStream(out, s"x$copies")
+      runStream(x1Dir, "warmup", indexed = false) // codegen + JIT off the clock
+      runStream(x1Dir, "warmup_ix", indexed = true)
+      val (b1, t1) = runStream(x1Dir, "x1", indexed = false)
+      val (bn, tn) = runStream(out, s"x$copies", indexed = false)
+      val (b1i, t1i) = runStream(x1Dir, "x1_ix", indexed = true)
+      val (bni, tni) = runStream(out, s"x${copies}_ix", indexed = true)
       def js(v: Seq[Double]) = v.map(d => f"$d%.2f").mkString("[", ",", "]")
-      println(s"""{"metric":"stream_pilot","copies":$copies,"batches":$nb,""" +
-        s""""x1_batch_s":${js(t1)},"x${copies}_batch_s":${js(tn)},""" +
-        f""""x1_total_s":${t1.sum}%.2f,"x${copies}_total_s":${tn.sum}%.2f}""")
+      println(s"""{"metric":"stream_pilot","copies":$copies,"small_batches":$smallBatches,""" +
+        f""""x1_boot_s":$b1%.2f,"x1_batch_s":${js(t1)},""" +
+        f""""x${copies}_boot_s":$bn%.2f,"x${copies}_batch_s":${js(tn)},""" +
+        f""""x1_ix_boot_s":$b1i%.2f,"x1_ix_batch_s":${js(t1i)},""" +
+        f""""x${copies}_ix_boot_s":$bni%.2f,"x${copies}_ix_batch_s":${js(tni)}}""")
       spark.stop()
       return
     }

@@ -1724,7 +1724,6 @@ object Dedup {
   final case class IngestIndex(
       hashes: DataFrame,   // (__h sha256 hex, __exact_of min id, __ingest)
       shingles: DataFrame, // (id, shingle, __ingest)
-      sizes: DataFrame,    // (id, set_size, __ingest)
       bands: DataFrame,    // (corpus_id, band_idx, band_hash, __ingest)
       bloom: org.apache.spark.util.sketch.BloomFilter,
       expectedItems: Long, fpp: Double,
@@ -1775,6 +1774,10 @@ object Dedup {
   def readIngestIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       idType: org.apache.spark.sql.types.DataType): IngestIndex = {
     import org.apache.spark.sql.types._
+    // a published-but-unfinished compaction marker means the staged data
+    // is complete and some source partitions may still exist — finish it
+    // before reading, or the scan would double-count compacted rows
+    finishIngestCompaction(spark, path)
     val meta = readTextFile(spark, s"$path/meta.json")
     def numOf(k: String): String =
       s""""$k":\\s*([0-9.eE+-]+)""".r.findFirstMatchIn(meta)
@@ -1797,8 +1800,6 @@ object Dedup {
       StructField("__h", StringType), StructField("__exact_of", idType), ing)))
     val shingles = tbl("shingles", StructType(Seq(
       StructField("id", idType), StructField("shingle", StringType), ing)))
-    val sizes = tbl("sizes", StructType(Seq(
-      StructField("id", idType), StructField("set_size", LongType), ing)))
     val bands = tbl("bands", StructType(Seq(
       StructField("corpus_id", idType), StructField("band_idx", IntegerType),
       StructField("band_hash", LongType), ing)))
@@ -1820,7 +1821,7 @@ object Dedup {
         writeBloomFileAtomic(spark, path, bf, expectedItems, fpp)
         bf
       }
-    IngestIndex(hashes, shingles, sizes, bands, bloom, expectedItems, fpp,
+    IngestIndex(hashes, shingles, bands, bloom, expectedItems, fpp,
       n, numPerm, numBands, rowsPerBand)
   }
 
@@ -1908,10 +1909,14 @@ object Dedup {
     // 3. exact-Jaccard verify: corpus shingles/sizes restricted to the
     //    candidate corpus docs
     val candB = cands.select(col("id_b").as("id")).distinct()
+    // the candidate semi-join keeps each candidate doc's FULL shingle set,
+    // so set sizes derive from this scan — no separate sizes table (one
+    // fewer write per append, one fewer scan per probe); pinned because
+    // it feeds both the union and the size aggregate
     val shC = excl(index.shingles).select(col("id"), col("shingle"))
       .join(broadcast(candB), Seq("id"), "left_semi")
-    val sizesC = excl(index.sizes).select(col("id"), col("set_size"))
-      .join(broadcast(candB), Seq("id"), "left_semi")
+      .localCheckpoint()
+    val sizesC = shC.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
     val shAll = shB.unionByName(shC)
     val sizesAll = shB.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
       .unionByName(sizesC)
@@ -1932,44 +1937,153 @@ object Dedup {
     result
   }
 
+  /** Compact the ingest index's per-batch partitions into the reserved
+    * base partition `__ingest=-1`. Appends accumulate one partition per
+    * micro-batch; after months of daily batches the index is a
+    * small-file swamp and file listing itself dominates the probe. The
+    * reserved id is negative because stream batch ids are non-negative:
+    * no probe's own-batch exclusion can ever hide the base partition,
+    * and no future append can collide with it.
+    *
+    * Run while no stream is writing the index (between restarts, or
+    * from a maintenance window). Crash-safe in two stages:
+    *
+    *   1. [[stageIngestCompaction]] — rewrite every table (ALL current
+    *      partitions, base included) into invisible `<table>.staging`
+    *      dirs (readers only see `__ingest=*`), then publish the
+    *      `_compacting.json` marker (tmp+rename, so it is never
+    *      partial) listing the source partition ids;
+    *   2. [[finishIngestCompaction]] — delete the listed source
+    *      partitions, rename each staging dir to `__ingest=-1`, remove
+    *      the marker.
+    *
+    * A crash before the marker leaves only invisible staging dirs (the
+    * next compaction overwrites them); a crash after the marker is
+    * completed by [[finishIngestCompaction]], which [[readIngestIndex]]
+    * runs automatically when it sees the marker — so a stream restart
+    * after a mid-compaction crash self-heals instead of reading
+    * duplicated (source + compacted) rows, which would fan out the
+    * exact verify join and inflate every Jaccard intersection.
+    */
+  def compactIngestIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    stageIngestCompaction(spark, path)
+    finishIngestCompaction(spark, path)
+  }
+
+  private val IngestTables = Seq("hashes", "shingles", "bands")
+
+  /** Stage 1 of [[compactIngestIndex]]: staging dirs + marker. Exposed
+    * `private[graft]` so the crash drill can stop exactly here.
+    */
+  private[graft] def stageIngestCompaction(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val (fs, _) = hadoopFs(spark, path)
+    // source partitions per table, recorded BEFORE writing staging so the
+    // marker can only ever name dirs the staged data actually contains
+    val sources: Map[String, Seq[String]] = IngestTables.map { tbl =>
+      val dirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/$tbl/__ingest=*")))
+        .map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.isDirectory).map(_.getPath.getName).sorted
+      tbl -> dirs
+    }.toMap
+    if (sources.values.forall(_.isEmpty)) return // nothing to compact
+    IngestTables.foreach { tbl =>
+      if (sources(tbl).nonEmpty)
+        spark.read.parquet(s"$path/$tbl").drop("__ingest")
+          .write.mode("overwrite").parquet(s"$path/$tbl.staging")
+    }
+    val marker = sources.map { case (tbl, dirs) =>
+      s""""$tbl":[${dirs.map(d => s""""$d"""").mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    writeTextFile(spark, s"$path/_compacting.json.tmp", marker)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/_compacting.json")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$path/_compacting.json.tmp"), dst))
+      throw new java.io.IOException(s"compaction marker publish failed at $dst")
+  }
+
+  /** Stage 2 of [[compactIngestIndex]] and the self-heal
+    * [[readIngestIndex]] runs when the marker is present. Idempotent:
+    * every step skips what a previous attempt already did.
+    */
+  private[graft] def finishIngestCompaction(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val (fs, markerP) = hadoopFs(spark, s"$path/_compacting.json")
+    if (!fs.exists(markerP)) return
+    val marker = readTextFile(spark, s"$path/_compacting.json")
+    IngestTables.foreach { tbl =>
+      val dirs = s""""$tbl":\\[([^\\]]*)\\]""".r.findFirstMatchIn(marker)
+        .map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      dirs.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/$tbl/$d")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val staging = new org.apache.hadoop.fs.Path(s"$path/$tbl.staging")
+      val target = new org.apache.hadoop.fs.Path(s"$path/$tbl/__ingest=-1")
+      if (fs.exists(staging)) {
+        if (fs.exists(target)) fs.delete(target, true) // old base was a listed source
+        fs.mkdirs(target.getParent)
+        if (!fs.rename(staging, target))
+          throw new java.io.IOException(s"compaction publish $staging -> $target failed")
+      }
+    }
+    fs.delete(markerP, false)
+  }
+
   /** Fold a batch's accepted documents into the ingest index under their
     * batch's own `__ingest=<ingestId>` partitions, mode OVERWRITE — the
     * idempotence story in one move: a replayed or crash-retried batch
-    * rewrites exactly its own partitions (any subset of the four tables a
+    * rewrites exactly its own partitions (any subset of the tables a
     * previous attempt managed to write is simply replaced), and no other
     * batch's rows are readable from them. The caller must append only
     * PROBE SURVIVORS (`status = new`), which keeps content hashes unique
     * across partitions — the invariant the exact verify join's fan-out
     * relies on. Pure parquet partition writes: no corpus-scale aggregate
-    * per append (contrast [[appendToBandIndex]]'s bucket recompute). The
-    * sketch merge is a bitwise OR (replay-idempotent) and the rewrite is
-    * crash-safe via [[writeBloomFileAtomic]].
+    * per append (contrast [[appendToBandIndex]]'s bucket recompute).
+    *
+    * Sketch update: for a batch within `deltaCollectCap` distinct hashes
+    * the keys are collected (batch-bounded — the same evidence the probe
+    * uses to broadcast the batch side) and inserted driver-side, which
+    * costs one tiny job; past the cap it degrades to a distributed
+    * `stat.bloomFilter` delta + `mergeInPlace` (bitwise OR). Both arms
+    * are replay-idempotent, and the rewrite is crash-safe via
+    * [[writeBloomFileAtomic]]. `index` may pass the already-loaded
+    * [[IngestIndex]] (the sink loads it for the probe) to skip a
+    * redundant meta+sketch read.
     */
   def appendToIngestIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      newDocs: DataFrame, idCol: String, textCol: String, ingestId: Long): Unit = {
-    val idx = readIngestIndex(spark, path, newDocs.schema(idCol).dataType)
+      newDocs: DataFrame, idCol: String, textCol: String, ingestId: Long,
+      index: Option[IngestIndex] = None,
+      deltaCollectCap: Long = BatchBroadcastCap): Unit = {
+    require(ingestId >= 0,
+      s"ingestId must be non-negative (got $ingestId): negative ids are reserved " +
+        "for compaction base partitions")
+    val idx = index.getOrElse(readIngestIndex(spark, path, newDocs.schema(idCol).dataType))
     val docs = newDocs.select(col(idCol), col(textCol)).localCheckpoint()
     val hashRows = docs
       .select(sha2(tagged(col(textCol)), 256).as("__h"), col(idCol).as("__cid"))
       .groupBy(col("__h")).agg(min(col("__cid")).as("__exact_of"))
       .localCheckpoint()
+    val nHashes = hashRows.count()
     hashRows.write.mode("overwrite").parquet(s"$path/hashes/__ingest=$ingestId")
-    // one shingle table feeds shingles, sizes AND bands
+    // one shingle table feeds shingles AND bands (set sizes derive from
+    // the shingle scan at probe time — no sizes table)
     val sh = shingleTable(docs, idCol, col(textCol), idx.n).localCheckpoint()
     sh.write.mode("overwrite").parquet(s"$path/shingles/__ingest=$ingestId")
-    sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
-      .write.mode("overwrite").parquet(s"$path/sizes/__ingest=$ingestId")
     minhashFromShingles(sh, idx.numPerm)
       .select(col("id").as("corpus_id"),
         explode(array(bandExprs(idx.numBands, idx.rowsPerBand): _*)).as("band"))
       .select(col("corpus_id"), col("band.band_idx"), col("band.band_hash"))
       .write.mode("overwrite").parquet(s"$path/bands/__ingest=$ingestId")
-    val delta =
-      if (hashRows.isEmpty) // stat.bloomFilter NPEs on zero rows
-        emptyBloom(spark, idx.expectedItems, idx.fpp)
-      else hashRows.select(xxhash64(col("__h")).as("__k"))
-        .stat.bloomFilter("__k", idx.expectedItems, idx.fpp)
-    idx.bloom.mergeInPlace(delta)
+    if (nHashes > 0 && nHashes <= deltaCollectCap) {
+      hashRows.select(xxhash64(col("__h")).as("__k")).collect()
+        .foreach(r => idx.bloom.putLong(r.getLong(0)))
+    } else if (nHashes > 0) {
+      idx.bloom.mergeInPlace(
+        hashRows.select(xxhash64(col("__h")).as("__k"))
+          .stat.bloomFilter("__k", idx.expectedItems, idx.fpp))
+    }
     writeBloomFileAtomic(spark, path, idx.bloom, idx.expectedItems, idx.fpp)
   }
 

@@ -349,7 +349,8 @@ object StreamingIngest {
         res.unpersist()
         survivors.write.mode("overwrite").parquet(s"$corpusPath/__batch=$batchId")
         graft.ops.Dedup.appendToIngestIndex(spark, indexPath,
-          survivors.select(col(idCol), col(textCol)), idCol, textCol, batchId)
+          survivors.select(col(idCol), col(textCol)), idCol, textCol, batchId,
+          index = Some(idx))
         ()
       }
       .start()

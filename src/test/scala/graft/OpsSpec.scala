@@ -733,12 +733,12 @@ class OpsSpec extends SparkSpec {
     // duplicate shingle/size rows would inflate Jaccard
     Dedup.appendToIngestIndex(spark, base,
       b1.filter($"doc_id" === 201L), "doc_id", "text", ingestId = 1L)
-    val sizesOnce = Dedup.readIngestIndex(spark, base,
-      org.apache.spark.sql.types.LongType).sizes.count()
+    val shinglesOnce = Dedup.readIngestIndex(spark, base,
+      org.apache.spark.sql.types.LongType).shingles.count()
     Dedup.appendToIngestIndex(spark, base,
       b1.filter($"doc_id" === 201L), "doc_id", "text", ingestId = 1L)
     assert(Dedup.readIngestIndex(spark, base,
-      org.apache.spark.sql.types.LongType).sizes.count() == sizesOnce,
+      org.apache.spark.sql.types.LongType).shingles.count() == shinglesOnce,
       "a replayed append double-inserted index rows")
     // a later batch sees the appended doc through both exact and near paths
     val b2 = Seq((300L, "zz yy xx ww vv uu tt ss"),
@@ -746,6 +746,64 @@ class OpsSpec extends SparkSpec {
     val r2 = probe(b2, exclude = 2L, maxBucket = Dedup.DefaultMaxBucket)
     assert(r2 == Seq((300L, "exact_dup", Some(201L)), (301L, "near_dup", Some(201L))),
       s"got $r2")
+  }
+
+  test("ingest index compaction: partitions fold into the base; a crash after the marker self-heals on read") {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "ingestCompact").toString
+    Dedup.initIngestIndex(spark, base, n = 3, numPerm = 64, numBands = 16,
+      rowsPerBand = 4, expectedItems = 1000L)
+    def append(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Dedup.appendToIngestIndex(spark, base, df, "doc_id", "text", id)
+    append(Seq((1L, "aa bb cc dd ee ff"), (2L, "gg hh ii jj kk ll")).toDF("doc_id", "text"), 0L)
+    append(Seq((10L, "mm nn oo pp qq rr")).toDF("doc_id", "text"), 1L)
+    append(Seq((20L, "ss tt uu vv ww xx")).toDF("doc_id", "text"), 2L)
+    def probe(b: org.apache.spark.sql.DataFrame) = {
+      val r = Dedup.probeIngestIndex(
+        Dedup.readIngestIndex(spark, base, org.apache.spark.sql.types.LongType),
+        b, "doc_id", "text", threshold = 0.2, excludeIngest = 99L)
+      val rows = r.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+      r.unpersist()
+      rows
+    }
+    def partitions(tbl: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$base/$tbl")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSet
+    }
+    val pb = Seq(
+      (100L, "aa bb cc dd ee ff"),              // exact dup of 1 (ingest 0)
+      (101L, "mm nn oo pp qq ZZ"),              // near dup of 10 (ingest 1)
+      (102L, "totally different words entirely here ok")).toDF("doc_id", "text")
+    val before = probe(pb)
+    assert(before == Seq((100L, "exact_dup", Some(1L)), (101L, "near_dup", Some(10L)),
+      (102L, "new", None)), s"got $before")
+    Dedup.compactIngestIndex(spark, base)
+    assert(partitions("hashes") == Set("__ingest=-1") &&
+      partitions("bands") == Set("__ingest=-1"),
+      s"compaction must fold every partition into the base: ${partitions("hashes")}")
+    assert(probe(pb) == before, "classification changed after compaction")
+    // appends continue after compaction, alongside the base partition
+    append(Seq((30L, "yy zz ab cd ef gh")).toDF("doc_id", "text"), 3L)
+    val pb2 = pb.unionByName(Seq((103L, "yy zz ab cd ef gh")).toDF("doc_id", "text"))
+    val after = probe(pb2)
+    assert(after == before :+ ((103L, "exact_dup", Some(30L))), s"got $after")
+    // crash drill: marker published, source partitions NOT deleted — a
+    // plain read must finish the compaction before scanning, or the
+    // duplicated rows would fan out the verify join
+    Dedup.stageIngestCompaction(spark, base)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/_compacting.json")))
+    val healed = probe(pb2) // readIngestIndex self-heals
+    assert(healed == after, s"self-heal changed classification: $healed vs $after")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/_compacting.json")),
+      "the marker must be consumed by the self-heal")
+    assert(partitions("hashes") == Set("__ingest=-1"))
+    // negative ingest ids are reserved for the base partition
+    intercept[IllegalArgumentException] {
+      append(Seq((40L, "zz zz zz")).toDF("doc_id", "text"), -1L)
+    }
   }
 
   test("incrementalDedup: over-cap corpus hash index degrades to merge, never broadcast-builds") {
