@@ -37,8 +37,10 @@ class PlanAuditSpec extends SparkSpec {
   )
 
   // streaming probes execute a query at construction time; plan-audited
-  // via their own batch twins instead
-  private val streaming = Set("x13_stream_counts", "x17_stream_stateful", "x18_stream_dedup")
+  // via their own batch twins instead (x89's probe internals are swept
+  // stage-by-stage in PlanSpec through a QueryExecutionListener)
+  private val streaming = Set("x13_stream_counts", "x17_stream_stateful", "x18_stream_dedup",
+    "x89_streaming_indexed_ingest")
 
   test("no probe plans Cartesian/BroadcastNestedLoop joins (whitelist: exact baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

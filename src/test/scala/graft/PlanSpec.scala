@@ -409,4 +409,51 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("bloom_filter_agg") || plan.contains("ObjectHashAggregate"),
       s"creation side must build the bloom aggregate:\n$plan")
   }
+
+  test("probeIngestIndex: no cartesian/BNL join and no content-keyed window in ANY executed stage") {
+    // the probe materializes eagerly (localCheckpoints truncate lazy
+    // plans), so the audit captures every executed plan through a
+    // QueryExecutionListener and sweeps the whole set — the same
+    // no-quadratic-pocket contract PlanAuditSpec enforces per probe
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "ingestPlan").toString
+    val docs = Readers.table(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    graft.ops.Dedup.initIngestIndex(spark, base, n = 3, numPerm = 64, numBands = 16,
+      rowsPerBand = 4, expectedItems = 10000L)
+    graft.ops.Dedup.appendToIngestIndex(spark, base,
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", ingestId = 0L)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val idx = graft.ops.Dedup.readIngestIndex(spark, base,
+        org.apache.spark.sql.types.LongType)
+      val r = graft.ops.Dedup.probeIngestIndex(idx, docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", threshold = 0.2, excludeIngest = 1L)
+      r.count(); r.unpersist()
+      // the listener bus is asynchronous — settle until the captured set
+      // stops growing (same polling idea as ShuffleTap.settle)
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        val n = plans.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        Thread.sleep(100)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    val all = plans.toArray.map(_.toString)
+    assert(all.nonEmpty, "the probe must surface executed plans to audit")
+    val quad = all.filter(p =>
+      p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+    assert(quad.isEmpty,
+      s"probeIngestIndex executed a quadratic join:\n${quad.headOption.getOrElse("")}")
+    val windowLines = all.flatMap(_.linesIterator.filter(_.matches(".*\\bWindow\\b.*")))
+    assert(windowLines.forall(l => !l.contains("text#") && !l.contains("shingle#")),
+      s"probeIngestIndex must not sort a content-keyed window:\n${windowLines.mkString("\n")}")
+  }
 }
