@@ -2290,7 +2290,29 @@ object PipelineProbes {
             |FROM c2
             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — exact distributed quantiles (dataset-card scalars) ————————————————
+  //   Iterative histogram refinement: ≤4 range-filtered map-side-combined
+  //   aggregate rounds and a ≤2¹⁶-row driver collect per round — never a
+  //   global sort. Ranks are computed in exact decimal arithmetic on both
+  //   sides (binary-float q·n crosses integer boundaries), so the DuckDB
+  //   replay — row_number over the sorted column — is value-exact.
+  private val x90 = Probe(
+    "x90_exact_quantiles",
+    (s, dir) => Quantiles.exactQuantiles(
+        Readers.fanOut(t(s, dir, "documents")), "n_chars",
+        Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+      .orderBy("q"),
+    Some("""WITH v AS (SELECT n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+           |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+           |qs(q) AS (VALUES (0.01), (0.25), (0.5), (0.75), (0.99)),
+           |rk AS (SELECT q, greatest(CAST(1 AS BIGINT),
+           |    CAST(ceil(q * n.n) AS BIGINT)) AS rank FROM qs, n)
+           |SELECT CAST(rk.q AS DOUBLE) AS q, rk.rank, r.v AS value
+           |FROM rk JOIN r ON r.rn = rk.rank
+           |ORDER BY q ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89)
+    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90)
 }

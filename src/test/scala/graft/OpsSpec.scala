@@ -806,6 +806,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantiles: histogram refinement matches the sorted ground truth at every edge") {
+    // deterministic mixed fixture: pseudo-random spread, a heavy tie run,
+    // negatives, and near-extreme longs (exercises the BigInt width path)
+    val vals: Seq[Long] = (1 to 1000).map(i => ((i * 2654435761L) % 10007L) - 5000L) ++
+      Seq.fill(50)(42L) ++ Seq(Long.MinValue + 5, Long.MaxValue - 3)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val sorted = vals.sorted
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val got = Quantiles.exactQuantiles(df, "v", qs)
+      .orderBy("q").as[(Double, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == qs.sorted)
+    got.foreach { case (q, rank, value) =>
+      val expRank = (BigDecimal.valueOf(q) * BigDecimal(vals.size))
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toLong.max(1L)
+      assert(rank == expRank, s"q=$q rank $rank != $expRank")
+      assert(value == sorted((rank - 1).toInt),
+        s"q=$q rank=$rank got $value expected ${sorted((rank - 1).toInt)}")
+    }
+    // tiny bucket count forces the maximum round count — same answers
+    val coarse = Quantiles.exactQuantiles(df, "v", Seq(0.5), buckets = 2)
+      .select("value").as[Long].head()
+    assert(coarse == sorted((got.find(_._1 == 0.5).get._2 - 1).toInt))
+    // constant column: bounds collapse, zero refinement rounds
+    val const = (1 to 100).map(i => (i.toLong, 7L)).toDF("id", "v")
+    assert(Quantiles.exactQuantiles(const, "v", Seq(0.5))
+      .select("value").as[Long].head() == 7L)
+    // empty input: empty result, no throw
+    assert(Quantiles.exactQuantiles(df.filter(lit(false)), "v", Seq(0.5)).isEmpty)
+    // rank API: direct k-th smallest
+    assert(Quantiles.exactRankValues(df, "v", Seq(1L, vals.size.toLong)) ==
+      Seq(1L -> sorted.head, vals.size.toLong -> sorted.last))
+  }
+
   test("incrementalDedup: over-cap corpus hash index degrades to merge, never broadcast-builds") {
     // the corpus hash index is the only broadcastable side of the exact
     // left join (batch preserved) — with a checkpoint-backed corpus its
