@@ -362,6 +362,88 @@ object Multimodal {
     }
   }
 
+  /** 64-bit DCT perceptual hash (pHash) of a decoded RGB raster — the
+    * frequency-domain member of the perceptual-hash family. Samples a
+    * 16×16 luminance grid (nearest-neighbor, integer floors — the
+    * [[aHash64]]/[[dHash64]] convention), applies a SEPARABLE integer
+    * DCT-II (`K(x,u) = round(cos((2x+1)uπ/32)·1024)` — 128 literal
+    * constants; row pass then column pass, 2·16 multiply-adds per
+    * output instead of 256), keeps the 8×8 block `u, v ∈ 1..8` — the
+    * published DC-row/column-cropped variant — and sets bit
+    * `c = (u−1)·8+(v−1)` iff `coef(u,v)` strictly exceeds the LOWER
+    * MEDIAN (the 32nd smallest of the 64 kept coefficients — an exact
+    * element, no interpolation, no float).
+    *
+    * Why carry a third hash, and why crop the DC row/column: aHash
+    * breaks under clamped brightness shifts (x87), dHash under
+    * STRIPE-SHAPED pixel artifacts — column banding, scanline noise,
+    * interlace/rolling-shutter residue flip its horizontal
+    * adjacent-sample orderings everywhere. Any separable single-axis
+    * pattern `n(x, y) = f(x)` projects ONLY onto the `v = 0`
+    * coefficient column (and `g(y)` onto `u = 0`): its contribution to
+    * a kept coefficient is `(Σ_x f·K_u) · (Σ_y K(y,v))`, and the
+    * second factor is the DCT orthogonality sum — exactly 0 in real
+    * arithmetic, ≤ 8 with the rounded integer K. Cropping `u = 0` and
+    * `v = 0` therefore makes the hash STRUCTURALLY immune to stripe
+    * noise up to that rounding sliver; probe x91 plants alternating
+    * column stripes that flip dHash bits in every fixture class while
+    * pHash moves at most a bit or two, asserted exhaustively.
+    *
+    * All arithmetic is integer and the whole hash is four nested
+    * Catalyst HOFs (`transform`/`aggregate` — the [[TextStats]] BPE-fold
+    * precedent) over the bound luminance grid: products are bounded by
+    * `16·1024·16·1024·765 < 2⁶³`, and a DuckDB oracle replays the exact
+    * sums from the raw pixel list.
+    */
+  def pHash64(pixels: Column, w: Int, h: Int): Column = {
+    require(w >= 16 && h >= 16, s"pHash needs at least a 16x16 source, got ${w}x$h")
+    // frequencies u ∈ 1..8 (DC row/column cropped); flat index x·8 + (u−1)
+    val kFlat: Seq[Long] = for (x <- 0 until 16; u <- 1 to 8)
+      yield math.round(math.cos((2 * x + 1) * u * math.Pi / 32) * 1024.0)
+    val kArr = array(kFlat.map(lit): _*)
+    val pw = array(((0 until 63).map(c => lit(1L << c)) :+ lit(Long.MinValue)): _*)
+    // Column `/` is DOUBLE division even on longs (Spark's Divide) — all
+    // index math here is non-negative, so a truncating long cast IS the
+    // floor the NN convention needs
+    def idiv(a: Column, b: Long): Column = (a / b).cast("long")
+    graft.Canonical.bindOnce(pixels) { p =>
+      val lum = transform(sequence(lit(0L), lit(255L)), i => {
+        val gx = i % 16L
+        val gy = idiv(i, 16L)
+        val base = (idiv(gy * h, 16L) * w + idiv(gx * w, 16L)) * 3L
+        (element_at(p, (base + 1L).cast("int")) +
+          element_at(p, (base + 2L).cast("int")) +
+          element_at(p, (base + 3L).cast("int"))).cast("long")
+      })
+      graft.Canonical.bindOnce(lum) { ls =>
+        graft.Canonical.bindOnce(kArr) { k =>
+          // row pass: R(y,u) = Σ_x lum(y·16+x)·K(x,u), flat ru = y·8+u
+          val rowPass = transform(sequence(lit(0L), lit(127L)), ru =>
+            aggregate(sequence(lit(0L), lit(15L)), lit(0L), (acc, x) =>
+              acc + element_at(ls, (idiv(ru, 8L) * 16L + x + 1L).cast("int")) *
+                element_at(k, (x * 8L + ru % 8L + 1L).cast("int"))))
+          graft.Canonical.bindOnce(rowPass) { rs =>
+            // column pass: coef(u,v) = Σ_y K(y,v)·R(y,u), flat uv = u·8+v
+            val coefs = transform(sequence(lit(0L), lit(63L)), uv =>
+              aggregate(sequence(lit(0L), lit(15L)), lit(0L), (acc, y) =>
+                acc + element_at(k, (y * 8L + uv % 8L + 1L).cast("int")) *
+                  element_at(rs, (y * 8L + idiv(uv, 8L) + 1L).cast("int"))))
+            graft.Canonical.bindOnce(coefs) { cs =>
+              // lower median: 32nd smallest of the 64 kept coefficients
+              graft.Canonical.bindOnce(
+                element_at(array_sort(cs), 32)) { med =>
+                aggregate(sequence(lit(0L), lit(63L)), lit(0L), (acc, c) =>
+                  acc.bitwiseOR(
+                    when(element_at(cs, (c + 1L).cast("int")) > med,
+                      element_at(pw, (c + 1L).cast("int"))).otherwise(lit(0L))))
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Image near-dup pairs within Hamming distance `maxDist` over aHash
     * signatures — [[Dedup.simhashPairs]]' chunk-bucket machinery
     * (pigeonhole-exact candidates, hot buckets star-degrade) applied to
@@ -384,5 +466,21 @@ object Multimodal {
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
     Dedup.simhashPairs(
       df.select(col(idCol), dHash64(pixels, w, h).as("simhash")),
+      idCol, maxDist, maxBucket)
+
+  /** [[imageNearDupPairs]] over [[pHash64]] signatures — same
+    * hash-agnostic chunk-bucketed candidate generation.
+    *
+    * Caveat for the chunk machinery: pHash bit 63 rides `Long.MinValue`
+    * (coefficient 63's flag), so signatures can be negative — the chunk
+    * split masks unsigned bit ranges and is sign-agnostic, like SimHash's
+    * own 63-bit convention, but Hamming verification via
+    * `bit_count(a XOR b)` is exact regardless.
+    */
+  def imageNearDupPairsPHash(df: DataFrame, idCol: String, pixels: Column,
+      w: Int, h: Int, maxDist: Int,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    Dedup.simhashPairs(
+      df.select(col(idCol), pHash64(pixels, w, h).as("simhash")),
       idCol, maxDist, maxBucket)
 }

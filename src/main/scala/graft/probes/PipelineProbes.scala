@@ -2290,6 +2290,109 @@ object PipelineProbes {
             |FROM c2
             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — pHash: the frequency-domain perceptual hash vs stripe noise ————————
+  //   16×16 synthetic textures (dense pseudo-random base, per doc-id
+  //   class); odd twins add ±30 alternating by COLUMN parity — a
+  //   separable single-axis pattern that projects only onto the v = 0
+  //   coefficient column the DC-cropped pHash excludes, while flipping
+  //   dHash's horizontal orderings in every class (hamming 4-12,
+  //   exhaustively asserted in OpsSpec). Both arms are FULL value
+  //   oracles: DuckDB replays the integer DCT — the shared K table is
+  //   generated from the same round(cos·1024) formula — the lower-median
+  //   threshold, the bit assembly, and the all-pairs Hamming filter.
+  private val x91 = Probe(
+    "x91_image_phash_stripes",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val g = floor(col("media_id") / 2).cast("long")
+      val odd = pmod(col("media_id"), lit(2L))
+      val cls = pmod(g * 2 + 3, lit(105L)) + 1L
+      val px = flatten(transform(sequence(lit(0L), lit(255L)), p0 => {
+        val x = p0 % 16L
+        val y = (p0 / 16L).cast("long")
+        val base = lit(60L) +
+          pmod(x * 73L + y * 151L + cls * 7919L + x * y * 31L, lit(997L)) % 40L
+        val v = (base + lit(30L) * odd * (lit(1L) - lit(2L) * (x % 2L))).cast("int")
+        array(v, v, v)
+      }))
+      val fix = docs.select(col("doc_id").as("media_id"))
+        .select(col("media_id"), px.as("px"))
+      val p = Multimodal.imageNearDupPairsPHash(fix, "media_id", col("px"),
+          w = 16, h = 16, maxDist = 2)
+        .withColumn("arm", lit("phash"))
+      val d = Multimodal.imageNearDupPairsDHash(fix, "media_id", col("px"),
+          w = 16, h = 16, maxDist = 2)
+        .withColumn("arm", lit("dhash"))
+      p.unionByName(d)
+        .select(col("arm"), col("id_a"), col("id_b"), col("hamming").cast("long"))
+        .orderBy("arm", "id_a", "id_b")
+    },
+    Some {
+      val kRows = (for (x <- 0 until 16; u <- 1 to 8)
+        yield s"($x, $u, ${math.round(math.cos((2 * x + 1) * u * math.Pi / 32) * 1024.0)})")
+        .mkString(", ")
+      val pw = (0 until 64).map(c =>
+        s"($c, ${if (c == 63) "(-9223372036854775807 - 1)" else (1L << c).toString})")
+        .mkString(", ")
+      val lum = "3 * (60 + ((x * 73 + y * 151 + s * 7919 + x * y * 31) % 997) % 40" +
+        " + 30 * odd * (1 - 2 * (x % 2)))"
+      s"""WITH base AS (
+         |  SELECT doc_id AS media_id, ((doc_id // 2) * 2 + 3) % 105 + 1 AS s,
+         |    doc_id % 2 AS odd
+         |  FROM documents),
+         |k AS (SELECT * FROM (VALUES $kRows) t(x, u, kv)),
+         |pw AS (SELECT * FROM (VALUES $pw) t(c, v)),
+         |cell AS (
+         |  SELECT i % 16 AS x, i // 16 AS y
+         |  FROM (SELECT unnest(generate_series(0, 255)) AS i)),
+         |lum AS (
+         |  SELECT b.media_id, cell.x, cell.y, CAST($lum AS BIGINT) AS lu
+         |  FROM base b, cell),
+         |rp AS (
+         |  SELECT l.media_id, l.y, k.u, sum(l.lu * k.kv) AS r
+         |  FROM lum l JOIN k ON k.x = l.x GROUP BY 1, 2, 3),
+         |cf AS (
+         |  SELECT rp.media_id, rp.u, k.u AS v, sum(k.kv * rp.r) AS cv
+         |  FROM rp JOIN k ON k.x = rp.y GROUP BY 1, 2, 3),
+         |med AS (
+         |  SELECT media_id, cv AS m FROM (
+         |    SELECT media_id, cv, row_number() OVER (
+         |      PARTITION BY media_id ORDER BY cv) AS rn FROM cf)
+         |  WHERE rn = 32),
+         |bitsP AS (
+         |  SELECT cf.media_id,
+         |    CAST(sum(CASE WHEN cf.cv > med.m THEN pw.v ELSE 0 END) AS BIGINT) AS h
+         |  FROM cf JOIN med ON med.media_id = cf.media_id
+         |  JOIN pw ON pw.c = (cf.u - 1) * 8 + (cf.v - 1)
+         |  GROUP BY 1),
+         |gd AS (
+         |  SELECT j, (j // 9) * 2 * 16 + (j % 9) * 16 // 9 AS p
+         |  FROM (SELECT unnest(generate_series(0, 71)) AS j)),
+         |lumD AS (
+         |  SELECT l.media_id, gd.j, l.lu
+         |  FROM gd JOIN lum l ON l.y = gd.p // 16 AND l.x = gd.p % 16),
+         |bitsD AS (
+         |  SELECT l.media_id,
+         |    CAST(sum(CASE WHEN r.lu > l.lu THEN pw.v ELSE 0 END) AS BIGINT) AS h
+         |  FROM (SELECT unnest(generate_series(0, 63)) AS c) cd
+         |  JOIN lumD l ON l.j = (cd.c // 8) * 9 + (cd.c % 8)
+         |  JOIN lumD r ON r.media_id = l.media_id AND r.j = (cd.c // 8) * 9 + (cd.c % 8) + 1
+         |  JOIN pw ON pw.c = cd.c
+         |  GROUP BY 1),
+         |pairs AS (
+         |  SELECT 'phash' AS arm, a.media_id AS id_a, b.media_id AS id_b,
+         |    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |  FROM bitsP a JOIN bitsP b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.h, b.h)) <= 2
+         |  UNION ALL
+         |  SELECT 'dhash' AS arm, a.media_id AS id_a, b.media_id AS id_b,
+         |    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |  FROM bitsD a JOIN bitsD b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.h, b.h)) <= 2)
+         |SELECT arm, id_a, id_b, hamming FROM pairs
+         |ORDER BY arm ASC NULLS FIRST, id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
+    })
+
   // — exact distributed quantiles (dataset-card scalars) ————————————————
   //   Iterative histogram refinement: ≤4 range-filtered map-side-combined
   //   aggregate rounds and a ≤2¹⁶-row driver collect per round — never a
@@ -2314,5 +2417,5 @@ object PipelineProbes {
 
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90)
+    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91)
 }

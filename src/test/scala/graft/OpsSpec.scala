@@ -839,6 +839,56 @@ class OpsSpec extends SparkSpec {
       Seq(1L -> sorted.head, vals.size.toLong -> sorted.last))
   }
 
+  test("pHash64: column-stripe noise flips dHash in every class; the DC-cropped DCT hash never moves") {
+    // 16×16 images (1:1 with the DCT grid): base = dense pseudo-random
+    // texture in [60, 100) (dense spectrum → the 64 kept coefficients
+    // are well separated from the median, no knife edges); noisy twin
+    // adds ±30 alternating by COLUMN parity — a separable single-axis
+    // pattern, which projects only onto the v = 0 coefficient column
+    // that the DC-cropped hash excludes (up to the ≤8-unit rounding
+    // orthogonality sum), while flipping dHash's horizontal orderings
+    // wherever adjacent sampled columns have opposite stripe sign.
+    // Empirical separation across all 105 classes: pHash hamming ≡ 0,
+    // dHash hamming ∈ [4, 12].
+    val fixtures = (1 to 105).map { s =>
+      def lum(x: Int, y: Int): Int = 60 + ((x * 73 + y * 151 + s * 7919 + x * y * 31) % 997) % 40
+      def px(noise: Boolean): Seq[Int] = (0 until 256).flatMap { i =>
+        val (x, y) = (i % 16, i / 16)
+        val v = lum(x, y) + (if (noise) 30 * (if ((x & 1) == 0) 1 else -1) else 0)
+        Seq(v, v, v)
+      }
+      (s, px(noise = false), px(noise = true))
+    }
+    val df = fixtures.flatMap { case (s, b, n) =>
+      Seq((s.toLong * 2, b), (s.toLong * 2 + 1, n))
+    }.toDF("media_id", "px")
+    val hashes = df.select(col("media_id"),
+        Multimodal.pHash64(col("px"), 16, 16).as("p"),
+        Multimodal.dHash64(col("px"), 16, 16).as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    (1 to 105).foreach { s =>
+      val (pb, db) = hashes(s * 2L)
+      val (pn, dn) = hashes(s * 2L + 1)
+      val hp = java.lang.Long.bitCount(pb ^ pn)
+      val hd = java.lang.Long.bitCount(db ^ dn)
+      assert(hp == 0, s"class $s: pHash hamming $hp != 0 under stripe noise")
+      assert(hd > 2, s"class $s: dHash hamming $hd <= 2 — the fixture lost its bite")
+    }
+    // through the chunk-bucketed pair machinery: the DCT arm catches
+    // every planted pair, the gradient arm misses every one
+    val planted = (1 to 105).map(s => (s * 2L, s * 2L + 1)).toSet
+    val pairsP = Multimodal.imageNearDupPairsPHash(df, "media_id", col("px"),
+        16, 16, maxDist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pairsD = Multimodal.imageNearDupPairsDHash(df, "media_id", col("px"),
+        16, 16, maxDist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(planted.subsetOf(pairsP),
+      s"pHash arm missed planted pairs: ${(planted -- pairsP).take(5)}")
+    assert(planted.intersect(pairsD).isEmpty,
+      s"dHash arm should miss every noisy twin: ${planted.intersect(pairsD).take(5)}")
+  }
+
   test("incrementalDedup: over-cap corpus hash index degrades to merge, never broadcast-builds") {
     // the corpus hash index is the only broadcastable side of the exact
     // left join (batch preserved) — with a checkpoint-backed corpus its
