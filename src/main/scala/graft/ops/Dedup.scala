@@ -1437,7 +1437,12 @@ object Dedup {
       .select(col("corpus_id"), col("band.band_idx"), col("band.band_hash"))
       .write.mode("append").parquet(s"$path/bands")
     // buckets: recompute from the appended band table via staging + swap
-    // (cannot overwrite a path feeding the plan being written)
+    // (cannot overwrite a path feeding the plan being written). NOTE:
+    // this aggregate scans the FULL band table per append — amortized for
+    // the low-frequency batch-ingest shape this index serves; for
+    // high-frequency (per-micro-batch) appends use the streaming
+    // IngestIndex below, whose appends are pure partition writes and
+    // whose probe derives touched-bucket occupancy per batch instead
     spark.read.parquet(s"$path/bands")
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("__ccnt"), min(col("corpus_id")).as("__hub"))
@@ -1672,7 +1677,9 @@ object Dedup {
     idx.bloom.mergeInPlace(delta)
     writeBloomFile(spark, s"$path/bloom.bin", idx.bloom, idx.expectedItems, idx.fpp)
     // buckets: recompute from the appended vector table via staging + swap
-    // (cannot overwrite a path feeding the plan being written)
+    // (cannot overwrite a path feeding the plan being written); same
+    // full-table-aggregate-per-append trade as [[appendToBandIndex]] —
+    // see the streaming IngestIndex for the high-frequency-append shape
     spark.read.parquet(s"$path/vecs")
       .groupBy(col("__bucket"))
       .agg(count(lit(1)).as("__ccnt"), min(col("corpus_id")).as("__hub"),
@@ -1965,8 +1972,16 @@ object Dedup {
     * duplicated (source + compacted) rows, which would fan out the
     * exact verify join and inflate every Jaccard intersection.
     */
-  def compactIngestIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    stageIngestCompaction(spark, path)
+  /** `keepIngest`: leave that batch's partitions OUT of the fold — the
+    * in-stream compaction contract. A sink compacting inside its own
+    * micro-batch must not fold the CURRENT batch: the exactly-once replay
+    * story hides a replayed batch's first-attempt rows by excluding its
+    * `__ingest=<id>` partition, and a fold would move those rows into the
+    * base partition where the exclusion cannot see them.
+    */
+  def compactIngestIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      keepIngest: Option[Long] = None): Unit = {
+    stageIngestCompaction(spark, path, keepIngest)
     finishIngestCompaction(spark, path)
   }
 
@@ -1976,20 +1991,25 @@ object Dedup {
     * `private[graft]` so the crash drill can stop exactly here.
     */
   private[graft] def stageIngestCompaction(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String, keepIngest: Option[Long] = None): Unit = {
     val (fs, _) = hadoopFs(spark, path)
+    val kept = keepIngest.map(id => s"__ingest=$id")
     // source partitions per table, recorded BEFORE writing staging so the
     // marker can only ever name dirs the staged data actually contains
     val sources: Map[String, Seq[String]] = IngestTables.map { tbl =>
       val dirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/$tbl/__ingest=*")))
         .map(_.toSeq).getOrElse(Seq.empty)
-        .filter(_.isDirectory).map(_.getPath.getName).sorted
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(kept.contains).sorted
       tbl -> dirs
     }.toMap
     if (sources.values.forall(_.isEmpty)) return // nothing to compact
     IngestTables.foreach { tbl =>
       if (sources(tbl).nonEmpty)
-        spark.read.parquet(s"$path/$tbl").drop("__ingest")
+        // read ONLY the source partitions (the kept batch stays out)
+        spark.read.option("basePath", s"$path/$tbl")
+          .parquet(sources(tbl).map(d => s"$path/$tbl/$d"): _*)
+          .drop("__ingest")
           .write.mode("overwrite").parquet(s"$path/$tbl.staging")
     }
     val marker = sources.map { case (tbl, dirs) =>

@@ -311,6 +311,14 @@ object StreamingIngest {
     * The index geometry is pinned in `meta.json` at first use; a restart
     * with different `cfg.dedupNgram`/`numPerm`/`bands` fails loudly
     * rather than silently probing with mismatched banding.
+    *
+    * `compactEvery = n` folds the index's per-batch partitions into the
+    * reserved base partition after every n-th batch (keeping the current
+    * batch's partition, so replay exclusion still works) — without it a
+    * long-lived stream accretes one partition per micro-batch and file
+    * listing eventually dominates the probe. Compaction crash windows
+    * self-heal on the next index read (marker protocol in
+    * [[graft.ops.Dedup.compactIngestIndex]]).
     */
   def curatedCorpusIndexedSink(
       docs: DataFrame,
@@ -323,7 +331,8 @@ object StreamingIngest {
       numPerm: Int = 64,
       bands: Int = 16,
       expectedItems: Long = 10000000L,
-      fpp: Double = 0.01): org.apache.spark.sql.streaming.StreamingQuery =
+      fpp: Double = 0.01,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -351,6 +360,14 @@ object StreamingIngest {
         graft.ops.Dedup.appendToIngestIndex(spark, indexPath,
           survivors.select(col(idCol), col(textCol)), idCol, textCol, batchId,
           index = Some(idx))
+        // periodic small-file maintenance: fold prior batches' partitions
+        // into the base, KEEPING the current batch's — a replay of this
+        // batch must still be able to hide its own first-attempt rows by
+        // partition exclusion. A crash mid-compaction self-heals on the
+        // replay's readIngestIndex (marker protocol).
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.ops.Dedup.compactIngestIndex(spark, indexPath,
+            keepIngest = Some(batchId))
         ()
       }
       .start()

@@ -266,6 +266,40 @@ class StreamingSpec extends SparkSpec {
       "indexed sink corpus must equal the live sink row for row")
   }
 
+  test("indexed sink with in-stream compaction: corpus unchanged, index partitions stay bounded") {
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "curatedixc").toString
+    def doc(prefix: String, n: Int, lastOverride: String = ""): String = {
+      val toks = (1 to n).map(i => f"$prefix$i%02d")
+      (if (lastOverride.isEmpty) toks else toks.init :+ lastOverride).mkString(" ")
+    }
+    val t1 = doc("w", 20)
+    val b1 = Seq((1L, t1), (3L, doc("x", 20))).toDF("doc_id", "text")
+    val b2 = Seq((4L, doc("w", 20, "zzz")), (5L, doc("y", 20))).toDF("doc_id", "text")
+    val b3 = Seq((8L, t1), (9L, doc("v", 20))).toDF("doc_id", "text")
+    val (in, corpus, index, ckp) = (s"$base/in", s"$base/corpus", s"$base/index", s"$base/ckp")
+    b1.write.mode("append").parquet(in)
+    // compactEvery = 1: fold after EVERY batch — maximum stress on the
+    // keep-current-batch contract
+    val q = StreamingIngest.curatedCorpusIndexedSink(
+      spark.readStream.schema(b1.schema).parquet(in), corpus, index, ckp,
+      "doc_id", "text", compactEvery = 1)
+    try {
+      q.processAllAvailable()
+      b2.write.mode("append").parquet(in)
+      q.processAllAvailable() // 4 near-dups 1 (via the compacted base), 5 new
+      b3.write.mode("append").parquet(in)
+      q.processAllAvailable() // 8 exact-dups 1, 9 new
+    } finally q.stop()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 3L, 5L, 9L),
+      "dedup across batches must work through the compacted base partition")
+    val hp = new org.apache.hadoop.fs.Path(s"$index/hashes")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hp).filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(parts == Set("__ingest=-1", "__ingest=2"),
+      s"compaction must fold all but the current batch: $parts")
+  }
+
   test("indexed sink: kill + resume over a poisoned partial INCLUDING a stale index partition ≡ uninterrupted run") {
     val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "curatedixkr").toString
     def doc(prefix: String, n: Int): String = (1 to n).map(i => f"$prefix$i%02d").mkString(" ")
