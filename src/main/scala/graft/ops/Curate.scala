@@ -320,4 +320,62 @@ object Curate {
           .otherwise("kept").as("stage"),
         col("shard"), col("ord"))
   }
+
+  /** Host-scoped boilerplate line removal — the CCNet/OpenWebText trick:
+    * a line appearing on ≥ `minDf` DISTINCT pages of the SAME host is
+    * site furniture (nav, cookie banner, footer), not content — drop
+    * EVERY occurrence. Unlike [[Dedup.paragraphDedup]] (which keeps the
+    * globally-first occurrence), boilerplate removal keeps none and
+    * scopes frequency to the host: the same sentence on two different
+    * sites is quotation; on fifty pages of one site it is a template.
+    *
+    * Semantics (deterministic, engine-replayable): lines split on `sep`;
+    * whitespace-only lines never count toward frequency and are kept in
+    * place; a line counts ONCE per page toward its host's df; pages
+    * whose every line is dropped keep an empty text (downstream quality
+    * gates are the arbiter). Returns (idCol, hostCol, textCol).
+    *
+    * Plan shape: one line explode (pinned — it feeds the df count AND
+    * reassembly); df is a map-side-combinable count of distinct
+    * (host, line-hash, id) triples; the hot set is BOUNDED by
+    * totalLines / minDf and broadcasts when its materialized count
+    * licenses it — the skew-safe shape, since each hot key's many
+    * copies (the very lines being dropped) stay distributed across
+    * their input partitions instead of converging on one reducer. Past
+    * the cap the anti-join falls back to shuffle, where AQE's skew
+    * handling applies. Reassembly groups by the UNSKEWED page id, never
+    * by content.
+    */
+  def removeHostBoilerplate(docs: DataFrame, idCol: String, hostCol: String,
+      textCol: String, minDf: Long, sep: String = "\n",
+      hotBroadcastCap: Long = 4000000L): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf (1 would drop every line)")
+    val lines = docs
+      .select(col(idCol), col(hostCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF(idCol, hostCol, "__pos", "__line")
+      .localCheckpoint()
+    val hot = lines
+      .filter(length(trim(col("__line"))) > 0)
+      .select(col(hostCol), sha2(col("__line"), 256).as("__h"), col(idCol))
+      .groupBy(col(hostCol), col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col(hostCol), col("__h"))
+      .localCheckpoint()
+    val keyed = lines.withColumn("__h", sha2(col("__line"), 256))
+    val kept =
+      if (hot.count() <= hotBroadcastCap)
+        keyed.join(broadcast(hot), Seq(hostCol, "__h"), "left_anti")
+      else keyed.join(hot, Seq(hostCol, "__h"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol), col(hostCol))
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line"))).as(textCol))
+    docs.select(col(idCol), col(hostCol))
+      .join(rebuilt, Seq(idCol, hostCol), "left")
+      .select(col(idCol), col(hostCol),
+        coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

@@ -2393,6 +2393,55 @@ object PipelineProbes {
          |ORDER BY arm ASC NULLS FIRST, id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
     })
 
+  // — host-scoped boilerplate line removal (CCNet/OpenWebText trick) ————
+  //   Fixture: hosts from doc_id % 7; every page carries a host NAV line
+  //   (df ≈ pages-per-host ≥ minDf → dropped), pages with doc_id % 3 = 0
+  //   add a host PROMO line (df below the threshold at sf0.01 → kept;
+  //   at larger sf it crosses the threshold — both engines replay the
+  //   same arithmetic either way). The oracle replays split, per-host
+  //   distinct-page line frequency, the threshold, and in-order
+  //   reassembly with blank lines preserved.
+  private val x92 = Probe(
+    "x92_host_boilerplate",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val host = concat(lit("h"), (col("doc_id") % 7).cast("string"))
+      val fix = docs.select(col("doc_id"), host.as("host"),
+        concat(lit("NAV-"), host, lit("\n"), col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("\nPROMO-"), host)).otherwise(lit(""))).as("text"))
+      Curate.removeHostBoilerplate(fix, "doc_id", "host", "text", minDf = 40L)
+        .orderBy("doc_id")
+    },
+    Some("""WITH fix AS (
+           |  SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+           |    'NAV-h' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || text ||
+           |    CASE WHEN doc_id % 3 = 0
+           |         THEN chr(10) || 'PROMO-h' || CAST(doc_id % 7 AS VARCHAR)
+           |         ELSE '' END AS text
+           |  FROM documents),
+           |sp AS (SELECT doc_id, host, string_split(text, chr(10)) AS l FROM fix),
+           |ln AS (
+           |  SELECT doc_id, host, u.pos, u.line FROM (
+           |    SELECT doc_id, host,
+           |      unnest([{'pos': i, 'line': l[i]} for i in range(1, len(l) + 1)]) AS u
+           |    FROM sp)),
+           |hot AS (
+           |  SELECT host, line FROM (
+           |    SELECT host, line, count(DISTINCT doc_id) AS df
+           |    FROM ln WHERE length(trim(line)) > 0 GROUP BY 1, 2)
+           |  WHERE df >= 40),
+           |kept AS (
+           |  SELECT ln.doc_id, ln.host, ln.pos, ln.line FROM ln
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM hot WHERE hot.host = ln.host AND hot.line = ln.line)),
+           |outp AS (
+           |  SELECT doc_id, host, string_agg(line, chr(10) ORDER BY pos) AS text
+           |  FROM kept GROUP BY 1, 2)
+           |SELECT f.doc_id, f.host, coalesce(o.text, '') AS text
+           |FROM fix f LEFT JOIN outp o ON o.doc_id = f.doc_id
+           |ORDER BY f.doc_id ASC NULLS FIRST""".stripMargin))
+
   // — exact distributed quantiles (dataset-card scalars) ————————————————
   //   Iterative histogram refinement: ≤4 range-filtered map-side-combined
   //   aggregate rounds and a ≤2¹⁶-row driver collect per round — never a
@@ -2417,5 +2466,5 @@ object PipelineProbes {
 
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91)
+    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92)
 }

@@ -682,4 +682,31 @@ class CurationSpec extends SparkSpec {
     val att = audited.attribution.as[(Long, String)].collect().toMap
     assert(att == Map(1L -> "quality", 2L -> "kept", 3L -> "exact_dup"), s"got $att")
   }
+
+  test("removeHostBoilerplate: per-host frequent lines drop; rare, cross-host and blank lines stay") {
+    val docs = Seq(
+      (1L, "a", "FOOT\ncontent one\nMID"),
+      (2L, "a", "content two\nFOOT\nMID"),   // MID df=2 < 3 → kept
+      (3L, "a", "FOOT\ncontent three"),
+      (4L, "a", "FOOT"),                      // fully boilerplate → empty text
+      (5L, "a", "FOOT\n\nkeep me"),           // blank line preserved in place
+      (10L, "b", "FOOT\nother one"),          // host b: FOOT df=2 < 3 → kept
+      (11L, "b", "other two\nFOOT")
+    ).toDF("doc_id", "host", "text")
+    val got = Curate.removeHostBoilerplate(docs, "doc_id", "host", "text", minDf = 3)
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", "content one\nMID"),
+      (2L, "a", "content two\nMID"),
+      (3L, "a", "content three"),
+      (4L, "a", ""),
+      (5L, "a", "\nkeep me"),
+      (10L, "b", "FOOT\nother one"),
+      (11L, "b", "other two\nFOOT")), s"got $got")
+    // over-cap arm classifies identically
+    val shuffled = Curate.removeHostBoilerplate(docs, "doc_id", "host", "text",
+        minDf = 3, hotBroadcastCap = 0L)
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(shuffled == got, "broadcast and shuffle anti-join arms must agree")
+  }
 }
