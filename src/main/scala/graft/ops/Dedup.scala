@@ -1692,6 +1692,61 @@ object Dedup {
       throw new java.io.IOException(s"vec index bucket swap $staging -> $bp failed")
   }
 
+  // — duplication-aware SOFT dedup —————————————————————————————————————————
+
+  /** Per-document duplication weights: near-dup cluster size `k` and
+    * sampling weight `round4(1/k)`. Hard dedup (keep-first) discards
+    * every non-canonical cluster member — and with them the
+    * intra-cluster variation (edits, formatting variants, quote
+    * contexts) that still carries signal; the soft alternative keeps
+    * EVERY member at `1/k` sampling weight, so each cluster contributes
+    * one EXPECTED document while the surviving choice varies across the
+    * corpus instead of always electing the min id. The pair stage here
+    * is the exact n-gram arm (value-oracled); swap in [[lshCandidates]]
+    * for the 100-TB path — the component labeling and weighting
+    * downstream are pair-stage-agnostic. Returns
+    * (idCol, cluster_size, weight) for every input document
+    * (singletons: k = 1, weight 1.0).
+    */
+  def duplicationWeights(docs: DataFrame, idCol: String, text: Column, n: Int,
+      threshold: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, text, n, threshold).localCheckpoint()
+    val labels = components(pairs)
+    val lab = labels.join(
+        labels.groupBy(col("comp")).agg(count(lit(1)).as("__k")), Seq("comp"))
+      .select(col("id").as(idCol), col("__k"))
+      .localCheckpoint() // pin before the pair/label checkpoints go unreferenced
+    docs.select(col(idCol))
+      .join(lab, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__k"), lit(1L)).as("cluster_size"),
+        graft.Canonical.round4(lit(1.0) / coalesce(col("__k"), lit(1L))).as("weight"))
+  }
+
+  /** The portable per-document coin of the soft arm: keep iff
+    * `slot(id) · k < 10000`, where `slot` is the
+    * [[Sampling.mixturePortable]] fingerprint coin — an EXACT integer
+    * comparison realizing probability `⌈10000/k⌉/10000 ≈ 1/k` with no
+    * per-row rate quantization, replayable in any engine.
+    */
+  def softDedupKeep(id: Column, clusterSize: Column): Column =
+    pmod(pmod(graft.functions.TextFunctions.fingerprint(
+      concat(lit("softdedup:"), id.cast("string"))), lit(100000L))
+      * lit(2654435761L), lit(10000L)) * clusterSize < lit(10000L)
+
+  /** Soft-dedup sampled corpus: the documents whose coin keeps them —
+    * one expected survivor per near-dup cluster, position-uniform rather
+    * than min-id-biased. Semi-join on the unskewed id, so a mass-dup
+    * cluster's bodies never converge on one reducer.
+    */
+  def softDedupSample(docs: DataFrame, idCol: String, text: Column, n: Int,
+      threshold: Double): DataFrame = {
+    val kept = duplicationWeights(docs, idCol, text, n, threshold)
+      .filter(softDedupKeep(col(idCol), col("cluster_size")))
+      .select(col(idCol))
+    docs.join(kept, Seq(idCol), "left_semi")
+  }
+
   // — streaming-maintained ingest index ————————————————————————————————————
   //   The STREAMING twin of the hash/band indexes above, designed for a
   //   sink that must be exactly-once under micro-batch replay. Two deltas

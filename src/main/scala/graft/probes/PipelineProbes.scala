@@ -2393,6 +2393,46 @@ object PipelineProbes {
          |ORDER BY arm ASC NULLS FIRST, id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
     })
 
+  // — duplication-aware soft dedup (1/k cluster weights + portable coin) —
+  //   duplicationWeights over the documents fixture: exact 3-gram pairs →
+  //   transitive closure (the x23 machinery) → cluster size k → weight
+  //   round4(1/k), plus the kept flag of the sampled arm — an EXACT
+  //   integer coin (slot·k < 10000 on the positional fingerprint), so
+  //   every column including the per-row sampling decision is
+  //   value-oracled.
+  private val x93 = Probe(
+    "x93_soft_dedup_weights",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents")).select(col("doc_id"), col("text"))
+      Dedup.duplicationWeights(docs, "doc_id", col("text"), n = 3, threshold = 0.2)
+        .withColumn("kept", Dedup.softDedupKeep(col("doc_id"), col("cluster_size")))
+        .orderBy("doc_id")
+    },
+    Some {
+      val fp = graft.ops.TextStats.fingerprintSql("('softdedup:' || CAST(d.doc_id AS VARCHAR))")
+      s"""WITH RECURSIVE ${ExtensionProbes.jacCte(0.2)},
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM jac
+         |  UNION SELECT id_b, id_a FROM jac),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS comp
+         |  FROM reach GROUP BY src),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |ksz AS (SELECT comp, CAST(count(*) AS BIGINT) AS k FROM lab GROUP BY comp)
+         |SELECT d.doc_id, ksz.k AS cluster_size,
+         |  ${graft.Canonical.round4Sql("1.0 / ksz.k")} AS weight,
+         |  ((($fp % 100000) * 2654435761) % 10000) * ksz.k < 10000 AS kept
+         |FROM documents d
+         |JOIN lab ON lab.doc_id = d.doc_id
+         |JOIN ksz ON ksz.comp = lab.comp
+         |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
+    })
+
   // — host-scoped boilerplate line removal (CCNet/OpenWebText trick) ————
   //   Fixture: hosts from doc_id % 7; every page carries a host NAV line
   //   (df ≈ pages-per-host ≥ minDf → dropped), pages with doc_id % 3 = 0
@@ -2466,5 +2506,5 @@ object PipelineProbes {
 
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92)
+    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93)
 }

@@ -889,6 +889,36 @@ class OpsSpec extends SparkSpec {
       s"dHash arm should miss every noisy twin: ${planted.intersect(pairsD).take(5)}")
   }
 
+  test("soft dedup: cluster sizes and 1/k weights; the sampled arm equals the per-id coin") {
+    val a = "aa bb cc dd ee ff gg hh"
+    val b = "pp qq rr ss tt uu vv ww"
+    val docs = Seq(
+      (1L, a), (2L, a), (3L, a),                      // exact triplet → k = 3
+      (10L, b), (11L, "pp qq rr ss tt uu vv XX"),     // near pair → k = 2
+      (20L, "totally unrelated words entirely here")  // singleton → k = 1
+    ).toDF("doc_id", "text")
+    val w = Dedup.duplicationWeights(docs, "doc_id", $"text", n = 3, threshold = 0.2)
+    val rows = w.orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 3L, 0.3333), (2L, 3L, 0.3333), (3L, 3L, 0.3333),
+      (10L, 2L, 0.5), (11L, 2L, 0.5),
+      (20L, 1L, 1.0)), s"got $rows")
+    // the sampled arm is exactly the coin filter over the weights frame
+    val sampled = Dedup.softDedupSample(docs, "doc_id", $"text", n = 3, threshold = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val coin = w.filter(Dedup.softDedupKeep(col("doc_id"), col("cluster_size")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(sampled == coin, s"sampled $sampled != coin $coin")
+    assert(sampled.contains(20L), "a singleton's rate is 1.0 — it must always survive")
+    // expected-one-per-cluster at scale: a 400-copy cluster keeps ~1 doc
+    // (deterministic — the coin is a fixed function of the ids)
+    val big = (1L to 400L).map(i => (i, "same text body repeated verbatim ok fine"))
+      .toDF("doc_id", "text")
+    val keptBig = Dedup.softDedupSample(big, "doc_id", $"text", n = 3, threshold = 0.2).count()
+    assert(keptBig >= 1 && keptBig <= 5,
+      s"a 400-copy cluster at rate 1/400 kept $keptBig docs — coin badly biased")
+  }
+
   test("incrementalDedup: over-cap corpus hash index degrades to merge, never broadcast-builds") {
     // the corpus hash index is the only broadcastable side of the exact
     // left join (batch preserved) — with a checkpoint-backed corpus its
