@@ -2247,14 +2247,33 @@ object PipelineProbes {
       val (in, corpus, index, ckp) = (s"$base/in", s"$base/corpus", s"$base/index", s"$base/ckp")
       val cfg = graft.ops.Curate.Config(minQuality = 0.0, repetitionGate = false,
         dedupNgram = 3, dedupThreshold = 0.2)
-      b0.write.mode("append").parquet(in)
+      // each logical batch must appear in the watched dir ATOMICALLY: the
+      // running stream triggers continuously, and a multi-file write can
+      // be listed mid-write — splitting one logical batch across two
+      // micro-batches and shifting every later __batch label. One
+      // coalesced part file, staged outside the watched dir and renamed
+      // in, appears all-or-nothing.
+      def feed(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        val stage = s"$base/stage_$tag"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val sp = new org.apache.hadoop.fs.Path(stage)
+        val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(in))
+        val part = fs.listStatus(sp).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file staged at $stage"))
+        if (!fs.rename(part, new org.apache.hadoop.fs.Path(s"$in/$tag.parquet")))
+          throw new java.io.IOException(s"feed rename failed for $tag")
+        fs.delete(sp, true)
+      }
+      feed(b0, "b0")
       val q = graft.streaming.StreamingIngest.curatedCorpusIndexedSink(
         s.readStream.schema(schema).parquet(in), corpus, index, ckp, "doc_id", "text", cfg)
       try {
         q.processAllAvailable()
-        b1.write.mode("append").parquet(in)
+        feed(b1, "b1")
         q.processAllAvailable()
-        b2.write.mode("append").parquet(in)
+        feed(b2, "b2")
         q.processAllAvailable()
       } finally q.stop()
       s.read.parquet(corpus)

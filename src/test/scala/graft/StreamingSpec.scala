@@ -233,14 +233,18 @@ class StreamingSpec extends SparkSpec {
     val schema = b1.schema
 
     val (in, corpus, index, ckp) = (s"$base/in", s"$base/corpus", s"$base/index", s"$base/ckp")
-    b1.write.mode("append").parquet(in)
+    // single-file feeds: one part file appears atomically via the
+    // committer rename, so the running stream can never split a logical
+    // batch across two micro-batches (a multi-file write can be listed
+    // mid-commit)
+    b1.coalesce(1).write.mode("append").parquet(in)
     val q = StreamingIngest.curatedCorpusIndexedSink(
       spark.readStream.schema(schema).parquet(in), corpus, index, ckp, "doc_id", "text")
     try {
       q.processAllAvailable() // batch 1: intra-batch exact dedup drops doc 2
-      b2.write.mode("append").parquet(in)
+      b2.coalesce(1).write.mode("append").parquet(in)
       q.processAllAvailable() // batch 2: index probe drops 4 and 6
-      b3.write.mode("append").parquet(in)
+      b3.coalesce(1).write.mode("append").parquet(in)
       q.processAllAvailable() // batch 3: probes state appended by batches 1 AND 2
     } finally q.stop()
     val got = spark.read.parquet(corpus)
@@ -250,14 +254,14 @@ class StreamingSpec extends SparkSpec {
 
     // live-sink twin on the same batch boundaries: identical corpus
     val (in2, corpus2, ckp2) = (s"$base/in2", s"$base/corpus2", s"$base/ckp2")
-    b1.write.mode("append").parquet(in2)
+    b1.coalesce(1).write.mode("append").parquet(in2)
     val u = StreamingIngest.curatedCorpusSink(
       spark.readStream.schema(schema).parquet(in2), corpus2, ckp2, "doc_id", "text")
     try {
       u.processAllAvailable()
-      b2.write.mode("append").parquet(in2)
+      b2.coalesce(1).write.mode("append").parquet(in2)
       u.processAllAvailable()
-      b3.write.mode("append").parquet(in2)
+      b3.coalesce(1).write.mode("append").parquet(in2)
       u.processAllAvailable()
     } finally u.stop()
     val live = spark.read.parquet(corpus2).select($"doc_id", $"text")
@@ -277,17 +281,18 @@ class StreamingSpec extends SparkSpec {
     val b2 = Seq((4L, doc("w", 20, "zzz")), (5L, doc("y", 20))).toDF("doc_id", "text")
     val b3 = Seq((8L, t1), (9L, doc("v", 20))).toDF("doc_id", "text")
     val (in, corpus, index, ckp) = (s"$base/in", s"$base/corpus", s"$base/index", s"$base/ckp")
-    b1.write.mode("append").parquet(in)
+    b1.coalesce(1).write.mode("append").parquet(in)
     // compactEvery = 1: fold after EVERY batch — maximum stress on the
-    // keep-current-batch contract
+    // keep-current-batch contract; single-file feeds keep the logical
+    // batch ↔ micro-batch mapping deterministic
     val q = StreamingIngest.curatedCorpusIndexedSink(
       spark.readStream.schema(b1.schema).parquet(in), corpus, index, ckp,
       "doc_id", "text", compactEvery = 1)
     try {
       q.processAllAvailable()
-      b2.write.mode("append").parquet(in)
+      b2.coalesce(1).write.mode("append").parquet(in)
       q.processAllAvailable() // 4 near-dups 1 (via the compacted base), 5 new
-      b3.write.mode("append").parquet(in)
+      b3.coalesce(1).write.mode("append").parquet(in)
       q.processAllAvailable() // 8 exact-dups 1, 9 new
     } finally q.stop()
     assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet ==
@@ -312,11 +317,11 @@ class StreamingSpec extends SparkSpec {
 
     // killed-and-resumed leg ------------------------------------------------
     val (in, corpus, index, ckp) = (s"$base/in", s"$base/corpus", s"$base/index", s"$base/ckp")
-    b1.write.mode("append").parquet(in)
+    b1.coalesce(1).write.mode("append").parquet(in)
     val q1 = StreamingIngest.curatedCorpusIndexedSink(
       spark.readStream.schema(schema).parquet(in), corpus, index, ckp, "doc_id", "text")
     try q1.processAllAvailable() finally q1.stop() // batch 0 committed, then the "kill"
-    b2.write.mode("append").parquet(in) // arrives while the query is down
+    b2.coalesce(1).write.mode("append").parquet(in) // arrives while the query is down
     // simulate the crashed FIRST ATTEMPT of batch 1: it wrote its corpus
     // partition AND appended to the index, but the checkpoint commit never
     // happened. Both are poisoned with doc 4's text under a foreign id —
@@ -331,12 +336,12 @@ class StreamingSpec extends SparkSpec {
 
     // uninterrupted twin ----------------------------------------------------
     val (in2, corpus2, index2, ckp2) = (s"$base/in2", s"$base/corpus2", s"$base/index2", s"$base/ckp2")
-    b1.write.mode("append").parquet(in2)
+    b1.coalesce(1).write.mode("append").parquet(in2)
     val u = StreamingIngest.curatedCorpusIndexedSink(
       spark.readStream.schema(schema).parquet(in2), corpus2, index2, ckp2, "doc_id", "text")
     try {
       u.processAllAvailable()
-      b2.write.mode("append").parquet(in2)
+      b2.coalesce(1).write.mode("append").parquet(in2)
       u.processAllAvailable()
     } finally u.stop()
 
