@@ -247,4 +247,33 @@ object Graft {
   def streamCuratedCorpus(docs: DataFrame, corpusPath: String, checkpoint: String,
       idCol: String, textCol: String, cfg: Curate.Config = Curate.Config()) =
     StreamingIngest.curatedCorpusSink(docs, corpusPath, checkpoint, idCol, textCol, cfg)
+
+  /** [[streamCuratedCorpus]] with a streaming-maintained dedup index —
+    * per-batch cost tracks the batch, not the corpus (the daily-ingest
+    * deployment shape); exactly-once through the index under replay.
+    */
+  def streamCuratedCorpusIndexed(docs: DataFrame, corpusPath: String, indexPath: String,
+      checkpoint: String, idCol: String, textCol: String,
+      cfg: Curate.Config = Curate.Config(), compactEvery: Int = 0) =
+    StreamingIngest.curatedCorpusIndexedSink(docs, corpusPath, indexPath, checkpoint,
+      idCol, textCol, cfg, compactEvery = compactEvery)
+
+  /** Exact quantiles of an integral column without a global sort. */
+  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame =
+    Quantiles.exactQuantiles(df, valueCol, qs)
+
+  /** Per-document near-dup cluster sizes + 1/k soft-dedup weights. */
+  def duplicationWeights(docs: DataFrame, idCol: String, text: Column,
+      n: Int = 3, threshold: Double = 0.5): DataFrame =
+    Dedup.duplicationWeights(docs, idCol, text, n, threshold)
+
+  /** Soft-dedup sampled corpus: one expected survivor per cluster. */
+  def softDedupSample(docs: DataFrame, idCol: String, text: Column,
+      n: Int = 3, threshold: Double = 0.5): DataFrame =
+    Dedup.softDedupSample(docs, idCol, text, n, threshold)
+
+  /** Host-scoped boilerplate line removal (CCNet line-frequency trick). */
+  def removeHostBoilerplate(docs: DataFrame, idCol: String, hostCol: String,
+      textCol: String, minDf: Long): DataFrame =
+    Curate.removeHostBoilerplate(docs, idCol, hostCol, textCol, minDf)
 }

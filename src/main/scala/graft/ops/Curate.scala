@@ -333,7 +333,10 @@ object Curate {
     * whitespace-only lines never count toward frequency and are kept in
     * place; a line counts ONCE per page toward its host's df; pages
     * whose every line is dropped keep an empty text (downstream quality
-    * gates are the arbiter). Returns (idCol, hostCol, textCol).
+    * gates are the arbiter). `hostCol` is expected non-null (run a
+    * provenance gate first): null-host rows group together for the df
+    * count but never match the anti-join, so their lines are always
+    * kept. Returns (idCol, hostCol, textCol).
     *
     * Plan shape: one line explode (pinned — it feeds the df count AND
     * reassembly); df is a map-side-combinable count of distinct
