@@ -7,9 +7,9 @@ import graft.sources.Readers
 /** End-to-end ETL orchestration (reference `etl/main.py` main flow), with
   * the deliberate physical deltas of SURVEY §7.3:
   *
-  *   - the flat frame is cached once and reused by every dim build, DQ
-  *     checkpoint and write (the reference recomputes the non-splittable CSV
-  *     parse dozens of times);
+  *   - the flat frame is materialized once (eager localCheckpoint) and
+  *     reused by every dim build, DQ checkpoint and write (the reference
+  *     recomputes the non-splittable CSV parse dozens of times);
   *   - each checkpoint is a single aggregation job ([[DqRunner]]);
   *   - surrogate keys are deterministic sha2 by default, so the written
   *     star schema is referentially closed (SURVEY §2.12.1); `uuid()` parity
@@ -77,15 +77,19 @@ object EtlJob {
     val parsed = Flatten.parse(Readers.fanOut(raw))
     dq ++= DqRunner.run(parsed, "After Parsing", cfg.clock)
 
-    val flat = Flatten.flatten(parsed).cache()
-    flat.count() // materialize once; every consumer below reuses it
+    // localCheckpoint (eager), not cache+count: a cached plan keeps its
+    // lineage, so an eviction under memory pressure recomputes the whole
+    // non-splittable CSV parse — and re-opens the block-lock race between
+    // the dim broadcast-exchange threads. The checkpoint truncates the
+    // lineage: evicted blocks drop to disk, recompute is impossible.
+    // Blocks free when the frame is GC'd after this job returns.
+    val flat = Flatten.flatten(parsed).localCheckpoint()
 
     val wh0 = buildFromFlat(flat, cfg)
     val wh = wh0.copy(dqChecks = (dq ++ wh0.dqChecks).toSeq)
 
     write(wh, cfg)
     cfg.dqReportPath.foreach(p => DqRunner.writeReport(spark, wh.dqChecks, p))
-    flat.unpersist()
     wh
   }
 

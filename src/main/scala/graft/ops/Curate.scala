@@ -376,8 +376,12 @@ object Curate {
       .agg(concat_ws(sep,
         transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
           s => s.getField("__line"))).as(textCol))
+    // Reassembly joins on idCol ALONE: it uniquely identifies the page, and
+    // an equi-join that included hostCol would never match a null-host page
+    // (null != null), silently replacing its whole text with "" — the exact
+    // opposite of the documented null-host contract above.
     docs.select(col(idCol), col(hostCol))
-      .join(rebuilt, Seq(idCol, hostCol), "left")
+      .join(rebuilt.drop(hostCol), Seq(idCol), "left")
       .select(col(idCol), col(hostCol),
         coalesce(col(textCol), lit("")).as(textCol))
   }

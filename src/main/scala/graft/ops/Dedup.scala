@@ -1214,6 +1214,171 @@ object Dedup {
     writeBloomFile(spark, s"$path/bloom.bin", index.bloom, index.expectedItems, index.fpp)
   }
 
+  // — persisted PARAGRAPH index (FineWeb incremental deployment shape) —————
+  //   [[paragraphDedup]] is corpus-wide: every call pays the full corpus
+  //   explode + election. The deployment shape FineWeb actually runs is
+  //   incremental — today's crawl batch dedups paragraph-by-paragraph
+  //   against everything already ingested, and the corpus side must cost
+  //   a COLUMN SCAN of a compact digest index, never a corpus re-explode
+  //   (let alone corpus²). The paragraph index is the sub-document twin of
+  //   [[writeHashIndex]]: one (sha256 → min corpus id) row per DISTINCT
+  //   corpus paragraph, plus the Bloom sketch that lets the common case
+  //   (a genuinely new paragraph) skip the verify join entirely.
+
+  /** A loaded persistent paragraph index: the digest→min-corpus-id table
+    * (parquet-backed, executor-scanned) and the driver-resident Bloom
+    * sketch over `xxhash64` of the digests. `sep` rides in meta.json so a
+    * batch can never silently split on a different separator than the
+    * corpus was indexed with.
+    */
+  final case class ParagraphIndex(
+      paras: DataFrame, // (__h sha256 of paragraph, __para_of min corpus id)
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      expectedItems: Long, fpp: Double, sep: String)
+
+  /** One corpus paragraph row per (id, pos): explode on `sep`, drop
+    * blank-after-trim paragraphs — the EXACT same grain as
+    * [[paragraphDedup]], shared so the live and indexed paths can never
+    * disagree about what a paragraph is.
+    */
+  private def paragraphTable(docs: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    docs.withColumn(idCol, idNotNull(idCol))
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF(idCol, "__pos", "__para")
+      .filter(length(trim(col("__para"))) > 0)
+
+  /** Persist the corpus-side state of incremental paragraph dedup:
+    * `path/paras` parquet (`__h` sha256 of the paragraph body, `__para_of`
+    * min corpus id) + `path/bloom.bin` (creation params in the header) +
+    * `path/meta.json` (the separator — deleted FIRST on rebuild and
+    * written LAST, so its presence marks a complete index even when a
+    * rebuild over an existing index crashes mid-rewrite).
+    *
+    * 100-TB plan shape: one corpus explode, then `groupBy(digest).agg(min
+    * (id))` — MAP-SIDE combine collapses a boilerplate paragraph repeated
+    * 10⁸ times to one row per input partition before the shuffle (same
+    * skew armor as [[paragraphDedup]]'s election); the sketch builds from
+    * the PERSISTED table (a compact re-read, not a second corpus pass) so
+    * the two artifacts can never disagree about membership.
+    */
+  def writeParagraphIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, expectedItems: Long, fpp: Double = 0.01,
+      sep: String = "\n"): Unit = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    val spark = corpus.sparkSession
+    locally { // invalidate the completeness marker before touching tables
+      val (fs, metaP) = hadoopFs(spark, s"$path/meta.json")
+      if (fs.exists(metaP)) fs.delete(metaP, false)
+    }
+    paragraphTable(corpus, idCol, textCol, sep)
+      .select(sha2(col("__para"), 256).as("__h"), col(idCol).as("__cid"))
+      .groupBy(col("__h")).agg(min(col("__cid")).as("__para_of"))
+      .write.mode("overwrite").parquet(s"$path/paras")
+    val persisted = spark.read.parquet(s"$path/paras")
+    val bf =
+      if (persisted.isEmpty) emptyBloom(spark, expectedItems, fpp)
+      else persisted.select(xxhash64(col("__h")).as("__k"))
+        .stat.bloomFilter("__k", expectedItems, fpp)
+    writeBloomFile(spark, s"$path/bloom.bin", bf, expectedItems, fpp)
+    writeTextFile(spark, s"$path/meta.json",
+      // sep as JSON code points — exact round-trip for any separator
+      s"""{"sep_cps":[${sep.codePoints().toArray.mkString(",")}]}""")
+  }
+
+  /** Load a persisted paragraph index. The digest table is a lazy parquet
+    * frame; only the sketch is driver-held.
+    */
+  def readParagraphIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): ParagraphIndex = {
+    val meta = readTextFile(spark, s"$path/meta.json")
+    val sep = new String("""\"sep_cps\":\[([0-9,\s]*)\]""".r.findFirstMatchIn(meta)
+      .map(_.group(1)).getOrElse(throw new IllegalStateException(
+        s"paragraph index at $path has no sep_cps in meta.json"))
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+      .foldLeft(new java.lang.StringBuilder()) { (b, cp) => b.appendCodePoint(cp) })
+    val (fs, p) = hadoopFs(spark, s"$path/bloom.bin")
+    val in = fs.open(p)
+    val (bf, items, fpp) =
+      try {
+        val dis = new java.io.DataInputStream(in)
+        val items = dis.readLong()
+        val fpp = dis.readDouble()
+        (org.apache.spark.util.sketch.BloomFilter.readFrom(dis), items, fpp)
+      } finally in.close()
+    ParagraphIndex(spark.read.parquet(s"$path/paras"), bf, items, fpp, sep)
+  }
+
+  /** [[paragraphDedup]] against a persisted [[ParagraphIndex]] — the
+    * incremental contract of the whole index family: a batch paragraph
+    * whose content already exists ANYWHERE in the indexed corpus is cut
+    * (arrival order wins — the corpus was there first); among the batch's
+    * own paragraphs, the min `(id, pos)` occurrence survives (the same
+    * election [[paragraphDedup]] runs corpus-wide). Documents left with
+    * zero surviving paragraphs drop out; survivors reassemble in original
+    * order. Returns (idCol, textCol).
+    *
+    * Per-batch cost at 100 TB: batch explode + batch-keyed election (map-
+    * side combined), a Bloom probe per distinct batch paragraph, and ONE
+    * verify join of the sketch-positive digests against the compact
+    * on-disk table — the corpus is never re-exploded, never self-joined,
+    * and certainly-new paragraphs (the overwhelming majority of a crawl)
+    * cost zero index I/O beyond the scan the positives share.
+    */
+  def incrementalParagraphIndexed(index: ParagraphIndex, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val paras = paragraphTable(batch, idCol, textCol, index.sep)
+      .localCheckpoint() // pin: feeds election, survivor join AND reassembly
+    val keyed = paras.select(sha2(col("__para"), 256).as("__h"), col(idCol), col("__pos"))
+    // in-batch election (map-side combine collapses hot digests pre-shuffle)
+    val batchWin = keyed
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__slot"))
+    // corpus check: Bloom-negative winners are certainly new (no false
+    // negatives) and bypass the verify join; positives verify against the
+    // digest table so the classification stays exact
+    val positive = batchWin
+      .filter(graft.functions.BloomFunctions.mightContain(xxhash64(col("__h")), index.bloom))
+      .join(index.paras.select(col("__h"), col("__para_of")), Seq("__h"), "left")
+      .filter(col("__para_of").isNull).drop("__para_of")
+    val negative = batchWin
+      .filter(!graft.functions.BloomFunctions.mightContain(xxhash64(col("__h")), index.bloom))
+    val surv = positive.unionByName(negative)
+      .select(col("__slot")(idCol).as(idCol), col("__slot")("__pos").as("__pos"))
+    paras.join(surv, Seq(idCol, "__pos"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(concat_ws(index.sep,
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          s => s.getField("__para"))).as(textCol))
+  }
+
+  /** Fold a batch's ACCEPTED documents' paragraphs into a persisted
+    * paragraph index without rebuilding it — the [[appendToHashIndex]]
+    * twin: new digest rows anti-join the existing table (idempotent
+    * re-ingest; intra-batch duplicates elect min id) and append as new
+    * parquet parts; their keys merge into the sketch via a bit-compatible
+    * delta. The sketch saturates past `expectedItems` total inserts (fpp
+    * degrades, correctness doesn't — positives always verify); rewrite
+    * with [[writeParagraphIndex]] when the corpus outgrows it.
+    */
+  def appendToParagraphIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+    val index = readParagraphIndex(spark, path)
+    val fresh = paragraphTable(newDocs, idCol, textCol, index.sep)
+      .select(sha2(col("__para"), 256).as("__h"), col(idCol).as("__cid"))
+      .groupBy(col("__h")).agg(min(col("__cid")).as("__para_of"))
+      .join(index.paras, Seq("__h"), "left_anti")
+      .localCheckpoint() // pin BEFORE the append below rewrites the dir it reads
+    val delta =
+      if (fresh.isEmpty) emptyBloom(spark, index.expectedItems, index.fpp)
+      else fresh.select(xxhash64(col("__h")).as("__k"))
+        .stat.bloomFilter("__k", index.expectedItems, index.fpp)
+    fresh.write.mode("append").parquet(s"$path/paras")
+    index.bloom.mergeInPlace(delta)
+    writeBloomFile(spark, s"$path/bloom.bin", index.bloom, index.expectedItems, index.fpp)
+  }
+
   // — persisted NEAR-dup probe state (band index) ——————————————————————————
   //   The banding twin of [[writeHashIndex]]: [[incrementalDedup]] pays a
   //   full corpus tokenize + shingle explode + 64-permutation MinHash per
@@ -1483,8 +1648,10 @@ object Dedup {
   /** Persist the corpus-side state of [[incrementalSemanticDedup]]:
     * `path/{vecs,hashes,buckets}` parquet + `path/bloom.bin` (sketch over
     * the xxhash64 content keys, creation params in the header) +
-    * `path/meta.json` (hyperplane geometry — written LAST, so its
-    * presence marks a complete index). One corpus pass builds the
+    * `path/meta.json` (hyperplane geometry — deleted FIRST on rebuild and
+    * written LAST, so its presence marks a complete index even when a
+    * rebuild over an existing index crashes mid-rewrite). One corpus pass
+    * builds the
     * bucketed vector table; hashes and buckets derive from the persisted
     * copy, so the artifacts can never disagree.
     */
@@ -1493,6 +1660,14 @@ object Dedup {
       seed: Long = 42L): Unit = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
     val spark = corpus.sparkSession
+    // Invalidate the completeness marker BEFORE touching any table: a
+    // rebuild over an existing index that crashes mid-rewrite (vecs done,
+    // hashes/buckets stale) must not leave the old meta.json vouching for
+    // mutually inconsistent tables.
+    locally {
+      val (fs, metaP) = hadoopFs(spark, s"$path/meta.json")
+      if (fs.exists(metaP)) fs.delete(metaP, false)
+    }
     val planes = Similarity.hyperplanes(numPlanes, dim, seed)
     corpus
       .select(col(idCol).as("corpus_id"), col(vecCol).as("__cvec"),
@@ -2048,6 +2223,15 @@ object Dedup {
   private[graft] def stageIngestCompaction(spark: org.apache.spark.sql.SparkSession,
       path: String, keepIngest: Option[Long] = None): Unit = {
     val (fs, _) = hadoopFs(spark, path)
+    // Clear EVERY table's staging dir up front — including tables whose
+    // sources turn out empty this run. A compaction that crashed before its
+    // marker leaves orphan staging dirs; without this sweep, a later run
+    // that stages only some tables would let finishIngestCompaction publish
+    // the stale orphans over live base partitions.
+    IngestTables.foreach { tbl =>
+      val stale = new org.apache.hadoop.fs.Path(s"$path/$tbl.staging")
+      if (fs.exists(stale)) fs.delete(stale, true)
+    }
     val kept = keepIngest.map(id => s"__ingest=$id")
     // source partitions per table, recorded BEFORE writing staging so the
     // marker can only ever name dirs the staged data actually contains

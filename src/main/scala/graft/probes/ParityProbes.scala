@@ -474,16 +474,21 @@ object ParityProbes {
       dimState: DataFrame, dimDate: DataFrame, dimShipping: DataFrame, fact: DataFrame)
 
   private def parcelBuildAll(s: SparkSession, dir: String): ParcelTables = {
-    // cached once, reused by every dim/fact subtree (EtlJob's documented
-    // physical delta, SURVEY §7.3) — without this each of the ~8 subtrees
-    // recompiles and re-executes the whole synth+parse+flatten projection.
-    // Materialized EAGERLY: the dim broadcast-exchange threads otherwise
-    // race to compute the same cached partitions and stall on block locks
-    // (observed minutes-long hangs against the 300 s broadcast timeout).
+    // materialized once, reused by every dim/fact subtree (EtlJob's
+    // documented physical delta, SURVEY §7.3) — without this each of the
+    // ~8 subtrees recompiles and re-executes the whole synth+parse+flatten
+    // projection. localCheckpoint (eager), NOT persist+count: a cached
+    // plan leaves lineage behind it, and under memory pressure an evicted
+    // partition recomputes — re-opening the block-lock race between the
+    // dim broadcast-exchange threads that eager materialization was added
+    // to close (observed minutes-long stalls against the 300 s broadcast
+    // timeout; the r9 driver recorded q17@sf1 at 297 s min-of-2 vs 13 s
+    // idle with byte-identical shuffle). The checkpoint truncates lineage
+    // entirely: evicted blocks go to disk, recompute is impossible, and
+    // the broadcast threads read inert blocks instead of a shared plan.
     // fan out first: events.parquet is a single row-group at test SFs, so
     // the to_json synth + from_json parse would otherwise run on one core
-    val flat = Flatten(EventsVocab.synth(Readers.fanOut(t(s, dir, "events")))).persist()
-    flat.count()
+    val flat = Flatten(EventsVocab.synth(Readers.fanOut(t(s, dir, "events")))).localCheckpoint()
     val dimClient = Dims.client(flat, SurrogateKeys.Deterministic)
     val dimLocation = Dims.location(flat, SurrogateKeys.Deterministic)
     val dimState = Dims.state(flat, SurrogateKeys.Deterministic)

@@ -452,6 +452,27 @@ class CurationSpec extends SparkSpec {
     assert(r3 == r2, s"classification changed after an append replay: $r3 vs $r2")
   }
 
+  test("writeVecIndex: a crashed rebuild cannot leave a stale completeness marker") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "vecIdxCrash").toString
+    Dedup.writeVecIndex(corpus, "vec_id", "embedding", s"$base/vec",
+      numPlanes = 2, dim = 2, expectedItems = 10L)
+    assert(Dedup.readVecIndex(spark, s"$base/vec").dim == 2)
+    // rebuild whose corpus evaluation throws inside the FIRST table write:
+    // meta.json must already be invalidated, so a later reader fails loudly
+    // instead of loading the old marker over mutually inconsistent tables
+    val poison = corpus.withColumn("embedding",
+      when(assert_true(col("vec_id") =!= 1L).isNull, col("embedding")))
+    intercept[Exception] {
+      Dedup.writeVecIndex(poison, "vec_id", "embedding", s"$base/vec",
+        numPlanes = 2, dim = 2, expectedItems = 10L)
+    }
+    intercept[Exception] { Dedup.readVecIndex(spark, s"$base/vec") }
+  }
+
   test("incrementalSemanticIndexed: corpus-scale index frames never broadcast-build") {
     // same hazard class as the live operator: the vecs frame and the hash
     // index both carry full corpus vectors — over the batch cap the cold
@@ -691,7 +712,10 @@ class CurationSpec extends SparkSpec {
       (4L, "a", "FOOT"),                      // fully boilerplate → empty text
       (5L, "a", "FOOT\n\nkeep me"),           // blank line preserved in place
       (10L, "b", "FOOT\nother one"),          // host b: FOOT df=2 < 3 → kept
-      (11L, "b", "other two\nFOOT")
+      (11L, "b", "other two\nFOOT"),
+      // null host: never matches the anti-join AND must survive reassembly
+      // (the join is on doc_id alone — an equi-join on host would wipe it)
+      (12L, null.asInstanceOf[String], "FOOT\nnull host keeps")
     ).toDF("doc_id", "host", "text")
     val got = Curate.removeHostBoilerplate(docs, "doc_id", "host", "text", minDf = 3)
       .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
@@ -702,7 +726,8 @@ class CurationSpec extends SparkSpec {
       (4L, "a", ""),
       (5L, "a", "\nkeep me"),
       (10L, "b", "FOOT\nother one"),
-      (11L, "b", "other two\nFOOT")), s"got $got")
+      (11L, "b", "other two\nFOOT"),
+      (12L, null, "FOOT\nnull host keeps")), s"got $got")
     // over-cap arm classifies identically
     val shuffled = Curate.removeHostBoilerplate(docs, "doc_id", "host", "text",
         minDf = 3, hotBroadcastCap = 0L)

@@ -806,6 +806,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ingest index compaction: an orphan staging dir from a pre-marker crash never publishes") {
+    // hazard: a compaction that crashed BEFORE its marker leaves staging
+    // dirs behind; a later run whose source list for that table is empty
+    // must not let finishIngestCompaction rename the orphan over live base
+    // rows (stageIngestCompaction sweeps every table's staging up front)
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "ingestOrphan").toString
+    Dedup.initIngestIndex(spark, base, n = 3, numPerm = 64, numBands = 16,
+      rowsPerBand = 4, expectedItems = 1000L)
+    Dedup.appendToIngestIndex(spark, base,
+      Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text"), "doc_id", "text",
+      ingestId = 0L)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant the orphan (content is irrelevant — publish is a dir rename)
+    Seq((999L, "POISON")).toDF("doc_id", "junk")
+      .write.parquet(s"$base/shingles.staging")
+    // make shingles' source list empty for the next compaction run
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/shingles/__ingest=*")))
+      .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, true))
+    Dedup.compactIngestIndex(spark, base)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/shingles.staging")),
+      "the orphan staging dir must be swept")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/shingles/__ingest=-1")),
+      "an empty-source table must not publish a stale staging dir as its base")
+    // the non-empty tables still folded normally
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/hashes/__ingest=-1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/_compacting.json")))
+  }
+
   test("exactQuantiles: histogram refinement matches the sorted ground truth at every edge") {
     // deterministic mixed fixture: pseudo-random spread, a heavy tie run,
     // negatives, and near-extreme longs (exercises the BigInt width path)
