@@ -2523,7 +2523,85 @@ object PipelineProbes {
            |FROM rk JOIN r ON r.rn = rk.rank
            |ORDER BY q ASC NULLS FIRST""".stripMargin))
 
+  // — incremental paragraph dedup against a persisted paragraph index —————
+  //   The FineWeb deployment shape x49 only covers corpus-wide: today's
+  //   crawl batch dedups paragraph-by-paragraph against a marker-cached
+  //   on-disk [[Dedup.ParagraphIndex]] (digest→min-corpus-id parquet +
+  //   Bloom sketch) — the corpus is never re-exploded per batch. Fixture
+  //   plants every election arm: corpus = even docs with a shared
+  //   'CORP FOOTER' paragraph; batch = odd docs carrying (a) a paragraph
+  //   shared across EVERY batch doc ('BATCH COMMON' — only the min batch
+  //   id keeps it, the in-batch election), (b) their own unique text
+  //   (survives), (c) their even predecessor's text (in the corpus → cut,
+  //   the cross-batch/corpus arm), (d) the corpus footer (cut), plus one
+  //   all-corpus-paragraph doc that must drop out entirely. The oracle
+  //   replays the whole classification — index semantics must be
+  //   indistinguishable from first-principles SQL over the same frames.
+  private val X94IndexV = "v1"
+  private def x94Index(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val srcTok = graft.TmpDir.sourceToken(s"$dir/documents.parquet")
+    val path = s"${graft.TmpDir.root}/tmp/x94_paraidx_${X94IndexV}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcTok"
+    val marker = new java.io.File(s"$path/meta.json") // written LAST
+    if (!marker.exists()) synchronized {
+      if (!marker.exists()) {
+        val corpus = Readers.fanOut(t(s, dir, "documents"))
+          .filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), concat(col("text"), lit("\nCORP FOOTER")).as("text"))
+        Dedup.writeParagraphIndex(corpus, "doc_id", "text", path, expectedItems = 10000L)
+      }
+    }
+    path
+  }
+  private val x94 = Probe(
+    "x94_incremental_paragraph_dedup",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val pred = docs.select(col("doc_id").as("__pid"), col("text").as("__ptext"))
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .join(pred, col("__pid") === col("doc_id") - 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws("\n", lit("BATCH COMMON"), col("text"), col("__ptext"),
+            lit("CORP FOOTER")).as("text"))
+        .unionByName(s.range(1)
+          .select(lit(3000000L).as("doc_id"), lit("CORP FOOTER").as("text")))
+      Dedup.incrementalParagraphIndexed(
+          Dedup.readParagraphIndex(s, x94Index(s, dir)), batch, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (
+           |  SELECT doc_id, text || chr(10) || 'CORP FOOTER' AS text
+           |  FROM documents WHERE doc_id % 2 = 0),
+           |batch AS (
+           |  SELECT a.doc_id + 1000000 AS doc_id,
+           |    'BATCH COMMON' || chr(10) || a.text || chr(10) || b.text ||
+           |      chr(10) || 'CORP FOOTER' AS text
+           |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id - 1
+           |  WHERE a.doc_id % 2 = 1
+           |  UNION ALL SELECT 3000000, 'CORP FOOTER'),
+           |csp AS (SELECT string_split(text, chr(10)) AS l FROM corpus),
+           |cp AS (
+           |  SELECT DISTINCT u.para FROM (
+           |    SELECT unnest([{'pos': i, 'para': l[i]} for i in range(1, len(l) + 1)]) AS u
+           |    FROM csp)
+           |  WHERE length(trim(u.para)) > 0),
+           |bsp AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM batch),
+           |bp AS (
+           |  SELECT doc_id, u.pos, u.para FROM (
+           |    SELECT doc_id, unnest([{'pos': i, 'para': l[i]} for i in range(1, len(l) + 1)]) AS u
+           |    FROM bsp)
+           |  WHERE length(trim(u.para)) > 0),
+           |bw AS (
+           |  SELECT doc_id, pos FROM (
+           |    SELECT doc_id, pos, para,
+           |      row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+           |    FROM bp)
+           |  WHERE rn = 1 AND para NOT IN (SELECT para FROM cp))
+           |SELECT p.doc_id, string_agg(p.para, chr(10) ORDER BY p.pos) AS text
+           |FROM bp p JOIN bw ON bw.doc_id = p.doc_id AND bw.pos = p.pos
+           |GROUP BY p.doc_id
+           |ORDER BY p.doc_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93)
+    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94)
 }
