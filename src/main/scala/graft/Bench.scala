@@ -150,10 +150,13 @@ object Bench {
   //   q17@sf1 at 297 s min-of-2 vs 13 s on two same-build idle runs with
   //   byte-identical shuffle; the artifact could not attribute the gap.
   //   Every sample now carries GC-time delta, JVM heap peak over the
-  //   sample window, and 1-min loadavg at start+end, so exogenous host
-  //   contention (load spike, flat GC) is distinguishable from an
-  //   engine-side pathology (GC thrash, heap-pressure recompute) straight
-  //   from the artifact) ————————————————————————————————————————————————
+  //   sample window, 1-min loadavg at start+end, and (round 11) the
+  //   process-CPU share — load1 alone could not separate self-load from
+  //   foreign load on a local[32] bench, cpu_share can — so exogenous host
+  //   contention (load spike, flat GC, near-zero cpu_share) is
+  //   distinguishable from an engine-side pathology (GC thrash,
+  //   heap-pressure recompute, cpu_share ≈ 1) straight from the artifact —
+
 
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
@@ -180,6 +183,19 @@ object Bench {
     catch {
       case _: Throwable =>
         java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    }
+
+  /** Cumulative CPU time of THIS JVM in nanos (−1 if the platform bean is
+    * unavailable). load1 cannot attribute a slow sample — a local[32]
+    * bench *generates* load ≈ its own parallelism — but the per-sample
+    * delta of this counter can: `cpu_share = Δcpu/(wall×cores)` near 1
+    * means the engine itself was busy the whole window (engine pathology);
+    * near 0 means the JVM was starved by foreign load (exogenous).
+    */
+  private def processCpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => math.max(0L, os.getProcessCpuTime)
+      case _ => -1L
     }
 
   def main(args: Array[String]): Unit = {
@@ -300,10 +316,35 @@ object Bench {
     /** One sample; returns seconds on success. Every outcome goes to
       * stderr as a JSONL line immediately.
       */
+    /** Render one sample's telemetry object (shared by both legs). */
+    def telemJson(phase: String, dt: Double, gc0: Long, cpu0: Long, l0: Double): String = {
+      val cpuShare =
+        if (cpu0 < 0) -1.0
+        else (processCpuNanos() - cpu0) / 1e9 / (dt * cpus.toDouble)
+      f"""{"phase":"$phase","sec":$dt%.3f,"gc_ms":${gcMillis() - gc0},"cpu_share":$cpuShare%.2f,"heap_peak_mb":${heapPeakMb()}%.0f,"load1":$l0%.2f,"load1_end":${load1()}%.2f}"""
+    }
+
+    /** Drop persisted intermediates so queries are timed in isolation.
+      * clearCache() misses localCheckpoint blocks (Dedup/Curate/q17 stage
+      * pins): those normally free only when the driver GCs the RDD
+      * reference and the ContextCleaner notices — by default up to 30 min
+      * later — so a multi-pass run accumulates every dropped plan's blocks
+      * and later samples pay the storage/GC pressure (r10's q17@sf1 pass2
+      * peaked at 35 GB heap vs pass1's 14.4 GB for identical shuffle: both
+      * passes' checkpoint blocks were alive at once). Unpersisting every
+      * registered RDD is deterministic and blocking; the follow-up gc()
+      * lets the cleaner reap anything reference-held.
+      */
+    def dropPersisted(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
     def runOne(name: String, phase: String): Option[Double] = {
       val s0 = tap.settle() // drain the listener bus BEFORE the clock starts
       resetHeapPeaks()
-      val (gc0, l0) = (gcMillis(), load1())
+      val (gc0, cpu0, l0) = (gcMillis(), processCpuNanos(), load1())
       val t0 = System.nanoTime()
       val r =
         try {
@@ -320,20 +361,11 @@ object Bench {
         failed.remove(name)
         val d = tap.settle() - s0
         shuffle.update(name, d)
-        val tm = f"""{"phase":"$phase","sec":$dt%.3f,"gc_ms":${gcMillis() - gc0},"heap_peak_mb":${heapPeakMb()}%.0f,"load1":$l0%.2f,"load1_end":${load1()}%.2f}"""
+        val tm = telemJson(phase, dt, gc0, cpu0, l0)
         telem.updateWith(name)(v => Some(v.getOrElse(Vector.empty) :+ tm))
         System.err.println(f"""{"bench_sample":"$name","phase":"$phase","sec":$dt%.3f,"shuffle_r_mb":${d.readMb}%.2f,"shuffle_w_mb":${d.writeMb}%.2f,"spill_mb":${d.spillMb}%.2f,"telem":$tm}""")
       }
-      // drop persisted intermediates so queries are timed in isolation.
-      // clearCache() misses localCheckpoint blocks (Dedup/Curate stage
-      // pins): those free only when the driver GCs the RDD reference and
-      // the ContextCleaner notices — by default up to 30 min later
-      // (spark.cleaner.periodicGC.interval), so a 4-pass 39-query run
-      // accumulates every dropped plan's blocks and later samples pay the
-      // storage/GC pressure. An explicit gc() between samples (outside
-      // the timed window) lets the cleaner reclaim them immediately.
-      spark.catalog.clearCache()
-      System.gc()
+      dropPersisted()
       r
     }
 
@@ -398,7 +430,7 @@ object Bench {
           sf1Subset.filter(fns.contains).foreach { n =>
             val s0 = tap.settle()
             resetHeapPeaks()
-            val (gc0, l0) = (gcMillis(), load1())
+            val (gc0, cpu0, l0) = (gcMillis(), processCpuNanos(), load1())
             val t0 = System.nanoTime()
             try {
               fns(n)(spark, sf1Dir).write.format("noop").mode("overwrite").save()
@@ -410,7 +442,7 @@ object Bench {
               // signature at 10× must be visible in the artifact
               val d = tap.settle() - s0
               sf1Shuffle.update(n, d)
-              val tm = f"""{"phase":"sf1_pass${sf1Pass + 1}%d","sec":$dt%.3f,"gc_ms":${gcMillis() - gc0},"heap_peak_mb":${heapPeakMb()}%.0f,"load1":$l0%.2f,"load1_end":${load1()}%.2f}"""
+              val tm = telemJson(s"sf1_pass${sf1Pass + 1}", dt, gc0, cpu0, l0)
               sf1Telem.updateWith(n)(v => Some(v.getOrElse(Vector.empty) :+ tm))
               System.err.println(f"""{"bench_sample":"$n","phase":"sf1_pass${sf1Pass + 1}%d","sec":$dt%.3f,"shuffle_r_mb":${d.readMb}%.2f,"shuffle_w_mb":${d.writeMb}%.2f,"spill_mb":${d.spillMb}%.2f,"telem":$tm}""")
             } catch {
@@ -418,8 +450,7 @@ object Bench {
                 sf1Failed.putIfAbsent(n, String.valueOf(e.getMessage).take(200))
                 System.err.println(s"""{"bench_sample":"$n","phase":"sf1_pass${sf1Pass + 1}","error":${escape(String.valueOf(e.getMessage).take(200))}}""")
             }
-            spark.catalog.clearCache()
-            System.gc()
+            dropPersisted()
           }
           lastPassWall = (System.nanoTime() - passT0) / 1e9
           sf1Pass += 1

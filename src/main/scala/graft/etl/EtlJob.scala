@@ -18,6 +18,26 @@ import graft.sources.Readers
   */
 object EtlJob {
 
+  /** How the flattened frame is materialized for reuse across the dim/
+    * fact/DQ subtrees. The trade is fault tolerance vs eviction safety:
+    *
+    *   - [[LocalCheckpoint]] (default) truncates lineage — an evicted
+    *     block drops to disk instead of recomputing the non-splittable
+    *     CSV parse, and the dim broadcast-exchange threads read inert
+    *     blocks instead of racing a shared plan. But lineage truncation
+    *     means ANY executor loss (dynamic-allocation decommission,
+    *     preemption, OOM kill) fails the job irrecoverably. Correct for
+    *     single-JVM / static-executor deployments (this repo's local[32]
+    *     contract, or a cluster with dynamic allocation off).
+    *   - [[Cache]] keeps lineage — executor loss recomputes and the job
+    *     survives, at the cost of the eviction→recompute hazard above.
+    *     Pick this on clusters with dynamic allocation or preemptible
+    *     executors.
+    */
+  sealed trait Materialization
+  case object LocalCheckpoint extends Materialization
+  case object Cache extends Materialization
+
   final case class Config(
       inputPath: String,
       warehousePath: String,
@@ -25,7 +45,8 @@ object EtlJob {
       keyMode: SurrogateKeys.Mode = SurrogateKeys.Deterministic,
       parityDedup: Boolean = false,
       partitionFactByMonth: Boolean = false,
-      clock: DqRunner.Clock = DqRunner.systemClock
+      clock: DqRunner.Clock = DqRunner.systemClock,
+      materialization: Materialization = LocalCheckpoint
   )
 
   final case class Warehouse(
@@ -35,7 +56,11 @@ object EtlJob {
       dimDate: DataFrame,
       dimShipping: DataFrame,
       fact: DataFrame,
-      dqChecks: Seq[DqCheck]
+      dqChecks: Seq[DqCheck],
+      // ids of the RDDs THIS run materialized (flat's checkpoint blocks,
+      // parity-mode dim caches) — the handle [[release]] frees, so a
+      // long-lived app doesn't accumulate checkpoint blocks across runs
+      releasableRddIds: Seq[Int] = Seq.empty
   )
 
   /** Build all tables from an already-flattened event frame. */
@@ -77,20 +102,37 @@ object EtlJob {
     val parsed = Flatten.parse(Readers.fanOut(raw))
     dq ++= DqRunner.run(parsed, "After Parsing", cfg.clock)
 
-    // localCheckpoint (eager), not cache+count: a cached plan keeps its
-    // lineage, so an eviction under memory pressure recomputes the whole
-    // non-splittable CSV parse — and re-opens the block-lock race between
-    // the dim broadcast-exchange threads. The checkpoint truncates the
-    // lineage: evicted blocks drop to disk, recompute is impossible.
-    // Blocks free when the frame is GC'd after this job returns.
-    val flat = Flatten.flatten(parsed).localCheckpoint()
+    // Materialize once, reuse across every dim build, DQ checkpoint and
+    // write (the reference recomputes the CSV parse dozens of times). See
+    // [[Materialization]] for the localCheckpoint-vs-cache trade.
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val flat = cfg.materialization match {
+      case LocalCheckpoint => Flatten.flatten(parsed).localCheckpoint()
+      case Cache => val c = Flatten.flatten(parsed).cache(); c.count(); c
+    }
 
     val wh0 = buildFromFlat(flat, cfg)
-    val wh = wh0.copy(dqChecks = (dq ++ wh0.dqChecks).toSeq)
 
-    write(wh, cfg)
-    cfg.dqReportPath.foreach(p => DqRunner.writeReport(spark, wh.dqChecks, p))
-    wh
+    write(wh0, cfg)
+    cfg.dqReportPath.foreach(p => DqRunner.writeReport(spark, wh0.dqChecks, p))
+    // The returned frames keep flat's blocks referenced (checkpoint blocks
+    // otherwise linger until driver GC + ContextCleaner — accumulating
+    // across run() calls in a long-lived app). The warehouse is already
+    // safely on disk: callers done with the in-memory frames free them via
+    // [[release]], scoped to exactly the blocks this run pinned.
+    val pinnedByRun = (spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore).toSeq
+    wh0.copy(dqChecks = (dq ++ wh0.dqChecks).toSeq, releasableRddIds = pinnedByRun)
+  }
+
+  /** Free the materialized blocks behind a [[run]] result (flat's
+    * checkpoint blocks, parity-mode dim caches — nothing the caller pinned
+    * themselves). After this the returned frames must not be re-executed (a
+    * localCheckpoint has no lineage to recompute from) — re-read the
+    * written warehouse instead.
+    */
+  def release(wh: Warehouse): Unit = {
+    val pinned = wh.fact.sparkSession.sparkContext.getPersistentRDDs
+    wh.releasableRddIds.foreach(id => pinned.get(id).foreach(_.unpersist(blocking = false)))
   }
 
   def write(wh: Warehouse, cfg: Config): Unit = {

@@ -1154,7 +1154,7 @@ object Dedup {
         emptyBloom(spark, expectedItems, fpp)
       else persisted.select(xxhash64(col("__h")).as("__k"))
         .stat.bloomFilter("__k", expectedItems, fpp)
-    writeBloomFile(spark, s"$path/bloom.bin", bf, expectedItems, fpp)
+    writeBloomFileAtomic(spark, path, bf, expectedItems, fpp)
   }
 
   /** Load a persisted index. The hash table is a lazy parquet frame; only
@@ -1211,7 +1211,7 @@ object Dedup {
         .stat.bloomFilter("__k", index.expectedItems, index.fpp)
     fresh.write.mode("append").parquet(s"$path/hashes")
     index.bloom.mergeInPlace(delta)
-    writeBloomFile(spark, s"$path/bloom.bin", index.bloom, index.expectedItems, index.fpp)
+    writeBloomFileAtomic(spark, path, index.bloom, index.expectedItems, index.fpp)
   }
 
   // — persisted PARAGRAPH index (FineWeb incremental deployment shape) —————
@@ -1281,7 +1281,7 @@ object Dedup {
       if (persisted.isEmpty) emptyBloom(spark, expectedItems, fpp)
       else persisted.select(xxhash64(col("__h")).as("__k"))
         .stat.bloomFilter("__k", expectedItems, fpp)
-    writeBloomFile(spark, s"$path/bloom.bin", bf, expectedItems, fpp)
+    writeBloomFileAtomic(spark, path, bf, expectedItems, fpp)
     writeTextFile(spark, s"$path/meta.json",
       // sep as JSON code points — exact round-trip for any separator
       s"""{"sep_cps":[${sep.codePoints().toArray.mkString(",")}]}""")
@@ -1376,7 +1376,7 @@ object Dedup {
         .stat.bloomFilter("__k", index.expectedItems, index.fpp)
     fresh.write.mode("append").parquet(s"$path/paras")
     index.bloom.mergeInPlace(delta)
-    writeBloomFile(spark, s"$path/bloom.bin", index.bloom, index.expectedItems, index.fpp)
+    writeBloomFileAtomic(spark, path, index.bloom, index.expectedItems, index.fpp)
   }
 
   // — persisted NEAR-dup probe state (band index) ——————————————————————————
@@ -1689,7 +1689,7 @@ object Dedup {
       if (hashesP.isEmpty) // stat.bloomFilter NPEs on zero rows
         emptyBloom(spark, expectedItems, fpp)
       else hashesP.stat.bloomFilter("__h", expectedItems, fpp)
-    writeBloomFile(spark, s"$path/bloom.bin", bf, expectedItems, fpp)
+    writeBloomFileAtomic(spark, path, bf, expectedItems, fpp)
     writeTextFile(spark, s"$path/meta.json",
       s"""{"numPlanes":$numPlanes,"dim":$dim,"seed":$seed}""")
   }
@@ -1850,7 +1850,7 @@ object Dedup {
     freshVecRows.write.mode("append").parquet(s"$path/vecs")
     freshHashes.write.mode("append").parquet(s"$path/hashes")
     idx.bloom.mergeInPlace(delta)
-    writeBloomFile(spark, s"$path/bloom.bin", idx.bloom, idx.expectedItems, idx.fpp)
+    writeBloomFileAtomic(spark, path, idx.bloom, idx.expectedItems, idx.fpp)
     // buckets: recompute from the appended vector table via staging + swap
     // (cannot overwrite a path feeding the plan being written); same
     // full-table-aggregate-per-append trade as [[appendToBandIndex]] —
@@ -2223,6 +2223,13 @@ object Dedup {
   private[graft] def stageIngestCompaction(spark: org.apache.spark.sql.SparkSession,
       path: String, keepIngest: Option[Long] = None): Unit = {
     val (fs, _) = hadoopFs(spark, path)
+    // Complete any compaction a prior run crashed AFTER publishing its
+    // marker, BEFORE sweeping staging dirs: the marker lists source
+    // partitions whose data may by now live only in staging, so sweeping
+    // first and then crashing pre-republish would let a later self-heal
+    // delete those sources with nothing to rename over them — data loss.
+    // finishIngestCompaction is idempotent and a no-op without a marker.
+    finishIngestCompaction(spark, path)
     // Clear EVERY table's staging dir up front — including tables whose
     // sources turn out empty this run. A compaction that crashed before its
     // marker leaves orphan staging dirs; without this sweep, a later run

@@ -836,6 +836,56 @@ class OpsSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/_compacting.json")))
   }
 
+  test("ingest index compaction: a re-run over a published marker completes the prior fold before sweeping staging") {
+    // hazard (round-11 advisor): run #1 crashes AFTER publishing its
+    // marker — staging holds the only complete copy of the listed source
+    // partitions. If run #2 swept staging FIRST and then crashed before
+    // republishing, the stale marker would later have finishIngestCompaction
+    // delete the sources with nothing to rename over them: permanent loss.
+    // The contract pinned here: stageIngestCompaction entered with a
+    // published marker completes the prior fold (sources → base) before it
+    // touches any staging dir, so the marker and staging are never stale
+    // relative to each other.
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "ingestRerun").toString
+    Dedup.initIngestIndex(spark, base, n = 3, numPerm = 64, numBands = 16,
+      rowsPerBand = 4, expectedItems = 1000L)
+    Dedup.appendToIngestIndex(spark, base,
+      Seq((1L, "aa bb cc dd ee ff"), (2L, "gg hh ii jj kk ll")).toDF("doc_id", "text"),
+      "doc_id", "text", ingestId = 0L)
+    Dedup.appendToIngestIndex(spark, base,
+      Seq((10L, "mm nn oo pp qq rr")).toDF("doc_id", "text"), "doc_id", "text",
+      ingestId = 1L)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // run #1: crash after the marker
+    Dedup.stageIngestCompaction(spark, base)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/_compacting.json")))
+    // run #2's stage: must FIRST finish run #1's fold (sources gone, base
+    // present) and only then stage anew — its fresh marker can then list
+    // only the base partition as a source
+    Dedup.stageIngestCompaction(spark, base)
+    def parts(tbl: String): Set[String] =
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/$tbl/__ingest=*")))
+        .getOrElse(Array.empty).map(_.getPath.getName).toSet
+    assert(parts("hashes") == Set("__ingest=-1"),
+      s"run #2's stage must complete run #1's fold first: ${parts("hashes")}")
+    val marker2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base, "_compacting.json")), "UTF-8")
+    assert(!marker2.contains("__ingest=0") && !marker2.contains("__ingest=1"),
+      s"run #2's marker must not list partitions run #1 already folded: $marker2")
+    // and the eventual finish leaves a correct, probe-identical index
+    Dedup.finishIngestCompaction(spark, base)
+    val r = Dedup.probeIngestIndex(
+      Dedup.readIngestIndex(spark, base, org.apache.spark.sql.types.LongType),
+      Seq((100L, "aa bb cc dd ee ff"), (101L, "mm nn oo pp qq ZZ")).toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.2, excludeIngest = 99L)
+    val rows = r.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    r.unpersist()
+    assert(rows == Seq((100L, "exact_dup", Some(1L)), (101L, "near_dup", Some(10L))),
+      s"classification after the double-stage fold: $rows")
+  }
+
   test("exactQuantiles: histogram refinement matches the sorted ground truth at every edge") {
     // deterministic mixed fixture: pseudo-random spread, a heavy tie run,
     // negatives, and near-extreme longs (exercises the BigInt width path)
