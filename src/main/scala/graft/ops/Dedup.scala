@@ -2218,10 +2218,15 @@ object Dedup {
   private val IngestTables = Seq("hashes", "shingles", "bands")
 
   /** Stage 1 of [[compactIngestIndex]]: staging dirs + marker. Exposed
-    * `private[graft]` so the crash drill can stop exactly here.
+    * `private[graft]` so the crash drill can stop exactly here. `tables`
+    * parameterizes the protocol over any `__ingest`-partitioned table set
+    * (the text index's hashes/shingles/bands, the vec index's
+    * hashes/vecs); [[finishIngestCompaction]] needs no matching list — it
+    * reads the table names back from the marker itself.
     */
   private[graft] def stageIngestCompaction(spark: org.apache.spark.sql.SparkSession,
-      path: String, keepIngest: Option[Long] = None): Unit = {
+      path: String, keepIngest: Option[Long] = None,
+      tables: Seq[String] = IngestTables): Unit = {
     val (fs, _) = hadoopFs(spark, path)
     // Complete any compaction a prior run crashed AFTER publishing its
     // marker, BEFORE sweeping staging dirs: the marker lists source
@@ -2235,14 +2240,14 @@ object Dedup {
     // marker leaves orphan staging dirs; without this sweep, a later run
     // that stages only some tables would let finishIngestCompaction publish
     // the stale orphans over live base partitions.
-    IngestTables.foreach { tbl =>
+    tables.foreach { tbl =>
       val stale = new org.apache.hadoop.fs.Path(s"$path/$tbl.staging")
       if (fs.exists(stale)) fs.delete(stale, true)
     }
     val kept = keepIngest.map(id => s"__ingest=$id")
     // source partitions per table, recorded BEFORE writing staging so the
     // marker can only ever name dirs the staged data actually contains
-    val sources: Map[String, Seq[String]] = IngestTables.map { tbl =>
+    val sources: Map[String, Seq[String]] = tables.map { tbl =>
       val dirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/$tbl/__ingest=*")))
         .map(_.toSeq).getOrElse(Seq.empty)
         .filter(_.isDirectory).map(_.getPath.getName)
@@ -2250,7 +2255,7 @@ object Dedup {
       tbl -> dirs
     }.toMap
     if (sources.values.forall(_.isEmpty)) return // nothing to compact
-    IngestTables.foreach { tbl =>
+    tables.foreach { tbl =>
       if (sources(tbl).nonEmpty)
         // read ONLY the source partitions (the kept batch stays out)
         spark.read.option("basePath", s"$path/$tbl")
@@ -2277,7 +2282,10 @@ object Dedup {
     val (fs, markerP) = hadoopFs(spark, s"$path/_compacting.json")
     if (!fs.exists(markerP)) return
     val marker = readTextFile(spark, s"$path/_compacting.json")
-    IngestTables.foreach { tbl =>
+    // the marker is self-describing: iterate ITS table keys, so one finish
+    // implementation serves every __ingest-partitioned index layout
+    val tables = """\"([A-Za-z0-9_]+)\":\[""".r.findAllMatchIn(marker).map(_.group(1)).toSeq
+    tables.foreach { tbl =>
       val dirs = s""""$tbl":\\[([^\\]]*)\\]""".r.findFirstMatchIn(marker)
         .map(_.group(1)).getOrElse("")
         .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
@@ -2351,6 +2359,249 @@ object Dedup {
           .stat.bloomFilter("__k", idx.expectedItems, idx.fpp))
     }
     writeBloomFileAtomic(spark, path, idx.bloom, idx.expectedItems, idx.fpp)
+  }
+
+  // — streaming VEC ingest index (the EMBEDDING arm of the IngestIndex) ————
+  //   [[curatedCorpusIndexedSink]]-shaped streams that carry an embedding
+  //   column need the same exactly-once discipline for SEMANTIC dedup
+  //   state: batch-owned `__ingest=<id>` partitions written with
+  //   OVERWRITE, probe-side exclusion of the current batch id (a crash
+  //   replay must not find its own first-attempt appends), a bitwise-OR
+  //   Bloom sketch, and the same marker-protocol compaction. The batch
+  //   probe mirrors [[incrementalSemanticIndexed]]'s classification
+  //   (exact via content-hash + rep-vector verify, near via sign-bucket
+  //   candidates + exact-cosine verify) but derives touched-bucket
+  //   occupancy per batch from the vector table — appends stay pure
+  //   partition writes, no corpus-scale bucket aggregate per append
+  //   (contrast [[appendToVecIndex]]'s full-table recompute).
+
+  /** A loaded streaming vec ingest index. Both frames are lazy parquet
+    * scans carrying their `__ingest` provenance; the sketch is over the
+    * raw `xxhash64` content keys.
+    */
+  final case class VecIngestIndex(
+      hashes: DataFrame, // (__h xxhash64(vec), __exact_of min id, __rvec rep vector, __ingest)
+      vecs: DataFrame,   // (corpus_id, __cvec, __bucket, __ingest)
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      expectedItems: Long, fpp: Double,
+      numPlanes: Int, dim: Int, seed: Long)
+
+  private val VecIngestTables = Seq("hashes", "vecs")
+
+  /** Create an EMPTY vec ingest index: sketch + `meta.json` (hyperplane
+    * geometry + sketch params — written LAST, so its presence marks a
+    * usable index). Tables materialize on first
+    * [[appendToVecIngestIndex]]; probing the empty index classifies
+    * everything `new`.
+    */
+  def initVecIngestIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      numPlanes: Int, dim: Int, expectedItems: Long, fpp: Double = 0.01,
+      seed: Long = 42L): Unit = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    writeBloomFileAtomic(spark, path,
+      emptyBloom(spark, expectedItems, fpp), expectedItems, fpp)
+    writeTextFile(spark, s"$path/meta.json",
+      s"""{"numPlanes":$numPlanes,"dim":$dim,"seed":$seed,""" +
+        s""""expectedItems":$expectedItems,"fpp":$fpp}""")
+  }
+
+  /** Load a streaming vec ingest index. `idType` supplies the id type for
+    * the pre-first-append empty-frame fallback. A published-but-unfinished
+    * compaction marker is completed first (same self-heal as
+    * [[readIngestIndex]]); a missing `bloom.bin` rebuilds from the hash
+    * table.
+    */
+  def readVecIngestIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idType: org.apache.spark.sql.types.DataType,
+      vecType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+      : VecIngestIndex = {
+    import org.apache.spark.sql.types._
+    finishIngestCompaction(spark, path)
+    val meta = readTextFile(spark, s"$path/meta.json")
+    def numOf(k: String): String =
+      s""""$k":\\s*([0-9.eE+-]+)""".r.findFirstMatchIn(meta)
+        .getOrElse(throw new IllegalArgumentException(s"vec ingest index meta missing $k: $meta"))
+        .group(1)
+    val (numPlanes, dim) = (numOf("numPlanes").toInt, numOf("dim").toInt)
+    val seed = numOf("seed").toLong
+    val expectedItems = numOf("expectedItems").toLong
+    val fpp = numOf("fpp").toDouble
+    val ing = StructField("__ingest", IntegerType)
+    def tbl(sub: String, schema: StructType): DataFrame = {
+      val (fs, _) = hadoopFs(spark, path)
+      val parts = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$path/$sub/__ingest=*/part-*")))
+      if (parts.exists(_.nonEmpty)) spark.read.parquet(s"$path/$sub")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val hashes = tbl("hashes", StructType(Seq(
+      StructField("__h", LongType), StructField("__exact_of", idType),
+      StructField("__rvec", vecType), ing)))
+    val vecs = tbl("vecs", StructType(Seq(
+      StructField("corpus_id", idType), StructField("__cvec", vecType),
+      StructField("__bucket", LongType), ing)))
+    val (fs, bp) = hadoopFs(spark, s"$path/bloom.bin")
+    val bloom =
+      if (fs.exists(bp)) {
+        val in = fs.open(bp)
+        try {
+          val dis = new java.io.DataInputStream(in)
+          dis.readLong(); dis.readDouble() // creation params: meta is authoritative
+          org.apache.spark.util.sketch.BloomFilter.readFrom(dis)
+        } finally in.close()
+      } else { // self-heal the rename window: rebuild from the hash table
+        val bf =
+          if (hashes.isEmpty) emptyBloom(spark, expectedItems, fpp)
+          else hashes.stat.bloomFilter("__h", expectedItems, fpp)
+        writeBloomFileAtomic(spark, path, bf, expectedItems, fpp)
+        bf
+      }
+    VecIngestIndex(hashes, vecs, bloom, expectedItems, fpp, numPlanes, dim, seed)
+  }
+
+  /** [[incrementalSemanticIndexed]] against a streaming [[VecIngestIndex]],
+    * excluding rows appended by ingest `excludeIngest` (pass the CURRENT
+    * batch id — the replay contract of [[probeIngestIndex]]). Exact via
+    * the Bloom-pruned content-hash probe verified by rep-vector equality;
+    * near via sign-bucket candidates with exact-cosine verification, hot
+    * buckets star-degrading to the bucket's min-id corpus hub.
+    *
+    * Per-batch corpus cost: the exact verify join of the Bloom positives,
+    * plus two column scans of the compact vector table — occupancy +
+    * hub/hub-vector for TOUCHED buckets only (aggregated map-side;
+    * shuffled state is batch-bounded) and candidate generation — each
+    * joined against a broadcast batch-bounded frame (byte-aware license:
+    * the row cap shrinks with `dim`; past it BOTH sides merge-hint).
+    * Returns the eager cached (idCol, status, dup_of) frame —
+    * `unpersist()` when done.
+    */
+  def probeVecIngestIndex(index: VecIngestIndex, batch: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, excludeIngest: Long,
+      maxBucket: Int = DefaultMaxBucket,
+      batchBroadcastCap: Long = BatchBroadcastCap): DataFrame = {
+    val planes = Similarity.hyperplanes(index.numPlanes, index.dim, index.seed)
+    val idType = batch.schema(idCol).dataType
+    def excl(df: DataFrame): DataFrame =
+      df.filter(col("__ingest").cast("long") =!= excludeIngest)
+    val keyedB = batch.select(col(idCol).as("id"), col(vecCol).as("__bvec"),
+      xxhash64(col(vecCol)).as("__h"))
+    // 1. exact: Bloom prune, then rep-vector verify against the
+    //    provenance-filtered hash table (a replayed batch's own keys in
+    //    the sketch just verify against zero visible rows)
+    val hashesF = excl(index.hashes).select(col("__h"), col("__exact_of"), col("__rvec"))
+    val positive = keyedB
+      .filter(graft.functions.BloomFunctions.mightContain(col("__h"), index.bloom))
+      .join(hashesF, Seq("__h"), "left")
+      .select(col("id"), col("__bvec"),
+        when(col("__exact_of").isNotNull && col("__bvec") === col("__rvec"),
+          col("__exact_of")).as("__exact_of"))
+    val negative = keyedB
+      .filter(!graft.functions.BloomFunctions.mightContain(col("__h"), index.bloom))
+      .select(col("id"), col("__bvec"), lit(null).cast(idType).as("__exact_of"))
+    val exactStatus = positive.unionByName(negative).persist()
+    exactStatus.count()
+
+    // 2. near: batch-side bucketing; corpus occupancy derived for TOUCHED
+    //    buckets only from the provenance-filtered vector table
+    val bB = exactStatus.filter(col("__exact_of").isNull)
+      .select(col("id").as("batch_id"), col("__bvec"),
+        Similarity.bucketId(col("__bvec"), planes).as("__bucket"))
+      .localCheckpoint()
+    val vecsF = excl(index.vecs).select(col("corpus_id"), col("__cvec"), col("__bucket"))
+    val batchCnt = bB.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__bcnt")).localCheckpoint()
+    val corpusOcc = vecsF
+      .join(broadcast(batchCnt.select(col("__bucket"))), Seq("__bucket"))
+      .groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__ccnt"), min(col("corpus_id")).as("__hub"),
+        min_by(col("__cvec"), col("corpus_id")).as("__hubvec"))
+    val hot = batchCnt.join(corpusOcc, Seq("__bucket"), "left")
+      .filter(coalesce(col("__ccnt"), lit(0L)) + col("__bcnt") > maxBucket)
+      .select(col("__bucket"), col("__hub"), col("__hubvec"))
+      .localCheckpoint()
+    val hotKeys = hot.select(col("__bucket"))
+    val vecCap = math.min(batchBroadcastCap, Similarity.vecBroadcastRows(index.dim))
+    val coldB = bB.join(hotKeys, Seq("__bucket"), "left_anti")
+    val cold =
+      if (bB.count() <= vecCap) vecsF.join(broadcast(coldB), Seq("__bucket"))
+      else vecsF.hint("merge").join(coldB.hint("merge"), Seq("__bucket"))
+    // star: hot-bucket batch members vs the hub (null hub = batch-only)
+    val star = bB.join(hotKeys, Seq("__bucket"), "left_semi")
+      .join(broadcast(hot.filter(col("__hub").isNotNull)), Seq("__bucket"))
+      .select(col("batch_id"), col("__bvec"),
+        col("__hub").as("corpus_id"), col("__hubvec").as("__cvec"))
+    val pairCols = Seq(col("batch_id"), col("__bvec"), col("corpus_id"), col("__cvec"))
+    val nearOf = cold.select(pairCols: _*).unionByName(star.select(pairCols: _*))
+      .withColumn("__cos", round(Similarity.cosine(col("__bvec"), col("__cvec")), 6))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("batch_id").as("id"))
+      .agg(min(col("corpus_id")).as("__near_of"))
+
+    val result = exactStatus
+      .join(nearOf, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("__exact_of").isNotNull, "exact_dup")
+          .when(col("__near_of").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        coalesce(col("__exact_of"), col("__near_of")).as("dup_of"))
+      .persist()
+    result.count()
+    exactStatus.unpersist()
+    result
+  }
+
+  /** Fold a batch's accepted vectors into the vec ingest index under their
+    * batch's own `__ingest=<ingestId>` partitions, mode OVERWRITE — the
+    * [[appendToIngestIndex]] idempotence story verbatim: a replay rewrites
+    * exactly its own partitions. The caller must append only PROBE
+    * SURVIVORS (`status = new`), which keeps content hashes unique across
+    * partitions. Pure partition writes: no corpus-scale bucket aggregate
+    * per append (the probe derives touched-bucket occupancy instead).
+    */
+  def appendToVecIngestIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, vecCol: String, ingestId: Long,
+      index: Option[VecIngestIndex] = None,
+      deltaCollectCap: Long = BatchBroadcastCap): Unit = {
+    require(ingestId >= 0,
+      s"ingestId must be non-negative (got $ingestId): negative ids are reserved " +
+        "for compaction base partitions")
+    val idx = index.getOrElse(
+      readVecIngestIndex(spark, path, newDocs.schema(idCol).dataType,
+        newDocs.schema(vecCol).dataType))
+    val planes = Similarity.hyperplanes(idx.numPlanes, idx.dim, idx.seed)
+    val docs = newDocs.select(col(idCol), col(vecCol)).localCheckpoint()
+    val hashRows = docs
+      .select(xxhash64(col(vecCol)).as("__h"), col(idCol).as("__cid"),
+        col(vecCol).as("__v"))
+      .groupBy(col("__h"))
+      .agg(min(col("__cid")).as("__exact_of"), min_by(col("__v"), col("__cid")).as("__rvec"))
+      .localCheckpoint()
+    val nHashes = hashRows.count()
+    hashRows.write.mode("overwrite").parquet(s"$path/hashes/__ingest=$ingestId")
+    docs.select(col(idCol).as("corpus_id"), col(vecCol).as("__cvec"),
+        Similarity.bucketId(col(vecCol), planes).as("__bucket"))
+      .write.mode("overwrite").parquet(s"$path/vecs/__ingest=$ingestId")
+    if (nHashes > 0 && nHashes <= deltaCollectCap) {
+      hashRows.select(col("__h")).collect().foreach(r => idx.bloom.putLong(r.getLong(0)))
+    } else if (nHashes > 0) {
+      idx.bloom.mergeInPlace(
+        hashRows.stat.bloomFilter("__h", idx.expectedItems, idx.fpp))
+    }
+    writeBloomFileAtomic(spark, path, idx.bloom, idx.expectedItems, idx.fpp)
+  }
+
+  /** [[compactIngestIndex]] for the vec ingest index: fold per-batch
+    * partitions into the reserved `__ingest=-1` base via the same two-
+    * stage marker protocol (the marker is self-describing, so the shared
+    * [[finishIngestCompaction]] — and [[readVecIngestIndex]]'s automatic
+    * self-heal — complete it regardless of table layout).
+    */
+  def compactVecIngestIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      keepIngest: Option[Long] = None): Unit = {
+    stageIngestCompaction(spark, path, keepIngest, tables = VecIngestTables)
+    finishIngestCompaction(spark, path)
   }
 
   /** 63-bit SimHash per id (bit 63 unused to stay in positive Long range

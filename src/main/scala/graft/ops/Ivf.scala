@@ -30,15 +30,26 @@ object Ivf {
   /** Assign every vector to its max-cosine centroid (broadcast argmax).
     * Norms are hoisted out of the vector×centroid product: one `vec_norm`
     * per row + one per centroid, not one per pair.
+    *
+    * The argmax is a `min_by` AGGREGATE, not a window `row_number`: a
+    * window shuffles and sorts all k rows per vector, while the aggregate
+    * map-side-combines them to one row per vector BEFORE the shuffle — at
+    * 10⁹ corpus vectors × k centroids that is a k× shuffle-volume cut and
+    * no sort. Ordering matches the window form exactly: max cosine first
+    * (a NULL cosine — a zero-norm vector or centroid — sorts last, like
+    * `desc` NULLS LAST), ties to the smallest centroid id.
     */
   def assign(corpus: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id").asc)
+    val ord = struct(
+      coalesce(negate(col("__sim")), lit(Double.PositiveInfinity)),
+      col("centroid_id"))
     corpus.withColumn("__vn", vec_norm(col(vecCol)))
       .crossJoin(broadcast(cents.withColumn("__cn", vec_norm(col("centroid_vec")))))
       .withColumn("__sim",
         round(vec_dot(col(vecCol), col("centroid_vec")) / (col("__vn") * col("__cn")), 6))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol),
+        min_by(col("centroid_id"), ord).as("centroid_id"))
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 

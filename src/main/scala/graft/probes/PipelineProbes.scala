@@ -2601,7 +2601,136 @@ object PipelineProbes {
            |GROUP BY p.doc_id
            |ORDER BY p.doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — streaming SEMANTIC ingest (the embedding arm of x89): three micro-
+  //   batches of the embeddings table flow through
+  //   semanticCorpusIndexedSink — per batch, SemDeDup removes intra-batch
+  //   near-dups (cosine ≥ 0.9 pairs → components → keep min id), then the
+  //   batch probes the streaming-maintained VEC ingest index and
+  //   survivors append under batch-owned partitions. Plants exercise
+  //   every arm with provably-1.0 LSH recall (x47's discipline): exact
+  //   copies (identical arrays), 2×-scaled copies (same direction — a
+  //   positive scaling cannot flip a hyperplane sign — cosine exactly 1),
+  //   NEGATED copies (cosine −1 vs the source: genuinely new, and a
+  //   later negated twin then near-dups the PLANT), and a NEGATIVE-offset
+  //   intra-batch plant that beats its natural source in the keep-min
+  //   election (so the final corpus provably depends on the replayed
+  //   election, not just on "naturals survive"). The FINAL CORPUS —
+  //   every surviving (vec_id, batch) — is value-oracled: DuckDB replays
+  //   each batch's all-pairs intra dedup (exact cosine + recursive
+  //   closure) and the growing-corpus cosine probe chain.
+  private def x95IntraCtes(k: Int): String =
+    s"""fl$k AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |    CAST(unnest(a.v) AS DOUBLE) AS x, CAST(unnest(b.v) AS DOUBLE) AS y
+       |  FROM b$k a JOIN b$k b ON a.vec_id < b.vec_id),
+       |p$k AS (
+       |  SELECT ida, idb FROM (
+       |    SELECT ida, idb, sum(x * y) AS d, sum(x * x) AS nx, sum(y * y) AS ny
+       |    FROM fl$k GROUP BY 1, 2)
+       |  WHERE round(d / (sqrt(nx) * sqrt(ny)), 6) >= 0.9),
+       |ed$k AS (SELECT ida AS src, idb AS dst FROM p$k
+       |  UNION SELECT idb, ida FROM p$k),
+       |re$k AS (SELECT src, dst FROM ed$k
+       |  UNION SELECT r.src, e.dst FROM re$k r JOIN ed$k e ON r.dst = e.src),
+       |k$k AS (
+       |  SELECT vec_id, v FROM b$k WHERE vec_id NOT IN (
+       |    SELECT src FROM re$k GROUP BY src HAVING least(src, min(dst)) != src))""".stripMargin
+
+  private def x95ProbeCtes(k: Int, corpus: String): String =
+    s"""cf$k AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    CAST(unnest(q.v) AS DOUBLE) AS x, CAST(unnest(c.v) AS DOUBLE) AS y
+       |  FROM k$k q, $corpus c),
+       |cx$k AS (
+       |  SELECT DISTINCT qid FROM (
+       |    SELECT qid, cid, sum(x * y) AS d, sum(x * x) AS nx, sum(y * y) AS ny
+       |    FROM cf$k GROUP BY 1, 2)
+       |  WHERE round(d / (sqrt(nx) * sqrt(ny)), 6) >= 0.9),
+       |s$k AS (SELECT vec_id, v FROM k$k
+       |  WHERE vec_id NOT IN (SELECT qid FROM cx$k))""".stripMargin
+
+  private val x95 = Probe(
+    "x95_streaming_semantic_ingest",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.TmpDir.root}/tmp/x95_${tag}_${System.nanoTime()}"
+      val emb = Readers.fanOut(t(s, dir, "embeddings")).select(col("vec_id"), col("embedding"))
+      def shifted(pred: org.apache.spark.sql.Column, off: Long,
+          f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        emb.filter(pred).select((col("vec_id") + off).as("vec_id"),
+          transform(col("embedding"), f).as("embedding"))
+      val b0 = emb.filter(col("vec_id") % 3 === 0)
+      val b1 = emb.filter(col("vec_id") % 3 === 1)
+        .unionByName(shifted(col("vec_id") % 15 === 0, 1000000L, x => x))         // exact of b0
+        .unionByName(shifted(col("vec_id") % 15 === 3, 1100000L, x => x * lit(2.0f))) // near of b0
+        .unionByName(shifted(col("vec_id") % 15 === 6, 1200000L, x => negate(x)))     // NEW direction
+      val b2 = emb.filter(col("vec_id") % 3 === 2)
+        .unionByName(shifted(col("vec_id") % 15 === 1, 2000000L, x => x))         // exact of b1 corpus
+        .unionByName(shifted(col("vec_id") % 3 === 2 && col("vec_id") % 14 === 0,
+          -1000000L, x => x * lit(2.0f)))                                         // intra plant, WINS election
+        .unionByName(shifted(col("vec_id") % 15 === 6, 2200000L, x => negate(x))) // near of b1's plant
+      val schema = b0.schema
+      val (in, corpus, index, ckp) = (s"$base/in", s"$base/corpus", s"$base/index", s"$base/ckp")
+      // atomic single-file feeds (the x89 discipline): a logical batch must
+      // never be listed mid-write and split across two micro-batches
+      def feed(df: org.apache.spark.sql.DataFrame, tag2: String): Unit = {
+        val stage = s"$base/stage_$tag2"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val sp = new org.apache.hadoop.fs.Path(stage)
+        val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(in))
+        val part = fs.listStatus(sp).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file staged at $stage"))
+        if (!fs.rename(part, new org.apache.hadoop.fs.Path(s"$in/$tag2.parquet")))
+          throw new java.io.IOException(s"feed rename failed for $tag2")
+        fs.delete(sp, true)
+      }
+      feed(b0, "b0")
+      val q = graft.streaming.StreamingIngest.semanticCorpusIndexedSink(
+        s.readStream.schema(schema).parquet(in), corpus, index, ckp,
+        "vec_id", "embedding", threshold = 0.9, numPlanes = 8, dim = 64)
+      try {
+        q.processAllAvailable()
+        feed(b1, "b1")
+        q.processAllAvailable()
+        feed(b2, "b2")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(corpus)
+        .select(col("vec_id"), col("__batch").cast("long").as("batch"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE
+            |base AS (SELECT vec_id, embedding FROM embeddings),
+            |b0 AS (SELECT vec_id, embedding AS v FROM base WHERE vec_id % 3 = 0),
+            |b1 AS (SELECT vec_id, embedding AS v FROM base WHERE vec_id % 3 = 1
+            |  UNION ALL SELECT vec_id + 1000000, embedding FROM base WHERE vec_id % 15 = 0
+            |  UNION ALL SELECT vec_id + 1100000, list_transform(embedding, x -> x * 2)
+            |    FROM base WHERE vec_id % 15 = 3
+            |  UNION ALL SELECT vec_id + 1200000, list_transform(embedding, x -> -x)
+            |    FROM base WHERE vec_id % 15 = 6),
+            |b2 AS (SELECT vec_id, embedding AS v FROM base WHERE vec_id % 3 = 2
+            |  UNION ALL SELECT vec_id + 2000000, embedding FROM base WHERE vec_id % 15 = 1
+            |  UNION ALL SELECT vec_id - 1000000, list_transform(embedding, x -> x * 2)
+            |    FROM base WHERE vec_id % 3 = 2 AND vec_id % 14 = 0
+            |  UNION ALL SELECT vec_id + 2200000, list_transform(embedding, x -> -x)
+            |    FROM base WHERE vec_id % 15 = 6),
+            |${x95IntraCtes(0)},
+            |c0 AS (SELECT vec_id, v, CAST(0 AS BIGINT) AS batch FROM k0),
+            |${x95IntraCtes(1)},
+            |${x95ProbeCtes(1, "c0")},
+            |c1 AS (SELECT * FROM c0
+            |  UNION ALL SELECT vec_id, v, CAST(1 AS BIGINT) AS batch FROM s1),
+            |${x95IntraCtes(2)},
+            |${x95ProbeCtes(2, "c1")},
+            |c2 AS (SELECT * FROM c1
+            |  UNION ALL SELECT vec_id, v, CAST(2 AS BIGINT) AS batch FROM s2)
+            |SELECT vec_id, batch FROM c2
+            |ORDER BY vec_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94)
+    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94,
+    x95)
 }

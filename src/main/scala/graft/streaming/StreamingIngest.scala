@@ -372,6 +372,83 @@ object StreamingIngest {
       }
       .start()
 
+  /** The EMBEDDING arm of [[curatedCorpusIndexedSink]] — a streaming
+    * corpus sink whose dedup state is a
+    * [[graft.ops.Dedup.VecIngestIndex]]: each micro-batch first removes
+    * its own semantic near-dups (LSH-bucketed cosine pairs → connected
+    * components → keep the min id —
+    * [[graft.ops.Dedup.dedupCorpusSemantic]], the SemDeDup shape), then
+    * probes the streaming-maintained vec index (exact content-hash +
+    * sign-bucket cosine near) and appends survivors under batch-owned
+    * partitions.
+    *
+    * Exactly-once under replay, the [[curatedCorpusIndexedSink]] contract
+    * verbatim: corpus (`__batch=<id>`) and index (`__ingest=<id>`)
+    * partitions are batch-owned OVERWRITE writes; the probe EXCLUDES
+    * `__ingest=<batchId>` so a replay whose first attempt crashed after
+    * the index append classifies against exactly the pre-append corpus;
+    * the Bloom merge is a bitwise OR; the sketch rewrite is tmp+rename.
+    * A stale first-attempt index partition is therefore invisible to the
+    * replay and simply rewritten — the kill+resume drill in StreamingSpec
+    * plants one and asserts the final corpus is byte-identical.
+    *
+    * The hyperplane geometry is pinned in `meta.json` at first use; a
+    * restart with different `numPlanes`/`dim` fails loudly rather than
+    * silently bucketing batches differently than the indexed corpus.
+    * `compactEvery = n` folds prior batches' index partitions into the
+    * `__ingest=-1` base after every n-th batch (keeping the current
+    * batch's, so replay exclusion still works).
+    */
+  def semanticCorpusIndexedSink(
+      docs: DataFrame,
+      corpusPath: String,
+      indexPath: String,
+      checkpoint: String,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.9,
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      expectedItems: Long = 10000000L,
+      fpp: Double = 0.01,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // intra-batch semantic dedup (deterministic, so a crash replay
+        // reproduces the same survivor set from the same batch)
+        val intra = graft.ops.Dedup.dedupCorpusSemantic(
+          batch.toDF(), idCol, vecCol, threshold, numPlanes, dim)
+        val metaP = new org.apache.hadoop.fs.Path(s"$indexPath/meta.json")
+        val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(metaP))
+          graft.ops.Dedup.initVecIngestIndex(spark, indexPath, numPlanes, dim,
+            expectedItems, fpp)
+        val idx = graft.ops.Dedup.readVecIngestIndex(spark, indexPath,
+          batch.schema(idCol).dataType, batch.schema(vecCol).dataType)
+        require(idx.numPlanes == numPlanes && idx.dim == dim,
+          s"vec ingest index at $indexPath was built with (numPlanes=${idx.numPlanes}, " +
+            s"dim=${idx.dim}); caller passed (numPlanes=$numPlanes, dim=$dim) — " +
+            "probing with mismatched hyperplanes would misclassify silently")
+        val res = graft.ops.Dedup.probeVecIngestIndex(idx, intra, idCol, vecCol,
+          threshold, excludeIngest = batchId)
+        val survivors = intra.join(
+          res.filter(col("status") === "new").select(col(idCol)), Seq(idCol), "left_semi")
+          .localCheckpoint() // pin before releasing the probe result cache
+        res.unpersist()
+        survivors.write.mode("overwrite").parquet(s"$corpusPath/__batch=$batchId")
+        graft.ops.Dedup.appendToVecIngestIndex(spark, indexPath,
+          survivors.select(col(idCol), col(vecCol)), idCol, vecCol, batchId,
+          index = Some(idx))
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.ops.Dedup.compactVecIngestIndex(spark, indexPath,
+            keepIngest = Some(batchId))
+        ()
+      }
+      .start()
+
   /** Drive a streaming frame to completion against a memory sink and
     * return the collected result (test/local harness; production callers
     * use their own `writeStream` sink).

@@ -364,6 +364,107 @@ class StreamingSpec extends SparkSpec {
       s"index must hold the replay's survivors under their true ids: $rows")
   }
 
+  test("semantic sink: kill + resume over a poisoned partial INCLUDING a stale vec-index partition ≡ uninterrupted run") {
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "semix").toString
+    // one-hot directions: cross-class cosine is exactly 0, a positive
+    // scaling is exactly 1 (same sign bucket by construction — LSH recall
+    // is provably 1.0 on this fixture, same discipline as the x47 oracle)
+    def e(k: Int, scale: Float = 1f): Array[Float] =
+      Array.tabulate(8)(i => if (i == k) scale else 0f)
+    val b1 = Seq((1L, e(0)), (5L, e(0, 2f)), (2L, e(1))).toDF("vec_id", "embedding")
+    val b2 = Seq(
+      (3L, e(1)),     // cross-batch exact dup of vec 2
+      (4L, e(2))      // genuinely new
+    ).toDF("vec_id", "embedding")
+    val schema = b1.schema
+
+    // killed-and-resumed leg ------------------------------------------------
+    val (in, corpus, index, ckp) = (s"$base/in", s"$base/corpus", s"$base/index", s"$base/ckp")
+    b1.coalesce(1).write.mode("append").parquet(in)
+    val q1 = StreamingIngest.semanticCorpusIndexedSink(
+      spark.readStream.schema(schema).parquet(in), corpus, index, ckp,
+      "vec_id", "embedding", threshold = 0.9, numPlanes = 8, dim = 8)
+    try q1.processAllAvailable() finally q1.stop() // batch 0 committed, then the "kill"
+    b2.coalesce(1).write.mode("append").parquet(in) // arrives while the query is down
+    // simulate the crashed FIRST ATTEMPT of batch 1: corpus partition
+    // written AND vec index appended, checkpoint commit never happened.
+    // Both are poisoned with vec 4's direction under a foreign id — if
+    // recovery counted EITHER as corpus, vec 4 would dedup away.
+    Seq((99L, e(2))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$corpus/__batch=1")
+    graft.ops.Dedup.appendToVecIngestIndex(spark, index,
+      Seq((99L, e(2))).toDF("vec_id", "embedding"), "vec_id", "embedding", ingestId = 1L)
+    val q2 = StreamingIngest.semanticCorpusIndexedSink(
+      spark.readStream.schema(schema).parquet(in), corpus, index, ckp,
+      "vec_id", "embedding", threshold = 0.9, numPlanes = 8, dim = 8)
+    try q2.processAllAvailable() finally q2.stop() // batch 1 replays + overwrites both
+
+    // uninterrupted twin ----------------------------------------------------
+    val (in2, corpus2, index2, ckp2) = (s"$base/in2", s"$base/corpus2", s"$base/index2", s"$base/ckp2")
+    b1.coalesce(1).write.mode("append").parquet(in2)
+    val u = StreamingIngest.semanticCorpusIndexedSink(
+      spark.readStream.schema(schema).parquet(in2), corpus2, index2, ckp2,
+      "vec_id", "embedding", threshold = 0.9, numPlanes = 8, dim = 8)
+    try {
+      u.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(in2)
+      u.processAllAvailable()
+    } finally u.stop()
+
+    val resumed = spark.read.parquet(corpus).select($"vec_id", $"embedding")
+    val unbroken = spark.read.parquet(corpus2).select($"vec_id", $"embedding")
+    assert(resumed.exceptAll(unbroken).isEmpty && unbroken.exceptAll(resumed).isEmpty,
+      "resumed corpus must equal the uninterrupted run row for row")
+    // intra-batch near-dup 5 (2× scaled copy of 1) dropped by the SemDeDup
+    // stage; cross-batch exact 3 dropped via the index; stale 99 invisible
+    assert(resumed.select($"vec_id").as[Long].collect().toSet == Set(1L, 2L, 4L),
+      "stale partials overwritten (no 99), dups dropped (no 3/5), new vec kept (4)")
+    // the stale index partition was overwritten too: vec 4's direction is
+    // indexed under ITS id, so later duplicates resolve to 4, not 99 —
+    // exact (identical array) AND near (positive scaling, cosine 1)
+    val idx = graft.ops.Dedup.readVecIngestIndex(spark, index,
+      org.apache.spark.sql.types.LongType)
+    val later = Seq((500L, e(2)), (501L, e(2, 3f))).toDF("vec_id", "embedding")
+    val res = graft.ops.Dedup.probeVecIngestIndex(idx, later, "vec_id", "embedding",
+      threshold = 0.9, excludeIngest = 2L)
+    val rows = res.orderBy("vec_id").as[(Long, String, Option[Long])].collect().toSeq
+    res.unpersist()
+    assert(rows == Seq((500L, "exact_dup", Some(4L)), (501L, "near_dup", Some(4L))),
+      s"index must hold the replay's survivors under their true ids: $rows")
+  }
+
+  test("semantic sink with in-stream compaction: corpus unchanged, vec-index partitions stay bounded") {
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "semixc").toString
+    def e(k: Int, scale: Float = 1f): Array[Float] =
+      Array.tabulate(8)(i => if (i == k) scale else 0f)
+    val b1 = Seq((1L, e(0)), (2L, e(1))).toDF("vec_id", "embedding")
+    val b2 = Seq((4L, e(0, 2f)), (5L, e(3))).toDF("vec_id", "embedding")
+    val b3 = Seq((8L, e(1)), (9L, e(4))).toDF("vec_id", "embedding")
+    val (in, corpus, index, ckp) = (s"$base/in", s"$base/corpus", s"$base/index", s"$base/ckp")
+    b1.coalesce(1).write.mode("append").parquet(in)
+    // compactEvery = 1: fold after EVERY batch — maximum stress on the
+    // keep-current-batch contract through the vec tables
+    val q = StreamingIngest.semanticCorpusIndexedSink(
+      spark.readStream.schema(b1.schema).parquet(in), corpus, index, ckp,
+      "vec_id", "embedding", threshold = 0.9, numPlanes = 8, dim = 8,
+      compactEvery = 1)
+    try {
+      q.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable() // 4 near-dups 1 (via the compacted base), 5 new
+      b3.coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable() // 8 exact-dups 2, 9 new
+    } finally q.stop()
+    assert(spark.read.parquet(corpus).select("vec_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 5L, 9L),
+      "semantic dedup across batches must work through the compacted base partition")
+    val hp = new org.apache.hadoop.fs.Path(s"$index/vecs")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hp).filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(parts == Set("__ingest=-1", "__ingest=2"),
+      s"compaction must fold all but the current batch: $parts")
+  }
+
   test("streaming sessionization produces sessions with positive event counts") {
     val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
     val sessions = StreamingIngest.runToMemory(spark,
