@@ -125,6 +125,7 @@ object ScalePilot {
       else if (family == "web") Set("documents", "embeddings")
       else if (family == "round8") Set("documents", "embeddings")
       else if (family == "round9") Set("documents")
+      else if (family == "round11") Set("documents")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -537,6 +538,50 @@ object ScalePilot {
       "bpe_train_batched" -> (() =>
         Bpe.trainBatched(tbl(dir, "documents"), col("text"), rounds = 10, batchSize = 32)))
 
+    // round-11 family: the incremental paragraph-dedup deployment shape
+    // (FineWeb grain) — a copy-0-sized batch against a growing corpus,
+    // live-rebuild vs persisted-index twins (the index is built once in
+    // the warm-up pass, marker = meta.json); the soft-dedup LSH arm vs
+    // its exact-pair twin (the scaled corpus is `copies` identical text
+    // copies per doc, so every cluster is copy-sized — the exact arm's
+    // shingle self-join leans quadratic while the banded arm's candidate
+    // work stays bucket-bounded); and batched BPE training at vocab
+    // scale (8 rounds × 256 candidates ⇒ up to 2048 admitted merges,
+    // jobs ∝ rounds — wall should track the one corpus pass).
+    def round11Queries(dir: String): Seq[(String, () => DataFrame)] = {
+      def paraCorpus(docs: DataFrame) = docs.select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("CORP FOOTER")).as("text"))
+      def paraBatch(docs: DataFrame) = docs.filter(col("doc_id") < 100000000L)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          concat_ws("\n", lit("BATCH COMMON"), col("text"), lit("CORP FOOTER")).as("text"))
+      Seq(
+        "incremental_paragraph_live" -> (() => {
+          val docs = tbl(dir, "documents")
+          Dedup.paragraphDedup(
+            paraCorpus(docs).unionByName(paraBatch(docs)), "doc_id", "text")
+        }),
+        "incremental_paragraph_indexed" -> (() => {
+          val docs = tbl(dir, "documents")
+          val idxPath = s"$dir/__paraidx_v1"
+          if (!new java.io.File(s"$idxPath/meta.json").exists())
+            Dedup.writeParagraphIndex(paraCorpus(docs), "doc_id", "text", idxPath,
+              expectedItems = 2000000L)
+          Dedup.incrementalParagraphIndexed(
+            Dedup.readParagraphIndex(spark, idxPath), paraBatch(docs), "doc_id", "text")
+        }),
+        "soft_dedup_exact" -> (() => {
+          val docs = tbl(dir, "documents")
+          Dedup.duplicationWeights(docs, "doc_id", col("text"), n = 3, threshold = 0.5)
+        }),
+        "soft_dedup_lsh" -> (() => {
+          val docs = tbl(dir, "documents")
+          Dedup.duplicationWeightsLsh(docs, "doc_id", col("text"), n = 3,
+            numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        }),
+        "bpe_train_1k" -> (() =>
+          Bpe.trainBatched(tbl(dir, "documents"), col("text"), rounds = 8, batchSize = 256)))
+    }
+
     def webQueries(dir: String): Seq[(String, () => DataFrame)] = {
       val embN = tbl(dir, "embeddings").count()
       val k = math.max(4, math.ceil(math.sqrt(embN.toDouble)).toInt)
@@ -601,6 +646,7 @@ object ScalePilot {
       else if (family == "web") webQueries(dir)
       else if (family == "round8") round8Queries(dir)
       else if (family == "round9") round9Queries(dir)
+      else if (family == "round11") round11Queries(dir)
       else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>

@@ -1161,6 +1161,7 @@ object Dedup {
     * the sketch (sized by `expectedItems` at write time) is driver-held.
     */
   def readHashIndex(spark: org.apache.spark.sql.SparkSession, path: String): HashIndex = {
+    finishBatchCompaction(spark, path) // complete an interrupted dir swap first
     val (fs, p) = hadoopFs(spark, s"$path/bloom.bin")
     val in = fs.open(p)
     val (bf, items, fpp) =
@@ -1292,6 +1293,7 @@ object Dedup {
     */
   def readParagraphIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): ParagraphIndex = {
+    finishBatchCompaction(spark, path) // complete an interrupted dir swap first
     val meta = readTextFile(spark, s"$path/meta.json")
     val sep = new String("""\"sep_cps\":\[([0-9,\s]*)\]""".r.findFirstMatchIn(meta)
       .map(_.group(1)).getOrElse(throw new IllegalStateException(
@@ -1454,6 +1456,7 @@ object Dedup {
 
   /** Load a persisted band index (lazy parquet frames + parsed meta). */
   def readBandIndex(spark: org.apache.spark.sql.SparkSession, path: String): BandIndex = {
+    finishBatchCompaction(spark, path) // complete an interrupted dir swap first
     val meta = readTextFile(spark, s"$path/meta.json")
     def intOf(k: String): Int =
       s""""$k":\\s*(\\d+)""".r.findFirstMatchIn(meta)
@@ -1696,6 +1699,7 @@ object Dedup {
 
   /** Load a persisted vec index (lazy parquet frames + sketch + meta). */
   def readVecIndex(spark: org.apache.spark.sql.SparkSession, path: String): VecIndex = {
+    finishBatchCompaction(spark, path) // complete an interrupted dir swap first
     val meta = readTextFile(spark, s"$path/meta.json")
     def longOf(k: String): Long =
       s""""$k":\\s*(-?\\d+)""".r.findFirstMatchIn(meta)
@@ -1884,9 +1888,42 @@ object Dedup {
     * (singletons: k = 1, weight 1.0).
     */
   def duplicationWeights(docs: DataFrame, idCol: String, text: Column, n: Int,
-      threshold: Double): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, idCol, text, n, threshold).localCheckpoint()
-    val labels = components(pairs)
+      threshold: Double): DataFrame =
+    weightsFromPairs(docs, idCol,
+      ngramJaccardPairs(docs, idCol, text, n, threshold))
+
+  /** [[duplicationWeights]] with the MINHASH+LSH pair stage — the 100-TB
+    * arm (the [[dedupCorpusLsh]] relationship, applied to soft dedup):
+    * candidates come from banded signature buckets (hot buckets
+    * star-degrade, never drop), every candidate verifies with EXACT
+    * Jaccard over full shingle sets, and the component/weight tail is
+    * byte-identical to the exact arm — the only semantic difference is
+    * pair RECALL (1-(1-j^rowsPerBand)^bands; identical documents always
+    * collide, so planted-copy clusters weight identically to the exact
+    * arm). One persisted shingle table feeds both the signatures and the
+    * verification.
+    */
+  def duplicationWeightsLsh(docs: DataFrame, idCol: String, text: Column, n: Int,
+      numPerm: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(bands * rowsPerBand <= numPerm,
+      s"bands*rowsPerBand = ${bands * rowsPerBand} exceeds numPerm = $numPerm")
+    val sh = shingleTable(docs, idCol, text, n).persist()
+    sh.count() // eager: feeds signatures AND verification
+    val sig = minhashFromShingles(sh, numPerm)
+    val cand = lshCandidates(sig, "id", bands, rowsPerBand, maxBucket)
+    val result = weightsFromPairs(docs, idCol, jaccardFromShingles(sh, cand, threshold))
+    sh.unpersist() // the label set is checkpointed — shingles no longer needed
+    result
+  }
+
+  /** Shared tail of both weight arms: pairs → [[components]] → cluster
+    * size → `round4(1/k)` weight, singletons at k = 1 / weight 1.
+    */
+  private def weightsFromPairs(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val p = pairs.localCheckpoint()
+    val labels = components(p)
     val lab = labels.join(
         labels.groupBy(col("comp")).agg(count(lit(1)).as("__k")), Seq("comp"))
       .select(col("id").as(idCol), col("__k"))
@@ -2359,6 +2396,123 @@ object Dedup {
           .stat.bloomFilter("__k", idx.expectedItems, idx.fpp))
     }
     writeBloomFileAtomic(spark, path, idx.bloom, idx.expectedItems, idx.fpp)
+  }
+
+  // — batch-index COMPACTION (small-file maintenance for the append
+  //   deltas) ———————————————————————————————————————————————————————————
+  //   appendToHashIndex / appendToBandIndex / appendToVecIndex /
+  //   appendToParagraphIndex each land `mode("append")` parquet parts in
+  //   flat table dirs: months of daily appends reproduce the small-file
+  //   swamp the streaming IngestIndex already solved for its partitioned
+  //   layout. This is the flat-dir twin of that marker protocol — each
+  //   table dir is rewritten into few files via invisible `.staging`
+  //   dirs, a self-describing `_compacting_batch.json` marker gates the
+  //   swap, and every index reader completes an interrupted swap before
+  //   scanning. Run while nothing is appending (a maintenance window) —
+  //   the same single-writer assumption as [[compactIngestIndex]].
+
+  /** Compact a batch-maintained index's table dirs into `targetFiles`
+    * parquet parts each. Crash-safe in two stages: stage (read each
+    * table, rewrite into `<table>.staging`, publish the marker via
+    * tmp+rename) and finish (swap each staged dir over its table, remove
+    * the marker). A crash before the marker leaves only invisible staging
+    * dirs (swept by the next run); a crash after it is completed by
+    * [[finishBatchCompaction]], which every `read*Index` runs first.
+    * `bloom.bin` / `meta.json` / `buckets` (already whole-dir swapped per
+    * append) are untouched. Row content is byte-identical — only the
+    * file layout changes — so probe classification cannot shift.
+    */
+  def compactBatchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      tables: Seq[String], targetFiles: Int = 1): Unit = {
+    stageBatchCompaction(spark, path, tables, targetFiles)
+    finishBatchCompaction(spark, path)
+  }
+
+  /** Table sets for the convenience wrappers below. */
+  private val HashIndexTables = Seq("hashes")
+  private val ParagraphIndexTables = Seq("paras")
+  private val BandIndexTables = Seq("shingles", "sizes", "bands")
+  private val VecIndexTables = Seq("vecs", "hashes")
+
+  /** [[compactBatchIndex]] over [[writeHashIndex]]'s layout. */
+  def compactHashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int = 1): Unit =
+    compactBatchIndex(spark, path, HashIndexTables, targetFiles)
+
+  /** [[compactBatchIndex]] over [[writeParagraphIndex]]'s layout. */
+  def compactParagraphIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int = 1): Unit =
+    compactBatchIndex(spark, path, ParagraphIndexTables, targetFiles)
+
+  /** [[compactBatchIndex]] over [[writeBandIndex]]'s layout (`buckets` is
+    * excluded: each append already rewrites it whole via staging+swap).
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int = 1): Unit =
+    compactBatchIndex(spark, path, BandIndexTables, targetFiles)
+
+  /** [[compactBatchIndex]] over [[writeVecIndex]]'s layout (`buckets`
+    * excluded, same reason as the band index). */
+  def compactVecIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int = 1): Unit =
+    compactBatchIndex(spark, path, VecIndexTables, targetFiles)
+
+  private val BatchMarker = "_compacting_batch.json"
+
+  /** Stage 1 of [[compactBatchIndex]]: staging dirs + marker. Exposed
+    * `private[graft]` so the crash drills can stop exactly here.
+    */
+  private[graft] def stageBatchCompaction(spark: org.apache.spark.sql.SparkSession,
+      path: String, tables: Seq[String], targetFiles: Int): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val (fs, _) = hadoopFs(spark, path)
+    // complete a prior run's published-but-unfinished swap BEFORE sweeping
+    // staging: after the marker, staging may hold the only complete copy
+    // of a table (its dir is deleted first in the swap) — sweeping it
+    // while the marker still lists the table would lose the data
+    finishBatchCompaction(spark, path)
+    tables.foreach { tbl =>
+      val stale = new org.apache.hadoop.fs.Path(s"$path/$tbl.staging")
+      if (fs.exists(stale)) fs.delete(stale, true)
+    }
+    val staged = tables.filter(tbl =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$tbl")))
+    if (staged.isEmpty) return // nothing to compact
+    staged.foreach { tbl =>
+      spark.read.parquet(s"$path/$tbl").coalesce(targetFiles)
+        .write.mode("overwrite").parquet(s"$path/$tbl.staging")
+    }
+    // self-describing marker (same key shape as the ingest protocol's, a
+    // distinct file name because the finish semantics differ: whole-dir
+    // swap here, partition fold there)
+    val marker = staged.map(tbl => s""""$tbl":[]""").mkString("{", ",", "}")
+    writeTextFile(spark, s"$path/$BatchMarker.tmp", marker)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/$BatchMarker")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$path/$BatchMarker.tmp"), dst))
+      throw new java.io.IOException(s"batch compaction marker publish failed at $dst")
+  }
+
+  /** Stage 2 of [[compactBatchIndex]] and the self-heal every
+    * `read*Index` runs first. Idempotent: a table whose staging dir is
+    * already gone was swapped by a previous attempt.
+    */
+  private[graft] def finishBatchCompaction(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val (fs, markerP) = hadoopFs(spark, s"$path/$BatchMarker")
+    if (!fs.exists(markerP)) return
+    val marker = readTextFile(spark, s"$path/$BatchMarker")
+    val tables = """"([A-Za-z0-9_]+)":\[""".r.findAllMatchIn(marker).map(_.group(1)).toSeq
+    tables.foreach { tbl =>
+      val staging = new org.apache.hadoop.fs.Path(s"$path/$tbl.staging")
+      val target = new org.apache.hadoop.fs.Path(s"$path/$tbl")
+      if (fs.exists(staging)) {
+        if (fs.exists(target)) fs.delete(target, true)
+        if (!fs.rename(staging, target))
+          throw new java.io.IOException(s"batch compaction swap $staging -> $target failed")
+      }
+    }
+    fs.delete(markerP, false)
   }
 
   // — streaming VEC ingest index (the EMBEDDING arm of the IngestIndex) ————

@@ -110,6 +110,50 @@ object Multimodal {
       buf.array()
     }
 
+    /** PCM WAV with a REAL sample payload: 44-byte canonical header +
+      * 16-bit LE mono samples — the audio-fingerprint fixture writer
+      * ([[wavBytes]] is the zeroed-header twin the meta probes use).
+      */
+    def wavBytesPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataSize = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      buf.putInt(16).putShort(1).putShort(1).putInt(sampleRate)
+        .putInt(sampleRate * 2).putShort(2).putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+
+    /** Decode a PCM WAV's sample stream: walk the RIFF chunk list to the
+      * `data` chunk (not a fixed offset — real encoders interleave LIST /
+      * fact chunks) and read 16-bit LE signed samples, channels
+      * interleaved as stored. Non-WAV or non-16-bit payloads decode to an
+      * empty array (the mixed-lake degrade convention of [[decode]]).
+      */
+    def pcm16(r: MediaRecord): Array[Int] = {
+      val b = r.bytes
+      if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+          b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return Array.empty
+      if (le16(b, 34) != 16) return Array.empty // bits per sample
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val sz = le32(b, i + 4)
+        if (id == "data") {
+          val n = math.min(sz, b.length - i - 8) / 2
+          val out = new Array[Int](n)
+          var j = 0
+          while (j < n) { out(j) = le16(b, i + 8 + j * 2).toShort.toInt; j += 1 }
+          return out
+        }
+        i += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      Array.empty
+    }
+
     /** Binary PPM (P6), maxval 255, zeroed pixels. */
     def ppmBytes(width: Int, height: Int): Array[Byte] = {
       val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
@@ -443,6 +487,107 @@ object Multimodal {
       }
     }
   }
+
+  /** Distributed PCM decode over a media table: (media_id, samples) with
+    * 16-bit signed samples as `array<int>` — the executor-side batch loop
+    * shape of [[extractMeta]]; non-WAV rows decode to empty arrays.
+    */
+  def pcmAll(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map(r => (r.media_id, MediaCodec.pcm16(r))))
+      .toDF("media_id", "samples")
+  }
+
+  /** 64-bit AUDIO perceptual fingerprint of a PCM sample stream — the
+    * waveform member of the perceptual-hash family, built in the
+    * [[pHash64]] exact-integer discipline so a DuckDB oracle replays it
+    * end to end:
+    *
+    *   1. silence TRIM: drop everything before the first and after the
+    *      last sample with |s| > `silenceThr` — the hash is structurally
+    *      invariant to silence padding (the classic audio re-encode /
+    *      concatenation artifact);
+    *   2. uniform RESAMPLE of the trimmed span to a 16×16 grid (cell `i`
+    *      reads trimmed sample ⌊i·m/256⌋ — integer floors, the
+    *      [[aHash64]] NN convention), row = coarse time, column = fine
+    *      time;
+    *   3. the separable integer DCT-II of [[pHash64]] (the same 128
+    *      `round(cos·1024)` constants), keeping the DC-cropped 8×8 block
+    *      — the time-frequency energy signature of the waveform
+    *      envelope, immune to any separable single-axis pattern up to
+    *      the rounding sliver;
+    *   4. bit `c` set iff coefficient `c` strictly exceeds the lower
+    *      median of the 64 kept coefficients — comparing against an
+    *      order statistic of the SAME coefficients makes the hash
+    *      exactly invariant to integer volume scaling (every
+    *      coefficient and the median scale together; `2a > 2b ⟺ a > b`),
+    *      and tolerant of non-integer gain up to rounding.
+    *
+    * Products are bounded by `16·1024·16·1024·32767 < 2⁶³`. An
+    * all-silent (or empty) stream hashes to 0.
+    */
+  def audioHash64(samples: Column, silenceThr: Int = 8): Column = {
+    val kFlat: Seq[Long] = for (x <- 0 until 16; u <- 1 to 8)
+      yield math.round(math.cos((2 * x + 1) * u * math.Pi / 32) * 1024.0)
+    val kArr = array(kFlat.map(lit): _*)
+    val pw = array(((0 until 63).map(c => lit(1L << c)) :+ lit(Long.MinValue)): _*)
+    def idiv(a: Column, b: Column): Column = (a / b).cast("long")
+    graft.Canonical.bindOnce(samples) { s =>
+      graft.Canonical.bindOnce(size(s).cast("long")) { n =>
+        when(n > 0L, graft.Canonical.bindOnce(
+          aggregate(sequence(lit(0L), n - 1L), lit(-1L), (acc, i) =>
+            when(abs(element_at(s, (i + 1L).cast("int")).cast("long")) > silenceThr,
+              greatest(acc, i)).otherwise(acc))) { hi =>
+          when(hi >= 0L, graft.Canonical.bindOnce(
+            aggregate(sequence(lit(0L), n - 1L), n, (acc, i) =>
+              when(abs(element_at(s, (i + 1L).cast("int")).cast("long")) > silenceThr,
+                least(acc, i)).otherwise(acc))) { lo =>
+            graft.Canonical.bindOnce(
+              transform(sequence(lit(0L), lit(255L)), i =>
+                element_at(s,
+                  (lo + idiv(i * (hi - lo + 1L), lit(256L)) + 1L).cast("int"))
+                  .cast("long"))) { ls =>
+              graft.Canonical.bindOnce(kArr) { k =>
+                // row pass: R(y,u) = Σ_x g(y·16+x)·K(x,u), flat ru = y·8+u
+                val rowPass = transform(sequence(lit(0L), lit(127L)), ru =>
+                  aggregate(sequence(lit(0L), lit(15L)), lit(0L), (acc, x) =>
+                    acc + element_at(ls, (idiv(ru, lit(8L)) * 16L + x + 1L).cast("int")) *
+                      element_at(k, (x * 8L + ru % 8L + 1L).cast("int"))))
+                graft.Canonical.bindOnce(rowPass) { rs =>
+                  // column pass: coef(u,v) = Σ_y K(y,v)·R(y,u), flat uv = u·8+v
+                  val coefs = transform(sequence(lit(0L), lit(63L)), uv =>
+                    aggregate(sequence(lit(0L), lit(15L)), lit(0L), (acc, y) =>
+                      acc + element_at(k, (y * 8L + uv % 8L + 1L).cast("int")) *
+                        element_at(rs, (y * 8L + idiv(uv, lit(8L)) + 1L).cast("int"))))
+                  graft.Canonical.bindOnce(coefs) { cs =>
+                    graft.Canonical.bindOnce(element_at(array_sort(cs), 32)) { med =>
+                      aggregate(sequence(lit(0L), lit(63L)), lit(0L), (acc, c) =>
+                        acc.bitwiseOR(
+                          when(element_at(cs, (c + 1L).cast("int")) > med,
+                            element_at(pw, (c + 1L).cast("int"))).otherwise(lit(0L))))
+                    }
+                  }
+                }
+              }
+            }
+          }).otherwise(lit(0L)) // all-silent
+        }).otherwise(lit(0L))   // empty stream
+      }
+    }
+  }
+
+  /** Audio near-dup pairs within Hamming distance `maxDist` over
+    * [[audioHash64]] fingerprints — the same hash-agnostic chunk-bucketed
+    * candidate machinery as the image family (pigeonhole-exact
+    * candidates, hot buckets star-degrade, no all-pairs comparison ever
+    * materializes).
+    */
+  def audioNearDupPairs(df: DataFrame, idCol: String, samples: Column,
+      maxDist: Int, silenceThr: Int = 8,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    Dedup.simhashPairs(
+      df.select(col(idCol), audioHash64(samples, silenceThr).as("simhash")),
+      idCol, maxDist, maxBucket)
 
   /** Image near-dup pairs within Hamming distance `maxDist` over aHash
     * signatures — [[Dedup.simhashPairs]]' chunk-bucket machinery

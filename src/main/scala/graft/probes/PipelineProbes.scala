@@ -2419,15 +2419,13 @@ object PipelineProbes {
   //   integer coin (slot·k < 10000 on the positional fingerprint), so
   //   every column including the per-row sampling decision is
   //   value-oracled.
-  private val x93 = Probe(
-    "x93_soft_dedup_weights",
-    (s, dir) => {
-      val docs = Readers.fanOut(t(s, dir, "documents")).select(col("doc_id"), col("text"))
-      Dedup.duplicationWeights(docs, "doc_id", col("text"), n = 3, threshold = 0.2)
-        .withColumn("kept", Dedup.softDedupKeep(col("doc_id"), col("cluster_size")))
-        .orderBy("doc_id")
-    },
-    Some {
+  /** The x93/x97 value oracle — arm-agnostic: exact-pair replay →
+    * recursive closure → cluster size → `round4(1/k)` weight → the
+    * integer sampling coin. The LSH arm (x97) matches it because the
+    * 16×4 banding's recall at jaccard ≥ 0.2 is exactly 1.0 at these
+    * corpus sizes (the x03/x21 empirical pin).
+    */
+  private def softDedupOracleSql: String = {
       val fp = graft.ops.TextStats.fingerprintSql("('softdedup:' || CAST(d.doc_id AS VARCHAR))")
       s"""WITH RECURSIVE ${ExtensionProbes.jacCte(0.2)},
          |edges AS (
@@ -2450,7 +2448,33 @@ object PipelineProbes {
          |JOIN lab ON lab.doc_id = d.doc_id
          |JOIN ksz ON ksz.comp = lab.comp
          |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
-    })
+  }
+
+  private val x93 = Probe(
+    "x93_soft_dedup_weights",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents")).select(col("doc_id"), col("text"))
+      Dedup.duplicationWeights(docs, "doc_id", col("text"), n = 3, threshold = 0.2)
+        .withColumn("kept", Dedup.softDedupKeep(col("doc_id"), col("cluster_size")))
+        .orderBy("doc_id")
+    },
+    Some(softDedupOracleSql))
+
+  // — the LSH arm of soft dedup (the 100-TB path): banded candidates +
+  //   exact-Jaccard verify, identical component/weight/coin tail. Same
+  //   fixture and ORACLE as x93 — at these corpus sizes the 16×4 banding
+  //   finds every jaccard ≥ 0.2 pair (the x03/x21 pin), so the two arms'
+  //   outputs must be row-identical and BOTH oracle-exact.
+  private val x97 = Probe(
+    "x97_soft_dedup_lsh",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents")).select(col("doc_id"), col("text"))
+      Dedup.duplicationWeightsLsh(docs, "doc_id", col("text"), n = 3,
+          numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 0.2)
+        .withColumn("kept", Dedup.softDedupKeep(col("doc_id"), col("cluster_size")))
+        .orderBy("doc_id")
+    },
+    Some(softDedupOracleSql))
 
   // — host-scoped boilerplate line removal (CCNet/OpenWebText trick) ————
   //   Fixture: hosts from doc_id % 7; every page carries a host NAV line
@@ -2729,8 +2753,96 @@ object PipelineProbes {
             |SELECT vec_id, batch FROM c2
             |ORDER BY vec_id ASC NULLS FIRST""".stripMargin))
 
+  // — audio perceptual fingerprint vs volume scaling + silence padding ——
+  //   Synthetic PCM per doc-id class (every sample magnitude ≥ 9 — strictly
+  //   above the silence threshold, so trim bounds cannot shift between a
+  //   signal and its 2× copy); twins are 2×-volume (every DCT coefficient
+  //   and the median double together — exactly invariant) and 40-sample
+  //   silence pads on both ends (the trim strips exactly the padding).
+  //   FULL value oracle: DuckDB replays the trim bounds, the 16×16
+  //   resample, the integer DCT (same round(cos·1024) K table as x91),
+  //   the lower-median threshold, the bit assembly, and the all-pairs
+  //   Hamming filter.
+  private val x96 = Probe(
+    "x96_audio_fingerprint",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val g = floor(col("doc_id") / 3).cast("long")
+      val v = pmod(col("doc_id"), lit(3L))
+      val cls = pmod(g * 3 + 5, lit(211L)) + 1L
+      val baseArr = transform(sequence(lit(0L), lit(319L)), i =>
+        (lit(1L) - lit(2L) * (i % 2L)) *
+          (lit(9L) + pmod(i * 73L + cls * lit(7919L) + i * i * lit(31L) + i * cls * lit(101L),
+            lit(1980L))))
+      val samples = when(v === 1L, transform(baseArr, x => x * lit(2L)))
+        .when(v === 2L, concat(array_repeat(lit(0L), 40), baseArr, array_repeat(lit(0L), 40)))
+        .otherwise(baseArr)
+      val fix = docs.select(col("doc_id").as("media_id"), samples.as("samples"))
+      Multimodal.audioNearDupPairs(fix, "media_id", col("samples"), maxDist = 2)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val kRows = (for (x <- 0 until 16; u <- 1 to 8)
+        yield s"($x, $u, ${math.round(math.cos((2 * x + 1) * u * math.Pi / 32) * 1024.0)})")
+        .mkString(", ")
+      val pw = (0 until 64).map(c =>
+        s"($c, ${if (c == 63) "(-9223372036854775807 - 1)" else (1L << c).toString})")
+        .mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id AS media_id, ((doc_id // 3) * 3 + 5) % 211 + 1 AS s,
+         |    doc_id % 3 AS v
+         |  FROM documents),
+         |k AS (SELECT * FROM (VALUES $kRows) t(x, u, kv)),
+         |pw AS (SELECT * FROM (VALUES $pw) t(c, pv)),
+         |idx AS (SELECT unnest(generate_series(0, 399)) AS i),
+         |samp0 AS (
+         |  SELECT b.media_id, b.v, b.s, idx.i,
+         |    idx.i - CASE WHEN b.v = 2 THEN 40 ELSE 0 END AS j
+         |  FROM base b, idx
+         |  WHERE idx.i < CASE WHEN b.v = 2 THEN 400 ELSE 320 END),
+         |samp AS (
+         |  SELECT media_id, i,
+         |    CASE WHEN v = 2 AND (i < 40 OR i >= 360) THEN CAST(0 AS BIGINT)
+         |      ELSE CAST((1 - 2 * (j % 2)) *
+         |        (9 + ((j * 73 + s * 7919 + j * j * 31 + j * s * 101) % 1980)) *
+         |        (CASE WHEN v = 1 THEN 2 ELSE 1 END) AS BIGINT) END AS sv
+         |  FROM samp0),
+         |tr AS (SELECT media_id, min(i) AS lo, max(i) AS hi
+         |  FROM samp WHERE abs(sv) > 8 GROUP BY 1),
+         |cell AS (SELECT unnest(generate_series(0, 255)) AS gidx),
+         |gpos AS (
+         |  SELECT t.media_id, c.gidx, t.lo + (c.gidx * (t.hi - t.lo + 1)) // 256 AS p
+         |  FROM tr t, cell c),
+         |grid AS (
+         |  SELECT g.media_id, g.gidx % 16 AS x, g.gidx // 16 AS y, s2.sv AS lu
+         |  FROM gpos g JOIN samp s2 ON s2.media_id = g.media_id AND s2.i = g.p),
+         |rp AS (
+         |  SELECT l.media_id, l.y, k.u, sum(l.lu * k.kv) AS r
+         |  FROM grid l JOIN k ON k.x = l.x GROUP BY 1, 2, 3),
+         |cf AS (
+         |  SELECT rp.media_id, rp.u, k.u AS vv, sum(k.kv * rp.r) AS cv
+         |  FROM rp JOIN k ON k.x = rp.y GROUP BY 1, 2, 3),
+         |med AS (
+         |  SELECT media_id, cv AS m FROM (
+         |    SELECT media_id, cv, row_number() OVER (
+         |      PARTITION BY media_id ORDER BY cv) AS rn FROM cf)
+         |  WHERE rn = 32),
+         |bits AS (
+         |  SELECT cf.media_id,
+         |    CAST(sum(CASE WHEN cf.cv > med.m THEN pw.pv ELSE 0 END) AS BIGINT) AS h
+         |  FROM cf JOIN med ON med.media_id = cf.media_id
+         |  JOIN pw ON pw.c = (cf.u - 1) * 8 + (cf.vv - 1)
+         |  GROUP BY 1)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |FROM bits a JOIN bits b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.h, b.h)) <= 2
+         |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
+    })
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95)
+    x95, x96, x97)
 }

@@ -836,6 +836,136 @@ class OpsSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/_compacting.json")))
   }
 
+  test("batch index compaction: hash/band/vec/paragraph appends fold to few files, probes classify identically") {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "batchCompact").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(dir: String): Int =
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/part-*")))
+        .map(_.length).getOrElse(0)
+
+    // hash + band (text) — corpus write + two appends accumulate parts
+    val corpus = Seq((10L, "a b c d e f g h"), (11L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    Dedup.writeHashIndex(corpus, "doc_id", "text", s"$base/hash", expectedItems = 100L)
+    Dedup.writeBandIndex(corpus, "doc_id", $"text", s"$base/band",
+      n = 3, numPerm = 64, numBands = 16, rowsPerBand = 4)
+    Dedup.appendToHashIndex(spark, s"$base/hash",
+      Seq((20L, "k l m n o p q r")).toDF("doc_id", "text"), "doc_id", "text")
+    Dedup.appendToBandIndex(spark, s"$base/band",
+      Seq((20L, "k l m n o p q r")).toDF("doc_id", "text"), "doc_id", "text")
+    Dedup.appendToHashIndex(spark, s"$base/hash",
+      Seq((21L, "z y x w v u t s")).toDF("doc_id", "text"), "doc_id", "text")
+    Dedup.appendToBandIndex(spark, s"$base/band",
+      Seq((21L, "z y x w v u t s")).toDF("doc_id", "text"), "doc_id", "text")
+    val batch = Seq((100L, "a b c d e f g h"), (101L, "k l m n o p q X"),
+      (102L, "totally different content here okay")).toDF("doc_id", "text")
+    def classifyText() = {
+      val r = Dedup.incrementalDedupIndexed(
+        Dedup.readHashIndex(spark, s"$base/hash"), Dedup.readBandIndex(spark, s"$base/band"),
+        batch, "doc_id", "text", threshold = 0.2)
+      val rows = r.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+      r.unpersist(); rows
+    }
+    val textBefore = classifyText()
+    assert(partFiles(s"$base/hash/hashes") >= 3, "appends must have accumulated parts")
+    Dedup.compactHashIndex(spark, s"$base/hash")
+    Dedup.compactBandIndex(spark, s"$base/band")
+    assert(partFiles(s"$base/hash/hashes") == 1, "hash table must fold to one file")
+    assert(partFiles(s"$base/band/shingles") == 1 && partFiles(s"$base/band/bands") == 1,
+      "band tables must fold to one file")
+    assert(classifyText() == textBefore, "text classification changed after compaction")
+
+    // vec — write + append, then compact (buckets untouched by design)
+    def e(k: Int, scale: Float = 1f): Array[Float] =
+      Array.tabulate(8)(i => if (i == k) scale else 0f)
+    val vcorpus = Seq((1L, e(0)), (2L, e(1))).toDF("vec_id", "embedding")
+    Dedup.writeVecIndex(vcorpus, "vec_id", "embedding", s"$base/vec",
+      numPlanes = 8, dim = 8, expectedItems = 100L)
+    Dedup.appendToVecIndex(spark, s"$base/vec",
+      Seq((3L, e(2))).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val vbatch = Seq((100L, e(2)), (101L, e(1, 2f)), (102L, e(4))).toDF("vec_id", "embedding")
+    def classifyVec() = {
+      val r = Dedup.incrementalSemanticIndexed(
+        Dedup.readVecIndex(spark, s"$base/vec"), vbatch, "vec_id", "embedding", 0.9)
+      val rows = r.orderBy("vec_id").as[(Long, String, Option[Long])].collect().toSeq
+      r.unpersist(); rows
+    }
+    val vecBefore = classifyVec()
+    assert(vecBefore == Seq((100L, "exact_dup", Some(3L)), (101L, "near_dup", Some(2L)),
+      (102L, "new", None)), s"got $vecBefore")
+    Dedup.compactVecIndex(spark, s"$base/vec")
+    assert(partFiles(s"$base/vec/vecs") == 1 && partFiles(s"$base/vec/hashes") == 1)
+    assert(classifyVec() == vecBefore, "vec classification changed after compaction")
+
+    // paragraph — write + append, then compact
+    val pcorpus = Seq((1L, "alpha\nshared line"), (2L, "beta\nother")).toDF("doc_id", "text")
+    Dedup.writeParagraphIndex(pcorpus, "doc_id", "text", s"$base/para", expectedItems = 100L)
+    Dedup.appendToParagraphIndex(spark, s"$base/para",
+      Seq((3L, "gamma\nmore")).toDF("doc_id", "text"), "doc_id", "text")
+    val pbatch = Seq((100L, "shared line\ngamma\nfresh para")).toDF("doc_id", "text")
+    def classifyPara() = {
+      Dedup.incrementalParagraphIndexed(
+        Dedup.readParagraphIndex(spark, s"$base/para"), pbatch, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    }
+    val paraBefore = classifyPara()
+    assert(paraBefore == Seq((100L, "fresh para")), s"got $paraBefore")
+    Dedup.compactParagraphIndex(spark, s"$base/para")
+    assert(partFiles(s"$base/para/paras") == 1)
+    assert(classifyPara() == paraBefore, "paragraph dedup changed after compaction")
+  }
+
+  test("batch index compaction crash drills: pre-marker staging never publishes; post-marker swap self-heals on read") {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "batchCrash").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corpus = Seq((10L, "a b c d e f g h")).toDF("doc_id", "text")
+    Dedup.writeHashIndex(corpus, "doc_id", "text", s"$base/hash", expectedItems = 100L)
+    Dedup.appendToHashIndex(spark, s"$base/hash",
+      Seq((20L, "k l m n o p q r")).toDF("doc_id", "text"), "doc_id", "text")
+    val batch = Seq((100L, "a b c d e f g h"), (101L, "k l m n o p q r"))
+      .toDF("doc_id", "text")
+    def classify() = {
+      val r = Dedup.incrementalExactIndexed(
+        Dedup.readHashIndex(spark, s"$base/hash"), batch, "doc_id", "text")
+      val rows = r.orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+      r.unpersist(); rows
+    }
+    val expect = Seq((100L, "exact_dup", Some(10L)), (101L, "exact_dup", Some(20L)))
+    assert(classify() == expect)
+    // pre-marker crash: poison staging, NO marker — a plain read must not
+    // see it, and the next compaction must sweep (not publish) it
+    Seq(("POISON", 999L)).toDF("__h", "__exact_of")
+      .write.parquet(s"$base/hash/hashes.staging")
+    assert(classify() == expect, "an unpublished staging dir leaked into a read")
+    Dedup.compactHashIndex(spark, s"$base/hash")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/hash/hashes.staging")))
+    assert(classify() == expect, "compaction after a pre-marker crash corrupted the table")
+    // post-marker crash: stage (marker published), swap never ran — the
+    // next READER must complete the swap before scanning
+    Dedup.appendToHashIndex(spark, s"$base/hash",
+      Seq((21L, "z y x w v u t s")).toDF("doc_id", "text"), "doc_id", "text")
+    Dedup.stageBatchCompaction(spark, s"$base/hash", Seq("hashes"), targetFiles = 1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/hash/_compacting_batch.json")))
+    assert(classify() == expect, "self-heal read after a post-marker crash misclassified")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/hash/_compacting_batch.json")),
+      "the reader must consume the marker")
+    assert(Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$base/hash/hashes/part-*"))).map(_.length).getOrElse(0) == 1,
+      "the healed table must be the compacted copy")
+    // and a re-staged run over a published marker completes the prior swap
+    // first (the invalidate-marker-first discipline, ingest-protocol twin)
+    Dedup.appendToHashIndex(spark, s"$base/hash",
+      Seq((22L, "q q q q w w w w")).toDF("doc_id", "text"), "doc_id", "text")
+    Dedup.stageBatchCompaction(spark, s"$base/hash", Seq("hashes"), targetFiles = 1)
+    Dedup.stageBatchCompaction(spark, s"$base/hash", Seq("hashes"), targetFiles = 1)
+    Dedup.finishBatchCompaction(spark, s"$base/hash")
+    assert(classify() == expect, "double-stage over a live marker corrupted the table")
+  }
+
   test("ingest index compaction: a re-run over a published marker completes the prior fold before sweeping staging") {
     // hazard (round-11 advisor): run #1 crashes AFTER publishing its
     // marker — staging holds the only complete copy of the listed source
@@ -917,6 +1047,80 @@ class OpsSpec extends SparkSpec {
     // rank API: direct k-th smallest
     assert(Quantiles.exactRankValues(df, "v", Seq(1L, vals.size.toLong)) ==
       Seq(1L -> sorted.head, vals.size.toLong -> sorted.last))
+  }
+
+  test("duplicationWeightsLsh: planted-copy clusters weight identically to the exact arm") {
+    def doc(prefix: String, n: Int): String = (1 to n).map(i => f"$prefix$i%02d").mkString(" ")
+    // three identical-copy clusters (sizes 3, 2, 1) + a near pair
+    val docs = Seq(
+      (1L, doc("a", 12)), (2L, doc("a", 12)), (3L, doc("a", 12)),
+      (10L, doc("b", 12)), (11L, doc("b", 12)),
+      (20L, doc("c", 12)),
+      (30L, doc("d", 12)), (31L, doc("d", 11) + " zz")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val exact = rows(Dedup.duplicationWeights(docs, "doc_id", $"text", n = 3, threshold = 0.2))
+    val lsh = rows(Dedup.duplicationWeightsLsh(docs, "doc_id", $"text", n = 3,
+      numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 0.2))
+    assert(lsh == exact, s"exact $exact\nlsh   $lsh")
+    assert(exact.filter(_._1 <= 3L).forall(r => r._2 == 3L && r._3 == 0.3333))
+    assert(exact.find(_._1 == 20L).get._2 == 1L)
+    assert(exact.find(_._1 == 30L).get._2 == 2L, "the near pair must cluster in both arms")
+  }
+
+  test("audioHash64: invariant to integer volume scaling and silence padding; WAV PCM roundtrip is exact") {
+    // deterministic "loud" waveform per class: every sample magnitude ≥ 9
+    // (strictly above the silence threshold, so trim bounds cannot shift
+    // between a signal and its 2× copy), alternating sign for texture
+    def sig(cls: Long, n: Int): Seq[Int] = (0 until n).map { i =>
+      (1 - 2 * (i % 2)) * (9 + ((i * 73L + cls * 7919L + i.toLong * i * 31L + i * cls * 101L) % 1980L)).toInt
+    }
+    val rows = (0L until 6L).flatMap { cls =>
+      val base = sig(cls, 320)
+      Seq(
+        (cls * 10L, base),                                             // base
+        (cls * 10L + 1L, base.map(_ * 2)),                             // 2× volume
+        (cls * 10L + 2L, Seq.fill(40)(0) ++ base ++ Seq.fill(40)(0)))  // silence-padded
+    }
+    val df = rows.toDF("media_id", "samples")
+    val hashes = df.select($"media_id", Multimodal.audioHash64($"samples").as("h"))
+      .as[(Long, Long)].collect().toMap
+    (0L until 6L).foreach { cls =>
+      assert(hashes(cls * 10L) == hashes(cls * 10L + 1L),
+        s"class $cls: 2x volume must be hash-invariant")
+      assert(hashes(cls * 10L) == hashes(cls * 10L + 2L),
+        s"class $cls: silence padding must be hash-invariant")
+    }
+    // distinct classes stay far apart (no accidental near-pairs)
+    val byClass = (0L until 6L).map(c => hashes(c * 10L))
+    for (a <- byClass.indices; b <- byClass.indices if a < b)
+      assert(java.lang.Long.bitCount(byClass(a) ^ byClass(b)) > 8,
+        s"classes $a/$b unexpectedly close")
+    // degenerate streams: all-silent and empty hash to 0
+    assert(Seq((0L, Seq.fill(100)(3)), (1L, Seq.empty[Int])).toDF("media_id", "samples")
+      .select(Multimodal.audioHash64($"samples")).as[Long].collect().toSeq == Seq(0L, 0L))
+    // the pair machinery finds exactly the planted trios
+    val pairs = Multimodal.audioNearDupPairs(df, "media_id", $"samples", maxDist = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val want = (0L until 6L).flatMap(c =>
+      Seq((c * 10L, c * 10L + 1L), (c * 10L, c * 10L + 2L), (c * 10L + 1L, c * 10L + 2L))).toSet
+    assert(pairs == want, s"got ${pairs.toSeq.sorted}")
+    // WAV roundtrip: encode 16-bit PCM, decode via the chunk walker, hash
+    // over the decoded stream equals the direct hash
+    val wav = rows.map { case (id, s) =>
+      Multimodal.MediaRecord(id, "wav",
+        Multimodal.MediaCodec.wavBytesPcm16(8000, s.map(_.toShort).toArray), "synth")
+    }
+    assert(wav.forall(r => Multimodal.MediaCodec.pcm16(r).toSeq ==
+      rows.find(_._1 == r.media_id).get._2), "PCM roundtrip must be sample-exact")
+    val decodedHashes = Multimodal.pcmAll(spark, spark.createDataFrame(wav))
+      .select($"media_id", Multimodal.audioHash64($"samples").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(decodedHashes == hashes, "hash over decoded WAV must equal the direct hash")
+    // non-WAV bytes degrade to an empty stream (hash 0), never throw
+    assert(Multimodal.MediaCodec.pcm16(
+      Multimodal.MediaRecord(99L, "bmp", Multimodal.MediaCodec.bmpBytes(4, 4), "synth"))
+      .isEmpty)
   }
 
   test("pHash64: column-stripe noise flips dHash in every class; the DC-cropped DCT hash never moves") {
