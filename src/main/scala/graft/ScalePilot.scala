@@ -578,8 +578,24 @@ object ScalePilot {
           Dedup.duplicationWeightsLsh(docs, "doc_id", col("text"), n = 3,
             numPerm = 64, bands = 16, rowsPerBand = 4, threshold = 0.5)
         }),
-        "bpe_train_1k" -> (() =>
-          Bpe.trainBatched(tbl(dir, "documents"), col("text"), rounds = 8, batchSize = 256)))
+        "bpe_train_1k" -> (() => {
+          // vocabulary-scale training: the fixture corpus's natural word
+          // vocab saturates batched admission near ~86 merges (the r9
+          // pin), so the pilot enriches it with two pseudo-random letter
+          // words per doc; 64 rounds x 256 candidates admits ~1047 merges
+          // in ~128 Spark jobs (2/round) — sequential train would need
+          // ~2100 jobs for the same table
+          val docs = tbl(dir, "documents")
+          // pre-mod before the hash multiply: 64x-shifted ids overflow
+          // a raw doc_id * 2654435761 under ANSI
+          val idm = pmod(col("doc_id"), lit(1000000007L))
+          val enriched = docs.select(concat_ws(" ", col("text"),
+            translate(((idm * 2654435761L) % 100000000L).cast("string"),
+              "0123456789", "abcdefghij"),
+            translate(((idm * 1099087573L) % 100000000L).cast("string"),
+              "0123456789", "qrstuvwxyz")).as("text"))
+          Bpe.trainBatched(enriched, col("text"), rounds = 64, batchSize = 256)
+        }))
     }
 
     def webQueries(dir: String): Seq[(String, () => DataFrame)] = {
