@@ -276,4 +276,50 @@ object Graft {
   def removeHostBoilerplate(docs: DataFrame, idCol: String, hostCol: String,
       textCol: String, minDf: Long): DataFrame =
     Curate.removeHostBoilerplate(docs, idCol, hostCol, textCol, minDf)
+
+  /** [[duplicationWeights]] with the banded (MinHash+LSH) pair stage —
+    * the 100-TB arm; weights match the exact arm wherever banding recall
+    * holds (identical documents always collide).
+    */
+  def duplicationWeightsLsh(docs: DataFrame, idCol: String, text: Column,
+      n: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame =
+    Dedup.duplicationWeightsLsh(docs, idCol, text, n, numPerm, bands,
+      numPerm / bands, threshold)
+
+  /** [[streamCuratedCorpusIndexed]]'s EMBEDDING twin: streaming semantic
+    * dedup against a persisted vec ingest index — exactly-once through
+    * the index under replay, SemDeDup within each micro-batch.
+    */
+  def streamSemanticCorpusIndexed(docs: DataFrame, corpusPath: String,
+      indexPath: String, checkpoint: String, idCol: String, vecCol: String,
+      threshold: Double = 0.9, numPlanes: Int = 8, dim: Int = 64,
+      compactEvery: Int = 0) =
+    StreamingIngest.semanticCorpusIndexedSink(docs, corpusPath, indexPath,
+      checkpoint, idCol, vecCol, threshold, numPlanes, dim,
+      compactEvery = compactEvery)
+
+  /** 64-bit audio perceptual fingerprint of a PCM sample column —
+    * silence-trim → 16×16 resample → integer DCT → median sign bits;
+    * invariant to silence padding and integer volume scaling.
+    */
+  def audioFingerprint(samples: Column, silenceThr: Int = 8): Column =
+    Multimodal.audioHash64(samples, silenceThr)
+
+  /** Audio near-dup pairs within a Hamming radius over
+    * [[audioFingerprint]]s (chunk-bucketed candidates, no all-pairs).
+    */
+  def audioNearDupPairs(df: DataFrame, idCol: String, samples: Column,
+      maxDist: Int = 2): DataFrame =
+    Multimodal.audioNearDupPairs(df, idCol, samples, maxDist)
+
+  /** Fold a batch-maintained index's parquet append deltas into few
+    * files (crash-safe staging+marker+swap; readers self-heal an
+    * interrupted fold). One wrapper per index layout in
+    * [[graft.ops.Dedup]]: `compactHashIndex` / `compactBandIndex` /
+    * `compactVecIndex` / `compactParagraphIndex`.
+    */
+  def compactParagraphIndex(spark: SparkSession, path: String,
+      targetFiles: Int = 1): Unit =
+    Dedup.compactParagraphIndex(spark, path, targetFiles)
 }

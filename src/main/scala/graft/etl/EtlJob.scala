@@ -112,16 +112,17 @@ object EtlJob {
     }
 
     val wh0 = buildFromFlat(flat, cfg)
+    val allChecks = (dq ++ wh0.dqChecks).toSeq // pre-parse checkpoints lead
 
     write(wh0, cfg)
-    cfg.dqReportPath.foreach(p => DqRunner.writeReport(spark, wh0.dqChecks, p))
+    cfg.dqReportPath.foreach(p => DqRunner.writeReport(spark, allChecks, p))
     // The returned frames keep flat's blocks referenced (checkpoint blocks
     // otherwise linger until driver GC + ContextCleaner — accumulating
     // across run() calls in a long-lived app). The warehouse is already
     // safely on disk: callers done with the in-memory frames free them via
     // [[release]], scoped to exactly the blocks this run pinned.
     val pinnedByRun = (spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore).toSeq
-    wh0.copy(dqChecks = (dq ++ wh0.dqChecks).toSeq, releasableRddIds = pinnedByRun)
+    wh0.copy(dqChecks = allChecks, releasableRddIds = pinnedByRun)
   }
 
   /** Free the materialized blocks behind a [[run]] result (flat's
