@@ -520,7 +520,8 @@ object Bench {
         "\"" + k + "\":[" + samples.mkString(",") + "]"
       }.mkString(s""","$field":{""", ",", "}")
     val shufJson = shufMap(shuffle, "shuffle_mb") + shufMap(sf1Shuffle, "sf1_shuffle_mb") +
-      telemMap(telemetry, "telemetry") + telemMap(sf1Telemetry, "sf1_telemetry")
+      telemMap(telemetry, "telemetry") + telemMap(sf1Telemetry, "sf1_telemetry") +
+      (if (compact) "" else s""","host":$hostJson""")
     val partialJson = if (partial) ""","partial":true""" else ""
     // compact (stdout) variant: sf as basename, rounds_done omitted —
     // both ride in the file artifact; every byte of the stdout line
@@ -532,6 +533,26 @@ object Bench {
     val sfJson = escape(if (compact) sfDir.stripSuffix("/").split('/').last else sfDir)
     val roundsJson = if (compact) "" else s""""rounds_done":$roundsDone,"""
     f"""{"metric":"total","value":$total%.3f,"unit":"sec",$roundsJson"failed":$failedJson,"sf":$sfJson,"queries":$qsJson$sf1Json$sf1FailedJson$shufJson$partialJson}"""
+  }
+
+  /** Host fingerprint (file artifact only): cross-round wall-clock
+    * comparisons are meaningless without it — the round-11 drift hunt
+    * spent a session proving that numbers recorded across rounds came
+    * from different silicon (2.1 GHz base Xeon vs earlier hosts), which
+    * one recorded field would have shown instantly.
+    */
+  private lazy val hostJson: String = {
+    def probe(path: String, re: scala.util.matching.Regex): String =
+      try re.findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")).map(_.group(1).trim).getOrElse("?")
+      catch { case _: Throwable => "?" }
+    val model = probe("/proc/cpuinfo", "model name\\s*:\\s*(.+)".r)
+    val mhz = probe("/proc/cpuinfo", "cpu MHz\\s*:\\s*([0-9.]+)".r)
+    val memGb = probe("/proc/meminfo", "MemTotal:\\s*([0-9]+)".r) match {
+      case "?" => "?"
+      case kb => f"${kb.toLong / 1048576.0}%.0f"
+    }
+    s"""{"cpu":${escape(model)},"mhz":${escape(mhz)},"cores":${Runtime.getRuntime.availableProcessors},"mem_gb":${escape(memGb)},"heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)}}"""
   }
 
   private def escape(s: String): String =
@@ -562,8 +583,11 @@ object Bench {
       r
     }
     val events = graft.sources.Readers.table(spark, sfDir, "events")
-    val flat = timed("synth+parse+flatten (localCheckpoint)") {
-      Flatten(graft.probes.EventsVocab.synth(graft.sources.Readers.fanOut(events))).localCheckpoint()
+    val flat = timed("synth+parse+flatten (parquet stage)") {
+      val stage = s"${graft.TmpDir.root}/q17_breakdown_stage"
+      Flatten(graft.probes.EventsVocab.synth(graft.sources.Readers.fanOut(events)))
+        .write.mode("overwrite").parquet(stage)
+      spark.read.parquet(stage)
     }
     val fact = timed("dims+dimShipping+fact (noop write)") {
       val dimClient = Dims.client(flat, SurrogateKeys.Deterministic)

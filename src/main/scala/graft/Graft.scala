@@ -186,6 +186,15 @@ object Graft {
       idCol: Column, tokenCount: Column): DataFrame =
     Sampling.tokenBudget(sources, idCol, tokenCount)
 
+  /** Cluster-balanced temperature resampling over an embedding column:
+    * assign to max-cosine centroids, resample clusters at `p ∝ n^α`
+    * against a document budget (α < 1 flattens the dominant clusters),
+    * deterministic portable per-row coin.
+    */
+  def clusterTemperature(docs: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, alpha: Double, budget: Long): DataFrame =
+    Sampling.clusterTemperature(docs, idCol, vecCol, cents, alpha, budget)
+
   // — SCD2 dimension versioning ([[graft.ops.Scd]]) ——————————————————————
   def scd2FromHistory(history: DataFrame, keyCols: Seq[String], tsCol: String,
       payloadCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame =

@@ -1333,10 +1333,18 @@ object Dedup {
     val paras = paragraphTable(batch, idCol, textCol, index.sep)
       .localCheckpoint() // pin: feeds election, survivor join AND reassembly
     val keyed = paras.select(sha2(col("__para"), 256).as("__h"), col(idCol), col("__pos"))
-    // in-batch election (map-side combine collapses hot digests pre-shuffle)
+    // in-batch election (map-side combine collapses hot digests pre-shuffle).
+    // Pinned: both Bloom branches below consume it, and WITHOUT the pin
+    // Catalyst pushes each branch's sketch filter below the aggregate
+    // (the filter is on the group key), splitting the exchange into two
+    // subtrees that each re-scan the batch and re-run the election —
+    // verified by the PlanSpec listener sweep, which pins the partial
+    // election to exactly ONE executed aggregate. The pinned frame is
+    // batch-distinct-paragraph-sized, bounded by the batch contract.
     val batchWin = keyed
       .groupBy(col("__h"))
       .agg(min(struct(col(idCol), col("__pos"))).as("__slot"))
+      .localCheckpoint()
     // corpus check: Bloom-negative winners are certainly new (no false
     // negatives) and bypass the verify join; positives verify against the
     // digest table so the classification stays exact

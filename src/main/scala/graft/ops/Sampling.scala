@@ -345,4 +345,64 @@ object Sampling {
     val byName = rates.map(r => r._1 -> r._3).toMap
     mixturePortable(sources.map { case (name, df) => (name, df, byName(name)) }, idCol)
   }
+
+  /** Cluster-balanced temperature resampling — the EMBEDDING-SPACE twin of
+    * [[temperatureMixture]]. A web crawl's embedding clusters are
+    * power-law sized; sampling the raw mix trains mostly on the head.
+    * Documents assign to their max-cosine centroid ([[Ivf.assign]] —
+    * broadcast argmax, map-side combined), clusters resample at
+    * `p_c ∝ n_c^α` against a document `budget` (α < 1 flattens the head,
+    * upweights the tail), and each row's keep decision is the
+    * [[mixturePortable]] coin keyed by `"c<centroid_id>:<id>"` —
+    * deterministic across retries, partitionings, and engines.
+    *
+    * The arithmetic is canonical end to end so the kept SET is
+    * value-oracle-checkable (probe x98): cluster counts sort by centroid
+    * id, the weight normalizer is the left-fold sum in that order,
+    * α = 0.5 routes through correctly-rounded `sqrt`
+    * ([[temperatureRates]]' discipline), rates quantize to the coin's
+    * 1/[[Slots]] granularity, and the slot cut replays as
+    * `floor(rate·Slots + 0.5)`.
+    *
+    * 100-TB shape: the centroid table is broadcast-sized by construction
+    * (~√N inverted lists — [[Ivf]]'s contract), so the per-cluster
+    * count is a driver-bounded aggregate and the rate/cut tables ride as
+    * LITERAL maps into a scan-side filter — one shuffle total (the assign
+    * argmax), no per-cluster DataFrame fan-out, no second pass over the
+    * corpus. Centroid ids must be integral (they come from the corpus id
+    * column via [[Ivf.seedCentroids]] / [[Ivf.train]]).
+    *
+    * Returns the kept rows: (idCol, centroid_id, cluster_rate).
+    */
+  def clusterTemperature(docs: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val assigned = Ivf.assign(docs, idCol, vecCol, cents)
+      .select(col(idCol), col("centroid_id").cast("long").as("centroid_id"))
+    // per-cluster counts: k rows, k broadcast-sized by Ivf's contract
+    val counts = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val weights = counts.map { case (_, n) =>
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    }
+    val z = weights.foldLeft(0.0)(_ + _) // left fold in centroid-id order
+    val rates: Map[Long, Double] = counts.zip(weights).map { case ((cid, n), w) =>
+      val raw =
+        if (z == 0.0) 0.0
+        else math.min(1.0, budget.toDouble * (w / z) / math.max(n.toDouble, 1.0))
+      cid -> math.max(1.0 / Slots, math.floor(raw * Slots + 0.5) / Slots)
+    }.toMap
+    val cuts: Map[Long, Long] = rates.map { case (cid, r) =>
+      cid -> math.floor(r * Slots + 0.5).toLong
+    }
+    val slot = pmod(pmod(graft.functions.TextFunctions.fingerprint(
+        concat(lit("c"), col("centroid_id").cast("string"), lit(":"),
+          col(idCol).cast("string"))), lit(100000L))
+      * lit(2654435761L), lit(Slots))
+    assigned
+      .withColumn("cluster_rate", element_at(typedlit(rates), col("centroid_id")))
+      .filter(slot < element_at(typedlit(cuts), col("centroid_id")))
+  }
 }

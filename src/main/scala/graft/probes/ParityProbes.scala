@@ -477,18 +477,32 @@ object ParityProbes {
     // materialized once, reused by every dim/fact subtree (EtlJob's
     // documented physical delta, SURVEY §7.3) — without this each of the
     // ~8 subtrees recompiles and re-executes the whole synth+parse+flatten
-    // projection. localCheckpoint (eager), NOT persist+count: a cached
-    // plan leaves lineage behind it, and under memory pressure an evicted
-    // partition recomputes — re-opening the block-lock race between the
-    // dim broadcast-exchange threads that eager materialization was added
-    // to close (observed minutes-long stalls against the 300 s broadcast
-    // timeout; the r9 driver recorded q17@sf1 at 297 s min-of-2 vs 13 s
-    // idle with byte-identical shuffle). The checkpoint truncates lineage
-    // entirely: evicted blocks go to disk, recompute is impossible, and
-    // the broadcast threads read inert blocks instead of a shared plan.
+    // projection. NOT persist+count: a cached plan leaves lineage behind
+    // it, and under memory pressure an evicted partition recomputes —
+    // re-opening the block-lock race between the dim broadcast-exchange
+    // threads that eager materialization was added to close (observed
+    // minutes-long stalls against the 300 s broadcast timeout; the r9
+    // driver recorded q17@sf1 at 297 s min-of-2 vs 13 s idle with
+    // byte-identical shuffle).
     // fan out first: events.parquet is a single row-group at test SFs, so
     // the to_json synth + from_json parse would otherwise run on one core
-    val flat = Flatten(EventsVocab.synth(Readers.fanOut(t(s, dir, "events")))).localCheckpoint()
+    val flat = {
+      // parquet staging table, the EtlJob.ParquetStage default: lineage-
+      // free (re-reads files — no recompute path at all), no cache-manager
+      // involvement (the block-lock race between dim broadcast-exchange
+      // threads that motivated the round-10 localCheckpoint cannot exist),
+      // and columnar-compressed — measured 2× faster than row-format
+      // checkpoint blocks across the ~8 consumer scans at sf1 (17.1 s vs
+      // 35.1 s on the round-11 host; columnar cache() read 19.9 s and
+      // keeps the eviction hazard). Unique path per build: concurrent
+      // suites sharing the session must never overwrite a stage another
+      // build is still lazily reading. Stages live under TmpDir (target/)
+      // and go with `clean`.
+      val stage = s"${graft.TmpDir.root}/parcel_flat_stage_${java.util.UUID.randomUUID}"
+      Flatten(EventsVocab.synth(Readers.fanOut(t(s, dir, "events"))))
+        .write.mode("overwrite").parquet(stage)
+      s.read.parquet(stage)
+    }
     val dimClient = Dims.client(flat, SurrogateKeys.Deterministic)
     val dimLocation = Dims.location(flat, SurrogateKeys.Deterministic)
     val dimState = Dims.state(flat, SurrogateKeys.Deterministic)

@@ -2476,6 +2476,63 @@ object PipelineProbes {
     },
     Some(softDedupOracleSql))
 
+  // — cluster-balanced temperature resampling (x98) ——————————————————————
+  //   The embedding-space twin of the x83 temperature mixture (crawl
+  //   embedding clusters are power-law sized; α = 0.5 flattens the head):
+  //   max-cosine centroid assignment (the x12 argmax discipline) → per-
+  //   cluster n^0.5 rates against a budget of n/4 documents → the
+  //   portable fingerprint coin keyed "c<centroid>:<id>" decides each
+  //   row. The oracle replays ALL of it from first principles: the
+  //   argmax, the centroid-id-ordered weight fold (list_sum over an
+  //   ordered list — the left-fold sum the Scala side pins), the exact
+  //   1/10000 rate quantization, and the coin row by row — the kept SET
+  //   is value-checked, not tolerance-gated.
+  private val x98 = Probe(
+    "x98_cluster_temperature",
+    (s, dir) => {
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
+      val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 16)
+      val budget = math.max(1L, emb.count() / 4)
+      Sampling.clusterTemperature(emb, "vec_id", "embedding", cents,
+          alpha = 0.5, budget = budget)
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH cents AS (
+            |  SELECT vec_id AS centroid_id, embedding AS cvec
+            |  FROM embeddings ORDER BY vec_id LIMIT 16),
+            |cc AS (SELECT vec_id, centroid_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+            |              CAST(unnest(cvec) AS DOUBLE) AS y FROM embeddings, cents),
+            |ccs AS (SELECT vec_id, centroid_id,
+            |          round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS sim
+            |        FROM cc GROUP BY 1, 2),
+            |assigned AS (
+            |  SELECT vec_id, centroid_id FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY vec_id
+            |      ORDER BY sim DESC NULLS LAST, centroid_id ASC NULLS FIRST) AS rn FROM ccs)
+            |  WHERE rn = 1),
+            |cnt AS (SELECT centroid_id, count(*) AS n FROM assigned GROUP BY 1),
+            |zt AS (SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY centroid_id)) AS z,
+            |              GREATEST(1, (SELECT count(*) FROM embeddings) // 4) AS b FROM cnt),
+            |rates AS (
+            |  SELECT centroid_id,
+            |    GREATEST(1.0/10000,
+            |      floor(LEAST(1.0, CAST(b AS DOUBLE) * (sqrt(CAST(n AS DOUBLE)) / z)
+            |        / GREATEST(CAST(n AS DOUBLE), 1.0)) * 10000 + 0.5) / 10000)
+            |      AS cluster_rate
+            |  FROM cnt, zt),
+            |coin AS (
+            |  SELECT vec_id, centroid_id,
+            |    'c' || CAST(centroid_id AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR) AS s
+            |  FROM assigned),
+            |slotted AS (
+            |  SELECT vec_id, centroid_id,
+            |    ((${TextStats.fingerprintSql("s")} % 100000) * 2654435761) % 10000 AS slot
+            |  FROM coin)
+            |SELECT sl.vec_id, sl.centroid_id, r.cluster_rate
+            |FROM slotted sl JOIN rates r USING (centroid_id)
+            |WHERE sl.slot < CAST(floor(r.cluster_rate * 10000 + 0.5) AS BIGINT)
+            |ORDER BY vec_id ASC NULLS FIRST""".stripMargin))
+
   // — host-scoped boilerplate line removal (CCNet/OpenWebText trick) ————
   //   Fixture: hosts from doc_id % 7; every page carries a host NAV line
   //   (df ≈ pages-per-host ≥ minDf → dropped), pages with doc_id % 3 = 0
@@ -2844,5 +2901,5 @@ object PipelineProbes {
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97)
+    x95, x96, x97, x98)
 }

@@ -80,5 +80,13 @@ class BenchJsonSpec extends AnyFunSuite {
     val s1 = node.get("sf1_shuffle_mb").get(Bench.sf1Subset.head)
     assert(s1.get("r").isNumber && s1.get("w").isNumber && s1.get("spill").isNumber)
     assert(node.get("sf1_rounds").asInt() == 2)
+    // the host fingerprint (cpu model/MHz/cores/mem) rides on the FILE
+    // artifact only: cross-round wall comparisons need it, the byte-
+    // bounded stdout line doesn't have room for it
+    val host = node.get("host")
+    assert(host != null && host.get("cpu") != null && host.get("cores").isNumber,
+      "the file artifact must carry the host fingerprint")
+    assert(mapper.readTree(compact()).get("host") == null,
+      "host must not spend bytes on the compact stdout line")
   }
 }

@@ -1925,6 +1925,36 @@ class OpsSpec extends SparkSpec {
     assert(top(3L) == "other")
   }
 
+  test("clusterTemperature: exact rate arithmetic, tail upweighted, repartition-invariant") {
+    def v(k: Int): Array[Float] = Array.tabulate(4)(i => if (i == k) 1f else 0f)
+    // 90 docs on axis 0, 10 on axis 1 — two exact cosine clusters
+    val cdocs = ((0 until 90).map(i => (i.toLong, v(0))) ++
+      (100 until 110).map(i => (i.toLong, v(1)))).toDF("id", "vec")
+    val cents = Seq((0L, v(0)), (100L, v(1))).toDF("centroid_id", "centroid_vec")
+    val out = Sampling.clusterTemperature(cdocs, "id", "vec", cents,
+      alpha = 0.5, budget = 50).cache()
+    val rates = out.select("centroid_id", "cluster_rate").distinct()
+      .as[(Long, Double)].collect().toMap
+    // replay the canonical arithmetic: weights sqrt(n), left-fold z in
+    // centroid-id order, rate = floor-quantized min(1, b·p/n)
+    val (w0, w1) = (math.sqrt(90.0), math.sqrt(10.0))
+    val z = 0.0 + w0 + w1
+    def rate(w: Double, n: Double) = math.max(1.0 / 10000,
+      math.floor(math.min(1.0, 50.0 * (w / z) / n) * 10000 + 0.5) / 10000)
+    assert(rates(0L) == rate(w0, 90.0), s"head rate: $rates")
+    assert(rates(100L) == rate(w1, 10.0), s"tail rate: $rates")
+    // α = 0.5 flattens the head: the tail cluster keeps a higher fraction
+    assert(rates(100L) > rates(0L))
+    assert(rates(100L) == 1.0) // budget·p_tail exceeds the tail size
+    // the coin is content-addressed: physical layout cannot move a row
+    val kept = out.select("id").as[Long].collect().sorted.toSeq
+    val again = Sampling.clusterTemperature(cdocs.repartition(7), "id", "vec",
+      cents, alpha = 0.5, budget = 50).select("id").as[Long].collect().sorted.toSeq
+    assert(kept == again)
+    assert(kept.count(_ >= 100L) == 10) // whole tail cluster rides through
+    out.unpersist()
+  }
+
   test("text stats: ratios bounded, langid sane, fingerprint stable") {
     val st = ops.TextStats.withStats(docs).cache()
     assert(st.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)

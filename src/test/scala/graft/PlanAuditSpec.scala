@@ -31,9 +31,13 @@ class PlanAuditSpec extends SparkSpec {
                                // like x22 — the win is m byte-lookups per pair
                                // (32× less I/O than float), not asymptotics;
                                // compose with IVF lists for the sublinear path
-    "x79_sim_topk_ivf_pq"      // probe×centroid scoring is a small cross
+    "x79_sim_topk_ivf_pq",     // probe×centroid scoring is a small cross
                                // product, exactly like x12/x37; the candidate
                                // stage itself is a list-id equi-join
+    "x98_cluster_temperature"  // the Ivf.assign argmax is corpus×centroids
+                               // against a broadcast-sized centroid table,
+                               // exactly the x12 shape; everything after it
+                               // is a scan-side literal-map filter
   )
 
   // streaming probes execute a query at construction time; plan-audited

@@ -456,4 +456,50 @@ class PlanSpec extends SparkSpec {
     assert(windowLines.forall(l => !l.contains("text#") && !l.contains("shingle#")),
       s"probeIngestIndex must not sort a content-keyed window:\n${windowLines.mkString("\n")}")
   }
+
+  test("incrementalParagraphIndexed: the batch election runs exactly once (verdict-r10 note)") {
+    // the Bloom-positive and Bloom-negative branches both consume the
+    // batch election frame (groupBy __h → min slot). Unpinned, Catalyst
+    // pushes each branch's sketch filter below the aggregate (it filters
+    // the GROUP KEY), splitting the exchange into two subtrees that each
+    // re-scan the batch and re-run the election — observed as two
+    // partial_min aggregates before the fix. The election is pinned
+    // (localCheckpoint), so across EVERY plan the probe executes —
+    // checkpoint job + final assembly, swept through a listener exactly
+    // like the ingest-index audit above — partial_min must appear ONCE.
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "paraPlan").toString
+    val docs = Readers.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    graft.ops.Dedup.writeParagraphIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", base, expectedItems = 10000L)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.ops.Dedup.incrementalParagraphIndexed(
+        graft.ops.Dedup.readParagraphIndex(spark, base),
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        val n = plans.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        Thread.sleep(100)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    // an AQE plan string carries an "== Initial Plan ==" echo of the same
+    // tree — count only the executed (final) section of each plan
+    val partials = plans.toArray.map(_.toString).map(p =>
+      p.split("== Initial Plan ==")(0).linesIterator
+        .count(l => l.contains("Aggregate") && l.contains("partial_min"))).sum
+    assert(partials == 1,
+      s"the batch election must partial-aggregate exactly once across all executed plans, got $partials")
+  }
 }
