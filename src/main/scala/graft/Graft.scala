@@ -167,6 +167,21 @@ object Graft {
     if (approx) TextStats.qualityPruneApprox(docs, idCol, frac, textCol)
     else TextStats.qualityPrune(docs, idCol, frac, textCol)
 
+  /** Train a hashed quality-classifier weight table (Naive Bayes
+    * log-odds, order-free and value-replayable) from a labeled corpus;
+    * score it back with [[classifierAnnotate]].
+    */
+  def trainClassifier(docs: DataFrame, labelCol: Column,
+      textCol: String = "text", alpha: Double = 1.0): DataFrame =
+    Classify.train(docs, labelCol, textCol, alpha)
+
+  /** Score documents with a trained (or pinned-vocabulary) hashed linear
+    * classifier — shuffle-free `typedlit`-map projection.
+    */
+  def classifierAnnotate(docs: DataFrame, table: Map[Long, Long],
+      textCol: String = "text"): DataFrame =
+    Classify.annotateWith(docs, table, textCol)
+
   // — sessionization ([[graft.ops.Sessionize]]) ———————————————————————————
   def sessionize(events: DataFrame, idCol: String, tsCol: String, gap: String,
       valueCol: Option[String] = None): DataFrame =

@@ -126,6 +126,7 @@ object ScalePilot {
       else if (family == "round8") Set("documents", "embeddings")
       else if (family == "round9") Set("documents")
       else if (family == "round11") Set("documents")
+      else if (family == "round11b") Set("documents", "embeddings")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -653,6 +654,26 @@ object ScalePilot {
         }))
     }
 
+    // round-11-late family: cluster-balanced temperature resampling
+    // (assign argmax + scan-side literal-map filter — wall should track
+    // the one corpus pass ∝ N·k) and classifier training (explode +
+    // one count shuffle bounded post-shuffle by 2·Buckets rows — wall
+    // should track the explode volume, never the sort/window shape)
+    def round11bQueries(dir: String): Seq[(String, () => DataFrame)] = {
+      Seq(
+        "cluster_temperature" -> (() => {
+          val emb = tbl(dir, "embeddings")
+          val k = math.max(4, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+          val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", k)
+          Sampling.clusterTemperature(emb, "vec_id", "embedding", cents,
+            alpha = 0.5, budget = math.max(1L, emb.count() / 4))
+        }),
+        "classifier_train" -> (() => {
+          val docs = tbl(dir, "documents")
+          Classify.train(docs, pmod(col("doc_id"), lit(3)) =!= 0, "text")
+        }))
+    }
+
     def queries(dir: String): Seq[(String, () => DataFrame)] =
       if (family == "dedup") dedupQueries(dir)
       else if (family == "pipeline") pipelineQueries(dir)
@@ -663,6 +684,7 @@ object ScalePilot {
       else if (family == "round8") round8Queries(dir)
       else if (family == "round9") round9Queries(dir)
       else if (family == "round11") round11Queries(dir)
+      else if (family == "round11b") round11bQueries(dir)
       else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>

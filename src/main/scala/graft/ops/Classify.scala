@@ -103,8 +103,16 @@ object Classify {
     *     oracle never touches `exp`.
     */
   def annotate(docs: DataFrame, textCol: String = "text",
-      vocab: Seq[(String, Long)] = DefaultVocab): DataFrame = {
-    val lut = typedlit(weightTable(vocab))
+      vocab: Seq[(String, Long)] = DefaultVocab): DataFrame =
+    annotateWith(docs, weightTable(vocab), textCol)
+
+  /** [[annotate]] over an explicit bucket→centi-weight table — the form a
+    * [[train]]ed model scores through (same plan: `typedlit` map literal,
+    * shuffle-free codegen'd projection).
+    */
+  def annotateWith(docs: DataFrame, table: Map[Long, Long],
+      textCol: String = "text"): DataFrame = {
+    val lut = typedlit(table)
     docs
       .withColumn("__clf_toks", TextStats.lmTokens(col(textCol)))
       .withColumn("__clf_fs", featuresFromToks(col("__clf_toks")))
@@ -118,6 +126,62 @@ object Classify {
             (col("clf_n_feats").cast("double") * lit(100.0)))))
       .drop("__clf_toks", "__clf_fs")
   }
+
+  /** TRAIN a weight table from a labeled corpus — the missing half of the
+    * quality-classifier family ([[annotate]] is inference over a pinned
+    * model; this produces the model). Multinomial Naive Bayes log-odds
+    * over the SAME hashed unigram+bigram feature space the scorer reads:
+    *
+    *   w(b) = 100 · ( ln((c⁺_b + α)/(N⁺ + α·B)) − ln((c⁻_b + α)/(N⁻ + α·B)) )
+    *
+    * with per-class bucket counts c±, class feature totals N±, Laplace α,
+    * bucket count B = [[Buckets]], `floor(·+0.5)`-quantized to the integer
+    * centi-logits [[annotateWith]] sums. Naive Bayes rather than SGD
+    * because the closed form is ORDER-FREE: counts are exact integer
+    * aggregates, so the trained model is deterministic under any
+    * partitioning/retry and every weight is value-oracle-checkable —
+    * fastText's logistic fit trades that replayability for a few points
+    * of accuracy, the wrong trade for a lineage-audited data pipeline.
+    *
+    * 100-TB shape: explode → ONE map-side-combined count shuffle bounded
+    * post-shuffle by 2·[[Buckets]] rows; class totals aggregate the tiny
+    * counts frame (broadcast back); weights are a scan-side projection of
+    * that frame. Nothing corpus-sized moves twice, nothing sorts.
+    *
+    * Returns (bucket, n_pos, n_neg, weight_centi) for every OBSERVED
+    * bucket; unobserved buckets score 0 at inference (coalesce), which is
+    * the α-symmetric prior log-odds rounded — consistent by construction.
+    * Rows with a NULL label are ignored (unlabeled pool).
+    */
+  def train(docs: DataFrame, labelCol: Column, textCol: String = "text",
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val counts = docs
+      .withColumn("__lab", labelCol)
+      .filter(col("__lab").isNotNull)
+      .withColumn("__clf_toks", TextStats.lmTokens(col(textCol)))
+      .withColumn("__clf_fs", featuresFromToks(col("__clf_toks")))
+      .select(col("__lab"), explode(col("__clf_fs")).as("__f"))
+      .select(col("__lab"), bucketOf(col("__f")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__lab"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__lab"), 1L).otherwise(0L)).as("n_neg"))
+    val tot = counts.agg(sum(col("n_pos")).as("__tp"), sum(col("n_neg")).as("__tn"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("weight_centi",
+        floor((log((col("n_pos") + lit(alpha)) / (col("__tp") + lit(alpha * Buckets)))
+          - log((col("n_neg") + lit(alpha)) / (col("__tn") + lit(alpha * Buckets))))
+          * lit(100.0) + lit(0.5)).cast("long"))
+      .select(col("bucket"), col("n_pos"), col("n_neg"), col("weight_centi"))
+  }
+
+  /** Collect a [[train]]ed table into the driver-side map
+    * [[annotateWith]] scores through (≤ [[Buckets]] rows by
+    * construction — driver-bounded like every sketch collect).
+    */
+  def trainedTable(trained: DataFrame): Map[Long, Long] =
+    trained.select(col("bucket"), col("weight_centi")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** The keep verdict at mean-centi-logit threshold `minMeanCenti`
     * (default 0 = sigmoid 0.5): `clf_centi ≥ minMeanCenti · clf_n_feats`

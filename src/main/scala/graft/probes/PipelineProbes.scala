@@ -993,6 +993,41 @@ object PipelineProbes {
          |FROM sc ORDER BY doc_id ASC NULLS FIRST""".stripMargin
     })
 
+  // — classifier TRAINING (x99): Naive Bayes log-odds over the x70
+  //   hashed feature space. The label is a deterministic fixture split
+  //   (doc_id % 3); the oracle replays tokenize → bigrams → bucket →
+  //   per-class counts → the exact ln/quantize arithmetic, so every
+  //   trained weight (not just a score built from it) is value-checked.
+  private val x99 = Probe(
+    "x99_classifier_train",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      Classify.train(docs, pmod(col("doc_id"), lit(3)) =!= 0, "text")
+        .orderBy("bucket")
+    },
+    Some {
+      val b = Classify.Buckets
+      def fpb(ref: String): String =
+        s"(${graft.ops.TextStats.fingerprintSql(ref)} % $b + $b) % $b"
+      s"""WITH toks AS (SELECT doc_id, doc_id % 3 <> 0 AS lab,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+         |withf AS (SELECT doc_id, lab,
+         |    list_concat(tk, CASE WHEN len(tk) >= 2
+         |      THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+         |      ELSE [] END) AS fs FROM toks),
+         |feats AS (SELECT lab, unnest(fs) AS f FROM withf),
+         |cnt AS (SELECT ${fpb("f")} AS bucket,
+         |    CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+         |  FROM feats GROUP BY 1),
+         |tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM cnt)
+         |SELECT bucket, n_pos, n_neg,
+         |  CAST(floor((ln((n_pos + 1.0) / (tp + ${b}.0))
+         |    - ln((n_neg + 1.0) / (tn + ${b}.0))) * 100.0 + 0.5) AS BIGINT)
+         |    AS weight_centi
+         |FROM cnt, tot ORDER BY bucket ASC NULLS FIRST""".stripMargin
+    })
+
   // — Gopher document-shape quality rules ————————————————————————————————
   //   The non-repetition half of Rae '21 table A1 (word-count and
   //   mean-word-length bounds, #/ellipsis symbol ratio, bullet-start and
@@ -2901,5 +2936,5 @@ object PipelineProbes {
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98)
+    x95, x96, x97, x98, x99)
 }

@@ -1955,6 +1955,42 @@ class OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("classifier train: exact NB weights, partition-invariant, round-trip separates classes") {
+    val posText = "because therefore however which would about"
+    val negText = "click subscribe casino winner buy now"
+    val tdocs = (Seq.tabulate(20)(i => (i.toLong, posText, true)) ++
+      Seq.tabulate(20)(i => ((100 + i).toLong, negText, false))).toDF("id", "text", "lab")
+    val trained = Classify.train(tdocs, $"lab", "text").cache()
+    val rows = trained.select("bucket", "n_pos", "n_neg", "weight_centi")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // hand-replay one weight end to end: "casino" appears once per neg doc,
+    // never in a pos doc; totals are 11 features × 20 docs per class
+    val casino = Math.floorMod(
+      graft.functions.PositionalFingerprint.of("casino"), Classify.Buckets.toLong)
+    val (_, np, nn, w) = rows(casino)
+    assert((np, nn) == (0L, 20L), s"casino counts: $np/$nn (collision in fixture?)")
+    val expect = math.floor((math.log(1.0 / (220 + 4096.0))
+      - math.log(21.0 / (220 + 4096.0))) * 100.0 + 0.5).toLong
+    assert(w == expect, s"casino weight $w != $expect")
+    // class direction: every pos-only bucket positive, neg-only negative
+    rows.values.foreach { case (b, p, n, wc) =>
+      if (p > 0 && n == 0) assert(wc > 0, s"bucket $b")
+      if (n > 0 && p == 0) assert(wc < 0, s"bucket $b")
+    }
+    // order-free training: any partitioning yields the identical table
+    val again = Classify.train(tdocs.repartition(7), $"lab", "text")
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again == trained.orderBy("bucket")
+      .as[(Long, Long, Long, Long)].collect().toSeq)
+    // round trip: the trained model separates the classes it saw
+    val scored = Classify.annotateWith(tdocs, Classify.trainedTable(trained), "text")
+      .select($"lab", $"clf_score").as[(Boolean, Double)].collect()
+    val posMin = scored.filter(_._1).map(_._2).min
+    val negMax = scored.filterNot(_._1).map(_._2).max
+    assert(posMin > negMax, s"posMin $posMin must exceed negMax $negMax")
+    trained.unpersist()
+  }
+
   test("text stats: ratios bounded, langid sane, fingerprint stable") {
     val st = ops.TextStats.withStats(docs).cache()
     assert(st.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)

@@ -34,10 +34,14 @@ class PlanAuditSpec extends SparkSpec {
     "x79_sim_topk_ivf_pq",     // probe×centroid scoring is a small cross
                                // product, exactly like x12/x37; the candidate
                                // stage itself is a list-id equi-join
-    "x98_cluster_temperature"  // the Ivf.assign argmax is corpus×centroids
+    "x98_cluster_temperature", // the Ivf.assign argmax is corpus×centroids
                                // against a broadcast-sized centroid table,
                                // exactly the x12 shape; everything after it
                                // is a scan-side literal-map filter
+    "x99_classifier_train"     // the class-total join is counts×(ONE-row
+                               // aggregate) broadcast — the standard
+                               // scalar-broadcast shape; the corpus-sized
+                               // stage is the single count shuffle
   )
 
   // streaming probes execute a query at construction time; plan-audited
