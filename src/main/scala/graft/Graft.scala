@@ -182,6 +182,12 @@ object Graft {
       textCol: String = "text"): DataFrame =
     Classify.annotateWith(docs, table, textCol)
 
+  /** Merge two trained classifier tables into the exact combined-corpus
+    * model (NB counts are additive) — the daily incremental retrain.
+    */
+  def mergeClassifiers(a: DataFrame, b: DataFrame, alpha: Double = 1.0): DataFrame =
+    Classify.mergeTrained(a, b, alpha)
+
   // — sessionization ([[graft.ops.Sessionize]]) ———————————————————————————
   def sessionize(events: DataFrame, idCol: String, tsCol: String, gap: String,
       valueCol: Option[String] = None): DataFrame =

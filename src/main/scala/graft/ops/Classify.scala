@@ -166,6 +166,14 @@ object Classify {
       .groupBy(col("bucket"))
       .agg(sum(when(col("__lab"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(!col("__lab"), 1L).otherwise(0L)).as("n_neg"))
+    weightsFromCounts(counts, alpha)
+  }
+
+  /** Weight recompute over a (bucket, n_pos, n_neg) frame — shared by
+    * [[train]] and [[mergeTrained]] so a merged model can never use
+    * different arithmetic than a from-scratch one.
+    */
+  private def weightsFromCounts(counts: DataFrame, alpha: Double): DataFrame = {
     val tot = counts.agg(sum(col("n_pos")).as("__tp"), sum(col("n_neg")).as("__tn"))
     counts.crossJoin(broadcast(tot))
       .withColumn("weight_centi",
@@ -173,6 +181,23 @@ object Classify {
           - log((col("n_neg") + lit(alpha)) / (col("__tn") + lit(alpha * Buckets))))
           * lit(100.0) + lit(0.5)).cast("long"))
       .select(col("bucket"), col("n_pos"), col("n_neg"), col("weight_centi"))
+  }
+
+  /** Incremental retrain: merge two [[train]]ed tables into the model of
+    * the combined corpus WITHOUT re-reading either corpus — Naive Bayes
+    * sufficient statistics are the per-bucket counts, which are additive,
+    * so `mergeTrained(train(A), train(B)) == train(A ∪ B)` EXACTLY (the
+    * OpsSpec drill asserts row equality, weights included). The daily
+    * pipeline shape: train on the day's labeled batch, merge into the
+    * persisted table, scores stay replayable end to end. Cost: a
+    * ≤2·[[Buckets]]-row outer join — nothing corpus-scale.
+    */
+  def mergeTrained(a: DataFrame, b: DataFrame, alpha: Double = 1.0): DataFrame = {
+    val counts = a.select(col("bucket"), col("n_pos"), col("n_neg"))
+      .unionByName(b.select(col("bucket"), col("n_pos"), col("n_neg")))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"))
+    weightsFromCounts(counts, alpha)
   }
 
   /** Collect a [[train]]ed table into the driver-side map

@@ -1988,6 +1988,16 @@ class OpsSpec extends SparkSpec {
     val posMin = scored.filter(_._1).map(_._2).min
     val negMax = scored.filterNot(_._1).map(_._2).max
     assert(posMin > negMax, s"posMin $posMin must exceed negMax $negMax")
+    // incremental retrain: NB sufficient statistics are additive, so
+    // merging two split-trained tables must reproduce the full-corpus
+    // model EXACTLY (counts AND quantized weights, row for row)
+    val merged = Classify.mergeTrained(
+      Classify.train(tdocs.filter($"id" % 2 === 0), $"lab", "text"),
+      Classify.train(tdocs.filter($"id" % 2 =!= 0), $"lab", "text"))
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(merged == trained.orderBy("bucket")
+      .as[(Long, Long, Long, Long)].collect().toSeq,
+      "mergeTrained(train(A), train(B)) must equal train(A ∪ B) exactly")
     trained.unpersist()
   }
 
