@@ -339,6 +339,13 @@ object Graft {
   /** Audio near-dup pairs within a Hamming radius over
     * [[audioFingerprint]]s (chunk-bucketed candidates, no all-pairs).
     */
+  /** Video near-dup pairs: sampled-frame digest sets scored by exact
+    * Jaccard through the text-dedup candidate machinery.
+    */
+  def videoNearDupPairs(spark: SparkSession, media: DataFrame, frameBytes: Int,
+      everyN: Int, threshold: Double): DataFrame =
+    Multimodal.videoNearDupPairs(spark, media, frameBytes, everyN, threshold)
+
   def audioNearDupPairs(df: DataFrame, idCol: String, samples: Column,
       maxDist: Int = 2): DataFrame =
     Multimodal.audioNearDupPairs(df, idCol, samples, maxDist)

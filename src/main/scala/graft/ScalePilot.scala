@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Bpe, Classify, Decontaminate, Dedup, Html, Ivf, Packing, Pq, Repetition, Report, Sampling, Scd, Sessionize, Similarity, Snapshot, TextStats, Urls}
+import graft.ops.{Bpe, Classify, Decontaminate, Dedup, Html, Ivf, Multimodal, Packing, Pq, Repetition, Report, Sampling, Scd, Sessionize, Similarity, Snapshot, TextStats, Urls}
 import graft.sources.Readers
 
 /** Empirical scaling pilot: run the heavy operator families at 1× and N×
@@ -671,6 +671,19 @@ object ScalePilot {
         "classifier_train" -> (() => {
           val docs = tbl(dir, "documents")
           Classify.train(docs, pmod(col("doc_id"), lit(3)) =!= 0, "text")
+        }),
+        "video_near_dup" -> (() => {
+          // the x100 fixture shape at pilot scale: every doc packs twice
+          // (full + first-frame-clipped), so planted pair count tracks N
+          // and the digest-bucketed candidate join is genuinely exercised
+          val docs = tbl(dir, "documents")
+          val full = docs.select((col("doc_id") * 2).as("media_id"), col("text"),
+            lit("synth").as("source"))
+          val clipped = docs.select((col("doc_id") * 2 + 1).as("media_id"),
+            expr("substring(text, 33)").as("text"), lit("synth").as("source"))
+          Multimodal.videoNearDupPairs(spark,
+            Multimodal.pack(full.unionByName(clipped), "media_id", "text", "video"),
+            frameBytes = 32, everyN = 1, threshold = 0.5)
         }))
     }
 

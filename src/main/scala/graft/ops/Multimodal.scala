@@ -628,4 +628,37 @@ object Multimodal {
     Dedup.simhashPairs(
       df.select(col(idCol), pHash64(pixels, w, h).as("simhash")),
       idCol, maxDist, maxBucket)
+
+  /** Video near-duplicate pairs over opaque media byte streams — the
+    * first-line video dedup shape (frame-signature set overlap): sample
+    * frames ([[sampleFrames]]), digest each frame (md5 — engine-portable,
+    * so the whole operator value-oracles), and score each video PAIR by
+    * exact Jaccard over its frame-digest SET through the text dedup
+    * machinery ([[Dedup.ngramJaccardPairsFromShingles]]: shared-digest
+    * candidate generation, hot-digest df cap with star degradation,
+    * exact verify over full sets — a frame digest is just a shingle).
+    *
+    * Set semantics give clip/re-order/duplicate-frame robustness at the
+    * VIDEO level while the frame digest stays byte-exact (the honest
+    * contract for opaque binaries — when a real decoder is wired, a
+    * perceptual per-frame hash ([[pHash64]] over decoded rasters) slots
+    * into the digest column and the pair machinery is unchanged).
+    *
+    * 100-TB shape: the explode is frames-per-video bounded, candidates
+    * are a digest-bucketed equi self-join (never all-pairs), and the
+    * same df cap that guards stop-phrase shingles guards stop-frames
+    * (black frames, silence cards) — the signal-free frames shared by
+    * half the corpus.
+    */
+  def videoNearDupPairs(spark: SparkSession, media: DataFrame, frameBytes: Int,
+      everyN: Int, threshold: Double,
+      maxDf: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    // distinct: SET semantics (a looped/duplicated frame counts once);
+    // localCheckpoint: feeds sizes + both sides of the candidate join
+    val sh = sampleFrames(spark, media, frameBytes, everyN).toDF()
+      .select(col("media_id").as("id"), md5(col("frame_bytes")).as("shingle"))
+      .distinct()
+      .localCheckpoint()
+    Dedup.ngramJaccardPairsFromShingles(sh, threshold, maxDf)
+  }
 }

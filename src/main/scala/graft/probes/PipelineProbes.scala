@@ -1028,6 +1028,54 @@ object PipelineProbes {
          |FROM cnt, tot ORDER BY bucket ASC NULLS FIRST""".stripMargin
     })
 
+  // — video near-dup (x100): frame-digest set Jaccard ————————————————————
+  //   Fixture: each document packs as a "video" (32-byte frames over its
+  //   UTF-8 bytes) twice — media 2·id is the full stream, media 2·id+1 is
+  //   the CLIPPED copy (first 32 chars dropped), so every planted pair
+  //   shares all but ~one frame and the oracle replays chunk → md5 →
+  //   distinct sets → exact pair Jaccard → threshold from first
+  //   principles. maxDf stays at the default (no digest in the sf0.01
+  //   corpus approaches it), so both engines compute the UNGUARDED exact
+  //   operator.
+  private val x100 = Probe(
+    "x100_video_near_dup",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val full = docs.select((col("doc_id") * 2).as("media_id"), col("text"),
+        lit("synth").as("source"))
+      val clipped = docs.select((col("doc_id") * 2 + 1).as("media_id"),
+        expr("substring(text, 33)").as("text"), lit("synth").as("source"))
+      val media = Multimodal.pack(full.unionByName(clipped), "media_id", "text", "video")
+      Multimodal.videoNearDupPairs(s, media, frameBytes = 32, everyN = 1,
+          threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH m AS (
+            |  SELECT doc_id * 2 AS id, text FROM documents
+            |  UNION ALL
+            |  SELECT doc_id * 2 + 1, substring(text, 33) FROM documents),
+            |-- DuckDB cannot slice BLOBs, so frames replay as CHARACTER
+            |-- chunks + md5(varchar) (md5 of the chunk's UTF-8 bytes) —
+            |-- byte-exact because the documents fixture is pure ASCII
+            |-- (asserted: octet_length(encode(text)) = length(text) on
+            |-- every row), the byteMetaSql precedent
+            |fr AS (SELECT id, unnest(list_transform(
+            |    range(0, CAST(ceil(length(text) / 32.0) AS BIGINT)),
+            |    i -> md5(substring(text, CAST(1 + 32 * i AS INT), 32)))) AS shingle
+            |  FROM m),
+            |sh AS (SELECT DISTINCT id, shingle FROM fr),
+            |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+            |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+            |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            |          GROUP BY 1, 2),
+            |j AS (SELECT id_a, id_b,
+            |    ${graft.Canonical.round4Sql("i * 1.0 / (sa.n + sb.n - i)")} AS jaccard
+            |  FROM inter
+            |  JOIN sizes sa ON sa.id = inter.id_a
+            |  JOIN sizes sb ON sb.id = inter.id_b)
+            |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+            |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin))
+
   // — Gopher document-shape quality rules ————————————————————————————————
   //   The non-repetition half of Rae '21 table A1 (word-count and
   //   mean-word-length bounds, #/ellipsis symbol ratio, bullet-start and
@@ -2936,5 +2984,5 @@ object PipelineProbes {
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x99)
+    x95, x96, x97, x98, x99, x100)
 }

@@ -1955,6 +1955,25 @@ class OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("videoNearDupPairs: clip/reorder/duplicate-frame robust, set-exact jaccard") {
+    val full = "aaaabbbbccccdddd" // 4-byte frames: aaaa bbbb cccc dddd
+    val vids = Seq(
+      (1L, full),                 // reference
+      (2L, "bbbbccccdddd"),       // clipped (first frame dropped) → 3/4
+      (3L, "ddddccccbbbbaaaa"),   // re-ordered → same SET → 1.0
+      (4L, full + "aaaa"),        // looped frame → set unchanged → 1.0
+      (5L, "eeeeffffgggghhhh"))   // disjoint → no pair
+      .toDF("media_id", "text").withColumn("source", lit("s"))
+    val m = Multimodal.pack(vids, "media_id", "text", "video")
+    val pairs = Multimodal.videoNearDupPairs(spark, m, frameBytes = 4,
+        everyN = 1, threshold = 0.6)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs == Map(
+      (1L, 2L) -> 0.75, (2L, 3L) -> 0.75, (2L, 4L) -> 0.75,
+      (1L, 3L) -> 1.0, (1L, 4L) -> 1.0, (3L, 4L) -> 1.0), s"got $pairs")
+  }
+
   test("classifier train: exact NB weights, partition-invariant, round-trip separates classes") {
     val posText = "because therefore however which would about"
     val negText = "click subscribe casino winner buy now"
