@@ -91,6 +91,17 @@ object Graft {
       n: Int = 13, minHits: Long = 1L): DataFrame =
     Decontaminate.clean(corpus, idCol, text, bench, benchIdCol, benchText, n, minHits)
 
+  /** Index a benchmark suite once ([[graft.ops.Decontaminate.writeBenchIndex]]),
+    * then decontaminate every corpus batch against the persisted index —
+    * the incremental-deployment shape (append new eval tasks with
+    * [[graft.ops.Decontaminate.appendToBenchIndex]]).
+    */
+  def decontaminateIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, corpus: DataFrame, idCol: String, text: Column,
+      minHits: Long = 1L): DataFrame =
+    Decontaminate.cleanIndexed(
+      Decontaminate.readBenchIndex(spark, indexPath), corpus, idCol, text, minHits)
+
   /** The composed curation pipeline: scrub → quality gate → repetition
     * gate → exact dedup → near-dup removal → decontamination.
     */
@@ -187,6 +198,26 @@ object Graft {
     */
   def mergeClassifiers(a: DataFrame, b: DataFrame, alpha: Double = 1.0): DataFrame =
     Classify.mergeTrained(a, b, alpha)
+
+  /** Train a stupid-backoff bigram LM from a reference corpus (the CCNet
+    * fluency-model shape, distributed-first per Brants '07); score with
+    * [[lmAnnotateTrained]] / gate with [[perplexityPruneTrained]].
+    */
+  def trainLm(ref: DataFrame, textCol: String = "text", vocabSize: Int = 1024,
+      bigramSize: Int = 4096, minBigramCount: Long = 2L): DataFrame =
+    Lm.train(ref, textCol, vocabSize, bigramSize, minBigramCount)
+
+  /** Score documents through a trained LM — shuffle-free map-literal
+    * projection, exact integer centi-log10 sums.
+    */
+  def lmAnnotateTrained(docs: DataFrame, model: DataFrame,
+      textCol: String = "text"): DataFrame =
+    Lm.annotate(docs, model, textCol)
+
+  /** The CCNet gate over a trained LM: keep the fluent buckets. */
+  def perplexityPruneTrained(docs: DataFrame, model: DataFrame,
+      textCol: String = "text", keep: Seq[String] = Seq("head", "middle")): DataFrame =
+    Lm.perplexityPrune(docs, model, textCol, keep)
 
   // — sessionization ([[graft.ops.Sessionize]]) ———————————————————————————
   def sessionize(events: DataFrame, idCol: String, tsCol: String, gap: String,

@@ -672,6 +672,25 @@ object ScalePilot {
           val docs = tbl(dir, "documents")
           Classify.train(docs, pmod(col("doc_id"), lit(3)) =!= 0, "text")
         }),
+        "audio_near_dup" -> (() => {
+          // the x96 fixture shape at pilot scale: every doc carries a
+          // synthetic PCM stream plus a 2x-volume twin (hash-identical by
+          // the median invariance), so planted pair count tracks N and the
+          // chunk-bucketed Hamming candidate join is genuinely exercised.
+          // cls folds doc_id into 211 stream classes; the twin id offset
+          // keeps media ids disjoint across copies (ids already disjoint).
+          val docs = tbl(dir, "documents")
+          val cls = pmod(col("doc_id") * 3 + 5, lit(211L)) + 1L
+          val baseArr = transform(sequence(lit(0L), lit(319L)), i =>
+            (lit(1L) - lit(2L) * (i % 2L)) *
+              (lit(9L) + pmod(i * 73L + cls * lit(7919L) + i * i * lit(31L) +
+                i * cls * lit(101L), lit(1980L))))
+          val base = docs.select((col("doc_id") * 2).as("media_id"), baseArr.as("samples"))
+          val loud = docs.select((col("doc_id") * 2 + 1).as("media_id"),
+            transform(baseArr, x => x * lit(2L)).as("samples"))
+          Multimodal.audioNearDupPairs(base.unionByName(loud), "media_id",
+            col("samples"), maxDist = 2)
+        }),
         "video_near_dup" -> (() => {
           // the x100 fixture shape at pilot scale: every doc packs twice
           // (full + first-frame-clipped), so planted pair count tracks N

@@ -275,4 +275,196 @@ object Decontaminate {
       .select(col("corpus_id").as(idCol)).distinct()
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
+
+  // — persisted BENCH n-gram index (incremental decontamination) ——————————
+  //   [[overlaps]] re-explodes and re-shingles the benchmark suite on
+  //   every call — pure rebuild for state that changes only when a new
+  //   eval task ships. The deployment shape is incremental: the eval
+  //   suite is indexed ONCE, every corpus batch (a daily crawl) probes
+  //   it. The index is the decontamination member of the persisted-index
+  //   family ([[Dedup.writeHashIndex]] / band / vec / paragraph): a
+  //   compact on-disk shingle-pair table, a per-shingle doc-frequency
+  //   table (precomputing the merge-arm product guard's bench side), and
+  //   a driver-resident Bloom sketch over the shingles — so the crawl
+  //   common case (a batch shingle that appears in NO benchmark) costs
+  //   one sketch probe and never touches the join at all.
+
+  /** A loaded persistent bench index. `pairs`/`dfs` are lazy parquet
+    * frames; only the sketch is driver-held. `n` rides in meta.json so a
+    * batch can never shingle at a different grain than the index.
+    */
+  final case class BenchIndex(
+      pairs: DataFrame, // (shingle, bench_id) — distinct per bench doc
+      dfs: DataFrame,   // (shingle, __dfb)    — bench doc-frequency
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      expectedItems: Long, fpp: Double, n: Int)
+
+  /** Persist a benchmark suite's shingle state: `path/pairs` +
+    * `path/dfs` parquet, `path/bloom.bin` (creation params in the
+    * header), `path/meta.json` (the shingle grain `n` — deleted FIRST on
+    * rebuild and written LAST, so its presence marks a complete index).
+    * `dfs` and the sketch build from the PERSISTED pair table, so the
+    * artifacts can never disagree about membership.
+    */
+  def writeBenchIndex(bench: DataFrame, benchIdCol: String, benchText: Column,
+      n: Int, path: String, expectedItems: Long, fpp: Double = 0.01): Unit = {
+    require(n >= 1, s"shingle n must be >= 1, got $n")
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    val spark = bench.sparkSession
+    locally { // invalidate the completeness marker before touching tables
+      val (fs, metaP) = Dedup.hadoopFs(spark, s"$path/meta.json")
+      if (fs.exists(metaP)) fs.delete(metaP, false)
+    }
+    bench.select(col(benchIdCol).as("bench_id"),
+        explode(Dedup.shingles(benchText, n)).as("shingle"))
+      .write.mode("overwrite").parquet(s"$path/pairs")
+    val pairs = spark.read.parquet(s"$path/pairs")
+    pairs.groupBy(col("shingle")).agg(count(lit(1)).as("__dfb"))
+      .write.mode("overwrite").parquet(s"$path/dfs")
+    val dfs = spark.read.parquet(s"$path/dfs")
+    val bf =
+      if (dfs.isEmpty) Dedup.emptyBloom(spark, expectedItems, fpp)
+      else dfs.select(xxhash64(col("shingle")).as("__k"))
+        .stat.bloomFilter("__k", expectedItems, fpp)
+    Dedup.writeBloomFileAtomic(spark, path, bf, expectedItems, fpp)
+    Dedup.writeTextFile(spark, s"$path/meta.json",
+      s"""{"n":$n,"expectedItems":$expectedItems,"fpp":$fpp}""")
+  }
+
+  /** Load a persisted bench index (completing an interrupted compaction
+    * swap first, like every index reader).
+    */
+  def readBenchIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): BenchIndex = {
+    Dedup.finishBatchCompaction(spark, path)
+    val meta = Dedup.readTextFile(spark, s"$path/meta.json")
+    def numOf(k: String): String =
+      s""""$k":\\s*([0-9.eE+-]+)""".r.findFirstMatchIn(meta)
+        .getOrElse(throw new IllegalArgumentException(s"bench index meta missing $k: $meta"))
+        .group(1)
+    val (fs, bp) = Dedup.hadoopFs(spark, s"$path/bloom.bin")
+    val in = fs.open(bp)
+    val (bf, items, fpp) =
+      try {
+        val dis = new java.io.DataInputStream(in)
+        val items = dis.readLong()
+        val fpp = dis.readDouble()
+        (org.apache.spark.util.sketch.BloomFilter.readFrom(dis), items, fpp)
+      } finally in.close()
+    BenchIndex(spark.read.parquet(s"$path/pairs"), spark.read.parquet(s"$path/dfs"),
+      bf, items, fpp, numOf("n").toInt)
+  }
+
+  /** [[overlaps]] against a persisted [[BenchIndex]] — IDENTICAL
+    * classification to the live operator on the same inputs, with the
+    * bench side never re-shingled. Per-batch cost at 100 TB: the batch
+    * explode, a sketch probe per batch shingle (the crawl common case —
+    * a shingle in no benchmark — ends here), and the join of the sketch
+    * positives against the compact pair table. Arms follow the
+    * [[overlapsFromShingles]] evidence discipline: a bounded
+    * `limit(cap+1).count()` of the on-disk PAIR table (never an
+    * estimate) licenses the broadcast; over the cap the join degrades to
+    * merge with the SAME df-product hot-key guard — whose bench side
+    * (`__dfb`) is precomputed in the index, so the guard costs one
+    * batch-side aggregate instead of two.
+    */
+  def overlapsIndexed(index: BenchIndex, corpus: DataFrame, idCol: String,
+      text: Column, minHits: Long = 1L,
+      benchBroadcastCap: Long = BenchBroadcastCap,
+      maxDf: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val sh = corpus.select(col(idCol).as("corpus_id"),
+      explode(Dedup.shingles(text, index.n)).as("shingle"))
+    // Bloom-negative batch shingles are certainly not in any benchmark
+    // (no false negatives) and skip the join; positives verify exactly
+    val pos = sh.filter(
+      graft.functions.BloomFunctions.mightContain(xxhash64(col("shingle")), index.bloom))
+    val probeLimit = math.min(benchBroadcastCap + 1, Int.MaxValue.toLong).toInt
+    val benchIsSmall = index.pairs.limit(probeLimit).count() <= benchBroadcastCap
+    val joined =
+      if (benchIsSmall) pos.join(broadcast(index.pairs), Seq("shingle"))
+      else {
+        // pin: the pruned batch side feeds the df aggregate AND the join
+        val cc = pos.localCheckpoint()
+        val budget = maxDf.toDouble * maxDf.toDouble
+        val dfC = cc.groupBy(col("shingle")).agg(count(lit(1)).as("__dfc"))
+        // dfC over the PRUNED frame is exact for every key that can
+        // reach the join: a shingle present in the index passes the
+        // sketch on every occurrence (same key → same probe), so its
+        // post-prune df equals its full-corpus df; keys the sketch
+        // admitted spuriously may be excluded spuriously — they produce
+        // no join rows either way
+        val hot = index.dfs.join(dfC, Seq("shingle"))
+          .filter(col("__dfb").cast("double") * col("__dfc").cast("double") > budget)
+          .select(col("shingle"))
+          .localCheckpoint()
+        val excluded = hot.count()
+        if (excluded > 0)
+          System.err.println(
+            s"""{"decon_product_cap_excluded":$excluded,"budget":${budget.toLong}}""")
+        cc.join(hot, Seq("shingle"), "left_anti").hint("merge")
+          .join(index.pairs.join(hot, Seq("shingle"), "left_anti").hint("merge"),
+            Seq("shingle"))
+      }
+    joined
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
+  /** [[clean]] against a persisted [[BenchIndex]]. */
+  def cleanIndexed(index: BenchIndex, corpus: DataFrame, idCol: String,
+      text: Column, minHits: Long = 1L): DataFrame = {
+    val flagged = overlapsIndexed(index, corpus, idCol, text, minHits)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** Fold newly shipped benchmark documents into a persisted bench index
+    * without rebuilding it: new (shingle, bench_id) pairs anti-join the
+    * existing table (idempotent re-ingest), the sketch merges a
+    * bit-compatible delta BEFORE the table append (the
+    * [[Dedup.appendToHashIndex]] ordering: a crash between the two
+    * leaves keys-without-rows — harmless false positives — never
+    * rows-without-keys, which the retry's anti-join would hide from the
+    * delta forever, and a missed bench shingle is a missed CONTAMINATION
+    * — the one failure direction decontamination must not have), and
+    * `dfs` recomputes from the appended pair table via staging + swap
+    * (it is an aggregate — appending would double-count; a crash before
+    * the swap leaves it stale, which only widens the merge-arm hot-key
+    * guard until the next successful append heals it).
+    */
+  def appendToBenchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newBench: DataFrame, benchIdCol: String, benchText: Column): Unit = {
+    val idx = readBenchIndex(spark, path)
+    val fresh = newBench.select(col(benchIdCol).as("bench_id"),
+        explode(Dedup.shingles(benchText, idx.n)).as("shingle"))
+      .join(idx.pairs, Seq("shingle", "bench_id"), "left_anti")
+      .localCheckpoint() // pin BEFORE the append below rewrites the dir it reads
+    val freshKeys = fresh.select(col("shingle")).distinct()
+    val delta =
+      if (freshKeys.isEmpty) Dedup.emptyBloom(spark, idx.expectedItems, idx.fpp)
+      else freshKeys.select(xxhash64(col("shingle")).as("__k"))
+        .stat.bloomFilter("__k", idx.expectedItems, idx.fpp)
+    idx.bloom.mergeInPlace(delta)
+    Dedup.writeBloomFileAtomic(spark, path, idx.bloom, idx.expectedItems, idx.fpp)
+    fresh.write.mode("append").parquet(s"$path/pairs")
+    // dfs: recompute from the appended pair table via staging + swap
+    spark.read.parquet(s"$path/pairs")
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__dfb"))
+      .write.mode("overwrite").parquet(s"$path/dfs.staging")
+    val (fs, dp) = Dedup.hadoopFs(spark, s"$path/dfs")
+    val staging = new org.apache.hadoop.fs.Path(s"$path/dfs.staging")
+    if (fs.exists(dp)) fs.delete(dp, true)
+    if (!fs.rename(staging, dp))
+      throw new java.io.IOException(s"bench index dfs swap $staging -> $dp failed")
+  }
+
+  /** Small-file maintenance for the append deltas
+    * ([[Dedup.compactBatchIndex]] over the pair table; `dfs` is excluded
+    * — each append already rewrites it whole via staging + swap).
+    */
+  def compactBenchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int = 1): Unit =
+    Dedup.compactBatchIndex(spark, path, Seq("pairs"), targetFiles)
 }

@@ -1099,7 +1099,7 @@ object Dedup {
       expectedItems: Long,
       fpp: Double)
 
-  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) = {
+  private[graft] def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
@@ -1113,7 +1113,7 @@ object Dedup {
     * colliding with it just probes and verify-fails, like any false
     * positive).
     */
-  private def emptyBloom(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def emptyBloom(spark: org.apache.spark.sql.SparkSession,
       expectedItems: Long, fpp: Double): org.apache.spark.util.sketch.BloomFilter =
     spark.range(1).select(xxhash64(lit("__graft_empty_bloom")).as("__k"))
       .stat.bloomFilter("__k", expectedItems, fpp)
@@ -1210,9 +1210,16 @@ object Dedup {
       if (fresh.isEmpty) emptyBloom(spark, index.expectedItems, index.fpp)
       else fresh.select(xxhash64(col("__h")).as("__k"))
         .stat.bloomFilter("__k", index.expectedItems, index.fpp)
-    fresh.write.mode("append").parquet(s"$path/hashes")
+    // sketch BEFORE table: a crash between the two writes must leave keys
+    // in the sketch without rows (harmless false positives — the verify
+    // join is exact, and the retry's anti-join still sees the rows as
+    // missing and re-appends them), never rows without keys — the retry
+    // anti-joins the TABLE, so a sketch that missed its delta would stay
+    // stale forever and every later probe of those keys would false-
+    // NEGATIVE (a duplicate classified new, silently admitted)
     index.bloom.mergeInPlace(delta)
     writeBloomFileAtomic(spark, path, index.bloom, index.expectedItems, index.fpp)
+    fresh.write.mode("append").parquet(s"$path/hashes")
   }
 
   // — persisted PARAGRAPH index (FineWeb incremental deployment shape) —————
@@ -1384,9 +1391,12 @@ object Dedup {
       if (fresh.isEmpty) emptyBloom(spark, index.expectedItems, index.fpp)
       else fresh.select(xxhash64(col("__h")).as("__k"))
         .stat.bloomFilter("__k", index.expectedItems, index.fpp)
-    fresh.write.mode("append").parquet(s"$path/paras")
+    // sketch BEFORE table — see [[appendToHashIndex]]: rows-without-keys
+    // false-negative forever (the retry anti-join hides them from the
+    // delta), keys-without-rows just verify-fail
     index.bloom.mergeInPlace(delta)
     writeBloomFileAtomic(spark, path, index.bloom, index.expectedItems, index.fpp)
+    fresh.write.mode("append").parquet(s"$path/paras")
   }
 
   // — persisted NEAR-dup probe state (band index) ——————————————————————————
@@ -1413,14 +1423,14 @@ object Dedup {
       sizes: DataFrame,    // (id, set_size)
       n: Int, numPerm: Int, numBands: Int, rowsPerBand: Int)
 
-  private def writeTextFile(spark: org.apache.spark.sql.SparkSession, path: String,
+  private[graft] def writeTextFile(spark: org.apache.spark.sql.SparkSession, path: String,
       content: String): Unit = {
     val (fs, p) = hadoopFs(spark, path)
     val out = fs.create(p, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readTextFile(spark: org.apache.spark.sql.SparkSession, path: String): String = {
+  private[graft] def readTextFile(spark: org.apache.spark.sql.SparkSession, path: String): String = {
     val (fs, p) = hadoopFs(spark, path)
     val in = fs.open(p)
     try {
@@ -1859,10 +1869,13 @@ object Dedup {
       if (freshHashes.isEmpty)
         emptyBloom(spark, idx.expectedItems, idx.fpp)
       else freshHashes.stat.bloomFilter("__h", idx.expectedItems, idx.fpp)
-    freshVecRows.write.mode("append").parquet(s"$path/vecs")
-    freshHashes.write.mode("append").parquet(s"$path/hashes")
+    // sketch BEFORE tables — see [[appendToHashIndex]]: rows-without-keys
+    // false-negative forever (the retry anti-join hides them from the
+    // delta), keys-without-rows just verify-fail
     idx.bloom.mergeInPlace(delta)
     writeBloomFileAtomic(spark, path, idx.bloom, idx.expectedItems, idx.fpp)
+    freshVecRows.write.mode("append").parquet(s"$path/vecs")
+    freshHashes.write.mode("append").parquet(s"$path/hashes")
     // buckets: recompute from the appended vector table via staging + swap
     // (cannot overwrite a path feeding the plan being written); same
     // full-table-aggregate-per-append trade as [[appendToBandIndex]] —
@@ -2016,7 +2029,7 @@ object Dedup {
     * rename) leaves the file MISSING, which [[readIngestIndex]] self-heals
     * by rebuilding from the persisted hash table.
     */
-  private def writeBloomFileAtomic(spark: org.apache.spark.sql.SparkSession, dir: String,
+  private[graft] def writeBloomFileAtomic(spark: org.apache.spark.sql.SparkSession, dir: String,
       bf: org.apache.spark.util.sketch.BloomFilter, expectedItems: Long, fpp: Double): Unit = {
     writeBloomFile(spark, s"$dir/bloom.bin.tmp", bf, expectedItems, fpp)
     val (fs, dst) = hadoopFs(spark, s"$dir/bloom.bin")

@@ -1,0 +1,292 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TRAINED n-gram language model — the missing half of the LM fluency
+  * family: [[TextStats.lmAnnotate]] scores through a small PINNED unigram
+  * table; this trains a bigram model from a reference corpus and scores
+  * through it, the CCNet shape (Wenzek et al. '20: rank web documents by
+  * the perplexity of an LM trained on clean text, keep the fluent head).
+  *
+  * The model is STUPID BACKOFF (Brants et al. '07, "Large Language Models
+  * in Machine Translation") — the estimator built FOR distributed
+  * training on web-scale corpora: no discounting, no normalization
+  * constants, just count ratios with a fixed backoff penalty,
+  *
+  *   S(w₂|w₁) = c(w₁w₂)/c(w₁)         if the bigram was kept
+  *            = 0.4 · p_uni(w₂)        otherwise,
+  *   p_uni(w) = (c(w) + 1)/(N + V + 1) over a top-K vocabulary with all
+  *              other tokens folded into `<unk>` (add-1 so an unseen-in-
+  *              vocab stream still scores).
+  *
+  * Engine-portable determinism (the [[Classify.train]] discipline): every
+  * model entry quantizes ONCE at train time to an integer centi-log10
+  * (`floor(100·log10(ratio) + 0.5)` — with α = 1 both ratio operands are
+  * exact integers, so the whole entry is two IEEE ops), the backoff
+  * penalty is the pinned integer [[BackoffCenti]] = ⌊100·log10(0.4)⌉, and
+  * a document's score is an exact order-free integer SUM of entry values
+  * — deterministic under any partitioning/retry, value-oracle-checkable
+  * cross-engine, and `10^(−mean/100)` away from perplexity (monotone, so
+  * the gate never computes `pow`).
+  *
+  * 100-TB shape: training is two corpus scans (KenLM counts the same
+  * way) — tokenize → map-side-combined unigram count, tokenize → map-side-
+  * combined bigram count — each shuffling only DISTINCT-term rows; the
+  * vocabulary/bigram caps are `TakeOrdered` (no global sort) and bound
+  * the model at `vocabSize + bigramSize + 1` rows, so scoring ships the
+  * model as two `typedlit` map literals and stays a SHUFFLE-FREE
+  * codegen'd projection, exactly like [[Classify.annotateWith]]. A real
+  * CCNet deployment prunes KenLM to ship it; the caps are that pruning.
+  */
+object Lm {
+
+  /** OOV fold symbol — [[TextStats.lmTokens]] are `[a-z0-9]+` runs, so no
+    * corpus token can collide with it.
+    */
+  val Unk = "<unk>"
+
+  /** Pinned stupid-backoff penalty: ⌊100·log10(0.4) + 0.5⌋ = −40.
+    * Quantized SEPARATELY from the unigram entry it adds to (sum of two
+    * quantized integers, not a quantization of the sum) so both engines
+    * compose scores from the same integer pieces.
+    */
+  val BackoffCenti = -40L
+
+  /** Bucket thresholds on the mean centi-log10 per token, the
+    * [[TextStats.lmAnnotate]] convention (compare means, never 10^x).
+    */
+  val HeadThreshold: Double = -3.2
+  val MiddleThreshold: Double = -4.5
+
+  private def bigramsOf(toksE: Column): Column =
+    graft.Canonical.bindOnce(toksE) { toks =>
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
+
+  /** Train a stupid-backoff bigram model from `ref`. Returns the model as
+    * a frame of `(kind, term, n, centi)`:
+    *   - `kind = "uni"`: one row per vocabulary term plus the [[Unk]]
+    *     fold; `n` is the term's corpus count (for [[Unk]], the total
+    *     out-of-vocabulary token mass) and
+    *     `centi = ⌊100·log10((n+α)/(N+α·(V+1))) + 0.5⌋`;
+    *   - `kind = "bi"`: the kept bigrams over the [[Unk]]-folded token
+    *     stream; `n = c(w₁w₂)` and `centi = ⌊100·log10(n/c(w₁)) + 0.5⌋`
+    *     (≤ 0 always — a bigram occurrence is a `w₁` occurrence).
+    *
+    * Vocabulary = top `vocabSize` tokens, bigrams = top `bigramSize` with
+    * count ≥ `minBigramCount`, both by the deterministic total order
+    * (count DESC, term ASC) — ties can never make two runs disagree.
+    */
+  def train(ref: DataFrame, textCol: String = "text", vocabSize: Int = 1024,
+      bigramSize: Int = 4096, minBigramCount: Long = 2L,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val spark = ref.sparkSession
+    import spark.implicits._
+
+    // pass 1: unigram counts (map-side combined; distinct-token-sized
+    // post-shuffle). Pinned: the frame feeds both the top-K election and
+    // the total-mass aggregate below.
+    val uniCounts = ref
+      .select(explode(TextStats.lmTokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val vocabRows: Array[(String, Long)] = uniCounts
+      .orderBy(col("n").desc, col("term").asc).limit(vocabSize)
+      .as[(String, Long)].collect()
+    val totalN: Long = uniCounts.agg(coalesce(sum(col("n")), lit(0L)))
+      .as[Long].head()
+    val vocabN: Map[String, Long] = vocabRows.toMap
+    val unkN: Long = totalN - vocabRows.map(_._2).sum
+    val v = vocabRows.length
+    // exact-integer denominator at the α = 1 default (N + V + 1 < 2⁵³);
+    // the oracle rebuilds the same double from the same integers
+    val denom = totalN + alpha * (v + 1)
+    val uniModel = (vocabRows.toSeq :+ (Unk, unkN)).toDF("term", "n")
+      .withColumn("centi",
+        floor(log10((col("n") + lit(alpha)) / lit(denom)) * lit(100.0) + lit(0.5))
+          .cast("long"))
+
+    // pass 2: bigram counts over the <unk>-folded stream. The vocabulary
+    // rides into the scan as a map literal, so folding is a per-token
+    // probe of driver-constant data — no join touches the corpus.
+    val vset = typedlit(vocabN)
+    val folded = graft.Canonical.bindOnce(TextStats.lmTokens(col(textCol))) { toks =>
+      transform(toks, t => when(element_at(vset, t).isNotNull, t).otherwise(lit(Unk)))
+    }
+    val c1 = typedlit(vocabN + (Unk -> unkN))
+    val biModel = ref
+      .select(explode(bigramsOf(folded)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= lit(minBigramCount))
+      .orderBy(col("n").desc, col("term").asc).limit(bigramSize)
+      .withColumn("centi",
+        floor(log10(col("n").cast("double") /
+            element_at(c1, split(col("term"), " ").getItem(0)).cast("double"))
+          * lit(100.0) + lit(0.5)).cast("long"))
+
+    uniModel.select(lit("uni").as("kind"), col("term"), col("n"), col("centi"))
+      .unionByName(
+        biModel.select(lit("bi").as("kind"), col("term"), col("n"), col("centi")))
+  }
+
+  /** Collect a [[train]]ed model into the two driver-side maps
+    * [[annotateWith]] scores through (bounded by
+    * `vocabSize + bigramSize + 1` rows by construction).
+    */
+  def tables(model: DataFrame): (Map[String, Long], Map[String, Long]) = {
+    val rows = model.select(col("kind"), col("term"), col("centi")).collect()
+    val uni = rows.filter(_.getString(0) == "uni")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val bi = rows.filter(_.getString(0) == "bi")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    require(uni.contains(Unk), s"model has no '$Unk' row — not a Lm.train output")
+    (uni, bi)
+  }
+
+  /** Score documents through a trained model — per-document columns
+    *   - `slm_n_toks`      — token count (long);
+    *   - `slm_centi_sum`   — exact integer score: the first token pays
+    *     its unigram entry, every later token pays its bigram entry or
+    *     (backoff) its unigram entry + [[BackoffCenti]];
+    *   - `slm_mean_log10p` — `centi_sum / (100·n)`,
+    *     [[graft.Canonical.round4]]ed (null for token-free documents);
+    *   - `slm_bucket`      — head / middle / tail.
+    *
+    * Every folded token hits the unigram map by construction (vocab ∪
+    * [[Unk]]), so scoring is total — no OOV floor, no nulls mid-sum.
+    */
+  def annotateWith(docs: DataFrame, uni: Map[String, Long], bi: Map[String, Long],
+      textCol: String = "text", headThr: Double = HeadThreshold,
+      midThr: Double = MiddleThreshold): DataFrame = {
+    require(uni.contains(Unk), s"unigram table has no '$Unk' entry")
+    val uniLut = typedlit(uni)
+    val biLut = if (bi.isEmpty) typedlit(Map("" -> 0L)) else typedlit(bi)
+    val unkCenti = lit(uni(Unk))
+    val folded = graft.Canonical.bindOnce(TextStats.lmTokens(col(textCol))) { toks =>
+      transform(toks, t => when(element_at(uniLut, t).isNotNull, t).otherwise(lit(Unk)))
+    }
+    val centiSum = graft.Canonical.bindOnce(folded) { m =>
+      def uniOf(t: Column): Column = coalesce(element_at(uniLut, t), unkCenti)
+      val first = when(size(m) >= 1, uniOf(element_at(m, 1))).otherwise(lit(0L))
+      val rest = when(size(m) >= 2,
+        aggregate(sequence(lit(2), size(m)), lit(0L), (acc, i) =>
+          acc + coalesce(
+            element_at(biLut,
+              concat_ws(" ", element_at(m, i - 1), element_at(m, i))),
+            uniOf(element_at(m, i)) + lit(BackoffCenti)))).otherwise(lit(0L))
+      first + rest
+    }
+    val mean = graft.Canonical.round4(
+      col("slm_centi_sum").cast("double") / (lit(100.0) * col("slm_n_toks")))
+    docs
+      .withColumn("slm_n_toks", size(TextStats.lmTokens(col(textCol))).cast("long"))
+      .withColumn("slm_centi_sum", centiSum)
+      .withColumn("slm_mean_log10p", when(col("slm_n_toks") > 0, mean))
+      .withColumn("slm_bucket",
+        when(col("slm_mean_log10p") >= headThr, "head")
+          .when(col("slm_mean_log10p") >= midThr, "middle")
+          .otherwise("tail"))
+  }
+
+  /** [[annotateWith]] over a model FRAME (collects it — driver-bounded by
+    * the train caps).
+    */
+  def annotate(docs: DataFrame, model: DataFrame, textCol: String = "text",
+      headThr: Double = HeadThreshold, midThr: Double = MiddleThreshold): DataFrame = {
+    val (u, b) = tables(model)
+    annotateWith(docs, u, b, textCol, headThr, midThr)
+  }
+
+  /** The CCNet gate over a trained model: keep head+middle. */
+  def perplexityPrune(docs: DataFrame, model: DataFrame, textCol: String = "text",
+      keep: Seq[String] = Seq("head", "middle"),
+      headThr: Double = HeadThreshold, midThr: Double = MiddleThreshold): DataFrame =
+    annotate(docs, model, textCol, headThr, midThr)
+      .filter(col("slm_bucket").isin(keep: _*))
+
+  // — DuckDB twins (shared with the probe oracles, the lmAnnotateSql
+  //   convention: the arithmetic is written ONCE) ————————————————————————
+
+  /** CTE chain replaying [[train]] from first principles over a reference
+    * relation `__lm2_ref(text)`: tokenize → unigram counts → top-K vocab
+    * (count DESC, term ASC) → <unk> fold → bigram counts → caps → the
+    * exact log10/quantize arithmetic. Ends in
+    * `__lm2_model(kind, term, n, centi)`.
+    */
+  def trainSql(vocabSize: Int = 1024, bigramSize: Int = 4096,
+      minBigramCount: Long = 2L): String =
+    s"""t2 AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM __lm2_ref),
+       |uc AS (SELECT u AS term, CAST(count(*) AS BIGINT) AS n
+       |       FROM (SELECT unnest(tk) AS u FROM t2) GROUP BY 1),
+       |voc AS (SELECT term, n FROM uc ORDER BY n DESC, term ASC LIMIT $vocabSize),
+       |tot AS (SELECT coalesce(CAST(sum(n) AS BIGINT), 0) AS nn FROM uc),
+       |vt AS (SELECT count(*) AS v, coalesce(CAST(sum(n) AS BIGINT), 0) AS vn,
+       |              list(term) AS vs
+       |       FROM voc),
+       |uni AS (SELECT term, n FROM voc
+       |        UNION ALL SELECT '${Unk}', tot.nn - vt.vn FROM tot, vt),
+       |unim AS (SELECT term, n,
+       |    CAST(floor(log10((n + 1.0) / (tot.nn + 1.0 * (vt.v + 1))) * 100.0 + 0.5)
+       |      AS BIGINT) AS centi
+       |  FROM uni, tot, vt),
+       |fold AS (SELECT list_transform(tk,
+       |    t -> CASE WHEN list_contains(vt.vs, t) THEN t ELSE '${Unk}' END) AS m
+       |  FROM t2, vt),
+       |bg AS (SELECT b AS term, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(CASE WHEN len(m) >= 2
+       |      THEN list_transform(range(1, len(m)), i -> m[i] || ' ' || m[i + 1])
+       |      ELSE [] END) AS b FROM fold)
+       |  GROUP BY 1 HAVING count(*) >= $minBigramCount),
+       |bgt AS (SELECT term, n FROM bg ORDER BY n DESC, term ASC LIMIT $bigramSize),
+       |bim AS (SELECT bgt.term AS term, bgt.n AS n,
+       |    CAST(floor(log10(bgt.n * 1.0 / u1.n) * 100.0 + 0.5) AS BIGINT) AS centi
+       |  FROM bgt JOIN uni u1 ON u1.term = split_part(bgt.term, ' ', 1)),
+       |__lm2_model AS (
+       |  SELECT 'uni' AS kind, term, n, centi FROM unim
+       |  UNION ALL SELECT 'bi', term, n, centi FROM bim)""".stripMargin
+
+  /** CTE chain replaying [[annotateWith]] over `__lm2_in(…, text)` against
+    * `__lm2_model`: fold → first-token unigram + per-bigram
+    * lookup-or-backoff → exact integer sum → round4 mean → buckets. Ends
+    * in `__lm2_scored` (all `__lm2_in` columns + the four slm columns).
+    */
+  def annotateSql(headThr: Double = HeadThreshold,
+      midThr: Double = MiddleThreshold): String = {
+    val mean = graft.Canonical.round4Sql(
+      "CAST(slm_centi_sum AS DOUBLE) / (100.0 * slm_n_toks)")
+    s"""um AS (SELECT term AS __ut, centi AS __uc FROM __lm2_model WHERE kind = 'uni'),
+       |bm AS (SELECT term AS __bt, centi AS __bc FROM __lm2_model WHERE kind = 'bi'),
+       |uvl AS (SELECT list(__ut) AS vs FROM um WHERE __ut <> '${Unk}'),
+       |stk AS (SELECT i.*, list_transform(
+       |    regexp_extract_all(lower(i.text), '[a-z0-9]+'),
+       |    t -> CASE WHEN list_contains(uvl.vs, t) THEN t ELSE '${Unk}' END) AS __m
+       |  FROM __lm2_in i, uvl),
+       |sex AS (SELECT *, CAST(len(__m) AS BIGINT) AS slm_n_toks,
+       |    unnest(CASE WHEN len(__m) = 0 THEN [CAST(NULL AS BIGINT)]
+       |           ELSE range(1, len(__m) + 1) END) AS __i
+       |  FROM stk),
+       |stok AS (SELECT *, CASE WHEN __i IS NULL THEN NULL ELSE __m[__i] END AS __w2,
+       |    CASE WHEN __i > 1 THEN __m[__i - 1] || ' ' || __m[__i] END AS __bg
+       |  FROM sex),
+       |ssc AS (SELECT * EXCLUDE (__w2, __bg, __i, __m, __ut, __uc, __bt, __bc),
+       |    CAST(sum(CASE WHEN __w2 IS NULL THEN 0
+       |      WHEN __i = 1 THEN __uc
+       |      ELSE coalesce(__bc, __uc + ${BackoffCenti}) END) AS BIGINT)
+       |      AS slm_centi_sum
+       |  FROM stok
+       |  LEFT JOIN um ON __ut = __w2
+       |  LEFT JOIN bm ON __bt = __bg
+       |  GROUP BY ALL),
+       |__lm2_scored AS (SELECT *,
+       |    CASE WHEN slm_n_toks > 0 THEN $mean END AS slm_mean_log10p,
+       |    CASE WHEN slm_n_toks > 0 AND $mean >= $headThr THEN 'head'
+       |         WHEN slm_n_toks > 0 AND $mean >= $midThr THEN 'middle'
+       |         ELSE 'tail' END AS slm_bucket
+       |  FROM ssc)""".stripMargin
+  }
+}

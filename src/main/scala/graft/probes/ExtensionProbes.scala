@@ -1412,6 +1412,48 @@ object ExtensionProbes {
             |SELECT corpus_id, bench_id, hits FROM o
             |ORDER BY corpus_id ASC NULLS FIRST, bench_id ASC NULLS FIRST""".stripMargin))
 
+  // — persisted bench index (x103): x41's exact fixture and oracle, but
+  //   the benchmark side comes entirely from an on-disk
+  //   [[Decontaminate.BenchIndex]] built in TWO steps (write half the
+  //   suite, append the other half) — the indexed path, append fold
+  //   included, must be indistinguishable from the live operator. The
+  //   index is marker-cached per sf dir + source token (the x57 idiom);
+  //   `_x103_done` rather than meta.json marks the cache because the
+  //   build is write+append, and meta.json lands after step one.
+  private val X103IndexV = "v1"
+  private def x103Index(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val srcTok = graft.TmpDir.sourceToken(s"$dir/documents.parquet")
+    val path = s"${graft.TmpDir.root}/tmp/x103_benchidx_${X103IndexV}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcTok"
+    val done = new java.io.File(s"$path/_x103_done")
+    if (!done.exists()) synchronized {
+      if (!done.exists()) {
+        val docs = Readers.fanOut(t(s, dir, "documents"))
+        Decontaminate.writeBenchIndex(
+          docs.filter(col("doc_id") % 74 === 0),
+          "doc_id", col("text"), n = 3, path, expectedItems = 100000L)
+        Decontaminate.appendToBenchIndex(s, path,
+          docs.filter(col("doc_id") % 37 === 0 && col("doc_id") % 74 =!= 0),
+          "doc_id", col("text"))
+        if (!done.createNewFile())
+          throw new java.io.IOException(s"x103 cache marker create failed at $done")
+      }
+    }
+    path
+  }
+  private val x103 = Probe(
+    "x103_decontaminate_indexed",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+      Decontaminate.overlapsIndexed(
+          Decontaminate.readBenchIndex(s, x103Index(s, dir)),
+          corpus, "doc_id", col("text"), minHits = 2)
+        .orderBy("corpus_id", "bench_id")
+    },
+    Some(s"""WITH $decontCte
+            |SELECT corpus_id, bench_id, hits FROM o
+            |ORDER BY corpus_id ASC NULLS FIRST, bench_id ASC NULLS FIRST""".stripMargin))
+
   private val x42 = Probe(
     "x42_decontaminate_clean",
     (s, dir) => {
@@ -1845,5 +1887,6 @@ object ExtensionProbes {
 
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
-    x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73)
+    x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
+    x103)
 }

@@ -1076,6 +1076,48 @@ object PipelineProbes {
             |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
             |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin))
 
+  // — trained LM (x101/x102): stupid-backoff bigram model ————————————————
+  //   Train on the doc_id % 3 ≠ 0 split (the x99 reference-split idiom);
+  //   caps small enough (vocab 256, bigrams 1024) that the top-K
+  //   elections BIND at sf0.01 — the deterministic (count DESC, term ASC)
+  //   total order is exercised, not just the happy everything-fits path.
+  //   x101 value-checks every model row (counts AND quantized centi);
+  //   x102 scores the held-out doc_id % 3 = 0 split, so the oracle
+  //   re-derives the model AND the integer backoff sums from first
+  //   principles.
+  private val x101 = Probe(
+    "x101_lm_train",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      Lm.train(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L), "text",
+          vocabSize = 256, bigramSize = 1024, minBigramCount = 2L)
+        .orderBy("kind", "term")
+    },
+    Some(s"""WITH __lm2_ref AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+            |${Lm.trainSql(vocabSize = 256, bigramSize = 1024, minBigramCount = 2L)}
+            |SELECT kind, term, n, centi FROM __lm2_model
+            |ORDER BY kind ASC NULLS FIRST, term ASC NULLS FIRST""".stripMargin))
+
+  private val x102 = Probe(
+    "x102_lm_trained_score",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val model = Lm.train(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L), "text",
+        vocabSize = 256, bigramSize = 1024, minBigramCount = 2L)
+      Lm.annotate(docs.filter(pmod(col("doc_id"), lit(3L)) === 0L)
+          .select(col("doc_id"), col("text")), model)
+        .select(col("doc_id"), col("slm_n_toks"), col("slm_centi_sum"),
+          col("slm_mean_log10p"), col("slm_bucket"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH __lm2_ref AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+            |${Lm.trainSql(vocabSize = 256, bigramSize = 1024, minBigramCount = 2L)},
+            |__lm2_in AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+            |${Lm.annotateSql()}
+            |SELECT doc_id, slm_n_toks, slm_centi_sum, slm_mean_log10p, slm_bucket
+            |FROM __lm2_scored
+            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
   // — Gopher document-shape quality rules ————————————————————————————————
   //   The non-repetition half of Rae '21 table A1 (word-count and
   //   mean-word-length bounds, #/ellipsis symbol ratio, bullet-start and
@@ -2984,5 +3026,5 @@ object PipelineProbes {
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x99, x100)
+    x95, x96, x97, x98, x99, x100, x101, x102)
 }

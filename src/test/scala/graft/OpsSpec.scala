@@ -1974,6 +1974,147 @@ class OpsSpec extends SparkSpec {
       (1L, 3L) -> 1.0, (1L, 4L) -> 1.0, (3L, 4L) -> 1.0), s"got $pairs")
   }
 
+  test("bench index: indexed decontamination = live path; append folds; phantom sketch keys harmless") {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "benchIdx").toString
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee"),         // 2 shared 3-grams with bench 100
+      (2L, "xx yy zz ww vv"),         // clean
+      (3L, "one two three four five") // 2 shared 3-grams with bench 200 (appended)
+    ).toDF("doc_id", "text")
+    val benchA = Seq((100L, "aa bb cc dd qq")).toDF("bid", "btext")
+    val benchB = Seq((200L, "zero one two three four")).toDF("bid", "btext")
+
+    Decontaminate.writeBenchIndex(benchA, "bid", col("btext"), n = 3,
+      s"$base/bench", expectedItems = 1000L)
+    def probe(): Map[(Long, Long), Long] =
+      Decontaminate.overlapsIndexed(
+          Decontaminate.readBenchIndex(spark, s"$base/bench"),
+          corpus, "doc_id", col("text"), minHits = 2)
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(probe() == Map((1L, 100L) -> 2L))
+
+    // append the new eval task: doc 3 flips to contaminated; re-append is
+    // a no-op (pair-level anti-join idempotence)
+    Decontaminate.appendToBenchIndex(spark, s"$base/bench", benchB, "bid", col("btext"))
+    val expected = Map((1L, 100L) -> 2L, (3L, 200L) -> 2L)
+    assert(probe() == expected)
+    Decontaminate.appendToBenchIndex(spark, s"$base/bench", benchB, "bid", col("btext"))
+    assert(probe() == expected)
+
+    // equivalence with the live operator on the full suite
+    val live = Decontaminate.overlaps(corpus, "doc_id", col("text"),
+        benchA.unionByName(benchB), "bid", col("btext"), n = 3, minHits = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(live == expected)
+
+    // crash window of the sketch-BEFORE-table append ordering: keys in
+    // the sketch without pair rows (a crash between the bloom write and
+    // the table append) must be harmless — the join verifies exactly
+    val idx = Decontaminate.readBenchIndex(spark, s"$base/bench")
+    idx.bloom.mergeInPlace(
+      spark.range(500).select(xxhash64(concat(lit("phantom "), col("id"))).as("__k"))
+        .stat.bloomFilter("__k", idx.expectedItems, idx.fpp))
+    Dedup.writeBloomFileAtomic(spark, s"$base/bench", idx.bloom,
+      idx.expectedItems, idx.fpp)
+    assert(probe() == expected)
+
+    // compaction: pair parts fold to one file, classification unchanged
+    Decontaminate.compactBenchIndex(spark, s"$base/bench")
+    val parts = new java.io.File(s"$base/bench/pairs").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(parts == 1, s"expected 1 compacted part file, got $parts")
+    assert(probe() == expected)
+
+    // cutting form preserves the caller's schema and drops the flagged
+    val kept = Decontaminate.cleanIndexed(
+        Decontaminate.readBenchIndex(spark, s"$base/bench"),
+        corpus, "doc_id", col("text"), minHits = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
+  test("index append sketch-before-table: phantom hash-index keys never flip classification") {
+    // the appendToHashIndex ordering fix: simulate the crash window's
+    // keys-without-rows state and assert the probe still classifies
+    // through the exact verify join (false positives cost a join probe,
+    // never a wrong status)
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "hashIdxCrash").toString
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    Dedup.writeHashIndex(corpus, "doc_id", "text", s"$base/hash", expectedItems = 100L)
+    val idx = Dedup.readHashIndex(spark, s"$base/hash")
+    // phantom keys = the exact digests a crashed append WOULD have added
+    val batch = Seq((10L, "gamma"), (11L, "alpha")).toDF("doc_id", "text")
+    idx.bloom.mergeInPlace(
+      batch.select(xxhash64(sha2(
+          concat(isnull(col("text")).cast("string"), coalesce(col("text"), lit(""))),
+          256)).as("__k"))
+        .stat.bloomFilter("__k", idx.expectedItems, idx.fpp))
+    Dedup.writeBloomFileAtomic(spark, s"$base/hash", idx.bloom, idx.expectedItems, idx.fpp)
+    val st = Dedup.incrementalExactIndexed(Dedup.readHashIndex(spark, s"$base/hash"),
+        batch, "doc_id", "text")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(st == Map(10L -> "new", 11L -> "exact_dup"), s"got $st")
+    // and the retry append still inserts the rows the crash lost
+    Dedup.appendToHashIndex(spark, s"$base/hash", batch, "doc_id", "text")
+    val st2 = Dedup.incrementalExactIndexed(Dedup.readHashIndex(spark, s"$base/hash"),
+        Seq((20L, "gamma")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(st2 == Map(20L -> "exact_dup"), s"got $st2")
+  }
+
+  test("lm train: exact counts and quantized centi, caps bind deterministically, unk folds") {
+    val ref = Seq("the cat sat", "the cat ran", "a dog sat").toDF("text")
+    // vocab cap 3 binds on the count-2 tie {cat, sat, the} (term-asc
+    // order); a/dog/ran fold to <unk> with mass 3. N=9, V=3, denom=13.
+    val m = Lm.train(ref, "text", vocabSize = 3, bigramSize = 3, minBigramCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // hand-computed: floor(100*log10((n+1)/13)+0.5)
+    assert(m(("uni", "cat")) == (2L, -64L))
+    assert(m(("uni", "sat")) == (2L, -64L))
+    assert(m(("uni", "the")) == (2L, -64L))
+    assert(m(("uni", Lm.Unk)) == (3L, -51L))
+    // folded bigrams: "the cat"x2, then four singletons; cap 3 keeps the
+    // count-2 row + the two term-asc singletons — the election BINDS
+    assert(m.count(_._1._1 == "bi") == 3)
+    assert(m(("bi", "the cat")) == (2L, 0L))            // log10(2/2)=0
+    assert(m(("bi", s"${Lm.Unk} ${Lm.Unk}")) == (1L, -48L)) // log10(1/3)
+    assert(m(("bi", s"${Lm.Unk} sat")) == (1L, -48L))
+    assert(!m.contains(("bi", "cat sat")) && !m.contains(("bi", s"cat ${Lm.Unk}")))
+
+    // partition invariance: same model from a 7-way shuffle of the corpus
+    val m2 = Lm.train(ref.repartition(7), "text", vocabSize = 3, bigramSize = 3,
+        minBigramCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(m2 == m)
+  }
+
+  test("lm trained scoring: bigram hits, backoff, unk, empty doc; prune keeps fluent") {
+    val ref = Seq("the cat sat", "the cat ran", "a dog sat").toDF("text")
+    val model = Lm.train(ref, "text", vocabSize = 3, bigramSize = 10, minBigramCount = 1L)
+    val docs = Seq(
+      (1L, "the cat sat"),  // first=uni(the)=-64, "the cat"=0, "cat sat"=-30 → -94
+      (2L, "sat dog the"),  // -64, backoff unk: -51-40=-91, backoff the: -64-40=-104 → -259
+      (3L, "!!!"))          // token-free
+      .toDF("doc_id", "text")
+    val out = Lm.annotate(docs, model).select("doc_id", "slm_n_toks",
+        "slm_centi_sum", "slm_mean_log10p", "slm_bucket")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getString(4))).toMap
+    assert(out(1L) == (3L, -94L, Some(-0.3133), "head"),  s"got ${out(1L)}")
+    assert(out(2L) == (3L, -259L, Some(-0.8633), "head"), s"got ${out(2L)}")
+    assert(out(3L) == (0L, 0L, None, "tail"),             s"got ${out(3L)}")
+    // a gate at stricter thresholds separates the bigram-fluent doc
+    val kept = Lm.perplexityPrune(docs, model, keep = Seq("head"),
+        headThr = -0.5, midThr = -1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("classifier train: exact NB weights, partition-invariant, round-trip separates classes") {
     val posText = "because therefore however which would about"
     val negText = "click subscribe casino winner buy now"
