@@ -91,8 +91,10 @@ object Lm {
     // pass 1: unigram counts (map-side combined; distinct-token-sized
     // post-shuffle). Pinned: the frame feeds both the top-K election and
     // the total-mass aggregate below.
+    // NULL text contributes zero tokens (explode/unnest drop it in both
+    // engines either way — the coalesce makes the contract explicit)
     val uniCounts = ref
-      .select(explode(TextStats.lmTokens(col(textCol))).as("term"))
+      .select(explode(TextStats.lmTokens(coalesce(col(textCol), lit("")))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .localCheckpoint()
     val vocabRows: Array[(String, Long)] = uniCounts
@@ -115,7 +117,8 @@ object Lm {
     // rides into the scan as a map literal, so folding is a per-token
     // probe of driver-constant data — no join touches the corpus.
     val vset = typedlit(vocabN)
-    val folded = graft.Canonical.bindOnce(TextStats.lmTokens(col(textCol))) { toks =>
+    val folded = graft.Canonical.bindOnce(
+        TextStats.lmTokens(coalesce(col(textCol), lit("")))) { toks =>
       transform(toks, t => when(element_at(vset, t).isNotNull, t).otherwise(lit(Unk)))
     }
     val c1 = typedlit(vocabN + (Unk -> unkN))
@@ -167,7 +170,12 @@ object Lm {
     val uniLut = typedlit(uni)
     val biLut = if (bi.isEmpty) typedlit(Map("" -> 0L)) else typedlit(bi)
     val unkCenti = lit(uni(Unk))
-    val folded = graft.Canonical.bindOnce(TextStats.lmTokens(col(textCol))) { toks =>
+    // NULL text scores like the empty document (0 tokens → tail), never a
+    // null-poisoned row: unguarded, size(null) nulls slm_n_toks here while
+    // the SQL twin's unnest(NULL) DROPS the document — a silent
+    // cross-engine row-count divergence (the x92 null-contract lesson)
+    val textSafe = coalesce(col(textCol), lit(""))
+    val folded = graft.Canonical.bindOnce(TextStats.lmTokens(textSafe)) { toks =>
       transform(toks, t => when(element_at(uniLut, t).isNotNull, t).otherwise(lit(Unk)))
     }
     val centiSum = graft.Canonical.bindOnce(folded) { m =>
@@ -184,7 +192,7 @@ object Lm {
     val mean = graft.Canonical.round4(
       col("slm_centi_sum").cast("double") / (lit(100.0) * col("slm_n_toks")))
     docs
-      .withColumn("slm_n_toks", size(TextStats.lmTokens(col(textCol))).cast("long"))
+      .withColumn("slm_n_toks", size(TextStats.lmTokens(textSafe)).cast("long"))
       .withColumn("slm_centi_sum", centiSum)
       .withColumn("slm_mean_log10p", when(col("slm_n_toks") > 0, mean))
       .withColumn("slm_bucket",
@@ -220,7 +228,8 @@ object Lm {
     */
   def trainSql(vocabSize: Int = 1024, bigramSize: Int = 4096,
       minBigramCount: Long = 2L): String =
-    s"""t2 AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM __lm2_ref),
+    s"""t2 AS (SELECT regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS tk
+       |       FROM __lm2_ref),
        |uc AS (SELECT u AS term, CAST(count(*) AS BIGINT) AS n
        |       FROM (SELECT unnest(tk) AS u FROM t2) GROUP BY 1),
        |voc AS (SELECT term, n FROM uc ORDER BY n DESC, term ASC LIMIT $vocabSize),
@@ -263,7 +272,7 @@ object Lm {
        |bm AS (SELECT term AS __bt, centi AS __bc FROM __lm2_model WHERE kind = 'bi'),
        |uvl AS (SELECT list(__ut) AS vs FROM um WHERE __ut <> '${Unk}'),
        |stk AS (SELECT i.*, list_transform(
-       |    regexp_extract_all(lower(i.text), '[a-z0-9]+'),
+       |    regexp_extract_all(lower(coalesce(i.text, '')), '[a-z0-9]+'),
        |    t -> CASE WHEN list_contains(uvl.vs, t) THEN t ELSE '${Unk}' END) AS __m
        |  FROM __lm2_in i, uvl),
        |sex AS (SELECT *, CAST(len(__m) AS BIGINT) AS slm_n_toks,

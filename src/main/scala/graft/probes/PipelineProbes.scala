@@ -1085,15 +1085,23 @@ object PipelineProbes {
   //   x102 scores the held-out doc_id % 3 = 0 split, so the oracle
   //   re-derives the model AND the integer backoff sums from first
   //   principles.
+  //   Null contract planted on day one (the x92 lesson): both fixtures
+  //   null out a doc_id slice — train must ignore those rows, scoring
+  //   must keep them as 0-token tail docs, in BOTH engines.
   private val x101 = Probe(
     "x101_lm_train",
     (s, dir) => {
       val docs = Readers.fanOut(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(101L)) === 1L, lit(null: String))
+            .otherwise(col("text")).as("text"))
       Lm.train(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L), "text",
           vocabSize = 256, bigramSize = 1024, minBigramCount = 2L)
         .orderBy("kind", "term")
     },
-    Some(s"""WITH __lm2_ref AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+    Some(s"""WITH __lm2_ref AS (
+            |  SELECT CASE WHEN doc_id % 101 = 1 THEN NULL ELSE text END AS text
+            |  FROM documents WHERE doc_id % 3 <> 0),
             |${Lm.trainSql(vocabSize = 256, bigramSize = 1024, minBigramCount = 2L)}
             |SELECT kind, term, n, centi FROM __lm2_model
             |ORDER BY kind ASC NULLS FIRST, term ASC NULLS FIRST""".stripMargin))
@@ -1102,6 +1110,9 @@ object PipelineProbes {
     "x102_lm_trained_score",
     (s, dir) => {
       val docs = Readers.fanOut(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(101L)) === 1L, lit(null: String))
+            .otherwise(col("text")).as("text"))
       val model = Lm.train(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L), "text",
         vocabSize = 256, bigramSize = 1024, minBigramCount = 2L)
       Lm.annotate(docs.filter(pmod(col("doc_id"), lit(3L)) === 0L)
@@ -1110,9 +1121,13 @@ object PipelineProbes {
           col("slm_mean_log10p"), col("slm_bucket"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH __lm2_ref AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+    Some(s"""WITH planted AS (
+            |  SELECT doc_id,
+            |    CASE WHEN doc_id % 101 = 1 THEN NULL ELSE text END AS text
+            |  FROM documents),
+            |__lm2_ref AS (SELECT text FROM planted WHERE doc_id % 3 <> 0),
             |${Lm.trainSql(vocabSize = 256, bigramSize = 1024, minBigramCount = 2L)},
-            |__lm2_in AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+            |__lm2_in AS (SELECT doc_id, text FROM planted WHERE doc_id % 3 = 0),
             |${Lm.annotateSql()}
             |SELECT doc_id, slm_n_toks, slm_centi_sum, slm_mean_log10p, slm_bucket
             |FROM __lm2_scored

@@ -2065,7 +2065,9 @@ class OpsSpec extends SparkSpec {
   }
 
   test("lm train: exact counts and quantized centi, caps bind deterministically, unk folds") {
-    val ref = Seq("the cat sat", "the cat ran", "a dog sat").toDF("text")
+    // the null-text row must contribute nothing to any count
+    val ref = Seq(Some("the cat sat"), Some("the cat ran"), Some("a dog sat"), None)
+      .toDF("text")
     // vocab cap 3 binds on the count-2 tie {cat, sat, the} (term-asc
     // order); a/dog/ran fold to <unk> with mass 3. N=9, V=3, denom=13.
     val m = Lm.train(ref, "text", vocabSize = 3, bigramSize = 3, minBigramCount = 1L)
@@ -2098,7 +2100,8 @@ class OpsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "the cat sat"),  // first=uni(the)=-64, "the cat"=0, "cat sat"=-30 → -94
       (2L, "sat dog the"),  // -64, backoff unk: -51-40=-91, backoff the: -64-40=-104 → -259
-      (3L, "!!!"))          // token-free
+      (3L, "!!!"),          // token-free
+      (4L, null: String))   // null text scores like the empty document
       .toDF("doc_id", "text")
     val out = Lm.annotate(docs, model).select("doc_id", "slm_n_toks",
         "slm_centi_sum", "slm_mean_log10p", "slm_bucket")
@@ -2108,6 +2111,7 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) == (3L, -94L, Some(-0.3133), "head"),  s"got ${out(1L)}")
     assert(out(2L) == (3L, -259L, Some(-0.8633), "head"), s"got ${out(2L)}")
     assert(out(3L) == (0L, 0L, None, "tail"),             s"got ${out(3L)}")
+    assert(out(4L) == (0L, 0L, None, "tail"),             s"got ${out(4L)}")
     // a gate at stricter thresholds separates the bigram-fluent doc
     val kept = Lm.perplexityPrune(docs, model, keep = Seq("head"),
         headThr = -0.5, midThr = -1.0)
