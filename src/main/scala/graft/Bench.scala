@@ -115,6 +115,11 @@ object Bench {
     // round-9: the end-to-end assembly (web-raw → token shards) — the
     // heaviest composition in the catalog, benched at sf0.1 AND sf1
     "x88_pretrain_assembly")
+  // round-11 probes (x94-x103) are NOT headline entries: the compact
+  // stdout line sits ~20 bytes under the driver's 1800-byte capture at
+  // worst-case widths (BenchJsonSpec pins it — adding two entries read
+  // 1840), and their scale evidence rides in BASELINE.md's pilot tables
+  // (round11b/round11c families) instead.
 
   /** The heavy-query subset run once at synthetic sf1 when budget allows:
     * the ETL/join spine plus the dedup/ANN/curation paths whose scaling

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Bpe, Classify, Decontaminate, Dedup, Html, Ivf, Multimodal, Packing, Pq, Repetition, Report, Sampling, Scd, Sessionize, Similarity, Snapshot, TextStats, Urls}
+import graft.ops.{Bpe, Classify, Decontaminate, Dedup, Html, Ivf, Lm, Multimodal, Packing, Pq, Repetition, Report, Sampling, Scd, Sessionize, Similarity, Snapshot, TextStats, Urls}
 import graft.sources.Readers
 
 /** Empirical scaling pilot: run the heavy operator families at 1× and N×
@@ -127,6 +127,7 @@ object ScalePilot {
       else if (family == "round9") Set("documents")
       else if (family == "round11") Set("documents")
       else if (family == "round11b") Set("documents", "embeddings")
+      else if (family == "round11c") Set("documents")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -706,6 +707,41 @@ object ScalePilot {
         }))
     }
 
+    // round-11c: trained LM + incremental decontamination. The bench is
+    // the FIXED copy-0 doc_id % 37 slice (a real eval suite does not grow
+    // with the crawl), so the live arm re-shingles the same bench every
+    // call while the corpus side grows N× — and the indexed arm probes a
+    // marker-cached persisted BenchIndex (built off the clock in the
+    // warm-up pass, the deployment shape: index once, probe daily).
+    // Token prefixes make cross-copy hits impossible, so flagged pairs
+    // stay constant while corpus volume scales — wall tracks the batch
+    // explode + sketch probe, the incremental contract.
+    def round11cQueries(dir: String): Seq[(String, () => DataFrame)] = {
+      def bench = tbl(dir, "documents")
+        .filter(col("doc_id") % 37 === 0 && col("doc_id") < 100000000L)
+        .select(col("doc_id").as("bid"), col("text").as("btext"))
+      def corpus = tbl(dir, "documents").filter(col("doc_id") % 37 =!= 0)
+      def idxPath: String = {
+        val path = s"${graft.TmpDir.root}/scale_benchidx_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        // meta.json is written LAST by writeBenchIndex → presence = complete
+        if (!new java.io.File(s"$path/meta.json").exists())
+          Decontaminate.writeBenchIndex(bench, "bid", col("btext"), n = 3, path,
+            expectedItems = 1000000L)
+        path
+      }
+      Seq(
+        "lm_train" -> (() =>
+          Lm.train(tbl(dir, "documents"), "text", vocabSize = 1024,
+            bigramSize = 4096, minBigramCount = 2L)),
+        "decon_live" -> (() =>
+          Decontaminate.overlaps(corpus, "doc_id", col("text"),
+            bench, "bid", col("btext"), n = 3, minHits = 2)),
+        "decon_indexed" -> (() =>
+          Decontaminate.overlapsIndexed(
+            Decontaminate.readBenchIndex(spark, idxPath),
+            corpus, "doc_id", col("text"), minHits = 2)))
+    }
+
     def queries(dir: String): Seq[(String, () => DataFrame)] =
       if (family == "dedup") dedupQueries(dir)
       else if (family == "pipeline") pipelineQueries(dir)
@@ -717,6 +753,7 @@ object ScalePilot {
       else if (family == "round9") round9Queries(dir)
       else if (family == "round11") round11Queries(dir)
       else if (family == "round11b") round11bQueries(dir)
+      else if (family == "round11c") round11cQueries(dir)
       else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>
