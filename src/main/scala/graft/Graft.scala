@@ -207,6 +207,22 @@ object Graft {
       bigramSize: Int = 4096, minBigramCount: Long = 2L): DataFrame =
     Lm.train(ref, textCol, vocabSize, bigramSize, minBigramCount)
 
+  /** LM sufficient statistics (raw n-gram counts, ONE corpus scan) —
+    * additive via [[mergeLmCounts]], compiled with [[lmFromCounts]]: the
+    * incremental-retrain shape ([[mergeClassifiers]] at LM scale).
+    */
+  def lmTrainCounts(ref: DataFrame, textCol: String = "text"): DataFrame =
+    Lm.trainCounts(ref, textCol)
+
+  /** Merge two LM count tables into the exact combined-corpus statistics. */
+  def mergeLmCounts(a: DataFrame, b: DataFrame): DataFrame =
+    Lm.mergeCounts(a, b)
+
+  /** Compile a scoring model from (possibly merged) LM count tables. */
+  def lmFromCounts(counts: DataFrame, vocabSize: Int = 1024,
+      bigramSize: Int = 4096, minBigramCount: Long = 2L): DataFrame =
+    Lm.modelFromCounts(counts, vocabSize, bigramSize, minBigramCount)
+
   /** Score documents through a trained LM — shuffle-free map-literal
     * projection, exact integer centi-log10 sums.
     */

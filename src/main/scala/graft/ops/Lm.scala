@@ -67,8 +67,48 @@ object Lm {
         .otherwise(array().cast("array<string>"))
     }
 
-  /** Train a stupid-backoff bigram model from `ref`. Returns the model as
-    * a frame of `(kind, term, n, centi)`:
+  /** The model's SUFFICIENT STATISTICS: raw (unfolded) unigram and bigram
+    * counts as `(kind 'uni'|'bi', term, n)` — ONE corpus scan (both
+    * grains explode together into one map-side-combined count shuffle,
+    * bounded post-shuffle by the distinct-term space). Counts are
+    * ADDITIVE: [[mergeCounts]] of two batches' statistics equals the
+    * statistics of the union EXACTLY, which is what makes retraining
+    * incremental — the `<unk>` fold is a per-token map, so it COMMUTES
+    * with counting (folded-bigram counts re-aggregate from raw counts in
+    * [[modelFromCounts]]), and the top-K caps apply only at model-compile
+    * time over the merged counts. The daily pipeline persists this frame
+    * as parquet and folds each batch in — the [[Classify.mergeTrained]]
+    * contract at LM scale (KenLM's count files are exactly this table).
+    */
+  def trainCounts(ref: DataFrame, textCol: String = "text"): DataFrame = {
+    // kind rides as an unambiguous 2-char tag ("u "/"b ") so both grains
+    // share one explode + one count shuffle; tokens are [a-z0-9]+ so the
+    // tag can never collide with content
+    val tagged = graft.Canonical.bindOnce(
+        TextStats.lmTokens(coalesce(col(textCol), lit("")))) { toks =>
+      concat(
+        transform(toks, t => concat(lit("u "), t)),
+        transform(bigramsOf(toks), b => concat(lit("b "), b)))
+    }
+    ref.select(explode(tagged).as("__kt"))
+      .groupBy(col("__kt")).agg(count(lit(1)).as("n"))
+      .select(
+        when(substring(col("__kt"), 1, 2) === "u ", "uni").otherwise("bi").as("kind"),
+        expr("substring(__kt, 3)").as("term"),
+        col("n"))
+  }
+
+  /** Merge two [[trainCounts]] frames into the exact statistics of the
+    * combined corpus (counts are additive) — cost one
+    * distinct-term-bounded aggregate, nothing corpus-scale.
+    */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("kind"), col("term"), col("n"))
+      .unionByName(b.select(col("kind"), col("term"), col("n")))
+      .groupBy(col("kind"), col("term")).agg(sum(col("n")).as("n"))
+
+  /** Compile a model from [[trainCounts]] statistics. Returns the model
+    * as a frame of `(kind, term, n, centi)`:
     *   - `kind = "uni"`: one row per vocabulary term plus the [[Unk]]
     *     fold; `n` is the term's corpus count (for [[Unk]], the total
     *     out-of-vocabulary token mass) and
@@ -80,23 +120,20 @@ object Lm {
     * Vocabulary = top `vocabSize` tokens, bigrams = top `bigramSize` with
     * count ≥ `minBigramCount`, both by the deterministic total order
     * (count DESC, term ASC) — ties can never make two runs disagree.
+    * Every input is a COUNT table: compiling touches distinct terms only,
+    * never the corpus.
     */
-  def train(ref: DataFrame, textCol: String = "text", vocabSize: Int = 1024,
+  def modelFromCounts(counts: DataFrame, vocabSize: Int = 1024,
       bigramSize: Int = 4096, minBigramCount: Long = 2L,
       alpha: Double = 1.0): DataFrame = {
     require(alpha > 0.0, s"alpha must be positive, got $alpha")
-    val spark = ref.sparkSession
+    val spark = counts.sparkSession
     import spark.implicits._
-
-    // pass 1: unigram counts (map-side combined; distinct-token-sized
-    // post-shuffle). Pinned: the frame feeds both the top-K election and
-    // the total-mass aggregate below.
-    // NULL text contributes zero tokens (explode/unnest drop it in both
-    // engines either way — the coalesce makes the contract explicit)
-    val uniCounts = ref
-      .select(explode(TextStats.lmTokens(coalesce(col(textCol), lit("")))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+    // pinned: the statistics feed the top-K election, the total-mass
+    // aggregate AND the bigram fold below (unpinned, each consumer would
+    // re-run whatever produced them — possibly the corpus scan)
+    val pinned = counts.localCheckpoint()
+    val uniCounts = pinned.filter(col("kind") === "uni").select(col("term"), col("n"))
     val vocabRows: Array[(String, Long)] = uniCounts
       .orderBy(col("n").desc, col("term").asc).limit(vocabSize)
       .as[(String, Long)].collect()
@@ -113,18 +150,20 @@ object Lm {
         floor(log10((col("n") + lit(alpha)) / lit(denom)) * lit(100.0) + lit(0.5))
           .cast("long"))
 
-    // pass 2: bigram counts over the <unk>-folded stream. The vocabulary
-    // rides into the scan as a map literal, so folding is a per-token
-    // probe of driver-constant data — no join touches the corpus.
+    // bigrams: fold the RAW bigram counts through the vocabulary (the
+    // fold is a per-token map, so summing raw counts per folded key is
+    // EXACTLY counting the folded stream) and re-aggregate — a
+    // distinct-bigram-bounded shuffle, no second corpus pass. The
+    // vocabulary rides as a map literal; no join anywhere.
     val vset = typedlit(vocabN)
-    val folded = graft.Canonical.bindOnce(
-        TextStats.lmTokens(coalesce(col(textCol), lit("")))) { toks =>
-      transform(toks, t => when(element_at(vset, t).isNotNull, t).otherwise(lit(Unk)))
-    }
+    def foldTerm(t: Column): Column =
+      when(element_at(vset, t).isNotNull, t).otherwise(lit(Unk))
     val c1 = typedlit(vocabN + (Unk -> unkN))
-    val biModel = ref
-      .select(explode(bigramsOf(folded)).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val biModel = pinned.filter(col("kind") === "bi")
+      .select(graft.Canonical.bindOnce(split(col("term"), " ")) { parts =>
+        concat_ws(" ", foldTerm(parts.getItem(0)), foldTerm(parts.getItem(1)))
+      }.as("term"), col("n"))
+      .groupBy(col("term")).agg(sum(col("n")).as("n"))
       .filter(col("n") >= lit(minBigramCount))
       .orderBy(col("n").desc, col("term").asc).limit(bigramSize)
       .withColumn("centi",
@@ -136,6 +175,16 @@ object Lm {
       .unionByName(
         biModel.select(lit("bi").as("kind"), col("term"), col("n"), col("centi")))
   }
+
+  /** Train a stupid-backoff bigram model from `ref` —
+    * `modelFromCounts(trainCounts(ref))`: one corpus scan for the
+    * statistics, then distinct-term-bounded compilation.
+    */
+  def train(ref: DataFrame, textCol: String = "text", vocabSize: Int = 1024,
+      bigramSize: Int = 4096, minBigramCount: Long = 2L,
+      alpha: Double = 1.0): DataFrame =
+    modelFromCounts(trainCounts(ref, textCol), vocabSize, bigramSize,
+      minBigramCount, alpha)
 
   /** Collect a [[train]]ed model into the two driver-side maps
     * [[annotateWith]] scores through (bounded by

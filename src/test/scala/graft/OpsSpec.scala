@@ -2094,6 +2094,26 @@ class OpsSpec extends SparkSpec {
     assert(m2 == m)
   }
 
+  test("lm incremental retrain: merged counts = union counts exactly, model identical") {
+    val a = Seq("the cat sat", "the cat ran").toDF("text")
+    val b = Seq("a dog sat", "the cat sat again").toDF("text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // sufficient statistics are additive — raw counts merge EXACTLY
+    val merged = Lm.mergeCounts(Lm.trainCounts(a), Lm.trainCounts(b))
+    val full = Lm.trainCounts(a.unionByName(b))
+    assert(rows(merged) == rows(full))
+    // and the compiled models agree row-for-row (fold/caps commute with
+    // the merge because they apply at compile time over merged counts)
+    def model(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+    assert(
+      model(Lm.modelFromCounts(merged, vocabSize = 3, bigramSize = 4, minBigramCount = 1L))
+        == model(Lm.train(a.unionByName(b), vocabSize = 3, bigramSize = 4,
+            minBigramCount = 1L)))
+  }
+
   test("lm trained scoring: bigram hits, backoff, unk, empty doc; prune keeps fluent") {
     val ref = Seq("the cat sat", "the cat ran", "a dog sat").toDF("text")
     val model = Lm.train(ref, "text", vocabSize = 3, bigramSize = 10, minBigramCount = 1L)
