@@ -332,13 +332,27 @@ object StreamingIngest {
       bands: Int = 16,
       expectedItems: Long = 10000000L,
       fpp: Double = 0.01,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0,
+      benchIndexPath: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    // decontamination state is READ-ONLY for the stream (an eval suite
+    // does not grow with the crawl): the persisted BenchIndex is opened
+    // ONCE at sink setup — the sketch is driver-held, the pair table a
+    // lazy parquet scan — and every micro-batch probes it identically, so
+    // replays are deterministic by construction (no exactly-once
+    // machinery needed for this state, unlike the dedup index)
+    val benchIdx = benchIndexPath.map(bp =>
+      graft.ops.Decontaminate.readBenchIndex(docs.sparkSession, bp))
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val curated = graft.ops.Curate.run(batch.toDF(), idCol, textCol, None, cfg)
+        val curated0 = graft.ops.Curate.run(batch.toDF(), idCol, textCol, None, cfg)
+        val curated = benchIdx match {
+          case Some(bi) => graft.ops.Decontaminate.cleanIndexed(
+            bi, curated0, idCol, col(textCol), cfg.decontamMinHits)
+          case None => curated0
+        }
         val metaP = new org.apache.hadoop.fs.Path(s"$indexPath/meta.json")
         val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(metaP))
@@ -371,6 +385,7 @@ object StreamingIngest {
         ()
       }
       .start()
+  }
 
   /** The EMBEDDING arm of [[curatedCorpusIndexedSink]] — a streaming
     * corpus sink whose dedup state is a

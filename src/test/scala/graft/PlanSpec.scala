@@ -502,4 +502,43 @@ class PlanSpec extends SparkSpec {
     assert(partials == 1,
       s"the batch election must partial-aggregate exactly once across all executed plans, got $partials")
   }
+
+  test("lm training: one map-side-combined count shuffle; caps TakeOrdered, never a global sort") {
+    val docs = Readers.table(spark, sf0001, "documents")
+    // sufficient statistics: both grains ride ONE explode into ONE count
+    // shuffle, combined map-side (the scaladoc's 100-TB claim)
+    val cPlan = physical(graft.ops.Lm.trainCounts(docs))
+    assert("\\bExchange ".r.findAllIn(cPlan).length == 1,
+      s"trainCounts must shuffle exactly once:\n$cPlan")
+    assert(cPlan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")),
+      s"count must combine map-side:\n$cPlan")
+    // compiled model: vocabulary/bigram caps elect via TakeOrdered — a
+    // global Sort of the term space would be the 100-TB anti-pattern
+    val mPlan = physical(graft.ops.Lm.train(docs,
+      vocabSize = 64, bigramSize = 128, minBigramCount = 1L))
+    assert(mPlan.contains("TakeOrderedAndProject"),
+      s"the bigram cap must plan as TakeOrdered:\n$mPlan")
+    assert(!mPlan.contains("Sort ["),
+      s"no global sort may appear in model compilation:\n$mPlan")
+  }
+
+  test("indexed decontamination: sketch prune rides the batch side; pair join broadcasts") {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "planBenchIdx").toString
+    val docs = Readers.table(spark, sf0001, "documents")
+    graft.ops.Decontaminate.writeBenchIndex(
+      docs.filter(col("doc_id") % 37 === 0), "doc_id", col("text"),
+      n = 3, s"$base/bench", expectedItems = 10000L)
+    val plan = physical(graft.ops.Decontaminate.overlapsIndexed(
+      graft.ops.Decontaminate.readBenchIndex(spark, s"$base/bench"),
+      docs.filter(col("doc_id") % 37 =!= 0), "doc_id", col("text"), minHits = 2))
+    // the sketch probe must sit under the join (batch side), so Bloom-
+    // negative shingles never reach it; the small pair table broadcasts
+    val joinAt = plan.linesIterator.indexWhere(_.contains("BroadcastHashJoin"))
+    val probeAt = plan.linesIterator.indexWhere(_.contains("bloom_might_contain"))
+    assert(joinAt >= 0, s"pair join must broadcast:\n$plan")
+    assert(probeAt > joinAt,
+      s"bloom probe must be below (after) the join in the tree:\n$plan")
+  }
 }

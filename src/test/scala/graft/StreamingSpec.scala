@@ -465,6 +465,51 @@ class StreamingSpec extends SparkSpec {
       s"compaction must fold all but the current batch: $parts")
   }
 
+  test("indexed sink with bench index: contaminated docs never enter the corpus") {
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "curatedixb").toString
+    def doc(prefix: String, from: Int, n: Int, lastOverride: String = ""): String = {
+      val toks = (from until from + n).map(i => f"$prefix$i%02d")
+      (if (lastOverride.isEmpty) toks else toks.init :+ lastOverride).mkString(" ")
+    }
+    // the eval suite: one long doc; the two contaminated stream docs each
+    // overlap a DIFFERENT half of it (so they are not near-dups of each
+    // other — what cuts them must be the bench probe, not dedup)
+    val bench = Seq((100L, doc("c", 1, 40))).toDF("bid", "btext")
+    graft.ops.Decontaminate.writeBenchIndex(bench, "bid", col("btext"), n = 3,
+      s"$base/bench", expectedItems = 10000L)
+    val b1 = Seq((1L, doc("w", 1, 20)), (2L, doc("c", 1, 20, "zzz"))).toDF("doc_id", "text")
+    val b2 = Seq((3L, doc("c", 21, 20)), (4L, doc("y", 1, 20))).toDF("doc_id", "text")
+    val (in, corpus, index, ckp) = (s"$base/in", s"$base/corpus", s"$base/index", s"$base/ckp")
+    b1.coalesce(1).write.mode("append").parquet(in)
+    val q = StreamingIngest.curatedCorpusIndexedSink(
+      spark.readStream.schema(b1.schema).parquet(in), corpus, index, ckp,
+      "doc_id", "text", benchIndexPath = Some(s"$base/bench"))
+    try {
+      q.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 4L),
+      "both bench-overlapping docs must be cut by the index probe, clean docs kept")
+
+    // twin without the bench arm: all four docs are mutually non-dup, so
+    // the only thing separating the corpora is the decontamination probe
+    val (in2, corpus2, index2, ckp2) = (s"$base/in2", s"$base/corpus2",
+      s"$base/index2", s"$base/ckp2")
+    b1.coalesce(1).write.mode("append").parquet(in2)
+    val u = StreamingIngest.curatedCorpusIndexedSink(
+      spark.readStream.schema(b1.schema).parquet(in2), corpus2, index2, ckp2,
+      "doc_id", "text")
+    try {
+      u.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(in2)
+      u.processAllAvailable()
+    } finally u.stop()
+    assert(spark.read.parquet(corpus2).select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+  }
+
   test("streaming sessionization produces sessions with positive event counts") {
     val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
     val sessions = StreamingIngest.runToMemory(spark,
