@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The full pretraining-corpus curation pipeline composed from the
@@ -43,7 +43,12 @@ object Curate {
       dedupThreshold: Double = 0.5,
       decontamNgram: Int = 3,
       decontamMinHits: Long = 2L,
-      pinStages: Boolean = true)
+      pinStages: Boolean = true,
+      // optional CCNet fluency stage (a TRAINED [[Lm.Gate]], applied
+      // between the repetition gate and exact dedup — the CCNet order:
+      // model-based fluency after heuristics, before dedup); None = off,
+      // existing compositions unchanged
+      lmGate: Option[Lm.Gate] = None)
 
   /** Stage boundaries are pinned with eager `localCheckpoint`s: each stage
     * consumes its predecessor's output SEVERAL times (the repetition gate
@@ -80,7 +85,8 @@ object Curate {
     * died at each gate, per Gopher/C4/FineWeb reporting convention).
     *
     * `attribution` holds EVERY input id exactly once with the first stage
-    * that dropped it — `quality`, `repetition`, `exact_dup`, `near_dup`,
+    * that dropped it — `quality`, `repetition`, `disfluent` (only when
+    * `cfg.lmGate` is set), `exact_dup`, `near_dup`,
     * `contaminated` — or `kept`; "first" is well-defined because stage
     * survivor sets are nested (a doc the quality gate killed is never
     * seen by the repetition gate). Built from id-only projections of the
@@ -96,19 +102,29 @@ object Curate {
     val (result, b) = pipeline(docs, idCol, textCol, bench, cfg, audit = true)
     def flag(df: DataFrame, name: String): DataFrame =
       df.select(col(idCol)).withColumn(name, lit(true))
-    val attribution = docs.select(col(idCol))
+    // the disfluent join/label only ride when the LM gate is ON (gate off
+    // makes lmKept the SAME frame as afterRep — the label could never
+    // fire, and the extra join would be pure cost)
+    val base = docs.select(col(idCol))
       .join(flag(b.gated, "__q"), Seq(idCol), "left")
       .join(flag(b.afterRep, "__r"), Seq(idCol), "left")
+    val withLm = if (b.lmKept eq b.afterRep) base
+      else base.join(flag(b.lmKept, "__l"), Seq(idCol), "left")
+    val lmLabel: Column => Column = w =>
+      if (b.lmKept eq b.afterRep) w
+      else when(col("__l").isNull, "disfluent").otherwise(w)
+    val attribution = withLm
       .join(flag(b.exactKept, "__e"), Seq(idCol), "left")
       .join(flag(b.nearKept, "__n"), Seq(idCol), "left")
       .join(flag(result, "__k"), Seq(idCol), "left")
       .select(col(idCol),
         when(col("__q").isNull, "quality")
           .when(col("__r").isNull, "repetition")
-          .when(col("__e").isNull, "exact_dup")
-          .when(col("__n").isNull, "near_dup")
-          .when(col("__k").isNull, "contaminated")
-          .otherwise("kept").as("stage"))
+          .otherwise(lmLabel(
+            when(col("__e").isNull, "exact_dup")
+              .when(col("__n").isNull, "near_dup")
+              .when(col("__k").isNull, "contaminated")
+              .otherwise(lit("kept")))).as("stage"))
     AuditedRun(result, attribution)
   }
 
@@ -117,7 +133,8 @@ object Curate {
 
   /** Stage-boundary survivor frames captured for attribution. */
   private final case class Boundaries(
-      gated: DataFrame, afterRep: DataFrame, exactKept: DataFrame, nearKept: DataFrame)
+      gated: DataFrame, afterRep: DataFrame, lmKept: DataFrame,
+      exactKept: DataFrame, nearKept: DataFrame)
 
   private def pipeline(docs: DataFrame, idCol: String, textCol: String,
       bench: Option[(DataFrame, String, String)],
@@ -141,7 +158,13 @@ object Curate {
       if (!cfg.repetitionGate) gated
       else Repetition.fusedGopherFiltered(gated, idCol, textCol, cfg.lineSep)
     val afterRepB = pinIfAudit(afterRep)
-    val exactKept = pin(Dedup.exactKeepFirst(afterRepB, Seq(textCol), idCol))
+    // optional trained-LM fluency gate (CCNet): scan-side map-literal
+    // scoring + filter — no shuffle, the stage costs one projection
+    val lmKept = cfg.lmGate match {
+      case Some(g) => pinIfAudit(Lm.gateFilter(afterRepB, g, textCol))
+      case None => afterRepB
+    }
+    val exactKept = pin(Dedup.exactKeepFirst(lmKept, Seq(textCol), idCol))
     // near-dup removal + decontamination share ONE shingle table when
     // their gram widths agree (the composition's common case): the
     // explode that feeds the pair self-join is filtered down to the
@@ -182,7 +205,7 @@ object Curate {
     // with no bench the survivors ARE the near-dup boundary — don't
     // checkpoint the same frame twice
     val resultB = if (result eq nearKeptB) result else pinIfAudit(result)
-    (resultB, Boundaries(gated, afterRepB, exactKept, nearKeptB))
+    (resultB, Boundaries(gated, afterRepB, lmKept, exactKept, nearKeptB))
   }
 
   /** The WEB pre-cleaning pipeline — the metadata+markup stages a

@@ -266,6 +266,29 @@ object Lm {
     annotate(docs, model, textCol, headThr, midThr)
       .filter(col("slm_bucket").isin(keep: _*))
 
+  /** A compiled, driver-resident gate — the form [[Curate.Config.lmGate]]
+    * plugs into the composed pipeline (model maps + bucket policy in one
+    * value, so the pipeline stays serialization-friendly).
+    */
+  final case class Gate(uni: Map[String, Long], bi: Map[String, Long],
+      keep: Seq[String] = Seq("head", "middle"),
+      headThr: Double = HeadThreshold, midThr: Double = MiddleThreshold)
+
+  /** Compile a [[Gate]] from a [[train]]ed model frame. */
+  def gateOf(model: DataFrame, keep: Seq[String] = Seq("head", "middle"),
+      headThr: Double = HeadThreshold, midThr: Double = MiddleThreshold): Gate = {
+    val (u, b) = tables(model)
+    Gate(u, b, keep, headThr, midThr)
+  }
+
+  /** Survivors of a [[Gate]] with the caller's schema (cutting form). */
+  def gateFilter(docs: DataFrame, g: Gate, textCol: String = "text"): DataFrame = {
+    val cols = docs.columns.toSeq
+    annotateWith(docs, g.uni, g.bi, textCol, g.headThr, g.midThr)
+      .filter(col("slm_bucket").isin(g.keep: _*))
+      .select(cols.map(col): _*)
+  }
+
   // — DuckDB twins (shared with the probe oracles, the lmAnnotateSql
   //   convention: the arithmetic is written ONCE) ————————————————————————
 

@@ -1765,7 +1765,7 @@ object ExtensionProbes {
         .select(col("doc_id"), col("n_tokens"), col("pred_lang"), col("quality_score"))
         .orderBy("doc_id")
     },
-    Some(s"""$curateOracleCtes
+    Some(s"""${curateOracleCtes()}
             |SELECT doc_id, n_tokens, pred_lang, quality_score
             |FROM deduped WHERE doc_id NOT IN (SELECT id FROM contaminated)
             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
@@ -1786,7 +1786,7 @@ object ExtensionProbes {
         .attribution
         .orderBy("doc_id")
     },
-    Some(s"""$curateOracleCtes
+    Some(s"""${curateOracleCtes()}
             |SELECT p.doc_id,
             |  CASE WHEN g.doc_id IS NULL THEN 'quality'
             |       WHEN r.doc_id IS NULL THEN 'repetition'
@@ -1802,10 +1802,56 @@ object ExtensionProbes {
             |LEFT JOIN (SELECT DISTINCT id FROM contaminated) ct ON ct.id = p.doc_id
             |ORDER BY p.doc_id ASC NULLS FIRST""".stripMargin))
 
-  /** The x48/x73 shared DuckDB replay of the composed curation pipeline,
-    * ending at the `contaminated` CTE; callers append their final SELECT.
+  // — the composed pipeline WITH the trained-LM fluency stage (x104):
+  //   CCNet order — heuristics, then the model gate, then dedup +
+  //   decontamination. The model is the x101 model (trained on the raw
+  //   doc_id % 3 ≠ 0 split); thresholds are pinned so the stage BINDS on
+  //   this fixture (some repetition-survivors must die here, or the probe
+  //   would green-light a gate that never fires). The oracle re-derives
+  //   the model AND the whole 7-stage composition from first principles.
+  //   (the sf0.01 fixture's score band under this model is ≈[-1.55,-1.44],
+  //   so the default CCNet thresholds would keep everything — these sit
+  //   inside the band; exact integer sums + round4 make the knife-edge
+  //   comparison identical in both engines)
+  private val X104HeadThr = -1.48
+  private val X104MidThr = -1.51
+  private val x104 = Probe(
+    "x104_curate_lm_gated",
+    (s, dir) => {
+      val (planted, bench) = curateFixture(s, dir)
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val model = Lm.train(docs.filter(col("doc_id") % 3 =!= 0), "text",
+        vocabSize = 256, bigramSize = 1024, minBigramCount = 2L)
+      Curate.run(planted, "doc_id", "text", Some((bench, "bid", "btext")),
+          Curate.Config(minQuality = 0.6,
+            lmGate = Some(Lm.gateOf(model, keep = Seq("head", "middle"),
+              headThr = X104HeadThr, midThr = X104MidThr))))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+        .orderBy("doc_id")
+    },
+    Some(s"""${curateOracleCtes(lmGated = true)}
+            |SELECT doc_id, n_tokens, quality_score
+            |FROM deduped WHERE doc_id NOT IN (SELECT id FROM contaminated)
+            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  /** The x48/x73/x104 shared DuckDB replay of the composed curation
+    * pipeline, ending at the `contaminated` CTE; callers append their
+    * final SELECT. `lmGated = true` splices the trained-LM fluency stage
+    * (model re-derived from first principles via [[Lm.trainSql]], scores
+    * via [[Lm.annotateSql]]) between the repetition gate and exact dedup
+    * — the x104 composition.
     */
-  private lazy val curateOracleCtes: String =
+  private def curateOracleCtes(lmGated: Boolean = false): String = {
+    val preExact = if (lmGated) "lmkept" else "repkept"
+    val lmStage =
+      if (!lmGated) ""
+      else s"""__lm2_ref AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+              |${Lm.trainSql(vocabSize = 256, bigramSize = 1024, minBigramCount = 2L)},
+              |__lm2_in AS (SELECT doc_id, text FROM repkept),
+              |${Lm.annotateSql(headThr = X104HeadThr, midThr = X104MidThr)},
+              |lmkept AS (SELECT r.* FROM repkept r
+              |  WHERE r.doc_id IN (SELECT doc_id FROM __lm2_scored
+              |                     WHERE slm_bucket IN ('head', 'middle'))),""".stripMargin
     s"""WITH RECURSIVE planted AS (
             |  SELECT doc_id,
             |    text || CASE WHEN doc_id % 7 = 1 THEN ' see https://ex.com/z now' ELSE '' END AS text
@@ -1854,10 +1900,11 @@ object ExtensionProbes {
             |         ELSE floor(top2.topchars * 1.0 / length(g.text) * 10000 + 0.5) / 10000 END) <= 0.20
             |    AND (CASE WHEN length(g.text) = 0 OR dup5.dupchars IS NULL THEN 0.0
             |         ELSE floor(dup5.dupchars * 1.0 / length(g.text) * 10000 + 0.5) / 10000 END) <= 0.15),
+            |$lmStage
             |exactkept AS (
             |  SELECT * FROM (
             |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS __rn
-            |    FROM repkept) WHERE __rn = 1),
+            |    FROM $preExact) WHERE __rn = 1),
             |sh AS (SELECT doc_id AS id, unnest(list_distinct(
             |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
             |  FROM exactkept),
@@ -1884,9 +1931,10 @@ object ExtensionProbes {
             |contaminated AS (SELECT id FROM (
             |    SELECT c.id, b.bid, count(*) AS h FROM csh c JOIN bsh b ON c.s = b.s GROUP BY 1, 2)
             |  WHERE h >= 2)""".stripMargin
+  }
 
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
-    x103)
+    x103, x104)
 }

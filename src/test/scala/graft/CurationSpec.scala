@@ -692,6 +692,32 @@ class CurationSpec extends SparkSpec {
     assert(kept.flatMap(_._3).forall(s => s >= 0 && s < 4))
   }
 
+  test("curate lm gate: disfluent docs cut between repetition and dedup, attributed as such") {
+    val fluent = "the cat sat on a mat and a dog ran by"
+    val docs = Seq(
+      (1L, fluent),              // all tokens in vocab → head, kept
+      // all <unk> → deep tail → disfluent; 20 DISTINCT junk tokens so the
+      // top-2-gram coverage stays under the Gopher 0.20 gate (a short
+      // junk doc dies at repetition before the LM gate ever sees it)
+      (2L, (1 to 20).map(i => f"z$i%02d").mkString(" ")),
+      (3L, fluent)               // exact dup of 1 — must be attributed
+                                 // exact_dup, NOT disfluent (stage order)
+    ).toDF("doc_id", "text")
+    val gate = graft.ops.Lm.Gate(
+      uni = fluent.split(" ").map(_ -> -50L).toMap + (graft.ops.Lm.Unk -> -300L),
+      bi = Map.empty, keep = Seq("head"), headThr = -2.0, midThr = -3.0)
+    val audited = Curate.runAudited(docs, "doc_id", "text", None,
+      Curate.Config(lmGate = Some(gate)))
+    val stages = audited.attribution.as[(Long, String)].collect().toMap
+    assert(stages == Map(1L -> "kept", 2L -> "disfluent", 3L -> "exact_dup"),
+      s"got $stages")
+    assert(audited.survivors.select("doc_id").as[Long].collect().toSet == Set(1L))
+    // gate off: the attribution schema and labels are untouched
+    val off = Curate.runAudited(docs, "doc_id", "text", None, Curate.Config())
+      .attribution.as[(Long, String)].collect().toMap
+    assert(off == Map(1L -> "kept", 2L -> "kept", 3L -> "exact_dup"), s"got $off")
+  }
+
   test("curate audit without a bench: contaminated never fires, attribution still partitions") {
     val docs = Seq(
       (1L, "x"), // quality fail at minQuality 0.6
