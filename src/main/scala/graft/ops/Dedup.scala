@@ -247,28 +247,51 @@ object Dedup {
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens, got $k")
-    // Same null-id hazard as [[paragraphDedup]]: the election would elect a
-    // phantom (null, pos) slot and the anti-join/join-back on id would cut
-    // every OTHER document's first occurrence — silent wrong output. Fail
-    // loudly instead ([[idNotNull]]).
-    val base = docs
-      .withColumn(idCol, idNotNull(idCol))
-      .withColumn("__toks", TextStats.tokens(col(textCol)))
-      .withColumn("__n", size(col("__toks")))
-    val winArr = when(col("__n") >= k,
-      transform(sequence(lit(1), col("__n") - (k - 1)),
-        p => sha2(concat_ws(" ", slice(col("__toks"), p, lit(k))), 256)))
-      .otherwise(array().cast("array<string>"))
-    val wins = base.select(col(idCol), posexplode(winArr))
-      .select(col(idCol), (col("pos") + 1).as("__wpos"), col("col").as("__h"))
+    val base = spanBase(docs, idCol, textCol)
+    val wins = spanWindows(base, idCol, k)
     val winners = wins
       .groupBy(col("__h"))
       .agg(min(struct(col(idCol), col("__wpos"))).as("__slot"))
       .select(col("__slot")(idCol).as(idCol), col("__slot")("__wpos").as("__wpos"))
-    val loserLists = wins.select(col(idCol), col("__wpos"))
+    cutSpanLosers(base, spanLoserLists(wins, winners, idCol), idCol, textCol, k)
+  }
+
+  /** Tokenized frame shared by the live and indexed substring paths —
+    * ONE definition of the token grain, so the two can never disagree.
+    * Same null-id hazard as [[paragraphDedup]]: the election would elect
+    * a phantom (null, pos) slot and the anti-join/join-back on id would
+    * cut every OTHER document's first occurrence — fail loudly instead
+    * ([[idNotNull]]).
+    */
+  private def spanBase(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn(idCol, idNotNull(idCol))
+      .withColumn("__toks", TextStats.tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")))
+
+  /** One (id, __wpos, __h sha256-of-k-token-window) row per window. */
+  private def spanWindows(base: DataFrame, idCol: String, k: Int): DataFrame = {
+    val winArr = when(col("__n") >= k,
+      transform(sequence(lit(1), col("__n") - (k - 1)),
+        p => sha2(concat_ws(" ", slice(col("__toks"), p, lit(k))), 256)))
+      .otherwise(array().cast("array<string>"))
+    base.select(col(idCol), posexplode(winArr))
+      .select(col(idCol), (col("pos") + 1).as("__wpos"), col("col").as("__h"))
+  }
+
+  /** Per-document losing window positions: every window not in `winners`. */
+  private def spanLoserLists(wins: DataFrame, winners: DataFrame,
+      idCol: String): DataFrame =
+    wins.select(col(idCol), col("__wpos"))
       .join(winners, Seq(idCol, "__wpos"), "left_anti")
       .groupBy(col(idCol))
       .agg(collect_list(col("__wpos")).as("__lose"))
+
+  /** Remove every token covered by a losing window and reassemble; docs
+    * with full coverage drop. Returns (idCol, textCol).
+    */
+  private def cutSpanLosers(base: DataFrame, loserLists: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
     val covered = array_distinct(flatten(
       transform(col("__lose"), p => sequence(p, p + (k - 1)))))
     base.join(loserLists, Seq(idCol), "left")
@@ -1398,6 +1421,149 @@ object Dedup {
     writeBloomFileAtomic(spark, path, index.bloom, index.expectedItems, index.fpp)
     fresh.write.mode("append").parquet(s"$path/paras")
   }
+
+  // — persisted SPAN index (Lee '21 exact-substring incremental shape) —————
+  //   [[substringDedup]] is corpus-wide: every call re-windows the whole
+  //   corpus. The deployment shape is incremental — today's batch cuts
+  //   any k-token span that already exists ANYWHERE in the ingested
+  //   corpus (the corpus was there first), and among its own windows runs
+  //   the same min-(id, pos) election the live operator runs. The index
+  //   is the sub-document twin of [[writeHashIndex]] at the window grain:
+  //   one (sha256 → min corpus id) row per DISTINCT corpus window plus
+  //   the Bloom sketch that lets a certainly-new window (the crawl
+  //   common case) skip the verify join entirely. The window table is
+  //   corpus-token-scale — that is inherent to the Lee '21 grain (their
+  //   suffix array is the same order); the sketch and the digest-keyed
+  //   layout keep the per-batch cost at batch explode + column scans.
+
+  /** A loaded persistent span index. `k` rides in meta.json so a batch
+    * can never window at a different grain than the corpus was indexed
+    * with.
+    */
+  final case class SpanIndex(
+      spans: DataFrame, // (__h sha256 of k-token window, __span_of min corpus id)
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      expectedItems: Long, fpp: Double, k: Int)
+
+  /** Persist the corpus-side state of incremental substring dedup:
+    * `path/spans` parquet + `path/bloom.bin` (creation params in the
+    * header) + `path/meta.json` (the window grain — deleted FIRST on
+    * rebuild and written LAST, so its presence marks a complete index).
+    * One corpus explode, map-side-combined digest election; the sketch
+    * builds from the PERSISTED table so the artifacts can never disagree.
+    */
+  def writeSpanIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, expectedItems: Long, fpp: Double = 0.01, k: Int = 8): Unit = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    val spark = corpus.sparkSession
+    locally { // invalidate the completeness marker before touching tables
+      val (fs, metaP) = hadoopFs(spark, s"$path/meta.json")
+      if (fs.exists(metaP)) fs.delete(metaP, false)
+    }
+    spanWindows(spanBase(corpus, idCol, textCol), idCol, k)
+      .groupBy(col("__h")).agg(min(col(idCol)).as("__span_of"))
+      .write.mode("overwrite").parquet(s"$path/spans")
+    val persisted = spark.read.parquet(s"$path/spans")
+    val bf =
+      if (persisted.isEmpty) emptyBloom(spark, expectedItems, fpp)
+      else persisted.select(xxhash64(col("__h")).as("__k"))
+        .stat.bloomFilter("__k", expectedItems, fpp)
+    writeBloomFileAtomic(spark, path, bf, expectedItems, fpp)
+    writeTextFile(spark, s"$path/meta.json",
+      s"""{"k":$k,"expectedItems":$expectedItems,"fpp":$fpp}""")
+  }
+
+  /** Load a persisted span index (completing an interrupted compaction
+    * swap first, like every index reader).
+    */
+  def readSpanIndex(spark: org.apache.spark.sql.SparkSession, path: String): SpanIndex = {
+    finishBatchCompaction(spark, path)
+    val meta = readTextFile(spark, s"$path/meta.json")
+    val k = """"k":\s*([0-9]+)""".r.findFirstMatchIn(meta)
+      .getOrElse(throw new IllegalStateException(s"span index at $path has no k in meta.json"))
+      .group(1).toInt
+    val (fs, p) = hadoopFs(spark, s"$path/bloom.bin")
+    val in = fs.open(p)
+    val (bf, items, fpp) =
+      try {
+        val dis = new java.io.DataInputStream(in)
+        val items = dis.readLong()
+        val fpp = dis.readDouble()
+        (org.apache.spark.util.sketch.BloomFilter.readFrom(dis), items, fpp)
+      } finally in.close()
+    SpanIndex(spark.read.parquet(s"$path/spans"), bf, items, fpp, k)
+  }
+
+  /** [[substringDedup]] against a persisted [[SpanIndex]] — the
+    * incremental contract at the window grain: a batch window whose
+    * content exists ANYWHERE in the indexed corpus loses (the corpus was
+    * there first); among the batch's own windows the min (id, pos)
+    * occurrence survives (the same election [[substringDedup]] runs
+    * corpus-wide). Tokens covered by losing windows are cut; fully
+    * covered documents drop; survivors reassemble through the SAME
+    * [[cutSpanLosers]] the live operator uses. Returns (idCol, textCol).
+    *
+    * Per-batch cost at 100 TB: batch explode + batch-keyed election
+    * (map-side combined), a Bloom probe per distinct batch window, ONE
+    * verify join of the sketch positives against the compact on-disk
+    * digest table — the corpus is never re-windowed, never self-joined.
+    */
+  def incrementalSubstringIndexed(index: SpanIndex, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val base = spanBase(batch, idCol, textCol)
+      .localCheckpoint() // pin: feeds the window explode AND the reassembly
+    val wins = spanWindows(base, idCol, index.k)
+      .localCheckpoint() // pin: feeds the election AND the loser anti-join
+    // in-batch election, pinned — the x94 lesson: unpinned, Catalyst
+    // pushes each Bloom branch's sketch filter below the aggregate and
+    // re-runs the election per branch (PlanSpec pins the paragraph twin
+    // to ONE executed aggregate; this path rides the same shape)
+    val batchWin = wins
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__wpos"))).as("__slot"))
+      .localCheckpoint()
+    val positive = batchWin
+      .filter(graft.functions.BloomFunctions.mightContain(xxhash64(col("__h")), index.bloom))
+      .join(index.spans.select(col("__h"), col("__span_of")), Seq("__h"), "left")
+      .filter(col("__span_of").isNull).drop("__span_of")
+    val negative = batchWin
+      .filter(!graft.functions.BloomFunctions.mightContain(xxhash64(col("__h")), index.bloom))
+    val winners = positive.unionByName(negative)
+      .select(col("__slot")(idCol).as(idCol), col("__slot")("__wpos").as("__wpos"))
+    cutSpanLosers(base, spanLoserLists(wins, winners, idCol), idCol, textCol, index.k)
+  }
+
+  /** Fold a batch's accepted documents' windows into a persisted span
+    * index without rebuilding it — the [[appendToHashIndex]] twin at the
+    * window grain: new digest rows anti-join the existing table
+    * (idempotent re-ingest; intra-batch duplicates elect min id), the
+    * sketch merges its bit-compatible delta BEFORE the table append
+    * (rows-without-keys would false-negative forever — see
+    * [[appendToHashIndex]]), and the rows append as new parquet parts.
+    * Pass the documents' FINAL (post-cut) text — indexing spans the batch
+    * itself just cut would resurrect them as corpus content.
+    */
+  def appendToSpanIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+    val index = readSpanIndex(spark, path)
+    val fresh = spanWindows(spanBase(newDocs, idCol, textCol), idCol, index.k)
+      .groupBy(col("__h")).agg(min(col(idCol)).as("__span_of"))
+      .join(index.spans, Seq("__h"), "left_anti")
+      .localCheckpoint() // pin BEFORE the append below rewrites the dir it reads
+    val delta =
+      if (fresh.isEmpty) emptyBloom(spark, index.expectedItems, index.fpp)
+      else fresh.select(xxhash64(col("__h")).as("__k"))
+        .stat.bloomFilter("__k", index.expectedItems, index.fpp)
+    index.bloom.mergeInPlace(delta)
+    writeBloomFileAtomic(spark, path, index.bloom, index.expectedItems, index.fpp)
+    fresh.write.mode("append").parquet(s"$path/spans")
+  }
+
+  /** [[compactBatchIndex]] over [[writeSpanIndex]]'s layout. */
+  def compactSpanIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int = 1): Unit =
+    compactBatchIndex(spark, path, Seq("spans"), targetFiles)
 
   // — persisted NEAR-dup probe state (band index) ——————————————————————————
   //   The banding twin of [[writeHashIndex]]: [[incrementalDedup]] pays a

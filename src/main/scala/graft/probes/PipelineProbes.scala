@@ -490,6 +490,103 @@ object PipelineProbes {
             |WHERE c.doc_id IS NULL OR c.ncov < len(t.tk)
             |ORDER BY t.doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — persisted SPAN index (x105): the x56 grain, incrementally ————————————
+  //   The corpus is the x56 fixture (SharedSpan planted on doc_id % 3 = 0)
+  //   indexed ONCE (marker-cached, the x57 idiom); the batch plants five
+  //   classes: exact corpus copies (fully covered → drop), corpus text +
+  //   SharedSpan (all windows corpus-known → drop), token-prefixed text
+  //   (wholly new → kept), prefixed + a batch-only span (in-batch
+  //   election: min id keeps it, later ids lose it), prefixed + SharedSpan
+  //   (corpus cuts the span, the prefixed body survives). The oracle
+  //   replays corpus windows → batch windows → corpus-membership +
+  //   in-batch election → coverage → reassembly from first principles, so
+  //   the surviving TEXT of every batch document is value-checked.
+  private val BatchSpan =
+    "batch shared boilerplate sentence tokens appear here verbatim too"
+  private val X105IndexV = "v1"
+  private def x105Index(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val srcTok = graft.TmpDir.sourceToken(s"$dir/documents.parquet")
+    val path = s"${graft.TmpDir.root}/tmp/x105_spanidx_${X105IndexV}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcTok"
+    // meta.json is written LAST by writeSpanIndex → presence = complete
+    if (!new java.io.File(s"$path/meta.json").exists()) synchronized {
+      if (!new java.io.File(s"$path/meta.json").exists()) {
+        val docs = Readers.fanOut(t(s, dir, "documents"))
+        val fix = docs.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" " + SharedSpan)))
+            .otherwise(col("text")).as("text"))
+        Dedup.writeSpanIndex(fix, "doc_id", "text", path,
+          expectedItems = 1000000L, k = 8)
+      }
+    }
+    path
+  }
+  private val x105 = Probe(
+    "x105_substring_dedup_indexed",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val pref = concat_ws(" ",
+        transform(filter(split(col("text"), "\\s+"), t => t =!= ""),
+          t => concat(lit("q"), t)))
+      val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 5 === 0, col("text"))
+          .when(col("doc_id") % 5 === 1, concat(col("text"), lit(" " + SharedSpan)))
+          .when(col("doc_id") % 5 === 2, pref)
+          .when(col("doc_id") % 5 === 3, concat(pref, lit(" " + BatchSpan)))
+          .otherwise(concat(pref, lit(" " + SharedSpan))).as("text"))
+      Dedup.incrementalSubstringIndexed(
+          Dedup.readSpanIndex(s, x105Index(s, dir)), batch, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH corpusfix AS (
+            |  SELECT doc_id,
+            |    CASE WHEN doc_id % 3 = 0 THEN text || ' $SharedSpan' ELSE text END AS text
+            |  FROM documents),
+            |ctok AS (SELECT doc_id,
+            |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+            |  FROM corpusfix),
+            |cwin AS (SELECT DISTINCT array_to_string(tk[p:p+7], ' ') AS w
+            |  FROM (SELECT tk, unnest(range(1, len(tk) - 6)) AS p
+            |        FROM ctok WHERE len(tk) >= 8)),
+            |batch0 AS (SELECT doc_id AS odid, text,
+            |    array_to_string(list_transform(
+            |      list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''),
+            |      t -> 'q' || t), ' ') AS pref
+            |  FROM documents),
+            |batch AS (SELECT odid + 1000000 AS doc_id,
+            |    CASE WHEN odid % 5 = 0 THEN text
+            |         WHEN odid % 5 = 1 THEN text || ' $SharedSpan'
+            |         WHEN odid % 5 = 2 THEN pref
+            |         WHEN odid % 5 = 3 THEN pref || ' $BatchSpan'
+            |         ELSE pref || ' $SharedSpan' END AS text
+            |  FROM batch0),
+            |btok AS (SELECT doc_id, text,
+            |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+            |  FROM batch),
+            |bwin AS (SELECT doc_id, u.p, u.w FROM (
+            |    SELECT doc_id,
+            |      unnest([{'p': p, 'w': array_to_string(tk[p:p+7], ' ')}
+            |        for p in range(1, len(tk) - 6)]) AS u
+            |    FROM btok WHERE len(tk) >= 8)),
+            |marked AS (SELECT b.doc_id, b.p, b.w, cw.w IS NOT NULL AS incorpus
+            |  FROM bwin b LEFT JOIN cwin cw ON b.w = cw.w),
+            |newranked AS (SELECT doc_id, p,
+            |    row_number() OVER (PARTITION BY w ORDER BY doc_id, p) AS rn
+            |  FROM marked WHERE NOT incorpus),
+            |losers AS (SELECT doc_id, p FROM marked WHERE incorpus
+            |  UNION ALL SELECT doc_id, p FROM newranked WHERE rn > 1),
+            |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS cp FROM losers),
+            |covagg AS (SELECT doc_id, list(cp) AS cps, count(*) AS ncov
+            |  FROM cov GROUP BY doc_id)
+            |SELECT t.doc_id,
+            |  CASE WHEN c.doc_id IS NULL THEN t.text
+            |       ELSE array_to_string(
+            |         [t.tk[i] for i in range(1, len(t.tk) + 1)
+            |          if NOT list_contains(c.cps, i)], ' ')
+            |  END AS text
+            |FROM btok t LEFT JOIN covagg c ON t.doc_id = c.doc_id
+            |WHERE c.doc_id IS NULL OR c.ncov < len(t.tk)
+            |ORDER BY t.doc_id ASC NULLS FIRST""".stripMargin))
+
   /** Formula version of [[pairedParagraphFixture]] — part of the cache dir
     * name, so editing the fixture SQL below and bumping this token
     * self-invalidates every stale on-disk copy (round-5 advice: a silent
@@ -3041,5 +3138,5 @@ object PipelineProbes {
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x99, x100, x101, x102)
+    x95, x96, x97, x98, x99, x100, x101, x102, x105)
 }

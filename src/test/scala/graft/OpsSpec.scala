@@ -1974,6 +1974,56 @@ class OpsSpec extends SparkSpec {
       (1L, 3L) -> 1.0, (1L, 4L) -> 1.0, (3L, 4L) -> 1.0), s"got $pairs")
   }
 
+  test("span index: indexed substring dedup = live on combined corpus; append indexes new spans") {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "spanIdx").toString
+    def span(prefix: String, n: Int): String =
+      (1 to n).map(i => f"$prefix$i%02d").mkString(" ")
+    val shared = span("s", 9)
+    val corpus = Seq(
+      (1L, span("a", 12) + " " + shared), // owns the shared span
+      (2L, span("b", 12))
+    ).toDF("doc_id", "text")
+    Dedup.writeSpanIndex(corpus, "doc_id", "text", s"$base/span",
+      expectedItems = 10000L, k = 8)
+    val batchSpan = span("t", 9)
+    val batch = Seq(
+      (11L, span("c", 12) + " " + shared),    // shared span cut, body kept
+      (12L, span("d", 12) + " " + batchSpan), // batch span: min id keeps it
+      (13L, span("e", 12) + " " + batchSpan), // ... this one loses it
+      (14L, span("a", 12) + " " + shared),    // all windows corpus-known → drops
+      (15L, "short doc under window")         // < k tokens → untouched
+    ).toDF("doc_id", "text")
+    def probe(b: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Dedup.incrementalSubstringIndexed(Dedup.readSpanIndex(spark, s"$base/span"),
+          b, "doc_id", "text")
+        .as[(Long, String)].collect().toMap
+    val got = probe(batch)
+    // live twin over corpus ∪ batch (corpus ids smaller → corpus wins every
+    // shared window, exactly the index contract), restricted to batch ids
+    val live = Dedup.substringDedup(corpus.unionByName(batch), "doc_id", "text", k = 8)
+      .filter(col("doc_id") >= 10L).as[(Long, String)].collect().toMap
+    assert(got == live, s"indexed=$got\nlive=$live")
+    assert(got.keySet == Set(11L, 12L, 13L, 15L)) // 14 fully covered → gone
+    assert(got(11L) == span("c", 12))
+    assert(got(12L) == span("d", 12) + " " + batchSpan)
+    // doc 13 loses the batch span; its straddle windows are unique to it
+    // (they start inside e-tokens), so exactly the 9 span tokens go
+    assert(got(13L) == span("e", 12))
+    assert(got(15L) == "short doc under window")
+
+    // append the survivors' FINAL text; a later batch repeating doc 12's
+    // batch span now loses it to the CORPUS, and re-append is a no-op
+    val survivors = Seq((12L, got(12L)), (11L, got(11L))).toDF("doc_id", "text")
+    Dedup.appendToSpanIndex(spark, s"$base/span", survivors, "doc_id", "text")
+    Dedup.appendToSpanIndex(spark, s"$base/span", survivors, "doc_id", "text")
+    val b2 = Seq((21L, span("f", 12) + " " + batchSpan)).toDF("doc_id", "text")
+    assert(probe(b2) == Map(21L -> span("f", 12)))
+    // compaction: classification unchanged through the folded table
+    Dedup.compactSpanIndex(spark, s"$base/span")
+    assert(probe(b2) == Map(21L -> span("f", 12)))
+  }
+
   test("bench index: indexed decontamination = live path; append folds; phantom sketch keys harmless") {
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(graft.TmpDir.root), "benchIdx").toString
