@@ -128,6 +128,7 @@ object ScalePilot {
       else if (family == "round11") Set("documents")
       else if (family == "round11b") Set("documents", "embeddings")
       else if (family == "round11c") Set("documents")
+      else if (family == "round11d") Set("documents")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -742,6 +743,36 @@ object ScalePilot {
             corpus, "doc_id", col("text"), minHits = 2)))
     }
 
+    // round-11d: the span index's per-batch cost claim — CONSTANT batch
+    // (copy 0, half exact copies of corpus docs, half one-token variants)
+    // against a corpus that grows N×. The live arm re-windows the WHOLE
+    // corpus per batch (substringDedup over corpus ∪ batch — the rebuild
+    // a user without the index pays); the indexed arm probes the
+    // persisted span table (built once, off the clock in the warm-up
+    // pass; marker = meta.json, written last).
+    def round11dQueries(dir: String): Seq[(String, () => DataFrame)] = {
+      def batchOf(corpus: DataFrame) = corpus.filter(col("doc_id") < 100000000L)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+      Seq(
+        "substring_live" -> (() => {
+          val corpus = tbl(dir, "documents")
+          Dedup.substringDedup(
+            corpus.select(col("doc_id"), col("text")).unionByName(batchOf(corpus)),
+            "doc_id", "text", k = 8)
+        }),
+        "substring_indexed" -> (() => {
+          val corpus = tbl(dir, "documents")
+          val idxPath = s"$dir/__spanidx_v1"
+          if (!new java.io.File(s"$idxPath/meta.json").exists())
+            Dedup.writeSpanIndex(corpus, "doc_id", "text", idxPath,
+              expectedItems = 20000000L, k = 8)
+          Dedup.incrementalSubstringIndexed(
+            Dedup.readSpanIndex(spark, idxPath), batchOf(corpus), "doc_id", "text")
+        }))
+    }
+
     def queries(dir: String): Seq[(String, () => DataFrame)] =
       if (family == "dedup") dedupQueries(dir)
       else if (family == "pipeline") pipelineQueries(dir)
@@ -754,6 +785,7 @@ object ScalePilot {
       else if (family == "round11") round11Queries(dir)
       else if (family == "round11b") round11bQueries(dir)
       else if (family == "round11c") round11cQueries(dir)
+      else if (family == "round11d") round11dQueries(dir)
       else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>
