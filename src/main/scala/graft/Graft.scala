@@ -244,6 +244,13 @@ object Graft {
   def hashSplit(df: DataFrame, idCol: Column, splits: Seq[(String, Double)]): DataFrame =
     Sampling.hashSplit(df, idCol, splits)
 
+  /** Train/val/test split coined per near-dup CLUSTER — no near-duplicate
+    * pair ever straddles a split boundary (eval-leakage-safe).
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, text: Column, n: Int,
+      threshold: Double, splits: Seq[(String, Double)]): DataFrame =
+    Sampling.leakageSafeSplit(docs, idCol, text, n, threshold, splits)
+
   def stratifiedSample(df: DataFrame, stratumCol: Column, idCol: Column, frac: Double): DataFrame =
     Sampling.stratifiedExact(df, stratumCol, idCol, frac)
 

@@ -66,6 +66,40 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** LEAKAGE-SAFE train/val/test split: assign every near-dup CLUSTER to
+    * one split (the coin hashes the cluster key, not the doc id), so no
+    * near-duplicate pair ever straddles a split boundary — the eval-set
+    * leakage a doc-keyed [[hashSplit]] silently allows (a test document
+    * whose near-copy sits in train measures memorization, not
+    * generalization; the dedup literature's split-by-cluster rule).
+    *
+    * Pipeline shape: exact n-gram Jaccard pairs → connected components
+    * ([[Dedup.components]], large-star/small-star O(log n) rounds) → the
+    * component label (own id for singletons) coins through the SAME
+    * deterministic [[hashSplit]]. 100-TB cost is the pair+component stage
+    * the dedup pass already runs — callers holding a component frame use
+    * [[leakageSafeSplitFromComponents]] and pay only a scan-side coin.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, text: Column, n: Int,
+      threshold: Double, splits: Seq[(String, Double)],
+      maxDf: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs.select(col(idCol), text.as("__lst")),
+      idCol, col("__lst"), n, threshold, maxDf)
+    leakageSafeSplitFromComponents(docs, idCol, Dedup.components(pairs), splits)
+  }
+
+  /** [[leakageSafeSplit]] over a prebuilt [[Dedup.components]] frame
+    * (`(id, comp)`; docs absent from it are singletons and coin on their
+    * own id — exactly the label [[Dedup.components]] would give them).
+    */
+  def leakageSafeSplitFromComponents(docs: DataFrame, idCol: String,
+      comps: DataFrame, splits: Seq[(String, Double)]): DataFrame = {
+    val keyed = docs.join(
+        comps.select(col("id").as(idCol), col("comp").as("__comp")), Seq(idCol), "left")
+      .withColumn("__skey", coalesce(col("__comp"), col(idCol)))
+    hashSplit(keyed, col("__skey"), splits).drop("__comp", "__skey")
+  }
+
   /** Exactly `ceil(frac · count)` rows per value of `stratumCol`, picked in
     * `xxhash64(idCol)` order (ties broken by the id itself).
     *

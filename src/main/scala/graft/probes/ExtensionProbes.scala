@@ -674,6 +674,43 @@ object ExtensionProbes {
             |FROM reach GROUP BY src
             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — leakage-safe split (x106): split assignment coins on the near-dup
+  //   COMPONENT, so no near-dup pair straddles a split boundary. The coin
+  //   depends on xxhash64 (x20's invariant-oracle territory), but the
+  //   leakage contract itself is VALUE-checked: n_pairs is the exact
+  //   (oracled, x02/x23) pair count and n_leaky_pairs — pairs whose two
+  //   sides landed in different splits — must be EXACTLY zero (pairwise
+  //   agreement over every edge implies whole-component agreement by
+  //   transitivity). Fractions ride as invariants with a tolerance above
+  //   the cluster-coin's measured drift at this corpus size.
+  private val x106 = Probe(
+    "x106_leakage_safe_split",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents")).select(col("doc_id"), col("text"))
+      val split = Sampling.leakageSafeSplit(docs, "doc_id", col("text"),
+        n = 3, threshold = 0.2, splits = Seq("train" -> 0.8, "test" -> 0.2))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.2)
+      val sides = pairs
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("__sa")), Seq("id_a"))
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("__sb")), Seq("id_b"))
+      val fracs = split.groupBy(col("split")).agg(count(lit(1)).as("n"))
+      val fracChecks = fracs.agg(
+        sum(col("n")).cast("long").as("n_total"),
+        (abs(max(when(col("split") === "train", col("n"))).cast("double") / sum(col("n")) - 0.8)
+          <= 0.05).as("train_frac_ok"),
+        (abs(max(when(col("split") === "test", col("n"))).cast("double") / sum(col("n")) - 0.2)
+          <= 0.05).as("test_frac_ok"))
+      val leak = sides.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L)).as("n_leaky_pairs"))
+      fracChecks.crossJoin(leak)
+    },
+    Some(s"""WITH RECURSIVE ${jacCte(0.2)}
+            |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total,
+            |  TRUE AS train_frac_ok, TRUE AS test_frac_ok,
+            |  (SELECT CAST(count(*) AS BIGINT) FROM jac) AS n_pairs,
+            |  CAST(0 AS BIGINT) AS n_leaky_pairs""".stripMargin))
+
   // — tf-idf top terms per document (keyword extraction). Rational
   //   smoothed idf — deterministic across engines (see scaladoc) — so the
   //   whole ranking carries a value-level oracle. —————————————————————————
@@ -1936,5 +1973,5 @@ object ExtensionProbes {
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
-    x103, x104)
+    x103, x104, x106)
 }

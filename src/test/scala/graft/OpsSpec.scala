@@ -1974,6 +1974,31 @@ class OpsSpec extends SparkSpec {
       (1L, 3L) -> 1.0, (1L, 4L) -> 1.0, (3L, 4L) -> 1.0), s"got $pairs")
   }
 
+  test("leakage-safe split: near-dup clusters never straddle; cluster coins on its min id") {
+    val t1 = (1 to 20).map(i => f"w$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, t1), (2L, t1 + " xtra"), (3L, "zz " + t1),   // one near-dup cluster
+      (4L, (1 to 20).map(i => f"q$i%02d").mkString(" "))) // singleton
+      .toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.5, "test" -> 0.5)
+    val m = Sampling.leakageSafeSplit(docs, "doc_id", col("text"), 3, 0.5, splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(m.keySet == Set(1L, 2L, 3L, 4L))
+    assert(m(1L) == m(2L) && m(2L) == m(3L), s"cluster straddled splits: $m")
+    // the precomputed-components path is the same assignment
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), 3, 0.5)
+    val viaComps = Sampling.leakageSafeSplitFromComponents(
+        docs, "doc_id", Dedup.components(pairs), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(viaComps == m)
+    // the cluster's coin IS hashSplit of its component label (min id 1);
+    // the singleton's is hashSplit of its own id
+    def coinOf(id: Long): String =
+      Sampling.hashSplit(Seq((id, 0)).toDF("doc_id", "x"), col("doc_id"), splits)
+        .select("split").as[String].head()
+    assert(m(1L) == coinOf(1L) && m(4L) == coinOf(4L))
+  }
+
   test("span index: indexed substring dedup = live on combined corpus; append indexes new spans") {
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(graft.TmpDir.root), "spanIdx").toString

@@ -38,10 +38,15 @@ class PlanAuditSpec extends SparkSpec {
                                // against a broadcast-sized centroid table,
                                // exactly the x12 shape; everything after it
                                // is a scan-side literal-map filter
-    "x99_classifier_train"     // the class-total join is counts×(ONE-row
+    "x99_classifier_train",    // the class-total join is counts×(ONE-row
                                // aggregate) broadcast — the standard
                                // scalar-broadcast shape; the corpus-sized
                                // stage is the single count shuffle
+    "x106_leakage_safe_split"  // the probe's final assembly cross-joins
+                               // its TWO one-row invariant aggregates
+                               // (fraction checks × leak counts) — a 1×1
+                               // product; the corpus-sized stages (pairs,
+                               // components, coin) are all equi-keyed
   )
 
   // streaming probes execute a query at construction time; plan-audited
