@@ -203,6 +203,30 @@ object Bench {
       case _ => -1L
     }
 
+  /** Cumulative JIT compilation time in ms (−1 if unavailable). A sample
+    * whose jit_ms delta is large spent its wall on (re)compilation; one
+    * whose delta is ~0 while the CODE CACHE is full may be running
+    * DEOPTIMIZED — the failure mode ReservedCodeCacheSize=1g exists to
+    * prevent, and invisible without this counter (r11's q17@sf1 read 3×
+    * the builder's CPU-seconds for identical shuffle with nothing in the
+    * artifact to attribute it).
+    */
+  private def jitMillis(): Long =
+    Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported).map(_.getTotalCompilationTime)
+      .getOrElse(-1L)
+
+  /** (used, max) MB of the JIT code-cache pools (CodeHeap segments on 17). */
+  private def codeCacheMb(): (Double, Double) = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getType == java.lang.management.MemoryType.NON_HEAP &&
+        (p.getName.contains("CodeHeap") || p.getName.contains("Code Cache")))
+    val used = pools.map(p => Option(p.getUsage).map(_.getUsed).getOrElse(0L)).sum / 1e6
+    val max = pools.map(p => Option(p.getUsage).map(_.getMax).filter(_ > 0).getOrElse(0L)).sum / 1e6
+    (used, max)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -243,6 +267,7 @@ object Bench {
     val tap = new ShuffleTap(spark)
     @volatile var roundsDone = 0
     @volatile var sf1RoundsDone = 0
+    @volatile var sf1Q17Breakdown: Seq[(String, Double)] = Nil
     // guards the one-artifact-only contract between main and the hook
     val emitLock = new Object
     var finalPrinted = false // only touched under emitLock
@@ -274,27 +299,38 @@ object Bench {
         sf1Rounds = sf1RoundsDone,
         sf1Shuffle = if (includeShuffle) sf1Shuffle.toMap else Map.empty,
         telemetry = if (includeShuffle) telem.toMap else Map.empty,
-        sf1Telemetry = if (includeShuffle) sf1Telem.toMap else Map.empty)
+        sf1Telemetry = if (includeShuffle) sf1Telem.toMap else Map.empty,
+        sf1Breakdown = if (includeShuffle) sf1Q17Breakdown else Nil)
 
-    /** Emit the artifact exactly once: the JSON line on stdout AND a bare
-      * copy at `target/bench_artifact.json` that no log decorator (sbt's
-      * `[info] ` prefix broke the round-4 driver parse) can wrap. Both the
-      * normal path and the shutdown hook funnel through here; the lock
-      * makes a SIGTERM racing the final print harmless (single winner).
+    /** Emit the artifact exactly once: the JSON line on stdout AND bare
+      * copies at `target/bench_artifact.json` (scratch, untracked) and
+      * `BENCH_full_latest.json` (REPO ROOT — a tracked path, so the
+      * round-close commit preserves the full record: host fingerprint +
+      * per-sample gc/heap/load/cpu_share telemetry. The compact stdout
+      * line the driver captures is byte-bounded and omits all of it; the
+      * round-10/11 hardware-attribution hunt happened exactly because the
+      * committed record was the compact line only). No log decorator
+      * (sbt's `[info] ` prefix broke the round-4 driver parse) can wrap a
+      * bare file. Both the normal path and the shutdown hook funnel
+      * through here; the lock makes a SIGTERM racing the final print
+      * harmless (single winner).
       */
     def emitArtifact(partial: Boolean): Unit = emitLock.synchronized {
       if (!finalPrinted) {
         // stdout: compact line (no shuffle_mb) that fits the driver's
-        // bounded capture; file: the full record for humans and judges
+        // bounded capture; files: the full record for humans and judges
         println(resultJson(partial, includeShuffle = false))
         Console.flush()
-        try {
-          val p = java.nio.file.Paths.get("target", "bench_artifact.json")
-          java.nio.file.Files.createDirectories(p.getParent)
-          java.nio.file.Files.write(p, (resultJson(partial, includeShuffle = true) + "\n").getBytes("UTF-8"))
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"""{"bench_note":"artifact file write failed","error":${escape(String.valueOf(e.getMessage).take(200))}}""")
+        val full = resultJson(partial, includeShuffle = true) + "\n"
+        Seq(java.nio.file.Paths.get("target", "bench_artifact.json"),
+            java.nio.file.Paths.get("BENCH_full_latest.json")).foreach { p =>
+          try {
+            Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+            java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"""{"bench_note":"artifact file write failed","path":"$p","error":${escape(String.valueOf(e.getMessage).take(200))}}""")
+          }
         }
         finalPrinted = true
       }
@@ -322,11 +358,14 @@ object Bench {
       * stderr as a JSONL line immediately.
       */
     /** Render one sample's telemetry object (shared by both legs). */
-    def telemJson(phase: String, dt: Double, gc0: Long, cpu0: Long, l0: Double): String = {
+    def telemJson(phase: String, dt: Double, gc0: Long, cpu0: Long, l0: Double,
+        jit0: Long): String = {
       val cpuShare =
         if (cpu0 < 0) -1.0
         else (processCpuNanos() - cpu0) / 1e9 / (dt * cpus.toDouble)
-      f"""{"phase":"$phase","sec":$dt%.3f,"gc_ms":${gcMillis() - gc0},"cpu_share":$cpuShare%.2f,"heap_peak_mb":${heapPeakMb()}%.0f,"load1":$l0%.2f,"load1_end":${load1()}%.2f}"""
+      val jitD = if (jit0 < 0) -1L else jitMillis() - jit0
+      val ccUsed = codeCacheMb()._1
+      f"""{"phase":"$phase","sec":$dt%.3f,"gc_ms":${gcMillis() - gc0},"cpu_share":$cpuShare%.2f,"heap_peak_mb":${heapPeakMb()}%.0f,"jit_ms":$jitD,"code_cache_mb":$ccUsed%.0f,"load1":$l0%.2f,"load1_end":${load1()}%.2f}"""
     }
 
     /** Drop persisted intermediates so queries are timed in isolation.
@@ -349,7 +388,7 @@ object Bench {
     def runOne(name: String, phase: String): Option[Double] = {
       val s0 = tap.settle() // drain the listener bus BEFORE the clock starts
       resetHeapPeaks()
-      val (gc0, cpu0, l0) = (gcMillis(), processCpuNanos(), load1())
+      val (gc0, cpu0, l0, jit0) = (gcMillis(), processCpuNanos(), load1(), jitMillis())
       val t0 = System.nanoTime()
       val r =
         try {
@@ -366,7 +405,7 @@ object Bench {
         failed.remove(name)
         val d = tap.settle() - s0
         shuffle.update(name, d)
-        val tm = telemJson(phase, dt, gc0, cpu0, l0)
+        val tm = telemJson(phase, dt, gc0, cpu0, l0, jit0)
         telem.updateWith(name)(v => Some(v.getOrElse(Vector.empty) :+ tm))
         System.err.println(f"""{"bench_sample":"$name","phase":"$phase","sec":$dt%.3f,"shuffle_r_mb":${d.readMb}%.2f,"shuffle_w_mb":${d.writeMb}%.2f,"spill_mb":${d.spillMb}%.2f,"telem":$tm}""")
       }
@@ -435,7 +474,7 @@ object Bench {
           sf1Subset.filter(fns.contains).foreach { n =>
             val s0 = tap.settle()
             resetHeapPeaks()
-            val (gc0, cpu0, l0) = (gcMillis(), processCpuNanos(), load1())
+            val (gc0, cpu0, l0, jit0) = (gcMillis(), processCpuNanos(), load1(), jitMillis())
             val t0 = System.nanoTime()
             try {
               fns(n)(spark, sf1Dir).write.format("noop").mode("overwrite").save()
@@ -447,7 +486,7 @@ object Bench {
               // signature at 10× must be visible in the artifact
               val d = tap.settle() - s0
               sf1Shuffle.update(n, d)
-              val tm = telemJson(s"sf1_pass${sf1Pass + 1}", dt, gc0, cpu0, l0)
+              val tm = telemJson(s"sf1_pass${sf1Pass + 1}", dt, gc0, cpu0, l0, jit0)
               sf1Telem.updateWith(n)(v => Some(v.getOrElse(Vector.empty) :+ tm))
               System.err.println(f"""{"bench_sample":"$n","phase":"sf1_pass${sf1Pass + 1}%d","sec":$dt%.3f,"shuffle_r_mb":${d.readMb}%.2f,"shuffle_w_mb":${d.writeMb}%.2f,"spill_mb":${d.spillMb}%.2f,"telem":$tm}""")
             } catch {
@@ -460,6 +499,22 @@ object Bench {
           lastPassWall = (System.nanoTime() - passT0) / 1e9
           sf1Pass += 1
           sf1RoundsDone = sf1Pass
+        }
+        // q17@sf1 stage attribution, wired into the ARTIFACT (r11's
+        // verdict: the driver artifact and the builder's pin disagreed by
+        // 3× CPU-seconds on identical shuffle with nothing recorded to
+        // localize the stage — make the next disagreement self-diagnosing).
+        // One extra q17-shaped run; ~1/12 of a pass, gated on budget.
+        if (sf1Best.contains("q17_parcel_etl_fact") &&
+            budgetS - elapsed() >= lastPassWall * 0.25) {
+          try {
+            val bd = q17Breakdown(spark, sf1Dir)
+            sf1Q17Breakdown = bd
+            dropPersisted()
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"""{"bench_note":"sf1 q17 breakdown failed","error":${escape(String.valueOf(e.getMessage).take(200))}}""")
+          }
         }
       } catch {
         case e: Throwable =>
@@ -495,7 +550,8 @@ object Bench {
       sf1Rounds: Int = 0,
       sf1Shuffle: Map[String, ShuffleTap.Snap] = Map.empty,
       telemetry: Map[String, Seq[String]] = Map.empty,
-      sf1Telemetry: Map[String, Seq[String]] = Map.empty): String = {
+      sf1Telemetry: Map[String, Seq[String]] = Map.empty,
+      sf1Breakdown: Seq[(String, Double)] = Nil): String = {
     val qs = names.flatMap(n => best.get(n).orElse(warm.get(n)).map(n -> _))
     val qsJson = qs.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     val total = qs.map(_._2).sum
@@ -524,8 +580,14 @@ object Bench {
       else m.toSeq.sortBy(_._1).map { case (k, samples) =>
         "\"" + k + "\":[" + samples.mkString(",") + "]"
       }.mkString(s""","$field":{""", ",", "}")
+    // q17@sf1 stage attribution (file artifact only; insertion order kept
+    // — the stages are a pipeline, not a map to sort)
+    val bdJson =
+      if (sf1Breakdown.isEmpty) ""
+      else sf1Breakdown.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+        .mkString(""","sf1_q17_breakdown":{""", ",", "}")
     val shufJson = shufMap(shuffle, "shuffle_mb") + shufMap(sf1Shuffle, "sf1_shuffle_mb") +
-      telemMap(telemetry, "telemetry") + telemMap(sf1Telemetry, "sf1_telemetry") +
+      telemMap(telemetry, "telemetry") + telemMap(sf1Telemetry, "sf1_telemetry") + bdJson +
       (if (compact) "" else s""","host":$hostJson""")
     val partialJson = if (partial) ""","partial":true""" else ""
     // compact (stdout) variant: sf as basename, rounds_done omitted —
@@ -557,7 +619,19 @@ object Bench {
       case "?" => "?"
       case kb => f"${kb.toLong / 1048576.0}%.0f"
     }
-    s"""{"cpu":${escape(model)},"mhz":${escape(mhz)},"cores":${Runtime.getRuntime.availableProcessors},"mem_gb":${escape(memGb)},"heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)}}"""
+    // the memory/GC/codecache-relevant JVM args, verbatim: r11's driver
+    // artifact read heap_max_gb 89 against build.sbt's -Xmx16g default and
+    // nothing recorded WHICH flags the run actually received — the one
+    // field that would have named the q17@sf1 3×-CPU suspect instantly
+    val jvmArgs = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+        .filter(a => a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+          a.startsWith("-XX:") || a.startsWith("-Xss"))
+        .map(escape).mkString("[", ",", "]")
+    }
+    val ccMax = codeCacheMb()._2
+    f"""{"cpu":${escape(model)},"mhz":${escape(mhz)},"cores":${Runtime.getRuntime.availableProcessors},"mem_gb":${escape(memGb)},"heap_max_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"code_cache_max_mb":$ccMax%.0f,"jvm_args":$jvmArgs}"""
   }
 
   private def escape(s: String): String =
@@ -578,23 +652,25 @@ object Bench {
     * orderBy. Printed to stderr; min of `rounds` not applied (one shot
     * after warm JVM is representative for a breakdown).
     */
-  private def q17Breakdown(spark: SparkSession, sfDir: String): Unit = {
-    import org.apache.spark.sql.functions._
+  private def q17Breakdown(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import graft.etl._
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def timed[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
-      System.err.println(f"[bench-breakdown] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      out += label -> dt
+      System.err.println(f"[bench-breakdown] $label: $dt%.3f s")
       r
     }
     val events = graft.sources.Readers.table(spark, sfDir, "events")
-    val flat = timed("synth+parse+flatten (parquet stage)") {
+    val flat = timed("synth_parse_flatten_stage") {
       val stage = s"${graft.TmpDir.root}/q17_breakdown_stage"
       Flatten(graft.probes.EventsVocab.synth(graft.sources.Readers.fanOut(events)))
         .write.mode("overwrite").parquet(stage)
       spark.read.parquet(stage)
     }
-    val fact = timed("dims+dimShipping+fact (noop write)") {
+    val fact = timed("dims_fact_joins") {
       val dimClient = Dims.client(flat, SurrogateKeys.Deterministic)
       val dimLocation = Dims.location(flat, SurrogateKeys.Deterministic)
       val dimState = Dims.state(flat, SurrogateKeys.Deterministic)
@@ -604,11 +680,10 @@ object Bench {
       fact.write.format("noop").mode("overwrite").save()
       fact
     }
-    timed("determinism orderBy (noop write)") {
+    timed("determinism_orderby") {
       fact.orderBy("event_id").write.format("noop").mode("overwrite").save()
     }
-    // flat is a localCheckpoint: its blocks free when the RDD reference is
-    // GC'd (the caller's per-sample System.gc() handles that)
     spark.catalog.clearCache()
+    out.toSeq
   }
 }

@@ -157,6 +157,22 @@ object Graft {
       k: Int, nprobe: Int): DataFrame =
     Ivf.searchAssigned(queries, qid, qvec, lists, cid, cvec, cents, k, nprobe)
 
+  /** IVF index lifecycle beyond build: fold a batch in under the frozen
+    * quantizer ([[graft.ops.Ivf.appendToIndex]]), split-and-refine the
+    * lists after drift ([[graft.ops.Ivf.rebalanceIndex]] — crash-safe
+    * staging+marker swap), and re-gate recall
+    * ([[graft.ops.Ivf.plantedRecall]], the x38 discipline — healthy
+    * reads ≥ 0.9).
+    */
+  def ivfAppendToIndex(spark: SparkSession, path: String, newVecs: DataFrame,
+      cid: String, cvec: String): Unit =
+    Ivf.appendToIndex(spark, path, newVecs, cid, cvec)
+  def ivfRebalanceIndex(spark: SparkSession, path: String, cid: String,
+      cvec: String): Unit = Ivf.rebalanceIndex(spark, path, cid, cvec)
+  def ivfPlantedRecall(spark: SparkSession, path: String, cid: String,
+      cvec: String, k: Int = 5, nprobe: Int = 4): Double =
+    Ivf.plantedRecall(spark, path, cid, cvec, k, nprobe)
+
   // — text analysis ([[graft.ops.TextStats]]) ————————————————————————————
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     TextStats.withStats(docs, textCol)
@@ -393,16 +409,26 @@ object Graft {
   /** Audio near-dup pairs within a Hamming radius over
     * [[audioFingerprint]]s (chunk-bucketed candidates, no all-pairs).
     */
+  def audioNearDupPairs(df: DataFrame, idCol: String, samples: Column,
+      maxDist: Int = 2): DataFrame =
+    Multimodal.audioNearDupPairs(df, idCol, samples, maxDist)
+
+  /** [[audioNearDupPairs]] behind a cheap coarse pre-key (sketch gates
+    * exact): the full fingerprint kernel runs only on streams whose
+    * coarse bucket has ≥ 2 members — the crawl-scale arm. Pairs are
+    * reported iff both members share a coarse key and their fingerprints
+    * are within `maxDist`; pad/scale twins always share a key.
+    */
+  def audioNearDupPairsGated(df: DataFrame, idCol: String, samples: Column,
+      maxDist: Int = 2): DataFrame =
+    Multimodal.audioNearDupPairsGated(df, idCol, samples, maxDist)
+
   /** Video near-dup pairs: sampled-frame digest sets scored by exact
     * Jaccard through the text-dedup candidate machinery.
     */
   def videoNearDupPairs(spark: SparkSession, media: DataFrame, frameBytes: Int,
       everyN: Int, threshold: Double): DataFrame =
     Multimodal.videoNearDupPairs(spark, media, frameBytes, everyN, threshold)
-
-  def audioNearDupPairs(df: DataFrame, idCol: String, samples: Column,
-      maxDist: Int = 2): DataFrame =
-    Multimodal.audioNearDupPairs(df, idCol, samples, maxDist)
 
   /** Fold a batch-maintained index's parquet append deltas into few
     * files (crash-safe staging+marker+swap; readers self-heal an

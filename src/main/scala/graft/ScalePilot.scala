@@ -129,6 +129,7 @@ object ScalePilot {
       else if (family == "round11b") Set("documents", "embeddings")
       else if (family == "round11c") Set("documents")
       else if (family == "round11d") Set("documents")
+      else if (family == "round12") Set("documents", "embeddings")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -773,6 +774,76 @@ object ScalePilot {
         }))
     }
 
+    // round-12: the audio sketch-gate claim — a crawl-shaped population
+    // (every doc a UNIQUE stream; 1-in-8 docs also ship a 2×-volume twin)
+    // where the ungated arm pays the full DCT kernel on every stream and
+    // the gated arm pays the ~1/8-cost coarse key on every stream + the
+    // kernel only on coarse-bucket collisions (the twins + ~N²/2⁶⁴ noise).
+    // Same fixture on both arms; identical pair output (OpsSpec pins it);
+    // the 32× walls should diverge by roughly the kernel/key cost ratio.
+    def round12Queries(dir: String): Seq[(String, () => DataFrame)] = {
+      def audioFixture = {
+        val docs = tbl(dir, "documents")
+        val cls = col("doc_id") // unique per stream (copies shift doc_id)
+        val baseArr = transform(sequence(lit(0L), lit(319L)), i =>
+          (lit(1L) - lit(2L) * (i % 2L)) *
+            (lit(9L) + pmod(i * 73L + cls * lit(7919L) + i * i * lit(31L) +
+              i * cls * lit(101L), lit(1980L))))
+        val base = docs.select((col("doc_id") * 2).as("media_id"), baseArr.as("samples"))
+        val twins = docs.filter(pmod(col("doc_id"), lit(8L)) === 0L)
+          .select((col("doc_id") * 2 + 1).as("media_id"),
+            transform(baseArr, x => x * lit(2L)).as("samples"))
+        base.unionByName(twins)
+      }
+      // IVF drift lifecycle: both indexes are built off the clock (marker =
+      // directory presence) — frozen holds the drifted append as ONE hot
+      // list, rebalanced has been split-and-refined. The timed op is the
+      // SAME planted-query search against each; the frozen arm's probes
+      // read the hot list (≈ the whole drifted batch) while the rebalanced
+      // arm reads ≈ nprobe/lists of the corpus — the pruning the
+      // maintenance path exists to restore.
+      def ivfIdx(variant: String): String = {
+        val path = s"$dir/__ivfidx_${variant}_v1"
+        if (!new java.io.File(s"$path/lists").exists()) {
+          val emb = tbl(dir, "embeddings")
+          val a = emb.filter(col("vec_id") % 3 =!= 0)
+          val b = emb.filter(col("vec_id") % 3 === 0)
+            .select(col("vec_id"),
+              transform(sequence(lit(0), size(col("embedding")) - 1), j =>
+                abs(element_at(col("embedding"),
+                  pmod(j + pmod(col("vec_id"), lit(8L)).cast("int"),
+                    size(col("embedding"))) + 1)) + lit(1.0f)).as("embedding"))
+          val k = math.max(16, math.ceil(math.sqrt(a.count().toDouble)).toInt)
+          Ivf.writeIndex(path, a, "vec_id", "embedding",
+            Ivf.train(a, "vec_id", "embedding", k, iters = 2))
+          Ivf.appendToIndex(spark, path, b, "vec_id", "embedding")
+          if (variant == "rebalanced")
+            Ivf.rebalanceIndex(spark, path, "vec_id", "embedding")
+        }
+        path
+      }
+      def ivfProbe(variant: String): DataFrame = {
+        val (cents, lists) = Ivf.readIndex(spark, ivfIdx(variant))
+        val queries = lists.filter(pmod(col("vec_id"), lit(37L)) === 1L)
+          .select((col("vec_id") + 2000000000L).as("query_id"),
+            transform(col("embedding"), (x, i) =>
+              x.cast("double") +
+                (pmod(col("vec_id") + i.cast("long"), lit(7L)) - 3L).cast("double") * 0.01)
+              .as("qvec"))
+        Ivf.searchAssigned(queries, "query_id", "qvec", lists, "vec_id", "embedding",
+          cents, k = 5, nprobe = 4)
+      }
+      Seq(
+        "audio_near_dup_full" -> (() =>
+          Multimodal.audioNearDupPairs(audioFixture, "media_id",
+            col("samples"), maxDist = 2)),
+        "audio_near_dup_gated" -> (() =>
+          Multimodal.audioNearDupPairsGated(audioFixture, "media_id",
+            col("samples"), maxDist = 2)),
+        "ivf_probe_frozen" -> (() => ivfProbe("frozen")),
+        "ivf_probe_rebalanced" -> (() => ivfProbe("rebalanced")))
+    }
+
     def queries(dir: String): Seq[(String, () => DataFrame)] =
       if (family == "dedup") dedupQueries(dir)
       else if (family == "pipeline") pipelineQueries(dir)
@@ -786,6 +857,7 @@ object ScalePilot {
       else if (family == "round11b") round11bQueries(dir)
       else if (family == "round11c") round11cQueries(dir)
       else if (family == "round11d") round11dQueries(dir)
+      else if (family == "round12") round12Queries(dir)
       else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>

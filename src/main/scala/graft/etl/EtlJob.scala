@@ -23,7 +23,8 @@ object EtlJob {
     * fact/DQ subtrees:
     *
     *   - [[ParquetStage]] (default) writes the flat frame to
-    *     `<warehouse>/_stage/flat` and re-reads it — the production
+    *     a run-unique `<warehouse>/_stage/flat-<uuid>` and re-reads it —
+    *     the production
     *     staging-table shape. Lineage-free (executor loss re-reads
     *     files), no cache-manager involvement (no eviction semantics, no
     *     block-lock races between the dim broadcast-exchange threads),
@@ -70,7 +71,11 @@ object EtlJob {
       // ids of the RDDs THIS run materialized (flat's checkpoint blocks,
       // parity-mode dim caches) — the handle [[release]] frees, so a
       // long-lived app doesn't accumulate checkpoint blocks across runs
-      releasableRddIds: Seq[Int] = Seq.empty
+      releasableRddIds: Seq[Int] = Seq.empty,
+      // the run-unique staging dir behind the returned frames (ParquetStage
+      // mode) — [[release]] deletes it, so repeated run()s into the same
+      // warehouse don't accumulate stage copies
+      stagePath: Option[String] = None
   )
 
   /** Build all tables from an already-flattened event frame. */
@@ -116,12 +121,16 @@ object EtlJob {
     // write (the reference recomputes the CSV parse dozens of times). See
     // [[Materialization]] for the localCheckpoint-vs-cache trade.
     val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    // Run-unique: a second run() into the same warehouse must not overwrite
+    // the stage under the first run's still-live (lazily re-reading) frames.
+    var stagePath: Option[String] = None
     val flat = cfg.materialization match {
       case ParquetStage =>
         // the staging table lives beside the warehouse it feeds; it stays
-        // on disk after the run (the returned frames re-read it lazily)
-        val stage = s"${cfg.warehousePath}/_stage/flat"
+        // on disk until the caller releases the run ([[release]] deletes it)
+        val stage = s"${cfg.warehousePath}/_stage/flat-${java.util.UUID.randomUUID()}"
         Flatten.flatten(parsed).write.mode(SaveMode.Overwrite).parquet(stage)
+        stagePath = Some(stage)
         spark.read.parquet(stage)
       case LocalCheckpoint => Flatten.flatten(parsed).localCheckpoint()
       case Cache => val c = Flatten.flatten(parsed).cache(); c.count(); c
@@ -138,18 +147,25 @@ object EtlJob {
     // safely on disk: callers done with the in-memory frames free them via
     // [[release]], scoped to exactly the blocks this run pinned.
     val pinnedByRun = (spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore).toSeq
-    wh0.copy(dqChecks = allChecks, releasableRddIds = pinnedByRun)
+    wh0.copy(dqChecks = allChecks, releasableRddIds = pinnedByRun, stagePath = stagePath)
   }
 
-  /** Free the materialized blocks behind a [[run]] result (flat's
-    * checkpoint blocks, parity-mode dim caches — nothing the caller pinned
-    * themselves). After this the returned frames must not be re-executed (a
-    * localCheckpoint has no lineage to recompute from) — re-read the
-    * written warehouse instead.
+  /** Free the materialized state behind a [[run]] result (flat's
+    * checkpoint blocks, parity-mode dim caches, the run-unique staging dir
+    * — nothing the caller pinned themselves). After this the returned
+    * frames must not be re-executed (a localCheckpoint has no lineage to
+    * recompute from; the staged parquet is gone) — re-read the written
+    * warehouse instead.
     */
   def release(wh: Warehouse): Unit = {
-    val pinned = wh.fact.sparkSession.sparkContext.getPersistentRDDs
+    val spark = wh.fact.sparkSession
+    val pinned = spark.sparkContext.getPersistentRDDs
     wh.releasableRddIds.foreach(id => pinned.get(id).foreach(_.unpersist(blocking = false)))
+    wh.stagePath.foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(path, true)
+    }
   }
 
   def write(wh: Warehouse, cfg: Config): Unit = {

@@ -337,6 +337,17 @@ object Decontaminate {
   def readBenchIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): BenchIndex = {
     Dedup.finishBatchCompaction(spark, path)
+    // Self-heal the append's dfs swap: a crash between its delete and
+    // rename leaves dfs MISSING with the fully-written replacement still
+    // at dfs.staging — finish the rename here, like every index reader
+    // finishes an interrupted compaction.
+    locally {
+      val (fs, dp) = Dedup.hadoopFs(spark, s"$path/dfs")
+      val staging = new org.apache.hadoop.fs.Path(s"$path/dfs.staging")
+      if (!fs.exists(dp) && fs.exists(staging) &&
+          !fs.rename(staging, dp))
+        throw new java.io.IOException(s"bench index dfs heal $staging -> $dp failed")
+    }
     val meta = Dedup.readTextFile(spark, s"$path/meta.json")
     def numOf(k: String): String =
       s""""$k":\\s*([0-9.eE+-]+)""".r.findFirstMatchIn(meta)
@@ -430,12 +441,17 @@ object Decontaminate {
     * delta forever, and a missed bench shingle is a missed CONTAMINATION
     * — the one failure direction decontamination must not have), and
     * `dfs` recomputes from the appended pair table via staging + swap
-    * (it is an aggregate — appending would double-count; a crash before
-    * the swap leaves it stale, which only widens the merge-arm hot-key
-    * guard until the next successful append heals it).
+    * (it is an aggregate — appending would double-count). Crash windows:
+    * before the swap leaves `dfs` stale — under-counted `__dfb` products
+    * NARROW the merge-arm hot-key guard, so fewer keys are excluded (the
+    * safe direction for contamination: more evidence reaches the join, at
+    * extra cost) — and a crash between the swap's delete and rename
+    * leaves `dfs` missing with the replacement at `dfs.staging`, which
+    * [[readBenchIndex]] heals by finishing the rename.
     */
   def appendToBenchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      newBench: DataFrame, benchIdCol: String, benchText: Column): Unit = {
+      newBench: DataFrame, benchIdCol: String, benchText: Column,
+      autoCompactAt: Int = Dedup.AutoCompactDefault): Unit = {
     val idx = readBenchIndex(spark, path)
     val fresh = newBench.select(col(benchIdCol).as("bench_id"),
         explode(Dedup.shingles(benchText, idx.n)).as("shingle"))
@@ -458,6 +474,7 @@ object Decontaminate {
     if (fs.exists(dp)) fs.delete(dp, true)
     if (!fs.rename(staging, dp))
       throw new java.io.IOException(s"bench index dfs swap $staging -> $dp failed")
+    Dedup.maybeAutoCompact(spark, path, Seq("pairs"), autoCompactAt)
   }
 
   /** Small-file maintenance for the append deltas

@@ -1219,10 +1219,13 @@ object Dedup {
     * bit-compatible with the stored one — `mergeInPlace` is a bitwise
     * OR). The sketch saturates past `expectedItems` total inserts (fpp
     * degrades, correctness doesn't — positives always verify); rewrite
-    * with [[writeHashIndex]] when the corpus outgrows it.
+    * with [[writeHashIndex]] when the corpus outgrows it. Once the table
+    * accumulates `autoCompactAt` part files the append folds it in place
+    * ([[maybeAutoCompact]] — crash-safe via the compaction marker).
     */
   def appendToHashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+      newDocs: DataFrame, idCol: String, textCol: String,
+      autoCompactAt: Int = AutoCompactDefault): Unit = {
     val index = readHashIndex(spark, path)
     val fresh = newDocs
       .select(sha2(tagged(col(textCol)), 256).as("__h"), col(idCol).as("__cid"))
@@ -1243,6 +1246,7 @@ object Dedup {
     index.bloom.mergeInPlace(delta)
     writeBloomFileAtomic(spark, path, index.bloom, index.expectedItems, index.fpp)
     fresh.write.mode("append").parquet(s"$path/hashes")
+    maybeAutoCompact(spark, path, HashIndexTables, autoCompactAt)
   }
 
   // — persisted PARAGRAPH index (FineWeb incremental deployment shape) —————
@@ -1403,7 +1407,8 @@ object Dedup {
     * with [[writeParagraphIndex]] when the corpus outgrows it.
     */
   def appendToParagraphIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+      newDocs: DataFrame, idCol: String, textCol: String,
+      autoCompactAt: Int = AutoCompactDefault): Unit = {
     val index = readParagraphIndex(spark, path)
     val fresh = paragraphTable(newDocs, idCol, textCol, index.sep)
       .select(sha2(col("__para"), 256).as("__h"), col(idCol).as("__cid"))
@@ -1420,6 +1425,7 @@ object Dedup {
     index.bloom.mergeInPlace(delta)
     writeBloomFileAtomic(spark, path, index.bloom, index.expectedItems, index.fpp)
     fresh.write.mode("append").parquet(s"$path/paras")
+    maybeAutoCompact(spark, path, ParagraphIndexTables, autoCompactAt)
   }
 
   // — persisted SPAN index (Lee '21 exact-substring incremental shape) —————
@@ -1545,7 +1551,8 @@ object Dedup {
     * itself just cut would resurrect them as corpus content.
     */
   def appendToSpanIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+      newDocs: DataFrame, idCol: String, textCol: String,
+      autoCompactAt: Int = AutoCompactDefault): Unit = {
     val index = readSpanIndex(spark, path)
     val fresh = spanWindows(spanBase(newDocs, idCol, textCol), idCol, index.k)
       .groupBy(col("__h")).agg(min(col(idCol)).as("__span_of"))
@@ -1558,6 +1565,7 @@ object Dedup {
     index.bloom.mergeInPlace(delta)
     writeBloomFileAtomic(spark, path, index.bloom, index.expectedItems, index.fpp)
     fresh.write.mode("append").parquet(s"$path/spans")
+    maybeAutoCompact(spark, path, Seq("spans"), autoCompactAt)
   }
 
   /** [[compactBatchIndex]] over [[writeSpanIndex]]'s layout. */
@@ -1758,7 +1766,8 @@ object Dedup {
     * aggregate — appending would double-count). Meta is unchanged.
     */
   def appendToBandIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+      newDocs: DataFrame, idCol: String, textCol: String,
+      autoCompactAt: Int = AutoCompactDefault): Unit = {
     val idx = readBandIndex(spark, path)
     // idempotence is THIS function's job (the hash-index twin anti-joins
     // the same way): a replayed/retried batch must not double-insert —
@@ -1804,6 +1813,7 @@ object Dedup {
     if (fs.exists(bp)) fs.delete(bp, true)
     if (!fs.rename(staging, bp))
       throw new java.io.IOException(s"band index bucket swap $staging -> $bp failed")
+    maybeAutoCompact(spark, path, BandIndexTables, autoCompactAt)
   }
 
   // — persisted SEMANTIC incremental-dedup state (vec index) ———————————————
@@ -2015,7 +2025,8 @@ object Dedup {
     * corpus outgrows it.
     */
   def appendToVecIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+      newVecs: DataFrame, idCol: String, vecCol: String,
+      autoCompactAt: Int = AutoCompactDefault): Unit = {
     val idx = readVecIndex(spark, path)
     val planes = Similarity.hyperplanes(idx.numPlanes, idx.dim, idx.seed)
     // all fresh sets are pinned BEFORE any write rewrites the dirs they read
@@ -2056,6 +2067,7 @@ object Dedup {
     if (fs.exists(bp)) fs.delete(bp, true)
     if (!fs.rename(staging, bp))
       throw new java.io.IOException(s"vec index bucket swap $staging -> $bp failed")
+    maybeAutoCompact(spark, path, VecIndexTables, autoCompactAt)
   }
 
   // — duplication-aware SOFT dedup —————————————————————————————————————————
@@ -2621,6 +2633,46 @@ object Dedup {
   private val BandIndexTables = Seq("shingles", "sizes", "bands")
   private val VecIndexTables = Seq("vecs", "hashes")
 
+  /** Default append-count trigger for [[maybeAutoCompact]]: every batch
+    * append adds ~one shuffle's worth of part files, so the threshold is
+    * in FILES, not appends — 256 keeps a busy daily-ingest index from
+    * degrading into a many-thousand-file scan swamp while folding rarely
+    * enough that the fold cost (one table rewrite) stays amortized.
+    * Pass `autoCompactAt = 0` on any append to disable.
+    */
+  val AutoCompactDefault = 256
+
+  /** Append-side auto-compaction policy (r11 verdict task #6: deltas
+    * accumulated until someone remembered to call `compact*Index`). After
+    * a successful append, if any of the index's table dirs has reached
+    * `at` part files, fold the layout via [[compactBatchIndex]] — the
+    * staging+marker protocol already makes an in-append fold crash-safe
+    * (a crash mid-fold is finished by the next reader). Target file count
+    * is sized from the largest table's bytes against
+    * `spark.sql.files.maxPartitionBytes`, so a compacted 100-TB-scale
+    * index folds to scan-parallel files, not to one giant part.
+    */
+  private[graft] def maybeAutoCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String, tables: Seq[String], at: Int): Unit = {
+    if (at <= 0) return
+    val (fs, _) = hadoopFs(spark, path)
+    def parts(tbl: String): Array[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$tbl")
+      if (!fs.exists(p)) Array.empty
+      else fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    }
+    val all = tables.map(parts)
+    val maxFiles = all.map(_.length).max
+    if (maxFiles >= at) {
+      val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
+      val maxTableBytes = all.map(_.map(_.getLen).sum).max
+      val target = math.max(1L, (maxTableBytes + maxPartBytes - 1) / maxPartBytes).toInt
+      System.err.println(
+        s"""{"index_auto_compact":${"\"" + path + "\""},"part_files":$maxFiles,"trigger":$at,"target_files":$target}""")
+      compactBatchIndex(spark, path, tables, target)
+    }
+  }
+
   /** [[compactBatchIndex]] over [[writeHashIndex]]'s layout. */
   def compactHashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int = 1): Unit =
@@ -2672,7 +2724,19 @@ object Dedup {
     // self-describing marker (same key shape as the ingest protocol's, a
     // distinct file name because the finish semantics differ: whole-dir
     // swap here, partition fold there)
-    val marker = staged.map(tbl => s""""$tbl":[]""").mkString("{", ",", "}")
+    publishBatchMarker(spark, path, staged)
+  }
+
+  /** Publish the batch-swap marker for `tables` (tmp + rename — the point
+    * of no return: after this, `<tbl>.staging` dirs are COMMITTED and
+    * [[finishBatchCompaction]] will swap them over their tables). Shared
+    * by table compaction and by any maintenance op that rewrites whole
+    * tables behind the same crash protocol (e.g. [[Ivf.rebalanceIndex]]).
+    */
+  private[graft] def publishBatchMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String, tables: Seq[String]): Unit = {
+    val (fs, _) = hadoopFs(spark, path)
+    val marker = tables.map(tbl => s""""$tbl":[]""").mkString("{", ",", "}")
     writeTextFile(spark, s"$path/$BatchMarker.tmp", marker)
     val dst = new org.apache.hadoop.fs.Path(s"$path/$BatchMarker")
     if (fs.exists(dst)) fs.delete(dst, false)

@@ -253,9 +253,197 @@ object Ivf {
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/lists")
   }
 
-  /** Load a persisted index → (centroids, assigned lists). */
-  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) =
+  /** Load a persisted index → (centroids, assigned lists), completing an
+    * interrupted [[rebalanceIndex]] swap first (the [[Dedup]] batch-marker
+    * self-heal every index reader runs).
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): (DataFrame, DataFrame) = {
+    Dedup.finishBatchCompaction(spark, path)
     (spark.read.parquet(s"$path/centroids"), spark.read.parquet(s"$path/lists"))
+  }
+
+  /** Fold a new vector batch into a persisted index under the FROZEN
+    * stored quantizer: assign, anti-join already-present ids (idempotent
+    * re-ingest), append as new files of the partitioned list layout.
+    * Cheap (batch-sized assign, no corpus scan) but drift-blind — months
+    * of appends from a distribution the quantizer never saw pile into few
+    * lists, and a hot list degrades the nprobe/numCentroids pruning
+    * contract toward a full scan. [[rebalanceIndex]] is the maintenance
+    * path; [[plantedRecall]] is the re-gate.
+    */
+  def appendToIndex(spark: SparkSession, path: String, newVecs: DataFrame,
+      cidCol: String, cvecCol: String): Unit = {
+    val (cents, lists) = readIndex(spark, path)
+    val fresh = assign(newVecs, cidCol, cvecCol, cents)
+      .withColumn("__cnorm", vec_norm(col(cvecCol)))
+      .join(lists.select(col(cidCol)), Seq(cidCol), "left_anti")
+      .localCheckpoint() // pin BEFORE the append rewrites the dir it reads
+    fresh.write.mode("append").partitionBy("centroid_id").parquet(s"$path/lists")
+  }
+
+  /** Quantizer maintenance for a persisted index — split-and-refine, the
+    * offline list-rebalance every real IVF deployment runs after heavy
+    * appends (warm-start Lloyd alone can NEVER split a new hot cluster:
+    * one centroid claims the whole blob and no other centroid's basin
+    * reaches it, so the skew is stable under refinement):
+    *
+    *   1. SPLIT: each list larger than `splitFactor ×` the mean has its
+    *      centroid REPLACED by two edge seeds — the member farthest from
+    *      the centroid (min rounded cosine, ties to smallest id), then
+    *      the member farthest from that seed (2-means++-style;
+    *      deterministic);
+    *   2. REFINE: `iters` warm-start Lloyd passes over the index's
+    *      current contents (empty clusters drop out, so a useless split
+    *      costs nothing);
+    *   3. repeat up to `maxRounds` times or until no list is oversized;
+    *   4. publish: refreshed centroids + reassigned lists are written to
+    *      staging dirs and swapped in behind the [[Dedup]] batch-marker
+    *      protocol — a crash at any point either leaves the old index
+    *      intact (pre-marker) or is completed by the next reader.
+    *
+    * k grows by the number of useful splits (bounded by `maxRounds ×`
+    * hot-list count per round); the √N-centroid contract is the caller's
+    * budget — splits stop adding centroids once lists balance. Re-gate
+    * recall with [[plantedRecall]] after maintenance.
+    */
+  def rebalanceIndex(spark: SparkSession, path: String, cidCol: String,
+      cvecCol: String, iters: Int = 2, splitFactor: Double = 2.0,
+      maxRounds: Int = 10): Unit = {
+    require(splitFactor > 1.0, s"splitFactor must exceed 1, got $splitFactor")
+    Dedup.finishBatchCompaction(spark, path)
+    // pin: the vector set feeds every split round, every Lloyd pass and
+    // the final reassignment while the lists dir is eventually swapped
+    val vecs = spark.read.parquet(s"$path/lists")
+      .select(col(cidCol), col(cvecCol)).localCheckpoint()
+    var cents = spark.read.parquet(s"$path/centroids").localCheckpoint(true)
+    var rnd = 0
+    var balanced = false
+    while (rnd < maxRounds && !balanced) {
+      val assigned = assign(vecs, cidCol, cvecCol, cents).localCheckpoint(true)
+      val sizes = assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("__n"))
+      // k-bounded collect: one row per non-empty list
+      val szRows = sizes.collect().map(r => r.getLong(0) -> r.getLong(1))
+      val mean = szRows.map(_._2).sum.toDouble / math.max(1, szRows.length)
+      val hotIds = szRows.filter(_._2 > splitFactor * mean).map(_._1)
+      System.err.println(f"""{"ivf_rebalance":"$path","round":$rnd,"lists":${szRows.length},"max":${szRows.map(_._2).max},"mean":$mean%.1f,"hot":${hotIds.length}}""")
+      if (hotIds.isEmpty) balanced = true
+      else {
+        // Hierarchical split: each hot list is bisected by a LOCAL
+        // 2-means over its own members — quantile seeds (member ranks
+        // ⌈n/4⌉ and ⌈3n/4⌉ by rounded cosine to the parent, id ties),
+        // `iters` local Lloyd passes, then the parent centroid is
+        // replaced by the two refined sub-means. Two rejected designs,
+        // both measured to strand a tight drifted blob intact:
+        //   - ADD one far seed + global Lloyd: the parent mean is
+        //     central, the edge is not — the mean keeps ~every member;
+        //   - REPLACE with edge seeds + GLOBAL Lloyd per round: straggler
+        //     outliers hijack the farthest picks, and a sibling list's
+        //     central mean recaptures the blob the next round (observed
+        //     192→119→168 whack-a-mole). Local refinement is the
+        //     standard hierarchical-kmeans fix: membership of other
+        //     lists is frozen while a list is subdivided.
+        // Quantile seeds sit INSIDE the mass (outlier-immune); the
+        // per-list rank is a window over hot lists only — bounded by
+        // (few × mean-list-size) rows, an offline-maintenance cost.
+        // Deterministic throughout. Sub-centroid ids are
+        // −(2·(seedMember·maxRounds + round) + rank01) − 1: corpus ids
+        // are non-negative so split ids never collide with seeds, and
+        // the round stamp keeps re-picked members unique across rounds.
+        val hot = sizes.sparkSession.createDataFrame(
+          sizes.sparkSession.sparkContext.parallelize(hotIds.toSeq.map(org.apache.spark.sql.Row(_))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("centroid_id",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        val hotMembers = assigned.join(broadcast(hot), Seq("centroid_id"))
+          .select(col("centroid_id").as("__parent"), col(cidCol), col(cvecCol))
+          .localCheckpoint(true) // feeds seeding and every local pass
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__parent"))
+          .orderBy(coalesce(col("__sim"), lit(Double.PositiveInfinity)).asc, col(cidCol).asc)
+        val wN = org.apache.spark.sql.expressions.Window.partitionBy(col("__parent"))
+        var sub = hotMembers
+          .join(broadcast(cents.select(col("centroid_id").as("__parent"),
+            col("centroid_vec").as("__refvec"))), Seq("__parent"))
+          .withColumn("__sim", round(
+            vec_dot(col(cvecCol), col("__refvec")) /
+              (vec_norm(col(cvecCol)) * vec_norm(col("__refvec"))), 6))
+          .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(wRank))
+          .withColumn("__hn", count(lit(1)).over(wN))
+          .withColumn("__q1", ((col("__hn") + 3L) / 4L).cast("long"))
+          .withColumn("__q3", ((col("__hn") * 3L + 3L) / 4L).cast("long"))
+          .filter(col("__rn") === col("__q1") || col("__rn") === col("__q3"))
+          .select(col("__parent"),
+            (-((col(cidCol) * maxRounds.toLong + rnd.toLong) * 2L +
+              when(col("__rn") === col("__q1"), 0L).otherwise(1L)) - 1L).as("__sid"),
+            col(cvecCol).as("__svec"))
+          .distinct()
+          .localCheckpoint(true)
+        for (_ <- 0 until iters) {
+          // local assign: each hot member chooses among ITS parent's subs
+          val a2 = hotMembers.join(broadcast(sub), Seq("__parent"))
+            .withColumn("__sim", round(
+              vec_dot(col(cvecCol), col("__svec")) /
+                (vec_norm(col(cvecCol)) * vec_norm(col("__svec"))), 6))
+            .groupBy(col(cidCol))
+            .agg(first(col("__parent")).as("__parent"),
+              first(col(cvecCol)).as(cvecCol),
+              min_by(col("__sid"), struct(
+                coalesce(negate(col("__sim")), lit(Double.PositiveInfinity)),
+                col("__sid"))).as("centroid_id"))
+          val refined = kmeansStep(a2, cvecCol) // means per sub id
+          sub = refined
+            .join(sub.select(col("__sid"), col("__parent")).distinct(),
+              refined("centroid_id") === col("__sid"))
+            .select(col("__parent"), col("__sid"), col("centroid_vec").as("__svec"))
+            .localCheckpoint(true)
+        }
+        cents = cents.filter(!col("centroid_id").isin(hotIds.toSeq: _*))
+          .unionByName(sub.select(col("__sid").as("centroid_id"),
+            col("__svec").as("centroid_vec")))
+          .localCheckpoint(true)
+      }
+      rnd += 1
+    }
+    // publish through the shared staging + marker + swap protocol
+    cents.write.mode("overwrite").parquet(s"$path/centroids.staging")
+    assign(vecs, cidCol, cvecCol, spark.read.parquet(s"$path/centroids.staging"))
+      .withColumn("__cnorm", vec_norm(col(cvecCol)))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/lists.staging")
+    Dedup.publishBatchMarker(spark, path, Seq("centroids", "lists"))
+    Dedup.finishBatchCompaction(spark, path)
+  }
+
+  /** Planted-neighbor recall of a persisted index — the x38 probe
+    * discipline as a reusable re-gate: sample the index's own vectors
+    * (ids with `xxhash64(id) % sampleMod == 0`), perturb each coordinate
+    * by the deterministic ±3% pattern, search with (`k`, `nprobe`), and
+    * return the fraction of sampled queries whose source vector lands in
+    * the top-k. Run after [[appendToIndex]] drift or [[rebalanceIndex]];
+    * a healthy index reads ≥ 0.9. `idOffset` must clear the corpus id
+    * space (query ids may not collide with corpus ids — the search's
+    * self-pair filter compares them).
+    */
+  def plantedRecall(spark: SparkSession, path: String, cidCol: String,
+      cvecCol: String, k: Int = 5, nprobe: Int = 4, sampleMod: Long = 9L,
+      idOffset: Long = 1000000000L): Double = {
+    val (cents, lists) = readIndex(spark, path)
+    val queries = lists
+      .filter(pmod(xxhash64(col(cidCol)), lit(sampleMod)) === 0L)
+      .select((col(cidCol) + idOffset).as("__qid"), col(cidCol).as("__planted"),
+        transform(col(cvecCol), (x, i) =>
+          x.cast("double") +
+            (pmod(col(cidCol) + i.cast("long"), lit(7L)) - 3L).cast("double") * 0.01)
+          .as("__qvec"))
+      .localCheckpoint() // pin: feeds the search and the recall join
+    val n = queries.count()
+    if (n == 0L) return 1.0
+    val found = searchAssigned(queries.select(col("__qid"), col("__qvec")),
+        "__qid", "__qvec", lists, cidCol, cvecCol, cents, k, nprobe)
+      .join(queries.select(col("__qid"), col("__planted")), Seq("__qid"))
+      .filter(col(cidCol) === col("__planted"))
+      .select(col("__qid")).distinct().count()
+    found.toDouble / n
+  }
 
   /** Persist a trained IVF-PQ index: centroids, codebooks (as (j, k, t, c)
     * rows), and the assigned corpus with PQ codes + norms precomputed,

@@ -335,6 +335,13 @@ object Lm {
     * `__lm2_model`: fold → first-token unigram + per-bigram
     * lookup-or-backoff → exact integer sum → round4 mean → buckets. Ends
     * in `__lm2_scored` (all `__lm2_in` columns + the four slm columns).
+    *
+    * PRECONDITION: `__lm2_in` rows must be distinct (in practice: carry a
+    * unique id column). The per-token re-aggregation here is `GROUP BY
+    * ALL` over the input columns, so two fully-identical input rows
+    * collapse into ONE output row with a doubled `slm_centi_sum` — the
+    * Spark twin [[annotateWith]] scores per ROW and keeps both. Every
+    * repo probe feeds id-carrying frames; do the same.
     */
   def annotateSql(headThr: Double = HeadThreshold,
       midThr: Double = MiddleThreshold): String = {

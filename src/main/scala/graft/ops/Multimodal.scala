@@ -589,6 +589,104 @@ object Multimodal {
       df.select(col(idCol), audioHash64(samples, silenceThr).as("simhash")),
       idCol, maxDist, maxBucket)
 
+  /** Cheap coarse pre-key for [[audioNearDupPairsGated]] — ~1/8 the
+    * integer ops of the full [[audioHash64]] kernel (trim + 128 strided
+    * reads + a 32-element sort vs trim + the 256-cell grid, 4k-multiply
+    * DCT and 64-element sort), built to share the kernel's EXACT
+    * invariances so pad/scale twins can never land in different buckets:
+    *
+    *   - high bits: ⌊log2(trimmed length)⌋ — silence padding strips
+    *     exactly (the trim is the kernel's own), and integer volume
+    *     scaling cannot move trim bounds for the same reason it cannot
+    *     move the kernel's (silence is below-threshold on both sides of
+    *     the scale or it is not silence);
+    *   - low 32 bits: per-band energy signs — 32 bands × 4 strided |s|
+    *     reads over the trimmed span, each band sum compared against the
+    *     lower median of the 32 sums (the [[audioHash64]] median trick:
+    *     volume scaling scales every sum and the median together, so the
+    *     comparisons — and the bits — are exactly invariant). 32 sign
+    *     bits, not 16: the key space must keep MILLIONS of crawl streams
+    *     mostly-singleton, or the gate admits everything.
+    *
+    * Empty / all-silent streams key to 0 (and hash to 0), matching the
+    * kernel's own convention.
+    */
+  def audioCoarseKey64(samples: Column, silenceThr: Int = 8): Column = {
+    def idiv(a: Column, b: Column): Column = (a / b).cast("long")
+    graft.Canonical.bindOnce(samples) { s =>
+      graft.Canonical.bindOnce(size(s).cast("long")) { n =>
+        when(n > 0L, graft.Canonical.bindOnce(
+          aggregate(sequence(lit(0L), n - 1L), lit(-1L), (acc, i) =>
+            when(abs(element_at(s, (i + 1L).cast("int")).cast("long")) > silenceThr,
+              greatest(acc, i)).otherwise(acc))) { hi =>
+          when(hi >= 0L, graft.Canonical.bindOnce(
+            aggregate(sequence(lit(0L), n - 1L), n, (acc, i) =>
+              when(abs(element_at(s, (i + 1L).cast("int")).cast("long")) > silenceThr,
+                least(acc, i)).otherwise(acc))) { lo =>
+            graft.Canonical.bindOnce(hi - lo + 1L) { len =>
+              graft.Canonical.bindOnce(
+                transform(sequence(lit(0L), lit(31L)), b =>
+                  aggregate(sequence(lit(0L), lit(3L)), lit(0L), (acc, t) =>
+                    acc + abs(element_at(s,
+                      (lo + idiv((b * 4L + t) * len, lit(128L)) + 1L).cast("int"))
+                      .cast("long"))))) { bs =>
+                graft.Canonical.bindOnce(element_at(array_sort(bs), 16)) { med =>
+                  // ⌊log2(len)⌋ as an exact integer (length of the binary
+                  // form − 1): double log2 rounds wrong on exact powers
+                  ((length(bin(len)) - 1).cast("long") * lit(4294967296L)) +
+                    (0 until 32).map(b =>
+                      when(element_at(bs, b + 1) > med, lit(1L << b))
+                        .otherwise(lit(0L))).reduce(_ + _)
+                }
+              }
+            }
+          }).otherwise(lit(0L)) // all-silent
+        }).otherwise(lit(0L))   // empty stream
+      }
+    }
+  }
+
+  /** [[audioNearDupPairs]] with a sketch-gates-exact pre-filter (the
+    * [[graft.ops.Frequency.heavyHitters]] pattern): every stream pays
+    * only the cheap [[audioCoarseKey64]]; the full [[audioHash64]] kernel
+    * runs ONLY on streams whose coarse bucket has ≥ 2 members. At crawl
+    * scale the population is overwhelmingly singleton buckets, so the
+    * dominant per-stream cost drops ~8× — the fix for the kernel-IS-the-
+    * job profile the 32× pilot measured (23.1× wall on fixed cores).
+    *
+    * Recall contract (the [[Dedup.lshCandidates]] shape), EXACT in both
+    * directions: a pair is reported iff both members share a coarse key
+    * AND their full hashes are within `maxDist` (cross-key pairs are
+    * filtered even when both streams happened to need hashing) — so the
+    * operator is deterministic in the key structure, not in which other
+    * buckets were multi-member. Pad/scale twins ALWAYS share a key (it
+    * inherits the kernel's exact invariances); arbitrary waveform-
+    * different near-dups that straddle a key boundary are missed — use
+    * the ungated operator when that recall matters more than the kernel
+    * cost. The multi-member key list joins back as a semi-join (AQE
+    * broadcasts it when candidates are rare — the crawl case — so the
+    * PCM column never shuffles).
+    */
+  def audioNearDupPairsGated(df: DataFrame, idCol: String, samples: Column,
+      maxDist: Int, silenceThr: Int = 8,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    // pinned: feeds the multi-member election AND the pair-side key filter
+    val keys = df.select(col(idCol), audioCoarseKey64(samples, silenceThr).as("__ck"))
+      .localCheckpoint()
+    val multi = keys.groupBy(col("__ck")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2L).select(col("__ck"))
+    val hashed = df
+      .select(col(idCol), samples.as("__pcm"),
+        audioCoarseKey64(samples, silenceThr).as("__ck"))
+      .join(multi, Seq("__ck"), "left_semi")
+      .select(col(idCol), audioHash64(col("__pcm"), silenceThr).as("simhash"))
+    Dedup.simhashPairs(hashed, idCol, maxDist, maxBucket)
+      .join(keys.toDF("id_a", "__cka"), Seq("id_a"))
+      .join(keys.toDF("id_b", "__ckb"), Seq("id_b"))
+      .filter(col("__cka") === col("__ckb"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Image near-dup pairs within Hamming distance `maxDist` over aHash
     * signatures — [[Dedup.simhashPairs]]' chunk-bucket machinery
     * (pigeonhole-exact candidates, hot buckets star-degrade) applied to

@@ -1271,6 +1271,62 @@ object ExtensionProbes {
            |  TRUE AS ivfq_recall_ge_090,
            |  TRUE AS ivfpq_recall_ge_090""".stripMargin))
 
+  // — IVF index maintenance (x108): the x38 recall discipline applied to
+  //   the DRIFT lifecycle the r11 verdict flagged — appendToIndex under
+  //   frozen centroids piles a never-seen distribution into one inverted
+  //   list (pruning collapses toward a full scan), rebalanceIndex
+  //   (hierarchical quantile-seed split + local Lloyd, staged behind the
+  //   batch marker) restores balance, and plantedRecall re-gates ≥ 0.9
+  //   afterward. Value oracle: corpus/batch counts replay in SQL; the
+  //   skew/balance/recall claims are Spark-side gates (TRUE literals,
+  //   the x38 convention — DuckDB cannot cheaply replay Lloyd).
+  private val x108 = Probe(
+    "x108_ivf_rebalance",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
+      val a = emb.filter(col("vec_id") % 3 =!= 0)
+      val b = emb.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id"),
+          transform(sequence(lit(0), size(col("embedding")) - 1), j =>
+            abs(element_at(col("embedding"),
+              pmod(j + pmod(col("vec_id"), lit(8L)).cast("int"), size(col("embedding"))) + 1))
+              + lit(1.0f)).as("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.TmpDir.root), "x108_ivf").toString
+      Ivf.writeIndex(idx, a, "vec_id", "embedding",
+        Ivf.train(a, "vec_id", "embedding", k = 16, iters = 2))
+      Ivf.appendToIndex(s, idx, b, "vec_id", "embedding")
+      val (_, lists) = Ivf.readIndex(s, idx)
+      val nTotal = lists.count()
+      val nB = b.count()
+      val hotB = lists.join(b.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .groupBy(col("centroid_id")).count()
+        .agg(coalesce(max(col("count")), lit(0L))).as[Long].head()
+      Ivf.rebalanceIndex(s, idx, "vec_id", "embedding")
+      val (_, lists2) = Ivf.readIndex(s, idx)
+      val sizesAfter = lists2.groupBy(col("centroid_id")).count()
+        .select(col("count")).as[Long].collect()
+      val meanAfter = sizesAfter.sum.toDouble / sizesAfter.length
+      val recall = Ivf.plantedRecall(s, idx, "vec_id", "embedding", k = 5, nprobe = 4)
+      Seq((nTotal, nB,
+        hotB >= (nB * 9L) / 10L,
+        lists2.count() == nTotal,
+        sizesAfter.max <= meanAfter * 2.0 + 1,
+        recall >= 0.9))
+        .toDF("n_indexed", "n_drifted",
+          "drift_skews_one_list", "rebalance_preserves_rows",
+          "balanced_after", "recall_after_ge_090")
+    },
+    Some("""SELECT
+           |  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_indexed,
+           |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 3 = 0) AS BIGINT)
+           |    AS n_drifted,
+           |  TRUE AS drift_skews_one_list,
+           |  TRUE AS rebalance_preserves_rows,
+           |  TRUE AS balanced_after,
+           |  TRUE AS recall_after_ge_090""".stripMargin))
+
   /** One hand-written sentence per classifiable language (no single
     * quotes — the strings embed verbatim in the oracle SQL). Residue
     * `i+1 mod 23` of the doc_id space is replanted with sentence i; the
@@ -1973,5 +2029,5 @@ object ExtensionProbes {
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
-    x103, x104, x106)
+    x103, x104, x106, x108)
 }

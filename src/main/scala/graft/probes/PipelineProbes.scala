@@ -3135,8 +3135,118 @@ object PipelineProbes {
          |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
     })
 
+  // — GATED audio near-dup (x107): the x96 kernel behind the coarse
+  //   pre-key. Fixture: per doc-id group of 3, v=0 base + v=1 its
+  //   2×-volume twin (the planted pair family — coarse-key-equal by the
+  //   key's exact scale invariance) and v=2 a SINGLETON stream from a
+  //   disjoint class range (the crawl-shaped population the gate exists
+  //   to skip). FULL value oracle: DuckDB replays the trim, the 16-band
+  //   strided energy signature + lower-median signs + log2-length bucket
+  //   (the coarse key), the full x96 DCT hash, and the gated pair
+  //   contract — pairs iff equal coarse key AND Hamming ≤ 2.
+  private val x107 = Probe(
+    "x107_audio_near_dup_gated",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val g = floor(col("doc_id") / 3).cast("long")
+      val v = pmod(col("doc_id"), lit(3L))
+      val cls = pmod(g * 3 + 5, lit(211L)) +
+        when(v === 2L, lit(212L)).otherwise(lit(1L))
+      val baseArr = transform(sequence(lit(0L), lit(319L)), i =>
+        (lit(1L) - lit(2L) * (i % 2L)) *
+          (lit(9L) + pmod(i * 73L + cls * lit(7919L) + i * i * lit(31L) + i * cls * lit(101L),
+            lit(1980L))))
+      val samples = when(v === 1L, transform(baseArr, x => x * lit(2L))).otherwise(baseArr)
+      val fix = docs.select(col("doc_id").as("media_id"), samples.as("samples"))
+      Multimodal.audioNearDupPairsGated(fix, "media_id", col("samples"), maxDist = 2)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val kRows = (for (x <- 0 until 16; u <- 1 to 8)
+        yield s"($x, $u, ${math.round(math.cos((2 * x + 1) * u * math.Pi / 32) * 1024.0)})")
+        .mkString(", ")
+      val pw = (0 until 64).map(c =>
+        s"($c, ${if (c == 63) "(-9223372036854775807 - 1)" else (1L << c).toString})")
+        .mkString(", ")
+      val pw32 = (0 until 32).map(b => s"($b, ${1L << b})").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id AS media_id,
+         |    (doc_id // 3 * 3 + 5) % 211 +
+         |      CASE WHEN doc_id % 3 = 2 THEN 212 ELSE 1 END AS s,
+         |    doc_id % 3 AS v
+         |  FROM documents),
+         |k AS (SELECT * FROM (VALUES $kRows) t(x, u, kv)),
+         |pw AS (SELECT * FROM (VALUES $pw) t(c, pv)),
+         |pw32 AS (SELECT * FROM (VALUES $pw32) t(b, pv)),
+         |idx AS (SELECT unnest(generate_series(0, 319)) AS i),
+         |samp AS (
+         |  SELECT b.media_id, idx.i,
+         |    CAST((1 - 2 * (idx.i % 2)) *
+         |      (9 + ((idx.i * 73 + b.s * 7919 + idx.i * idx.i * 31 + idx.i * b.s * 101) % 1980)) *
+         |      (CASE WHEN b.v = 1 THEN 2 ELSE 1 END) AS BIGINT) AS sv
+         |  FROM base b, idx),
+         |tr AS (SELECT media_id, min(i) AS lo, max(i) AS hi
+         |  FROM samp WHERE abs(sv) > 8 GROUP BY 1),
+         |-- coarse key: 32 bands x 4 strided |s| reads over the trimmed span,
+         |-- band-sum signs vs the lower median, plus the log2-length bucket
+         |bnd AS (SELECT unnest(generate_series(0, 127)) AS bi),
+         |bpos AS (
+         |  SELECT t.media_id, bnd.bi // 4 AS b, t.hi - t.lo + 1 AS len,
+         |    t.lo + (bnd.bi * (t.hi - t.lo + 1)) // 128 AS p
+         |  FROM tr t, bnd),
+         |bsum AS (
+         |  SELECT bp.media_id, bp.b, any_value(bp.len) AS len, sum(abs(s2.sv)) AS bs
+         |  FROM bpos bp JOIN samp s2 ON s2.media_id = bp.media_id AND s2.i = bp.p
+         |  GROUP BY 1, 2),
+         |bmed AS (
+         |  SELECT media_id, bs AS m FROM (
+         |    SELECT media_id, bs, row_number() OVER (
+         |      PARTITION BY media_id ORDER BY bs) AS rn FROM bsum)
+         |  WHERE rn = 16),
+         |ck AS (
+         |  SELECT bsum.media_id,
+         |    CAST(length(bin(any_value(bsum.len))) - 1 AS BIGINT) * 4294967296 +
+         |      sum(CASE WHEN bsum.bs > bmed.m THEN pw32.pv ELSE 0 END) AS ckv
+         |  FROM bsum JOIN bmed ON bmed.media_id = bsum.media_id
+         |  JOIN pw32 ON pw32.b = bsum.b
+         |  GROUP BY 1),
+         |-- full x96 DCT hash
+         |cell AS (SELECT unnest(generate_series(0, 255)) AS gidx),
+         |gpos AS (
+         |  SELECT t.media_id, c.gidx, t.lo + (c.gidx * (t.hi - t.lo + 1)) // 256 AS p
+         |  FROM tr t, cell c),
+         |grid AS (
+         |  SELECT g.media_id, g.gidx % 16 AS x, g.gidx // 16 AS y, s2.sv AS lu
+         |  FROM gpos g JOIN samp s2 ON s2.media_id = g.media_id AND s2.i = g.p),
+         |rp AS (
+         |  SELECT l.media_id, l.y, k.u, sum(l.lu * k.kv) AS r
+         |  FROM grid l JOIN k ON k.x = l.x GROUP BY 1, 2, 3),
+         |cf AS (
+         |  SELECT rp.media_id, rp.u, k.u AS vv, sum(k.kv * rp.r) AS cv
+         |  FROM rp JOIN k ON k.x = rp.y GROUP BY 1, 2, 3),
+         |med AS (
+         |  SELECT media_id, cv AS m FROM (
+         |    SELECT media_id, cv, row_number() OVER (
+         |      PARTITION BY media_id ORDER BY cv) AS rn FROM cf)
+         |  WHERE rn = 32),
+         |bits AS (
+         |  SELECT cf.media_id,
+         |    CAST(sum(CASE WHEN cf.cv > med.m THEN pw.pv ELSE 0 END) AS BIGINT) AS h
+         |  FROM cf JOIN med ON med.media_id = cf.media_id
+         |  JOIN pw ON pw.c = (cf.u - 1) * 8 + (cf.vv - 1)
+         |  GROUP BY 1)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |FROM bits a JOIN bits b ON a.media_id < b.media_id
+         |JOIN ck ca ON ca.media_id = a.media_id
+         |JOIN ck cb ON cb.media_id = b.media_id
+         |WHERE ca.ckv = cb.ckv AND bit_count(xor(a.h, b.h)) <= 2
+         |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
+    })
+
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x99, x100, x101, x102, x105)
+    x95, x96, x97, x98, x99, x100, x101, x102, x105, x107)
 }

@@ -121,6 +121,26 @@ class EtlGoldenSpec extends SparkSpec {
     assert(report.count() == 8 * 4, "8 checkpoints x (1 non-empty + 3 null checks)")
   }
 
+  test("re-run into the same warehouse: first run's frames stay live; release() sweeps its stage") {
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "rerunwh").toString
+    val csvDir = warehouseDir.replace("/warehouse", "/input")
+    val cfg = EtlJob.Config(csvDir, s"$base/warehouse", clock = () => "2026-01-01 00:00:00")
+    val first = EtlJob.run(spark, cfg)
+    val factBefore = first.fact.count()
+    // second run targets the SAME warehouse; a fixed stage path would
+    // overwrite the files the first run's lazy frames still read from
+    val second = EtlJob.run(spark, cfg)
+    assert(first.stagePath.isDefined && second.stagePath.isDefined &&
+      first.stagePath != second.stagePath, "stage dirs must be run-unique")
+    assert(first.fact.count() == factBefore, "first run's frames re-read their own stage")
+    // release sweeps exactly the released run's stage dir
+    EtlJob.release(first)
+    assert(!Files.exists(Paths.get(first.stagePath.get)))
+    assert(second.fact.count() == factBefore, "second run unaffected by first's release")
+    EtlJob.release(second)
+    assert(!Files.exists(Paths.get(second.stagePath.get)))
+  }
+
   test("uuid parity mode keeps FK closure via pinned evaluation") {
     val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "uuidwh").toString
     val csvDir = warehouseDir.replace("/warehouse", "/input")

@@ -110,6 +110,75 @@ class IvfSpec extends SparkSpec {
     assert(fromIndex == live, "the persisted PQ index must answer identically to the live path")
   }
 
+  test("index maintenance: drifted append skews one list; rebalance splits it; recall re-gates ≥ 0.9") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "ivf_maint").toString
+    val a = emb.filter($"vec_id" % 3 =!= 0)
+    // drifted batch: a positive-orthant blob the quantizer never saw,
+    // with 8 coordinate-rotation sub-blobs — under the FROZEN centroids
+    // every member argmaxes to the same list (the +1 offset dominates),
+    // but a retrained quantizer can and should split the sub-structure
+    val b = emb.filter($"vec_id" % 3 === 0)
+      .select($"vec_id",
+        transform(sequence(lit(0), size($"embedding") - 1), j =>
+          abs(element_at($"embedding",
+            pmod(j + pmod($"vec_id", lit(8L)).cast("int"), size($"embedding")) + 1)) + lit(1.0f))
+          .as("embedding"))
+    val cents = Ivf.train(a, "vec_id", "embedding", k = 16, iters = 2)
+    Ivf.writeIndex(dir, a, "vec_id", "embedding", cents)
+    Ivf.appendToIndex(spark, dir, b, "vec_id", "embedding")
+    Ivf.appendToIndex(spark, dir, b, "vec_id", "embedding") // idempotent re-ingest
+    val (_, lists) = Ivf.readIndex(spark, dir)
+    val n = emb.count()
+    assert(lists.count() == n, "append must fold every vector exactly once")
+    // skew evidence: the whole drifted batch piles into ONE frozen list
+    val bCount = b.count()
+    val bListSizes = lists.join(b.select($"vec_id"), Seq("vec_id"), "left_semi")
+      .groupBy($"centroid_id").count().as[(Long, Long)].collect().toMap
+    assert(bListSizes.values.max >= (bCount * 0.9).toLong,
+      s"drift fixture must skew into one list, got $bListSizes")
+    // rebalance: split-and-refine behind the marker protocol
+    Ivf.rebalanceIndex(spark, dir, "vec_id", "embedding")
+    val (cents2, lists2) = Ivf.readIndex(spark, dir)
+    assert(lists2.count() == n, "rebalance must preserve the vector set")
+    assert(lists2.select("vec_id").distinct().count() == n)
+    val sizesAfter = lists2.groupBy($"centroid_id").count().as[(Long, Long)].collect().toMap
+    val meanAfter = n.toDouble / sizesAfter.size
+    assert(sizesAfter.values.max <= meanAfter * 2.0 + 1,
+      s"rebalance must leave no oversized list: max ${sizesAfter.values.max} vs mean $meanAfter")
+    assert(sizesAfter.values.max < bListSizes.values.max,
+      "the drifted blob must have been split")
+    // recall re-gate, the x38 discipline over the index's own vectors
+    val recall = Ivf.plantedRecall(spark, dir, "vec_id", "embedding", k = 5, nprobe = 4)
+    assert(recall >= 0.9, s"post-maintenance recall $recall must re-gate >= 0.9")
+    // searches over the rebalanced index still return true cosines: full
+    // probing equals brute force over the SAME vector set
+    val queries = lists2.filter($"vec_id" < 5)
+      .select(($"vec_id" + 1000000L).as("query_id"), $"embedding".as("qvec"))
+    val k2 = cents2.count().toInt
+    val full = Ivf.searchAssigned(queries, "query_id", "qvec", lists2, "vec_id", "embedding",
+        cents2, k = 5, nprobe = k2)
+      .select("query_id", "vec_id", "cosine_sim").as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, "query_id", "qvec",
+        lists2.select($"vec_id", $"embedding"), "vec_id", "embedding", 5)
+      .select("query_id", "vec_id", "cosine_sim").as[(Long, Long, Double)].collect().toSet
+    assert(full == brute, "full probing of the rebalanced index = exact search")
+    // crash drill: a rebalance that died AFTER publishing its marker (staging
+    // dirs committed, swap never ran) must be completed by the next reader
+    val before = lists2.orderBy("vec_id").as[(Long, Seq[Float], Double, Long)].collect().toSeq
+    spark.read.parquet(s"$dir/centroids").write.parquet(s"$dir/centroids.staging")
+    spark.read.parquet(s"$dir/lists")
+      .write.partitionBy("centroid_id").parquet(s"$dir/lists.staging")
+    graft.ops.Dedup.publishBatchMarker(spark, dir, Seq("centroids", "lists"))
+    val (_, healed) = Ivf.readIndex(spark, dir) // must finish the swap
+    assert(!new java.io.File(s"$dir/_compacting_batch.json").exists(),
+      "the reader must consume the marker")
+    assert(!new java.io.File(s"$dir/lists.staging").exists())
+    assert(healed.orderBy("vec_id").as[(Long, Seq[Float], Double, Long)].collect().toSeq
+      .map(r => (r._1, r._4)) == before.map(r => (r._1, r._4)),
+      "the healed index must carry the staged assignment")
+  }
+
   test("approx_count_distinct stays within 5% of exact (the documented 100-TB alternative)") {
     val ev = Readers.table(spark, sf0001, "events")
     val (exact, approx) = ev.agg(

@@ -917,6 +917,55 @@ class OpsSpec extends SparkSpec {
     assert(classifyPara() == paraBefore, "paragraph dedup changed after compaction")
   }
 
+  test("auto-compaction: appends past the part-file trigger fold in place; classification unchanged") {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "autoCompact").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(dir: String): Int =
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/part-*")))
+        .map(_.length).getOrElse(0)
+
+    val corpus = Seq((10L, "a b c d e f g h")).toDF("doc_id", "text")
+    Dedup.writeHashIndex(corpus, "doc_id", "text", s"$base/hash", expectedItems = 100L)
+    val baselineFiles = partFiles(s"$base/hash/hashes")
+    // appends below the trigger accumulate part files; the one that
+    // crosses it folds the table automatically — no compact* call anywhere
+    val trigger = baselineFiles + 3
+    var i = 0L
+    while (partFiles(s"$base/hash/hashes") < trigger - 1) {
+      Dedup.appendToHashIndex(spark, s"$base/hash",
+        Seq((100L + i, s"unique doc number $i body")).toDF("doc_id", "text"),
+        "doc_id", "text", autoCompactAt = trigger)
+      i += 1
+    }
+    val before = partFiles(s"$base/hash/hashes")
+    assert(before >= trigger - 1 && before < trigger, s"drill setup: $before files")
+    Dedup.appendToHashIndex(spark, s"$base/hash",
+      Seq((999L, "the crossing append body")).toDF("doc_id", "text"),
+      "doc_id", "text", autoCompactAt = trigger)
+    val after = partFiles(s"$base/hash/hashes")
+    assert(after < trigger, s"append past the trigger must fold the table, got $after files")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/hash/_compacting_batch.json")),
+      "the fold must consume its marker")
+    // every appended doc still classifies exact_dup against the folded table
+    val batch = ((0L until i).map(k => (5000L + k, s"unique doc number $k body")) :+
+      ((9000L, "the crossing append body")) :+ ((9001L, "never seen before text")))
+      .toDF("doc_id", "text")
+    val r = Dedup.incrementalExactIndexed(
+      Dedup.readHashIndex(spark, s"$base/hash"), batch, "doc_id", "text")
+    val rows = r.as[(Long, String, Option[Long])].collect()
+    r.unpersist()
+    assert(rows.count(_._2 == "exact_dup") == i + 1,
+      s"every pre-fold append must survive the fold: $rows")
+    assert(rows.filter(_._1 == 9001L).head._2 == "new")
+    // autoCompactAt = 0 disables: the next append accumulates again
+    Dedup.appendToHashIndex(spark, s"$base/hash",
+      Seq((1000L, "another unique body")).toDF("doc_id", "text"),
+      "doc_id", "text", autoCompactAt = 0)
+    assert(partFiles(s"$base/hash/hashes") > after, "autoCompactAt=0 must not fold")
+  }
+
   test("batch index compaction crash drills: pre-marker staging never publishes; post-marker swap self-heals on read") {
     val base = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(graft.TmpDir.root), "batchCrash").toString
@@ -1121,6 +1170,40 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.MediaCodec.pcm16(
       Multimodal.MediaRecord(99L, "bmp", Multimodal.MediaCodec.bmpBytes(4, 4), "synth"))
       .isEmpty)
+  }
+
+  test("audio gated pairs: coarse key shares the kernel invariances; gated = ungated on planted twins") {
+    def sig(cls: Long, n: Int): Seq[Int] = (0 until n).map { i =>
+      (1 - 2 * (i % 2)) * (9 + ((i * 73L + cls * 7919L + i.toLong * i * 31L + i * cls * 101L) % 1980L)).toInt
+    }
+    // mostly-singleton population (the crawl shape): 20 unique streams of
+    // varied length, plus 3 planted twin families (2x volume + padded)
+    val singles = (100L until 120L).map(c => (c, sig(c, 280 + (c % 7).toInt * 16)))
+    val twins = (0L until 3L).flatMap { cls =>
+      val base = sig(cls, 320)
+      Seq((cls * 10L, base), (cls * 10L + 1L, base.map(_ * 2)),
+        (cls * 10L + 2L, Seq.fill(40)(0) ++ base ++ Seq.fill(40)(0)))
+    }
+    val df = (singles ++ twins).toDF("media_id", "samples")
+    // the coarse key is exactly invariant to the pad/scale transforms
+    val keys = df.select($"media_id", Multimodal.audioCoarseKey64($"samples").as("k"))
+      .as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach { cls =>
+      assert(keys(cls * 10L) == keys(cls * 10L + 1L), s"class $cls: 2x volume moved the key")
+      assert(keys(cls * 10L) == keys(cls * 10L + 2L), s"class $cls: padding moved the key")
+    }
+    // degenerate streams key to 0 like they hash to 0
+    assert(Seq((0L, Seq.fill(50)(2)), (1L, Seq.empty[Int])).toDF("media_id", "samples")
+      .select(Multimodal.audioCoarseKey64($"samples")).as[Long].collect().toSeq == Seq(0L, 0L))
+    // gated result = ungated result on the planted fixture
+    def pairs(f: => org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      f.select($"id_a", $"id_b", $"hamming".cast("long")).as[(Long, Long, Long)].collect().toSet
+    val ungated = pairs(Multimodal.audioNearDupPairs(df, "media_id", $"samples", maxDist = 2))
+    val gated = pairs(Multimodal.audioNearDupPairsGated(df, "media_id", $"samples", maxDist = 2))
+    assert(ungated == (0L until 3L).flatMap(c => Seq(
+      (c * 10L, c * 10L + 1L, 0L), (c * 10L, c * 10L + 2L, 0L),
+      (c * 10L + 1L, c * 10L + 2L, 0L))).toSet, s"fixture drifted: $ungated")
+    assert(gated == ungated, s"gated must find every planted pair: $gated vs $ungated")
   }
 
   test("pHash64: column-stripe noise flips dHash in every class; the DC-cropped DCT hash never moves") {
@@ -2094,6 +2177,19 @@ class OpsSpec extends SparkSpec {
       idx.expectedItems, idx.fpp)
     assert(probe() == expected)
 
+    // crash window of the append's dfs swap: delete done, rename not —
+    // dfs missing, replacement stranded at dfs.staging. The reader must
+    // finish the rename (not fail on the missing parquet path).
+    locally {
+      val dfsDir = java.nio.file.Paths.get(s"$base/bench/dfs")
+      val stagingDir = java.nio.file.Paths.get(s"$base/bench/dfs.staging")
+      java.nio.file.Files.move(dfsDir, stagingDir)
+      assert(!java.nio.file.Files.exists(dfsDir))
+      assert(probe() == expected) // readBenchIndex self-heals
+      assert(java.nio.file.Files.exists(dfsDir) &&
+        !java.nio.file.Files.exists(stagingDir))
+    }
+
     // compaction: pair parts fold to one file, classification unchanged
     Decontaminate.compactBenchIndex(spark, s"$base/bench")
     val parts = new java.io.File(s"$base/bench/pairs").listFiles()
@@ -2212,6 +2308,47 @@ class OpsSpec extends SparkSpec {
         headThr = -0.5, midThr = -1.0)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L))
+  }
+
+  test("lm separation: trained gate ranks disfluent twins below fluent; bigram structure is the signal") {
+    // the classifier's round-trip drill at LM scale (r11 verdict task #5):
+    // x104 proved the gate BINDS; this proves the trained model WORKS —
+    // it ranks planted disfluent text below fluent text. Twins share the
+    // EXACT token multiset (scrambled order), so unigram mass is equal by
+    // construction and any separation is provably the learned bigram
+    // structure, not word choice.
+    val ref = Seq.tabulate(10)(i => Seq(
+      "the cat sat on the mat and then the cat slept",
+      "the dog sat on the rug and then the dog slept",
+      "a bird flew over the house and then a bird sang")(i % 3)).toDF("text")
+    val model = Lm.train(ref, "text", vocabSize = 32, bigramSize = 64,
+      minBigramCount = 2L)
+    val fluent = "the cat sat on the mat and then the dog slept"
+    val disfluent = "mat the slept cat dog on the and sat then the" // same multiset
+    assert(fluent.split(" ").sorted.toSeq == disfluent.split(" ").sorted.toSeq,
+      "fixture: twins must share the exact token multiset")
+    val twins = Seq((1L, fluent), (2L, disfluent)).toDF("doc_id", "text")
+    val scored = Lm.annotate(twins, model)
+      .select("doc_id", "slm_n_toks", "slm_mean_log10p")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(scored(1L)._1 == scored(2L)._1, "twins must have equal token counts")
+    val (fluentMean, disfluentMean) = (scored(1L)._2, scored(2L)._2)
+    assert(fluentMean > disfluentMean + 0.3,
+      s"trained model must rank fluent ($fluentMean) clearly above scrambled ($disfluentMean)")
+    // negative control: with the bigram table compiled away the twins are
+    // indistinguishable — the separation above IS the trained structure
+    val uniOnly = Lm.modelFromCounts(Lm.trainCounts(ref), vocabSize = 32,
+      bigramSize = 64, minBigramCount = Long.MaxValue)
+    val uniScored = Lm.annotate(twins, uniOnly)
+      .select("doc_id", "slm_mean_log10p").as[(Long, Double)].collect().toMap
+    assert(uniScored(1L) == uniScored(2L),
+      "unigram-only twin scores must be identical — equal multisets")
+    // a gate thresholded between the twins keeps exactly the fluent one
+    val mid = (fluentMean + disfluentMean) / 2
+    val kept = Lm.gateFilter(twins,
+        Lm.gateOf(model, keep = Seq("head"), headThr = mid, midThr = mid - 1.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"gate must keep the fluent twin only, kept $kept")
   }
 
   test("classifier train: exact NB weights, partition-invariant, round-trip separates classes") {
