@@ -30,10 +30,33 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap is CLAMPED at 31g (CompressedOops ceiling), not passed through
+// verbatim: the round-12 same-host A/B isolated the r11 "q17@sf1 reads
+// 10x in the official artifact" mystery to exactly this knob — at
+// SPARK_DRIVER_MEM=89g the identical tree reads q17@sf1 at 59.0s
+// (heap peaks 20-42 GB, gc 4-22 s/sample, compressed oops off, the
+// giant G1 young gen turns the allocation-heavy JSON synth+parse into
+// a memory-bandwidth-bound path) vs 16.1s at -Xmx16g thirty minutes
+// apart. No workload in this repo peaks above ~8 GB used at 16g; a
+// >31g request is an environment default, not a need, and costs 3.7x
+// on the heaviest query. Smaller explicit values pass through.
+val forkedHeap: String = {
+  val raw = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g").trim.toLowerCase
+  val mb: Long =
+    try {
+      val num = raw.takeWhile(_.isDigit).toLong
+      raw.dropWhile(c => c.isDigit) match {
+        case "m" | "mb"      => num
+        case "k" | "kb"      => num / 1024
+        case _ /* g | gb */  => num * 1024
+      }
+    } catch { case _: Throwable => 16 * 1024L }
+  if (mb > 31 * 1024L) "16g" else raw
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx$forkedHeap",
   // Spark generates a janino class per codegen stage; the JVM's default
   // 240MB code cache fills over a many-query session, the JIT stops
   // compiling, and stages silently run interpreted (observed 40x

@@ -382,6 +382,17 @@ object Bench {
     def dropPersisted(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // the q17 probe writes a fresh UUID-named parquet stage per call and
+      // its frame dies with the sample — sweep the dirs here (a 48-query
+      // 3-round run otherwise leaks ~150 stage dirs into target/)
+      Option(new java.io.File(graft.TmpDir.root)
+          .listFiles((_, n) => n.startsWith("parcel_flat_stage_")))
+        .foreach(_.foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(d)
+        })
       System.gc()
     }
 
@@ -655,12 +666,21 @@ object Bench {
   private def q17Breakdown(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import graft.etl._
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val cores = Runtime.getRuntime.availableProcessors
     def timed[A](label: String)(f: => A): A = {
+      // full per-stage attribution (gc/cpu_share/jit/heap/load): the r11
+      // official artifact read q17@sf1 at 3× the builder's CPU-seconds
+      // with nothing recorded to say WHERE the cycles went — every stage
+      // of the breakdown must carry the same telemetry as a bench sample
+      val (gc0, cpu0, jit0, l0) = (gcMillis(), processCpuNanos(), jitMillis(), load1())
+      resetHeapPeaks()
       val t0 = System.nanoTime()
       val r = f
       val dt = (System.nanoTime() - t0) / 1e9
       out += label -> dt
-      System.err.println(f"[bench-breakdown] $label: $dt%.3f s")
+      val cpuShare =
+        if (cpu0 < 0) -1.0 else (processCpuNanos() - cpu0) / 1e9 / (dt * cores.toDouble)
+      System.err.println(f"""{"bench_breakdown":"$label","sec":$dt%.3f,"gc_ms":${gcMillis() - gc0},"cpu_share":$cpuShare%.2f,"jit_ms":${jitMillis() - jit0},"heap_peak_mb":${heapPeakMb()}%.0f,"code_cache_mb":${codeCacheMb()._1}%.0f,"load1":$l0%.2f,"load1_end":${load1()}%.2f}""")
       r
     }
     val events = graft.sources.Readers.table(spark, sfDir, "events")

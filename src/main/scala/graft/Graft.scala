@@ -251,6 +251,24 @@ object Graft {
       textCol: String = "text", keep: Seq[String] = Seq("head", "middle")): DataFrame =
     Lm.perplexityPrune(docs, model, textCol, keep)
 
+  /** [[trainLm]] at the TRIGRAM order (the production KenLM/CCNet grain):
+    * counts stay one corpus scan and additive ([[mergeLmCounts]] applies
+    * unchanged — use [[graft.ops.Lm.trainCounts3]] +
+    * [[graft.ops.Lm.modelFromCounts3]] for the incremental shape); score
+    * with [[lmAnnotateTrained3]] — recursive tri→bi→uni stupid backoff,
+    * still a shuffle-free map-literal projection.
+    */
+  def trainLm3(ref: DataFrame, textCol: String = "text", vocabSize: Int = 1024,
+      bigramSize: Int = 4096, trigramSize: Int = 4096,
+      minBigramCount: Long = 2L, minTrigramCount: Long = 2L): DataFrame =
+    Lm.train3(ref, textCol, vocabSize, bigramSize, trigramSize,
+      minBigramCount, minTrigramCount)
+
+  /** Score documents through a [[trainLm3]] trigram model. */
+  def lmAnnotateTrained3(docs: DataFrame, model: DataFrame,
+      textCol: String = "text"): DataFrame =
+    Lm.annotate3(docs, model, textCol)
+
   // — sessionization ([[graft.ops.Sessionize]]) ———————————————————————————
   def sessionize(events: DataFrame, idCol: String, tsCol: String, gap: String,
       valueCol: Option[String] = None): DataFrame =

@@ -67,6 +67,15 @@ object Lm {
         .otherwise(array().cast("array<string>"))
     }
 
+  private def trigramsOf(toksE: Column): Column =
+    graft.Canonical.bindOnce(toksE) { toks =>
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))
+    }
+
   /** The model's SUFFICIENT STATISTICS: raw (unfolded) unigram and bigram
     * counts as `(kind 'uni'|'bi', term, n)` — ONE corpus scan (both
     * grains explode together into one map-side-combined count shuffle,
@@ -94,6 +103,31 @@ object Lm {
       .groupBy(col("__kt")).agg(count(lit(1)).as("n"))
       .select(
         when(substring(col("__kt"), 1, 2) === "u ", "uni").otherwise("bi").as("kind"),
+        expr("substring(__kt, 3)").as("term"),
+        col("n"))
+  }
+
+  /** [[trainCounts]] with the TRIGRAM grain included (`kind = 'tri'`,
+    * raw unfolded counts) — still ONE corpus scan (all three grains
+    * explode together), still ADDITIVE (so [[mergeCounts]] and the
+    * incremental-retrain contract carry over unchanged). A separate
+    * function, not a flag: the bigram pipeline's cost and x101/x102
+    * hashes stay byte-identical.
+    */
+  def trainCounts3(ref: DataFrame, textCol: String = "text"): DataFrame = {
+    val tagged = graft.Canonical.bindOnce(
+        TextStats.lmTokens(coalesce(col(textCol), lit("")))) { toks =>
+      concat(
+        transform(toks, t => concat(lit("u "), t)),
+        transform(bigramsOf(toks), b => concat(lit("b "), b)),
+        transform(trigramsOf(toks), g => concat(lit("t "), g)))
+    }
+    ref.select(explode(tagged).as("__kt"))
+      .groupBy(col("__kt")).agg(count(lit(1)).as("n"))
+      .select(
+        when(substring(col("__kt"), 1, 2) === "u ", "uni")
+          .when(substring(col("__kt"), 1, 2) === "b ", "bi")
+          .otherwise("tri").as("kind"),
         expr("substring(__kt, 3)").as("term"),
         col("n"))
   }
@@ -186,6 +220,71 @@ object Lm {
     modelFromCounts(trainCounts(ref, textCol), vocabSize, bigramSize,
       minBigramCount, alpha)
 
+  /** Compile a TRIGRAM stupid-backoff model from [[trainCounts3]]
+    * statistics: the [[modelFromCounts]] uni/bi rows plus `kind = "tri"`
+    * rows — the kept trigrams over the [[Unk]]-folded stream, `n =
+    * c(w₁w₂w₃)` and `centi = ⌊100·log10(n / c(w₁w₂)) + 0.5⌋` (≤ 0 always;
+    * the denominator is the FULL folded bigram count, not the capped
+    * model table — a trigram's backing bigram may have lost the bigram
+    * top-K and its ratio must not change because of it). The fold
+    * commutes with counting exactly as at the bigram grain; the
+    * denominator attaches by a distinct-bigram-bounded JOIN (unlike the
+    * bigram grain's V+1-bounded map literal, folded-bigram space is not
+    * driver-safe). Caps: top `trigramSize` by (count DESC, term ASC)
+    * with count ≥ `minTrigramCount`.
+    */
+  def modelFromCounts3(counts: DataFrame, vocabSize: Int = 1024,
+      bigramSize: Int = 4096, trigramSize: Int = 4096,
+      minBigramCount: Long = 2L, minTrigramCount: Long = 2L,
+      alpha: Double = 1.0): DataFrame = {
+    // pinned once; modelFromCounts re-pins its own copy (cheap — the
+    // frame is already distinct-term-bounded)
+    val pinned = counts.localCheckpoint()
+    val base = modelFromCounts(pinned, vocabSize, bigramSize, minBigramCount, alpha)
+      .localCheckpoint() // feeds the vocab fold below AND the union
+    val vocabN: Map[String, Long] = base
+      .filter(col("kind") === "uni" && col("term") =!= Unk)
+      .select(col("term"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vset = typedlit(vocabN)
+    def foldTerm(t: Column): Column =
+      when(element_at(vset, t).isNotNull, t).otherwise(lit(Unk))
+    def foldedKey(parts: Column, upTo: Int): Column =
+      concat_ws(" ", (0 until upTo).map(i => foldTerm(parts.getItem(i))): _*)
+    // FULL folded bigram counts (no min filter, no cap) — the denominators
+    val biFull = pinned.filter(col("kind") === "bi")
+      .select(graft.Canonical.bindOnce(split(col("term"), " ")) { p =>
+        foldedKey(p, 2)
+      }.as("__prefix"), col("n"))
+      .groupBy(col("__prefix")).agg(sum(col("n")).as("__pn"))
+    val triModel = pinned.filter(col("kind") === "tri")
+      .select(graft.Canonical.bindOnce(split(col("term"), " ")) { p =>
+        foldedKey(p, 3)
+      }.as("term"), col("n"))
+      .groupBy(col("term")).agg(sum(col("n")).as("n"))
+      .filter(col("n") >= lit(minTrigramCount))
+      .orderBy(col("n").desc, col("term").asc).limit(trigramSize)
+      .withColumn("__prefix", graft.Canonical.bindOnce(split(col("term"), " ")) { p =>
+        concat_ws(" ", p.getItem(0), p.getItem(1))
+      })
+      .join(biFull, Seq("__prefix"))
+      .withColumn("centi",
+        floor(log10(col("n").cast("double") / col("__pn").cast("double"))
+          * lit(100.0) + lit(0.5)).cast("long"))
+    base.unionByName(
+      triModel.select(lit("tri").as("kind"), col("term"), col("n"), col("centi")))
+  }
+
+  /** Train a TRIGRAM stupid-backoff model —
+    * `modelFromCounts3(trainCounts3(ref))`.
+    */
+  def train3(ref: DataFrame, textCol: String = "text", vocabSize: Int = 1024,
+      bigramSize: Int = 4096, trigramSize: Int = 4096,
+      minBigramCount: Long = 2L, minTrigramCount: Long = 2L,
+      alpha: Double = 1.0): DataFrame =
+    modelFromCounts3(trainCounts3(ref, textCol), vocabSize, bigramSize,
+      trigramSize, minBigramCount, minTrigramCount, alpha)
+
   /** Collect a [[train]]ed model into the two driver-side maps
     * [[annotateWith]] scores through (bounded by
     * `vocabSize + bigramSize + 1` rows by construction).
@@ -259,6 +358,76 @@ object Lm {
     annotateWith(docs, u, b, textCol, headThr, midThr)
   }
 
+  /** Collect a [[train3]]ed model into the three driver-side maps
+    * (bounded by `vocabSize + bigramSize + trigramSize + 1` rows).
+    */
+  def tables3(model: DataFrame): (Map[String, Long], Map[String, Long], Map[String, Long]) = {
+    val rows = model.select(col("kind"), col("term"), col("centi")).collect()
+    def of(k: String) = rows.filter(_.getString(0) == k)
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val uni = of("uni")
+    require(uni.contains(Unk), s"model has no '$Unk' row — not a Lm.train3 output")
+    (uni, of("bi"), of("tri"))
+  }
+
+  /** Score documents through a TRIGRAM stupid-backoff model — the
+    * [[annotateWith]] columns with the recursive backoff
+    *
+    *   token 1: unigram;
+    *   token 2: bigram, or backoff → unigram + [[BackoffCenti]];
+    *   token i ≥ 3: trigram, or backoff → [[BackoffCenti]] + (bigram, or
+    *     backoff → unigram + [[BackoffCenti]])
+    *
+    * — every arm an exact integer, the whole score an order-free SUM, so
+    * the scoring stays a shuffle-free codegen'd projection over three
+    * `typedlit` map literals.
+    */
+  def annotateWith3(docs: DataFrame, uni: Map[String, Long],
+      bi: Map[String, Long], tri: Map[String, Long], textCol: String = "text",
+      headThr: Double = HeadThreshold, midThr: Double = MiddleThreshold): DataFrame = {
+    require(uni.contains(Unk), s"unigram table has no '$Unk' entry")
+    val uniLut = typedlit(uni)
+    val biLut = if (bi.isEmpty) typedlit(Map("" -> 0L)) else typedlit(bi)
+    val triLut = if (tri.isEmpty) typedlit(Map("" -> 0L)) else typedlit(tri)
+    val unkCenti = lit(uni(Unk))
+    val textSafe = coalesce(col(textCol), lit(""))
+    val folded = graft.Canonical.bindOnce(TextStats.lmTokens(textSafe)) { toks =>
+      transform(toks, t => when(element_at(uniLut, t).isNotNull, t).otherwise(lit(Unk)))
+    }
+    val centiSum = graft.Canonical.bindOnce(folded) { m =>
+      def uniOf(t: Column): Column = coalesce(element_at(uniLut, t), unkCenti)
+      def biScore(i: Column): Column = coalesce(
+        element_at(biLut, concat_ws(" ", element_at(m, i - 1), element_at(m, i))),
+        uniOf(element_at(m, i)) + lit(BackoffCenti))
+      val first = when(size(m) >= 1, uniOf(element_at(m, 1))).otherwise(lit(0L))
+      val second = when(size(m) >= 2, biScore(lit(2))).otherwise(lit(0L))
+      val rest = when(size(m) >= 3,
+        aggregate(sequence(lit(3), size(m)), lit(0L), (acc, i) =>
+          acc + coalesce(
+            element_at(triLut, concat_ws(" ",
+              element_at(m, i - 2), element_at(m, i - 1), element_at(m, i))),
+            lit(BackoffCenti) + biScore(i)))).otherwise(lit(0L))
+      first + second + rest
+    }
+    val mean = graft.Canonical.round4(
+      col("slm_centi_sum").cast("double") / (lit(100.0) * col("slm_n_toks")))
+    docs
+      .withColumn("slm_n_toks", size(TextStats.lmTokens(textSafe)).cast("long"))
+      .withColumn("slm_centi_sum", centiSum)
+      .withColumn("slm_mean_log10p", when(col("slm_n_toks") > 0, mean))
+      .withColumn("slm_bucket",
+        when(col("slm_mean_log10p") >= headThr, "head")
+          .when(col("slm_mean_log10p") >= midThr, "middle")
+          .otherwise("tail"))
+  }
+
+  /** [[annotateWith3]] over a model FRAME. */
+  def annotate3(docs: DataFrame, model: DataFrame, textCol: String = "text",
+      headThr: Double = HeadThreshold, midThr: Double = MiddleThreshold): DataFrame = {
+    val (u, b, g) = tables3(model)
+    annotateWith3(docs, u, b, g, textCol, headThr, midThr)
+  }
+
   /** The CCNet gate over a trained model: keep head+middle. */
   def perplexityPrune(docs: DataFrame, model: DataFrame, textCol: String = "text",
       keep: Seq[String] = Seq("head", "middle"),
@@ -330,6 +499,106 @@ object Lm {
        |__lm2_model AS (
        |  SELECT 'uni' AS kind, term, n, centi FROM unim
        |  UNION ALL SELECT 'bi', term, n, centi FROM bim)""".stripMargin
+
+  /** [[trainSql]] extended to the TRIGRAM grain: the same chain plus the
+    * unfiltered folded-bigram denominators (`bgall`) and the capped
+    * folded-trigram table. Ends in `__lm3_model(kind, term, n, centi)`
+    * with kind ∈ uni/bi/tri; the uni/bi rows are IDENTICAL to
+    * [[trainSql]]'s (`bg` is `bgall` filtered, so the bigram model is
+    * unchanged by the added grain).
+    */
+  def trainSql3(vocabSize: Int = 1024, bigramSize: Int = 4096,
+      trigramSize: Int = 4096, minBigramCount: Long = 2L,
+      minTrigramCount: Long = 2L): String =
+    s"""t2 AS (SELECT regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS tk
+       |       FROM __lm2_ref),
+       |uc AS (SELECT u AS term, CAST(count(*) AS BIGINT) AS n
+       |       FROM (SELECT unnest(tk) AS u FROM t2) GROUP BY 1),
+       |voc AS (SELECT term, n FROM uc ORDER BY n DESC, term ASC LIMIT $vocabSize),
+       |tot AS (SELECT coalesce(CAST(sum(n) AS BIGINT), 0) AS nn FROM uc),
+       |vt AS (SELECT count(*) AS v, coalesce(CAST(sum(n) AS BIGINT), 0) AS vn,
+       |              list(term) AS vs
+       |       FROM voc),
+       |uni AS (SELECT term, n FROM voc
+       |        UNION ALL SELECT '${Unk}', tot.nn - vt.vn FROM tot, vt),
+       |unim AS (SELECT term, n,
+       |    CAST(floor(log10((n + 1.0) / (tot.nn + 1.0 * (vt.v + 1))) * 100.0 + 0.5)
+       |      AS BIGINT) AS centi
+       |  FROM uni, tot, vt),
+       |fold AS (SELECT list_transform(tk,
+       |    t -> CASE WHEN list_contains(vt.vs, t) THEN t ELSE '${Unk}' END) AS m
+       |  FROM t2, vt),
+       |bgall AS (SELECT b AS term, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(CASE WHEN len(m) >= 2
+       |      THEN list_transform(range(1, len(m)), i -> m[i] || ' ' || m[i + 1])
+       |      ELSE [] END) AS b FROM fold)
+       |  GROUP BY 1),
+       |bgt AS (SELECT term, n FROM bgall WHERE n >= $minBigramCount
+       |        ORDER BY n DESC, term ASC LIMIT $bigramSize),
+       |bim AS (SELECT bgt.term AS term, bgt.n AS n,
+       |    CAST(floor(log10(bgt.n * 1.0 / u1.n) * 100.0 + 0.5) AS BIGINT) AS centi
+       |  FROM bgt JOIN uni u1 ON u1.term = split_part(bgt.term, ' ', 1)),
+       |tg AS (SELECT g AS term, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(CASE WHEN len(m) >= 3
+       |      THEN list_transform(range(1, len(m) - 1),
+       |        i -> m[i] || ' ' || m[i + 1] || ' ' || m[i + 2])
+       |      ELSE [] END) AS g FROM fold)
+       |  GROUP BY 1 HAVING count(*) >= $minTrigramCount),
+       |tgt AS (SELECT term, n FROM tg ORDER BY n DESC, term ASC LIMIT $trigramSize),
+       |trim3 AS (SELECT tgt.term AS term, tgt.n AS n,
+       |    CAST(floor(log10(tgt.n * 1.0 / ba.n) * 100.0 + 0.5) AS BIGINT) AS centi
+       |  FROM tgt JOIN bgall ba
+       |    ON ba.term = split_part(tgt.term, ' ', 1) || ' ' || split_part(tgt.term, ' ', 2)),
+       |__lm3_model AS (
+       |  SELECT 'uni' AS kind, term, n, centi FROM unim
+       |  UNION ALL SELECT 'bi', term, n, centi FROM bim
+       |  UNION ALL SELECT 'tri', term, n, centi FROM trim3)""".stripMargin
+
+  /** CTE chain replaying [[annotateWith3]] over `__lm2_in(…, text)`
+    * against `__lm3_model` — the recursive tri→bi→uni backoff with the
+    * same exact-integer composition. Same unique-row PRECONDITION as
+    * [[annotateSql]]. Ends in `__lm3_scored`.
+    */
+  def annotateSql3(headThr: Double = HeadThreshold,
+      midThr: Double = MiddleThreshold): String = {
+    val mean = graft.Canonical.round4Sql(
+      "CAST(slm_centi_sum AS DOUBLE) / (100.0 * slm_n_toks)")
+    s"""um AS (SELECT term AS __ut, centi AS __uc FROM __lm3_model WHERE kind = 'uni'),
+       |bm AS (SELECT term AS __bt, centi AS __bc FROM __lm3_model WHERE kind = 'bi'),
+       |tm AS (SELECT term AS __tt, centi AS __tc FROM __lm3_model WHERE kind = 'tri'),
+       |uvl AS (SELECT list(__ut) AS vs FROM um WHERE __ut <> '${Unk}'),
+       |stk AS (SELECT i.*, list_transform(
+       |    regexp_extract_all(lower(coalesce(i.text, '')), '[a-z0-9]+'),
+       |    t -> CASE WHEN list_contains(uvl.vs, t) THEN t ELSE '${Unk}' END) AS __m
+       |  FROM __lm2_in i, uvl),
+       |sex AS (SELECT *, CAST(len(__m) AS BIGINT) AS slm_n_toks,
+       |    unnest(CASE WHEN len(__m) = 0 THEN [CAST(NULL AS BIGINT)]
+       |           ELSE range(1, len(__m) + 1) END) AS __i
+       |  FROM stk),
+       |stok AS (SELECT *, CASE WHEN __i IS NULL THEN NULL ELSE __m[__i] END AS __w2,
+       |    CASE WHEN __i > 1 THEN __m[__i - 1] || ' ' || __m[__i] END AS __bg,
+       |    CASE WHEN __i > 2
+       |      THEN __m[__i - 2] || ' ' || __m[__i - 1] || ' ' || __m[__i] END AS __tg
+       |  FROM sex),
+       |ssc AS (SELECT * EXCLUDE (__w2, __bg, __tg, __i, __m, __ut, __uc, __bt, __bc, __tt, __tc),
+       |    CAST(sum(CASE WHEN __w2 IS NULL THEN 0
+       |      WHEN __i = 1 THEN __uc
+       |      WHEN __i = 2 THEN coalesce(__bc, __uc + ${BackoffCenti})
+       |      ELSE coalesce(__tc,
+       |        ${BackoffCenti} + coalesce(__bc, __uc + ${BackoffCenti})) END) AS BIGINT)
+       |      AS slm_centi_sum
+       |  FROM stok
+       |  LEFT JOIN um ON __ut = __w2
+       |  LEFT JOIN bm ON __bt = __bg
+       |  LEFT JOIN tm ON __tt = __tg
+       |  GROUP BY ALL),
+       |__lm3_scored AS (SELECT *,
+       |    CASE WHEN slm_n_toks > 0 THEN $mean END AS slm_mean_log10p,
+       |    CASE WHEN slm_n_toks > 0 AND $mean >= $headThr THEN 'head'
+       |         WHEN slm_n_toks > 0 AND $mean >= $midThr THEN 'middle'
+       |         ELSE 'tail' END AS slm_bucket
+       |  FROM ssc)""".stripMargin
+  }
 
   /** CTE chain replaying [[annotateWith]] over `__lm2_in(…, text)` against
     * `__lm2_model`: fold → first-token unigram + per-bigram

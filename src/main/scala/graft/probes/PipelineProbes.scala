@@ -1230,6 +1230,64 @@ object PipelineProbes {
             |FROM __lm2_scored
             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — TRIGRAM stupid backoff (x109/x110): the Brants '07 estimator at its
+  //   production order (KenLM/CCNet train ≥ trigram). Counts stay exact
+  //   sufficient statistics (one corpus scan, additive, mergeCounts
+  //   unchanged); the kept-trigram denominator is the UNFILTERED folded
+  //   bigram count attached by a distinct-bigram-bounded join (a capped
+  //   bigram table must not move a trigram's ratio). x109 value-checks
+  //   every model row; x110 scores the held-out split through the
+  //   recursive tri→bi→uni backoff — both with the x101/x102 null
+  //   plantings, caps small enough that all three elections BIND.
+  private val x109 = Probe(
+    "x109_lm_trigram_train",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(101L)) === 1L, lit(null: String))
+            .otherwise(col("text")).as("text"))
+      Lm.train3(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L), "text",
+          vocabSize = 256, bigramSize = 1024, trigramSize = 1024,
+          minBigramCount = 2L, minTrigramCount = 2L)
+        .orderBy("kind", "term")
+    },
+    Some(s"""WITH __lm2_ref AS (
+            |  SELECT CASE WHEN doc_id % 101 = 1 THEN NULL ELSE text END AS text
+            |  FROM documents WHERE doc_id % 3 <> 0),
+            |${Lm.trainSql3(vocabSize = 256, bigramSize = 1024, trigramSize = 1024,
+                minBigramCount = 2L, minTrigramCount = 2L)}
+            |SELECT kind, term, n, centi FROM __lm3_model
+            |ORDER BY kind ASC NULLS FIRST, term ASC NULLS FIRST""".stripMargin))
+
+  private val x110 = Probe(
+    "x110_lm_trigram_score",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(101L)) === 1L, lit(null: String))
+            .otherwise(col("text")).as("text"))
+      val model = Lm.train3(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L), "text",
+        vocabSize = 256, bigramSize = 1024, trigramSize = 1024,
+        minBigramCount = 2L, minTrigramCount = 2L)
+      Lm.annotate3(docs.filter(pmod(col("doc_id"), lit(3L)) === 0L)
+          .select(col("doc_id"), col("text")), model)
+        .select(col("doc_id"), col("slm_n_toks"), col("slm_centi_sum"),
+          col("slm_mean_log10p"), col("slm_bucket"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH planted AS (
+            |  SELECT doc_id,
+            |    CASE WHEN doc_id % 101 = 1 THEN NULL ELSE text END AS text
+            |  FROM documents),
+            |__lm2_ref AS (SELECT text FROM planted WHERE doc_id % 3 <> 0),
+            |${Lm.trainSql3(vocabSize = 256, bigramSize = 1024, trigramSize = 1024,
+                minBigramCount = 2L, minTrigramCount = 2L)},
+            |__lm2_in AS (SELECT doc_id, text FROM planted WHERE doc_id % 3 = 0),
+            |${Lm.annotateSql3()}
+            |SELECT doc_id, slm_n_toks, slm_centi_sum, slm_mean_log10p, slm_bucket
+            |FROM __lm3_scored
+            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
   // — Gopher document-shape quality rules ————————————————————————————————
   //   The non-repetition half of Rae '21 table A1 (word-count and
   //   mean-word-length bounds, #/ellipsis symbol ratio, bullet-start and
@@ -3248,5 +3306,5 @@ object PipelineProbes {
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x99, x100, x101, x102, x105, x107)
+    x95, x96, x97, x98, x99, x100, x101, x102, x105, x107, x109, x110)
 }

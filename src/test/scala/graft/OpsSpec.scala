@@ -2310,6 +2310,48 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("lm trigram: exact model rows, recursive backoff arithmetic, trigram context beats bigram") {
+    val ref = Seq.fill(3)("the cat sat on the mat").toDF("text")
+    val m3 = Lm.train3(ref, vocabSize = 8, bigramSize = 16, trigramSize = 16,
+      minBigramCount = 1L, minTrigramCount = 1L)
+    val rows = m3.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // hand replay: N=18, V=5, denom=24; c1(the)=6, others 3
+    assert(rows(("uni", "the")) == (6L, -54L))
+    assert(rows(("uni", "cat")) == (3L, -78L))
+    assert(rows(("uni", Lm.Unk)) == (0L, -138L))
+    assert(rows(("bi", "the cat")) == (3L, -30L))   // 3/6
+    assert(rows(("bi", "cat sat")) == (3L, 0L))     // 3/3
+    assert(rows(("tri", "the cat sat")) == (3L, 0L)) // 3 / c(the cat)=3
+    assert(rows(("tri", "on the mat")) == (3L, 0L))  // 3 / c(on the)=3
+    assert(rows.count(_._1._1 == "tri") == 4)
+    // scoring: every trigram hits → uni(the) + bi(the cat) + 4×0 = −84;
+    // the BIGRAM model pays "the mat" = −30 again → −114: the trigram
+    // order ranks the in-context continuation strictly higher
+    val doc = Seq((1L, "the cat sat on the mat"), (2L, "mat cat the"))
+      .toDF("doc_id", "text")
+    val s3 = Lm.annotate3(doc, m3)
+      .select("doc_id", "slm_n_toks", "slm_centi_sum")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(s3(1L) == (6L, -84L), s"got ${s3(1L)}")
+    // unseen context backs off recursively: uni(mat)=−78; bi(mat cat)
+    // missing → uni(cat)−78 + B(−40) = −118; tri(mat cat the) missing →
+    // B + (bi(cat the) missing → uni(the)−54 + B) = −134; total −330
+    assert(s3(2L) == (3L, -330L), s"got ${s3(2L)}")
+    val m2 = Lm.train(ref, vocabSize = 8, bigramSize = 16, minBigramCount = 1L)
+    val s2 = Lm.annotate(doc.filter($"doc_id" === 1L), m2)
+      .select("slm_centi_sum").as[Long].head()
+    assert(s2 == -114L, s"bigram model score $s2")
+    assert(s3(1L)._2 > s2, "trigram context must rank the fluent doc above the bigram score")
+    // trigram sufficient statistics stay additive (the mergeCounts contract)
+    val a = Seq("the cat sat on the mat").toDF("text")
+    val b = Seq.fill(2)("the cat sat on the mat").toDF("text")
+    def cnt(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cnt(Lm.mergeCounts(Lm.trainCounts3(a), Lm.trainCounts3(b)))
+      == cnt(Lm.trainCounts3(ref)))
+  }
+
   test("lm separation: trained gate ranks disfluent twins below fluent; bigram structure is the signal") {
     // the classifier's round-trip drill at LM scale (r11 verdict task #5):
     // x104 proved the gate BINDS; this proves the trained model WORKS —
