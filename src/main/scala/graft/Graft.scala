@@ -173,6 +173,25 @@ object Graft {
       cvec: String, k: Int = 5, nprobe: Int = 4): Double =
     Ivf.plantedRecall(spark, path, cid, cvec, k, nprobe)
 
+  /** The same lifecycle for the IVF-PQ layout: append under frozen
+    * quantizer+codebooks, rebalance lists (codes ride through unchanged),
+    * refresh codebooks + re-encode after distribution drift
+    * ([[graft.ops.Ivf.reencodePqIndex]]), and re-gate recall through the
+    * ADC path — with `nprobe`/`candMult` at blob width over
+    * near-dup-dense regions (see the scaladocs for the measured limits).
+    */
+  def ivfPqAppendToIndex(spark: SparkSession, path: String, newVecs: DataFrame,
+      cid: String, cvec: String): Unit =
+    Ivf.appendToPqIndex(spark, path, newVecs, cid, cvec)
+  def ivfPqRebalanceIndex(spark: SparkSession, path: String, cid: String,
+      cvec: String): Unit = Ivf.rebalancePqIndex(spark, path, cid, cvec)
+  def ivfPqReencodeIndex(spark: SparkSession, path: String, cid: String,
+      cvec: String, iters: Int = 3): Unit =
+    Ivf.reencodePqIndex(spark, path, cid, cvec, iters)
+  def ivfPqPlantedRecall(spark: SparkSession, path: String, cid: String,
+      cvec: String, k: Int = 5, nprobe: Int = 4, candMult: Int = 4): Double =
+    Ivf.plantedRecallPq(spark, path, cid, cvec, k, nprobe, candMult)
+
   // — text analysis ([[graft.ops.TextStats]]) ————————————————————————————
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     TextStats.withStats(docs, textCol)

@@ -782,18 +782,33 @@ object ScalePilot {
     // Same fixture on both arms; identical pair output (OpsSpec pins it);
     // the 32× walls should diverge by roughly the kernel/key cost ratio.
     def round12Queries(dir: String): Seq[(String, () => DataFrame)] = {
-      def audioFixture = {
-        val docs = tbl(dir, "documents")
-        val cls = col("doc_id") // unique per stream (copies shift doc_id)
-        val baseArr = transform(sequence(lit(0L), lit(319L)), i =>
-          (lit(1L) - lit(2L) * (i % 2L)) *
-            (lit(9L) + pmod(i * 73L + cls * lit(7919L) + i * i * lit(31L) +
-              i * cls * lit(101L), lit(1980L))))
-        val base = docs.select((col("doc_id") * 2).as("media_id"), baseArr.as("samples"))
-        val twins = docs.filter(pmod(col("doc_id"), lit(8L)) === 0L)
-          .select((col("doc_id") * 2 + 1).as("media_id"),
-            transform(baseArr, x => x * lit(2L)).as("samples"))
-        base.unionByName(twins)
+      // materialized ONCE per scale dir (the x49 marker-cache discipline):
+      // the arms must time the OPERATOR over a parquet lake — an in-plan
+      // array synthesis would re-run per scan and bill the gated arm's
+      // second pass for fixture construction, not gating
+      def audioFixture: DataFrame = {
+        val path = s"$dir/__audio_fixture_v2.parquet"
+        if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+          val docs = tbl(dir, "documents")
+          val cls = col("doc_id") // unique per stream (copies shift doc_id)
+          // TWO co-prime moduli: a single `… % 1980` makes every pick an
+          // affine function of cls mod 1980, so the WHOLE fixture held
+          // only 1980 distinct streams (measured: 160k "unique" docs →
+          // 1980 distinct hashes, ~90-member buckets — the gate
+          // degenerated to all-candidates and the pair stage to clique
+          // work). CRT over 1980×1009 keeps ~2M stream identities.
+          val baseArr = transform(sequence(lit(0L), lit(319L)), i =>
+            (lit(1L) - lit(2L) * (i % 2L)) *
+              (lit(9L) + pmod(i * 73L + cls * lit(7919L) + i * i * lit(31L) +
+                i * cls * lit(101L), lit(1980L)) +
+                lit(2L) * pmod(cls * lit(31L) + i * lit(997L), lit(1009L))))
+          val base = docs.select((col("doc_id") * 2).as("media_id"), baseArr.as("samples"))
+          val twins = docs.filter(pmod(col("doc_id"), lit(8L)) === 0L)
+            .select((col("doc_id") * 2 + 1).as("media_id"),
+              transform(baseArr, x => x * lit(2L)).as("samples"))
+          base.unionByName(twins).write.mode("overwrite").parquet(path)
+        }
+        spark.read.parquet(path)
       }
       // IVF drift lifecycle: both indexes are built off the clock (marker =
       // directory presence) — frozen holds the drifted append as ONE hot

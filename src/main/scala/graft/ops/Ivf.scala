@@ -308,13 +308,30 @@ object Ivf {
     */
   def rebalanceIndex(spark: SparkSession, path: String, cidCol: String,
       cvecCol: String, iters: Int = 2, splitFactor: Double = 2.0,
-      maxRounds: Int = 10): Unit = {
+      maxRounds: Int = 10): Unit =
+    rebalanceImpl(spark, path, cidCol, cvecCol, Nil, iters, splitFactor, maxRounds)
+
+  /** [[rebalanceIndex]] for a [[writePqIndex]] layout: identical
+    * split-and-refine (PQ codes are centroid-INDEPENDENT — reassignment
+    * moves a row between lists without re-encoding), with the `__codes`
+    * column carried through the rewrite by an id join. Codebooks are
+    * untouched.
+    */
+  def rebalancePqIndex(spark: SparkSession, path: String, cidCol: String,
+      cvecCol: String, iters: Int = 2, splitFactor: Double = 2.0,
+      maxRounds: Int = 10): Unit =
+    rebalanceImpl(spark, path, cidCol, cvecCol, Seq("__codes"), iters,
+      splitFactor, maxRounds)
+
+  private def rebalanceImpl(spark: SparkSession, path: String, cidCol: String,
+      cvecCol: String, extraCols: Seq[String], iters: Int, splitFactor: Double,
+      maxRounds: Int): Unit = {
     require(splitFactor > 1.0, s"splitFactor must exceed 1, got $splitFactor")
     Dedup.finishBatchCompaction(spark, path)
     // pin: the vector set feeds every split round, every Lloyd pass and
     // the final reassignment while the lists dir is eventually swapped
     val vecs = spark.read.parquet(s"$path/lists")
-      .select(col(cidCol), col(cvecCol)).localCheckpoint()
+      .select((Seq(cidCol, cvecCol) ++ extraCols).map(col): _*).localCheckpoint()
     var cents = spark.read.parquet(s"$path/centroids").localCheckpoint(true)
     var rnd = 0
     var balanced = false
@@ -406,9 +423,15 @@ object Ivf {
     }
     // publish through the shared staging + marker + swap protocol
     cents.write.mode("overwrite").parquet(s"$path/centroids.staging")
-    assign(vecs, cidCol, cvecCol, spark.read.parquet(s"$path/centroids.staging"))
+    val reassigned = assign(vecs, cidCol, cvecCol,
+        spark.read.parquet(s"$path/centroids.staging"))
       .withColumn("__cnorm", vec_norm(col(cvecCol)))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/lists.staging")
+    // assign() is an aggregate and drops passenger columns (PQ codes) —
+    // re-attach them by id
+    val staged =
+      if (extraCols.isEmpty) reassigned
+      else reassigned.join(vecs.select((cidCol +: extraCols).map(col): _*), Seq(cidCol))
+    staged.write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/lists.staging")
     Dedup.publishBatchMarker(spark, path, Seq("centroids", "lists"))
     Dedup.finishBatchCompaction(spark, path)
   }
@@ -427,6 +450,38 @@ object Ivf {
       cvecCol: String, k: Int = 5, nprobe: Int = 4, sampleMod: Long = 9L,
       idOffset: Long = 1000000000L): Double = {
     val (cents, lists) = readIndex(spark, path)
+    plantedRecallOver(lists, cidCol, cvecCol, k, nprobe, sampleMod, idOffset) {
+      (q, lists2) => searchAssigned(q, "__qid", "__qvec", lists2, cidCol,
+        cvecCol, cents, k, nprobe)
+    }
+  }
+
+  /** [[plantedRecall]] for a [[writePqIndex]] layout (searches through
+    * [[searchPqAssigned]] — the ADC cut is part of what is being gated).
+    * `candMult` is the recovery knob when the gate reads low over a
+    * NEAR-DUP-DENSE region: inside a cluster tighter than the PQ
+    * resolution (~cell diameter per subspace) every member's ADC score is
+    * the same number, the cut decays to id order, and no codebook refresh
+    * can help — only widening the cut past the blob's list size (or
+    * deduplicating before indexing — SemDeDup exists for exactly this)
+    * restores the exact rerank's reach. Measured in IvfSpec: the drifted
+    * blob reads 0.70 at the default cut — before AND after
+    * [[reencodePqIndex]], the signature of sub-resolution density — and
+    * re-gates ≥ 0.9 with the widened cut.
+    */
+  def plantedRecallPq(spark: SparkSession, path: String, cidCol: String,
+      cvecCol: String, k: Int = 5, nprobe: Int = 4, candMult: Int = 4,
+      sampleMod: Long = 9L, idOffset: Long = 1000000000L): Double = {
+    val (cents, lists, cb) = readPqIndex(spark, path)
+    plantedRecallOver(lists, cidCol, cvecCol, k, nprobe, sampleMod, idOffset) {
+      (q, lists2) => searchPqAssigned(q, "__qid", "__qvec", lists2, cidCol,
+        cvecCol, cents, cb, k, nprobe, candMult)
+    }
+  }
+
+  private def plantedRecallOver(lists: DataFrame, cidCol: String,
+      cvecCol: String, k: Int, nprobe: Int, sampleMod: Long, idOffset: Long)(
+      search: (DataFrame, DataFrame) => DataFrame): Double = {
     val queries = lists
       .filter(pmod(xxhash64(col(cidCol)), lit(sampleMod)) === 0L)
       .select((col(cidCol) + idOffset).as("__qid"), col(cidCol).as("__planted"),
@@ -437,8 +492,7 @@ object Ivf {
       .localCheckpoint() // pin: feeds the search and the recall join
     val n = queries.count()
     if (n == 0L) return 1.0
-    val found = searchAssigned(queries.select(col("__qid"), col("__qvec")),
-        "__qid", "__qvec", lists, cidCol, cvecCol, cents, k, nprobe)
+    val found = search(queries.select(col("__qid"), col("__qvec")), lists)
       .join(queries.select(col("__qid"), col("__planted")), Seq("__qid"))
       .filter(col(cidCol) === col("__planted"))
       .select(col("__qid")).distinct().count()
@@ -456,26 +510,79 @@ object Ivf {
     */
   def writePqIndex(path: String, corpus: DataFrame, cidCol: String, cvecCol: String,
       cents: DataFrame, cb: Pq.Codebooks): Unit = {
-    val sp = corpus.sparkSession
-    import sp.implicits._
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    cb.zipWithIndex.flatMap { case (cwj, j) =>
-      cwj.zipWithIndex.flatMap { case (cw, k) =>
-        cw.zipWithIndex.map { case (c, t) => (j, k, t, c) }
-      }
-    }.toSeq.toDF("j", "k", "t", "c")
-      .write.mode("overwrite").parquet(s"$path/codebooks")
+    codebookRows(corpus.sparkSession, cb).write.mode("overwrite")
+      .parquet(s"$path/codebooks")
     assign(corpus, cidCol, cvecCol, cents)
       .withColumn("__codes", Pq.codesColumn(col(cvecCol), cb))
       .withColumn("__cnorm", vec_norm(col(cvecCol)))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/lists")
   }
 
+  private def codebookRows(sp: SparkSession, cb: Pq.Codebooks): DataFrame = {
+    import sp.implicits._
+    cb.zipWithIndex.flatMap { case (cwj, j) =>
+      cwj.zipWithIndex.flatMap { case (cw, k) =>
+        cw.zipWithIndex.map { case (c, t) => (j, k, t, c) }
+      }
+    }.toSeq.toDF("j", "k", "t", "c")
+  }
+
+  /** Codebook refresh for a persisted PQ index: [[rebalancePqIndex]]
+    * moves rows between lists but codes stay FROZEN under the original
+    * codebooks, so appends from a distribution the codebooks never saw
+    * quantize with uncalibrated cells and the ADC scores drift from the
+    * true cosines. This retrains the codebooks over the index's CURRENT
+    * contents ([[Pq.train]], Lloyd per subspace), re-encodes every row,
+    * and swaps `codebooks` + `lists` in behind the shared staging+marker
+    * protocol (readers self-heal; rows, centroids and list assignment
+    * untouched — IvfSpec pins set preservation and that the codebooks
+    * actually move). KNOWN LIMIT, measured: a refresh cannot restore ADC
+    * *ranking inside* a near-dup-dense blob tighter than the PQ
+    * resolution — every member still snaps to the same cells and scores
+    * the same number; for that population widen `candMult` past the
+    * blob's list size ([[plantedRecallPq]] scaladoc) or near-dup-dedup
+    * before indexing.
+    */
+  def reencodePqIndex(spark: SparkSession, path: String, cidCol: String,
+      cvecCol: String, iters: Int = 3): Unit = {
+    Dedup.finishBatchCompaction(spark, path)
+    val (_, lists, cb0) = readPqIndex(spark, path)
+    val dim = cb0.length * cb0(0)(0).length
+    // pin: feeds training, the re-encode AND survives the lists swap
+    val vecs = lists.select(col(cidCol), col(cvecCol), col("__cnorm"),
+      col("centroid_id")).localCheckpoint()
+    val cb = Pq.train(vecs, cidCol, cvecCol, cb0.length, cb0(0).length, dim, iters)
+    codebookRows(spark, cb).write.mode("overwrite").parquet(s"$path/codebooks.staging")
+    vecs.withColumn("__codes", Pq.codesColumn(col(cvecCol), cb))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/lists.staging")
+    Dedup.publishBatchMarker(spark, path, Seq("codebooks", "lists"))
+    Dedup.finishBatchCompaction(spark, path)
+  }
+
+  /** Fold a new vector batch into a persisted PQ index under the FROZEN
+    * quantizer AND codebooks — the [[appendToIndex]] twin with codes +
+    * norms precomputed per appended row. Same drift caveat; maintain
+    * with [[rebalancePqIndex]], re-gate with [[plantedRecallPq]].
+    */
+  def appendToPqIndex(spark: SparkSession, path: String, newVecs: DataFrame,
+      cidCol: String, cvecCol: String): Unit = {
+    val (cents, lists, cb) = readPqIndex(spark, path)
+    val fresh = assign(newVecs, cidCol, cvecCol, cents)
+      .withColumn("__codes", Pq.codesColumn(col(cvecCol), cb))
+      .withColumn("__cnorm", vec_norm(col(cvecCol)))
+      .join(lists.select(col(cidCol)), Seq(cidCol), "left_anti")
+      .localCheckpoint() // pin BEFORE the append rewrites the dir it reads
+    fresh.write.mode("append").partitionBy("centroid_id").parquet(s"$path/lists")
+  }
+
   /** Load a persisted IVF-PQ index → (centroids, assigned lists,
-    * codebooks) — feed straight into [[searchPqAssigned]].
+    * codebooks) — feed straight into [[searchPqAssigned]]. Completes an
+    * interrupted [[rebalancePqIndex]] swap first.
     */
   def readPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, DataFrame, Pq.Codebooks) = {
+    Dedup.finishBatchCompaction(spark, path)
     val rows = spark.read.parquet(s"$path/codebooks")
       .select(col("j"), col("k"), col("t"), col("c")).collect()
     val m = rows.map(_.getInt(0)).max + 1

@@ -179,6 +179,77 @@ class IvfSpec extends SparkSpec {
       "the healed index must carry the staged assignment")
   }
 
+  test("PQ index lifecycle: append keeps codes exact; rebalance carries codes through; recall re-gates") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "ivfpq_maint").toString
+    val a = emb.filter($"vec_id" % 3 =!= 0)
+    val b = emb.filter($"vec_id" % 3 === 0)
+      .select($"vec_id",
+        transform(sequence(lit(0), size($"embedding") - 1), j =>
+          abs(element_at($"embedding",
+            pmod(j + pmod($"vec_id", lit(8L)).cast("int"), size($"embedding")) + 1)) + lit(1.0f))
+          .as("embedding"))
+    val cb = Pq.seedCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16, dim = 64)
+    Ivf.writePqIndex(dir, a, "vec_id", "embedding",
+      Ivf.train(a, "vec_id", "embedding", k = 16, iters = 2), cb)
+    Ivf.appendToPqIndex(spark, dir, b, "vec_id", "embedding")
+    Ivf.appendToPqIndex(spark, dir, b, "vec_id", "embedding") // idempotent
+    val (_, lists, _) = Ivf.readPqIndex(spark, dir)
+    assert(lists.count() == emb.count())
+    // appended codes must equal a fresh encode of the same vectors
+    val appendedCodes = lists.join(b.select($"vec_id"), Seq("vec_id"), "left_semi")
+      .select($"vec_id", $"__codes").as[(Long, Seq[Int])].collect().toMap
+    val freshCodes = b.select($"vec_id", Pq.codesColumn($"embedding", cb).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(appendedCodes == freshCodes, "append must encode through the stored codebooks")
+    // rebalance: codes ride through the rewrite byte-for-byte
+    val before = lists.select($"vec_id", $"__codes").as[(Long, Seq[Int])].collect().toMap
+    Ivf.rebalancePqIndex(spark, dir, "vec_id", "embedding")
+    val (cents2, lists2, cb2) = Ivf.readPqIndex(spark, dir)
+    assert(cb2.map(_.map(_.toSeq).toSeq).toSeq == cb.map(_.map(_.toSeq).toSeq).toSeq,
+      "codebooks are centroid-independent and must be untouched")
+    assert(lists2.count() == emb.count())
+    val after = lists2.select($"vec_id", $"__codes").as[(Long, Seq[Int])].collect().toMap
+    assert(after == before, "rebalance must carry every row's codes unchanged")
+    val sizes = lists2.groupBy($"centroid_id").count().as[(Long, Long)].collect().map(_._2)
+    assert(sizes.max <= sizes.sum.toDouble / sizes.length * 2.0 + 1,
+      s"rebalance must balance the PQ lists: max ${sizes.max}")
+    // the ADC cut is BLIND inside the drifted blob: members sit closer
+    // together than the PQ cells resolve, every candidate scores the
+    // same ADC number, the default cut decays to id order and drops the
+    // planted neighbor (the flat index re-gated >= 0.9 on this exact
+    // drift — its rerank is exact over whole lists, no cut)
+    val recallFrozen = Ivf.plantedRecallPq(spark, dir, "vec_id", "embedding",
+      k = 5, nprobe = 4)
+    assert(recallFrozen < 0.9,
+      s"drift fixture must degrade the default ADC cut, got $recallFrozen")
+    // the documented mitigation for a dense region: probe at BLOB WIDTH
+    // and widen the cut past the blob's membership. Inside the blob the
+    // ~15 split lists' centroids are all within noise of a query, so the
+    // top-4 probe ranking is arbitrary there (measured: recall is
+    // INSENSITIVE to candMult and to +2/+4 nprobe — the misses are
+    // queries whose planted list ranked 9th-15th); nprobe >= the blob's
+    // list count makes every blob member a candidate and the EXACT
+    // rerank does the rest. Same lesson as the flat index, which passes
+    // its 0.9 gate at nprobe=4 only marginally for the same reason.
+    val recallWide = Ivf.plantedRecallPq(spark, dir, "vec_id", "embedding",
+      k = 5, nprobe = 16, candMult = 40)
+    assert(recallWide >= 0.9, s"widened-cut PQ recall $recallWide must re-gate >= 0.9")
+    // codebook refresh: preserves the set, actually retrains, and CANNOT
+    // fix sub-resolution density (recall at the default cut is unchanged
+    // — the measured boundary between what a refresh buys and what only
+    // the cut width or prior dedup can)
+    Ivf.reencodePqIndex(spark, dir, "vec_id", "embedding")
+    val (_, lists3, cb3) = Ivf.readPqIndex(spark, dir)
+    assert(lists3.count() == emb.count(), "re-encode must preserve the vector set")
+    assert(cb3.map(_.map(_.toSeq).toSeq).toSeq != cb.map(_.map(_.toSeq).toSeq).toSeq,
+      "re-encode must actually retrain the codebooks")
+    val recallAfter = Ivf.plantedRecallPq(spark, dir, "vec_id", "embedding",
+      k = 5, nprobe = 16, candMult = 40)
+    assert(recallAfter >= 0.9,
+      s"post-re-encode widened-cut recall $recallAfter must re-gate >= 0.9")
+  }
+
   test("approx_count_distinct stays within 5% of exact (the documented 100-TB alternative)") {
     val ev = Readers.table(spark, sf0001, "events")
     val (exact, approx) = ev.agg(
