@@ -414,6 +414,25 @@ object Graft {
       textCol: String, minDf: Long): DataFrame =
     Curate.removeHostBoilerplate(docs, idCol, hostCol, textCol, minDf)
 
+  /** Asymmetric containment pairs (Broder '97 containment, not
+    * resemblance) — quote/boilerplate mining: a short document embedded
+    * in a long one scores containment 1.0 at a Jaccard that vanishes
+    * with length. Directional fractions ride along so callers keep the
+    * container and cut the contained. Same candidate machinery and
+    * hot-shingle guard as [[nearDupPairs]].
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, text: Column,
+      n: Int = 3, threshold: Double = 0.8): DataFrame =
+    Dedup.containmentPairs(docs, idCol, text, n, threshold)
+
+  /** Cutting form: drop documents contained in another (the contained
+    * side loses; mutual containment keeps the smaller id); keeps the
+    * caller's schema.
+    */
+  def removeContained(docs: DataFrame, idCol: String, text: Column,
+      n: Int = 3, threshold: Double = 0.8): DataFrame =
+    Dedup.removeContained(docs, idCol, text, n, threshold)
+
   /** [[duplicationWeights]] with the banded (MinHash+LSH) pair stage —
     * the 100-TB arm; weights match the exact arm wherever banding recall
     * holds (identical documents always collide).

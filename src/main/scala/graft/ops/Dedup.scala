@@ -493,7 +493,23 @@ object Dedup {
     * nothing but hot shingles are pruned — the guard's semantic.
     */
   def ngramJaccardPairsFromShingles(sh: DataFrame, threshold: Double,
-      maxDf: Int = DefaultMaxBucket): DataFrame = {
+      maxDf: Int = DefaultMaxBucket): DataFrame =
+    pairIntersections(sh, maxDf)
+      .withColumn("jaccard",
+        graft.Canonical.round4(col("inter_size").cast("double") /
+          (col("size_a") + col("size_b") - col("inter_size")).cast("double")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** The shared candidate+intersection core of the exact pair family:
+    * (id_a < id_b, exact inter_size over the FULL shingle sets, both set
+    * sizes) for every pair sharing at least one COLD shingle — the
+    * hot-df guard and exact-score correction documented at
+    * [[ngramJaccardPairsFromShingles]]. Scorers
+    * ([[ngramJaccardPairsFromShingles]], [[containmentPairsFromShingles]])
+    * differ only in the formula over these columns.
+    */
+  private def pairIntersections(sh: DataFrame, maxDf: Int): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf).select(col("shingle"))
@@ -516,12 +532,72 @@ object Dedup {
       .withColumn("inter_size", col("__inter_cold") + coalesce(col("__inter_hot"), lit(0L)))
       .join(sizes.select(col("id").as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        graft.Canonical.round4(col("inter_size").cast("double") /
-          (col("size_a") + col("size_b") - col("inter_size")).cast("double")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Asymmetric CONTAINMENT pairs — the quote/boilerplate-mining shape
+    * Jaccard structurally misses: a short document embedded verbatim in
+    * a long one scores `jaccard ≈ |A|/|B| → 0` however exact the copy,
+    * while its containment `|A∩B| / min(|A|,|B|)` reads 1.0 (Broder '97
+    * distinguishes resemblance from containment for exactly this). For
+    * each qualifying pair the directional fractions ride along
+    * (`containment_a_in_b = inter/|A|`, `containment_b_in_a = inter/|B|`
+    * — round4, engine-portable), so callers can keep the container and
+    * cut the contained. Candidates, the df cap and the exact-score
+    * correction are [[ngramJaccardPairs]]'s own (the shared
+    * [[pairIntersections]] core): one shuffle, no all-pairs, hot
+    * boilerplate shingles star-degrade instead of exploding the join.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, text: Column, n: Int,
+      threshold: Double, maxDf: Int = DefaultMaxBucket): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(text, n)).as("shingle"))
+      .localCheckpoint()
+    containmentPairsFromShingles(sh, threshold, maxDf)
+  }
+
+  /** The cutting form of [[containmentPairs]]: drop every document
+    * contained in another, keep the containers — the dedup pass quote
+    * farms and template mirrors actually need (hard dedup misses them:
+    * the pair is not a near-dup by resemblance). Loser rule, per
+    * qualifying pair, deterministic: the CONTAINED side loses (fewer
+    * shingles); mutual containment (near-identical sets) keeps the
+    * smaller id. The relation is transitive over shingle sets (A ⊆ B ⊆ C
+    * ⇒ the (A, C) pair exists too), so a container that itself loses to
+    * a bigger one cannot resurrect its contained documents — one pass
+    * suffices, no component closure. Returns the caller's schema.
+    */
+  def removeContained(docs: DataFrame, idCol: String, text: Column, n: Int,
+      threshold: Double, maxDf: Int = DefaultMaxBucket): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(text, n)).as("shingle"))
+      .localCheckpoint()
+    val p = pairIntersections(sh, maxDf)
+      .withColumn("__ca",
+        graft.Canonical.round4(col("inter_size").cast("double") / col("size_a").cast("double")))
+      .withColumn("__cb",
+        graft.Canonical.round4(col("inter_size").cast("double") / col("size_b").cast("double")))
+    val losers = p
+      .withColumn("__loser",
+        when(col("__ca") >= threshold && col("__cb") >= threshold,
+          greatest(col("id_a"), col("id_b")))
+          .when(col("__ca") >= threshold, col("id_a"))
+          .when(col("__cb") >= threshold, col("id_b")))
+      .filter(col("__loser").isNotNull)
+      .select(col("__loser").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[containmentPairs]] over a prebuilt [[shingleTable]]. */
+  def containmentPairsFromShingles(sh: DataFrame, threshold: Double,
+      maxDf: Int = DefaultMaxBucket): DataFrame =
+    pairIntersections(sh, maxDf)
+      .withColumn("containment_a_in_b",
+        graft.Canonical.round4(col("inter_size").cast("double") / col("size_a").cast("double")))
+      .withColumn("containment_b_in_a",
+        graft.Canonical.round4(col("inter_size").cast("double") / col("size_b").cast("double")))
+      .withColumn("containment",
+        greatest(col("containment_a_in_b"), col("containment_b_in_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"),
+        col("containment_a_in_b"), col("containment_b_in_a"))
 
   /** Connected components over a near-duplicate pair list — the step that
     * turns pairwise matches into per-cluster keep/drop decisions (pairs

@@ -79,6 +79,109 @@ object ExtensionProbes {
             |SELECT id_a, id_b, jaccard FROM jac
             |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin))
 
+  // — asymmetric CONTAINMENT pairs (x111): the quote/boilerplate-mining
+  //   metric Jaccard structurally misses (Broder '97 resemblance vs
+  //   containment). Fixture: every document ships twice — its full text
+  //   (container, id 2d) and a 12-token slice of itself (contained,
+  //   id 2d+1) — so each planted pair has containment 1.0 at a Jaccard
+  //   that vanishes with document length. FULL value oracle: DuckDB
+  //   replays the slice, the 3-gram shingles, the exact intersection and
+  //   both directional fractions (the df cap cannot bind at fixture
+  //   sizes, x02's note).
+  private val x111 = Probe(
+    "x111_containment_pairs",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val toks = filter(split(col("text"), "\\s+"), t => t =!= lit(""))
+      val fix = docs.select((col("doc_id") * 2).as("fid"), col("text"))
+        .unionByName(docs.select((col("doc_id") * 2 + 1).as("fid"),
+          concat_ws(" ", slice(toks, 5, 12)).as("text")))
+      Dedup.containmentPairs(fix, "fid", col("text"), n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      def r4(e: String) = graft.Canonical.round4Sql(e)
+      s"""WITH fix AS (
+         |  SELECT doc_id * 2 AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1 AS id,
+         |    array_to_string(
+         |      list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')[5:16],
+         |      ' ') AS text
+         |  FROM documents),
+         |sh AS (
+         |  SELECT id, unnest(list_distinct(
+         |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
+         |  FROM (SELECT id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+         |        FROM fix)),
+         |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT id_a, id_b,
+         |    ${r4("i * 1.0 / sa.n")} AS containment_a_in_b,
+         |    ${r4("i * 1.0 / sb.n")} AS containment_b_in_a
+         |  FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b)
+         |SELECT id_a, id_b,
+         |  greatest(containment_a_in_b, containment_b_in_a) AS containment,
+         |  containment_a_in_b, containment_b_in_a
+         |FROM sc
+         |WHERE greatest(containment_a_in_b, containment_b_in_a) >= 0.8
+         |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
+    })
+
+  // — containment CUTTING form (x112): same fixture as x111; the
+  //   contained slice loses to its container (mutual containment keeps
+  //   the smaller id), survivors keep the caller's schema. The oracle
+  //   replays the pair scores AND the loser election.
+  private val x112 = Probe(
+    "x112_remove_contained",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val toks = filter(split(col("text"), "\\s+"), t => t =!= lit(""))
+      val fix = docs.select((col("doc_id") * 2).as("fid"), col("text"))
+        .unionByName(docs.select((col("doc_id") * 2 + 1).as("fid"),
+          concat_ws(" ", slice(toks, 5, 12)).as("text")))
+      Dedup.removeContained(fix, "fid", col("text"), n = 3, threshold = 0.8)
+        .orderBy("fid")
+    },
+    Some {
+      def r4(e: String) = graft.Canonical.round4Sql(e)
+      s"""WITH fix AS (
+         |  SELECT doc_id * 2 AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1 AS id,
+         |    array_to_string(
+         |      list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')[5:16],
+         |      ' ') AS text
+         |  FROM documents),
+         |sh AS (
+         |  SELECT id, unnest(list_distinct(
+         |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
+         |  FROM (SELECT id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+         |        FROM fix)),
+         |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT id_a, id_b,
+         |    ${r4("i * 1.0 / sa.n")} AS ca,
+         |    ${r4("i * 1.0 / sb.n")} AS cb
+         |  FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b),
+         |losers AS (
+         |  SELECT DISTINCT CASE
+         |    WHEN ca >= 0.8 AND cb >= 0.8 THEN greatest(id_a, id_b)
+         |    WHEN ca >= 0.8 THEN id_a
+         |    ELSE id_b END AS id
+         |  FROM sc WHERE ca >= 0.8 OR cb >= 0.8)
+         |SELECT f.id AS fid, f.text
+         |FROM fix f LEFT JOIN losers l ON l.id = f.id
+         |WHERE l.id IS NULL
+         |ORDER BY fid ASC NULLS FIRST""".stripMargin
+    })
+
   // — MinHash + LSH, gated by a derived-metric oracle: the LSH-verified
   //   pair set is compared against the exact inverted-index pair set
   //   (x02's oracled operator). DuckDB recomputes the exact counts; recall
@@ -2029,5 +2132,5 @@ object ExtensionProbes {
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
-    x103, x104, x106, x108)
+    x103, x104, x106, x108, x111, x112)
 }

@@ -2310,6 +2310,33 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("containment pairs: embedded snippet reads 1.0 where jaccard vanishes; directions labeled") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")            // 38 shingles
+    val snippet = (10 to 17).map(i => s"w$i").mkString(" ")        // 6 shingles, all in long
+    val docs = Seq((1L, long), (2L, snippet), (3L, "completely different tokens here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", $"text", n = 3, threshold = 0.8)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1.0, 0.1579, 1.0)),
+      s"got $pairs") // inter=6: a_in_b = 6/38 = 0.1579, b_in_a = 6/6 = 1.0
+    // the same pair through Jaccard: 6/(38+6-6) = 0.1579 — below any
+    // useful near-dup threshold; containment is the only lens that sees it
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", $"text", 3, 0.5)
+    assert(jac.count() == 0, "jaccard at 0.5 must miss the embedded snippet")
+    val jacLoose = Dedup.ngramJaccardPairs(docs, "doc_id", $"text", 3, 0.1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(jacLoose == Seq((1L, 2L, 0.1579)))
+    // cutting form: the contained snippet drops, container + unrelated stay
+    val kept = Dedup.removeContained(docs, "doc_id", $"text", n = 3, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"got $kept")
+    // mutual containment (identical sets): smaller id survives
+    val twins = Seq((7L, long), (8L, long)).toDF("doc_id", "text")
+    val keptTwins = Dedup.removeContained(twins, "doc_id", $"text", n = 3, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTwins == Set(7L))
+  }
+
   test("lm trigram: exact model rows, recursive backoff arithmetic, trigram context beats bigram") {
     val ref = Seq.fill(3)("the cat sat on the mat").toDF("text")
     val m3 = Lm.train3(ref, vocabSize = 8, bigramSize = 16, trigramSize = 16,
