@@ -253,6 +253,20 @@ object Graft {
   def mergeLmCounts(a: DataFrame, b: DataFrame): DataFrame =
     Lm.mergeCounts(a, b)
 
+  /** The persisted daily-fold shape of LM statistics: init / fold a
+    * batch in (EXACT — the index always equals one-shot counts of the
+    * folded union; replay-idempotent via the in-table batch ledger;
+    * crash-safe single-table staging+marker swap) / read back for
+    * [[lmFromCounts]] or [[graft.ops.Lm.modelFromCounts3]].
+    */
+  def lmCountsIndexInit(spark: SparkSession, path: String): Unit =
+    Lm.writeCountsIndex(spark, path)
+  def lmCountsIndexFold(spark: SparkSession, path: String, batchId: String,
+      docs: DataFrame, textCol: String = "text"): Boolean =
+    Lm.foldIntoCountsIndex(spark, path, batchId, docs, textCol)
+  def lmCountsIndexRead(spark: SparkSession, path: String): DataFrame =
+    Lm.readCountsIndex(spark, path)
+
   /** Compile a scoring model from (possibly merged) LM count tables. */
   def lmFromCounts(counts: DataFrame, vocabSize: Int = 1024,
       bigramSize: Int = 4096, minBigramCount: Long = 2L): DataFrame =

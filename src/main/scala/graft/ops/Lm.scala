@@ -132,6 +132,75 @@ object Lm {
         col("n"))
   }
 
+  // — persisted COUNTS index: the "daily pipeline persists this frame
+  //   and folds each batch in" shape the trainCounts scaladoc promises,
+  //   made crash-safe and replay-idempotent —————————————————————————————
+
+  /** Ledger kind for folded batch ids. Rides INSIDE the counts table
+    * (one row per folded batch, `term = batchId`), so the ledger and the
+    * counts can never disagree: the fold's staging+marker swap replaces
+    * ONE table atomically. Two-table designs have an unfixable crash
+    * window — swap counts first and a replayed fold double-counts; swap
+    * the ledger first and a crash loses the batch.
+    */
+  val BatchKind = "__batch"
+
+  /** Initialize a persisted counts index (empty or from an existing
+    * statistics frame — which must carry no [[BatchKind]] rows).
+    */
+  def writeCountsIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      counts: Option[DataFrame] = None): Unit = {
+    import spark.implicits._
+    val base = counts.getOrElse(
+      Seq.empty[(String, String, Long)].toDF("kind", "term", "n"))
+    base.select(col("kind"), col("term"), col("n"))
+      .write.mode("overwrite").parquet(s"$path/counts")
+  }
+
+  /** Load the statistics from a persisted counts index (ledger rows
+    * filtered out; completes an interrupted fold first). Feed to
+    * [[modelFromCounts]] / [[modelFromCounts3]].
+    */
+  def readCountsIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    Dedup.finishBatchCompaction(spark, path)
+    spark.read.parquet(s"$path/counts").filter(col("kind") =!= BatchKind)
+  }
+
+  /** Batch ids already folded into the index. */
+  def foldedBatches(spark: org.apache.spark.sql.SparkSession,
+      path: String): Set[String] = {
+    Dedup.finishBatchCompaction(spark, path)
+    spark.read.parquet(s"$path/counts").filter(col("kind") === BatchKind)
+      .select(col("term")).collect().map(_.getString(0)).toSet
+  }
+
+  /** Fold one document batch into a persisted counts index — EXACT
+    * incremental retraining at production cadence: counts are additive
+    * sufficient statistics, so the folded table equals
+    * `trainCounts3(all folded batches' union)` row for row, whatever the
+    * fold order. Idempotent under replay (`batchId` already in the
+    * ledger → no-op, returns false) and crash-safe: the merged table is
+    * staged whole, the [[Dedup]] batch marker commits it, and the swap
+    * replaces counts AND ledger in one table — a crash before the marker
+    * leaves the old index intact; after it, the next reader completes
+    * the swap. Cost per fold: the batch scan + one
+    * distinct-term-bounded merge aggregate; nothing corpus-scale.
+    */
+  def foldIntoCountsIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      batchId: String, docs: DataFrame, textCol: String = "text"): Boolean = {
+    import spark.implicits._
+    require(batchId.nonEmpty, "batchId must be non-empty")
+    if (foldedBatches(spark, path).contains(batchId)) return false
+    val current = spark.read.parquet(s"$path/counts") // incl. ledger rows
+    val merged = mergeCounts(current, trainCounts3(docs, textCol))
+      .unionByName(Seq((BatchKind, batchId, 1L)).toDF("kind", "term", "n"))
+    merged.write.mode("overwrite").parquet(s"$path/counts.staging")
+    Dedup.publishBatchMarker(spark, path, Seq("counts"))
+    Dedup.finishBatchCompaction(spark, path)
+    true
+  }
+
   /** Merge two [[trainCounts]] frames into the exact statistics of the
     * combined corpus (counts are additive) — cost one
     * distinct-term-bounded aggregate, nothing corpus-scale.

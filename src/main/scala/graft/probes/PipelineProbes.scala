@@ -1288,6 +1288,52 @@ object PipelineProbes {
             |FROM __lm3_scored
             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  // — persisted LM counts index (x113): the daily-fold deployment shape.
+  //   Two batches (the x109 null-planted reference corpus split in two)
+  //   fold into a fresh index, one is replayed (must no-op via the
+  //   in-table ledger), and the read-back statistics must equal the raw
+  //   one-shot n-gram counts of the union — which is exactly what the
+  //   oracle computes from first principles.
+  private val x113 = Probe(
+    "x113_lm_counts_index",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(101L)) === 1L, lit(null: String))
+            .otherwise(col("text")).as("text"))
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.TmpDir.root), "x113_lm").toString
+      Lm.writeCountsIndex(s, path)
+      Lm.foldIntoCountsIndex(s, path, "b1",
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 1L), "text")
+      Lm.foldIntoCountsIndex(s, path, "b2",
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 2L), "text")
+      Lm.foldIntoCountsIndex(s, path, "b1",
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 1L), "text") // replay no-op
+      Lm.readCountsIndex(s, path).orderBy("kind", "term")
+    },
+    Some("""WITH src AS (
+           |  SELECT CASE WHEN doc_id % 101 = 1 THEN NULL ELSE text END AS text
+           |  FROM documents WHERE doc_id % 3 <> 0),
+           |t2 AS (SELECT regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS tk
+           |       FROM src),
+           |uc AS (SELECT 'uni' AS kind, u AS term, CAST(count(*) AS BIGINT) AS n
+           |       FROM (SELECT unnest(tk) AS u FROM t2) GROUP BY 2),
+           |bc AS (SELECT 'bi' AS kind, b AS term, CAST(count(*) AS BIGINT) AS n
+           |  FROM (SELECT unnest(CASE WHEN len(tk) >= 2
+           |      THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+           |      ELSE [] END) AS b FROM t2)
+           |  GROUP BY 2),
+           |tc AS (SELECT 'tri' AS kind, g AS term, CAST(count(*) AS BIGINT) AS n
+           |  FROM (SELECT unnest(CASE WHEN len(tk) >= 3
+           |      THEN list_transform(range(1, len(tk) - 1),
+           |        i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+           |      ELSE [] END) AS g FROM t2)
+           |  GROUP BY 2)
+           |SELECT kind, term, n FROM (
+           |  SELECT * FROM uc UNION ALL SELECT * FROM bc UNION ALL SELECT * FROM tc)
+           |ORDER BY kind ASC NULLS FIRST, term ASC NULLS FIRST""".stripMargin))
+
   // — Gopher document-shape quality rules ————————————————————————————————
   //   The non-repetition half of Rae '21 table A1 (word-count and
   //   mean-word-length bounds, #/ellipsis symbol ratio, bullet-start and
@@ -3306,5 +3352,5 @@ object PipelineProbes {
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x99, x100, x101, x102, x105, x107, x109, x110)
+    x95, x96, x97, x98, x99, x100, x101, x102, x105, x107, x109, x110, x113)
 }

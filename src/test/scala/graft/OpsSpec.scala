@@ -2379,6 +2379,42 @@ class OpsSpec extends SparkSpec {
       == cnt(Lm.trainCounts3(ref)))
   }
 
+  test("persisted LM counts index: folds exact, replay no-op, single-table-atomic crash swap") {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "lmCounts").toString
+    val a = Seq("the cat sat on the mat").toDF("text")
+    val b = Seq.fill(2)("the dog sat on the rug").toDF("text")
+    Lm.writeCountsIndex(spark, s"$base/lm")
+    assert(Lm.foldIntoCountsIndex(spark, s"$base/lm", "day1", a))
+    assert(Lm.foldIntoCountsIndex(spark, s"$base/lm", "day2", b))
+    assert(!Lm.foldIntoCountsIndex(spark, s"$base/lm", "day1", a), "replay must no-op")
+    assert(Lm.foldedBatches(spark, s"$base/lm") == Set("day1", "day2"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // folded statistics == one-shot statistics of the union, row for row
+    assert(rows(Lm.readCountsIndex(spark, s"$base/lm"))
+      == rows(Lm.trainCounts3(a.unionByName(b))))
+    // and the compiled trigram model agrees with direct training
+    def model(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(model(Lm.modelFromCounts3(Lm.readCountsIndex(spark, s"$base/lm"),
+        vocabSize = 16, bigramSize = 32, trigramSize = 32,
+        minBigramCount = 1L, minTrigramCount = 1L))
+      == model(Lm.train3(a.unionByName(b), vocabSize = 16, bigramSize = 32,
+        trigramSize = 32, minBigramCount = 1L, minTrigramCount = 1L)))
+    // post-marker crash: a fully staged fold whose swap never ran must be
+    // completed by the next reader — ledger and counts move TOGETHER
+    val staged = spark.read.parquet(s"$base/lm/counts")
+      .unionByName(Seq((Lm.BatchKind, "day3", 1L)).toDF("kind", "term", "n"))
+    staged.write.mode("overwrite").parquet(s"$base/lm/counts.staging")
+    graft.ops.Dedup.publishBatchMarker(spark, s"$base/lm", Seq("counts"))
+    assert(Lm.foldedBatches(spark, s"$base/lm").contains("day3"),
+      "the reader must complete the staged swap")
+    assert(!new java.io.File(s"$base/lm/_compacting_batch.json").exists())
+    assert(!Lm.foldIntoCountsIndex(spark, s"$base/lm", "day3", a),
+      "a healed fold must be replay-protected like any other")
+  }
+
   test("lm separation: trained gate ranks disfluent twins below fluent; bigram structure is the signal") {
     // the classifier's round-trip drill at LM scale (r11 verdict task #5):
     // x104 proved the gate BINDS; this proves the trained model WORKS —
