@@ -856,7 +856,34 @@ object ScalePilot {
           Multimodal.audioNearDupPairsGated(audioFixture, "media_id",
             col("samples"), maxDist = 2)),
         "ivf_probe_frozen" -> (() => ivfProbe("frozen")),
-        "ivf_probe_rebalanced" -> (() => ivfProbe("rebalanced")))
+        "ivf_probe_rebalanced" -> (() => ivfProbe("rebalanced")),
+        // trigram train: still ONE corpus scan + one distinct-term-bounded
+        // count shuffle (the bigram arm read 1.50x at 32x in round 11c —
+        // the added grain must not change the shape, only the constant)
+        "lm_train3" -> (() =>
+          Lm.train3(tbl(dir, "documents"), "text", vocabSize = 1024,
+            bigramSize = 4096, trigramSize = 4096)),
+        // counts-index fold of a CONSTANT batch (copy-0 slice) into an
+        // index holding the FULL corpus statistics: the fold rewrites the
+        // merged table, so wall tracks the distinct-term space (grows
+        // sublinearly with corpus volume), never the corpus itself
+        "lm_fold_const_batch" -> (() => {
+          val docs = tbl(dir, "documents")
+          val path = s"$dir/__lmcounts_v1"
+          if (!new java.io.File(s"$path/counts").exists()) {
+            Lm.writeCountsIndex(spark, path)
+            Lm.foldIntoCountsIndex(spark, path, "corpus",
+              docs.filter(col("doc_id") % 37 =!= 0), "text")
+          }
+          val batch = docs.filter(col("doc_id") % 37 === 0 &&
+            col("doc_id") < 100000000L)
+          // unique id per pass: each timed sample folds genuinely (a
+          // replay no-op would time the ledger probe, not the fold)
+          val bid = s"b${System.nanoTime()}"
+          Lm.foldIntoCountsIndex(spark, path, bid, batch, "text")
+          Lm.readCountsIndex(spark, path).groupBy(col("kind"))
+            .agg(count(lit(1)).as("n_terms"))
+        }))
     }
 
     def queries(dir: String): Seq[(String, () => DataFrame)] =
