@@ -17,6 +17,14 @@ object Canonical {
   /** DuckDB twin of [[round4]]. */
   def round4Sql(expr: String): String = s"floor(($expr) * 10000 + 0.5) / 10000"
 
+  /** [[round4]] at 6 decimals — for quantities (cosines, PageRank mass)
+    * whose magnitudes sit near 1e-3 and need more surviving precision.
+    */
+  def round6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  /** DuckDB twin of [[round6]]. */
+  def round6Sql(expr: String): String = s"floor(($expr) * 1000000 + 0.5) / 1000000"
+
   /** Let-binding for expressions consumed inside higher-order-function
     * lambdas: evaluate `e` ONCE per row and hand the body a lambda
     * VARIABLE instead of the expression tree. HOFs are interpreted

@@ -457,6 +457,16 @@ object Graft {
     Dedup.duplicationWeightsLsh(docs, idCol, text, n, numPerm, bands,
       numPerm / bands, threshold)
 
+  /** Power-iteration PageRank over a directed edge list — the host/domain
+    * authority prior web-corpus curation weights documents by
+    * ([[graft.ops.Graph.pageRank]]: one shuffle join + one keyed
+    * aggregate per iteration, dangling mass redistributed, no driver-side
+    * graph).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10, damping: Double = 0.85): DataFrame =
+    Graph.pageRank(edges, srcCol, dstCol, iters, damping)
+
   /** [[streamCuratedCorpusIndexed]]'s EMBEDDING twin: streaming semantic
     * dedup against a persisted vec ingest index — exactly-once through
     * the index under replay, SemDeDup within each micro-batch.
@@ -468,6 +478,15 @@ object Graft {
     StreamingIngest.semanticCorpusIndexedSink(docs, corpusPath, indexPath,
       checkpoint, idCol, vecCol, threshold, numPlanes, dim,
       compactEvery = compactEvery)
+
+  /** Streaming arm of the persisted LM counts index: each micro-batch's
+    * exact n-gram sufficient statistics fold under a ledgered batch id —
+    * exactly-once under crash replay, near-flat per-batch cost
+    * ([[graft.streaming.StreamingIngest.lmCountsIndexSink]]).
+    */
+  def streamLmCountsIndex(docs: DataFrame, indexPath: String,
+      checkpoint: String, textCol: String = "text") =
+    StreamingIngest.lmCountsIndexSink(docs, indexPath, checkpoint, textCol)
 
   /** 64-bit audio perceptual fingerprint of a PCM sample column —
     * silence-trim → 16×16 resample → integer DCT → median sign bits;

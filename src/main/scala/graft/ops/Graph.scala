@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph authority scoring — the domain/host quality prior large
+  * web-corpus curations weight documents by (Common-Crawl-style rankings
+  * compute exactly this over the host graph; the per-document quality
+  * score then mixes the host's centrality with the text features
+  * [[TextStats]] already produces).
+  *
+  * The operator is classic power-iteration PageRank (Page et al. '99,
+  * public), expressed as the join–aggregate loop Spark executes well:
+  * each iteration is ONE shuffle join of the edge list against the
+  * current rank vector plus one keyed aggregate — no adjacency matrix,
+  * no driver-side graph, no vertex program framework. At 100 TB the edge
+  * list dwarfs the rank vector, so the join is planned as a shuffle on
+  * `src` with the rank side small enough for AQE to broadcast once the
+  * host graph collapses (distinct hosts ≪ distinct edges); the rank
+  * frame is `localCheckpoint`ed per iteration with the superseded copy
+  * released, so at most two O(|V|) frames are ever pinned (the
+  * [[Dedup.components]] discipline).
+  *
+  * Reference: the notebook's analytics layer stops at flat KPI
+  * aggregates (`notebooks/report.ipynb:173-202`); graph centrality is an
+  * extension operator in the SURVEY §2 "beyond the reference" set.
+  */
+object Graph {
+
+  /** Power-iteration PageRank over a directed edge list.
+    *
+    * Semantics, pinned (the DuckDB twin [[pageRankSql]] replays them
+    * exactly):
+    *   - edges are DISTINCT (src, dst) pairs; self-loops are legal edges
+    *     (a self-linking host feeds its own rank back);
+    *   - the node set is every id appearing on either side;
+    *   - ranks start uniform at 1/N;
+    *   - per iteration, with damping d:
+    *       rank'(v) = (1-d)/N + d·(Σ_{u→v} rank(u)/outdeg(u) + dangling/N)
+    *     where `dangling` is the summed rank of nodes with no out-edges
+    *     (their mass redistributes uniformly — dropping it would leak
+    *     total mass below 1 and make ranks incomparable across graphs);
+    *   - output ranks are [[graft.Canonical.round6]]ed (pure-IEEE
+    *     round-half-up, so both engines emit bit-identical decimals; the
+    *     iteration itself runs full double precision in BOTH engines —
+    *     per-step float error ~1e-15 relative stays ~8 orders below the
+    *     rounding grain over any sane iteration count).
+    *
+    * Driver-side state: exactly one `count()` (N) — scalar, bounded. The
+    * per-iteration dangling mass stays distributed: a 1-row aggregate
+    * crossJoin-broadcast onto the rank update (the catalog-wide cartesian
+    * audit whitelists broadcast 1-row totals).
+    *
+    * Fixed iteration count, not a convergence test: curation wants a
+    * reproducible score column, and K is chosen by the caller (10 ≈
+    * ranks stable to 1e-4 on web-shaped graphs; the probe uses 5 so the
+    * oracle's unrolled CTE chain stays readable).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+    val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    // (node, out_deg) is the loop-invariant frame every iteration joins
+    val deg = nodes.join(outDeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+      .localCheckpoint()
+    val n = deg.count() // the one driver scalar
+    if (n == 0) return deg.select(col("node"), lit(0.0).as("pagerank"))
+    var rank = deg.select(col("node"), col("out_deg"),
+      (lit(1.0) / lit(n.toDouble)).as("rank")).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val dangling = rank.filter(col("out_deg") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
+      val contrib = e
+        .join(rank.select(col("node").as("src"),
+          (col("rank") / col("out_deg")).as("__share")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("__share")).as("__contrib"))
+      val next = deg
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("out_deg"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("__contrib"), lit(0.0)) + col("__dang") / lit(n.toDouble)))
+            .as("rank"))
+        .localCheckpoint()
+      rank.unpersist() // superseded checkpoint — keep at most 2 copies pinned
+      rank = next
+      i += 1
+    }
+    val out = rank.select(col("node"), graft.Canonical.round6(col("rank")).as("pagerank"))
+    e.unpersist()
+    deg.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[pageRank]]: an unrolled CTE chain (r0 … rK), one
+    * CTE per iteration, same update expression SHAPE so both engines run
+    * the identical IEEE sequence. `edgesCte` must be a CTE body yielding
+    * columns (src, dst) — dedup/null-filtering happen here, mirroring the
+    * operator.
+    */
+  def pageRankSql(edgesCte: String, iters: Int, damping: Double = 0.85): String = {
+    val d = damping.toString
+    val steps = (1 to iters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""r$k AS (
+         |  SELECT deg.node, deg.out_deg,
+         |    (1.0 - $d) / nn.n + $d *
+         |      (coalesce(c.contrib, 0.0) + dang.s / CAST(nn.n AS DOUBLE)) AS rank
+         |  FROM deg
+         |  LEFT JOIN (SELECT ed.dst AS node, sum(r.rank / r.out_deg) AS contrib
+         |             FROM ed JOIN $prev r ON r.node = ed.src GROUP BY 1) c
+         |    ON c.node = deg.node,
+         |  (SELECT coalesce(sum(rank), 0.0) AS s FROM $prev WHERE out_deg = 0) dang,
+         |  nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS ($edgesCte),
+       |ed AS (SELECT DISTINCT src, dst FROM raw
+       |       WHERE src IS NOT NULL AND dst IS NOT NULL),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM ed UNION ALL SELECT dst AS node FROM ed)),
+       |deg AS (SELECT n.node, coalesce(o.c, 0) AS out_deg
+       |        FROM nodes n LEFT JOIN
+       |          (SELECT src AS node, count(*) AS c FROM ed GROUP BY 1) o
+       |          ON o.node = n.node),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT node, out_deg, 1.0 / nn.n AS rank FROM deg, nn),
+       |$steps
+       |SELECT node, ${graft.Canonical.round6Sql("rank")} AS pagerank FROM r$iters""".stripMargin
+  }
+}

@@ -2129,8 +2129,29 @@ object ExtensionProbes {
             |  WHERE h >= 2)""".stripMargin
   }
 
+  // — link-graph authority (x114): power-iteration PageRank over a
+  //   directed graph derived deterministically from `orders` (src =
+  //   o_custkey mod 199, dst = o_orderkey mod 211, every 7th order — the
+  //   mod mismatch guarantees DANGLING nodes, ids 199–210 appear only as
+  //   destinations, so the dangling-mass redistribution arm is exercised,
+  //   not just compiled). FULL value oracle: the DuckDB twin unrolls the
+  //   same 5 iterations as chained CTEs with the identical IEEE update
+  //   expression; ranks compare at the shared round6 grain.
+  private val x114 = Probe(
+    "x114_pagerank",
+    (s, dir) => {
+      val ed = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select((col("o_custkey") % 199).as("src"), (col("o_orderkey") % 211).as("dst"))
+      Graph.pageRank(ed, "src", "dst", iters = 5, damping = 0.85)
+        .orderBy("node")
+    },
+    Some(Graph.pageRankSql(
+      "SELECT o_custkey % 199 AS src, o_orderkey % 211 AS dst FROM orders WHERE o_orderkey % 7 = 0",
+      iters = 5, damping = 0.85) + "\nORDER BY node ASC NULLS FIRST"))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
-    x103, x104, x106, x108, x111, x112)
+    x103, x104, x106, x108, x111, x112, x114)
 }

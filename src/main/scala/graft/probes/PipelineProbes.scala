@@ -1334,6 +1334,66 @@ object PipelineProbes {
            |  SELECT * FROM uc UNION ALL SELECT * FROM bc UNION ALL SELECT * FROM tc)
            |ORDER BY kind ASC NULLS FIRST, term ASC NULLS FIRST""".stripMargin))
 
+  // — STREAMING LM counts fold (x115): the x113 daily-fold shape driven
+  //   by Structured Streaming — three micro-batches partitioning the
+  //   documents fixture stream through [[StreamingIngest.
+  //   lmCountsIndexSink]]; the in-table ledger makes replays no-ops, so
+  //   the read-back statistics must equal the one-shot n-gram counts of
+  //   the WHOLE corpus, which the oracle computes from first principles
+  //   (batch boundaries must leave no seam — counts are additive).
+  private val x115 = Probe(
+    "x115_streaming_lm_counts",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.TmpDir.root}/tmp/x115_${tag}_${System.nanoTime()}"
+      val docs = Readers.fanOut(t(s, dir, "documents")).select(col("doc_id"), col("text"))
+      val schema = docs.schema
+      val (in, idx, ckp) = (s"$base/in", s"$base/idx", s"$base/ckp")
+      // atomic single-file feeds (the x89/x95 discipline)
+      def feed(df: org.apache.spark.sql.DataFrame, tag2: String): Unit = {
+        val stage = s"$base/stage_$tag2"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val sp = new org.apache.hadoop.fs.Path(stage)
+        val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(in))
+        val part = fs.listStatus(sp).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file staged at $stage"))
+        if (!fs.rename(part, new org.apache.hadoop.fs.Path(s"$in/$tag2.parquet")))
+          throw new java.io.IOException(s"feed rename failed for $tag2")
+        fs.delete(sp, true)
+      }
+      feed(docs.filter(pmod(col("doc_id"), lit(3L)) === 0L), "b0")
+      val q = graft.streaming.StreamingIngest.lmCountsIndexSink(
+        s.readStream.schema(schema).parquet(in), idx, ckp, "text")
+      try {
+        q.processAllAvailable()
+        feed(docs.filter(pmod(col("doc_id"), lit(3L)) === 1L), "b1")
+        q.processAllAvailable()
+        feed(docs.filter(pmod(col("doc_id"), lit(3L)) === 2L), "b2")
+        q.processAllAvailable()
+      } finally q.stop()
+      Lm.readCountsIndex(s, idx).orderBy("kind", "term")
+    },
+    Some("""WITH t2 AS (SELECT regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS tk
+           |       FROM documents),
+           |uc AS (SELECT 'uni' AS kind, u AS term, CAST(count(*) AS BIGINT) AS n
+           |       FROM (SELECT unnest(tk) AS u FROM t2) GROUP BY 2),
+           |bc AS (SELECT 'bi' AS kind, b AS term, CAST(count(*) AS BIGINT) AS n
+           |  FROM (SELECT unnest(CASE WHEN len(tk) >= 2
+           |      THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+           |      ELSE [] END) AS b FROM t2)
+           |  GROUP BY 2),
+           |tc AS (SELECT 'tri' AS kind, g AS term, CAST(count(*) AS BIGINT) AS n
+           |  FROM (SELECT unnest(CASE WHEN len(tk) >= 3
+           |      THEN list_transform(range(1, len(tk) - 1),
+           |        i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+           |      ELSE [] END) AS g FROM t2)
+           |  GROUP BY 2)
+           |SELECT kind, term, n FROM (
+           |  SELECT * FROM uc UNION ALL SELECT * FROM bc UNION ALL SELECT * FROM tc)
+           |ORDER BY kind ASC NULLS FIRST, term ASC NULLS FIRST""".stripMargin))
+
   // — Gopher document-shape quality rules ————————————————————————————————
   //   The non-repetition half of Rae '21 table A1 (word-count and
   //   mean-word-length bounds, #/ellipsis symbol ratio, bullet-start and
@@ -3352,5 +3412,5 @@ object PipelineProbes {
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x99, x100, x101, x102, x105, x107, x109, x110, x113)
+    x95, x96, x97, x98, x99, x100, x101, x102, x105, x107, x109, x110, x113, x115)
 }

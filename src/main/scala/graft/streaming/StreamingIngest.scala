@@ -464,6 +464,42 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming arm of the persisted LM counts index
+    * ([[graft.ops.Lm.foldIntoCountsIndex]]): each micro-batch's exact
+    * uni/bi/tri-gram sufficient statistics fold into the index under the
+    * batch id. Exactly-once WITHOUT sink-side coordination: the fold's
+    * in-table replay ledger makes a crash-replayed micro-batch a no-op
+    * (same `stream-<id>` key ⇒ ledger hit ⇒ skip), and the single-table
+    * staging+marker swap means a kill mid-fold leaves either the old
+    * counts or the complete new counts — never a torn merge. The model
+    * itself is NOT rebuilt per batch (that is a reader-side
+    * `lmFromCounts` call on whatever cadence scoring wants); the stream
+    * only maintains statistics, so its per-batch cost is one batch scan
+    * plus a distinct-term-bounded merge — the near-flat fold the 32×
+    * pilot measured (BASELINE.md round-12 addendum).
+    */
+  def lmCountsIndexSink(docs: DataFrame, indexPath: String, checkpoint: String,
+      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // heal any marker-staged fold a previous incarnation left behind
+        // BEFORE probing for existence (the staged swap owns `counts`)
+        graft.ops.Dedup.finishBatchCompaction(spark, indexPath)
+        val cp = new org.apache.hadoop.fs.Path(s"$indexPath/counts/_SUCCESS")
+        val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // _SUCCESS, not the dir: a kill mid-init leaves a torn parquet dir
+        // with no marker protocol to heal it — re-init (overwrite) is safe
+        // exactly while no fold has completed
+        if (!fs.exists(cp)) graft.ops.Lm.writeCountsIndex(spark, indexPath)
+        graft.ops.Lm.foldIntoCountsIndex(spark, indexPath, s"stream-$batchId",
+          batch.toDF(), textCol)
+        ()
+      }
+      .start()
+
   /** Drive a streaming frame to completion against a memory sink and
     * return the collected result (test/local harness; production callers
     * use their own `writeStream` sink).

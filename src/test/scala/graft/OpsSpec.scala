@@ -2502,6 +2502,43 @@ class OpsSpec extends SparkSpec {
     trained.unpersist()
   }
 
+  test("pageRank: uniform on a ring, hand-checked on a star, mass conserved") {
+    // 3-cycle: every node has out-degree 1 and in-degree 1, so the
+    // uniform vector is the exact fixpoint — ranks must read 1/3 after
+    // any number of iterations (this pins the update arithmetic, not
+    // just "it runs")
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(ring, "src", "dst", iters = 4)
+      .orderBy("node").as[(Long, Double)].collect()
+    val third = math.floor(1.0 / 3 * 1e6 + 0.5) / 1e6
+    assert(r.toSeq == Seq((1L, third), (2L, third), (3L, third)))
+
+    // star with a dangling center: B→A, C→A; A has no out-edges. One
+    // iteration by hand (d = 0.85, N = 3, r0 = 1/3):
+    //   dangling = r0(A) = 1/3
+    //   A: 0.05 + 0.85*(1/3 + 1/3 + (1/3)/3)
+    //   B, C: 0.05 + 0.85*(0 + (1/3)/3)
+    val star = Seq((2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRank(star, "src", "dst", iters = 1)
+      .orderBy("node").as[(Long, Double)].collect().toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val third3 = 1.0 / 3
+    assert(got(1L) == r6((1.0 - 0.85) / 3 + 0.85 * (third3 + third3 + third3 / 3)))
+    assert(got(2L) == r6((1.0 - 0.85) / 3 + 0.85 * (third3 / 3)))
+    assert(got(2L) == got(3L))
+
+    // dangling redistribution conserves total mass (within the round6
+    // grain) on an irregular graph with multi-edges and a self-loop
+    val g = Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 3L), (4L, 1L), (5L, 1L))
+      .toDF("src", "dst")
+    val mass = Graph.pageRank(g, "src", "dst", iters = 6)
+      .agg(sum($"pagerank")).as[Double].head()
+    assert(math.abs(mass - 1.0) < 1e-4, s"mass $mass must stay ~1")
+
+    // empty edge list: empty result, no crash
+    assert(Graph.pageRank(ring.filter($"src" < 0), "src", "dst", iters = 2).count() == 0)
+  }
+
   test("text stats: ratios bounded, langid sane, fingerprint stable") {
     val st = ops.TextStats.withStats(docs).cache()
     assert(st.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)

@@ -510,6 +510,60 @@ class StreamingSpec extends SparkSpec {
       Set(1L, 2L, 3L, 4L))
   }
 
+  test("LM counts sink: folds equal one-shot counts; kill mid-fold (staged, unswapped) + resume ≡ uninterrupted") {
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "lmcs").toString
+    val b1 = Seq((1L, "the cat sat on the mat"), (2L, "a dog in a fog"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, "the cat ate the dog treat"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val schema = b1.schema
+
+    // killed-and-resumed leg: batch 0 commits, batch 1's FIRST attempt
+    // dies between staging+marker and the swap (the exact crash window
+    // the single-table ledger design exists for)
+    val (in, idx, ckp) = (s"$base/in", s"$base/idx", s"$base/ckp")
+    b1.write.mode("append").parquet(in)
+    val q1 = StreamingIngest.lmCountsIndexSink(
+      spark.readStream.schema(schema).parquet(in), idx, ckp, "text")
+    try q1.processAllAvailable() finally q1.stop()
+    b2.write.mode("append").parquet(in) // arrives while the query is down
+    // simulate the crashed attempt: the complete merged counts (incl. the
+    // stream-1 ledger row) are staged and the marker is published, but
+    // finishBatchCompaction never ran
+    val merged = ops.Lm.mergeCounts(
+      spark.read.parquet(s"$idx/counts"),
+      ops.Lm.trainCounts3(b2, "text"))
+      .unionByName(Seq((ops.Lm.BatchKind, "stream-1", 1L)).toDF("kind", "term", "n"))
+    merged.write.mode("overwrite").parquet(s"$idx/counts.staging")
+    ops.Dedup.publishBatchMarker(spark, idx, Seq("counts"))
+    val q2 = StreamingIngest.lmCountsIndexSink(
+      spark.readStream.schema(schema).parquet(in), idx, ckp, "text")
+    try q2.processAllAvailable() finally q2.stop() // heals the swap, ledger no-ops the replay
+
+    // uninterrupted twin, same batch boundaries
+    val (in2, idx2, ckp2) = (s"$base/in2", s"$base/idx2", s"$base/ckp2")
+    b1.write.mode("append").parquet(in2)
+    val u = StreamingIngest.lmCountsIndexSink(
+      spark.readStream.schema(schema).parquet(in2), idx2, ckp2, "text")
+    try {
+      u.processAllAvailable()
+      b2.write.mode("append").parquet(in2)
+      u.processAllAvailable()
+    } finally u.stop()
+
+    def rows(p: String) = ops.Lm.readCountsIndex(spark, p)
+      .orderBy("kind", "term").as[(String, String, Long)].collect().toSeq
+    val resumed = rows(idx)
+    assert(resumed == rows(idx2),
+      "resumed counts index must equal the uninterrupted run row for row")
+    // and both must equal the one-shot sufficient statistics of the union
+    val oneShot = ops.Lm.trainCounts3(b1.unionByName(b2), "text")
+      .orderBy("kind", "term").as[(String, String, Long)].collect().toSeq
+    assert(resumed == oneShot, "folded stream stats must equal one-shot counts")
+    // ledger carries exactly the two stream batches
+    assert(ops.Lm.foldedBatches(spark, idx) == Set("stream-0", "stream-1"))
+  }
+
   test("streaming sessionization produces sessions with positive event counts") {
     val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
     val sessions = StreamingIngest.runToMemory(spark,
