@@ -136,6 +136,27 @@ object Graft {
       corpus: DataFrame, cid: String, cvec: String, k: Int, candMult: Int = 4): DataFrame =
     Similarity.quantizedTopK(queries, qid, qvec, corpus, cid, cvec, k, candMult)
 
+  /** Johnson–Lindenstrauss compression: project a vector column through a
+    * deterministic ±1 matrix (per-pair scoring cost drops dim → outDim).
+    */
+  def randomProject(vec: Column, outDim: Int, dim: Int, seed: Long = 7L): Column =
+    Similarity.project(vec, Similarity.projectionMatrix(outDim, dim, seed))
+
+  /** Top-k by PROJECTED cosine — the JL shortlist generator. */
+  def topKProjected(queries: DataFrame, qid: String, qvec: String,
+      corpus: DataFrame, cid: String, cvec: String, k: Int,
+      outDim: Int, dim: Int, seed: Long = 7L): DataFrame =
+    Similarity.topKProjected(queries, qid, qvec, corpus, cid, cvec, k, outDim, dim, seed)
+
+  /** Project → shortlist → exact rerank: JL candidates, exact final
+    * ranking; `shortlist` is the recall knob.
+    */
+  def topKProjectedRerank(queries: DataFrame, qid: String, qvec: String,
+      corpus: DataFrame, cid: String, cvec: String, k: Int, shortlist: Int,
+      outDim: Int, dim: Int, seed: Long = 7L): DataFrame =
+    Similarity.topKProjectedRerank(queries, qid, qvec, corpus, cid, cvec,
+      k, shortlist, outDim, dim, seed)
+
   /** The composed 100-TB ANN plan: IVF coarse quantizer (scan ≈
     * nprobe/numCentroids of the corpus) with int8 candidate scoring inside
     * the probed lists + exact rerank.
@@ -466,6 +487,16 @@ object Graft {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 10, damping: Double = 0.85): DataFrame =
     Graph.pageRank(edges, srcCol, dstCol, iters, damping)
+
+  /** Quote/boilerplate SOURCE authority, composed: [[containmentPairs]] →
+    * citation edges (the contained side cites its container) →
+    * [[pageRank]]. The document everyone copies outranks its copies.
+    */
+  def quoteAuthority(docs: DataFrame, idCol: String, text: Column, n: Int = 3,
+      threshold: Double = 0.8, iters: Int = 10): DataFrame =
+    Graph.pageRank(Graph.quoteEdges(
+      Dedup.containmentPairs(docs, idCol, text, n, threshold), threshold),
+      "src", "dst", iters)
 
   /** [[streamCuratedCorpusIndexed]]'s EMBEDDING twin: streaming semantic
     * dedup against a persisted vec ingest index — exactly-once through

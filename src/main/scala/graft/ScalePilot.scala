@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Bpe, Classify, Decontaminate, Dedup, Html, Ivf, Lm, Multimodal, Packing, Pq, Repetition, Report, Sampling, Scd, Sessionize, Similarity, Snapshot, TextStats, Urls}
+import graft.ops.{Bpe, Classify, Decontaminate, Dedup, Graph, Html, Ivf, Lm, Multimodal, Packing, Pq, Repetition, Report, Sampling, Scd, Sessionize, Similarity, Snapshot, TextStats, Urls}
 import graft.sources.Readers
 
 /** Empirical scaling pilot: run the heavy operator families at 1× and N×
@@ -130,6 +130,7 @@ object ScalePilot {
       else if (family == "round11c") Set("documents")
       else if (family == "round11d") Set("documents")
       else if (family == "round12") Set("documents", "embeddings")
+      else if (family == "round12b") Set("orders", "documents")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -886,6 +887,27 @@ object ScalePilot {
         }))
     }
 
+    def round12bQueries(dir: String): Seq[(String, () => DataFrame)] = {
+      // per-copy self-contained link graph: src is the (copy-shifted)
+      // custkey space, dst stays near src so edges never leave the
+      // custkey id range — copies are disjoint subgraphs, so nodes AND
+      // edges both grow with volume (a plain `% M` mod would alias every
+      // copy onto one M-node graph and the pilot would measure nothing)
+      def edges = tbl(dir, "orders")
+        .select(col("o_custkey").as("src"),
+          (col("o_custkey") + col("o_orderkey") % 1000L).as("dst"))
+      Seq(
+        // 5 fixed iterations: per-iteration cost is one |E| join + one
+        // keyed aggregate, so wall should track |E| near-linearly — the
+        // claim the x114 operator's scaladoc makes, measured here
+        "pagerank5" -> (() => Graph.pageRank(edges, "src", "dst", iters = 5)),
+        // containment cutting form: shares pairIntersections with the
+        // exact-jaccard family; per-copy token prefixes mean no
+        // cross-copy shingles, so candidate pairs grow linearly
+        "containment_cut" -> (() => Dedup.removeContained(
+          tbl(dir, "documents"), "doc_id", col("text"), n = 3, threshold = 0.8)))
+    }
+
     def queries(dir: String): Seq[(String, () => DataFrame)] =
       if (family == "dedup") dedupQueries(dir)
       else if (family == "pipeline") pipelineQueries(dir)
@@ -900,6 +922,7 @@ object ScalePilot {
       else if (family == "round11c") round11cQueries(dir)
       else if (family == "round11d") round11dQueries(dir)
       else if (family == "round12") round12Queries(dir)
+      else if (family == "round12b") round12bQueries(dir)
       else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>

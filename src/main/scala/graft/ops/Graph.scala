@@ -80,8 +80,13 @@ object Graph {
     while (i < iters) {
       val dangling = rank.filter(col("out_deg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
+      // filter BEFORE dividing: a dangling node's `rank / 0` is an ANSI
+      // divide-by-zero whenever Catalyst evaluates the projection below
+      // the join (plan-shape dependent — the pilot volume hit it, the
+      // probe volume did not); dangling nodes have no out-edges to join
+      // anyway, their mass flows through the `dangling` aggregate
       val contrib = e
-        .join(rank.select(col("node").as("src"),
+        .join(rank.filter(col("out_deg") > 0).select(col("node").as("src"),
           (col("rank") / col("out_deg")).as("__share")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("__share")).as("__contrib"))
@@ -102,6 +107,26 @@ object Graph {
     deg.unpersist()
     out
   }
+
+  /** Directed citation edges from [[Dedup.containmentPairs]] output: the
+    * CONTAINED side points at its container — a quote cites its source,
+    * so boilerplate/quote-farm mining turns into a graph problem and
+    * [[pageRank]] over these edges scores SOURCE authority (the document
+    * everyone copies outranks its copies). Mutual containment
+    * (near-identical shingle sets) orients greater → smaller id, so the
+    * canonical copy collects the authority; deterministic, value-oracled
+    * end-to-end in x118.
+    */
+  def quoteEdges(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs.select(
+      when(col("containment_a_in_b") >= threshold && col("containment_b_in_a") >= threshold,
+        struct(greatest(col("id_a"), col("id_b")).as("src"),
+          least(col("id_a"), col("id_b")).as("dst")))
+        .when(col("containment_a_in_b") >= threshold,
+          struct(col("id_a").as("src"), col("id_b").as("dst")))
+        .otherwise(struct(col("id_b").as("src"), col("id_a").as("dst")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
   /** DuckDB twin of [[pageRank]]: an unrolled CTE chain (r0 … rK), one
     * CTE per iteration, same update expression SHAPE so both engines run

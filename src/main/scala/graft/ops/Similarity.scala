@@ -302,4 +302,99 @@ object Similarity {
       .filter(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
+
+  // — random projection (Johnson–Lindenstrauss compression) ———————————————
+
+  /** Deterministic ±1 random-projection matrix (Achlioptas '01: Bernoulli
+    * signs satisfy the JL lemma like Gaussians do, and unlike Gaussians
+    * the products `±x` are EXACT in floating point — only the additions
+    * round, which both engines do in the same sequential order, so the
+    * projection is value-oracle-able). Fixed seed → identical across
+    * runs/executors/sessions; the same matrix is baked as literals into
+    * the DuckDB twin by [[projectSqlArray]].
+    */
+  def projectionMatrix(outDim: Int, inDim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(outDim, inDim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Project a vector column through the literal matrix:
+    * `proj[j] = vec · R[j]` — outDim codegen'd [[vec_dot]] kernels per
+    * row, so the projection itself stays inside whole-stage codegen.
+    */
+  def project(vec: Column, matrix: Array[Array[Double]]): Column =
+    array(matrix.map(row => vec_dot(vec, array(row.map(lit): _*))): _*)
+
+  /** Brute-force top-k in PROJECTED space — the JL scale lever for the
+    * similarity family: per-pair scoring cost drops from `dim` to
+    * `outDim` multiply-adds (8× for 64→8) while JL keeps relative
+    * distances approximately intact, so the projected ranking is a
+    * high-recall shortlist generator. Use [[topKProjectedRerank]] when
+    * the final ranking must be exact; this form is itself value-oracled
+    * (x116) because every step — the ±1 projection, the sequential-order
+    * dot products, the 6-decimal rounding — is engine-portable.
+    */
+  def topKProjected(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, cidCol: String, cvecCol: String,
+      k: Int, outDim: Int, dim: Int, seed: Long = 7L): DataFrame = {
+    val m = projectionMatrix(outDim, dim, seed)
+    val q = queries.select(col(qidCol), project(col(qvecCol), m).as("__qp"))
+      .withColumn("__qnorm", vec_norm(col("__qp")))
+    val c = corpus.select(col(cidCol), project(col(cvecCol), m).as("__cp"))
+      .withColumn("__cnorm", vec_norm(col("__cp")))
+    val withSim = c.crossJoin(broadcast(q))
+      .filter(col(qidCol) =!= col(cidCol))
+      .withColumn("proj_cosine",
+        round(cosineWithNorms(col("__qp"), col("__cp"), col("__qnorm"), col("__cnorm")), 6))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("proj_cosine").desc, col(cidCol).asc)
+    withSim
+      .select(col(qidCol), col(cidCol), col("proj_cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Project → shortlist → EXACT rerank: the production composition. The
+    * corpus is scored once in `outDim`-cheap projected space, each query
+    * keeps its `shortlist` best candidates, and only those pairs pay the
+    * full-dimension dot product. Result ranking (and ties) are identical
+    * to [[bruteForceTopK]] wherever the true top-k survives the
+    * shortlist — the recall knob is `shortlist`, gated ≥ 0.9 at
+    * shortlist = 4k on the fixture (x117).
+    */
+  def topKProjectedRerank(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, cidCol: String, cvecCol: String,
+      k: Int, shortlist: Int, outDim: Int, dim: Int, seed: Long = 7L): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val cand = topKProjected(queries, qidCol, qvecCol, corpus, cidCol, cvecCol,
+      k = shortlist, outDim = outDim, dim = dim, seed = seed)
+      .select(col(qidCol), col(cidCol))
+    val q = queries.select(col(qidCol), col(qvecCol))
+      .withColumn("__qnorm", vec_norm(col(qvecCol)))
+    val c = corpus.select(col(cidCol), col(cvecCol))
+      .withColumn("__cnorm", vec_norm(col(cvecCol)))
+    val exact = cand
+      .join(c, Seq(cidCol))
+      .join(broadcast(q), Seq(qidCol))
+      .withColumn("cosine_sim",
+        round(cosineWithNorms(col(qvecCol), col(cvecCol), col("__qnorm"), col("__cnorm")), 6))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine_sim").desc, col(cidCol).asc)
+    exact
+      .select(col(qidCol), col(cidCol), col("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[project]]: a literal list-expression array whose
+    * element j replays `vec · R[j]` with the SAME sequential addition
+    * order as the [[VecDot]] kernel (`list_reduce` folds front-to-back;
+    * 0-init vs first-element-init agree because `0.0 + x = x` exactly).
+    */
+  def projectSqlArray(vecExpr: String, matrix: Array[Array[Double]]): String =
+    matrix.map { row =>
+      val w = row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"list_reduce(list_transform(range(1, ${row.length + 1}), " +
+        s"i -> CAST(($vecExpr)[i] AS DOUBLE) * ($w)[i]), (a, b) -> a + b)"
+    }.mkString("[", ",\n    ", "]")
 }

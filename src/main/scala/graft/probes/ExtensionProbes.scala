@@ -2150,8 +2150,135 @@ object ExtensionProbes {
       "SELECT o_custkey % 199 AS src, o_orderkey % 211 AS dst FROM orders WHERE o_orderkey % 7 = 0",
       iters = 5, damping = 0.85) + "\nORDER BY node ASC NULLS FIRST"))
 
+  // — random projection, FULL value oracle (x116): ±1 Achlioptas matrix,
+  //   top-k by PROJECTED cosine. Oracle-able because every step is
+  //   engine-portable: the matrix is baked as literals into the SQL by
+  //   the same Scala that builds the Spark plan, ± products are exact in
+  //   float, and both engines fold the additions in the same sequential
+  //   order (VecDot's loop ↔ list_reduce).
+  private val x116 = Probe(
+    "x116_sim_topk_projected",
+    (s, dir) => {
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.topKProjected(queries, "query_id", "qvec", emb, "vec_id", "embedding",
+          k = 5, outDim = 8, dim = 64)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      def proj(e: String) =
+        Similarity.projectSqlArray(e, Similarity.projectionMatrix(8, 64))
+      s"""WITH q AS (SELECT vec_id AS query_id, ${proj("embedding")} AS qp
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, ${proj("embedding")} AS cp FROM embeddings),
+         |pairs AS (SELECT query_id, vec_id, qp, cp FROM q, c WHERE vec_id != query_id),
+         |dots AS (SELECT query_id, vec_id,
+         |    list_reduce(list_transform(range(1, 9), i -> qp[i] * cp[i]), (a, b) -> a + b) AS d,
+         |    list_reduce(list_transform(range(1, 9), i -> qp[i] * qp[i]), (a, b) -> a + b) AS nx,
+         |    list_reduce(list_transform(range(1, 9), i -> cp[i] * cp[i]), (a, b) -> a + b) AS ny
+         |  FROM pairs),
+         |sims AS (SELECT query_id, vec_id,
+         |    round(d / (sqrt(nx) * sqrt(ny)), 6) AS proj_cosine FROM dots),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY proj_cosine DESC NULLS LAST, vec_id ASC NULLS FIRST) AS rank FROM sims)
+         |SELECT query_id, vec_id, proj_cosine, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+    })
+
+  // — project → shortlist → exact rerank (x117): the production JL
+  //   composition, gated x06-style by recall against x05's exact top-k.
+  //   The synthetic near-orthogonal embeddings are the WORST case for any
+  //   projection (all cosines ≈ 0, ranking is noise — x06's own caveat);
+  //   measured recall at (outDim 32, shortlist 100): 0.78 at sf0.001 AND
+  //   sf0.01, so the 0.6 gate has margin on both driver scales. Clustered
+  //   real embeddings sit far above. Full-fill also asserted: shortlist ≥ k
+  //   ⇒ every query returns exactly k reranked rows.
+  private val x117 = Probe(
+    "x117_sim_topk_projected_rerank",
+    (s, dir) => {
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(queries, "query_id", "qvec", emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val rr = Similarity.topKProjectedRerank(queries, "query_id", "qvec", emb, "vec_id", "embedding",
+          k = 5, shortlist = 100, outDim = 32, dim = 64)
+        .select(col("query_id"), col("vec_id"))
+      val overlap = rr.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      scalarRow(
+        "n_queries" -> queries.agg(count(lit(1))),
+        "n_exact_results" -> exact.agg(count(lit(1))),
+        "n_rerank_results" -> rr.agg(count(lit(1))),
+        "__n_overlap" -> overlap.agg(count(lit(1))))
+        .select(
+          col("n_queries"), col("n_exact_results"), col("n_rerank_results"),
+          (col("__n_overlap") >= col("n_exact_results") * 0.6).as("recall_ge_060"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           |  CAST(count(*) * 5 AS BIGINT) AS n_exact_results,
+           |  CAST(count(*) * 5 AS BIGINT) AS n_rerank_results,
+           |  TRUE AS recall_ge_060
+           |FROM embeddings WHERE vec_id < 10""".stripMargin))
+
+  // — quote-graph authority (x118): containment → citation edges →
+  //   PageRank, composed end-to-end. The x111 fixture (every document
+  //   doubled as full text + a 12-token slice of itself) gives each
+  //   container exactly one contained quote; the slice CITES its source
+  //   (quoteEdges), and authority concentrates on the containers —
+  //   boilerplate/quote-farm mining as a graph problem. FULL value
+  //   oracle: the containment CTEs (x111's own) feed the unrolled
+  //   PageRank CTE chain inside one nested WITH.
+  private val x118 = Probe(
+    "x118_quote_authority",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val toks = filter(split(col("text"), "\\s+"), t => t =!= lit(""))
+      val fix = docs.select((col("doc_id") * 2).as("fid"), col("text"))
+        .unionByName(docs.select((col("doc_id") * 2 + 1).as("fid"),
+          concat_ws(" ", slice(toks, 5, 12)).as("text")))
+      val pairs = Dedup.containmentPairs(fix, "fid", col("text"), n = 3, threshold = 0.8)
+      Graph.pageRank(Graph.quoteEdges(pairs, 0.8), "src", "dst", iters = 5)
+        .orderBy("node")
+    },
+    Some {
+      def r4(e: String) = graft.Canonical.round4Sql(e)
+      val edgesCte =
+        s"""WITH fix AS (
+           |  SELECT doc_id * 2 AS id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id * 2 + 1 AS id,
+           |    array_to_string(
+           |      list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')[5:16],
+           |      ' ') AS text
+           |  FROM documents),
+           |sh AS (
+           |  SELECT id, unnest(list_distinct(
+           |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
+           |  FROM (SELECT id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+           |        FROM fix)),
+           |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+           |sc AS (
+           |  SELECT id_a, id_b,
+           |    ${r4("i * 1.0 / sa.n")} AS ca,
+           |    ${r4("i * 1.0 / sb.n")} AS cb
+           |  FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b)
+           |SELECT
+           |  CASE WHEN ca >= 0.8 AND cb >= 0.8 THEN greatest(id_a, id_b)
+           |       WHEN ca >= 0.8 THEN id_a ELSE id_b END AS src,
+           |  CASE WHEN ca >= 0.8 AND cb >= 0.8 THEN least(id_a, id_b)
+           |       WHEN ca >= 0.8 THEN id_b ELSE id_a END AS dst
+           |FROM sc WHERE greatest(ca, cb) >= 0.8""".stripMargin
+      Graph.pageRankSql(edgesCte, iters = 5, damping = 0.85) +
+        "\nORDER BY node ASC NULLS FIRST"
+    })
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
-    x103, x104, x106, x108, x111, x112, x114)
+    x103, x104, x106, x108, x111, x112, x114, x116, x117, x118)
 }

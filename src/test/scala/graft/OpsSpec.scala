@@ -2539,6 +2539,40 @@ class OpsSpec extends SparkSpec {
     assert(Graph.pageRank(ring.filter($"src" < 0), "src", "dst", iters = 2).count() == 0)
   }
 
+  test("random projection: deterministic, sign-exact on unit axes, identical vectors stay cosine-1, rerank ⊇ exact-surviving shortlist") {
+    // matrix is pure function of (seed, dims): two builds identical
+    val m1 = Similarity.projectionMatrix(8, 64, seed = 7L)
+    val m2 = Similarity.projectionMatrix(8, 64, seed = 7L)
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    assert(m1.flatten.forall(v => v == 1.0 || v == -1.0))
+    // projecting the i-th unit vector reads column i of the matrix
+    // exactly (±1 products are exact in float)
+    val unit = Array.fill(64)(0.0f); unit(3) = 1.0f
+    val proj = Seq(Tuple1(unit)).toDF("v")
+      .select(Similarity.project($"v", m1).as("p"))
+      .as[Seq[Double]].head()
+    assert(proj == m1.map(_(3)).toSeq)
+    // identical vectors project identically → projected cosine 1
+    val two = emb.limit(5).select($"vec_id", $"embedding")
+    val p = two.select($"vec_id",
+      Similarity.project($"embedding", m1).as("p"))
+    val self = p.select(round(vec_cosine($"p", $"p"), 9)).as[Double].collect()
+    assert(self.forall(_ == 1.0))
+    // rerank at shortlist = corpus size IS exact brute force (every
+    // candidate survives, exact rerank re-ranks everything)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceTopK(queries, "query_id", "qvec",
+      emb, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"vec_id", $"cosine_sim", $"rank").collect().toSet
+    val full = Similarity.topKProjectedRerank(queries, "query_id", "qvec",
+      emb, "vec_id", "embedding", k = 5, shortlist = n, outDim = 8, dim = 64)
+      .select($"query_id", $"vec_id", $"cosine_sim", $"rank").collect().toSet
+    assert(full == exact,
+      "shortlist = |corpus| must reduce rerank to exact brute force")
+  }
+
   test("text stats: ratios bounded, langid sane, fingerprint stable") {
     val st = ops.TextStats.withStats(docs).cache()
     assert(st.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)
