@@ -519,6 +519,46 @@ object Graft {
       checkpoint: String, textCol: String = "text") =
     StreamingIngest.lmCountsIndexSink(docs, indexPath, checkpoint, textCol)
 
+  /** Streaming media near-dup corpus over a persisted [[writeSimhashIndex]]
+    * index: intra-batch Hamming dedup, probe, batch-owned corpus
+    * partitions, idempotent index appends — exactly-once under replay
+    * ([[graft.streaming.StreamingIngest.mediaCorpusIndexedSink]]).
+    */
+  def streamMediaCorpusIndexed(media: DataFrame, corpusPath: String,
+      indexPath: String, checkpoint: String, idCol: String, sigCol: String,
+      maxDist: Int = 2, compactEvery: Int = 0) =
+    StreamingIngest.mediaCorpusIndexedSink(media, corpusPath, indexPath,
+      checkpoint, idCol, sigCol, maxDist, compactEvery)
+
+  /** Persisted Hamming near-dup index over ANY 64-bit perceptual
+    * signature (text SimHash, image aHash/dHash/pHash, audio/video
+    * fingerprints — [[graft.ops.Dedup.SimhashIndex]]): build once,
+    * append batches idempotently, probe each batch with batch-sized
+    * compute instead of re-chunking the corpus.
+    */
+  def writeSimhashIndex(sig: DataFrame, idCol: String, sigCol: String,
+      path: String, maxDist: Int): Unit =
+    Dedup.writeSimhashIndex(sig, idCol, sigCol, path, maxDist)
+  def readSimhashIndex(spark: SparkSession, path: String): Dedup.SimhashIndex =
+    Dedup.readSimhashIndex(spark, path)
+  def appendToSimhashIndex(spark: SparkSession, path: String, newSigs: DataFrame,
+      idCol: String, sigCol: String): Unit =
+    Dedup.appendToSimhashIndex(spark, path, newSigs, idCol, sigCol)
+  def probeSimhashIndex(idx: Dedup.SimhashIndex, batch: DataFrame,
+      idCol: String, sigCol: String): DataFrame =
+    Dedup.probeSimhashIndex(idx, batch, idCol, sigCol)
+  def compactSimhashIndex(spark: SparkSession, path: String,
+      targetFiles: Int = 1): Unit =
+    Dedup.compactSimhashIndex(spark, path, targetFiles)
+
+  /** Incremental image near-dup: hash the batch ([[graft.ops.Multimodal
+    * .aHash64]]) and probe a persisted [[writeSimhashIndex]] index —
+    * the daily media-ingest shape.
+    */
+  def imageNearDupIndexed(idx: Dedup.SimhashIndex, batch: DataFrame,
+      idCol: String, pixels: Column, w: Int, h: Int): DataFrame =
+    Multimodal.imageNearDupIndexed(idx, batch, idCol, pixels, w, h)
+
   /** 64-bit audio perceptual fingerprint of a PCM sample column —
     * silence-trim → 16×16 resample → integer DCT → median sign bits;
     * invariant to silence padding and integer volume scaling.

@@ -896,6 +896,21 @@ object ScalePilot {
       def edges = tbl(dir, "orders")
         .select(col("o_custkey").as("src"),
           (col("o_custkey") + col("o_orderkey") % 1000L).as("dst"))
+      // engine-portable mixed 64-bit signatures (the x119 grain): the
+      // simhash-index arms compare re-chunking the WHOLE corpus per run
+      // (live) against probing a CONSTANT copy-0 batch into a persisted
+      // index holding the full corpus (indexed — the daily-ingest shape)
+      def sigs = tbl(dir, "documents").select(col("doc_id").as("id"))
+        .select(col("id"), ((((col("id") * 48271L) % 2147483647L) * 4194301L) +
+          (col("id") * 69621L) % 1048573L).as("s"))
+      def shIdx: String = {
+        val path = s"$dir/__shidx_v1"
+        if (!new java.io.File(s"$path/meta.json").exists())
+          Dedup.writeSimhashIndex(sigs.filter(col("id") % 37 =!= 0), "id", "s",
+            path, maxDist = 2)
+        path
+      }
+      def shBatch = sigs.filter(col("id") % 37 === 0 && col("id") < 100000000L)
       Seq(
         // 5 fixed iterations: per-iteration cost is one |E| join + one
         // keyed aggregate, so wall should track |E| near-linearly — the
@@ -905,7 +920,11 @@ object ScalePilot {
         // exact-jaccard family; per-copy token prefixes mean no
         // cross-copy shingles, so candidate pairs grow linearly
         "containment_cut" -> (() => Dedup.removeContained(
-          tbl(dir, "documents"), "doc_id", col("text"), n = 3, threshold = 0.8)))
+          tbl(dir, "documents"), "doc_id", col("text"), n = 3, threshold = 0.8)),
+        "simhash_pairs_live" -> (() => Dedup.simhashPairs(
+          sigs.withColumnRenamed("s", "simhash"), "id", maxDist = 2)),
+        "simhash_probe_indexed" -> (() => Dedup.probeSimhashIndex(
+          Dedup.readSimhashIndex(spark, shIdx), shBatch, "id", "s")))
     }
 
     def queries(dir: String): Seq[(String, () => DataFrame)] =

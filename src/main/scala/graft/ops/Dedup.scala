@@ -3108,14 +3108,24 @@ object Dedup {
     * mass-dup cluster, and every emitted pair is still Hamming-verified).
     * Cache lifecycle: localCheckpoint, not persist (see [[lshCandidates]]).
     */
-  def simhashPairs(sig: DataFrame, idCol: String, maxDist: Int,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+  /** Chunk geometry SHARED by the live pair op and the persisted
+    * [[SimhashIndex]] (one definition, so the two paths cannot silently
+    * disagree on slice boundaries): `maxDist+1` unsigned bit-slices of
+    * the 63-bit signature — pigeonhole guarantees any pair within
+    * `maxDist` agrees on at least one slice.
+    */
+  private[graft] def simhashChunkCols(sigCol: Column, maxDist: Int): Seq[Column] = {
     val chunks = maxDist + 1
     val width = 63 / chunks + 1
-    val chunkCols = (0 until chunks).map { c =>
+    (0 until chunks).map { c =>
       struct(lit(c).as("chunk_idx"),
-        shiftright(col("simhash"), c * width).bitwiseAND((1L << width) - 1).as("chunk_val"))
+        shiftright(sigCol, c * width).bitwiseAND((1L << width) - 1).as("chunk_val"))
     }
+  }
+
+  def simhashPairs(sig: DataFrame, idCol: String, maxDist: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val chunkCols = simhashChunkCols(col("simhash"), maxDist)
     // bucket-size guard — same agg + anti/semi-join design as [[lshCandidates]]
     val chunked = sig.select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
       .select(col(idCol), col("simhash"), col("ch.chunk_idx"), col("ch.chunk_val"))
@@ -3142,4 +3152,157 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  // — persisted SIMHASH index (Hamming near-dup state for 64-bit
+  //   signatures) ————————————————————————————————————————————————————————
+  //   ONE index family serves every 64-bit perceptual signature — text
+  //   SimHash, image aHash/dHash/pHash, audio fingerprints, video frame
+  //   hashes — because [[simhashPairs]]' chunk machinery is hash-agnostic.
+  //   Without it, a daily media-ingest pipeline re-chunks the WHOLE
+  //   signature corpus per batch; with it, a batch probes column scans of
+  //   the persisted chunk table against broadcast batch-sized frames.
+
+  /** A loaded persistent simhash index. `buckets` carries per-bucket
+    * corpus occupancy plus the min-id hub AND the hub's signature, so
+    * hot-bucket detection and star verification need no corpus aggregate
+    * per batch (the [[VecIndex]] convention). `maxDist` rides in meta —
+    * probing with a different distance than the index was chunked for
+    * would silently lose the pigeonhole guarantee.
+    */
+  final case class SimhashIndex(sigs: DataFrame, chunks: DataFrame,
+      buckets: DataFrame, maxDist: Int)
+
+  private def rebuildSimhashBuckets(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    // recompute from the persisted chunk table via staging + swap (cannot
+    // overwrite a path feeding the plan being written)
+    spark.read.parquet(s"$path/chunks")
+      .groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(count(lit(1)).as("__ccnt"),
+        min(struct(col("corpus_id"), col("simhash"))).as("__hub"))
+      .write.mode("overwrite").parquet(s"$path/buckets.staging")
+    val (fs, bp) = hadoopFs(spark, s"$path/buckets")
+    val staging = new org.apache.hadoop.fs.Path(s"$path/buckets.staging")
+    if (fs.exists(bp)) fs.delete(bp, true)
+    if (!fs.rename(staging, bp))
+      throw new java.io.IOException(s"simhash index bucket swap $staging -> $bp failed")
+  }
+
+  /** Persist the corpus side of Hamming near-dup state:
+    * `path/{sigs,chunks,buckets}` parquet + `path/meta.json` (the chunk
+    * geometry's `maxDist` — deleted FIRST on rebuild and written LAST, so
+    * its presence marks a complete, mutually consistent index).
+    */
+  def writeSimhashIndex(sig: DataFrame, idCol: String, sigCol: String,
+      path: String, maxDist: Int): Unit = {
+    val spark = sig.sparkSession
+    val (fs, metaP) = hadoopFs(spark, s"$path/meta.json")
+    if (fs.exists(metaP)) fs.delete(metaP, false)
+    sig.select(col(idCol).as("corpus_id"), col(sigCol).cast("long").as("simhash"))
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    val sigsP = spark.read.parquet(s"$path/sigs")
+    sigsP.select(col("corpus_id"), col("simhash"),
+        explode(array(simhashChunkCols(col("simhash"), maxDist): _*)).as("ch"))
+      .select(col("corpus_id"), col("simhash"), col("ch.chunk_idx"), col("ch.chunk_val"))
+      .write.mode("overwrite").parquet(s"$path/chunks")
+    rebuildSimhashBuckets(spark, path)
+    writeTextFile(spark, s"$path/meta.json", s"""{"maxDist":$maxDist}""")
+  }
+
+  /** Load a persisted simhash index (lazy parquet frames + parsed meta). */
+  def readSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): SimhashIndex = {
+    finishBatchCompaction(spark, path) // complete an interrupted dir swap first
+    val meta = readTextFile(spark, s"$path/meta.json")
+    val maxDist = """"maxDist":\s*(\d+)""".r.findFirstMatchIn(meta)
+      .getOrElse(throw new IllegalArgumentException(s"simhash index meta missing maxDist: $meta"))
+      .group(1).toInt
+    SimhashIndex(
+      sigs = spark.read.parquet(s"$path/sigs"),
+      chunks = spark.read.parquet(s"$path/chunks"),
+      buckets = spark.read.parquet(s"$path/buckets"),
+      maxDist = maxDist)
+  }
+
+  /** Append a signature batch. Idempotent under replay: each table
+    * anti-joins the ids it already holds, with both fresh sets pinned
+    * BEFORE any write rewrites the directories they read (the band-index
+    * lesson — a per-table guard completes exactly the missing tables
+    * after a crash between the two appends). Buckets recompute from the
+    * appended chunk table via staging + swap.
+    */
+  def appendToSimhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newSigs: DataFrame, idCol: String, sigCol: String,
+      autoCompactAt: Int = AutoCompactDefault): Unit = {
+    val idx = readSimhashIndex(spark, path)
+    val batch = newSigs.select(col(idCol).as("corpus_id"),
+      col(sigCol).cast("long").as("simhash"))
+    def freshVs(existing: DataFrame): DataFrame =
+      batch.join(existing.select(col("corpus_id")), Seq("corpus_id"), "left_anti")
+        .localCheckpoint()
+    val freshSigs = freshVs(idx.sigs)
+    val freshChunks = freshVs(idx.chunks)
+    freshSigs.write.mode("append").parquet(s"$path/sigs")
+    freshChunks.select(col("corpus_id"), col("simhash"),
+        explode(array(simhashChunkCols(col("simhash"), idx.maxDist): _*)).as("ch"))
+      .select(col("corpus_id"), col("simhash"), col("ch.chunk_idx"), col("ch.chunk_val"))
+      .write.mode("append").parquet(s"$path/chunks")
+    rebuildSimhashBuckets(spark, path)
+    maybeAutoCompact(spark, path, SimhashIndexTables, autoCompactAt)
+  }
+
+  /** Probe a signature batch against the index: every corpus item within
+    * Hamming `maxDist` of a batch item (batch-INTERNAL pairs are the live
+    * [[simhashPairs]]' job — same split as the band/vec index probes).
+    * Candidates are exact by pigeonhole on the cold path; hot buckets
+    * (persisted corpus occupancy + batch occupancy > maxBucket, counted
+    * for TOUCHED buckets only) star-degrade against the persisted min-id
+    * hub. Per-batch cost: batch-sized chunking + column scans of the
+    * index tables joined against broadcast batch-sized frames — nothing
+    * corpus-scale shuffles per batch.
+    */
+  def probeSimhashIndex(idx: SimhashIndex, batch: DataFrame, idCol: String,
+      sigCol: String, maxBucket: Int = DefaultMaxBucket,
+      batchBroadcastCap: Long = BatchBroadcastCap): DataFrame = {
+    val chB = batch
+      .select(col(idCol).as("batch_id"), col(sigCol).cast("long").as("simhash"))
+      .select(col("batch_id"), col("simhash"),
+        explode(array(simhashChunkCols(col("simhash"), idx.maxDist): _*)).as("ch"))
+      .select(col("batch_id"), col("simhash"), col("ch.chunk_idx"), col("ch.chunk_val"))
+      .localCheckpoint()
+    val batchCnt = chB.groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(count(lit(1)).as("__bcnt")).localCheckpoint()
+    val touched = idx.buckets.join(broadcast(batchCnt), Seq("chunk_idx", "chunk_val"))
+    val hot = touched.filter(col("__ccnt") + col("__bcnt") > maxBucket)
+      .select(col("chunk_idx"), col("chunk_val"), col("__hub"))
+      .localCheckpoint()
+    val hotKeys = hot.select(col("chunk_idx"), col("chunk_val"))
+    // batch side renamed pre-join: both sides carry a `simhash` column and
+    // the Hamming xor must pair the BATCH signature with the CORPUS one
+    val coldB = chB.join(hotKeys, Seq("chunk_idx", "chunk_val"), "left_anti")
+      .withColumnRenamed("simhash", "__bsig")
+    val cold =
+      (if (chB.count() <= batchBroadcastCap)
+        idx.chunks.join(broadcast(coldB), Seq("chunk_idx", "chunk_val"))
+      else idx.chunks.hint("merge").join(coldB.hint("merge"), Seq("chunk_idx", "chunk_val")))
+        .select(col("batch_id"), col("corpus_id"),
+          bit_count(col("__bsig").bitwiseXOR(col("simhash"))).as("hamming"))
+    val star = chB.join(hotKeys, Seq("chunk_idx", "chunk_val"), "left_semi")
+      .join(broadcast(hot), Seq("chunk_idx", "chunk_val"))
+      .select(col("batch_id"), col("__hub.corpus_id").as("corpus_id"),
+        bit_count(col("simhash").bitwiseXOR(col("__hub.simhash"))).as("hamming"))
+    cold.unionByName(star)
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .distinct()
+      .filter(col("hamming") <= idx.maxDist)
+  }
+
+  private val SimhashIndexTables = Seq("sigs", "chunks")
+
+  /** [[compactBatchIndex]] over [[writeSimhashIndex]]'s layout (`buckets`
+    * excluded — each append already rewrites it whole via staging+swap).
+    */
+  def compactSimhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int = 1): Unit =
+    compactBatchIndex(spark, path, SimhashIndexTables, targetFiles)
 }

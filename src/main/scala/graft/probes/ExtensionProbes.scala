@@ -2277,8 +2277,64 @@ object ExtensionProbes {
         "\nORDER BY node ASC NULLS FIRST"
     })
 
+  // — persisted simhash index (x119): Hamming near-dup state for 64-bit
+  //   perceptual signatures (image/audio/video hashes probe the SAME
+  //   index — the chunk machinery is hash-agnostic). Engine-portable
+  //   integer fixture: sig(d) = ((d·48271) mod 2^31−1)·4194301 +
+  //   (d·69621) mod 1048573 spreads all three pigeonhole chunks; batch C
+  //   (with planted hamming-1 neighbors of init-batch A and exact twins
+  //   of appended batch B, one append REPLAYED as a ledgerless anti-join
+  //   no-op) probes the A∪B index. FULL value oracle: DuckDB recomputes
+  //   every signature, the xor bit-plants, and the all-pairs Hamming ≤ 2
+  //   filter — which the cold chunk path must equal EXACTLY by
+  //   pigeonhole (no fixture bucket nears the hot cap).
+  private val x119 = Probe(
+    "x119_simhash_index",
+    (s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.TmpDir.root), "x119_sim").toString
+      val sig = Readers.fanOut(t(s, dir, "documents")).select(col("doc_id").as("d"))
+        .select(col("d"),
+          (((col("d") * 48271L) % 2147483647L) * 4194301L +
+            (col("d") * 69621L) % 1048573L).as("s"))
+      def part(m: Int) = sig.filter(pmod(col("d"), lit(3)) === m)
+        .select((col("d") * 10).as("id"), col("s"))
+      Dedup.writeSimhashIndex(part(0), "id", "s", path, maxDist = 2)
+      val b = part(1)
+      Dedup.appendToSimhashIndex(s, path, b, "id", "s")
+      Dedup.appendToSimhashIndex(s, path, b, "id", "s") // replay: anti-join no-op
+      val plantNear = sig.filter(pmod(col("d"), lit(15)) === 0)
+        .select((col("d") * 10 + 2).as("id"),
+          col("s").bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), CAST(d % 22 AS INT))")).as("s"))
+      val plantExact = sig.filter(pmod(col("d"), lit(15)) === 1)
+        .select((col("d") * 10 + 2).as("id"), col("s"))
+      val c = part(2).unionByName(plantNear).unionByName(plantExact)
+      val idx = Dedup.readSimhashIndex(s, path)
+      Dedup.probeSimhashIndex(idx, c, "id", "s")
+        .select(col("batch_id"), col("corpus_id"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("batch_id", "corpus_id")
+    },
+    Some("""WITH sig AS (
+           |  SELECT doc_id AS d,
+           |    ((doc_id * 48271) % 2147483647) * 4194301 + (doc_id * 69621) % 1048573 AS s
+           |  FROM documents),
+           |corpus AS (
+           |  SELECT 10 * d AS cid, s FROM sig WHERE d % 3 = 0
+           |  UNION ALL SELECT 10 * d AS cid, s FROM sig WHERE d % 3 = 1),
+           |batch AS (
+           |  SELECT 10 * d AS bid, s FROM sig WHERE d % 3 = 2
+           |  UNION ALL SELECT 10 * d + 2 AS bid,
+           |    xor(s, CAST(1 AS BIGINT) << (d % 22)) AS s FROM sig WHERE d % 15 = 0
+           |  UNION ALL SELECT 10 * d + 2 AS bid, s FROM sig WHERE d % 15 = 1)
+           |SELECT b.bid AS batch_id, c.cid AS corpus_id,
+           |  CAST(bit_count(xor(b.s, c.s)) AS BIGINT) AS hamming
+           |FROM batch b JOIN corpus c
+           |  ON bit_count(xor(b.s, c.s)) <= 2 AND b.bid != c.cid
+           |ORDER BY batch_id ASC NULLS FIRST, corpus_id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
-    x103, x104, x106, x108, x111, x112, x114, x116, x117, x118)
+    x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119)
 }

@@ -1394,6 +1394,112 @@ object PipelineProbes {
            |  SELECT * FROM uc UNION ALL SELECT * FROM bc UNION ALL SELECT * FROM tc)
            |ORDER BY kind ASC NULLS FIRST, term ASC NULLS FIRST""".stripMargin))
 
+  // — STREAMING media dedup through the persisted simhash index (x120):
+  //   three signature micro-batches (the x119 integer grain) stream
+  //   through [[StreamingIngest.mediaCorpusIndexedSink]] — intra-batch
+  //   Hamming dedup (pairs → components → keep min id), cross-batch
+  //   probe against the index, batch-owned corpus partitions. FULL value
+  //   oracle: DuckDB replays every signature, the per-batch intra
+  //   components (recursive reachability), and the cumulative ≤2-Hamming
+  //   probe, batch by batch.
+  private def x120Intra(k: Int): String =
+    s"""p$k AS (SELECT a.id AS ia, b.id AS ib FROM b$k a JOIN b$k b
+       |  ON a.id < b.id AND bit_count(xor(a.s, b.s)) <= 2),
+       |e$k AS (SELECT ia AS src, ib AS dst FROM p$k UNION SELECT ib, ia FROM p$k),
+       |r$k AS (SELECT src, dst FROM e$k
+       |  UNION SELECT r.src, e.dst FROM r$k r JOIN e$k e ON r.dst = e.src),
+       |k$k AS (SELECT * FROM b$k WHERE id NOT IN (
+       |  SELECT src FROM r$k GROUP BY src HAVING least(src, min(dst)) <> src))""".stripMargin
+
+  private def x120Probe(k: Int, prev: String): String =
+    s"""s$k AS (SELECT k.id, k.s FROM k$k k WHERE NOT EXISTS (
+       |  SELECT 1 FROM $prev c WHERE bit_count(xor(c.s, k.s)) <= 2 AND c.id <> k.id))""".stripMargin
+
+  private val x120 = Probe(
+    "x120_streaming_media_dedup",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.TmpDir.root}/tmp/x120_${tag}_${System.nanoTime()}"
+      val sig = Readers.fanOut(t(s, dir, "documents")).select(col("doc_id").as("d"))
+        .select(col("d"),
+          (((col("d") * 48271L) % 2147483647L) * 4194301L +
+            (col("d") * 69621L) % 1048573L).as("s"))
+      def flip(bits: Long, mod: Int) =
+        col("s").bitwiseXOR(expr(s"shiftleft(CAST($bits AS BIGINT), CAST(d % $mod AS INT))"))
+      val b0 = sig.filter(pmod(col("d"), lit(3L)) === 0L)
+        .select((col("d") * 10).as("media_id"), col("s").as("sig"))
+      val b1 = sig.filter(pmod(col("d"), lit(3L)) === 1L)
+        .select((col("d") * 10).as("media_id"), col("s").as("sig"))
+        .unionByName(sig.filter(pmod(col("d"), lit(15L)) === 0L)
+          .select((col("d") * 10 + 1).as("media_id"), col("s").as("sig")))       // exact of b0
+        .unionByName(sig.filter(pmod(col("d"), lit(15L)) === 3L)
+          .select((col("d") * 10 + 1).as("media_id"), flip(1L, 22).as("sig")))   // near of b0
+        .unionByName(sig.filter(pmod(col("d"), lit(15L)) === 6L)
+          .select((col("d") * 10 + 1).as("media_id"), flip(7L, 20).as("sig")))   // hamming 3: NEW
+      val b2 = sig.filter(pmod(col("d"), lit(3L)) === 2L)
+        .select((col("d") * 10).as("media_id"), col("s").as("sig"))
+        .unionByName(sig.filter(pmod(col("d"), lit(15L)) === 6L)
+          .select((col("d") * 10 + 2).as("media_id"), flip(7L, 20).as("sig")))   // exact of b1's plant
+        .unionByName(sig.filter(pmod(col("d"), lit(15L)) === 2L)
+          .select((col("d") * 10 + 2).as("media_id"), flip(3L, 20).as("sig")))   // intra near, loses to 10d
+      val schema = b0.schema
+      val (in, corpus, idx, ckp) = (s"$base/in", s"$base/corpus", s"$base/idx", s"$base/ckp")
+      def feed(df: org.apache.spark.sql.DataFrame, tag2: String): Unit = {
+        val stage = s"$base/stage_$tag2"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val sp = new org.apache.hadoop.fs.Path(stage)
+        val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(in))
+        val part = fs.listStatus(sp).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file staged at $stage"))
+        if (!fs.rename(part, new org.apache.hadoop.fs.Path(s"$in/$tag2.parquet")))
+          throw new java.io.IOException(s"feed rename failed for $tag2")
+        fs.delete(sp, true)
+      }
+      feed(b0, "b0")
+      val q = graft.streaming.StreamingIngest.mediaCorpusIndexedSink(
+        s.readStream.schema(schema).parquet(in), corpus, idx, ckp, "media_id", "sig")
+      try {
+        q.processAllAvailable()
+        feed(b1, "b1")
+        q.processAllAvailable()
+        feed(b2, "b2")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(corpus)
+        .select(col("media_id"), col("__batch").cast("long").as("batch"))
+        .orderBy("media_id")
+    },
+    Some(s"""WITH RECURSIVE
+            |sig AS (SELECT doc_id AS d,
+            |  ((doc_id * 48271) % 2147483647) * 4194301 + (doc_id * 69621) % 1048573 AS s
+            |  FROM documents),
+            |b0 AS (SELECT 10 * d AS id, s FROM sig WHERE d % 3 = 0),
+            |b1 AS (SELECT 10 * d AS id, s FROM sig WHERE d % 3 = 1
+            |  UNION ALL SELECT 10 * d + 1, s FROM sig WHERE d % 15 = 0
+            |  UNION ALL SELECT 10 * d + 1, xor(s, CAST(1 AS BIGINT) << (d % 22))
+            |    FROM sig WHERE d % 15 = 3
+            |  UNION ALL SELECT 10 * d + 1, xor(s, CAST(7 AS BIGINT) << (d % 20))
+            |    FROM sig WHERE d % 15 = 6),
+            |b2 AS (SELECT 10 * d AS id, s FROM sig WHERE d % 3 = 2
+            |  UNION ALL SELECT 10 * d + 2, xor(s, CAST(7 AS BIGINT) << (d % 20))
+            |    FROM sig WHERE d % 15 = 6
+            |  UNION ALL SELECT 10 * d + 2, xor(s, CAST(3 AS BIGINT) << (d % 20))
+            |    FROM sig WHERE d % 15 = 2),
+            |${x120Intra(0)},
+            |c0 AS (SELECT id, s, CAST(0 AS BIGINT) AS batch FROM k0),
+            |${x120Intra(1)},
+            |${x120Probe(1, "c0")},
+            |c1 AS (SELECT * FROM c0
+            |  UNION ALL SELECT id, s, CAST(1 AS BIGINT) AS batch FROM s1),
+            |${x120Intra(2)},
+            |${x120Probe(2, "c1")},
+            |c2 AS (SELECT * FROM c1
+            |  UNION ALL SELECT id, s, CAST(2 AS BIGINT) AS batch FROM s2)
+            |SELECT id AS media_id, batch FROM c2
+            |ORDER BY media_id ASC NULLS FIRST""".stripMargin))
+
   // — Gopher document-shape quality rules ————————————————————————————————
   //   The non-repetition half of Rae '21 table A1 (word-count and
   //   mean-word-length bounds, #/ellipsis symbol ratio, bullet-start and
@@ -3412,5 +3518,5 @@ object PipelineProbes {
   val all: Seq[Probe] = Seq(x49, x50, x51, x52, x53, x54, x55, x56, x57, x58, x59,
     x60, x61, x62, x63, x64, x65, x66, x67, x68, x69, x70, x71, x72, x74, x75, x76, x77,
     x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88, x89, x90, x91, x92, x93, x94,
-    x95, x96, x97, x98, x99, x100, x101, x102, x105, x107, x109, x110, x113, x115)
+    x95, x96, x97, x98, x99, x100, x101, x102, x105, x107, x109, x110, x113, x115, x120)
 }

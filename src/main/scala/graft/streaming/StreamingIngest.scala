@@ -464,6 +464,66 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming MEDIA near-dup sink over a persisted
+    * [[graft.ops.Dedup.SimhashIndex]] — the daily media-ingest shape for
+    * 64-bit perceptual signatures (image aHash/dHash/pHash, audio/video
+    * fingerprints; the caller supplies the signature column, so any hash
+    * family streams through the same sink). Each micro-batch: intra-batch
+    * near-dup removal (Hamming pairs → connected components → keep min
+    * id, deterministic), probe the persisted index, keep the unmatched,
+    * write them under a batch-owned corpus partition and append them to
+    * the index.
+    *
+    * Exactly-once under replay WITHOUT partition exclusion (unlike the
+    * ingest-index sinks): the index append is an id-keyed anti-join
+    * no-op on replay, the probe filters `batch_id = corpus_id` so a
+    * batch's own first-attempt rows cannot shadow it, and intra-batch
+    * survivors are pairwise > maxDist apart by construction (component
+    * representatives), so first-attempt survivors in the index cannot
+    * re-classify the replay's survivors either. A crash mid-append
+    * (sigs written, chunks not) is also safe: the batch's own rows are
+    * invisible to the replay's probe (chunks drive candidates) and the
+    * replayed append's per-table guard completes exactly the missing
+    * table. Corpus partitions are batch-owned OVERWRITE writes — a
+    * poisoned stale partial is simply rewritten (drilled in
+    * StreamingSpec).
+    */
+  def mediaCorpusIndexedSink(media: DataFrame, corpusPath: String,
+      indexPath: String, checkpoint: String, idCol: String, sigCol: String,
+      maxDist: Int = 2,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val sigs = batch.toDF().select(col(idCol), col(sigCol).cast("long").as(sigCol))
+        val pairs = graft.ops.Dedup.simhashPairs(
+          sigs.select(col(idCol), col(sigCol).as("simhash")), idCol, maxDist)
+        val drop = graft.ops.Dedup.components(pairs)
+          .filter(col("id") =!= col("comp")).select(col("id").as(idCol))
+        val intra = sigs.join(drop, Seq(idCol), "left_anti").localCheckpoint()
+        val metaP = new org.apache.hadoop.fs.Path(s"$indexPath/meta.json")
+        val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(metaP))
+          graft.ops.Dedup.writeSimhashIndex(sigs.limit(0), idCol, sigCol,
+            indexPath, maxDist)
+        val idx = graft.ops.Dedup.readSimhashIndex(spark, indexPath)
+        require(idx.maxDist == maxDist,
+          s"simhash index at $indexPath was chunked for maxDist=${idx.maxDist}; " +
+            s"caller passed maxDist=$maxDist — probing with a different distance " +
+            "would silently lose the pigeonhole guarantee")
+        val dupIds = graft.ops.Dedup.probeSimhashIndex(idx, intra, idCol, sigCol)
+          .select(col("batch_id").as(idCol)).distinct()
+        val survivors = intra.join(dupIds, Seq(idCol), "left_anti").localCheckpoint()
+        survivors.write.mode("overwrite").parquet(s"$corpusPath/__batch=$batchId")
+        graft.ops.Dedup.appendToSimhashIndex(spark, indexPath, survivors, idCol, sigCol)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.ops.Dedup.compactSimhashIndex(spark, indexPath)
+        ()
+      }
+      .start()
+
   /** Streaming arm of the persisted LM counts index
     * ([[graft.ops.Lm.foldIntoCountsIndex]]): each micro-batch's exact
     * uni/bi/tri-gram sufficient statistics fold into the index under the

@@ -2573,6 +2573,65 @@ class OpsSpec extends SparkSpec {
       "shortlist = |corpus| must reduce rerank to exact brute force")
   }
 
+  test("simhash index: probe ≡ live cold pairs, append idempotent, hot star-degrades, post-marker crash heals") {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "shidx").toString
+    val path = s"$base/idx"
+    // engine-portable mixed signatures + planted xor twins (the x119 grain)
+    val sig = docs.select($"doc_id".as("d"))
+      .select($"d", ((($"d" * 48271L) % 2147483647L) * 4194301L +
+        ($"d" * 69621L) % 1048573L).as("s"))
+    val corpus = sig.filter($"d" % 2 === 0).select(($"d" * 10).as("id"), $"s")
+    val batch = sig.filter($"d" % 2 === 1).select(($"d" * 10).as("id"), $"s")
+      .unionByName(sig.filter($"d" % 10 === 0)
+        .select(($"d" * 10 + 2).as("id"),
+          $"s".bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), CAST(d % 22 AS INT))")).as("s")))
+    Dedup.writeSimhashIndex(corpus, "id", "s", path, maxDist = 2)
+    def probe() = Dedup.probeSimhashIndex(
+      Dedup.readSimhashIndex(spark, path), batch, "id", "s")
+      .select(least($"batch_id", $"corpus_id"), greatest($"batch_id", $"corpus_id"),
+        $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    // equivalence: the live pair op over corpus ∪ batch, restricted to
+    // cross (batch, corpus) pairs, is exactly what the probe must emit
+    val corpusIds = corpus.select("id").as[Long].collect().toSet
+    val batchIds = batch.select("id").as[Long].collect().toSet
+    val liveAll: Set[(Long, Long, Long)] = Dedup.simhashPairs(
+      corpus.unionByName(batch).withColumnRenamed("s", "simhash"), "id", maxDist = 2)
+      .select(least($"id_a", $"id_b"), greatest($"id_a", $"id_b"), $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val live = liveAll.filter(t =>
+      (corpusIds(t._1) && batchIds(t._2)) || (corpusIds(t._2) && batchIds(t._1)))
+    val got = probe()
+    assert(got == live, s"probe must equal live cross pairs: got ${got.size}, live ${live.size}")
+    assert(got.nonEmpty, "planted xor twins must produce pairs")
+    // append idempotence: replaying an append must not duplicate rows
+    val extra = sig.filter($"d" % 7 === 3).select(($"d" * 10 + 5).as("id"), $"s")
+    Dedup.appendToSimhashIndex(spark, path, extra, "id", "s")
+    val afterOnce = spark.read.parquet(s"$path/sigs").count()
+    Dedup.appendToSimhashIndex(spark, path, extra, "id", "s")
+    assert(spark.read.parquet(s"$path/sigs").count() == afterOnce,
+      "replayed append must be an anti-join no-op")
+    // hot bucket: maxBucket = 0 forces EVERY touched bucket hot — pairs
+    // must degrade to hub stars but planted twins of the hub still verify
+    val hotPairs = Dedup.probeSimhashIndex(
+      Dedup.readSimhashIndex(spark, path), batch, "id", "s", maxBucket = 0)
+      .as[(Long, Long, Int)].collect()
+    assert(hotPairs.forall(_._3 <= 2), "star pairs must stay Hamming-verified")
+    // crash drill: compaction staged + marker published, then "crash" —
+    // the next reader heals the swap and the probe result is unchanged
+    // (baseline re-captured AFTER the appends: `extra` shares signatures
+    // with odd d ≡ 3 mod 7 batch rows, so the cross pair set grew)
+    val got2 = probe()
+    Dedup.stageBatchCompaction(spark, path, Seq("sigs", "chunks"), targetFiles = 1)
+    val (fs, _) = (new org.apache.hadoop.fs.Path(path))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration) -> ()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_compacting_batch.json")))
+    assert(probe() == got2, "self-heal read after a post-marker crash changed the pairs")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_compacting_batch.json")),
+      "the reader must consume the marker")
+  }
+
   test("text stats: ratios bounded, langid sane, fingerprint stable") {
     val st = ops.TextStats.withStats(docs).cache()
     assert(st.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)

@@ -564,6 +564,61 @@ class StreamingSpec extends SparkSpec {
     assert(ops.Lm.foldedBatches(spark, idx) == Set("stream-0", "stream-1"))
   }
 
+  test("media sink: intra + cross-batch Hamming dedup; kill + resume over a poisoned partial ≡ uninterrupted") {
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "mediakr").toString
+    // well-separated base signatures (distinct high bit-blocks), planted
+    // exact/near twins: hamming(s, s^1bit) = 1 ≤ 2; distinct bases differ
+    // in ≥ 8 bits
+    val s1 = 0x0101010101010101L
+    val s2 = 0x00FF00FF00FF00FFL
+    val s3 = 0x0F0F0F0F0F0F0F0FL
+    val b1 = Seq((1L, s1), (2L, s2), (3L, s2 ^ 2L)) // 3 intra-near of 2 → dropped
+      .toDF("media_id", "sig")
+    val b2 = Seq(
+      (4L, s2),      // cross-batch exact of 2 → dropped
+      (5L, s1 ^ 4L), // cross-batch hamming-1 of 1 → dropped
+      (6L, s3)       // genuinely new
+    ).toDF("media_id", "sig")
+    val schema = b1.schema
+
+    // killed-and-resumed leg with a poisoned stale partial ---------------
+    val (in, corpus, idx, ckp) = (s"$base/in", s"$base/corpus", s"$base/idx", s"$base/ckp")
+    b1.write.mode("append").parquet(in)
+    val q1 = StreamingIngest.mediaCorpusIndexedSink(
+      spark.readStream.schema(schema).parquet(in), corpus, idx, ckp, "media_id", "sig")
+    try q1.processAllAvailable() finally q1.stop()
+    b2.write.mode("append").parquet(in)
+    // stale partial of batch 1's first attempt: a foreign id with s3's
+    // signature — if recovery wrongly counted it as indexed corpus, doc 6
+    // would dedup away
+    Seq((99L, s3)).toDF("media_id", "sig")
+      .write.mode("overwrite").parquet(s"$corpus/__batch=1")
+    val q2 = StreamingIngest.mediaCorpusIndexedSink(
+      spark.readStream.schema(schema).parquet(in), corpus, idx, ckp, "media_id", "sig")
+    try q2.processAllAvailable() finally q2.stop()
+
+    // uninterrupted twin -------------------------------------------------
+    val (in2, corpus2, idx2, ckp2) = (s"$base/in2", s"$base/corpus2", s"$base/idx2", s"$base/ckp2")
+    b1.write.mode("append").parquet(in2)
+    val u = StreamingIngest.mediaCorpusIndexedSink(
+      spark.readStream.schema(schema).parquet(in2), corpus2, idx2, ckp2, "media_id", "sig")
+    try {
+      u.processAllAvailable()
+      b2.write.mode("append").parquet(in2)
+      u.processAllAvailable()
+    } finally u.stop()
+
+    val resumed = spark.read.parquet(corpus).select($"media_id", $"sig")
+    val unbroken = spark.read.parquet(corpus2).select($"media_id", $"sig")
+    assert(resumed.exceptAll(unbroken).isEmpty && unbroken.exceptAll(resumed).isEmpty,
+      "resumed media corpus must equal the uninterrupted run row for row")
+    assert(resumed.select("media_id").as[Long].collect().toSet == Set(1L, 2L, 6L),
+      "intra near (3), cross exact (4), cross near (5), and the poison (99) must all be gone")
+    // index state matches the corpus survivors
+    assert(spark.read.parquet(s"$idx/sigs").select("corpus_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 6L))
+  }
+
   test("streaming sessionization produces sessions with positive event counts") {
     val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
     val sessions = StreamingIngest.runToMemory(spark,
