@@ -498,6 +498,18 @@ object Graft {
       Dedup.containmentPairs(docs, idCol, text, n, threshold), threshold),
       "src", "dst", iters)
 
+  /** [[quoteAuthority]] at HOST grain — the site-level quality prior:
+    * doc-level quote edges lifted through an id→host map (numeric host
+    * ids; dictionary-encode strings first), then PageRank over hosts.
+    */
+  def hostAuthority(docs: DataFrame, idCol: String, hostCol: String,
+      text: Column, n: Int = 3, threshold: Double = 0.8,
+      iters: Int = 10): DataFrame =
+    Graph.hostAuthority(
+      Graph.quoteEdges(Dedup.containmentPairs(docs, idCol, text, n, threshold),
+        threshold),
+      docs, idCol, hostCol, iters)
+
   /** [[streamCuratedCorpusIndexed]]'s EMBEDDING twin: streaming semantic
     * dedup against a persisted vec ingest index — exactly-once through
     * the index under replay, SemDeDup within each micro-batch.

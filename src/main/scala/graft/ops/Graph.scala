@@ -128,6 +128,40 @@ object Graph {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
+  /** [[quoteEdges]] lifted to the HOST graph — the grain production
+    * curation actually weights at (a page quotes a page, but the quality
+    * prior attaches to the site): join both edge endpoints to an
+    * id→host map and rank hosts. Host ids must be NUMERIC (dictionary-
+    * encode string hosts first — at 100 TB the dictionary encode is a
+    * one-off distinct+zipWithIndex-style pass, and every downstream
+    * shuffle moves 8-byte keys instead of strings). Multi-edges collapse
+    * ([[pageRank]] dedups): a host pair quoted a thousand times counts
+    * once — deliberate, or a single template mirror would dominate the
+    * prior.
+    */
+  def hostAuthority(edges: DataFrame, hosts: DataFrame, idCol: String,
+      hostCol: String, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val m = hosts.select(col(idCol), col(hostCol))
+    val he = edges
+      .join(m.select(col(idCol).as("src"), col(hostCol).as("__hs")), Seq("src"))
+      .join(m.select(col(idCol).as("dst"), col(hostCol).as("__hd")), Seq("dst"))
+      .select(col("__hs").as("src"), col("__hd").as("dst"))
+    pageRank(he, "src", "dst", iters, damping)
+  }
+
+  /** Dictionary-encode a (string) host column to dense numeric ids for
+    * [[hostAuthority]]: one distinct over hosts plus a row_number over
+    * the DICTIONARY — a global sort, but of the host table (cardinality
+    * ≪ corpus), never the corpus itself. Deterministic: ids follow host
+    * lexicographic order.
+    */
+  def encodeHosts(docs: DataFrame, hostCol: String): DataFrame =
+    docs.select(col(hostCol)).distinct()
+      .withColumn("host_id",
+        org.apache.spark.sql.functions.row_number()
+          .over(org.apache.spark.sql.expressions.Window.orderBy(col(hostCol)))
+          .cast("long"))
+
   /** DuckDB twin of [[pageRank]]: an unrolled CTE chain (r0 … rK), one
     * CTE per iteration, same update expression SHAPE so both engines run
     * the identical IEEE sequence. `edgesCte` must be a CTE body yielding

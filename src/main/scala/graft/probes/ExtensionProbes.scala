@@ -2333,8 +2333,69 @@ object ExtensionProbes {
            |  ON bit_count(xor(b.s, c.s)) <= 2 AND b.bid != c.cid
            |ORDER BY batch_id ASC NULLS FIRST, corpus_id ASC NULLS FIRST""".stripMargin))
 
+  // — HOST-grain quote authority (x121): the x118 composition lifted to
+  //   the grain production curation weights at — the site, not the page.
+  //   Fixture: each document's 12-token slice is attributed to the NEXT
+  //   host ((d+1) mod 31), so every quote is a cross-host citation and
+  //   the host graph is a 31-node multi-ring with document-count-driven
+  //   in-degree. FULL value oracle: x118's containment/edge CTEs + a
+  //   host map + the unrolled PageRank chain.
+  private val x121 = Probe(
+    "x121_host_authority",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val toks = filter(split(col("text"), "\\s+"), t => t =!= lit(""))
+      val fix = docs.select((col("doc_id") * 2).as("fid"), col("text"),
+          pmod(col("doc_id"), lit(31L)).as("host"))
+        .unionByName(docs.select((col("doc_id") * 2 + 1).as("fid"),
+          concat_ws(" ", slice(toks, 5, 12)).as("text"),
+          pmod(col("doc_id") + 1, lit(31L)).as("host")))
+      val pairs = Dedup.containmentPairs(fix, "fid", col("text"), n = 3, threshold = 0.8)
+      Graph.hostAuthority(Graph.quoteEdges(pairs, 0.8),
+          fix.select(col("fid"), col("host")), "fid", "host", iters = 5)
+        .orderBy("node")
+    },
+    Some {
+      def r4(e: String) = graft.Canonical.round4Sql(e)
+      val edgesCte =
+        s"""WITH fix AS (
+           |  SELECT doc_id * 2 AS id, text, doc_id % 31 AS h FROM documents
+           |  UNION ALL
+           |  SELECT doc_id * 2 + 1 AS id,
+           |    array_to_string(
+           |      list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')[5:16],
+           |      ' ') AS text,
+           |    (doc_id + 1) % 31 AS h
+           |  FROM documents),
+           |sh AS (
+           |  SELECT id, unnest(list_distinct(
+           |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
+           |  FROM (SELECT id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+           |        FROM fix)),
+           |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+           |sc AS (
+           |  SELECT id_a, id_b,
+           |    ${r4("i * 1.0 / sa.n")} AS ca,
+           |    ${r4("i * 1.0 / sb.n")} AS cb
+           |  FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b),
+           |de AS (
+           |  SELECT
+           |    CASE WHEN ca >= 0.8 AND cb >= 0.8 THEN greatest(id_a, id_b)
+           |         WHEN ca >= 0.8 THEN id_a ELSE id_b END AS ds,
+           |    CASE WHEN ca >= 0.8 AND cb >= 0.8 THEN least(id_a, id_b)
+           |         WHEN ca >= 0.8 THEN id_b ELSE id_a END AS dd
+           |  FROM sc WHERE greatest(ca, cb) >= 0.8)
+           |SELECT hs.h AS src, hd.h AS dst
+           |FROM de JOIN fix hs ON hs.id = de.ds JOIN fix hd ON hd.id = de.dd""".stripMargin
+      Graph.pageRankSql(edgesCte, iters = 5, damping = 0.85) +
+        "\nORDER BY node ASC NULLS FIRST"
+    })
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
-    x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119)
+    x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121)
 }

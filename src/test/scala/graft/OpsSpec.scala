@@ -2537,6 +2537,23 @@ class OpsSpec extends SparkSpec {
 
     // empty edge list: empty result, no crash
     assert(Graph.pageRank(ring.filter($"src" < 0), "src", "dst", iters = 2).count() == 0)
+
+    // iteration stability: on an irregular graph the ranks move < 1e-5
+    // between iterations 15 and 20 — the scaladoc's "K ≈ 10 suffices"
+    // guidance, measured (power iteration converges geometrically at
+    // rate ~damping)
+    val r15 = Graph.pageRank(g, "src", "dst", iters = 15)
+      .orderBy("node").as[(Long, Double)].collect().toMap
+    val r20 = Graph.pageRank(g, "src", "dst", iters = 20)
+      .orderBy("node").as[(Long, Double)].collect().toMap
+    val maxDelta = r15.map { case (n, v) => math.abs(v - r20(n)) }.max
+    assert(maxDelta < 1e-5, s"rank movement $maxDelta between iters 15→20 too large")
+
+    // host dictionary encode: dense, deterministic, lexicographic
+    val enc = Graph.encodeHosts(
+      Seq("b.com", "a.com", "b.com", "c.com").toDF("host"), "host")
+      .orderBy("host_id").as[(String, Long)].collect().toSeq
+    assert(enc == Seq(("a.com", 1L), ("b.com", 2L), ("c.com", 3L)))
   }
 
   test("random projection: deterministic, sign-exact on unit axes, identical vectors stay cosine-1, rerank ⊇ exact-surviving shortlist") {

@@ -42,11 +42,27 @@ class PlanAuditSpec extends SparkSpec {
                                // aggregate) broadcast — the standard
                                // scalar-broadcast shape; the corpus-sized
                                // stage is the single count shuffle
-    "x106_leakage_safe_split"  // the probe's final assembly cross-joins
+    "x106_leakage_safe_split", // the probe's final assembly cross-joins
                                // its TWO one-row invariant aggregates
                                // (fraction checks × leak counts) — a 1×1
                                // product; the corpus-sized stages (pairs,
                                // components, coin) are all equi-keyed
+    "x114_pagerank",           // the dangling-mass term is a 1-row total
+                               // broadcast onto the rank update each
+                               // iteration — the x99 scalar-broadcast
+                               // shape; contributions are an equi-join
+    "x116_sim_topk_projected", // brute force in PROJECTED space BY DESIGN
+                               // (the x05 shape at outDim cost) — the JL
+                               // win is per-pair FLOPs, not asymptotics;
+                               // compose with IVF for the sublinear path
+    "x117_sim_topk_projected_rerank", // embeds x05 exact ground truth +
+                               // the projected shortlist scan (both
+                               // whitelisted shapes above)
+    "x118_quote_authority",    // the pageRank tail's 1-row dangling
+                               // broadcast (x114); the containment pair
+                               // stage is shingle-equi-keyed
+    "x121_host_authority"      // same pageRank tail at host grain; the
+                               // host-map joins are id-equi-keyed
   )
 
   // streaming probes execute a query at construction time; plan-audited
