@@ -488,6 +488,16 @@ object Graft {
       iters: Int = 10, damping: Double = 0.85): DataFrame =
     Graph.pageRank(edges, srcCol, dstCol, iters, damping)
 
+  /** Weighted / personalized PageRank ([[graft.ops.Graph.pageRankWeighted]]):
+    * integer edge weights split contributions w/W; an optional teleport
+    * vector turns it into TrustRank (trust propagates from vetted seed
+    * hosts and never leaks to unvetted ones through dangling pages).
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int = 10, damping: Double = 0.85,
+      teleport: Option[DataFrame] = None): DataFrame =
+    Graph.pageRankWeighted(edges, srcCol, dstCol, weightCol, iters, damping, teleport)
+
   /** Quote/boilerplate SOURCE authority, composed: [[containmentPairs]] →
     * citation edges (the contained side cites its container) →
     * [[pageRank]]. The document everyone copies outranks its copies.

@@ -149,6 +149,142 @@ object Graph {
     pageRank(he, "src", "dst", iters, damping)
   }
 
+  /** Weighted / personalized PageRank — the generalized form behind two
+    * curation staples: edge-weighted authority (a host quoted by many
+    * DISTINCT pages outranks one quoted once, when the caller aggregates
+    * quote counts into weights) and TrustRank (Gyöngyi '04, public): a
+    * teleport vector concentrated on hand-vetted seed hosts propagates
+    * trust along links, and low-trust hosts are exactly the spam-farm
+    * candidates curation down-weights.
+    *
+    * Semantics, pinned (DuckDB twin: [[pageRankWeightedSql]]):
+    *   - duplicate (src, dst) edges AGGREGATE: w(u,v) = Σ weightCol;
+    *     out-weight W(u) = Σ_v w(u,v); weights should be integer-valued
+    *     (exact cross-engine aggregation — double weights would make the
+    *     w(u,v) sums order-dependent);
+    *   - contrib(v) = Σ_u r(u) · w(u,v) / W(u);
+    *   - teleport t(v): uniform 1/N when `teleport` is None, else the
+    *     caller's (node, t) frame — nodes absent from it get t = 0, and
+    *     Σt must be 1 (checked, ±1e-9: a silently unnormalized vector
+    *     would leak total mass and make ranks incomparable);
+    *   - r'(v) = (1−d)·t(v) + d·(contrib(v) + dangling·t(v)) — dangling
+    *     mass redistributes BY THE TELEPORT VECTOR (the standard
+    *     personalized form: trust never leaks to unvetted hosts through
+    *     dangling pages);
+    *   - ranks start at t (the teleport prior) and output round6.
+    *
+    * Same execution shape as [[pageRank]]: one edge join + one keyed
+    * aggregate per iteration, localCheckpoint'ed ranks, superseded
+    * copies released, driver state = one count + one normalization
+    * check.
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int = 10, damping: Double = 0.85,
+      teleport: Option[DataFrame] = None): DataFrame = {
+    require(iters >= 1, s"pageRankWeighted needs iters >= 1, got $iters")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+    val outW = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("out_w"))
+    val degBase = nodes.join(outW, Seq("node"), "left")
+      .select(col("node"), coalesce(col("out_w"), lit(0L)).as("out_w"))
+    val n = degBase.count()
+    if (n == 0) {
+      e.unpersist()
+      return degBase.select(col("node"), lit(0.0).as("pagerank"))
+    }
+    val deg = (teleport match {
+      case None => degBase.withColumn("t", lit(1.0) / lit(n.toDouble))
+      case Some(tf) =>
+        degBase.join(tf.select(col("node").cast("long").as("node"),
+          col("t").cast("double").as("t")), Seq("node"), "left")
+          .select(col("node"), col("out_w"), coalesce(col("t"), lit(0.0)).as("t"))
+    }).localCheckpoint()
+    val tSum = deg.agg(sum(col("t"))).head().getDouble(0)
+    require(math.abs(tSum - 1.0) < 1e-9,
+      s"teleport vector must sum to 1 over the node set, got $tSum — an " +
+        "unnormalized vector silently leaks total mass")
+    var rank = deg.select(col("node"), col("out_w"), col("t"), col("t").as("rank"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val dangling = rank.filter(col("out_w") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
+      val contrib = e
+        .join(rank.filter(col("out_w") > 0).select(col("node").as("src"),
+          col("rank"), col("out_w")), Seq("src"))
+        .select(col("dst").as("node"),
+          (col("rank") * col("w") / col("out_w")).as("__share"))
+        .groupBy(col("node")).agg(sum(col("__share")).as("__contrib"))
+      val next = deg
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("out_w"), col("t"),
+          (lit(1.0 - damping) * col("t") + lit(damping) *
+            (coalesce(col("__contrib"), lit(0.0)) + col("__dang") * col("t")))
+            .as("rank"))
+        .localCheckpoint()
+      rank.unpersist()
+      rank = next
+      i += 1
+    }
+    val out = rank.select(col("node"), graft.Canonical.round6(col("rank")).as("pagerank"))
+    e.unpersist()
+    deg.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[pageRankWeighted]] — unrolled CTE chain with the
+    * identical IEEE update shape. `edgesCte` yields (src, dst, w);
+    * `teleportCte` (optional) yields (node, t) and absent nodes read 0.
+    */
+  def pageRankWeightedSql(edgesCte: String, iters: Int, damping: Double = 0.85,
+      teleportCte: Option[String] = None): String = {
+    val d = damping.toString
+    val tExpr = teleportCte match {
+      case None => "1.0 / nn.n"
+      case Some(_) => "coalesce(tv.t, 0.0)"
+    }
+    val tJoin = teleportCte match {
+      case None => ""
+      case Some(_) => "LEFT JOIN tvec tv ON tv.node = degb.node"
+    }
+    val tCte = teleportCte.map(c => s"tvec AS ($c),\n").getOrElse("")
+    val steps = (1 to iters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""r$k AS (
+         |  SELECT deg.node, deg.out_w, deg.t,
+         |    (1.0 - $d) * deg.t + $d *
+         |      (coalesce(c.contrib, 0.0) + dang.s * deg.t) AS rank
+         |  FROM deg
+         |  LEFT JOIN (SELECT ed.dst AS node, sum(r.rank * ed.w / r.out_w) AS contrib
+         |             FROM ed JOIN $prev r ON r.node = ed.src WHERE r.out_w > 0 GROUP BY 1) c
+         |    ON c.node = deg.node,
+         |  (SELECT coalesce(sum(rank), 0.0) AS s FROM $prev WHERE out_w = 0) dang)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS ($edgesCte),
+       |ed AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM raw
+       |       WHERE src IS NOT NULL AND dst IS NOT NULL AND w IS NOT NULL
+       |       GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM ed UNION ALL SELECT dst AS node FROM ed)),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |${tCte}deg AS (SELECT degb.node, degb.out_w, $tExpr AS t
+       |  FROM (SELECT n.node, coalesce(o.ow, 0) AS out_w
+       |        FROM nodes n LEFT JOIN
+       |          (SELECT src AS node, CAST(sum(w) AS BIGINT) AS ow FROM ed GROUP BY 1) o
+       |          ON o.node = n.node) degb $tJoin, nn),
+       |r0 AS (SELECT node, out_w, t, t AS rank FROM deg),
+       |$steps
+       |SELECT node, ${graft.Canonical.round6Sql("rank")} AS pagerank FROM r$iters""".stripMargin
+  }
+
   /** Dictionary-encode a (string) host column to dense numeric ids for
     * [[hostAuthority]]: one distinct over hosts plus a row_number over
     * the DICTIONARY — a global sort, but of the host table (cardinality

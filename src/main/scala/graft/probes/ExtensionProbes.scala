@@ -2394,8 +2394,54 @@ object ExtensionProbes {
         "\nORDER BY node ASC NULLS FIRST"
     })
 
+  // — weighted PageRank (x122): duplicate (src, dst) edges aggregate
+  //   into integer weights (exact cross-engine sums), contributions
+  //   split rank by w/W. Graph derived from lineitem (supplier→part mod
+  //   graph, weight = line number). FULL value oracle: the unrolled
+  //   weighted CTE chain.
+  private val x122 = Probe(
+    "x122_pagerank_weighted",
+    (s, dir) => {
+      val ed = t(s, dir, "lineitem")
+        .select((col("l_suppkey") % 97).as("src"), (col("l_partkey") % 101).as("dst"),
+          col("l_linenumber").as("w"))
+      Graph.pageRankWeighted(ed, "src", "dst", "w", iters = 5).orderBy("node")
+    },
+    Some(Graph.pageRankWeightedSql(
+      "SELECT l_suppkey % 97 AS src, l_partkey % 101 AS dst, l_linenumber AS w FROM lineitem",
+      iters = 5) + "\nORDER BY node ASC NULLS FIRST"))
+
+  // — TrustRank (x123): personalized PageRank whose teleport vector is
+  //   uniform over a hand-vetted SEED set (nodes < 20 of the x114 orders
+  //   graph) — trust propagates along links and never leaks to unvetted
+  //   hosts through dangling pages (dangling mass redistributes by the
+  //   teleport vector). FULL value oracle: the same CTE chain with the
+  //   seed teleport.
+  private val x123 = Probe(
+    "x123_trustrank",
+    (s, dir) => {
+      val ed = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select((col("o_custkey") % 199).as("src"), (col("o_orderkey") % 211).as("dst"),
+          lit(1L).as("w"))
+      val nodes = ed.select(col("src").as("node"))
+        .unionByName(ed.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.filter(col("node") < 20).localCheckpoint()
+      val k = seeds.count() // bounded driver scalar (seed-set size)
+      val tf = seeds.select(col("node"), (lit(1.0) / lit(k.toDouble)).as("t"))
+      Graph.pageRankWeighted(ed, "src", "dst", "w", iters = 5, teleport = Some(tf))
+        .orderBy("node")
+    },
+    Some(Graph.pageRankWeightedSql(
+      "SELECT o_custkey % 199 AS src, o_orderkey % 211 AS dst, CAST(1 AS BIGINT) AS w " +
+        "FROM orders WHERE o_orderkey % 7 = 0",
+      iters = 5,
+      teleportCte = Some(
+        "SELECT node, 1.0 / (SELECT count(*) FROM nodes WHERE node < 20) AS t " +
+          "FROM nodes WHERE node < 20")) + "\nORDER BY node ASC NULLS FIRST"))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
-    x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121)
+    x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123)
 }

@@ -2556,6 +2556,46 @@ class OpsSpec extends SparkSpec {
     assert(enc == Seq(("a.com", 1L), ("b.com", 2L), ("c.com", 3L)))
   }
 
+  test("pageRankWeighted: unit weights ≡ pageRank; weights shift mass; trust stays in the seed component") {
+    val g = Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 3L), (4L, 1L), (5L, 1L))
+      .toDF("src", "dst")
+    // unit weights + uniform teleport reproduce plain pageRank at the
+    // shared round6 grain (duplicate edges dedup in BOTH: pageRank
+    // distincts, the weighted form aggregates 1+1 → w=2 — so use the
+    // DISTINCT edge set for the equivalence)
+    val gd = g.distinct()
+    val plain = Graph.pageRank(gd, "src", "dst", iters = 6)
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+    val unit = Graph.pageRankWeighted(gd.withColumn("w", lit(1L)), "src", "dst", "w", iters = 6)
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+    assert(plain == unit, "unit-weight pageRankWeighted must equal pageRank")
+
+    // weights shift mass: B→A with weight 9 vs B→C weight 1 — A must
+    // outrank C (same in-degree, 9× the share)
+    val wg = Seq((2L, 1L, 9L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val wr = Graph.pageRankWeighted(wg, "src", "dst", "w", iters = 3)
+      .orderBy("node").as[(Long, Double)].collect().toMap
+    assert(wr(1L) > wr(3L), s"weight-9 target must outrank weight-1 target: $wr")
+
+    // TrustRank: two disconnected components {1,2} and {10,11}; teleport
+    // concentrated on node 1 — the unseeded component's rank must be
+    // EXACTLY 0 (trust cannot teleport there, and dangling mass
+    // redistributes by the teleport vector, not uniformly)
+    val two = Seq((1L, 2L), (10L, 11L)).toDF("src", "dst")
+      .withColumn("w", lit(1L))
+    val tf = Seq((1L, 1.0)).toDF("node", "t")
+    val tr = Graph.pageRankWeighted(two, "src", "dst", "w", iters = 4,
+      teleport = Some(tf)).orderBy("node").as[(Long, Double)].collect().toMap
+    assert(tr(10L) == 0.0 && tr(11L) == 0.0, s"unseeded component must hold zero trust: $tr")
+    assert(tr(1L) > 0.0 && tr(2L) > 0.0, s"seed component must hold all trust: $tr")
+
+    // unnormalized teleport fails loudly
+    val bad = Seq((1L, 0.7)).toDF("node", "t")
+    intercept[IllegalArgumentException] {
+      Graph.pageRankWeighted(two, "src", "dst", "w", iters = 1, teleport = Some(bad))
+    }
+  }
+
   test("random projection: deterministic, sign-exact on unit axes, identical vectors stay cosine-1, rerank ⊇ exact-surviving shortlist") {
     // matrix is pure function of (seed, dims): two builds identical
     val m1 = Similarity.projectionMatrix(8, 64, seed = 7L)

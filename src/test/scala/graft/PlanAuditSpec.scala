@@ -61,8 +61,10 @@ class PlanAuditSpec extends SparkSpec {
     "x118_quote_authority",    // the pageRank tail's 1-row dangling
                                // broadcast (x114); the containment pair
                                // stage is shingle-equi-keyed
-    "x121_host_authority"      // same pageRank tail at host grain; the
+    "x121_host_authority",     // same pageRank tail at host grain; the
                                // host-map joins are id-equi-keyed
+    "x122_pagerank_weighted",  // the x114 scalar-broadcast dangling tail
+    "x123_trustrank"           // ditto, with the seed teleport vector
   )
 
   // streaming probes execute a query at construction time; plan-audited
