@@ -64,6 +64,23 @@ object Graft {
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
     Dedup.components(pairs, maxIter)
 
+  /** Fold a pair DELTA into existing cluster labels without replaying
+    * history — incremental ≡ one-shot over the full pair set
+    * ([[graft.ops.Dedup.componentsIncremental]]).
+    */
+  def componentsIncremental(labels: DataFrame, newPairs: DataFrame): DataFrame =
+    Dedup.componentsIncremental(labels, newPairs)
+
+  /** Persisted cluster labels: write / fold a pair delta (idempotent, no
+    * ledger needed) / read with heal-on-entry ([[graft.ops.Dedup]]).
+    */
+  def writeCcIndex(spark: SparkSession, path: String, labels: DataFrame): Unit =
+    Dedup.writeCcIndex(spark, path, labels)
+  def appendToCcIndex(spark: SparkSession, path: String, newPairs: DataFrame): Unit =
+    Dedup.appendToCcIndex(spark, path, newPairs)
+  def readCcIndex(spark: SparkSession, path: String): DataFrame =
+    Dedup.readCcIndex(spark, path)
+
   /** Daily-ingest dedup: a new batch against an existing corpus without
     * ever self-joining the corpus. Eager — the result is materialized and
     * cached; `unpersist()` it when done.
@@ -223,6 +240,13 @@ object Graft {
 
   /** Redact URLs/emails/phone numbers — the pre-training scrub pass. */
   def scrubText(text: Column): Column = TextStats.scrub(text)
+
+  /** Per-document PII counts (URL/email/phone) + redacted text — the
+    * reporting side of [[scrubText]], with its order-sensitive masking
+    * chain (an email inside a URL counts as URL).
+    */
+  def piiStats(docs: DataFrame, idCol: String, textCol: String = "text"): DataFrame =
+    TextStats.piiStats(docs, idCol, textCol)
 
   /** Per-language quality gate: `approx = false` is the exact
     * floor(frac·n) window form; `approx = true` is the 2-pass sketch

@@ -682,6 +682,60 @@ object Dedup {
       .select(col("id"), coalesce(col("__comp"), col("id")).as("comp"))
   }
 
+  /** Incremental [[components]]: fold a DELTA pair batch into existing
+    * (id, comp) labels WITHOUT replaying history. Label edges (id → comp)
+    * carry the old connectivity exactly — every old member appears as an
+    * id and every old component is a star around its min — so star
+    * contraction over `labelEdges ∪ delta` equals the one-shot result
+    * over the full pair history (components that the delta bridges merge
+    * to the global min). Per-fold cost is O(|labels| + |delta|), not
+    * O(every pair ever); untouched singletons (self-labelled, absent
+    * from the union's node set) are re-added unchanged. IDEMPOTENT: the
+    * same delta folded twice is a fixpoint, so replays need no ledger.
+    */
+  def componentsIncremental(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val labelEdges = labels.filter(col("id") =!= col("comp"))
+      .select(col("id").as("id_a"), col("comp").as("id_b"))
+    val merged = components(
+      labelEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))), maxIter)
+    val singles = labels.filter(col("id") === col("comp"))
+      .join(merged.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    merged.unionByName(singles)
+  }
+
+  /** Persist component labels — the cluster state a daily dedup pipeline
+    * carries between runs (`path/labels` + the shared staging+marker
+    * protocol; single-table swap, the LM-counts-index shape — and no
+    * replay ledger because [[componentsIncremental]] is idempotent).
+    */
+  def writeCcIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      labels: DataFrame): Unit =
+    labels.select(col("id"), col("comp"))
+      .write.mode("overwrite").parquet(s"$path/labels")
+
+  /** Load persisted component labels (healing an interrupted fold first). */
+  def readCcIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    finishBatchCompaction(spark, path)
+    spark.read.parquet(s"$path/labels")
+  }
+
+  /** Fold a delta pair batch into the persisted labels: compute the
+    * merged labels, stage, publish the marker, swap. A crash between
+    * staging+marker and the swap self-heals on the next read; a crash
+    * before the marker leaves the old labels intact and the replayed
+    * fold recomputes the identical merge.
+    */
+  def appendToCcIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newPairs: DataFrame, maxIter: Int = 20): Unit = {
+    val cur = readCcIndex(spark, path)
+    componentsIncremental(cur, newPairs, maxIter)
+      .write.mode("overwrite").parquet(s"$path/labels.staging")
+    publishBatchMarker(spark, path, Seq("labels"))
+    finishBatchCompaction(spark, path)
+  }
+
   /** End-to-end near-dup REMOVAL: pairs → clusters → keep one canonical
     * document (the min id) per cluster — the composition every dedup
     * pipeline actually ships: exact n-gram Jaccard pairs (so the whole

@@ -222,6 +222,27 @@ object TextStats {
         EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
 
+  /** Per-document PII detection counts + the redacted text — the
+    * reporting side of [[scrub]] (curation pipelines track PII rates per
+    * source to decide which hosts need the expensive NER pass). Counts
+    * use the SAME order-sensitive masking chain as scrub: URLs are
+    * counted on the raw text and masked, emails are counted on the
+    * URL-masked text, phones on the email-masked text — so an email
+    * embedded in a URL counts as URL, exactly matching what scrub
+    * redacts. Pure codegen'd regexp chain, embarrassingly parallel;
+    * the same RE2/Java-common patterns run in the DuckDB oracle.
+    */
+  def piiStats(docs: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, UrlRe, "<URL>")
+    val t2 = regexp_replace(t1, EmailRe, "<EMAIL>")
+    docs.select(col(idCol),
+      regexp_count(t0, lit(UrlRe)).cast("long").as("n_urls"),
+      regexp_count(t1, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t2, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(t2, PhoneRe, "<PHONE>").as("text_scrubbed"))
+  }
+
   /** Canonical text form for "fuzzy-exact" dedup (the ccnet-style
     * normalization pass): Unicode NFC composition ([[graft.functions
     * .TextFunctions.nfc]] — precomposed and decomposed accents hash

@@ -2440,8 +2440,84 @@ object ExtensionProbes {
         "SELECT node, 1.0 / (SELECT count(*) FROM nodes WHERE node < 20) AS t " +
           "FROM nodes WHERE node < 20")) + "\nORDER BY node ASC NULLS FIRST"))
 
+  // — PII statistics (x124): detection counts per type + redacted text,
+  //   with the scrub pass's order-sensitive masking chain (URL → email →
+  //   phone, so an email inside a URL counts as URL). Fixture plants all
+  //   three PII kinds by doc_id arm, incl. the embedded-email trap. FULL
+  //   value oracle: DuckDB replays the masking chain and every count
+  //   with the same RE2-safe patterns.
+  private val x124 = Probe(
+    "x124_pii_stats",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val fix = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit(" contact me@example.com"))
+            .when(pmod(col("doc_id"), lit(4)) === 1,
+              lit(" see https://a.example.com/u?mail=x@y.org or b@c.org"))
+            .when(pmod(col("doc_id"), lit(4)) === 2, lit(" call 555-123-4567 now"))
+            .otherwise(lit(""))).as("text"))
+      TextStats.piiStats(fix, "doc_id").orderBy("doc_id")
+    },
+    Some {
+      def l(re: String) = "'" + re.replace("'", "''") + "'"
+      val (u, e, p) = (l(TextStats.UrlRe), l(TextStats.EmailRe), l(TextStats.PhoneRe))
+      s"""WITH fix AS (
+         |  SELECT doc_id, text || CASE doc_id % 4
+         |    WHEN 0 THEN ' contact me@example.com'
+         |    WHEN 1 THEN ' see https://a.example.com/u?mail=x@y.org or b@c.org'
+         |    WHEN 2 THEN ' call 555-123-4567 now'
+         |    ELSE '' END AS text
+         |  FROM documents),
+         |m AS (SELECT doc_id, text,
+         |    regexp_replace(text, $u, '<URL>', 'g') AS t1
+         |  FROM fix),
+         |m2 AS (SELECT doc_id, text, t1,
+         |    regexp_replace(t1, $e, '<EMAIL>', 'g') AS t2
+         |  FROM m)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, $u)) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(t1, $e)) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t2, $p)) AS BIGINT) AS n_phones,
+         |  regexp_replace(t2, $p, '<PHONE>', 'g') AS text_scrubbed
+         |FROM m2
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+    })
+
+  // — incremental connected components (x125): persisted cluster labels
+  //   folded one pair-delta at a time — label edges carry the old
+  //   connectivity exactly, so incremental ≡ one-shot over the full pair
+  //   history. Fixture: chain edges (d, d+17) split alternately into two
+  //   batches, so batch A alone is FRAGMENTS and folding batch B must
+  //   merge every fragment chain to its global min — the worst merge
+  //   shape for a label-propagation design (and O(log n) for star
+  //   contraction). FULL value oracle: DuckDB's transitive closure over
+  //   the complete edge set.
+  private val x125 = Probe(
+    "x125_components_incremental",
+    (s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.TmpDir.root), "x125_cc").toString
+      val edges = Readers.fanOut(t(s, dir, "documents"))
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 17).as("id_b"))
+      val a = edges.filter(pmod(col("id_a"), lit(2L)) === 0L)
+      val b = edges.filter(pmod(col("id_a"), lit(2L)) === 1L)
+      Dedup.writeCcIndex(s, path, Dedup.components(a))
+      Dedup.appendToCcIndex(s, path, b)
+      Dedup.appendToCcIndex(s, path, b) // idempotent replay: fixpoint
+      Dedup.readCcIndex(s, path).orderBy("id")
+    },
+    Some("""WITH RECURSIVE e0 AS (SELECT doc_id AS a, doc_id + 17 AS b FROM documents),
+           |edges AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+           |reach AS (SELECT src, dst FROM edges
+           |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+           |SELECT src AS id, least(src, min(dst)) AS comp
+           |FROM reach GROUP BY src
+           |ORDER BY id ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
-    x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123)
+    x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
+    x125)
 }

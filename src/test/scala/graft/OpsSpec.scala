@@ -2689,6 +2689,48 @@ class OpsSpec extends SparkSpec {
       "the reader must consume the marker")
   }
 
+  test("componentsIncremental: delta merges to the global min, singletons survive, staged crash heals") {
+    val l0 = Dedup.components(Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b"))
+    val labels = l0.unionByName(Seq((9L, 9L)).toDF("id", "comp"))
+    val delta = Seq((2L, 5L)).toDF("id_a", "id_b")
+    val merged = Dedup.componentsIncremental(labels, delta)
+    val m = merged.orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(m == Seq((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (9L, 9L)),
+      "bridged components must relabel to the global min; the singleton keeps its label")
+    // idempotent: the same delta folded into the merged labels is a fixpoint
+    val again = Dedup.componentsIncremental(merged, delta)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(again == m, "replaying the delta must be a fixpoint")
+    // persisted form + the staged-but-unswapped crash window
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "ccidx").toString
+    Dedup.writeCcIndex(spark, path, labels)
+    Dedup.componentsIncremental(labels, delta)
+      .write.mode("overwrite").parquet(s"$path/labels.staging")
+    Dedup.publishBatchMarker(spark, path, Seq("labels"))
+    val healed = Dedup.readCcIndex(spark, path)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(healed == m, "read after a post-marker crash must heal to the folded labels")
+  }
+
+  test("piiStats: masking order makes an email inside a URL count as URL, not email") {
+    val df = Seq(
+      (1L, "see https://x.com/a@b.cc then mail a@b.cc or call 555-123-4567"),
+      (2L, "clean text, no pii at all"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = ops.TextStats.piiStats(df, "id").orderBy("id")
+      .select($"id", $"n_urls", $"n_emails", $"n_phones").collect()
+    assert(got(0).getLong(1) == 1L, "one URL")
+    assert(got(0).getLong(2) == 1L, "only the standalone email — the embedded one is URL-masked")
+    assert(got(0).getLong(3) == 1L, "one phone")
+    assert(got(1).getLong(1) == 0L && got(1).getLong(2) == 0L && got(1).getLong(3) == 0L)
+    assert(got(2).isNullAt(1), "null text stays null, not zero")
+    // and the scrubbed text agrees with the standalone scrub pass
+    val scrubbed = ops.TextStats.piiStats(df, "id").orderBy("id")
+      .select($"text_scrubbed").as[String].head()
+    assert(scrubbed == "see <URL> then mail <EMAIL> or call <PHONE>")
+  }
+
   test("text stats: ratios bounded, langid sane, fingerprint stable") {
     val st = ops.TextStats.withStats(docs).cache()
     assert(st.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)
