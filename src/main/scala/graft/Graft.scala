@@ -248,6 +248,11 @@ object Graft {
   def piiStats(docs: DataFrame, idCol: String, textCol: String = "text"): DataFrame =
     TextStats.piiStats(docs, idCol, textCol)
 
+  /** Deflate compression ratio (round4) — entropy proxy: boilerplate
+    * deflates below prose, binary junk above it; gate both ends.
+    */
+  def compressionRatio(text: Column): Column = TextStats.compressionRatio(text)
+
   /** Per-language quality gate: `approx = false` is the exact
     * floor(frac·n) window form; `approx = true` is the 2-pass sketch
     * threshold + broadcast cut that never sorts a language partition
@@ -564,6 +569,14 @@ object Graft {
   def streamLmCountsIndex(docs: DataFrame, indexPath: String,
       checkpoint: String, textCol: String = "text") =
     StreamingIngest.lmCountsIndexSink(docs, indexPath, checkpoint, textCol)
+
+  /** Streaming arm of the persisted cluster-label index: each micro-batch
+    * of near-dup pairs folds into the labels; exactly-once by ALGEBRA
+    * (folds are idempotent fixpoints, no ledger)
+    * ([[graft.streaming.StreamingIngest.ccIndexSink]]).
+    */
+  def streamCcIndex(pairs: DataFrame, indexPath: String, checkpoint: String) =
+    StreamingIngest.ccIndexSink(pairs, indexPath, checkpoint)
 
   /** Streaming media near-dup corpus over a persisted [[writeSimhashIndex]]
     * index: intra-batch Hamming dedup, probe, batch-owned corpus

@@ -434,9 +434,61 @@ case class BpeTokenizeExpr(child: Expression, merges: Seq[(String, String)])
   override def prettyName: String = "bpe_tokenize"
 }
 
+/** Deflate kernel for [[CompressionRatio]] — compressed-size ÷ raw-size
+  * over the UTF-8 bytes, raw-deflate (no zlib header) at default level.
+  * Only the LENGTH of the output is kept: the 256-byte buffer is drained
+  * and discarded, so per-row allocation is one Deflater + one scratch
+  * buffer regardless of document size. Deterministic for a given JVM
+  * (the probe gates INVARIANTS — bounds and arm ordering — not exact
+  * values: deflate output is not specified bit-exactly across zlib
+  * implementations, so there is deliberately no DuckDB value twin).
+  */
+object DeflateKernel {
+  def ratio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](256)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    n.toDouble / bytes.length
+  }
+}
+
+/** Compression ratio of a text column — the cheap entropy proxy curation
+  * stacks use beside the n-gram repetition rules: templated/boilerplate
+  * text deflates far below natural prose, and high-entropy noise sits
+  * above it. One generated call per row into [[DeflateKernel]]; a Scala
+  * UDF here would break whole-stage codegen for the surrounding plan.
+  */
+case class CompressionRatio(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"compression_ratio requires string input, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateKernel.ratio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.DeflateKernel.ratio($a);")
+
+  override protected def withNewChildInternal(c: Expression): CompressionRatio = copy(c)
+  override def prettyName: String = "compression_ratio"
+}
+
 object TextFunctions {
   def fingerprint(text: Column): Column =
     GraftSqlBridge.column(PositionalFingerprint(GraftSqlBridge.expression(text)))
+
+  def compressionRatio(text: Column): Column =
+    GraftSqlBridge.column(CompressionRatio(GraftSqlBridge.expression(text)))
 
   def nfc(text: Column): Column =
     GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))

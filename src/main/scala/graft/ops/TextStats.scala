@@ -243,6 +243,16 @@ object TextStats {
       regexp_replace(t2, PhoneRe, "<PHONE>").as("text_scrubbed"))
   }
 
+  /** Deflate compression ratio of the text (round4) — the cheap entropy
+    * proxy beside the n-gram repetition rules: boilerplate deflates far
+    * below natural prose, high-entropy noise above it. Codegen'd kernel
+    * ([[graft.functions.CompressionRatio]]); empty text reads 1.0, null
+    * stays null. Gate with BOTH ends: `ratio < lo` catches templates,
+    * `ratio > hi` catches binary junk that survived text extraction.
+    */
+  def compressionRatio(text: Column): Column =
+    graft.Canonical.round4(graft.functions.TextFunctions.compressionRatio(text))
+
   /** Canonical text form for "fuzzy-exact" dedup (the ccnet-style
     * normalization pass): Unicode NFC composition ([[graft.functions
     * .TextFunctions.nfc]] — precomposed and decomposed accents hash

@@ -2515,9 +2515,44 @@ object ExtensionProbes {
            |FROM reach GROUP BY src
            |ORDER BY id ASC NULLS FIRST""".stripMargin))
 
+  // — compression-ratio quality signal (x126): deflate(text)/len(text),
+  //   the entropy proxy beside the repetition rules. Deflate output is
+  //   not bit-specified across zlib implementations, so this is a
+  //   DERIVED-METRIC oracle (the x06 discipline): three fixture arms —
+  //   heavy repetition, natural text, hex noise — must order
+  //   repetitive < natural < noise on ARM MEANS, every ratio must sit in
+  //   (0, 1.2], and the row count is exact.
+  private val x126 = Probe(
+    "x126_compression_ratio",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val fix = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, concat_ws(" ",
+          transform(sequence(lit(1), lit(40)), _ => lit("spam ham"))))
+          .when(pmod(col("doc_id"), lit(3)) === 1, col("text"))
+          .otherwise(concat(md5(col("text")), md5(concat(col("text"), lit("x"))),
+            md5(concat(col("text"), lit("y"))))).as("text"))
+        .withColumn("r", TextStats.compressionRatio(col("text")))
+        .withColumn("arm", pmod(col("doc_id"), lit(3)))
+        .localCheckpoint()
+      val means = fix.groupBy(col("arm")).agg(avg(col("r")).as("m"))
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      scalarRow(
+        "n_docs" -> fix.agg(count(lit(1))),
+        "n_out_of_bounds" -> fix.filter(col("r") <= 0 || col("r") > 1.2).agg(count(lit(1))))
+        .select(col("n_docs"), col("n_out_of_bounds"),
+          lit(means(0L) < means(1L)).as("repetitive_lt_natural"),
+          lit(means(1L) < means(2L)).as("natural_lt_noise"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(0 AS BIGINT) AS n_out_of_bounds,
+           |  TRUE AS repetitive_lt_natural,
+           |  TRUE AS natural_lt_noise
+           |FROM documents""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
-    x125)
+    x125, x126)
 }

@@ -537,6 +537,13 @@ object StreamingIngest {
     * only maintains statistics, so its per-batch cost is one batch scan
     * plus a distinct-term-bounded merge — the near-flat fold the 32×
     * pilot measured (BASELINE.md round-12 addendum).
+    *
+    * CONTRACT: the ledger keys batch COMPOSITION through the checkpoint.
+    * Resume with the SAME checkpoint; starting a FRESH checkpoint over an
+    * already-folded index re-batches the input under reused `stream-<id>`
+    * keys, and the ledger would silently skip genuinely-new data that
+    * landed in a reused id. New checkpoint ⇒ new index (or pass a
+    * distinct id prefix via a wrapper).
     */
   def lmCountsIndexSink(docs: DataFrame, indexPath: String, checkpoint: String,
       textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
@@ -556,6 +563,34 @@ object StreamingIngest {
         if (!fs.exists(cp)) graft.ops.Lm.writeCountsIndex(spark, indexPath)
         graft.ops.Lm.foldIntoCountsIndex(spark, indexPath, s"stream-$batchId",
           batch.toDF(), textCol)
+        ()
+      }
+      .start()
+
+  /** Streaming arm of the persisted cluster-label index
+    * ([[graft.ops.Dedup.appendToCcIndex]]): each micro-batch of
+    * near-dup PAIRS folds into the labels. Exactly-once falls out of
+    * algebra rather than bookkeeping: a fold is IDEMPOTENT (the same
+    * delta re-folded is a fixpoint), so a crash-replayed micro-batch
+    * converges to the identical labels with no ledger; the single-table
+    * staging+marker swap closes the torn-write window and readers heal.
+    * Initializes empty labels on first touch (every id in the first
+    * delta labels itself through the fold).
+    */
+  def ccIndexSink(pairs: DataFrame, indexPath: String, checkpoint: String,
+      maxIter: Int = 20): org.apache.spark.sql.streaming.StreamingQuery =
+    pairs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        graft.ops.Dedup.finishBatchCompaction(spark, indexPath)
+        val lp = new org.apache.hadoop.fs.Path(s"$indexPath/labels/_SUCCESS")
+        val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(lp))
+          graft.ops.Dedup.writeCcIndex(spark, indexPath,
+            batch.toDF().select(col("id_a").as("id"), col("id_a").as("comp")).limit(0))
+        graft.ops.Dedup.appendToCcIndex(spark, indexPath, batch.toDF(), maxIter)
         ()
       }
       .start()

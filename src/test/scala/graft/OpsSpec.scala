@@ -2713,6 +2713,29 @@ class OpsSpec extends SparkSpec {
     assert(healed == m, "read after a post-marker crash must heal to the folded labels")
   }
 
+  test("compressionRatio: repetition deflates below prose, empty reads 1, null stays null, codegen stable") {
+    val df = Seq(
+      (1L, "spam ham " * 50),
+      (2L, "The quick brown fox jumps over the lazy dog near the river bank today."),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = df.select($"id", ops.TextStats.compressionRatio($"text").as("r"))
+      .orderBy("id").collect()
+    val rep = got(0).getDouble(1)
+    val prose = got(1).getDouble(1)
+    assert(rep > 0 && prose > 0 && rep < prose,
+      s"repetitive ($rep) must deflate below prose ($prose)")
+    assert(prose <= 1.2, s"prose ratio $prose out of bounds")
+    assert(got(2).getDouble(1) == 1.0, "empty text pins ratio 1.0")
+    assert(got(3).isNullAt(1), "null stays null")
+    // deterministic across evaluations (interpreted + codegen paths agree:
+    // a second run through a different plan shape must reproduce values)
+    val again = df.filter($"id" <= 2)
+      .select($"id", ops.TextStats.compressionRatio($"text").as("r"))
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(again == Seq(rep, prose))
+  }
+
   test("piiStats: masking order makes an email inside a URL count as URL, not email") {
     val df = Seq(
       (1L, "see https://x.com/a@b.cc then mail a@b.cc or call 555-123-4567"),

@@ -619,6 +619,33 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet == Set(1L, 2L, 6L))
   }
 
+  test("CC label sink: streamed pair deltas fold to one-shot components; kill mid-fold + resume heals") {
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "ccsink").toString
+    val b1 = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val b2 = Seq((2L, 5L), (8L, 9L)).toDF("id_a", "id_b") // bridges {1,2} and {5,6}
+    val schema = b1.schema
+    val (in, idx, ckp) = (s"$base/in", s"$base/idx", s"$base/ckp")
+    b1.write.mode("append").parquet(in)
+    val q1 = StreamingIngest.ccIndexSink(
+      spark.readStream.schema(schema).parquet(in), idx, ckp)
+    try q1.processAllAvailable() finally q1.stop()
+    b2.write.mode("append").parquet(in)
+    // poison: batch 1's first attempt staged its fold + marker, then died
+    val staged = ops.Dedup.componentsIncremental(
+      ops.Dedup.readCcIndex(spark, idx), b2)
+    staged.write.mode("overwrite").parquet(s"$idx/labels.staging")
+    ops.Dedup.publishBatchMarker(spark, idx, Seq("labels"))
+    val q2 = StreamingIngest.ccIndexSink(
+      spark.readStream.schema(schema).parquet(in), idx, ckp)
+    try q2.processAllAvailable() finally q2.stop() // heals, then refolds (fixpoint)
+    val got = ops.Dedup.readCcIndex(spark, idx)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val oneShot = ops.Dedup.components(b1.unionByName(b2))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == oneShot, "streamed folds must equal one-shot components over all pairs")
+    assert(got == Seq((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (8L, 8L), (9L, 8L)))
+  }
+
   test("streaming sessionization produces sessions with positive event counts") {
     val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
     val sessions = StreamingIngest.runToMemory(spark,
