@@ -28,6 +28,28 @@ object ParityProbes {
   import EventsVocab._
 
   private def t(s: SparkSession, dir: String, n: String) = Readers.table(s, dir, n)
+
+  /** Atomic single-file feed for the streaming probes: one coalesced part
+    * file is staged OUTSIDE the watched dir and renamed in, so a logical
+    * batch appears all-or-nothing — the running stream triggers
+    * continuously, and a multi-file write can be listed mid-write,
+    * splitting one logical batch across two micro-batches and shifting
+    * every later __batch label.
+    */
+  private[probes] def feedAtomic(s: SparkSession, base: String, in: String,
+      df: DataFrame, tag: String): Unit = {
+    val stage = s"$base/stage_$tag"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val sp = new org.apache.hadoop.fs.Path(stage)
+    val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(in))
+    val part = fs.listStatus(sp).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file staged at $stage"))
+    if (!fs.rename(part, new org.apache.hadoop.fs.Path(s"$in/$tag.parquet")))
+      throw new java.io.IOException(s"feed rename failed for $tag")
+    fs.delete(sp, true)
+  }
   private def fmtTs(c: org.apache.spark.sql.Column) = date_format(c, Schemas.TsFmt)
   private val F = "%Y-%m-%d %H:%M:%S.%f"
 

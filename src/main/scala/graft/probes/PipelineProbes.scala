@@ -1350,19 +1350,8 @@ object PipelineProbes {
       val schema = docs.schema
       val (in, idx, ckp) = (s"$base/in", s"$base/idx", s"$base/ckp")
       // atomic single-file feeds (the x89/x95 discipline)
-      def feed(df: org.apache.spark.sql.DataFrame, tag2: String): Unit = {
-        val stage = s"$base/stage_$tag2"
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        val sp = new org.apache.hadoop.fs.Path(stage)
-        val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(in))
-        val part = fs.listStatus(sp).map(_.getPath)
-          .find(_.getName.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException(s"no part file staged at $stage"))
-        if (!fs.rename(part, new org.apache.hadoop.fs.Path(s"$in/$tag2.parquet")))
-          throw new java.io.IOException(s"feed rename failed for $tag2")
-        fs.delete(sp, true)
-      }
+      def feed(df: org.apache.spark.sql.DataFrame, tag2: String): Unit =
+        ParityProbes.feedAtomic(s, base, in, df, tag2)
       feed(docs.filter(pmod(col("doc_id"), lit(3L)) === 0L), "b0")
       val q = graft.streaming.StreamingIngest.lmCountsIndexSink(
         s.readStream.schema(schema).parquet(in), idx, ckp, "text")
@@ -1444,19 +1433,8 @@ object PipelineProbes {
           .select((col("d") * 10 + 2).as("media_id"), flip(3L, 20).as("sig")))   // intra near, loses to 10d
       val schema = b0.schema
       val (in, corpus, idx, ckp) = (s"$base/in", s"$base/corpus", s"$base/idx", s"$base/ckp")
-      def feed(df: org.apache.spark.sql.DataFrame, tag2: String): Unit = {
-        val stage = s"$base/stage_$tag2"
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        val sp = new org.apache.hadoop.fs.Path(stage)
-        val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(in))
-        val part = fs.listStatus(sp).map(_.getPath)
-          .find(_.getName.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException(s"no part file staged at $stage"))
-        if (!fs.rename(part, new org.apache.hadoop.fs.Path(s"$in/$tag2.parquet")))
-          throw new java.io.IOException(s"feed rename failed for $tag2")
-        fs.delete(sp, true)
-      }
+      def feed(df: org.apache.spark.sql.DataFrame, tag2: String): Unit =
+        ParityProbes.feedAtomic(s, base, in, df, tag2)
       feed(b0, "b0")
       val q = graft.streaming.StreamingIngest.mediaCorpusIndexedSink(
         s.readStream.schema(schema).parquet(in), corpus, idx, ckp, "media_id", "sig")
@@ -2760,19 +2738,8 @@ object PipelineProbes {
       // micro-batches and shifting every later __batch label. One
       // coalesced part file, staged outside the watched dir and renamed
       // in, appears all-or-nothing.
-      def feed(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
-        val stage = s"$base/stage_$tag"
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        val sp = new org.apache.hadoop.fs.Path(stage)
-        val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(in))
-        val part = fs.listStatus(sp).map(_.getPath)
-          .find(_.getName.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException(s"no part file staged at $stage"))
-        if (!fs.rename(part, new org.apache.hadoop.fs.Path(s"$in/$tag.parquet")))
-          throw new java.io.IOException(s"feed rename failed for $tag")
-        fs.delete(sp, true)
-      }
+      def feed(df: org.apache.spark.sql.DataFrame, tag: String): Unit =
+        ParityProbes.feedAtomic(s, base, in, df, tag)
       feed(b0, "b0")
       val q = graft.streaming.StreamingIngest.curatedCorpusIndexedSink(
         s.readStream.schema(schema).parquet(in), corpus, index, ckp, "doc_id", "text", cfg)
@@ -3261,19 +3228,8 @@ object PipelineProbes {
       val (in, corpus, index, ckp) = (s"$base/in", s"$base/corpus", s"$base/index", s"$base/ckp")
       // atomic single-file feeds (the x89 discipline): a logical batch must
       // never be listed mid-write and split across two micro-batches
-      def feed(df: org.apache.spark.sql.DataFrame, tag2: String): Unit = {
-        val stage = s"$base/stage_$tag2"
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        val sp = new org.apache.hadoop.fs.Path(stage)
-        val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(in))
-        val part = fs.listStatus(sp).map(_.getPath)
-          .find(_.getName.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException(s"no part file staged at $stage"))
-        if (!fs.rename(part, new org.apache.hadoop.fs.Path(s"$in/$tag2.parquet")))
-          throw new java.io.IOException(s"feed rename failed for $tag2")
-        fs.delete(sp, true)
-      }
+      def feed(df: org.apache.spark.sql.DataFrame, tag2: String): Unit =
+        ParityProbes.feedAtomic(s, base, in, df, tag2)
       feed(b0, "b0")
       val q = graft.streaming.StreamingIngest.semanticCorpusIndexedSink(
         s.readStream.schema(schema).parquet(in), corpus, index, ckp,
