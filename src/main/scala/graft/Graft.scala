@@ -253,6 +253,11 @@ object Graft {
     */
   def compressionRatio(text: Column): Column = TextStats.compressionRatio(text)
 
+  /** ftfy-lite encoding repair: inverts UTF-8-decoded-as-Latin-1
+    * mojibake (≤ 2 rounds), strictly guarded — clean text is a fixpoint.
+    */
+  def repairEncoding(text: Column): Column = TextStats.repairEncoding(text)
+
   /** Per-language quality gate: `approx = false` is the exact
     * floor(frac·n) window form; `approx = true` is the 2-pass sketch
     * threshold + broadcast cut that never sorts a language partition

@@ -458,6 +458,81 @@ object DeflateKernel {
   }
 }
 
+/** Mojibake-repair kernel for [[MojibakeRepair]] — the ftfy-lite pass
+  * every web-curation stack runs: text that was UTF-8 on the wire but got
+  * DECODED AS Latin-1 somewhere upstream reads "Ã©" for "é", "â€™" for
+  * "’". The repair inverts the mistake: re-encode the chars as Latin-1
+  * bytes and decode those bytes as UTF-8 — applied up to two rounds
+  * (double-encoding happens), and ONLY when it is safe:
+  *
+  *   - every char must round-trip to Latin-1 (code point ≤ 0xFF) — else
+  *     the text cannot be a Latin-1 misdecode at all;
+  *   - the byte stream must decode as STRICTLY VALID UTF-8 (malformed →
+  *     abort, return the input — never corrupt);
+  *   - the result must SHRINK (a genuine repair merges multi-byte
+  *     sequences; equality means pure-ASCII, nothing to do).
+  *
+  * Clean text is a fixpoint: ASCII fails the shrink test, real UTF-8
+  * text with code points > 0xFF fails the Latin-1 round-trip, so repair
+  * is idempotent and safe to run unconditionally.
+  */
+object MojibakeKernel {
+  // NOTE: a fresh CharsetDecoder per call — CharsetDecoder is stateful and
+  // NOT thread-safe, and this kernel runs on every executor thread
+  private def repairOnce(s: String): Option[String] = {
+    var i = 0
+    val bytes = new Array[Byte](s.length)
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c > 0xFF) return None // not representable as Latin-1 bytes
+      bytes(i) = c.toByte
+      i += 1
+    }
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out.length < s.length) Some(out) else None
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => None
+    }
+  }
+
+  def repair(u: UTF8String): UTF8String = {
+    val s0 = u.toString
+    repairOnce(s0) match {
+      case None => u
+      case Some(s1) => repairOnce(s1) match {
+        case None => UTF8String.fromString(s1)
+        case Some(s2) => UTF8String.fromString(s2) // double-encoded, two rounds max
+      }
+    }
+  }
+}
+
+/** Encoding repair of a text column (see [[MojibakeKernel]]) — one
+  * generated call per row; a UDF would break whole-stage codegen.
+  */
+case class MojibakeRepair(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"repair_encoding requires string input, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    MojibakeKernel.repair(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MojibakeKernel.repair($a);")
+
+  override protected def withNewChildInternal(c: Expression): MojibakeRepair = copy(c)
+  override def prettyName: String = "repair_encoding"
+}
+
 /** Compression ratio of a text column — the cheap entropy proxy curation
   * stacks use beside the n-gram repetition rules: templated/boilerplate
   * text deflates far below natural prose, and high-entropy noise sits
@@ -489,6 +564,9 @@ object TextFunctions {
 
   def compressionRatio(text: Column): Column =
     GraftSqlBridge.column(CompressionRatio(GraftSqlBridge.expression(text)))
+
+  def repairEncoding(text: Column): Column =
+    GraftSqlBridge.column(MojibakeRepair(GraftSqlBridge.expression(text)))
 
   def nfc(text: Column): Column =
     GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))

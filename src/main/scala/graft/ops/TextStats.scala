@@ -243,6 +243,16 @@ object TextStats {
       regexp_replace(t2, PhoneRe, "<PHONE>").as("text_scrubbed"))
   }
 
+  /** ftfy-lite encoding repair ([[graft.functions.MojibakeRepair]]):
+    * inverts the UTF-8-decoded-as-Latin-1 mistake ("Ã©" → "é"), up to
+    * two rounds for double-encoding, and ONLY when strictly safe (full
+    * Latin-1 round-trip + strictly valid UTF-8 + shrinking result —
+    * clean text is a fixpoint). Inherent heuristic caveat: text that
+    * deliberately SPELLS mojibake is indistinguishable from the mistake.
+    */
+  def repairEncoding(text: Column): Column =
+    graft.functions.TextFunctions.repairEncoding(text)
+
   /** Deflate compression ratio of the text (round4) — the cheap entropy
     * proxy beside the n-gram repetition rules: boilerplate deflates far
     * below natural prose, high-entropy noise above it. Codegen'd kernel

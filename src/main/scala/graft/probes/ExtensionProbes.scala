@@ -2550,9 +2550,40 @@ object ExtensionProbes {
            |  TRUE AS natural_lt_noise
            |FROM documents""".stripMargin))
 
+  // — encoding repair (x127): the ftfy-lite pass. The fixture BUILDS the
+  //   mojibake in-engine (decode(encode(clean, UTF-8), ISO-8859-1), once
+  //   and twice) so the probe exercises the real mistake; the oracle
+  //   needs only the CLEAN expected strings — arm 0 must be untouched
+  //   (fixpoint), arms 1/2 must repair to the identical clean literal,
+  //   arm 3 (a code point > 0xFF prepended) must abort untouched.
+  private val x127 = Probe(
+    "x127_encoding_repair",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val clean = "résumé – café’s naïve façade"
+      def moji(c: org.apache.spark.sql.Column) = decode(encode(c, "UTF-8"), "ISO-8859-1")
+      val fix = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0, col("text"))
+          .when(pmod(col("doc_id"), lit(4)) === 1, moji(lit(clean)))
+          .when(pmod(col("doc_id"), lit(4)) === 2, moji(moji(lit(clean))))
+          .otherwise(concat(lit("日本 "), col("text"))).as("text"))
+      fix.select(col("doc_id"), TextStats.repairEncoding(col("text")).as("repaired"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val clean = "résumé – café’s naïve façade"
+      s"""SELECT doc_id, CASE doc_id % 4
+         |    WHEN 0 THEN text
+         |    WHEN 1 THEN '$clean'
+         |    WHEN 2 THEN '$clean'
+         |    ELSE '日本 ' || text END AS repaired
+         |FROM documents
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+    })
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
-    x125, x126)
+    x125, x126, x127)
 }

@@ -2736,6 +2736,30 @@ class OpsSpec extends SparkSpec {
     assert(again == Seq(rep, prose))
   }
 
+  test("repairEncoding: single + double mojibake invert exactly; clean, >0xFF, and invalid inputs are fixpoints") {
+    val clean = "résumé – café’s naïve façade"
+    def moji(s: String) = new String(s.getBytes("UTF-8"), "ISO-8859-1")
+    val df = Seq(
+      (1L, clean),                      // real UTF-8: '–' > 0xFF aborts the round-trip
+      (2L, moji(clean)),                // single mojibake
+      (3L, moji(moji(clean))),          // double mojibake (two rounds)
+      (4L, "plain ascii text"),         // no shrink possible → fixpoint
+      (5L, "Ã")                         // lone 0xC3 byte: malformed UTF-8 → untouched
+    ).toDF("id", "text")
+    val got = df.select($"id", ops.TextStats.repairEncoding($"text").as("r"))
+      .orderBy("id").as[(Long, String)].collect().toMap
+    assert(got(1L) == clean, "clean text must be a fixpoint")
+    assert(got(2L) == clean, "single mojibake must invert exactly")
+    assert(got(3L) == clean, "double mojibake must invert in two rounds")
+    assert(got(4L) == "plain ascii text")
+    assert(got(5L) == "Ã", "malformed byte stream must abort untouched")
+    // idempotence: repairing repaired text changes nothing
+    val twice = df.select($"id",
+      ops.TextStats.repairEncoding(ops.TextStats.repairEncoding($"text")).as("r"))
+      .orderBy("id").as[(Long, String)].collect().toMap
+    assert(twice == got, "repair must be idempotent")
+  }
+
   test("piiStats: masking order makes an email inside a URL count as URL, not email") {
     val df = Seq(
       (1L, "see https://x.com/a@b.cc then mail a@b.cc or call 555-123-4567"),
