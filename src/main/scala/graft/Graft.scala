@@ -554,6 +554,20 @@ object Graft {
         threshold),
       docs, idCol, hostCol, iters)
 
+  /** [[hostAuthority]] with quote MULTIPLICITY as edge weight — rank
+    * splits by citation volume instead of collapsing multi-edges; pick
+    * per corpus trust model ([[graft.ops.Graph.hostQuoteWeights]]).
+    */
+  def hostAuthorityWeighted(docs: DataFrame, idCol: String, hostCol: String,
+      text: Column, n: Int = 3, threshold: Double = 0.8,
+      iters: Int = 10): DataFrame =
+    Graph.pageRankWeighted(
+      Graph.hostQuoteWeights(
+        Graph.quoteEdges(Dedup.containmentPairs(docs, idCol, text, n, threshold),
+          threshold),
+        docs, idCol, hostCol),
+      "src", "dst", "w", iters)
+
   /** [[streamCuratedCorpusIndexed]]'s EMBEDDING twin: streaming semantic
     * dedup against a persisted vec ingest index — exactly-once through
     * the index under replay, SemDeDup within each micro-batch.

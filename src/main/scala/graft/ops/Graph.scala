@@ -128,6 +128,24 @@ object Graph {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
+  /** [[quoteEdges]] aggregated to WEIGHTED host citations: every
+    * doc-level quote lifts through the id→host map and host pairs count
+    * their multiplicity — the input [[pageRankWeighted]] wants when
+    * quote VOLUME should matter (contrast [[hostAuthority]], which
+    * deliberately collapses multi-edges so one template mirror cannot
+    * dominate; pick per corpus trust model). Self-citations survive as
+    * weighted self-loops (PageRank handles them).
+    */
+  def hostQuoteWeights(edges: DataFrame, hosts: DataFrame, idCol: String,
+      hostCol: String): DataFrame = {
+    val m = hosts.select(col(idCol), col(hostCol))
+    edges
+      .join(m.select(col(idCol).as("src"), col(hostCol).as("__hs")), Seq("src"))
+      .join(m.select(col(idCol).as("dst"), col(hostCol).as("__hd")), Seq("dst"))
+      .groupBy(col("__hs").as("src"), col("__hd").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   /** [[quoteEdges]] lifted to the HOST graph — the grain production
     * curation actually weights at (a page quotes a page, but the quality
     * prior attaches to the site): join both edge endpoints to an

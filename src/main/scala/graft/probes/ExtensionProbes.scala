@@ -2581,9 +2581,70 @@ object ExtensionProbes {
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
     })
 
+  // — WEIGHTED host authority (x128): the x121 composition with quote
+  //   MULTIPLICITY as edge weight — hostQuoteWeights counts doc-level
+  //   citations per host pair and pageRankWeighted splits rank by w/W
+  //   (contrast x121, where multi-edges deliberately collapse). FULL
+  //   value oracle: x121's containment/edge CTEs + the host-count group
+  //   feeding the weighted unrolled PageRank chain.
+  private val x128 = Probe(
+    "x128_host_authority_weighted",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val toks = filter(split(col("text"), "\\s+"), t => t =!= lit(""))
+      val fix = docs.select((col("doc_id") * 2).as("fid"), col("text"),
+          pmod(col("doc_id"), lit(31L)).as("host"))
+        .unionByName(docs.select((col("doc_id") * 2 + 1).as("fid"),
+          concat_ws(" ", slice(toks, 5, 12)).as("text"),
+          pmod(col("doc_id") + 1, lit(31L)).as("host")))
+      val pairs = Dedup.containmentPairs(fix, "fid", col("text"), n = 3, threshold = 0.8)
+      val hw = Graph.hostQuoteWeights(Graph.quoteEdges(pairs, 0.8),
+        fix.select(col("fid"), col("host")), "fid", "host")
+      Graph.pageRankWeighted(hw, "src", "dst", "w", iters = 5).orderBy("node")
+    },
+    Some {
+      def r4(e: String) = graft.Canonical.round4Sql(e)
+      val edgesCte =
+        s"""WITH fix AS (
+           |  SELECT doc_id * 2 AS id, text, doc_id % 31 AS h FROM documents
+           |  UNION ALL
+           |  SELECT doc_id * 2 + 1 AS id,
+           |    array_to_string(
+           |      list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')[5:16],
+           |      ' ') AS text,
+           |    (doc_id + 1) % 31 AS h
+           |  FROM documents),
+           |sh AS (
+           |  SELECT id, unnest(list_distinct(
+           |    [tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok) - 1)])) AS s
+           |  FROM (SELECT id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+           |        FROM fix)),
+           |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+           |inter AS (
+           |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+           |sc AS (
+           |  SELECT id_a, id_b,
+           |    ${r4("i * 1.0 / sa.n")} AS ca,
+           |    ${r4("i * 1.0 / sb.n")} AS cb
+           |  FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b),
+           |de AS (
+           |  SELECT
+           |    CASE WHEN ca >= 0.8 AND cb >= 0.8 THEN greatest(id_a, id_b)
+           |         WHEN ca >= 0.8 THEN id_a ELSE id_b END AS ds,
+           |    CASE WHEN ca >= 0.8 AND cb >= 0.8 THEN least(id_a, id_b)
+           |         WHEN ca >= 0.8 THEN id_b ELSE id_a END AS dd
+           |  FROM sc WHERE greatest(ca, cb) >= 0.8)
+           |SELECT hs.h AS src, hd.h AS dst, count(*) AS w
+           |FROM de JOIN fix hs ON hs.id = de.ds JOIN fix hd ON hd.id = de.dd
+           |GROUP BY 1, 2""".stripMargin
+      Graph.pageRankWeightedSql(edgesCte, iters = 5, damping = 0.85) +
+        "\nORDER BY node ASC NULLS FIRST"
+    })
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
-    x125, x126, x127)
+    x125, x126, x127, x128)
 }

@@ -300,6 +300,25 @@ object EngineProps extends Properties("engine") {
     }
   }
 
+  property("mojibake repair inverts the Latin-1 misdecode for any fixpoint string") = {
+    // chars across ASCII, Latin-1 supplement (incl. the 0xC3/0xA9 range
+    // that can SPELL mojibake), and genuine multi-byte code points
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.choose(32, 126).map(_.toChar),
+      Gen.choose(0xA0, 0xFF).map(_.toChar),
+      Gen.oneOf('é', '–', '’', '中', '日', '™', 'λ', 'б'))).map(_.mkString)
+    forAll(strGen) { s =>
+      import org.apache.spark.unsafe.types.UTF8String
+      def rep(x: String) = graft.functions.MojibakeKernel.repair(
+        UTF8String.fromString(x)).toString
+      // strings that are THEMSELVES repairable (they spell mojibake) are
+      // inherently ambiguous — the repair legitimately keeps going; the
+      // round-trip guarantee is for fixpoint inputs
+      val isFixpoint = rep(s) == s
+      !isFixpoint || rep(new String(s.getBytes("UTF-8"), "ISO-8859-1")) == s
+    }
+  }
+
   property("bpe tokenize ids == driver-side fold replay; length == count") = {
     val piece = Gen.oneOf(
       "t", "h", "e", "i", "n", "a", "d", "th", "the", "and", "ing", "wh",

@@ -64,7 +64,9 @@ class PlanAuditSpec extends SparkSpec {
     "x121_host_authority",     // same pageRank tail at host grain; the
                                // host-map joins are id-equi-keyed
     "x122_pagerank_weighted",  // the x114 scalar-broadcast dangling tail
-    "x123_trustrank"           // ditto, with the seed teleport vector
+    "x123_trustrank",          // ditto, with the seed teleport vector
+    "x128_host_authority_weighted" // the weighted pageRank tail (x122)
+                               // over host-grain quote counts
   )
 
   // streaming probes execute a query at construction time; plan-audited
