@@ -373,6 +373,14 @@ object Graft {
       threshold: Double, splits: Seq[(String, Double)]): DataFrame =
     Sampling.leakageSafeSplit(docs, idCol, text, n, threshold, splits)
 
+  /** Exact-k WEIGHTED sample per group (Efraimidis–Spirakis A-ES over
+    * the portable coin) — deterministic, value-oracle-able; weight ≤ 0
+    * excluded ([[graft.ops.Sampling.weightedTopKPerGroup]]).
+    */
+  def weightedSample(df: DataFrame, groupCol: Column, idCol: Column,
+      weightCol: Column, k: Int): DataFrame =
+    Sampling.weightedTopKPerGroup(df, groupCol, idCol, weightCol, k)
+
   def stratifiedSample(df: DataFrame, stratumCol: Column, idCol: Column, frac: Double): DataFrame =
     Sampling.stratifiedExact(df, stratumCol, idCol, frac)
 

@@ -151,6 +151,39 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Exact-k WEIGHTED sample per group — Efraimidis–Spirakis A-ES
+    * (public, '06): each row draws key `u^(1/w)` and the k largest keys
+    * per group win, which is exactly weighted sampling without
+    * replacement. Here the ordering-equivalent `ln(u)/w` is used with
+    * the [[mixturePortable]] content-addressed coin (`u` from the
+    * positional fingerprint at 1e-5 grain, salted `"wr:"`), the sort
+    * key is [[graft.Canonical.round4]]ed so both engines rank the
+    * identical decimals, and ties break on the id — fully deterministic
+    * and value-oracle-able (x129 replays coin, key, and ranking in
+    * DuckDB).
+    *
+    * Rows with weight ≤ 0 or NULL are EXCLUDED (a zero-weight row can
+    * never win A-ES; a negative weight is a caller bug surfaced by
+    * absence, not corruption). Plan shape: one hash shuffle on the
+    * group + `WindowGroupLimit` (rank ≤ k pushes the top-k ahead of any
+    * full per-group sort); for a pathologically dominant group the
+    * two-pass bucketed discipline of [[stratifiedExact]] applies.
+    */
+  def weightedTopKPerGroup(df: DataFrame, groupCol: Column, idCol: Column,
+      weightCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val u = (pmod(graft.functions.TextFunctions.fingerprint(
+      concat(lit("wr:"), idCol.cast("string"))), lit(100000L)).cast("double") +
+      lit(0.5)) / lit(100000.0)
+    val key = graft.Canonical.round4(log(u) / weightCol.cast("double"))
+    val w = Window.partitionBy(groupCol).orderBy(col("__wr_key").desc, idCol.asc)
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("__wr_key", key)
+      .withColumn("__wr_rank", row_number().over(w))
+      .filter(col("__wr_rank") <= k)
+      .drop("__wr_key", "__wr_rank")
+  }
+
   /** Weighted multi-corpus mixture — the "data recipe" step of a
     * pretraining pipeline (e.g. keep 100% of wiki, 50% of books, 20% of
     * web). Each source is independently subsampled at its rate by the

@@ -2642,9 +2642,43 @@ object ExtensionProbes {
         "\nORDER BY node ASC NULLS FIRST"
     })
 
+  // — exact-k weighted sample per group (x129): Efraimidis–Spirakis
+  //   A-ES over the portable coin — keep the 5 "largest-key" documents
+  //   per language, keys ln(u)/w with w = n_chars. FULL value oracle:
+  //   DuckDB replays the fingerprint coin, the key arithmetic at the
+  //   shared round4 grain, and the per-group ranking with the id
+  //   tiebreak.
+  private val x129 = Probe(
+    "x129_weighted_sample",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      Sampling.weightedTopKPerGroup(docs, col("lang"), col("doc_id"),
+          col("n_chars"), k = 5)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "doc_id")
+    },
+    Some {
+      val fp = TextStats.fingerprintSql("wrs")
+      s"""WITH t AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    'wr:' || CAST(doc_id AS VARCHAR) AS wrs
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         |f AS (SELECT lang, doc_id, n_chars,
+         |    (($fp % 100000) + 0.5) / 100000 AS u
+         |  FROM t),
+         |keyed AS (SELECT lang, doc_id, n_chars,
+         |    ${graft.Canonical.round4Sql("ln(u) / CAST(n_chars AS DOUBLE)")} AS k
+         |  FROM f),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY k DESC NULLS LAST, doc_id ASC NULLS FIRST) AS rn
+         |  FROM keyed)
+         |SELECT lang, doc_id, n_chars FROM ranked WHERE rn <= 5
+         |ORDER BY lang ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin
+    })
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
-    x125, x126, x127, x128)
+    x125, x126, x127, x128, x129)
 }

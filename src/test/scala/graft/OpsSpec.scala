@@ -2736,6 +2736,27 @@ class OpsSpec extends SparkSpec {
     assert(again == Seq(rep, prose))
   }
 
+  test("weightedTopKPerGroup: giant weight always wins, non-positive weights excluded, equal weights = coin order") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0), ("a", 4L, 1e9),
+      ("a", 5L, 0.0), ("a", 6L, -3.0), ("b", 7L, 2.0), ("b", 8L, 0.0)
+    ).toDF("g", "id", "w")
+    val kept = Sampling.weightedTopKPerGroup(df, $"g", $"id", $"w", k = 2)
+      .select($"g", $"id").as[(String, Long)].collect().toSet
+    assert(kept.contains(("a", 4L)), "a ~1e9-weight row must always rank first (key ln(u)/w → 0⁻)")
+    assert(!kept.exists(t => t._2 == 5L || t._2 == 6L), "zero/negative weights never sampled")
+    assert(kept.count(_._1 == "a") == 2 && kept.count(_._1 == "b") == 1,
+      "exactly min(k, eligible) rows per group")
+    // equal weights reduce to the unweighted portable-coin reservoir:
+    // selection must be a deterministic function of ids only
+    val eq = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0)).toDF("g", "id", "w")
+    val k1 = Sampling.weightedTopKPerGroup(eq, $"g", $"id", $"w", k = 1)
+      .select($"id").as[Long].head()
+    val k1again = Sampling.weightedTopKPerGroup(eq, $"g", $"id", $"w", k = 1)
+      .select($"id").as[Long].head()
+    assert(k1 == k1again, "deterministic across runs")
+  }
+
   test("repairEncoding: single + double mojibake invert exactly; clean, >0xFF, and invalid inputs are fixpoints") {
     val clean = "résumé – café’s naïve façade"
     def moji(s: String) = new String(s.getBytes("UTF-8"), "ISO-8859-1")
