@@ -248,6 +248,13 @@ object Graft {
   def piiStats(docs: DataFrame, idCol: String, textCol: String = "text"): DataFrame =
     TextStats.piiStats(docs, idCol, textCol)
 
+  /** Per-source PII detection totals + rollup grand total — the release
+    * checklist card ([[graft.ops.Report.piiCard]]).
+    */
+  def piiCard(docs: DataFrame, idCol: String, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame =
+    Report.piiCard(docs, idCol, textCol, sourceCol)
+
   /** Deflate compression ratio (round4) — entropy proxy: boilerplate
     * deflates below prose, binary junk above it; gate both ends.
     */

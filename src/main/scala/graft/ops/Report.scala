@@ -42,4 +42,23 @@ object Report {
         sum(col("n_chars_calc")).as("n_chars"),
         sum(col("__q1e4")).as("quality_sum_1e4"))
   }
+
+  /** PII release report: per-source URL/email/phone detection totals (+
+    * the rollup grand total) from [[TextStats.piiStats]]' order-pinned
+    * counts — the numbers a dataset release checklist wants before the
+    * expensive NER pass is scheduled, exact integers so the whole card
+    * value-oracles. One id-equi-join (counts back to source) + one
+    * rollup aggregate; the scan-heavy regexp work stays in the codegen'd
+    * piiStats projection.
+    */
+  def piiCard(docs: DataFrame, idCol: String, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame =
+    TextStats.piiStats(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .rollup(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_urls")).as("n_urls"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_phones")).as("n_phones"))
 }

@@ -2676,9 +2676,55 @@ object ExtensionProbes {
          |ORDER BY lang ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin
     })
 
+  // — PII release card (x130): per-source detection totals + rollup
+  //   grand total over the x124 planted fixture — the card a release
+  //   checklist reads. FULL value oracle: the masking-chain counts
+  //   grouped by ROLLUP(source).
+  private val x130 = Probe(
+    "x130_pii_card",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val fix = docs.select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit(" contact me@example.com"))
+            .when(pmod(col("doc_id"), lit(4)) === 1,
+              lit(" see https://a.example.com/u?mail=x@y.org or b@c.org"))
+            .when(pmod(col("doc_id"), lit(4)) === 2, lit(" call 555-123-4567 now"))
+            .otherwise(lit(""))).as("text"))
+      Report.piiCard(fix, "doc_id").orderBy("source")
+    },
+    Some {
+      def l(re: String) = "'" + re.replace("'", "''") + "'"
+      val (u, e, p) = (l(TextStats.UrlRe), l(TextStats.EmailRe), l(TextStats.PhoneRe))
+      s"""WITH fix AS (
+         |  SELECT doc_id, source, text || CASE doc_id % 4
+         |    WHEN 0 THEN ' contact me@example.com'
+         |    WHEN 1 THEN ' see https://a.example.com/u?mail=x@y.org or b@c.org'
+         |    WHEN 2 THEN ' call 555-123-4567 now'
+         |    ELSE '' END AS text
+         |  FROM documents),
+         |m AS (SELECT doc_id, source, text,
+         |    regexp_replace(text, $u, '<URL>', 'g') AS t1
+         |  FROM fix),
+         |m2 AS (SELECT doc_id, source, text, t1,
+         |    regexp_replace(t1, $e, '<EMAIL>', 'g') AS t2
+         |  FROM m),
+         |cnt AS (SELECT source,
+         |    CAST(len(regexp_extract_all(text, $u)) AS BIGINT) AS n_urls,
+         |    CAST(len(regexp_extract_all(t1, $e)) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(t2, $p)) AS BIGINT) AS n_phones
+         |  FROM m2)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_urls) AS BIGINT) AS n_urls,
+         |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+         |  CAST(sum(n_phones) AS BIGINT) AS n_phones
+         |FROM cnt GROUP BY ROLLUP(source)
+         |ORDER BY source ASC NULLS FIRST""".stripMargin
+    })
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
-    x125, x126, x127, x128, x129)
+    x125, x126, x127, x128, x129, x130)
 }
