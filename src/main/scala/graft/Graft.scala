@@ -426,6 +426,14 @@ object Graft {
     Scd.repairLate(dim, rawHistory, lateBatch, keyCols, tsCol, payloadCols, tieCols)
 
   // — training-sequence packing ([[graft.ops.Packing]]) ——————————————————
+  /** Sentence-aware chunking: chunks cut only at sentence boundaries,
+    * cumulative-token buckets, a straddling sentence overflows rather
+    * than splitting ([[graft.ops.Packing.sentenceChunks]]).
+    */
+  def sentenceChunks(docs: DataFrame, idCol: String, text: Column,
+      maxTokens: Int): DataFrame =
+    Packing.sentenceChunks(docs, idCol, text, maxTokens)
+
   def packSequences(docs: DataFrame, idCol: String, tokenCount: Column,
       budget: Int, shards: Int = 64): DataFrame =
     Packing.concatChunk(docs, idCol, tokenCount, budget, shards)

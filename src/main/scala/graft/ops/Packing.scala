@@ -100,4 +100,55 @@ object Packing {
         array_join(slice(col("__toks"), (col("tok_start") + 1).cast("int"),
           (col("tok_end") - col("tok_start")).cast("int")), " ").as("chunk_text"))
   }
+
+  /** Sentence boundaries of a text column: maximal runs of
+    * non-terminator characters plus their trailing `.!?` run (a
+    * trailing fragment without a terminator is its own sentence). The
+    * pattern avoids lookbehind deliberately — it must run identically
+    * under Java regex AND RE2 (DuckDB), like every [[TextStats]]
+    * pattern. Punctuation-only text yields no sentences.
+    */
+  def sentences(text: Column): Column =
+    regexp_extract_all(text, lit("[^.!?]+(?:[.!?]+|$)"), lit(0))
+
+  /** Sentence-AWARE chunking — [[slidingChunks]]' sibling for the
+    * RAG/packing shape where a chunk must never cut mid-sentence:
+    * consecutive sentences group into chunks by cumulative token count.
+    *
+    * Contract, pinned (the x131 oracle replays it exactly): sentence i
+    * joins bucket `floor(tokens_before_i / maxTokens)` — so every chunk
+    * starts at a sentence boundary, chunks hold ≥ 1 sentence, and a
+    * chunk may OVERFLOW maxTokens by (at most) its final straddling
+    * sentence — the standard "never split a sentence" trade; an
+    * over-length single sentence becomes its own over-length chunk
+    * rather than being cut. `chunk_idx` is densified (an over-length
+    * sentence advances the raw bucket by > 1).
+    *
+    * Plan shape: one explode (bounded by sentences-per-doc), one
+    * per-doc window cumsum, one keyed aggregate — partitions are
+    * per-document, so no skew beyond document length itself.
+    */
+  def sentenceChunks(docs: DataFrame, idCol: String, text: Column,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val sel = docs.select(col(idCol),
+      posexplode(sentences(text)).as(Seq("pos", "sent")))
+    val tk = size(filter(split(col("sent"), "\\s+"), t => t =!= lit(""))).cast("long")
+    val wCum = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withBucket = sel
+      .withColumn("__tk", tk)
+      .withColumn("__bucket",
+        floor(coalesce(sum(col("__tk")).over(wCum), lit(0L)) / lit(maxTokens.toLong)))
+    val withIdx = withBucket.withColumn("chunk_idx",
+      (dense_rank().over(Window.partitionBy(col(idCol)).orderBy(col("__bucket"))) - 1)
+        .cast("long"))
+    withIdx.groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("sent")))),
+          x => x.getField("sent")), "").as("chunk_text"),
+        count(lit(1)).as("n_sentences"),
+        sum(col("__tk")).as("n_tokens"))
+  }
 }

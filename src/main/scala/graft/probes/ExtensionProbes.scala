@@ -2722,9 +2722,56 @@ object ExtensionProbes {
          |ORDER BY source ASC NULLS FIRST""".stripMargin
     })
 
+  // — sentence-aware chunking (x131): chunks cut ONLY at sentence
+  //   boundaries (cumulative-token buckets, densified chunk ids; a
+  //   straddling sentence overflows its chunk rather than splitting —
+  //   the pinned contract). Fixture synthesizes multi-sentence docs with
+  //   arm-varied terminators (. ! ?) from substrings of the natural
+  //   text. FULL value oracle: DuckDB replays the RE2-safe sentence
+  //   split, per-sentence token counts, the window cumsum bucketing, the
+  //   dense re-rank, and the ordered reassembly.
+  private val x131 = Probe(
+    "x131_sentence_chunks",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val sep = when(pmod(col("doc_id"), lit(3)) === 0, lit(". "))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("! "))
+        .otherwise(lit("? "))
+      val fix = docs.select(col("doc_id"),
+        concat(substring(col("text"), 1, 80), sep,
+          substring(col("text"), 30, 90), sep, col("text")).as("text"))
+      Packing.sentenceChunks(fix, "doc_id", col("text"), maxTokens = 25)
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH fix AS (
+           |  SELECT doc_id,
+           |    substr(text, 1, 80) ||
+           |    (CASE doc_id % 3 WHEN 0 THEN '. ' WHEN 1 THEN '! ' ELSE '? ' END) ||
+           |    substr(text, 30, 90) ||
+           |    (CASE doc_id % 3 WHEN 0 THEN '. ' WHEN 1 THEN '! ' ELSE '? ' END) ||
+           |    text AS text
+           |  FROM documents),
+           |sp AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+(?:[.!?]+|$)') AS l FROM fix),
+           |s AS (SELECT doc_id, x['pos'] AS pos, x['sent'] AS sent FROM (
+           |  SELECT doc_id, unnest([{'pos': i, 'sent': l[i]} for i in range(1, len(l) + 1)]) AS x
+           |  FROM sp)),
+           |tk AS (SELECT doc_id, pos, sent,
+           |    CAST(len(list_filter(regexp_split_to_array(sent, '\s+'), t -> t != '')) AS BIGINT) AS tk
+           |  FROM s),
+           |b AS (SELECT *, floor(coalesce(sum(tk) OVER (PARTITION BY doc_id ORDER BY pos
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 25) AS bucket FROM tk),
+           |d AS (SELECT *, CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY bucket) - 1 AS BIGINT)
+           |    AS chunk_idx FROM b)
+           |SELECT doc_id, chunk_idx,
+           |  string_agg(sent, '' ORDER BY pos) AS chunk_text,
+           |  CAST(count(*) AS BIGINT) AS n_sentences,
+           |  CAST(sum(tk) AS BIGINT) AS n_tokens
+           |FROM d GROUP BY doc_id, chunk_idx
+           |ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
-    x125, x126, x127, x128, x129, x130)
+    x125, x126, x127, x128, x129, x130, x131)
 }

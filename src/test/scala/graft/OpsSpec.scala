@@ -2736,6 +2736,29 @@ class OpsSpec extends SparkSpec {
     assert(again == Seq(rep, prose))
   }
 
+  test("sentenceChunks: never splits a sentence, overflow lands in the open chunk, reassembly exact") {
+    val df = Seq(
+      (1L, "a b c. d e f g h! i j"),
+      (2L, "one two three four five six seven"), // no terminator, over maxTokens
+      (3L, "...")                                // punctuation only: no sentences
+    ).toDF("id", "text")
+    val got = Packing.sentenceChunks(df, "id", $"text", maxTokens = 5)
+      .orderBy("id", "chunk_idx")
+      .select($"id", $"chunk_idx", $"chunk_text", $"n_sentences", $"n_tokens")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    // doc 1: sentences "a b c." (3), " d e f g h!" (5), " i j" (2);
+    // cum-before buckets 0,0,1 → chunk 0 holds the first two (8 tokens —
+    // the straddling sentence overflows, it is never cut), chunk 1 the tail
+    assert(got.filter(_._1 == 1L) == Seq(
+      (1L, 0L, "a b c. d e f g h!", 2L, 8L),
+      (1L, 1L, " i j", 1L, 2L)))
+    // doc 2: one over-length sentence → one over-length chunk
+    assert(got.filter(_._1 == 2L) == Seq(
+      (2L, 0L, "one two three four five six seven", 1L, 7L)))
+    // doc 3: no sentences, no chunks
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("weightedTopKPerGroup: giant weight always wins, non-positive weights excluded, equal weights = coin order") {
     val df = Seq(
       ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0), ("a", 4L, 1e9),
