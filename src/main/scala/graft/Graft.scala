@@ -434,6 +434,14 @@ object Graft {
       maxTokens: Int): DataFrame =
     Packing.sentenceChunks(docs, idCol, text, maxTokens)
 
+  /** [[sentenceChunks]] with RAG overlap: each chunk carries the last
+    * `overlap` sentences of its predecessor (duplicated, counted in
+    * both) ([[graft.ops.Packing.sentenceChunksOverlap]]).
+    */
+  def sentenceChunksOverlap(docs: DataFrame, idCol: String, text: Column,
+      maxTokens: Int, overlap: Int): DataFrame =
+    Packing.sentenceChunksOverlap(docs, idCol, text, maxTokens, overlap)
+
   def packSequences(docs: DataFrame, idCol: String, tokenCount: Column,
       budget: Int, shards: Int = 64): DataFrame =
     Packing.concatChunk(docs, idCol, tokenCount, budget, shards)

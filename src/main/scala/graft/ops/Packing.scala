@@ -151,4 +151,52 @@ object Packing {
         count(lit(1)).as("n_sentences"),
         sum(col("__tk")).as("n_tokens"))
   }
+
+  /** [[sentenceChunks]] with OVERLAP — the standard RAG chunking shape:
+    * each chunk additionally carries the last `overlap` sentences of its
+    * predecessor, so retrieval context never loses the cross-boundary
+    * antecedent. Contract, pinned (x132's oracle replays it): primary
+    * assignment is [[sentenceChunks]]' cumulative-token bucketing
+    * verbatim; a sentence among the last `overlap` (by position) of
+    * chunk c is DUPLICATED into chunk c+1 iff chunk c+1 exists; token
+    * counts sum over chunk members, so overlapping sentences count in
+    * both chunks (they are shipped in both).
+    */
+  def sentenceChunksOverlap(docs: DataFrame, idCol: String, text: Column,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 1, s"overlap must be >= 1, got $overlap (use sentenceChunks for 0)")
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val sel = docs.select(col(idCol),
+      posexplode(sentences(text)).as(Seq("pos", "sent")))
+    val tk = size(filter(split(col("sent"), "\\s+"), t => t =!= lit(""))).cast("long")
+    val wCum = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withIdx = sel
+      .withColumn("__tk", tk)
+      .withColumn("__bucket",
+        floor(coalesce(sum(col("__tk")).over(wCum), lit(0L)) / lit(maxTokens.toLong)))
+      .withColumn("chunk_idx",
+        (dense_rank().over(Window.partitionBy(col(idCol)).orderBy(col("__bucket"))) - 1)
+          .cast("long"))
+      .localCheckpoint() // feeds primary, carried, and the per-doc max
+    val maxIdx = withIdx.groupBy(col(idCol))
+      .agg(max(col("chunk_idx")).as("__max_idx"))
+    val carried = withIdx
+      .withColumn("__rnd", row_number().over(
+        Window.partitionBy(col(idCol), col("chunk_idx")).orderBy(col("pos").desc)))
+      .filter(col("__rnd") <= overlap)
+      .join(maxIdx, Seq(idCol))
+      .filter(col("chunk_idx") + 1 <= col("__max_idx"))
+      .select(col(idCol), (col("chunk_idx") + 1).as("chunk_idx"),
+        col("pos"), col("sent"), col("__tk"))
+    val members = withIdx.select(col(idCol), col("chunk_idx"), col("pos"),
+      col("sent"), col("__tk")).unionByName(carried)
+    members.groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("sent")))),
+          x => x.getField("sent")), "").as("chunk_text"),
+        count(lit(1)).as("n_sentences"),
+        sum(col("__tk")).as("n_tokens"))
+  }
 }

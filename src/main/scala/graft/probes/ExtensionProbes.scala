@@ -2769,9 +2769,64 @@ object ExtensionProbes {
            |FROM d GROUP BY doc_id, chunk_idx
            |ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin))
 
+  // — overlapping sentence chunks (x132): x131's bucketing plus the RAG
+  //   overlap — each chunk carries the last sentence of its predecessor
+  //   (duplicated, counted in both). Same fixture as x131; the oracle
+  //   adds the carried-membership CTE (last-1-by-position per chunk,
+  //   shifted +1, only where the successor exists).
+  private val x132 = Probe(
+    "x132_sentence_chunks_overlap",
+    (s, dir) => {
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val sep = when(pmod(col("doc_id"), lit(3)) === 0, lit(". "))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("! "))
+        .otherwise(lit("? "))
+      val fix = docs.select(col("doc_id"),
+        concat(substring(col("text"), 1, 80), sep,
+          substring(col("text"), 30, 90), sep, col("text")).as("text"))
+      Packing.sentenceChunksOverlap(fix, "doc_id", col("text"),
+          maxTokens = 25, overlap = 1)
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH fix AS (
+           |  SELECT doc_id,
+           |    substr(text, 1, 80) ||
+           |    (CASE doc_id % 3 WHEN 0 THEN '. ' WHEN 1 THEN '! ' ELSE '? ' END) ||
+           |    substr(text, 30, 90) ||
+           |    (CASE doc_id % 3 WHEN 0 THEN '. ' WHEN 1 THEN '! ' ELSE '? ' END) ||
+           |    text AS text
+           |  FROM documents),
+           |sp AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+(?:[.!?]+|$)') AS l FROM fix),
+           |s AS (SELECT doc_id, x['pos'] AS pos, x['sent'] AS sent FROM (
+           |  SELECT doc_id, unnest([{'pos': i, 'sent': l[i]} for i in range(1, len(l) + 1)]) AS x
+           |  FROM sp)),
+           |tk AS (SELECT doc_id, pos, sent,
+           |    CAST(len(list_filter(regexp_split_to_array(sent, '\s+'), t -> t != '')) AS BIGINT) AS tk
+           |  FROM s),
+           |b AS (SELECT *, floor(coalesce(sum(tk) OVER (PARTITION BY doc_id ORDER BY pos
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 25) AS bucket FROM tk),
+           |d AS (SELECT *, CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY bucket) - 1 AS BIGINT)
+           |    AS chunk_idx FROM b),
+           |mx AS (SELECT doc_id, max(chunk_idx) AS max_idx FROM d GROUP BY doc_id),
+           |carried AS (
+           |  SELECT r.doc_id, r.chunk_idx + 1 AS chunk_idx, r.pos, r.sent, r.tk
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, chunk_idx
+           |      ORDER BY pos DESC) AS rnd FROM d) r
+           |  JOIN mx ON mx.doc_id = r.doc_id
+           |  WHERE r.rnd <= 1 AND r.chunk_idx + 1 <= mx.max_idx),
+           |members AS (
+           |  SELECT doc_id, chunk_idx, pos, sent, tk FROM d
+           |  UNION ALL SELECT doc_id, chunk_idx, pos, sent, tk FROM carried)
+           |SELECT doc_id, chunk_idx,
+           |  string_agg(sent, '' ORDER BY pos) AS chunk_text,
+           |  CAST(count(*) AS BIGINT) AS n_sentences,
+           |  CAST(sum(tk) AS BIGINT) AS n_tokens
+           |FROM members GROUP BY doc_id, chunk_idx
+           |ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
-    x125, x126, x127, x128, x129, x130, x131)
+    x125, x126, x127, x128, x129, x130, x131, x132)
 }

@@ -2757,6 +2757,18 @@ class OpsSpec extends SparkSpec {
       (2L, 0L, "one two three four five six seven", 1L, 7L)))
     // doc 3: no sentences, no chunks
     assert(!got.exists(_._1 == 3L))
+
+    // overlap = 1: chunk 1 additionally carries chunk 0's LAST sentence,
+    // duplicated and counted in both; a single-chunk doc gains nothing
+    val ov = Packing.sentenceChunksOverlap(df, "id", $"text", maxTokens = 5, overlap = 1)
+      .orderBy("id", "chunk_idx")
+      .select($"id", $"chunk_idx", $"chunk_text", $"n_sentences", $"n_tokens")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(ov.filter(_._1 == 1L) == Seq(
+      (1L, 0L, "a b c. d e f g h!", 2L, 8L),
+      (1L, 1L, " d e f g h! i j", 2L, 7L)))
+    assert(ov.filter(_._1 == 2L) == Seq(
+      (2L, 0L, "one two three four five six seven", 1L, 7L)))
   }
 
   test("weightedTopKPerGroup: giant weight always wins, non-positive weights excluded, equal weights = coin order") {
