@@ -455,6 +455,19 @@ object Graft {
     Resample.locf(df, keyCol, tsCol, cols)
 
   // — sketched term frequency ([[graft.ops.Frequency]]) ——————————————————
+  /** Persisted per-key HLL approx-distinct index: init / fold a batch
+    * (idempotent by register-max algebra, no ledger) / read estimates
+    * with heal-on-entry ([[graft.ops.Frequency]]).
+    */
+  def writeHllIndex(spark: SparkSession, path: String, df: DataFrame,
+      keyCol: String, valueCol: String, lgK: Int = 12): Unit =
+    Frequency.writeHllIndex(spark, path, df, keyCol, valueCol, lgK)
+  def foldIntoHllIndex(spark: SparkSession, path: String, batch: DataFrame,
+      keyCol: String, valueCol: String, lgK: Int = 12): Unit =
+    Frequency.foldIntoHllIndex(spark, path, batch, keyCol, valueCol, lgK)
+  def readHllEstimates(spark: SparkSession, path: String): DataFrame =
+    Frequency.readHllEstimates(spark, path)
+
   def termFrequencySketch(items: DataFrame, term: Column,
       eps: Double = 1e-3, confidence: Double = 0.99, seed: Int = 7) =
     Frequency.sketch(items, term, eps, confidence, seed)

@@ -84,6 +84,57 @@ object Frequency {
     * occurrence of a candidate term, and the final filter applies to
     * true counts. Two scans of the input, zero full-domain shuffles.
     */
+  // — persisted HLL sketch index (approx-distinct per key, daily folds) —
+  //   The deployment shape behind "distinct users per host, updated
+  //   daily, without rescanning history": one DataSketches HLL sketch
+  //   per key, persisted, with batch folds under the shared
+  //   staging+marker protocol. The algebra does the exactly-once work:
+  //   HLL registers merge by elementwise MAX, so folds are
+  //   order-invariant and IDEMPOTENT — a crash-replayed batch re-maxes
+  //   registers with themselves and the index is unchanged; no replay
+  //   ledger exists because none is needed (the [[Dedup
+  //   .componentsIncremental]] argument, in sketch form). NOTE the
+  //   estimator caveat: a STREAMED sketch uses DataSketches' HIP
+  //   estimator while union results use the composite estimator, so
+  //   fold-vs-streamed estimates may differ within error bounds —
+  //   fold-vs-fold is register-identical and compares EXACTLY (the x133
+  //   idempotence gate).
+
+  /** Initialize the index from a first batch: one HLL sketch per key. */
+  def writeHllIndex(spark: SparkSession, path: String, df: DataFrame,
+      keyCol: String, valueCol: String, lgK: Int = 12): Unit =
+    df.groupBy(col(keyCol).as("key"))
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sketch"))
+      .write.mode("overwrite").parquet(s"$path/sketches")
+
+  /** Fold a batch: per-key sketch union (elementwise register max) via
+    * the single-table staging+marker swap. Keys new to the index appear;
+    * untouched keys ride through the union unchanged.
+    */
+  def foldIntoHllIndex(spark: SparkSession, path: String, batch: DataFrame,
+      keyCol: String, valueCol: String, lgK: Int = 12): Unit = {
+    Dedup.finishBatchCompaction(spark, path)
+    val cur = spark.read.parquet(s"$path/sketches")
+    val b = batch.groupBy(col(keyCol).as("key"))
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sketch"))
+    cur.unionByName(b)
+      .groupBy(col("key"))
+      .agg(expr("hll_union_agg(sketch)").as("sketch"))
+      .write.mode("overwrite").parquet(s"$path/sketches.staging")
+    Dedup.publishBatchMarker(spark, path, Seq("sketches"))
+    Dedup.finishBatchCompaction(spark, path)
+  }
+
+  /** Per-key approx-distinct estimates from the persisted sketches
+    * (healing an interrupted fold first).
+    */
+  def readHllEstimates(spark: SparkSession, path: String): DataFrame = {
+    Dedup.finishBatchCompaction(spark, path)
+    spark.read.parquet(s"$path/sketches")
+      .select(col("key"),
+        expr("CAST(hll_sketch_estimate(sketch) AS BIGINT)").as("approx_distinct"))
+  }
+
   def heavyHitters(items: DataFrame, term: Column, minFreq: Long,
       eps: Double = 1e-3, confidence: Double = 0.99, seed: Int = 7): DataFrame = {
     require(minFreq > 0, s"minFreq must be positive, got $minFreq")

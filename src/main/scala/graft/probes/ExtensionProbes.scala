@@ -2824,9 +2824,45 @@ object ExtensionProbes {
            |FROM members GROUP BY doc_id, chunk_idx
            |ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin))
 
+  // — persisted HLL sketch index (x133): per-key approx-distinct state
+  //   folded batch-by-batch (distinct users per event type here; hosts
+  //   at crawl scale). Sketch bytes are engine-private, so the gate is
+  //   derived-metric (x16 discipline): the replayed fold must leave
+  //   estimates REGISTER-IDENTICAL (idempotence by max-algebra — the
+  //   no-ledger claim, checked by value), every estimate within 10% of
+  //   the exact distinct, and the key count exact.
+  private val x133 = Probe(
+    "x133_hll_index",
+    (s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.TmpDir.root), "x133_hll").toString
+      val ev = t(s, dir, "events").select(col("event_type"), col("user_id"), col("event_id"))
+      val a = ev.filter(pmod(col("event_id"), lit(2L)) === 0L)
+      val b = ev.filter(pmod(col("event_id"), lit(2L)) === 1L)
+      Frequency.writeHllIndex(s, path, a, "event_type", "user_id")
+      Frequency.foldIntoHllIndex(s, path, b, "event_type", "user_id")
+      val e1 = Frequency.readHllEstimates(s, path).withColumnRenamed("approx_distinct", "e1")
+        .localCheckpoint()
+      Frequency.foldIntoHllIndex(s, path, b, "event_type", "user_id") // replay: register no-op
+      val e2 = Frequency.readHllEstimates(s, path).withColumnRenamed("approx_distinct", "e2")
+      val exact = ev.groupBy(col("event_type").as("key"))
+        .agg(countDistinct(col("user_id")).as("exact"))
+      val j = e1.join(e2, Seq("key")).join(exact, Seq("key")).localCheckpoint()
+      scalarRow(
+        "n_keys" -> j.agg(count(lit(1))),
+        "n_idem_mismatch" -> j.filter(col("e1") =!= col("e2")).agg(count(lit(1))),
+        "n_outside_10pct" -> j.filter(
+          abs(col("e1") - col("exact")).cast("double") > col("exact").cast("double") * 0.1)
+          .agg(count(lit(1))))
+    },
+    Some("""SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_keys,
+           |  CAST(0 AS BIGINT) AS n_idem_mismatch,
+           |  CAST(0 AS BIGINT) AS n_outside_10pct
+           |FROM events""".stripMargin))
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
-    x125, x126, x127, x128, x129, x130, x131, x132)
+    x125, x126, x127, x128, x129, x130, x131, x132, x133)
 }

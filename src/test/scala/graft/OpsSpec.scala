@@ -2771,6 +2771,34 @@ class OpsSpec extends SparkSpec {
       (2L, 0L, "one two three four five six seven", 1L, 7L)))
   }
 
+  test("HLL index: small-cardinality estimates exact, new keys appear on fold, staged crash heals") {
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "hllidx").toString
+    val a = Seq(("h1", 1L), ("h1", 2L), ("h1", 2L), ("h2", 5L)).toDF("host", "uid")
+    val b = Seq(("h1", 3L), ("h3", 9L)).toDF("host", "uid")
+    ops.Frequency.writeHllIndex(spark, path, a, "host", "uid")
+    ops.Frequency.foldIntoHllIndex(spark, path, b, "host", "uid")
+    // DataSketches HLL stores small sets exactly (list/set mode), so at
+    // this cardinality estimates ARE the exact distinct counts
+    val est = ops.Frequency.readHllEstimates(spark, path)
+      .orderBy("key").as[(String, Long)].collect().toSeq
+    assert(est == Seq(("h1", 3L), ("h2", 1L), ("h3", 1L)),
+      s"small-set estimates must be exact: $est")
+    // staged-but-unswapped crash: the next read heals the swap
+    val cur = spark.read.parquet(s"$path/sketches")
+    val extra = Seq(("h2", 6L)).toDF("host", "uid")
+      .groupBy($"host".as("key"))
+      .agg(expr("hll_sketch_agg(uid, 12)").as("sketch"))
+    cur.unionByName(extra).groupBy($"key")
+      .agg(expr("hll_union_agg(sketch)").as("sketch"))
+      .write.mode("overwrite").parquet(s"$path/sketches.staging")
+    ops.Dedup.publishBatchMarker(spark, path, Seq("sketches"))
+    val healed = ops.Frequency.readHllEstimates(spark, path)
+      .orderBy("key").as[(String, Long)].collect().toSeq
+    assert(healed == Seq(("h1", 3L), ("h2", 2L), ("h3", 1L)),
+      s"read after a post-marker crash must heal to the folded sketches: $healed")
+  }
+
   test("weightedTopKPerGroup: giant weight always wins, non-positive weights excluded, equal weights = coin order") {
     val df = Seq(
       ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0), ("a", 4L, 1e9),
