@@ -641,6 +641,14 @@ object Graft {
   def streamCcIndex(pairs: DataFrame, indexPath: String, checkpoint: String) =
     StreamingIngest.ccIndexSink(pairs, indexPath, checkpoint)
 
+  /** Streaming arm of the persisted HLL index: per-key sketches union
+    * per micro-batch, exactly-once by register-max algebra
+    * ([[graft.streaming.StreamingIngest.hllIndexSink]]).
+    */
+  def streamHllIndex(rows: DataFrame, indexPath: String, checkpoint: String,
+      keyCol: String, valueCol: String, lgK: Int = 12) =
+    StreamingIngest.hllIndexSink(rows, indexPath, checkpoint, keyCol, valueCol, lgK)
+
   /** Streaming media near-dup corpus over a persisted [[writeSimhashIndex]]
     * index: intra-batch Hamming dedup, probe, batch-owned corpus
     * partitions, idempotent index appends — exactly-once under replay

@@ -595,6 +595,35 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming arm of the persisted HLL sketch index
+    * ([[graft.ops.Frequency.foldIntoHllIndex]]): each micro-batch's
+    * per-key sketches union into the index. Exactly-once by ALGEBRA
+    * (the ccIndexSink argument in sketch form): HLL registers merge by
+    * elementwise max, so a crash-replayed micro-batch re-maxes
+    * registers with themselves — no ledger, no partition exclusion;
+    * the single-table staging+marker swap closes the torn-write window
+    * and readers heal. Initializes an empty index on first touch.
+    */
+  def hllIndexSink(rows: DataFrame, indexPath: String, checkpoint: String,
+      keyCol: String, valueCol: String,
+      lgK: Int = 12): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        graft.ops.Dedup.finishBatchCompaction(spark, indexPath)
+        val sp = new org.apache.hadoop.fs.Path(s"$indexPath/sketches/_SUCCESS")
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(sp))
+          graft.ops.Frequency.writeHllIndex(spark, indexPath,
+            batch.toDF().limit(0), keyCol, valueCol, lgK)
+        graft.ops.Frequency.foldIntoHllIndex(spark, indexPath, batch.toDF(),
+          keyCol, valueCol, lgK)
+        ()
+      }
+      .start()
+
   /** Drive a streaming frame to completion against a memory sink and
     * return the collected result (test/local harness; production callers
     * use their own `writeStream` sink).

@@ -646,6 +646,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (8L, 8L), (9L, 8L)))
   }
 
+  test("HLL sink: streamed folds equal one batch-built index; kill mid-fold + resume heals") {
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "hllsink").toString
+    val b1 = Seq(("h1", 1L), ("h1", 2L), ("h2", 5L)).toDF("host", "uid")
+    val b2 = Seq(("h1", 3L), ("h3", 9L), ("h1", 2L)).toDF("host", "uid")
+    val schema = b1.schema
+    val (in, idx, ckp) = (s"$base/in", s"$base/idx", s"$base/ckp")
+    b1.write.mode("append").parquet(in)
+    val q1 = StreamingIngest.hllIndexSink(
+      spark.readStream.schema(schema).parquet(in), idx, ckp, "host", "uid")
+    try q1.processAllAvailable() finally q1.stop()
+    b2.write.mode("append").parquet(in)
+    // poison: batch 1's first attempt staged its fold + marker, then died
+    val cur = spark.read.parquet(s"$idx/sketches")
+    cur.unionByName(b2.groupBy($"host".as("key"))
+        .agg(expr("hll_sketch_agg(uid, 12)").as("sketch")))
+      .groupBy($"key").agg(expr("hll_union_agg(sketch)").as("sketch"))
+      .write.mode("overwrite").parquet(s"$idx/sketches.staging")
+    ops.Dedup.publishBatchMarker(spark, idx, Seq("sketches"))
+    val q2 = StreamingIngest.hllIndexSink(
+      spark.readStream.schema(schema).parquet(in), idx, ckp, "host", "uid")
+    try q2.processAllAvailable() finally q2.stop() // heals, then refolds (register no-op)
+    val got = ops.Frequency.readHllEstimates(spark, idx)
+      .orderBy("key").as[(String, Long)].collect().toSeq
+    // small-cardinality estimates are exact (HLL list/set mode)
+    assert(got == Seq(("h1", 3L), ("h2", 1L), ("h3", 1L)),
+      s"streamed folds must carry the exact small-set distincts: $got")
+  }
+
   test("streaming sessionization produces sessions with positive event counts") {
     val streamFlat = StreamingIngest.flatEvents(spark, jsonlDir)
     val sessions = StreamingIngest.runToMemory(spark,
