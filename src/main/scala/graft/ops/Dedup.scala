@@ -3228,18 +3228,21 @@ object Dedup {
 
   private def rebuildSimhashBuckets(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    // recompute from the persisted chunk table via staging + swap (cannot
-    // overwrite a path feeding the plan being written)
+    // recompute from the persisted chunk table via the shared
+    // staging+MARKER swap (cannot overwrite a path feeding the plan being
+    // written; and a bare delete-then-rename has a crash window — between
+    // the delete and the rename — that leaves NO buckets dir at all.
+    // ADVICE r12: this sits on the streaming hot path via
+    // mediaCorpusIndexedSink's per-micro-batch append, so that window
+    // would brick the sink's replay loop until manual repair; under the
+    // marker protocol the next readSimhashIndex heals the swap instead)
     spark.read.parquet(s"$path/chunks")
       .groupBy(col("chunk_idx"), col("chunk_val"))
       .agg(count(lit(1)).as("__ccnt"),
         min(struct(col("corpus_id"), col("simhash"))).as("__hub"))
       .write.mode("overwrite").parquet(s"$path/buckets.staging")
-    val (fs, bp) = hadoopFs(spark, s"$path/buckets")
-    val staging = new org.apache.hadoop.fs.Path(s"$path/buckets.staging")
-    if (fs.exists(bp)) fs.delete(bp, true)
-    if (!fs.rename(staging, bp))
-      throw new java.io.IOException(s"simhash index bucket swap $staging -> $bp failed")
+    publishBatchMarker(spark, path, Seq("buckets"))
+    finishBatchCompaction(spark, path)
   }
 
   /** Persist the corpus side of Hamming near-dup state:

@@ -86,51 +86,124 @@ object Frequency {
     */
   // — persisted HLL sketch index (approx-distinct per key, daily folds) —
   //   The deployment shape behind "distinct users per host, updated
-  //   daily, without rescanning history": one DataSketches HLL sketch
-  //   per key, persisted, with batch folds under the shared
-  //   staging+marker protocol. The algebra does the exactly-once work:
-  //   HLL registers merge by elementwise MAX, so folds are
-  //   order-invariant and IDEMPOTENT — a crash-replayed batch re-maxes
-  //   registers with themselves and the index is unchanged; no replay
-  //   ledger exists because none is needed (the [[Dedup
-  //   .componentsIncremental]] argument, in sketch form). NOTE the
-  //   estimator caveat: a STREAMED sketch uses DataSketches' HIP
-  //   estimator while union results use the composite estimator, so
-  //   fold-vs-streamed estimates may differ within error bounds —
-  //   fold-vs-fold is register-identical and compares EXACTLY (the x133
-  //   idempotence gate).
+  //   daily, without rescanning history": one HLL sketch per key,
+  //   persisted, with batch folds. The algebra does the exactly-once
+  //   work: HLL registers merge by elementwise MAX, so folds are
+  //   order-invariant and IDEMPOTENT — a crash-replayed batch re-appends
+  //   its delta rows, the read-side union re-maxes them with themselves,
+  //   and estimates are unchanged; no replay ledger exists because none
+  //   is needed (the [[Dedup.componentsIncremental]] argument, in sketch
+  //   form).
+  //
+  //   Storage shape (round 13 — the original fold REWROTE the whole
+  //   sketches table per batch, an O(index) cost for an O(batch) change;
+  //   at host grain, 10⁸ keys, a daily fold paid the full index in I/O):
+  //   `sketches` is a MULTI-ROW-PER-KEY delta table. A fold APPENDS the
+  //   batch's per-key sketch rows (O(batch) I/O, the index is never
+  //   read); the read side folds duplicates with `hll_union_agg` per key;
+  //   compaction ([[compactHllIndex]], auto-triggered by part-file count
+  //   like every other index family) collapses the table back to one row
+  //   per key under the shared staging+marker swap — crash-safe on both
+  //   sides of the marker, and `readHllEstimates` heals an interrupted
+  //   swap first.
+  //
+  //   `meta.json` pins lgK: a fold or sink at a different lgK than the
+  //   index was built with would sketch the batch at the new precision
+  //   and make `hll_union_agg` error (or silently degrade) later — the
+  //   mirror of the simhash index's maxDist pin. NOTE the estimator
+  //   caveat: a STREAMED sketch uses DataSketches' HIP estimator while
+  //   union results use the composite estimator, so fold-vs-streamed
+  //   estimates may differ within error bounds — fold-vs-fold is
+  //   register-identical and compares EXACTLY (the x133 idempotence
+  //   gate).
 
-  /** Initialize the index from a first batch: one HLL sketch per key. */
+  /** Initialize the index from a first batch: one HLL sketch per key,
+    * plus the lgK pin in `meta.json`.
+    */
   def writeHllIndex(spark: SparkSession, path: String, df: DataFrame,
-      keyCol: String, valueCol: String, lgK: Int = 12): Unit =
+      keyCol: String, valueCol: String, lgK: Int = 12): Unit = {
     df.groupBy(col(keyCol).as("key"))
       .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sketch"))
       .write.mode("overwrite").parquet(s"$path/sketches")
+    Dedup.writeTextFile(spark, s"$path/meta.json", s"""{"lgk":$lgK}""")
+  }
 
-  /** Fold a batch: per-key sketch union (elementwise register max) via
-    * the single-table staging+marker swap. Keys new to the index appear;
-    * untouched keys ride through the union unchanged.
+  /** Reject a fold/read whose lgK differs from the one the index was
+    * built with (indexes created before the meta pin existed fail loudly
+    * too — rebuild them with [[writeHllIndex]]).
+    */
+  private def requireLgK(spark: SparkSession, path: String, lgK: Int): Unit = {
+    val stored = """"lgk"\s*:\s*([0-9]+)""".r
+      .findFirstMatchIn(Dedup.readTextFile(spark, s"$path/meta.json"))
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"HLL index at $path has no lgk in meta.json — rebuild with writeHllIndex"))
+    require(stored == lgK,
+      s"HLL index at $path was built at lgK=$stored, fold/sink called with lgK=$lgK " +
+        "— mixed-precision registers do not union")
+  }
+
+  /** Fold a batch: APPEND the batch's per-key sketch rows as delta
+    * partitions (O(batch) I/O — the existing index is not read, let alone
+    * rewritten). Keys new to the index appear; untouched keys are
+    * untouched on disk. Once the table accumulates `autoCompactAt` part
+    * files the fold compacts it in place ([[compactHllIndex]]).
     */
   def foldIntoHllIndex(spark: SparkSession, path: String, batch: DataFrame,
-      keyCol: String, valueCol: String, lgK: Int = 12): Unit = {
+      keyCol: String, valueCol: String, lgK: Int = 12,
+      autoCompactAt: Int = Dedup.AutoCompactDefault): Unit = {
     Dedup.finishBatchCompaction(spark, path)
-    val cur = spark.read.parquet(s"$path/sketches")
-    val b = batch.groupBy(col(keyCol).as("key"))
+    requireLgK(spark, path, lgK)
+    batch.groupBy(col(keyCol).as("key"))
       .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sketch"))
-    cur.unionByName(b)
-      .groupBy(col("key"))
-      .agg(expr("hll_union_agg(sketch)").as("sketch"))
+      .write.mode("append").parquet(s"$path/sketches")
+    maybeAutoCompactHll(spark, path, autoCompactAt)
+  }
+
+  /** Collapse the delta table to one row per key (per-key register
+    * union), via the shared staging+marker swap — same crash protocol as
+    * every other index family's compaction.
+    */
+  def compactHllIndex(spark: SparkSession, path: String, targetFiles: Int = 1): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    Dedup.finishBatchCompaction(spark, path)
+    spark.read.parquet(s"$path/sketches")
+      .groupBy(col("key")).agg(expr("hll_union_agg(sketch)").as("sketch"))
+      .coalesce(targetFiles)
       .write.mode("overwrite").parquet(s"$path/sketches.staging")
     Dedup.publishBatchMarker(spark, path, Seq("sketches"))
     Dedup.finishBatchCompaction(spark, path)
   }
 
+  /** [[Dedup.maybeAutoCompact]]'s trigger (part-file count ≥ `at`) with
+    * the HLL-specific compaction: registers fold by union, not by file
+    * coalesce — a coalesce-only compaction would leave duplicate keys
+    * forever.
+    */
+  private def maybeAutoCompactHll(spark: SparkSession, path: String, at: Int): Unit = {
+    if (at <= 0) return
+    val (fs, p) = Dedup.hadoopFs(spark, s"$path/sketches")
+    val parts =
+      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    if (parts.length >= at) {
+      val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
+      val bytes = parts.map(_.getLen).sum
+      val target = math.max(1L, (bytes + maxPartBytes - 1) / maxPartBytes).toInt
+      System.err.println(
+        s"""{"index_auto_compact":${"\"" + path + "\""},"part_files":${parts.length},"trigger":$at,"target_files":$target}""")
+      compactHllIndex(spark, path, target)
+    }
+  }
+
   /** Per-key approx-distinct estimates from the persisted sketches
-    * (healing an interrupted fold first).
+    * (healing an interrupted compaction swap first; delta rows for the
+    * same key union here).
     */
   def readHllEstimates(spark: SparkSession, path: String): DataFrame = {
     Dedup.finishBatchCompaction(spark, path)
     spark.read.parquet(s"$path/sketches")
+      .groupBy(col("key")).agg(expr("hll_union_agg(sketch)").as("sketch"))
       .select(col("key"),
         expr("CAST(hll_sketch_estimate(sketch) AS BIGINT)").as("approx_distinct"))
   }

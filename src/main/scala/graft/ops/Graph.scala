@@ -304,17 +304,32 @@ object Graph {
   }
 
   /** Dictionary-encode a (string) host column to dense numeric ids for
-    * [[hostAuthority]]: one distinct over hosts plus a row_number over
-    * the DICTIONARY — a global sort, but of the host table (cardinality
-    * ≪ corpus), never the corpus itself. Deterministic: ids follow host
-    * lexicographic order.
+    * [[hostAuthority]]. Deterministic: ids are 1-based and follow host
+    * lexicographic order (nulls first, Spark's ascending default).
+    *
+    * Scale shape (round 13 — the old form was a `row_number` window with
+    * NO partition spec, which funnels the ENTIRE dictionary through one
+    * sort task; a 100-TB web corpus has 10⁸–10⁹ distinct hosts, so "the
+    * dictionary is small" does not hold at exactly the grain this is
+    * built for): a parallel range-partitioned `orderBy` (ascending
+    * partitions across `spark.sql.shuffle.partitions` sort tasks) plus
+    * `zipWithIndex`, whose per-partition offsets are a distributed prefix
+    * count. The assigned id is the global lexicographic rank, so it is
+    * bit-identical to the window form and INVARIANT to where the range
+    * bounds land — no single-task stage anywhere (OpsSpec pins both the
+    * bit-identity and the no-window plan shape).
     */
-  def encodeHosts(docs: DataFrame, hostCol: String): DataFrame =
-    docs.select(col(hostCol)).distinct()
-      .withColumn("host_id",
-        org.apache.spark.sql.functions.row_number()
-          .over(org.apache.spark.sql.expressions.Window.orderBy(col(hostCol)))
-          .cast("long"))
+  def encodeHosts(docs: DataFrame, hostCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val dict = docs.select(col(hostCol)).distinct().orderBy(col(hostCol))
+    val schema = org.apache.spark.sql.types.StructType(dict.schema.fields :+
+      org.apache.spark.sql.types.StructField("host_id",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val withId = dict.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(withId, schema)
+  }
 
   /** DuckDB twin of [[pageRank]]: an unrolled CTE chain (r0 … rK), one
     * CTE per iteration, same update expression SHAPE so both engines run

@@ -596,13 +596,17 @@ object StreamingIngest {
       .start()
 
   /** Streaming arm of the persisted HLL sketch index
-    * ([[graft.ops.Frequency.foldIntoHllIndex]]): each micro-batch's
-    * per-key sketches union into the index. Exactly-once by ALGEBRA
-    * (the ccIndexSink argument in sketch form): HLL registers merge by
-    * elementwise max, so a crash-replayed micro-batch re-maxes
-    * registers with themselves — no ledger, no partition exclusion;
-    * the single-table staging+marker swap closes the torn-write window
-    * and readers heal. Initializes an empty index on first touch.
+    * ([[graft.ops.Frequency.foldIntoHllIndex]]): each micro-batch
+    * APPENDS its per-key sketch rows as delta partitions (O(batch) I/O;
+    * the read side unions per key, auto-compaction collapses the table).
+    * Exactly-once by ALGEBRA (the ccIndexSink argument in sketch form):
+    * HLL registers merge by elementwise max, so a crash-replayed
+    * micro-batch's re-appended delta rows re-max registers with
+    * themselves at read time — no ledger, no partition exclusion; the
+    * compaction staging+marker swap heals on read. `lgK` must match the
+    * index's `meta.json` pin (the fold rejects a mismatch — mixed-
+    * precision registers do not union). Initializes an empty index on
+    * first touch.
     */
   def hllIndexSink(rows: DataFrame, indexPath: String, checkpoint: String,
       keyCol: String, valueCol: String,

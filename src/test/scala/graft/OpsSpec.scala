@@ -2554,6 +2554,27 @@ class OpsSpec extends SparkSpec {
       Seq("b.com", "a.com", "b.com", "c.com").toDF("host"), "host")
       .orderBy("host_id").as[(String, Long)].collect().toSeq
     assert(enc == Seq(("a.com", 1L), ("b.com", 2L), ("c.com", 3L)))
+
+    // bit-identity to the retired single-task window form on a frame big
+    // enough to span many partitions (round 13: encodeHosts became a
+    // parallel range sort + zipWithIndex; the id contract must not move)
+    val many = (0 until 3000).map(i => s"host-${(i * 7919) % 1000}.com").toDF("host")
+      .repartition(16)
+    val fast = Graph.encodeHosts(many, "host")
+      .orderBy("host_id").as[(String, Long)].collect().toSeq
+    val windowForm = many.select($"host").distinct()
+      .withColumn("host_id",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy($"host"))
+          .cast("long"))
+      .orderBy("host_id").as[(String, Long)].collect().toSeq
+    assert(fast == windowForm, "bucketed encode must be bit-identical to the window form")
+    assert(fast.size == 1000 && fast.map(_._2) == (1L to 1000L))
+
+    // plan shape: NO window operator anywhere (the single-task
+    // no-partition window is exactly what this encode exists to avoid)
+    val encPlan = Graph.encodeHosts(many, "host").queryExecution.executedPlan
+    assert(!encPlan.toString.contains("Window"),
+      s"encodeHosts must not plan a window:\n$encPlan")
   }
 
   test("pageRankWeighted: unit weights ≡ pageRank; weights shift mass; trust stays in the seed component") {
@@ -2687,6 +2708,23 @@ class OpsSpec extends SparkSpec {
     assert(probe() == got2, "self-heal read after a post-marker crash changed the pairs")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_compacting_batch.json")),
       "the reader must consume the marker")
+
+    // buckets-swap crash drill (ADVICE r12: the old delete-then-rename
+    // had a window that left NO buckets dir and bricked every later
+    // read): staging + marker present, buckets dir gone — the next
+    // reader must heal the swap and probe identically
+    val fs2 = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bp = new org.apache.hadoop.fs.Path(s"$path/buckets")
+    org.apache.hadoop.fs.FileUtil.copy(fs2, bp, fs2,
+      new org.apache.hadoop.fs.Path(s"$path/buckets.staging"), false,
+      spark.sparkContext.hadoopConfiguration)
+    Dedup.publishBatchMarker(spark, path, Seq("buckets"))
+    fs2.delete(bp, true) // the crash point: marker committed, target gone
+    assert(probe() == got2,
+      "read after a mid-bucket-swap crash must heal from staging")
+    assert(fs2.exists(bp) && !fs2.exists(new org.apache.hadoop.fs.Path(s"$path/buckets.staging")),
+      "heal must complete the swap")
   }
 
   test("componentsIncremental: delta merges to the global min, singletons survive, staged crash heals") {
@@ -2797,6 +2835,49 @@ class OpsSpec extends SparkSpec {
       .orderBy("key").as[(String, Long)].collect().toSeq
     assert(healed == Seq(("h1", 3L), ("h2", 2L), ("h3", 1L)),
       s"read after a post-marker crash must heal to the folded sketches: $healed")
+  }
+
+  test("HLL index: folds append deltas (no index rewrite), compaction unions per key, lgK pin rejects mismatch") {
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "hllidx2").toString
+    val a = Seq(("h1", 1L), ("h2", 5L)).toDF("host", "uid")
+    val b = Seq(("h1", 2L), ("h3", 9L)).toDF("host", "uid")
+    ops.Frequency.writeHllIndex(spark, path, a, "host", "uid")
+    ops.Frequency.foldIntoHllIndex(spark, path, b, "host", "uid")
+    // the fold APPENDED delta rows — h1 is present twice on disk (the
+    // O(batch) shape; the old fold would have rewritten to 1 row per key)
+    val rows = spark.read.parquet(s"$path/sketches")
+    assert(rows.count() == 4 && rows.select("key").distinct().count() == 3,
+      "fold must append delta rows, not rewrite the table")
+    val est = ops.Frequency.readHllEstimates(spark, path)
+      .orderBy("key").as[(String, Long)].collect().toSeq
+    assert(est == Seq(("h1", 2L), ("h2", 1L), ("h3", 1L)))
+    // compaction collapses to one row per key; estimates unchanged
+    ops.Frequency.compactHllIndex(spark, path)
+    val compacted = spark.read.parquet(s"$path/sketches")
+    assert(compacted.count() == 3, "compaction must union deltas to one row per key")
+    assert(ops.Frequency.readHllEstimates(spark, path)
+      .orderBy("key").as[(String, Long)].collect().toSeq == est)
+    // pre-marker crash: a staged-but-unpublished compaction is invisible
+    // to readers and harmlessly overwritten by the next compaction
+    spark.read.parquet(s"$path/sketches")
+      .write.mode("overwrite").parquet(s"$path/sketches.staging")
+    assert(ops.Frequency.readHllEstimates(spark, path)
+      .orderBy("key").as[(String, Long)].collect().toSeq == est,
+      "unpublished staging must not be visible")
+    ops.Frequency.compactHllIndex(spark, path) // sweeps/overwrites the stale staging
+    assert(ops.Frequency.readHllEstimates(spark, path)
+      .orderBy("key").as[(String, Long)].collect().toSeq == est)
+    // auto-compact trigger: threshold 1 part file → fold compacts in place
+    ops.Frequency.foldIntoHllIndex(spark, path, b, "host", "uid", autoCompactAt = 1)
+    assert(spark.read.parquet(s"$path/sketches").count() == 3,
+      "auto-compact at threshold must leave one row per key")
+    // lgK mismatch fails loudly (ADVICE r12: a mixed-precision fold would
+    // silently degrade or error at union time)
+    val e = intercept[IllegalArgumentException] {
+      ops.Frequency.foldIntoHllIndex(spark, path, b, "host", "uid", lgK = 14)
+    }
+    assert(e.getMessage.contains("lgK"), s"mismatch message must name lgK: ${e.getMessage}")
   }
 
   test("weightedTopKPerGroup: giant weight always wins, non-positive weights excluded, equal weights = coin order") {
