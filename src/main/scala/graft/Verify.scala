@@ -104,7 +104,13 @@ object Verify {
     def emitSummary(partial: Boolean): Unit = emitLock.synchronized {
       if (!summaryWritten) {
         val json = summaryJson(partial) + "\n"
-        Seq(Paths.get("VERIFY_full_latest.json"), Paths.get(s"$outDir/verify_summary.json"))
+        // the repo-root copy is the tracked full-catalog telemetry — a
+        // filtered local-iteration run must not clobber it
+        val targets =
+          if (only.isDefined) Seq(Paths.get(s"$outDir/verify_summary.json"))
+          else Seq(Paths.get("VERIFY_full_latest.json"),
+            Paths.get(s"$outDir/verify_summary.json"))
+        targets
           .foreach { p =>
             try Files.writeString(p, json)
             catch { case e: Throwable =>

@@ -50,6 +50,12 @@ object Report {
     * value-oracles. One id-equi-join (counts back to source) + one
     * rollup aggregate; the scan-heavy regexp work stays in the codegen'd
     * piiStats projection.
+    *
+    * `is_total` is the SQL `GROUPING(source)` indicator (ADVICE r12):
+    * without it, when the source column itself contains NULLs the
+    * NULL-source group row and the rollup grand-total row both emit NULL
+    * source and are indistinguishable — and any ordering on source alone
+    * becomes nondeterministic across engines.
     */
   def piiCard(docs: DataFrame, idCol: String, textCol: String = "text",
       sourceCol: String = "source"): DataFrame =
@@ -57,6 +63,7 @@ object Report {
       .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
       .rollup(col(sourceCol))
       .agg(
+        grouping(col(sourceCol)).cast("long").as("is_total"),
         count(lit(1)).as("n_docs"),
         sum(col("n_urls")).as("n_urls"),
         sum(col("n_emails")).as("n_emails"),

@@ -2691,7 +2691,7 @@ object ExtensionProbes {
               lit(" see https://a.example.com/u?mail=x@y.org or b@c.org"))
             .when(pmod(col("doc_id"), lit(4)) === 2, lit(" call 555-123-4567 now"))
             .otherwise(lit(""))).as("text"))
-      Report.piiCard(fix, "doc_id").orderBy("source")
+      Report.piiCard(fix, "doc_id").orderBy("is_total", "source")
     },
     Some {
       def l(re: String) = "'" + re.replace("'", "''") + "'"
@@ -2714,12 +2714,13 @@ object ExtensionProbes {
          |    CAST(len(regexp_extract_all(t1, $e)) AS BIGINT) AS n_emails,
          |    CAST(len(regexp_extract_all(t2, $p)) AS BIGINT) AS n_phones
          |  FROM m2)
-         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |SELECT source, CAST(GROUPING(source) AS BIGINT) AS is_total,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_urls) AS BIGINT) AS n_urls,
          |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
          |  CAST(sum(n_phones) AS BIGINT) AS n_phones
          |FROM cnt GROUP BY ROLLUP(source)
-         |ORDER BY source ASC NULLS FIRST""".stripMargin
+         |ORDER BY is_total ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
     })
 
   // — sentence-aware chunking (x131): chunks cut ONLY at sentence
@@ -2860,9 +2861,53 @@ object ExtensionProbes {
            |  CAST(0 AS BIGINT) AS n_outside_10pct
            |FROM events""".stripMargin))
 
+  // — host authority through the STRING-host encode path (x134): x121/
+  //   x128 exercise hostAuthority on numeric host keys; this probe runs
+  //   the full deployment pipeline — string hosts → [[Graph.encodeHosts]]
+  //   (dense lexicographic ids via the round-13 parallel range-sort +
+  //   zipWithIndex, no single-task window) → doc-graph edges lifted to
+  //   host grain → PageRank — and the oracle replays the dictionary with
+  //   a row_number window plus the shared pageRankSql CTE chain, so the
+  //   encode path is VALUE-oracled end-to-end, not just unit-tested.
+  private val docsHostSql =
+    "SELECT doc_id, printf('h%02d.example.com', CAST(doc_id % 31 AS INT)) AS host FROM documents"
+  private val dictSql =
+    s"""SELECT host, CAST(row_number() OVER (ORDER BY host ASC) AS BIGINT) AS host_id
+       |FROM (SELECT DISTINCT host FROM ($docsHostSql))""".stripMargin
+  private val x134 = Probe(
+    "x134_host_authority_encoded",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          format_string("h%02d.example.com", pmod(col("doc_id"), lit(31L))).as("host"))
+      val dict = Graph.encodeHosts(docs, "host")
+      val mapped = docs.join(dict, Seq("host")).select(col("doc_id"), col("host_id"))
+      // deterministic doc-graph: each doc links to its half-id parent
+      // (endpoints outside the corpus drop in the host join, both engines)
+      val edges = docs.filter(col("doc_id") >= 2)
+        .select(col("doc_id").as("src"), floor(col("doc_id") / 2).cast("long").as("dst"))
+      Graph.hostAuthority(edges, mapped, "doc_id", "host_id", iters = 5)
+        .join(dict, col("node") === col("host_id"))
+        .select(col("host"), col("host_id"), col("pagerank"))
+        .orderBy("host_id")
+    },
+    Some {
+      val edgesCte =
+        s"""SELECT hs.host_id AS src, hd.host_id AS dst
+           |FROM (SELECT doc_id AS s, doc_id // 2 AS d FROM documents WHERE doc_id >= 2) e
+           |JOIN ($docsHostSql) ds ON ds.doc_id = e.s
+           |JOIN ($dictSql) hs ON hs.host = ds.host
+           |JOIN ($docsHostSql) dd ON dd.doc_id = e.d
+           |JOIN ($dictSql) hd ON hd.host = dd.host""".stripMargin
+      s"""SELECT d.host, pr.node AS host_id, pr.pagerank
+         |FROM (${Graph.pageRankSql(edgesCte, iters = 5, damping = 0.85)}) pr
+         |JOIN ($dictSql) d ON d.host_id = pr.node
+         |ORDER BY host_id ASC NULLS FIRST""".stripMargin
+    })
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
-    x125, x126, x127, x128, x129, x130, x131, x132, x133)
+    x125, x126, x127, x128, x129, x130, x131, x132, x133, x134)
 }

@@ -474,13 +474,19 @@ object StreamingIngest {
     * write them under a batch-owned corpus partition and append them to
     * the index.
     *
-    * Exactly-once under replay WITHOUT partition exclusion (unlike the
-    * ingest-index sinks): the index append is an id-keyed anti-join
-    * no-op on replay, the probe filters `batch_id = corpus_id` so a
-    * batch's own first-attempt rows cannot shadow it, and intra-batch
-    * survivors are pairwise > maxDist apart by construction (component
-    * representatives), so first-attempt survivors in the index cannot
-    * re-classify the replay's survivors either. A crash mid-append
+    * Exactly-once under replay: the index append is an id-keyed
+    * anti-join no-op on replay, and the probe result is anti-joined
+    * against the CURRENT batch's own ids before classification — the
+    * id-set form of the ingest sinks' partition exclusion (ids are
+    * globally unique, so a matched corpus row carrying a current-batch
+    * id can only be a first-attempt replay row). The id filter matters
+    * beyond the trivial self-match: intra-batch survivors are component
+    * representatives but [[graft.ops.Dedup.simhashPairs]]' hot-bucket
+    * star-degradation can drop an intra-batch pair (ADVICE r12), so two
+    * survivors MAY sit within maxDist — without the exclusion a replay
+    * would see each one's first-attempt twin in the index, drop both
+    * from the rewritten corpus partition, and leave the index holding
+    * signatures the corpus no longer contains. A crash mid-append
     * (sigs written, chunks not) is also safe: the batch's own rows are
     * invisible to the replay's probe (chunks drive candidates) and the
     * replayed append's per-table guard completes exactly the missing
@@ -513,7 +519,10 @@ object StreamingIngest {
           s"simhash index at $indexPath was chunked for maxDist=${idx.maxDist}; " +
             s"caller passed maxDist=$maxDist — probing with a different distance " +
             "would silently lose the pigeonhole guarantee")
+        // exclude corpus rows whose id is in THIS batch (first-attempt
+        // replay rows) — see the exactly-once note in the scaladoc
         val dupIds = graft.ops.Dedup.probeSimhashIndex(idx, intra, idCol, sigCol)
+          .join(intra.select(col(idCol).as("corpus_id")), Seq("corpus_id"), "left_anti")
           .select(col("batch_id").as(idCol)).distinct()
         val survivors = intra.join(dupIds, Seq(idCol), "left_anti").localCheckpoint()
         survivors.write.mode("overwrite").parquet(s"$corpusPath/__batch=$batchId")
@@ -543,7 +552,13 @@ object StreamingIngest {
     * already-folded index re-batches the input under reused `stream-<id>`
     * keys, and the ledger would silently skip genuinely-new data that
     * landed in a reused id. New checkpoint ⇒ new index (or pass a
-    * distinct id prefix via a wrapper).
+    * distinct id prefix via a wrapper). ENFORCED (ADVICE r12 — the doc
+    * alone guarded nothing): the first fold stamps the checkpoint's
+    * streaming query id (`<checkpoint>/metadata`, written once at first
+    * start and reused on every resume — exactly the identity a fresh
+    * checkpoint changes) into `<indexPath>/stream_identity.json`, and a
+    * fold under a DIFFERENT query id fails fast instead of silently
+    * skipping data.
     */
   def lmCountsIndexSink(docs: DataFrame, indexPath: String, checkpoint: String,
       textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
@@ -555,6 +570,7 @@ object StreamingIngest {
         // heal any marker-staged fold a previous incarnation left behind
         // BEFORE probing for existence (the staged swap owns `counts`)
         graft.ops.Dedup.finishBatchCompaction(spark, indexPath)
+        requireCheckpointIdentity(spark, indexPath, checkpoint)
         val cp = new org.apache.hadoop.fs.Path(s"$indexPath/counts/_SUCCESS")
         val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // _SUCCESS, not the dir: a kill mid-init leaves a torn parquet dir
@@ -566,6 +582,37 @@ object StreamingIngest {
         ()
       }
       .start()
+
+  /** Fail fast when a ledger-keyed index is folded from a checkpoint
+    * other than the one that built it (see [[lmCountsIndexSink]]'s
+    * contract). The identity is the streaming query id from
+    * `<checkpoint>/metadata`; the stamp is written BEFORE the first fold,
+    * so a crash between stamp and fold re-stamps the same id on replay.
+    */
+  private def requireCheckpointIdentity(spark: SparkSession, indexPath: String,
+      checkpoint: String): Unit = {
+    val metaP = new org.apache.hadoop.fs.Path(s"$checkpoint/metadata")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaP)) return // defensive: metadata exists once a query has started
+    val qid = """"id"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(graft.ops.Dedup.readTextFile(spark, s"$checkpoint/metadata"))
+      .map(_.group(1)).getOrElse(return)
+    val stampPath = s"$indexPath/stream_identity.json"
+    val stampP = new org.apache.hadoop.fs.Path(stampPath)
+    if (!fs.exists(stampP)) {
+      graft.ops.Dedup.writeTextFile(spark, stampPath, s"""{"query_id":"$qid"}""")
+    } else {
+      val stamped = """"query_id"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(graft.ops.Dedup.readTextFile(spark, stampPath))
+        .map(_.group(1)).getOrElse("?")
+      require(stamped == qid,
+        s"LM counts index at $indexPath was built by streaming query $stamped; " +
+          s"this sink runs as query $qid (a FRESH checkpoint over an already-" +
+          "folded index would re-batch input under reused stream-<id> ledger " +
+          "keys and silently skip new data). Resume with the original " +
+          "checkpoint, or start a new index path.")
+    }
+  }
 
   /** Streaming arm of the persisted cluster-label index
     * ([[graft.ops.Dedup.appendToCcIndex]]): each micro-batch of

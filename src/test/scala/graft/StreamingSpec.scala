@@ -562,6 +562,25 @@ class StreamingSpec extends SparkSpec {
     assert(resumed == oneShot, "folded stream stats must equal one-shot counts")
     // ledger carries exactly the two stream batches
     assert(ops.Lm.foldedBatches(spark, idx) == Set("stream-0", "stream-1"))
+
+    // checkpoint-identity guard (ADVICE r12): a FRESH checkpoint over the
+    // already-folded index would re-batch input under reused stream-<id>
+    // ledger keys and silently skip new data — the sink must fail fast,
+    // and the failure must name the footgun
+    b1.write.mode("append").parquet(s"$base/in3")
+    val qBad = StreamingIngest.lmCountsIndexSink(
+      spark.readStream.schema(schema).parquet(s"$base/in3"), idx, s"$base/ckpFresh", "text")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qBad.processAllAvailable()
+    }
+    qBad.stop()
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) String.valueOf(t.getMessage)
+      else String.valueOf(t.getMessage) + " | " + rootMsg(t.getCause)
+    assert(rootMsg(err).contains("FRESH checkpoint"),
+      s"fresh-checkpoint fold must fail fast with the footgun named: ${rootMsg(err).take(400)}")
+    // and the guarded index is unchanged
+    assert(rows(idx) == resumed, "failed fold must not touch the index")
   }
 
   test("media sink: intra + cross-batch Hamming dedup; kill + resume over a poisoned partial ≡ uninterrupted") {
@@ -617,6 +636,65 @@ class StreamingSpec extends SparkSpec {
     // index state matches the corpus survivors
     assert(spark.read.parquet(s"$idx/sigs").select("corpus_id").as[Long]
       .collect().toSet == Set(1L, 2L, 6L))
+  }
+
+  test("media sink: same-batch crash replay with hot-bucket-missed intra twins keeps corpus ≡ index (ADVICE r12)") {
+    // The scenario the batch-id exclusion exists for. maxDist=2 → 3
+    // chunks of 22 bits; bucket (chunk0 = 0) is made hot (> 1638 rows).
+    //   h2 (id 5):  1 bit in chunk0, heavy chunk1/chunk2 pattern H
+    //   h  (id 10): chunk0 = 0, same H — live hub of the hot bucket, but
+    //               a Hamming-1 twin of h2 via the cold (1, H1) bucket →
+    //               h is dropped intra-batch and NEVER enters the index
+    //   v  (id 20): sig 0 — after h drops, v is the MIN CORPUS ID in the
+    //               hot bucket, i.e. the replay probe's persisted hub
+    //   u  (id 5000): 1 bit in chunk1 + 1 bit in chunk2 → hamming(u,v)=2,
+    //               sharing ONLY the hot chunk0 bucket → the live pair
+    //               pass MISSES (u,v): both survive attempt 1
+    // On a same-batch replay, the probe's star path pairs hub v against u
+    // (hamming 2 ≤ 2) — without excluding the batch's own first-attempt
+    // index rows, u is dropped from the rewritten corpus partition while
+    // the index keeps its signature. The drill deletes the checkpoint's
+    // commits/0 so batch 0 genuinely replays over the committed state.
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "mediareplay").toString
+    val heavy1 = 0x155555L // 11 bits in chunk1
+    val heavy2 = 0x0AAAAAL // 10 bits in chunk2
+    val hSig = (heavy1 << 22) | (heavy2 << 44)
+    val rows =
+      Seq((5L, hSig | 1L), (10L, hSig), (20L, 0L), (5000L, (1L << 22) | (8L << 44))) ++
+        (100L until 1800L).map(f => (f, (f << 22) | (f << 44)))
+    val b = rows.toDF("media_id", "sig")
+    val (in, corpus, idx, ckp) = (s"$base/in", s"$base/corpus", s"$base/idx", s"$base/ckp")
+    b.write.mode("append").parquet(in)
+    val q1 = StreamingIngest.mediaCorpusIndexedSink(
+      spark.readStream.schema(b.schema).parquet(in), corpus, idx, ckp, "media_id", "sig")
+    try q1.processAllAvailable() finally q1.stop()
+    val firstCorpus = spark.read.parquet(corpus).select("media_id").as[Long].collect().toSet
+    val firstIndex = spark.read.parquet(s"$idx/sigs").select("corpus_id").as[Long].collect().toSet
+    assert(!firstCorpus.contains(10L), "h must be dropped intra (twin of h2)")
+    assert(Set(5L, 20L, 5000L).subsetOf(firstCorpus),
+      s"h2, v, and the missed twin u must all survive attempt 1: ${firstCorpus.size}")
+    assert(firstCorpus == firstIndex, "attempt 1 must leave corpus ≡ index")
+    // force a same-batch replay: offsets/0 stays, commits/0 goes (and its
+    // checksum sibling — a leftover .0.crc makes the replay's atomic
+    // commit rename collide and read as a concurrent-query error)
+    val cf = new java.io.File(s"$ckp/commits/0")
+    assert(cf.exists(), "drill precondition: batch 0 commit file")
+    assert(cf.delete())
+    new java.io.File(s"$ckp/commits/.0.crc").delete()
+    // the checkpoint's active-query registration clears asynchronously
+    // after stop(); an immediate restart races it ("concurrently using")
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(spark.streams.active.isEmpty, "q1 must deregister before the replay starts")
+    val q2 = StreamingIngest.mediaCorpusIndexedSink(
+      spark.readStream.schema(b.schema).parquet(in), corpus, idx, ckp, "media_id", "sig")
+    try q2.processAllAvailable() finally q2.stop()
+    val replayCorpus = spark.read.parquet(corpus).select("media_id").as[Long].collect().toSet
+    val replayIndex = spark.read.parquet(s"$idx/sigs").select("corpus_id").as[Long].collect().toSet
+    assert(replayCorpus == firstCorpus,
+      s"replay must rewrite the identical corpus partition (lost: ${firstCorpus -- replayCorpus})")
+    assert(replayIndex == firstIndex, "replay must leave the index unchanged")
   }
 
   test("CC label sink: streamed pair deltas fold to one-shot components; kill mid-fold + resume heals") {
