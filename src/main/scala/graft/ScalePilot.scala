@@ -131,6 +131,7 @@ object ScalePilot {
       else if (family == "round11d") Set("documents")
       else if (family == "round12") Set("documents", "embeddings")
       else if (family == "round12b") Set("orders", "documents", "embeddings")
+      else if (family == "round13") Set("documents")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -999,6 +1000,45 @@ object ScalePilot {
       spark.read.parquet(path)
     }
 
+    // round-13: pilot rows for the late-r12 families (the pilot
+    // discipline keeps converting "plausible at sf0.01" into real bug
+    // finds — pageRank's ANSI divide in r12 — and these four shipped
+    // without one). Weighted per-group sampling: 997 fixed groups whose
+    // SIZE grows N× — one group shuffle + WindowGroupLimit, the claim is
+    // near-linear wall with no per-group sort blowup. Sentence chunking
+    // (+ RAG overlap): per-document windows only, wall should track the
+    // sentence-explode volume. HLL delta-fold: a CONSTANT copy-0 batch
+    // folds into an index whose key space grows with the corpus
+    // (key = doc_id/8) — the round-13 append-delta redesign's claim is
+    // fold wall FLAT in index size (the old design rewrote the whole
+    // sketches table per fold, O(index)).
+    def round13Queries(dir: String): Seq[(String, () => DataFrame)] = Seq(
+      "weighted_topk" -> (() => Sampling.weightedTopKPerGroup(
+        tbl(dir, "documents"), pmod(col("doc_id"), lit(997L)), col("doc_id"),
+        (pmod(col("doc_id"), lit(101L)) + lit(1L)).cast("double"), k = 5)),
+      "sentence_chunks" -> (() => Packing.sentenceChunks(
+        tbl(dir, "documents"), "doc_id", col("text"), maxTokens = 32)),
+      "sentence_chunks_overlap" -> (() => Packing.sentenceChunksOverlap(
+        tbl(dir, "documents"), "doc_id", col("text"), maxTokens = 32, overlap = 1)),
+      "hll_fold_const_batch" -> (() => {
+        val docs = tbl(dir, "documents")
+        def keyed(df: DataFrame) = df.select(
+          floor(col("doc_id") / 8).as("k"), col("doc_id"))
+        val path = s"$dir/__hllidx_v1"
+        // index over the FULL corpus, built off the clock (meta.json is
+        // written last by writeHllIndex → presence = complete)
+        if (!new java.io.File(s"$path/meta.json").exists())
+          graft.ops.Frequency.writeHllIndex(spark, path,
+            keyed(docs.filter(col("doc_id") % 37 =!= 0)), "k", "doc_id")
+        val batch = keyed(docs.filter(col("doc_id") % 37 === 0 &&
+          col("doc_id") < 100000000L))
+        graft.ops.Frequency.foldIntoHllIndex(spark, path, batch, "k", "doc_id")
+        // the timed op is the fold; the returned frame is deliberately
+        // trivial (an estimates read would re-scan the whole index and
+        // bill O(index) work to an O(batch) claim)
+        spark.range(1).toDF("ok")
+      }))
+
     def queries(dir: String): Seq[(String, () => DataFrame)] =
       if (family == "dedup") dedupQueries(dir)
       else if (family == "pipeline") pipelineQueries(dir)
@@ -1014,6 +1054,7 @@ object ScalePilot {
       else if (family == "round11d") round11dQueries(dir)
       else if (family == "round12") round12Queries(dir)
       else if (family == "round12b") round12bQueries(dir)
+      else if (family == "round13") round13Queries(dir)
       else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>
