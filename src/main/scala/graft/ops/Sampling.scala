@@ -472,4 +472,46 @@ object Sampling {
       .withColumn("cluster_rate", element_at(typedlit(rates), col("centroid_id")))
       .filter(slot < element_at(typedlit(cuts), col("centroid_id")))
   }
+
+  /** Water-filling keep rates that reshape a multi-source corpus to a
+    * TARGET token distribution without over-sampling any source (every
+    * rate stays ≤ 1 — no document is ever duplicated). With T_s tokens
+    * in source s and target fraction f_s, the largest achievable
+    * balanced corpus is C = min_s T_s / f_s (the binding source keeps
+    * everything) and rate_s = C·f_s / T_s — the "data recipe" step that
+    * turns a target mixture into per-source sampling rates, feeding
+    * [[mixturePortable]]'s content-addressed coin. All observed sources
+    * must appear in `targets` (fails fast otherwise — a silently
+    * unmatched source would vanish from the recipe); fractions must be
+    * positive and sum to 1.
+    *
+    * Output: (source, n_tokens, target_frac, quota_tokens, rate) —
+    * quota is ⌊C·f_s⌋, rate is round6. All arithmetic is exact-integer
+    * sums plus IEEE division, so the whole card value-oracles (x136).
+    *
+    * Plan: one map-side-combined aggregate over the corpus + a
+    * dictionary-sized broadcast join + a 1-row global min crossed back.
+    */
+  def domainBalance(docs: DataFrame, sourceCol: Column, tokenCount: Column,
+      targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty && math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      "target fractions must sum to 1")
+    require(targets.forall(_._2 > 0), "target fractions must be positive")
+    require(targets.map(_._1).distinct.size == targets.size, "duplicate target source")
+    val spark = docs.sparkSession
+    val tdf = spark.createDataFrame(targets).toDF("__src", "__f")
+    val actual = docs.groupBy(sourceCol.as("source"))
+      .agg(sum(tokenCount.cast("long")).as("n_tokens"))
+      .join(broadcast(tdf), col("source") === col("__src"), "left")
+      .localCheckpoint() // pinned: feeds the missing-source gate, C, and the output
+    val missing = actual.filter(col("__f").isNull)
+      .select(col("source")).collect().map(_.getString(0))
+    require(missing.isEmpty,
+      s"source(s) absent from targets: ${missing.mkString(", ")}")
+    val c = actual.agg(min(col("n_tokens") / col("__f")).as("__c"))
+    actual.crossJoin(broadcast(c))
+      .select(col("source"), col("n_tokens"), col("__f").as("target_frac"),
+        floor(col("__c") * col("__f")).cast("long").as("quota_tokens"),
+        graft.Canonical.round6(col("__c") * col("__f") / col("n_tokens")).as("rate"))
+  }
 }

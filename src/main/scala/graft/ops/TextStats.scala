@@ -748,4 +748,58 @@ object TextStats {
        |      ELSE 'tail' END AS lm_bucket
        |  FROM ag)""".stripMargin
   }
+
+  // — BM25 relevance (Robertson–Spärck Jones '94, public; Lucene's +1
+  //   idf shift) ———————————————————————————————————————————————————————
+
+  /** BM25 score of every document against each query in a SMALL query
+    * set — the retrieval staple behind eval-set decontamination sweeps
+    * ("which corpus docs answer this benchmark question") and
+    * quality-targeted curation ("rank the crawl against seed queries").
+    *
+    * Semantics, pinned (x135's oracle replays them):
+    *   - terms are lowercased whitespace tokens ([[tokens]] over
+    *     `lower(text)`); QUERY terms are DISTINCT per query (a repeated
+    *     query word does not double-count);
+    *   - idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) — always positive;
+    *   - score(q, d) = Σ_t idf · tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl));
+    *   - documents sharing no term with a query are ABSENT (no 0 rows);
+    *     N and avgdl are over ALL docs, dl in tokens.
+    *
+    * Scale shape: the query-term table is tiny and broadcast; the corpus
+    * token explode is semi-joined against it BEFORE any aggregate, so
+    * the tf/df shuffles carry query-term postings only — the full
+    * vocabulary domain is never shuffled (the [[Frequency.heavyHitters]]
+    * discipline, in retrieval form). Per-doc length rides the explode
+    * (no corpus-wide dl join); N/avgdl are one 1-row aggregate crossed
+    * in broadcast.
+    */
+  def bm25(docs: DataFrame, idCol: String, text: Column,
+      queries: DataFrame, qIdCol: String, qText: Column,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 >= 0, s"k1 must be >= 0, got $k1")
+    require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
+    val stats = docs
+      .select(size(tokens(lower(text))).cast("double").as("__dl"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl"))
+    val qTerms = queries.select(col(qIdCol),
+      explode(array_distinct(tokens(lower(qText)))).as("__term"))
+    val docToks = docs.select(col(idCol),
+      size(tokens(lower(text))).cast("double").as("__dl"),
+      explode(tokens(lower(text))).as("__term"))
+    val tf = docToks
+      .join(broadcast(qTerms.select(col("__term")).distinct()), Seq("__term"), "left_semi")
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"), first(col("__dl")).as("__dl"))
+    val df = tf.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
+    tf.join(broadcast(qTerms), Seq("__term"))
+      .join(broadcast(df), Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__c",
+        log((col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0)) *
+          col("__tf") * lit(k1 + 1.0) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(sum(col("__c")).as("bm25"))
+  }
 }

@@ -2905,9 +2905,83 @@ object ExtensionProbes {
          |ORDER BY host_id ASC NULLS FIRST""".stripMargin
     })
 
+  // — BM25 retrieval scoring (x135): every corpus document scored
+  //   against a small deterministic query set (queries = first-4-token
+  //   prefixes of every 97th doc, so planted self-hits exist); the
+  //   oracle replays tokenization, tf/df, Lucene's +1 idf, and the
+  //   length-normalized term sum verbatim in DuckDB. round4 grain (ln is
+  //   the only transcendental; the repo's cosine probes already accept
+  //   ulp-level engine divergence at a finer grain).
+  private val x135 = Probe(
+    "x135_bm25",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(pmod(col("doc_id"), lit(97L)) === 1L)
+        .select((col("doc_id") * 1000L).as("query_id"),
+          concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 4)).as("qtext"))
+      TextStats.bm25(docs, "doc_id", col("text"), queries, "query_id", col("qtext"))
+        .select(col("query_id"), col("doc_id"),
+          graft.Canonical.round4(col("bm25")).as("bm25"))
+        .orderBy("query_id", "doc_id")
+    },
+    Some {
+      val toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+      s"""WITH q AS (
+         |  SELECT doc_id * 1000 AS query_id,
+         |    array_to_string(list_filter(
+         |      regexp_split_to_array(text, '\\s+'), x -> x != '')[1:4], ' ') AS text
+         |  FROM documents WHERE doc_id % 97 = 1),
+         |qt AS (SELECT query_id, unnest(list_distinct($toks)) AS term FROM q),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    avg(CAST(len($toks) AS DOUBLE)) AS avgdl FROM documents),
+         |dt AS (SELECT doc_id, CAST(len(__t) AS DOUBLE) AS dl, unnest(__t) AS term
+         |  FROM (SELECT doc_id, $toks AS __t FROM documents)),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+         |  FROM dt WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |c AS (SELECT qt.query_id, tf.doc_id,
+         |    ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)) AS contrib
+         |  FROM tf JOIN qt USING (term) JOIN df USING (term), st)
+         |SELECT query_id, doc_id, ${graft.Canonical.round4Sql("sum(contrib)")} AS bm25
+         |FROM c GROUP BY 1, 2
+         |ORDER BY query_id ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin
+    })
+
+  // — target-distribution domain balancing (x136): water-filling keep
+  //   rates (C = min_s T_s/f_s; rate_s = C·f_s/T_s ≤ 1, the binding
+  //   source keeps everything) — the data-recipe step ahead of the x83
+  //   mixture coin. Exact integer token sums + IEEE division, so the
+  //   whole card value-oracles.
+  private val x136 = Probe(
+    "x136_domain_balance",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(4L))))
+      Sampling.domainBalance(docs, col("grp"),
+          size(TextStats.tokens(col("text"))),
+          Seq("g0" -> 0.4, "g1" -> 0.3, "g2" -> 0.2, "g3" -> 0.1))
+        .orderBy("source")
+    },
+    Some {
+      val toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+      s"""WITH d AS (SELECT 'g' || CAST(doc_id % 4 AS VARCHAR) AS source,
+         |    CAST(len($toks) AS BIGINT) AS tk FROM documents),
+         |t(source, target_frac) AS (VALUES
+         |  ('g0', CAST(0.4 AS DOUBLE)), ('g1', CAST(0.3 AS DOUBLE)),
+         |  ('g2', CAST(0.2 AS DOUBLE)), ('g3', CAST(0.1 AS DOUBLE))),
+         |a AS (SELECT source, CAST(sum(tk) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+         |j AS (SELECT a.source, a.n_tokens, t.target_frac FROM a JOIN t USING (source)),
+         |c AS (SELECT min(n_tokens / target_frac) AS c FROM j)
+         |SELECT source, n_tokens, target_frac,
+         |  CAST(floor(c.c * target_frac) AS BIGINT) AS quota_tokens,
+         |  ${graft.Canonical.round6Sql("c.c * target_frac / n_tokens")} AS rate
+         |FROM j, c ORDER BY source ASC NULLS FIRST""".stripMargin
+    })
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
-    x125, x126, x127, x128, x129, x130, x131, x132, x133, x134)
+    x125, x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136)
 }

@@ -2880,6 +2880,55 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("lgK"), s"mismatch message must name lgK: ${e.getMessage}")
   }
 
+  test("bm25: hand-checked single-term score, no-shared-term docs absent, duplicate query words don't double-count") {
+    // corpus: 3 docs; "cat" appears in doc 1 (tf 2, dl 4) and doc 2
+    // (tf 1, dl 2); doc 3 shares nothing. N=3, avgdl=(4+2+3)/3=3.
+    val docs = Seq(
+      (1L, "cat cat sat mat"),
+      (2L, "a cat"),
+      (3L, "dog dog fox")).toDF("id", "text")
+    val q = Seq((10L, "cat CAT")).toDF("qid", "qt") // dup + case → ONE term
+    val got = ops.TextStats.bm25(docs, "id", $"text", q, "qid", $"qt")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    val idf = math.log((3.0 - 2.0 + 0.5) / (2.0 + 0.5) + 1.0)
+    def s(tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 3.0))
+    assert(got.map(_._2) == Seq(1L, 2L), "doc 3 shares no term and must be absent")
+    assert(math.abs(got(0)._3 - s(2, 4)) < 1e-12 && math.abs(got(1)._3 - s(1, 2)) < 1e-12,
+      s"hand-check failed: $got vs ${s(2, 4)}, ${s(1, 2)}")
+    // two-term query sums per-term contributions
+    val q2 = Seq((20L, "cat dog")).toDF("qid", "qt")
+    val got2 = ops.TextStats.bm25(docs, "id", $"text", q2, "qid", $"qt")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    assert(got2.map(_._2) == Seq(1L, 2L, 3L), "dog matches doc 3 now")
+    val idfDog = math.log((3.0 - 1.0 + 0.5) / (1.0 + 0.5) + 1.0)
+    val dog3 = idfDog * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0))
+    assert(math.abs(got2(2)._3 - dog3) < 1e-12)
+  }
+
+  test("domainBalance: binding source keeps rate 1, quotas follow targets, missing source fails fast") {
+    // tokens: a=100, b=100, c=800; targets .25/.25/.5 → C = min(400, 400,
+    // 1600) = 400; quotas 100/100/200; rates 1/1/0.25
+    val docs = Seq(
+      ("a", 100L), ("b", 60L), ("b", 40L), ("c", 800L)).toDF("src", "tk")
+    val got = ops.Sampling.domainBalance(docs, $"src", $"tk",
+        Seq("a" -> 0.25, "b" -> 0.25, "c" -> 0.5))
+      .orderBy("source").as[(String, Long, Double, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 100L, 0.25, 100L, 1.0),
+      ("b", 100L, 0.25, 100L, 1.0),
+      ("c", 800L, 0.5, 200L, 0.25)), s"water-fill mismatch: $got")
+    // a source absent from targets fails fast, named
+    val e = intercept[IllegalArgumentException] {
+      ops.Sampling.domainBalance(docs, $"src", $"tk", Seq("a" -> 0.5, "b" -> 0.5))
+    }
+    assert(e.getMessage.contains("c"), s"missing source must be named: ${e.getMessage}")
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      ops.Sampling.domainBalance(docs, $"src", $"tk", Seq("a" -> 0.5, "b" -> 0.4, "c" -> 0.2))
+    }
+  }
+
   test("weightedTopKPerGroup: giant weight always wins, non-positive weights excluded, equal weights = coin order") {
     val df = Seq(
       ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0), ("a", 4L, 1e9),
