@@ -467,6 +467,29 @@ object Graft {
     Frequency.foldIntoHllIndex(spark, path, batch, keyCol, valueCol, lgK)
   def readHllEstimates(spark: SparkSession, path: String): DataFrame =
     Frequency.readHllEstimates(spark, path)
+  /** Collapse the HLL delta table to one row per key (register union)
+    * under the marker protocol ([[graft.ops.Frequency.compactHllIndex]]).
+    */
+  def compactHllIndex(spark: SparkSession, path: String, targetFiles: Int = 1): Unit =
+    Frequency.compactHllIndex(spark, path, targetFiles)
+
+  // — retrieval scoring + data recipes —————————————————————————————————
+  /** BM25 relevance of every document against a small query set
+    * ([[graft.ops.TextStats.bm25]]); query terms broadcast, the
+    * vocabulary domain is never shuffled.
+    */
+  def bm25(docs: DataFrame, idCol: String, text: Column,
+      queries: DataFrame, qIdCol: String, qText: Column,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    TextStats.bm25(docs, idCol, text, queries, qIdCol, qText, k1, b)
+
+  /** Water-filling per-source keep rates toward a target token
+    * distribution ([[graft.ops.Sampling.domainBalance]]); feed the rates
+    * to [[graft.ops.Sampling.mixturePortable]].
+    */
+  def domainBalance(docs: DataFrame, sourceCol: Column, tokenCount: Column,
+      targets: Seq[(String, Double)]): DataFrame =
+    Sampling.domainBalance(docs, sourceCol, tokenCount, targets)
 
   def termFrequencySketch(items: DataFrame, term: Column,
       eps: Double = 1e-3, confidence: Double = 0.99, seed: Int = 7) =

@@ -65,8 +65,17 @@ class PlanAuditSpec extends SparkSpec {
                                // host-map joins are id-equi-keyed
     "x122_pagerank_weighted",  // the x114 scalar-broadcast dangling tail
     "x123_trustrank",          // ditto, with the seed teleport vector
-    "x128_host_authority_weighted" // the weighted pageRank tail (x122)
+    "x128_host_authority_weighted", // the weighted pageRank tail (x122)
                                // over host-grain quote counts
+    "x135_bm25",               // the N/avgdl corpus statistics are a 1-row
+                               // aggregate broadcast onto the query-term
+                               // postings — the x99 scalar-broadcast
+                               // shape; tf/df/score joins are term- and
+                               // id-equi-keyed
+    "x136_domain_balance"      // the water-fill bound C = min(T_s/f_s) is
+                               // a 1-row aggregate crossed back onto the
+                               // dictionary-sized source table — scalar
+                               // broadcast again
   )
 
   // streaming probes execute a query at construction time; plan-audited
