@@ -123,6 +123,21 @@ object Verify {
     val hook = new Thread(() => emitSummary(partial = true))
     Runtime.getRuntime.addShutdownHook(hook)
 
+    // self-termination test knob (the Bench pattern): exit(143) from a
+    // timer mid-dump drives the SAME shutdown-hook path an external
+    // SIGTERM does — the deterministic proof that a killed dump still
+    // leaves oracle_sql.json + every completed query dir + the partial
+    // summary (hunting the forked JVM's pid from outside races the run)
+    sys.env.get("SPARK_GRAFT_VERIFY_SELFTERM_AFTER_S").map(_.toDouble).foreach { s =>
+      val t = new Thread(() => {
+        Thread.sleep((s * 1000).toLong)
+        System.err.println(s"""{"verify_note":"self-terminating after ${s}s (test knob)"}""")
+        Runtime.getRuntime.exit(143)
+      })
+      t.setDaemon(true)
+      t.start()
+    }
+
     var sinceGc = 0
     val it = names.iterator
     var overBudget = false
