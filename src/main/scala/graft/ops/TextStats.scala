@@ -766,17 +766,22 @@ object TextStats {
     *   - documents sharing no term with a query are ABSENT (no 0 rows);
     *     N and avgdl are over ALL docs, dl in tokens.
     *
-    * Scale shape: the query-term table is tiny and broadcast; the corpus
-    * token explode is semi-joined against it BEFORE any aggregate, so
-    * the tf/df shuffles carry query-term postings only — the full
-    * vocabulary domain is never shuffled (the [[Frequency.heavyHitters]]
+    * Scale shape: the query-term table is tiny and broadcast — but the
+    * broadcast is EVIDENCE-GATED on a measured count (the repo's
+    * wrong-side-broadcast discipline), not assumed: past
+    * `queryBroadcastCap` distinct (query, term) rows the joins degrade
+    * to shuffles on the term. The corpus token explode is semi-joined
+    * against the query-term set BEFORE any aggregate, so the tf/df
+    * shuffles carry query-term postings only — the full vocabulary
+    * domain is never shuffled (the [[Frequency.heavyHitters]]
     * discipline, in retrieval form). Per-doc length rides the explode
     * (no corpus-wide dl join); N/avgdl are one 1-row aggregate crossed
     * in broadcast.
     */
   def bm25(docs: DataFrame, idCol: String, text: Column,
       queries: DataFrame, qIdCol: String, qText: Column,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      queryBroadcastCap: Long = Dedup.BatchBroadcastCap): DataFrame = {
     require(k1 >= 0, s"k1 must be >= 0, got $k1")
     require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
     val stats = docs
@@ -784,16 +789,19 @@ object TextStats {
       .agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl"))
     val qTerms = queries.select(col(qIdCol),
       explode(array_distinct(tokens(lower(qText)))).as("__term"))
+      .localCheckpoint() // pinned: counted for the gate, then reused twice
+    val small = qTerms.count() <= queryBroadcastCap
+    def gated(f: DataFrame): DataFrame = if (small) broadcast(f) else f
     val docToks = docs.select(col(idCol),
       size(tokens(lower(text))).cast("double").as("__dl"),
       explode(tokens(lower(text))).as("__term"))
     val tf = docToks
-      .join(broadcast(qTerms.select(col("__term")).distinct()), Seq("__term"), "left_semi")
+      .join(gated(qTerms.select(col("__term")).distinct()), Seq("__term"), "left_semi")
       .groupBy(col(idCol), col("__term"))
       .agg(count(lit(1)).cast("double").as("__tf"), first(col("__dl")).as("__dl"))
     val df = tf.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
-    tf.join(broadcast(qTerms), Seq("__term"))
-      .join(broadcast(df), Seq("__term"))
+    tf.join(gated(qTerms), Seq("__term"))
+      .join(gated(df), Seq("__term"))
       .crossJoin(broadcast(stats))
       .withColumn("__c",
         log((col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)) + lit(1.0)) *

@@ -2904,6 +2904,13 @@ class OpsSpec extends SparkSpec {
     val idfDog = math.log((3.0 - 1.0 + 0.5) / (1.0 + 0.5) + 1.0)
     val dog3 = idfDog * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0))
     assert(math.abs(got2(2)._3 - dog3) < 1e-12)
+
+    // over-cap path: cap 0 forces every query-side join to shuffle —
+    // scores must be bit-identical to the broadcast path
+    val overCap = ops.TextStats.bm25(docs, "id", $"text", q2, "qid", $"qt",
+        queryBroadcastCap = 0L)
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    assert(overCap == got2, "gated shuffle path must equal the broadcast path")
   }
 
   test("domainBalance: binding source keeps rate 1, quotas follow targets, missing source fails fast") {
