@@ -491,6 +491,19 @@ object Graft {
       targets: Seq[(String, Double)]): DataFrame =
     Sampling.domainBalance(docs, sourceCol, tokenCount, targets)
 
+  /** Persisted BM25 postings index: build once / fold batches
+    * (idempotent anti-join appends) / score fresh queries through
+    * term-partition-pruned postings ([[graft.ops.TextStats]]).
+    */
+  def writeBm25Index(docs: DataFrame, idCol: String, text: Column, path: String): Unit =
+    TextStats.writeBm25Index(docs, idCol, text, path)
+  def appendToBm25Index(spark: SparkSession, path: String, newDocs: DataFrame,
+      idCol: String, text: Column): Unit =
+    TextStats.appendToBm25Index(spark, path, newDocs, idCol, text)
+  def probeBm25Index(spark: SparkSession, path: String, queries: DataFrame,
+      qIdCol: String, qText: Column): DataFrame =
+    TextStats.probeBm25Index(spark, path, queries, qIdCol, qText)
+
   def termFrequencySketch(items: DataFrame, term: Column,
       eps: Double = 1e-3, confidence: Double = 0.99, seed: Int = 7) =
     Frequency.sketch(items, term, eps, confidence, seed)

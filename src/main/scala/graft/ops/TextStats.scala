@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -799,6 +799,16 @@ object TextStats {
       .join(gated(qTerms.select(col("__term")).distinct()), Seq("__term"), "left_semi")
       .groupBy(col(idCol), col("__term"))
       .agg(count(lit(1)).cast("double").as("__tf"), first(col("__dl")).as("__dl"))
+    bm25Score(tf, idCol, qTerms, qIdCol, stats, k1, b, gated)
+  }
+
+  /** The BM25 scoring tail over a `(idCol, __term, __tf, __dl)` frame —
+    * SHARED by the live [[bm25]] and the persisted-index probe
+    * ([[probeBm25Index]]), so the two paths cannot drift on the math.
+    */
+  private def bm25Score(tf: DataFrame, idCol: String, qTerms: DataFrame,
+      qIdCol: String, stats: DataFrame, k1: Double, b: Double,
+      gated: DataFrame => DataFrame): DataFrame = {
     val df = tf.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
     tf.join(gated(qTerms), Seq("__term"))
       .join(gated(df), Seq("__term"))
@@ -809,5 +819,139 @@ object TextStats {
           (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
       .groupBy(col(qIdCol), col(idCol))
       .agg(sum(col("__c")).as("bm25"))
+  }
+
+  // — persisted BM25 postings index (the daily-sweep deployment shape) —
+  //   A decontamination/retrieval sweep runs against the SAME corpus with
+  //   fresh queries every time (a new benchmark suite, a new seed set);
+  //   the live [[bm25]] re-tokenizes and re-aggregates the whole corpus
+  //   per sweep. The postings index persists the corpus-side sufficient
+  //   statistics ONCE — (term, doc, tf, dl) rows partitioned by a
+  //   256-slot term hash plus a (doc, dl) length table — and a probe
+  //   reads only the matched term partitions (directory-level pruning:
+  //   queries touch ≤ |query terms| of the 256 slots). Batch folds are
+  //   per-table idempotent anti-join appends (the simhash two-table
+  //   discipline: each table heals independently on a crash replay);
+  //   compaction rewrites under the shared staging+marker swap,
+  //   preserving the term partitioning. meta.json pins the id column.
+
+  /** Term-partition fan-out of the postings table: probes prune to the
+    * matched directories, so a q-term query reads ≤ q/256 of the index.
+    */
+  val Bm25Partitions = 256
+
+  private def postingsOf(docs: DataFrame, idCol: String, text: Column): DataFrame =
+    docs.select(col(idCol).as("id"),
+        size(tokens(lower(text))).cast("double").as("__dl"),
+        explode(tokens(lower(text))).as("__term"))
+      .groupBy(col("id"), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"), first(col("__dl")).as("__dl"))
+      .withColumn("__tp", pmod(xxhash64(col("__term")), lit(Bm25Partitions.toLong)))
+
+  private def doclenOf(docs: DataFrame, idCol: String, text: Column): DataFrame =
+    docs.select(col(idCol).as("id"), size(tokens(lower(text))).cast("double").as("__dl"))
+
+  /** Build the index from the current corpus: `postings` (term-hash
+    * partitioned), `doclen`, and `meta.json` (the id column — written
+    * LAST, so its presence marks a complete index).
+    */
+  def writeBm25Index(docs: DataFrame, idCol: String, text: Column, path: String): Unit = {
+    val spark = docs.sparkSession
+    val (fs, metaP) = Dedup.hadoopFs(spark, s"$path/meta.json")
+    if (fs.exists(metaP)) fs.delete(metaP, false)
+    postingsOf(docs, idCol, text)
+      .write.mode("overwrite").partitionBy("__tp").parquet(s"$path/postings")
+    doclenOf(docs, idCol, text).write.mode("overwrite").parquet(s"$path/doclen")
+    Dedup.writeTextFile(spark, s"$path/meta.json", s"""{"id_col":"$idCol"}""")
+  }
+
+  private def bm25MetaIdCol(spark: SparkSession, path: String): String =
+    """"id_col"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(Dedup.readTextFile(spark, s"$path/meta.json"))
+      .map(_.group(1)).getOrElse(throw new IllegalStateException(
+        s"BM25 index at $path has no id_col in meta.json"))
+
+  /** Fold new documents: per-table idempotent anti-join appends — a
+    * crash between the two table writes heals on replay because each
+    * table's delta is anti-joined against ITS OWN existing ids (the
+    * [[Dedup.appendToSimhashIndex]] discipline). Documents whose id is
+    * already indexed are skipped (re-ingest no-op). Auto-compacts once
+    * `doclen` accumulates `autoCompactAt` part files.
+    */
+  def appendToBm25Index(spark: SparkSession, path: String, newDocs: DataFrame,
+      idCol: String, text: Column,
+      autoCompactAt: Int = Dedup.AutoCompactDefault): Unit = {
+    Dedup.finishBatchCompaction(spark, path)
+    val stored = bm25MetaIdCol(spark, path)
+    require(stored == idCol,
+      s"BM25 index at $path was built over id column '$stored', append passed '$idCol'")
+    // pin both deltas BEFORE appending to the dirs their plans read
+    val freshP = postingsOf(newDocs, idCol, text)
+      .join(spark.read.parquet(s"$path/postings").select(col("id")).distinct(),
+        Seq("id"), "left_anti")
+      .localCheckpoint()
+    val freshD = doclenOf(newDocs, idCol, text)
+      .join(spark.read.parquet(s"$path/doclen").select(col("id")),
+        Seq("id"), "left_anti")
+      .localCheckpoint()
+    freshP.write.mode("append").partitionBy("__tp").parquet(s"$path/postings")
+    freshD.write.mode("append").parquet(s"$path/doclen")
+    val (fs, dp) = Dedup.hadoopFs(spark, s"$path/doclen")
+    val parts = fs.listStatus(dp).count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    if (autoCompactAt > 0 && parts >= autoCompactAt) {
+      System.err.println(
+        s"""{"index_auto_compact":${"\"" + path + "\""},"part_files":$parts,"trigger":$autoCompactAt}""")
+      compactBm25Index(spark, path)
+    }
+  }
+
+  /** Collapse accumulated delta part files under the shared
+    * staging+marker swap. The postings rewrite goes through
+    * `repartition(__tp)` so the term-partition layout (and its probe
+    * pruning) survives — a plain coalesce would collapse it.
+    */
+  def compactBm25Index(spark: SparkSession, path: String, targetFiles: Int = 1): Unit = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    Dedup.finishBatchCompaction(spark, path)
+    spark.read.parquet(s"$path/postings")
+      .repartition(col("__tp"))
+      .write.mode("overwrite").partitionBy("__tp").parquet(s"$path/postings.staging")
+    spark.read.parquet(s"$path/doclen").coalesce(targetFiles)
+      .write.mode("overwrite").parquet(s"$path/doclen.staging")
+    Dedup.publishBatchMarker(spark, path, Seq("postings", "doclen"))
+    Dedup.finishBatchCompaction(spark, path)
+  }
+
+  /** Score fresh queries against the persisted index WITHOUT touching
+    * the corpus: the probe filters the postings scan to the query
+    * terms' hash partitions (directory pruning) and semi-joins the
+    * survivors, then runs the exact same scoring tail as the live
+    * [[bm25]] (shared code — x137 additionally pins value-equality).
+    * Heals an interrupted compaction swap first.
+    */
+  def probeBm25Index(spark: SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qText: Column,
+      k1: Double = 1.2, b: Double = 0.75,
+      queryBroadcastCap: Long = Dedup.BatchBroadcastCap): DataFrame = {
+    Dedup.finishBatchCompaction(spark, path)
+    val idCol = bm25MetaIdCol(spark, path)
+    val doclen = spark.read.parquet(s"$path/doclen")
+    val stats = doclen.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val qTerms = queries.select(col(qIdCol),
+      explode(array_distinct(tokens(lower(qText)))).as("__term"))
+      .localCheckpoint()
+    val small = qTerms.count() <= queryBroadcastCap
+    def gated(f: DataFrame): DataFrame = if (small) broadcast(f) else f
+    // matched term partitions, collected driver-side (≤ Bm25Partitions
+    // values) → directory-level pruning on the postings scan
+    val tps = qTerms
+      .select(pmod(xxhash64(col("__term")), lit(Bm25Partitions.toLong)).as("__tp"))
+      .distinct().collect().map(_.getLong(0).toInt)
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("__tp").isin(tps: _*))
+      .join(gated(qTerms.select(col("__term")).distinct()), Seq("__term"), "left_semi")
+      .select(col("id").as(idCol), col("__term"), col("__tf"), col("__dl"))
+    bm25Score(tf, idCol, qTerms, qIdCol, stats, k1, b, gated)
   }
 }

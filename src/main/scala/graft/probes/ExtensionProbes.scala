@@ -2948,6 +2948,34 @@ object ExtensionProbes {
          |ORDER BY query_id ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin
     })
 
+  // — persisted BM25 postings index (x137): the index is built over half
+  //   the corpus, the other half FOLDS in (idempotent anti-join appends,
+  //   replayed once to prove it), compaction runs mid-life, and the probe
+  //   scores the SAME queries as x135 through term-partition-pruned
+  //   postings — against the IDENTICAL oracle SQL as the live op, so
+  //   index ≡ live is value-checked end-to-end, not asserted.
+  private val x137 = Probe(
+    "x137_bm25_indexed",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.TmpDir.root), "x137_bm25").toString
+      val a = docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      val b = docs.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+      TextStats.writeBm25Index(a, "doc_id", col("text"), path)
+      TextStats.appendToBm25Index(s, path, b, "doc_id", col("text"))
+      TextStats.appendToBm25Index(s, path, b, "doc_id", col("text")) // replay: anti-join no-op
+      TextStats.compactBm25Index(s, path)
+      val queries = docs.filter(pmod(col("doc_id"), lit(97L)) === 1L)
+        .select((col("doc_id") * 1000L).as("query_id"),
+          concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 4)).as("qtext"))
+      TextStats.probeBm25Index(s, path, queries, "query_id", col("qtext"))
+        .select(col("query_id"), col("doc_id"),
+          graft.Canonical.round4(col("bm25")).as("bm25"))
+        .orderBy("query_id", "doc_id")
+    },
+    x135.oracle) // the live op's oracle verbatim: index ≡ live, by value
+
   // — target-distribution domain balancing (x136): water-filling keep
   //   rates (C = min_s T_s/f_s; rate_s = C·f_s/T_s ≤ 1, the binding
   //   source keeps everything) — the data-recipe step ahead of the x83
@@ -2983,5 +3011,5 @@ object ExtensionProbes {
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
-    x125, x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136)
+    x125, x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136, x137)
 }

@@ -2913,6 +2913,51 @@ class OpsSpec extends SparkSpec {
     assert(overCap == got2, "gated shuffle path must equal the broadcast path")
   }
 
+  test("BM25 postings index: probe ≡ live, replayed append is a no-op, probe prunes term partitions, crash heals") {
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "bm25idx").toString
+    val corpus = docs.select($"doc_id".as("id"), $"text")
+    val a = corpus.filter($"id" % 2 === 0)
+    val b = corpus.filter($"id" % 2 === 1)
+    val q = corpus.filter($"id" % 83 === 1)
+      .select(($"id" * 100).as("qid"),
+        concat_ws(" ", slice(ops.TextStats.tokens($"text"), 1, 3)).as("qt"))
+    ops.TextStats.writeBm25Index(a, "id", $"text", path)
+    ops.TextStats.appendToBm25Index(spark, path, b, "id", $"text")
+    val nPostings = spark.read.parquet(s"$path/postings").count()
+    ops.TextStats.appendToBm25Index(spark, path, b, "id", $"text")
+    assert(spark.read.parquet(s"$path/postings").count() == nPostings,
+      "replayed append must anti-join to nothing")
+    assert(spark.read.parquet(s"$path/doclen").count() == corpus.count())
+    // round6-quantized compare: the two paths sum identical per-term
+    // contributions in different partition orders (IEEE add order)
+    def r6(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"id", graft.Canonical.round6($"bm25").as("bm25"))
+      .orderBy("qid", "id").as[(Long, Long, Double)].collect().toSeq
+    def probe() = r6(ops.TextStats.probeBm25Index(spark, path, q, "qid", $"qt"))
+    val live = r6(ops.TextStats.bm25(corpus, "id", $"text", q, "qid", $"qt"))
+    val first = probe()
+    assert(first == live, s"index probe must equal live bm25 (${first.size} vs ${live.size})")
+    assert(first.nonEmpty)
+    // the postings scan prunes to the query terms' hash partitions
+    val plan = ops.TextStats.probeBm25Index(spark, path, q, "qid", $"qt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__tp"),
+      s"probe must carry a __tp partition filter:\n${plan.take(2000)}")
+    // compaction preserves values + layout; post-marker crash heals on probe
+    ops.TextStats.compactBm25Index(spark, path)
+    assert(probe() == live, "compaction must not move scores")
+    spark.read.parquet(s"$path/doclen")
+      .write.mode("overwrite").parquet(s"$path/doclen.staging")
+    ops.Dedup.publishBatchMarker(spark, path, Seq("doclen"))
+    assert(probe() == live, "probe after a post-marker crash must heal and score identically")
+    // id-column contract is pinned in meta.json
+    val e = intercept[IllegalArgumentException] {
+      ops.TextStats.appendToBm25Index(spark, path, b.withColumnRenamed("id", "x"), "x", $"text")
+    }
+    assert(e.getMessage.contains("id"), e.getMessage)
+  }
+
   test("domainBalance: binding source keeps rate 1, quotas follow targets, missing source fails fast") {
     // tokens: a=100, b=100, c=800; targets .25/.25/.5 → C = min(400, 400,
     // 1600) = 400; quotas 100/100/200; rates 1/1/0.25

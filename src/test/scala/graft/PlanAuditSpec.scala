@@ -72,10 +72,13 @@ class PlanAuditSpec extends SparkSpec {
                                // postings — the x99 scalar-broadcast
                                // shape; tf/df/score joins are term- and
                                // id-equi-keyed
-    "x136_domain_balance"      // the water-fill bound C = min(T_s/f_s) is
+    "x136_domain_balance",     // the water-fill bound C = min(T_s/f_s) is
                                // a 1-row aggregate crossed back onto the
                                // dictionary-sized source table — scalar
                                // broadcast again
+    "x137_bm25_indexed"        // the x135 scoring tail (1-row N/avgdl
+                               // scalar broadcast) over the pruned
+                               // postings scan
   )
 
   // streaming probes execute a query at construction time; plan-audited
