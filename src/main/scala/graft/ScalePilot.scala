@@ -1037,7 +1037,29 @@ object ScalePilot {
         // trivial (an estimates read would re-scan the whole index and
         // bill O(index) work to an O(batch) claim)
         spark.range(1).toDF("ok")
+      }),
+      // BM25 sweep twins: a FIXED copy-0 query set against a corpus that
+      // grows N× (per-copy token prefixes ⇒ copy-0 queries match only
+      // copy-0 postings, so the matched-postings volume is CONSTANT).
+      // The live arm re-tokenizes the whole corpus per sweep (linear);
+      // the indexed probe reads the matched term partitions — its wall
+      // should stay near-flat, which is the postings index's claim.
+      "bm25_live" -> (() => TextStats.bm25(
+        tbl(dir, "documents"), "doc_id", col("text"),
+        bm25PilotQueries(dir), "query_id", col("qtext"))),
+      "bm25_indexed" -> (() => {
+        val path = s"$dir/__bm25idx_v1"
+        if (!new java.io.File(s"$path/meta.json").exists())
+          TextStats.writeBm25Index(tbl(dir, "documents"), "doc_id", col("text"), path)
+        TextStats.probeBm25Index(spark, path,
+          bm25PilotQueries(dir), "query_id", col("qtext"))
       }))
+
+    def bm25PilotQueries(dir: String): DataFrame =
+      tbl(dir, "documents")
+        .filter(col("doc_id") < 100000000L && col("doc_id") % 97 === 1)
+        .select((col("doc_id") * 1000).as("query_id"),
+          concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 4)).as("qtext"))
 
     def queries(dir: String): Seq[(String, () => DataFrame)] =
       if (family == "dedup") dedupQueries(dir)
