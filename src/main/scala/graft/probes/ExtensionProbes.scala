@@ -2976,6 +2976,42 @@ object ExtensionProbes {
     },
     x135.oracle) // the live op's oracle verbatim: index ≡ live, by value
 
+  // — STREAMING BM25 index fold (x138): three document micro-batches
+  //   stream through [[graft.streaming.StreamingIngest.bm25IndexSink]]
+  //   (exactly-once by per-table anti-join idempotence — no ledger), and
+  //   the probe of the streamed index must equal the live x135 scores
+  //   over the whole corpus, against the IDENTICAL oracle SQL — batch
+  //   boundaries must leave no seam in tf/df/dl/N/avgdl.
+  private val x138 = Probe(
+    "x138_streaming_bm25_index",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.TmpDir.root}/tmp/x138_${tag}_${System.nanoTime()}"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val schema = docs.schema
+      val (in, idx, ckp) = (s"$base/in", s"$base/idx", s"$base/ckp")
+      def feed(df: org.apache.spark.sql.DataFrame, t2: String): Unit =
+        ParityProbes.feedAtomic(s, base, in, df, t2)
+      feed(docs.filter(pmod(col("doc_id"), lit(3L)) === 0L), "b0")
+      val q = graft.streaming.StreamingIngest.bm25IndexSink(
+        s.readStream.schema(schema).parquet(in), idx, ckp, "doc_id", "text")
+      try {
+        q.processAllAvailable()
+        feed(docs.filter(pmod(col("doc_id"), lit(3L)) === 1L), "b1")
+        q.processAllAvailable()
+        feed(docs.filter(pmod(col("doc_id"), lit(3L)) === 2L), "b2")
+        q.processAllAvailable()
+      } finally q.stop()
+      val queries = docs.filter(pmod(col("doc_id"), lit(97L)) === 1L)
+        .select((col("doc_id") * 1000L).as("query_id"),
+          concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 4)).as("qtext"))
+      TextStats.probeBm25Index(s, idx, queries, "query_id", col("qtext"))
+        .select(col("query_id"), col("doc_id"),
+          graft.Canonical.round4(col("bm25")).as("bm25"))
+        .orderBy("query_id", "doc_id")
+    },
+    x135.oracle) // streamed index ≡ live scores, by value
+
   // — target-distribution domain balancing (x136): water-filling keep
   //   rates (C = min_s T_s/f_s; rate_s = C·f_s/T_s ≤ 1, the binding
   //   source keeps everything) — the data-recipe step ahead of the x83
@@ -3011,5 +3047,5 @@ object ExtensionProbes {
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
-    x125, x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136, x137)
+    x125, x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136, x137, x138)
 }

@@ -675,6 +675,42 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming arm of the persisted BM25 postings index
+    * ([[graft.ops.TextStats.appendToBm25Index]]): each micro-batch of
+    * documents folds into the postings + doclen tables. Exactly-once by
+    * ANTI-JOIN idempotence (no ledger, no partition exclusion): a
+    * crash-replayed micro-batch's per-table deltas anti-join against
+    * the ids its first attempt already appended and land empty — and
+    * the two tables heal INDEPENDENTLY (a crash between the postings
+    * and doclen writes leaves one table behind; the replay's anti-join
+    * re-appends exactly the missing table's rows). Initializes an empty
+    * index on first touch; compaction (staging+marker, term layout
+    * preserved) rides the append's auto-compact trigger.
+    */
+  def bm25IndexSink(docs: DataFrame, indexPath: String, checkpoint: String,
+      idCol: String, textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        graft.ops.Dedup.finishBatchCompaction(spark, indexPath)
+        val mp = new org.apache.hadoop.fs.Path(s"$indexPath/meta.json")
+        val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // first batch BUILDS the index (meta.json written last = complete;
+        // a crash mid-build rebuilds on replay via the overwrite) — an
+        // empty-frame init would write a partitioned parquet dir with no
+        // part files, which is unreadable; later batches append
+        if (!fs.exists(mp))
+          graft.ops.TextStats.writeBm25Index(batch.toDF(), idCol, col(textCol), indexPath)
+        else
+          graft.ops.TextStats.appendToBm25Index(spark, indexPath, batch.toDF(),
+            idCol, col(textCol))
+        ()
+      }
+      .start()
+
   /** Drive a streaming frame to completion against a memory sink and
     * return the collected result (test/local harness; production callers
     * use their own `writeStream` sink).

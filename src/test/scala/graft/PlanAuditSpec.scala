@@ -76,9 +76,11 @@ class PlanAuditSpec extends SparkSpec {
                                // a 1-row aggregate crossed back onto the
                                // dictionary-sized source table — scalar
                                // broadcast again
-    "x137_bm25_indexed"        // the x135 scoring tail (1-row N/avgdl
+    "x137_bm25_indexed",       // the x135 scoring tail (1-row N/avgdl
                                // scalar broadcast) over the pruned
                                // postings scan
+    "x138_streaming_bm25_index" // the same scoring tail over the
+                               // stream-folded index
   )
 
   // streaming probes execute a query at construction time; plan-audited

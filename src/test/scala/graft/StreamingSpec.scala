@@ -697,6 +697,47 @@ class StreamingSpec extends SparkSpec {
     assert(replayIndex == firstIndex, "replay must leave the index unchanged")
   }
 
+  test("BM25 sink: streamed folds ≡ one-shot index; same-batch crash replay is an anti-join no-op") {
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "bm25sink").toString
+    val b1 = Seq((1L, "the cat sat"), (2L, "a dog in a fog")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "the cat ate the dog"), (4L, "fox box")).toDF("doc_id", "text")
+    val schema = b1.schema
+    val (in, idx, ckp) = (s"$base/in", s"$base/idx", s"$base/ckp")
+    val q = Seq((10L, "the cat dog")).toDF("qid", "qt")
+    def probe() = ops.TextStats.probeBm25Index(spark, idx, q, "qid", $"qt")
+      .select($"qid", $"doc_id", graft.Canonical.round6($"bm25").as("s"))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    b1.write.mode("append").parquet(in)
+    val s1 = StreamingIngest.bm25IndexSink(
+      spark.readStream.schema(schema).parquet(in), idx, ckp, "doc_id", "text")
+    try {
+      s1.processAllAvailable()
+      b2.write.mode("append").parquet(in)
+      s1.processAllAvailable()
+    } finally s1.stop()
+    val streamed = probe()
+    // ≡ live scores over the union (no seam at the batch boundary)
+    val live = ops.TextStats.bm25(b1.unionByName(b2), "doc_id", $"text", q, "qid", $"qt")
+      .select($"qid", $"doc_id", graft.Canonical.round6($"bm25").as("s"))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(streamed == live, s"streamed index must score like live: $streamed vs $live")
+    assert(streamed.size == 3, "docs 1-3 share query terms; doc 4 must be absent")
+    // same-batch crash replay: batch 1's commit vanishes, the restart
+    // re-folds it — the per-table anti-joins must land empty
+    val nPost = spark.read.parquet(s"$idx/postings").count()
+    assert(new java.io.File(s"$ckp/commits/1").delete())
+    new java.io.File(s"$ckp/commits/.1.crc").delete()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    val s2 = StreamingIngest.bm25IndexSink(
+      spark.readStream.schema(schema).parquet(in), idx, ckp, "doc_id", "text")
+    try s2.processAllAvailable() finally s2.stop()
+    assert(spark.read.parquet(s"$idx/postings").count() == nPost,
+      "replayed fold must append nothing")
+    assert(probe() == streamed, "replay must not move scores")
+  }
+
   test("CC label sink: streamed pair deltas fold to one-shot components; kill mid-fold + resume heals") {
     val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "ccsink").toString
     val b1 = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
