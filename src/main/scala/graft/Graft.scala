@@ -503,6 +503,12 @@ object Graft {
   def probeBm25Index(spark: SparkSession, path: String, queries: DataFrame,
       qIdCol: String, qText: Column): DataFrame =
     TextStats.probeBm25Index(spark, path, queries, qIdCol, qText)
+  /** Top-k documents per query by BM25 (ties on id, portable round4
+    * ranking) ([[graft.ops.TextStats.bm25TopK]]).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, text: Column, queries: DataFrame,
+      qIdCol: String, qText: Column, k: Int): DataFrame =
+    TextStats.bm25TopK(docs, idCol, text, queries, qIdCol, qText, k)
 
   def termFrequencySketch(items: DataFrame, term: Column,
       eps: Double = 1e-3, confidence: Double = 0.99, seed: Int = 7) =

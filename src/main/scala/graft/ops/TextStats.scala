@@ -802,6 +802,25 @@ object TextStats {
     bm25Score(tf, idCol, qTerms, qIdCol, stats, k1, b, gated)
   }
 
+  /** Top-k documents per query by [[bm25]] score — the retrieval call
+    * itself. Deterministic: ties break on the document id; one rank
+    * window per query partition (`WindowGroupLimit` pushes rank ≤ k
+    * ahead of any full per-query sort). Scores ride round4 so the
+    * ranking — and therefore the kept set — is engine-portable (x139's
+    * oracle replays it with a QUALIFY-style window).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, text: Column,
+      queries: DataFrame, qIdCol: String, qText: Column, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("bm25").desc, col(idCol).asc)
+    bm25(docs, idCol, text, queries, qIdCol, qText, k1, b)
+      .withColumn("bm25", graft.Canonical.round4(col("bm25")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** The BM25 scoring tail over a `(idCol, __term, __tf, __dl)` frame —
     * SHARED by the live [[bm25]] and the persisted-index probe
     * ([[probeBm25Index]]), so the two paths cannot drift on the math.

@@ -2976,6 +2976,33 @@ object ExtensionProbes {
     },
     x135.oracle) // the live op's oracle verbatim: index ≡ live, by value
 
+  // — BM25 top-k retrieval (x139): the per-query rank cut over the x135
+  //   scores — ties break on doc_id, scores round4'd BEFORE ranking so
+  //   the kept set is engine-portable; the oracle ranks the same
+  //   round4'd scores with a row_number window.
+  private val x139 = Probe(
+    "x139_bm25_topk",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(pmod(col("doc_id"), lit(97L)) === 1L)
+        .select((col("doc_id") * 1000L).as("query_id"),
+          concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 4)).as("qtext"))
+      TextStats.bm25TopK(docs, "doc_id", col("text"),
+          queries, "query_id", col("qtext"), k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("bm25"))
+        .orderBy("query_id", "rank")
+    },
+    x135.oracle.map { liveSql =>
+      s"""WITH scored AS (
+         |${liveSql.replaceAll("\nORDER BY [^\n]*$", "")}),
+         |ranked AS (SELECT query_id, doc_id, bm25,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, doc_id, bm25 FROM ranked WHERE rank <= 10
+         |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+    })
+
   // — STREAMING BM25 index fold (x138): three document micro-batches
   //   stream through [[graft.streaming.StreamingIngest.bm25IndexSink]]
   //   (exactly-once by per-table anti-join idempotence — no ledger), and
@@ -3047,5 +3074,5 @@ object ExtensionProbes {
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
-    x125, x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136, x137, x138)
+    x125, x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136, x137, x138, x139)
 }

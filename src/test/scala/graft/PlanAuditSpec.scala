@@ -79,8 +79,10 @@ class PlanAuditSpec extends SparkSpec {
     "x137_bm25_indexed",       // the x135 scoring tail (1-row N/avgdl
                                // scalar broadcast) over the pruned
                                // postings scan
-    "x138_streaming_bm25_index" // the same scoring tail over the
+    "x138_streaming_bm25_index", // the same scoring tail over the
                                // stream-folded index
+    "x139_bm25_topk"           // the x135 scoring tail + a per-query
+                               // rank window (WindowGroupLimit)
   )
 
   // streaming probes execute a query at construction time; plan-audited
