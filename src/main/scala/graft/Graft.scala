@@ -491,6 +491,14 @@ object Graft {
       targets: Seq[(String, Double)]): DataFrame =
     Sampling.domainBalance(docs, sourceCol, tokenCount, targets)
 
+  /** Apply the water-fill rates with the content-addressed coin
+    * ([[graft.ops.Sampling.balanceToTarget]]): the kept set is a pure
+    * function of the data — reproducible across clusters and retries.
+    */
+  def balanceToTarget(docs: DataFrame, sourceCol: Column, idCol: Column,
+      tokenCount: Column, targets: Seq[(String, Double)]): DataFrame =
+    Sampling.balanceToTarget(docs, sourceCol, idCol, tokenCount, targets)
+
   /** Persisted BM25 postings index: build once / fold batches
     * (idempotent anti-join appends) / score fresh queries through
     * term-partition-pruned postings ([[graft.ops.TextStats]]).

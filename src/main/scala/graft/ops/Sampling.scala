@@ -492,6 +492,34 @@ object Sampling {
     * Plan: one map-side-combined aggregate over the corpus + a
     * dictionary-sized broadcast join + a 1-row global min crossed back.
     */
+  /** APPLY [[domainBalance]]'s rates: each document keeps with
+    * probability rate_s via the [[mixturePortable]] content-addressed
+    * coin (positional fingerprint of `"bal:<source>:<id>"` at the
+    * 1/[[Slots]] grain) — deterministic, reproducible across clusters
+    * and retries, no `rand()`. Output carries `balance_rate`. Driver
+    * state is the dictionary-sized rate table (bounded by |targets| —
+    * the [[clusterTemperature]] literal-map shape, so the filter is a
+    * pure scan-side projection). Rates below the 1/Slots granularity
+    * floor fail loudly (they would silently keep nothing).
+    */
+  def balanceToTarget(docs: DataFrame, sourceCol: Column, idCol: Column,
+      tokenCount: Column, targets: Seq[(String, Double)]): DataFrame = {
+    val rates = domainBalance(docs, sourceCol, tokenCount, targets)
+      .select(col("source"), col("rate")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rates.foreach { case (s, r) =>
+      require(math.round(r * Slots) >= 1,
+        s"rate for '$s' ($r) is below the ${1.0 / Slots} granularity floor")
+    }
+    val cuts = rates.map { case (s, r) => s -> math.round(r * Slots) }
+    val slot = pmod(pmod(graft.functions.TextFunctions.fingerprint(
+      concat(lit("bal:"), sourceCol.cast("string"), lit(":"), idCol.cast("string"))),
+      lit(100000L)) * lit(2654435761L), lit(Slots))
+    docs
+      .withColumn("balance_rate", element_at(typedlit(rates), sourceCol.cast("string")))
+      .filter(slot < element_at(typedlit(cuts), sourceCol.cast("string")))
+  }
+
   def domainBalance(docs: DataFrame, sourceCol: Column, tokenCount: Column,
       targets: Seq[(String, Double)]): DataFrame = {
     require(targets.nonEmpty && math.abs(targets.map(_._2).sum - 1.0) < 1e-9,

@@ -3070,9 +3070,50 @@ object ExtensionProbes {
          |FROM j, c ORDER BY source ASC NULLS FIRST""".stripMargin
     })
 
+  // — applied domain balance (x140): [[Sampling.balanceToTarget]] keeps
+  //   each doc with its source's water-fill rate via the content-
+  //   addressed coin — the oracle replays the rate table (x136's CTEs)
+  //   AND the positional-fingerprint coin row by row, so the exact kept
+  //   set is value-checked, not just its per-source fractions.
+  private val x140 = Probe(
+    "x140_balance_to_target",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(4L))))
+      Sampling.balanceToTarget(docs, col("grp"), col("doc_id"),
+          size(TextStats.tokens(col("text"))),
+          Seq("g0" -> 0.4, "g1" -> 0.3, "g2" -> 0.2, "g3" -> 0.1))
+        .select(col("doc_id"), col("grp"), col("balance_rate"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+      s"""WITH d AS (SELECT doc_id, 'g' || CAST(doc_id % 4 AS VARCHAR) AS grp,
+         |    CAST(len($toks) AS BIGINT) AS tk FROM documents),
+         |t(source, target_frac) AS (VALUES
+         |  ('g0', CAST(0.4 AS DOUBLE)), ('g1', CAST(0.3 AS DOUBLE)),
+         |  ('g2', CAST(0.2 AS DOUBLE)), ('g3', CAST(0.1 AS DOUBLE))),
+         |a AS (SELECT grp AS source, CAST(sum(tk) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+         |j AS (SELECT a.source, a.n_tokens, t.target_frac FROM a JOIN t USING (source)),
+         |c AS (SELECT min(n_tokens / target_frac) AS c FROM j),
+         |r AS (SELECT source,
+         |    ${graft.Canonical.round6Sql("c.c * target_frac / n_tokens")} AS rate
+         |  FROM j, c),
+         |sl AS (SELECT d.doc_id, d.grp, r.rate,
+         |    'bal:' || d.grp || ':' || CAST(d.doc_id AS VARCHAR) AS salt
+         |  FROM d JOIN r ON r.source = d.grp),
+         |k AS (SELECT doc_id, grp, rate,
+         |    ((${TextStats.fingerprintSql("salt")} % 100000) * 2654435761) % 10000 AS slot
+         |  FROM sl)
+         |SELECT doc_id, grp, rate AS balance_rate FROM k
+         |WHERE slot < CAST(floor(rate * 10000 + 0.5) AS BIGINT)
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+    })
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
-    x125, x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136, x137, x138, x139)
+    x125, x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136, x137, x138, x139,
+    x140)
 }

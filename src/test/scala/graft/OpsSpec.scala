@@ -2981,6 +2981,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("balanceToTarget: binding source keeps everything, others thin toward quota, deterministic across runs") {
+    // a=100 single doc, b=100 over 2 docs, c=800 over 80 docs; targets
+    // .25/.25/.5 → rates 1/1/0.25: a and b keep ALL docs, c thins
+    val rows = Seq(("a", 0L, 100L), ("b", 1L, 60L), ("b", 2L, 40L)) ++
+      (10L until 90L).map(i => ("c", i, 10L))
+    val docs = rows.toDF("src", "id", "tk")
+    val kept = ops.Sampling.balanceToTarget(docs, $"src", $"id", $"tk",
+      Seq("a" -> 0.25, "b" -> 0.25, "c" -> 0.5))
+    val bySrc = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("a") == 1 && bySrc("b") == 2, "rate-1 sources keep every doc")
+    assert(bySrc("c") < 80, "the over-represented source must thin")
+    // every kept row carries its source's rate
+    assert(kept.filter($"src" === "c" && $"balance_rate" =!= 0.25).count() == 0)
+    // content-addressed coin: a second run keeps the identical set
+    val again = ops.Sampling.balanceToTarget(docs, $"src", $"id", $"tk",
+      Seq("a" -> 0.25, "b" -> 0.25, "c" -> 0.5))
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+  }
+
   test("weightedTopKPerGroup: giant weight always wins, non-positive weights excluded, equal weights = coin order") {
     val df = Seq(
       ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0), ("a", 4L, 1e9),
