@@ -37,6 +37,11 @@ object BuildSf {
 
 object ScalePilot {
 
+  // round-14 BM25 fold pilot: each invocation folds a batch with ids no
+  // earlier invocation (or the corpus) used, so every timed fold is the
+  // genuine all-new case
+  private val bm25FoldPass = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Key-shifted N× copies of the base tables (see object scaladoc).
     * Fixed-size dims (nation/region) are copied once — they do not scale
     * with data volume. `eventsNs = true` stores `events.ts` as LONG
@@ -132,6 +137,7 @@ object ScalePilot {
       else if (family == "round12") Set("documents", "embeddings")
       else if (family == "round12b") Set("orders", "documents", "embeddings")
       else if (family == "round13") Set("documents")
+      else if (family == "round14") Set("documents")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -1055,6 +1061,48 @@ object ScalePilot {
           bm25PilotQueries(dir), "query_id", col("qtext"))
       }))
 
+    // round-14 pilots. BM25 fold twins (the verdict's ask: show the
+    // O(index)→O(batch + bloom-positives) collapse of the append path):
+    // `bm25_rebuild` rebuilds the whole index per sweep (the linear
+    // arm); `bm25_fold_const_batch` folds a CONSTANT-size, genuinely-NEW
+    // batch (ids remapped negative-unique per invocation, so the bloom
+    // prunes the verify joins to nothing — the common all-new case) into
+    // an index over the N×-growing corpus, and its wall should stay
+    // near-flat. Domain balance: one map-side-combined corpus aggregate
+    // (`domain_balance`) and a scan-side literal-map filter
+    // (`balance_to_target`) — both should scale with the scan, no
+    // shuffle blowup (the discipline that caught pageRank's ANSI divide).
+    def round14Queries(dir: String): Seq[(String, () => DataFrame)] = {
+      def grouped = tbl(dir, "documents")
+        .withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(4L))))
+      val targets = Seq("g0" -> 0.4, "g1" -> 0.3, "g2" -> 0.2, "g3" -> 0.1)
+      Seq(
+        "bm25_rebuild" -> (() => {
+          TextStats.writeBm25Index(tbl(dir, "documents"), "doc_id", col("text"),
+            s"$dir/__bm25_rebuild")
+          spark.range(1).toDF("ok")
+        }),
+        "bm25_fold_const_batch" -> (() => {
+          val docs = tbl(dir, "documents")
+          val path = s"$dir/__bm25idx_v2"
+          // index over the full corpus, built off the clock (first pass
+          // pays it; min-of-3 drops it — the HLL pilot's shape)
+          if (!new java.io.File(s"$path/meta.json").exists())
+            TextStats.writeBm25Index(docs, "doc_id", col("text"), path)
+          val pass = bm25FoldPass.incrementAndGet()
+          val batch = docs
+            .filter(col("doc_id") % 37 === 0 && col("doc_id") < 100000000L)
+            .select((-(col("doc_id") + lit(pass * 10000000000L))).as("doc_id"),
+              col("text"))
+          TextStats.appendToBm25Index(spark, path, batch, "doc_id", col("text"))
+          spark.range(1).toDF("ok")
+        }),
+        "domain_balance" -> (() => Sampling.domainBalance(grouped, col("grp"),
+          size(TextStats.tokens(col("text"))), targets)),
+        "balance_to_target" -> (() => Sampling.balanceToTarget(grouped, col("grp"),
+          col("doc_id"), size(TextStats.tokens(col("text"))), targets)))
+    }
+
     def bm25PilotQueries(dir: String): DataFrame =
       tbl(dir, "documents")
         .filter(col("doc_id") < 100000000L && col("doc_id") % 97 === 1)
@@ -1077,6 +1125,7 @@ object ScalePilot {
       else if (family == "round12") round12Queries(dir)
       else if (family == "round12b") round12bQueries(dir)
       else if (family == "round13") round13Queries(dir)
+      else if (family == "round14") round14Queries(dir)
       else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>

@@ -158,8 +158,13 @@ object Verify {
         try {
           fns(name)(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(stage)
           if (Files.exists(dest)) { // stale dir from a prior run in the same outDir
-            val old = Option(dest.toFile.listFiles()).getOrElse(Array.empty)
-            old.foreach(_.delete()); Files.deleteIfExists(dest)
+            // recursive: a killed pre-round-13 run leaves a nested
+            // _temporary dir a flat file sweep can't remove (ADVICE r13 —
+            // the query would be recorded failed on DirectoryNotEmpty)
+            val w = Files.walk(dest)
+            try w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+            finally w.close()
           }
           Files.move(Paths.get(stage), dest, StandardCopyOption.ATOMIC_MOVE)
           val dt = (System.nanoTime() - t0) / 1e9

@@ -1315,16 +1315,24 @@ object Dedup {
     */
   def readHashIndex(spark: org.apache.spark.sql.SparkSession, path: String): HashIndex = {
     finishBatchCompaction(spark, path) // complete an interrupted dir swap first
-    val (fs, p) = hadoopFs(spark, s"$path/bloom.bin")
-    val in = fs.open(p)
-    val (bf, items, fpp) =
-      try {
-        val dis = new java.io.DataInputStream(in)
-        val items = dis.readLong()
-        val fpp = dis.readDouble()
-        (org.apache.spark.util.sketch.BloomFilter.readFrom(dis), items, fpp)
-      } finally in.close()
+    val (bf, items, fpp) = readBloomFile(spark, path)
     HashIndex(spark.read.parquet(s"$path/hashes"), bf, items, fpp)
+  }
+
+  /** Read a `<dir>/bloom.bin` written by [[writeBloomFileAtomic]]: the
+    * header's creation params ride back so later deltas stay
+    * bit-compatible (`mergeInPlace` refuses mismatched sizes).
+    */
+  private[graft] def readBloomFile(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.util.sketch.BloomFilter, Long, Double) = {
+    val (fs, p) = hadoopFs(spark, s"$dir/bloom.bin")
+    val in = fs.open(p)
+    try {
+      val dis = new java.io.DataInputStream(in)
+      val items = dis.readLong()
+      val fpp = dis.readDouble()
+      (org.apache.spark.util.sketch.BloomFilter.readFrom(dis), items, fpp)
+    } finally in.close()
   }
 
   /** [[incrementalExactBloom]] against a persisted [[HashIndex]]: same

@@ -133,6 +133,13 @@ object Frequency {
     * too — rebuild them with [[writeHllIndex]]).
     */
   private def requireLgK(spark: SparkSession, path: String, lgK: Int): Unit = {
+    // a MISSING meta.json (pre-pin index, or an interrupted build) must
+    // raise the rebuild guidance, not a raw FileNotFoundException from
+    // the read below (ADVICE r13)
+    val (fs, p) = Dedup.hadoopFs(spark, s"$path/meta.json")
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"HLL index at $path has no meta.json (pre-pin index or incomplete " +
+        "build) — rebuild with writeHllIndex")
     val stored = """"lgk"\s*:\s*([0-9]+)""".r
       .findFirstMatchIn(Dedup.readTextFile(spark, s"$path/meta.json"))
       .map(_.group(1).toInt)

@@ -870,51 +870,182 @@ object TextStats {
   private def doclenOf(docs: DataFrame, idCol: String, text: Column): DataFrame =
     docs.select(col(idCol).as("id"), size(tokens(lower(text))).cast("double").as("__dl"))
 
-  /** Build the index from the current corpus: `postings` (term-hash
-    * partitioned), `doclen`, and `meta.json` (the id column — written
-    * LAST, so its presence marks a complete index).
+  /** Default sizing for the index's id Bloom sketch (overridable at
+    * build): ~4M ids at fpp 0.01 is a few MB driver-side; the sketch
+    * saturates gracefully past it (fpp degrades, correctness doesn't —
+    * positives always verify exactly against the table).
     */
-  def writeBm25Index(docs: DataFrame, idCol: String, text: Column, path: String): Unit = {
+  val Bm25BloomItems: Long = 1L << 22
+
+  /** Exact additive sufficient statistics of the index, pinned in
+    * `meta.json`: token counts are integers, so `sum_dl` is
+    * order-independent and survives append/compact exactly — the probe's
+    * (N, avgdl) never needs a doclen scan.
+    */
+  private final case class Bm25Meta(idCol: String, nDocs: Long, sumDl: Long)
+
+  private def bm25AggDoclen(doclen: DataFrame): (Long, Long) = {
+    val row = doclen.agg(count(lit(1)).as("n"),
+      sum(col("__dl").cast("long")).as("s")).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
+  /** Build the index from the current corpus: `postings` (term-hash
+    * partitioned), `doclen`, `bloom.bin` (id sketch — lets a fold's
+    * idempotency check skip the postings scan for genuinely-new ids),
+    * and `meta.json` (the id column + exact (n_docs, sum_dl) counters —
+    * written LAST, so its presence marks a complete index). The sketch
+    * and the counters derive from the PERSISTED doclen (a compact
+    * re-read, not a second corpus pass), so the artifacts can never
+    * disagree with the tables.
+    */
+  def writeBm25Index(docs: DataFrame, idCol: String, text: Column, path: String,
+      expectedItems: Long = Bm25BloomItems, fpp: Double = 0.01): Unit = {
     val spark = docs.sparkSession
     val (fs, metaP) = Dedup.hadoopFs(spark, s"$path/meta.json")
     if (fs.exists(metaP)) fs.delete(metaP, false)
     postingsOf(docs, idCol, text)
       .write.mode("overwrite").partitionBy("__tp").parquet(s"$path/postings")
     doclenOf(docs, idCol, text).write.mode("overwrite").parquet(s"$path/doclen")
-    Dedup.writeTextFile(spark, s"$path/meta.json", s"""{"id_col":"$idCol"}""")
+    val doclen = spark.read.parquet(s"$path/doclen")
+    val (n, sumDl) = bm25AggDoclen(doclen)
+    // an empty build would leave a partitionBy dir with no part files —
+    // unreadable forever; meta.json deliberately does NOT land, so the
+    // next non-empty build overwrites cleanly
+    require(n > 0, s"refusing to build an EMPTY BM25 index at $path — " +
+      "a partitioned postings dir with no part files is unreadable; " +
+      "build from the first non-empty batch instead")
+    val bf = doclen.select(xxhash64(col("id")).as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
+    Dedup.writeBloomFileAtomic(spark, path, bf, expectedItems, fpp)
+    val (dfs, dirtyP) = Dedup.hadoopFs(spark, s"$path/stats.dirty")
+    if (dfs.exists(dirtyP)) dfs.delete(dirtyP, false) // stale intent marker
+    Dedup.writeTextFile(spark, s"$path/meta.json",
+      s"""{"id_col":"$idCol","n_docs":$n,"sum_dl":$sumDl}""")
   }
 
-  private def bm25MetaIdCol(spark: SparkSession, path: String): String =
+  private def bm25MetaIdCol(spark: SparkSession, path: String): String = {
+    val (fs, p) = Dedup.hadoopFs(spark, s"$path/meta.json")
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"BM25 index at $path has no meta.json (incomplete or interrupted " +
+        "build) — rebuild with writeBm25Index")
     """"id_col"\s*:\s*"([^"]+)"""".r
       .findFirstMatchIn(Dedup.readTextFile(spark, s"$path/meta.json"))
       .map(_.group(1)).getOrElse(throw new IllegalStateException(
         s"BM25 index at $path has no id_col in meta.json"))
+  }
+
+  /** Ensure `meta.json` carries trustworthy (n_docs, sum_dl) counters:
+    * re-derives them from the doclen table when (a) a `stats.dirty`
+    * intent marker is pending — a fold crashed between its table appends
+    * and its meta update — or (b) the meta predates the counters
+    * (pre-round-14 index). Exact either way: token counts are integers,
+    * so the re-derived sum is order-independent.
+    */
+  private def healBm25Stats(spark: SparkSession, path: String): Bm25Meta = {
+    val idCol = bm25MetaIdCol(spark, path)
+    val (fs, dirtyP) = Dedup.hadoopFs(spark, s"$path/stats.dirty")
+    val meta = Dedup.readTextFile(spark, s"$path/meta.json")
+    def num(k: String): Option[Long] =
+      (s""""$k"\\s*:\\s*(-?[0-9]+)""").r.findFirstMatchIn(meta).map(_.group(1).toLong)
+    (num("n_docs"), num("sum_dl")) match {
+      case (Some(n), Some(s)) if !fs.exists(dirtyP) => Bm25Meta(idCol, n, s)
+      case _ =>
+        val (n, s) = bm25AggDoclen(spark.read.parquet(s"$path/doclen"))
+        Dedup.writeTextFile(spark, s"$path/meta.json",
+          s"""{"id_col":"$idCol","n_docs":$n,"sum_dl":$s}""")
+        if (fs.exists(dirtyP)) fs.delete(dirtyP, false)
+        Bm25Meta(idCol, n, s)
+    }
+  }
+
+  /** The index's id sketch, self-healing: a missing `bloom.bin` (legacy
+    * pre-round-14 index, or a crash inside the atomic-rename window)
+    * rebuilds from the UNION of both tables' ids — after a crash between
+    * the two table writes the id sets can differ, and a doclen-only
+    * rebuild could false-NEGATIVE a posted id and double-append its
+    * postings on the next fold.
+    */
+  private def readBm25Bloom(spark: SparkSession, path: String)
+      : (org.apache.spark.util.sketch.BloomFilter, Long, Double) = {
+    val (fs, p) = Dedup.hadoopFs(spark, s"$path/bloom.bin")
+    if (fs.exists(p)) Dedup.readBloomFile(spark, path)
+    else {
+      val ids = spark.read.parquet(s"$path/postings").select(col("id"))
+        .union(spark.read.parquet(s"$path/doclen").select(col("id")))
+      val bf = ids.select(xxhash64(col("id")).as("__k"))
+        .stat.bloomFilter("__k", Bm25BloomItems, 0.01)
+      Dedup.writeBloomFileAtomic(spark, path, bf, Bm25BloomItems, 0.01)
+      (bf, Bm25BloomItems, 0.01)
+    }
+  }
 
   /** Fold new documents: per-table idempotent anti-join appends — a
     * crash between the two table writes heals on replay because each
     * table's delta is anti-joined against ITS OWN existing ids (the
     * [[Dedup.appendToSimhashIndex]] discipline). Documents whose id is
-    * already indexed are skipped (re-ingest no-op). Auto-compacts once
-    * `doclen` accumulates `autoCompactAt` part files.
+    * already indexed are skipped (re-ingest no-op).
+    *
+    * Fold cost is O(batch + bloom-positives), NOT O(index) (round 14;
+    * the r13 shape anti-joined the FULL postings id column per fold):
+    * batch ids probe the driver-held Bloom sketch, bloom-NEGATIVES —
+    * the whole batch, in the common all-new case — skip the index
+    * entirely, and only positives verify exactly against each table's
+    * id column (a map-side scan pruned by the broadcast positive set;
+    * no corpus-scale distinct shuffle). Sketch-before-table write order
+    * (the [[Dedup.appendToHashIndex]] argument): a crash between the
+    * sketch and table writes leaves keys in the sketch without rows —
+    * harmless false positives that verify exactly — never rows without
+    * keys, which would false-negative forever and double-append.
+    * A `stats.dirty` intent marker brackets the table appends so the
+    * meta counters re-derive on the next touch if the fold dies between
+    * the appends and its meta update. Auto-compacts once `doclen`
+    * accumulates `autoCompactAt` part files.
     */
   def appendToBm25Index(spark: SparkSession, path: String, newDocs: DataFrame,
       idCol: String, text: Column,
       autoCompactAt: Int = Dedup.AutoCompactDefault): Unit = {
     Dedup.finishBatchCompaction(spark, path)
-    val stored = bm25MetaIdCol(spark, path)
-    require(stored == idCol,
-      s"BM25 index at $path was built over id column '$stored', append passed '$idCol'")
+    val meta = healBm25Stats(spark, path)
+    require(meta.idCol == idCol,
+      s"BM25 index at $path was built over id column '${meta.idCol}', append passed '$idCol'")
+    val (bloom, items, fpp) = readBm25Bloom(spark, path)
+    val positives = newDocs.select(col(idCol).as("id")).distinct()
+      .filter(graft.functions.BloomFunctions.mightContain(xxhash64(col("id")), bloom))
+      .localCheckpoint()
+    val nPos = positives.count() // driver scalar; gates the verify path
+    // per-table already-present ids among the positives: a map-side scan
+    // of the table's id column semi-joined against the (small) positive
+    // set — runs ONLY when positives exist, broadcasts only on evidence
+    def presentIn(table: String): DataFrame =
+      if (nPos == 0L) positives // empty, right schema: anti-join keeps all
+      else spark.read.parquet(s"$path/$table").select(col("id"))
+        .join(if (nPos <= Dedup.BatchBroadcastCap) broadcast(positives) else positives,
+          Seq("id"), "left_semi")
+        .distinct()
     // pin both deltas BEFORE appending to the dirs their plans read
     val freshP = postingsOf(newDocs, idCol, text)
-      .join(spark.read.parquet(s"$path/postings").select(col("id")).distinct(),
-        Seq("id"), "left_anti")
+      .join(presentIn("postings"), Seq("id"), "left_anti")
       .localCheckpoint()
     val freshD = doclenOf(newDocs, idCol, text)
-      .join(spark.read.parquet(s"$path/doclen").select(col("id")),
-        Seq("id"), "left_anti")
+      .join(presentIn("doclen"), Seq("id"), "left_anti")
       .localCheckpoint()
+    val freshIds = freshD.select(col("id")).union(freshP.select(col("id"))).distinct()
+    val delta =
+      if (freshIds.isEmpty) Dedup.emptyBloom(spark, items, fpp)
+      else freshIds.select(xxhash64(col("id")).as("__k"))
+        .stat.bloomFilter("__k", items, fpp)
+    // sketch BEFORE tables; intent marker BEFORE the appends (see scaladoc)
+    bloom.mergeInPlace(delta)
+    Dedup.writeBloomFileAtomic(spark, path, bloom, items, fpp)
+    Dedup.writeTextFile(spark, s"$path/stats.dirty", "{}")
     freshP.write.mode("append").partitionBy("__tp").parquet(s"$path/postings")
     freshD.write.mode("append").parquet(s"$path/doclen")
+    val (dn, dsum) = bm25AggDoclen(freshD) // pinned delta: exact by additivity
+    Dedup.writeTextFile(spark, s"$path/meta.json",
+      s"""{"id_col":"$idCol","n_docs":${meta.nDocs + dn},"sum_dl":${meta.sumDl + dsum}}""")
+    val (dfs, dirtyP) = Dedup.hadoopFs(spark, s"$path/stats.dirty")
+    dfs.delete(dirtyP, false)
     val (fs, dp) = Dedup.hadoopFs(spark, s"$path/doclen")
     val parts = fs.listStatus(dp).count(s => s.isFile && s.getPath.getName.startsWith("part-"))
     if (autoCompactAt > 0 && parts >= autoCompactAt) {
@@ -927,11 +1058,15 @@ object TextStats {
   /** Collapse accumulated delta part files under the shared
     * staging+marker swap. The postings rewrite goes through
     * `repartition(__tp)` so the term-partition layout (and its probe
-    * pruning) survives — a plain coalesce would collapse it.
+    * pruning) survives — a plain coalesce would collapse it. Compaction
+    * preserves rows, so the meta counters are re-derived from the
+    * compacted doclen as an exact cross-check (a mismatch means a bug,
+    * not drift — fail loud).
     */
   def compactBm25Index(spark: SparkSession, path: String, targetFiles: Int = 1): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     Dedup.finishBatchCompaction(spark, path)
+    val meta = healBm25Stats(spark, path)
     spark.read.parquet(s"$path/postings")
       .repartition(col("__tp"))
       .write.mode("overwrite").partitionBy("__tp").parquet(s"$path/postings.staging")
@@ -939,6 +1074,10 @@ object TextStats {
       .write.mode("overwrite").parquet(s"$path/doclen.staging")
     Dedup.publishBatchMarker(spark, path, Seq("postings", "doclen"))
     Dedup.finishBatchCompaction(spark, path)
+    val (n, s) = bm25AggDoclen(spark.read.parquet(s"$path/doclen"))
+    require(n == meta.nDocs && s == meta.sumDl,
+      s"BM25 meta counters diverged from doclen after compaction at $path: " +
+        s"meta=(${meta.nDocs}, ${meta.sumDl}) table=($n, $s)")
   }
 
   /** Score fresh queries against the persisted index WITHOUT touching
@@ -946,17 +1085,24 @@ object TextStats {
     * terms' hash partitions (directory pruning) and semi-joins the
     * survivors, then runs the exact same scoring tail as the live
     * [[bm25]] (shared code — x137 additionally pins value-equality).
-    * Heals an interrupted compaction swap first.
+    * (N, avgdl) read from meta.json's exact additive counters — the
+    * probe plan touches ONLY the pruned postings partitions, no doclen
+    * scan (round 14; r13 re-aggregated the full doclen per probe).
+    * Heals an interrupted compaction swap and stale counters first.
     */
   def probeBm25Index(spark: SparkSession, path: String,
       queries: DataFrame, qIdCol: String, qText: Column,
       k1: Double = 1.2, b: Double = 0.75,
       queryBroadcastCap: Long = Dedup.BatchBroadcastCap): DataFrame = {
     Dedup.finishBatchCompaction(spark, path)
-    val idCol = bm25MetaIdCol(spark, path)
-    val doclen = spark.read.parquet(s"$path/doclen")
-    val stats = doclen.agg(count(lit(1)).cast("double").as("__n"),
-      avg(col("__dl")).as("__avgdl"))
+    val meta = healBm25Stats(spark, path)
+    require(meta.nDocs > 0, s"BM25 index at $path is empty — rebuild with writeBm25Index")
+    // avgdl = sum/n over integer token counts ≡ the live path's avg()
+    // (Spark's Average over integral doubles is the same exact sum, same
+    // IEEE division) — x137/x138 pin the value equality end-to-end
+    val stats = spark.range(1).select(
+      lit(meta.nDocs.toDouble).as("__n"),
+      lit(meta.sumDl.toDouble / meta.nDocs.toDouble).as("__avgdl"))
     val qTerms = queries.select(col(qIdCol),
       explode(array_distinct(tokens(lower(qText)))).as("__term"))
       .localCheckpoint()
@@ -970,7 +1116,28 @@ object TextStats {
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("__tp").isin(tps: _*))
       .join(gated(qTerms.select(col("__term")).distinct()), Seq("__term"), "left_semi")
-      .select(col("id").as(idCol), col("__term"), col("__tf"), col("__dl"))
-    bm25Score(tf, idCol, qTerms, qIdCol, stats, k1, b, gated)
+      .select(col("id").as(meta.idCol), col("__term"), col("__tf"), col("__dl"))
+    bm25Score(tf, meta.idCol, qTerms, qIdCol, stats, k1, b, gated)
+  }
+
+  /** Retrieval decontamination, composed end-to-end (the x48/x29
+    * pattern): every benchmark query retrieves its BM25 top-k corpus
+    * docs, docs scoring ≥ `minScore` inside the cut are contaminated,
+    * and the SURVIVING corpus comes back. Semantics pinned by the
+    * composition: the k-boundary tie breaks on the document id
+    * ([[bm25TopK]]'s deterministic window, over round4 scores), and a
+    * doc retrieved by MANY queries is removed once (the hit set is
+    * id-distinct before the anti-join). The hit set is ≤ k·|queries|
+    * rows of ids — AQE broadcasts the anti-join's tiny right side; the
+    * corpus is never shuffled.
+    */
+  def bm25Decontaminate(corpus: DataFrame, idCol: String, text: Column,
+      queries: DataFrame, qIdCol: String, qText: Column, k: Int,
+      minScore: Double = 0.0,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val hits = bm25TopK(corpus, idCol, text, queries, qIdCol, qText, k, k1, b)
+      .filter(col("bm25") >= minScore)
+      .select(col(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
   }
 }

@@ -3039,6 +3039,40 @@ object ExtensionProbes {
     },
     x135.oracle) // streamed index ≡ live scores, by value
 
+  // — retrieval-decontamination end-cap (x141): the BM25 family's stated
+  //   use-case COMPOSED end-to-end (the x48/x29 pattern) — benchmark
+  //   queries (the x135 fixture) retrieve their top-5 corpus docs, hits
+  //   scoring ≥ 1.0 are contaminated, and the SURVIVING corpus comes
+  //   back. The oracle replays the scoring, the rank window (a k-
+  //   boundary tie breaks on doc_id over round4 scores), the threshold,
+  //   the hit-set DISTINCT (a doc matched by many queries is removed
+  //   once), and the anti-join — the interaction semantics are value-
+  //   checked through the whole composition, not per primitive.
+  private val x141 = Probe(
+    "x141_bm25_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(pmod(col("doc_id"), lit(97L)) === 1L)
+        .select((col("doc_id") * 1000L).as("query_id"),
+          concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 4)).as("qtext"))
+      TextStats.bm25Decontaminate(docs, "doc_id", col("text"),
+          queries, "query_id", col("qtext"), k = 5, minScore = 1.0)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+    x135.oracle.map { liveSql =>
+      s"""WITH scored AS (
+         |${liveSql.replaceAll("\nORDER BY [^\n]*$", "")}),
+         |ranked AS (SELECT query_id, doc_id, bm25,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM scored),
+         |hit AS (SELECT DISTINCT doc_id FROM ranked WHERE rank <= 5 AND bm25 >= 1.0)
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM hit)
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+    })
+
   // — target-distribution domain balancing (x136): water-filling keep
   //   rates (C = min_s T_s/f_s; rate_s = C·f_s/T_s ≤ 1, the binding
   //   source keeps everything) — the data-recipe step ahead of the x83
@@ -3115,5 +3149,5 @@ object ExtensionProbes {
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
     x125, x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136, x137, x138, x139,
-    x140)
+    x140, x141)
 }

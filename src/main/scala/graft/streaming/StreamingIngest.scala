@@ -599,7 +599,12 @@ object StreamingIngest {
       .map(_.group(1)).getOrElse(return)
     val stampPath = s"$indexPath/stream_identity.json"
     val stampP = new org.apache.hadoop.fs.Path(stampPath)
-    if (!fs.exists(stampP)) {
+    // the stamp lives under indexPath, which may be a DIFFERENT
+    // filesystem than the checkpoint (local ckp + object-store index) —
+    // resolve its own FS or the exists/read calls die with "Wrong FS"
+    // (ADVICE r13)
+    val sfs = stampP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!sfs.exists(stampP)) {
       graft.ops.Dedup.writeTextFile(spark, stampPath, s"""{"query_id":"$qid"}""")
     } else {
       val stamped = """"query_id"\s*:\s*"([^"]+)"""".r
@@ -698,13 +703,16 @@ object StreamingIngest {
         graft.ops.Dedup.finishBatchCompaction(spark, indexPath)
         val mp = new org.apache.hadoop.fs.Path(s"$indexPath/meta.json")
         val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // first batch BUILDS the index (meta.json written last = complete;
-        // a crash mid-build rebuilds on replay via the overwrite) — an
-        // empty-frame init would write a partitioned parquet dir with no
-        // part files, which is unreadable; later batches append
-        if (!fs.exists(mp))
-          graft.ops.TextStats.writeBm25Index(batch.toDF(), idCol, col(textCol), indexPath)
-        else
+        // first NON-EMPTY batch BUILDS the index (meta.json written last =
+        // complete; a crash mid-build rebuilds on replay via the
+        // overwrite) — an empty build would write a partitioned parquet
+        // dir with no part files, which is unreadable forever (ADVICE
+        // r13), so an empty batch before the index exists is skipped
+        // entirely, leaving meta.json absent; later batches append
+        if (!fs.exists(mp)) {
+          if (!batch.isEmpty)
+            graft.ops.TextStats.writeBm25Index(batch.toDF(), idCol, col(textCol), indexPath)
+        } else
           graft.ops.TextStats.appendToBm25Index(spark, indexPath, batch.toDF(),
             idCol, col(textCol))
         ()

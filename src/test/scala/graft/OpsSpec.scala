@@ -2956,6 +2956,78 @@ class OpsSpec extends SparkSpec {
       ops.TextStats.appendToBm25Index(spark, path, b.withColumnRenamed("id", "x"), "x", $"text")
     }
     assert(e.getMessage.contains("id"), e.getMessage)
+
+    // — round 14: meta counters + bloom-pruned fold invariants ——————————
+    // the probe plan reads ONLY the pruned postings — no doclen scan
+    // (N/avgdl come from meta.json's exact additive counters)
+    assert(!plan.contains("doclen"),
+      s"probe plan must not scan doclen (meta counters):\n${plan.take(2000)}")
+    // the id sketch exists and the meta counters equal the table's
+    assert(new java.io.File(s"$path/bloom.bin").exists(), "fold sketch must persist")
+    val metaTxt = ops.Dedup.readTextFile(spark, s"$path/meta.json")
+    val nDocs = """"n_docs"\s*:\s*([0-9]+)""".r.findFirstMatchIn(metaTxt).get.group(1).toLong
+    val sumDl = """"sum_dl"\s*:\s*([0-9]+)""".r.findFirstMatchIn(metaTxt).get.group(1).toLong
+    val agg = spark.read.parquet(s"$path/doclen")
+      .agg(org.apache.spark.sql.functions.count(lit(1)),
+        org.apache.spark.sql.functions.sum($"__dl".cast("long")))
+      .as[(Long, Long)].head()
+    assert((nDocs, sumDl) == agg, s"meta counters ($nDocs,$sumDl) must equal doclen $agg")
+    // stats.dirty intent marker: a crash between the table appends and
+    // the meta update heals — stale counters re-derive from doclen
+    ops.Dedup.writeTextFile(spark, s"$path/meta.json",
+      s"""{"id_col":"id","n_docs":1,"sum_dl":1}""") // corrupt the counters
+    ops.Dedup.writeTextFile(spark, s"$path/stats.dirty", "{}")
+    assert(probe() == live, "probe must heal dirty counters and score identically")
+    assert(!new java.io.File(s"$path/stats.dirty").exists(), "heal must clear the marker")
+    // legacy (pre-round-14) index: no counters in meta, no bloom.bin —
+    // the next fold heals both and the probe still equals live
+    ops.Dedup.writeTextFile(spark, s"$path/meta.json", """{"id_col":"id"}""")
+    assert(new java.io.File(s"$path/bloom.bin").delete())
+    ops.TextStats.appendToBm25Index(spark, path, b, "id", $"text") // all dup: no-op
+    assert(spark.read.parquet(s"$path/doclen").count() == corpus.count(),
+      "legacy-heal replay must anti-join to nothing")
+    assert(new java.io.File(s"$path/bloom.bin").exists(), "fold must rebuild a missing sketch")
+    assert(probe() == live, "legacy heal must leave scores identical")
+    // building an EMPTY index fails loud (an empty partitionBy dir would
+    // be unreadable forever) and leaves no meta.json behind
+    val path2 = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "bm25empty").toString
+    val e2 = intercept[IllegalArgumentException] {
+      ops.TextStats.writeBm25Index(corpus.filter($"id" < 0), "id", $"text", path2)
+    }
+    assert(e2.getMessage.contains("EMPTY"), e2.getMessage)
+    assert(!new java.io.File(s"$path2/meta.json").exists(),
+      "a refused empty build must not stamp meta.json")
+  }
+
+  test("bm25Decontaminate: k-boundary tie breaks on doc id, multi-query docs removed once, threshold respected") {
+    // docs 1 and 2 are IDENTICAL → identical scores for any query; with
+    // k=1 the tie at the cut breaks on doc id asc: doc 1 is retrieved
+    // (contaminated), doc 2 survives. Doc 3 matches both queries (multi-
+    // query) and is removed once; doc 4 shares no term and survives.
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta delta epsilon"),
+      (4L, "omega psi chi")).toDF("id", "text")
+    val queries = Seq((10L, "delta"), (20L, "epsilon")).toDF("qid", "qt")
+    val survivors = ops.TextStats.bm25Decontaminate(
+        corpus, "id", $"text", queries, "qid", $"qt", k = 1)
+      .select($"id").orderBy("id").as[Long].collect().toSeq
+    assert(survivors == Seq(1L, 2L, 4L),
+      s"doc 3 is top-1 for BOTH queries and must be removed once: $survivors")
+    // tie case: query matching docs 1 and 2 equally, k=1 → doc 1 (lower
+    // id) takes the cut and is removed; doc 2 survives on the tiebreak
+    val qTie = Seq((30L, "alpha")).toDF("qid", "qt")
+    val tie = ops.TextStats.bm25Decontaminate(
+        corpus, "id", $"text", qTie, "qid", $"qt", k = 1)
+      .select($"id").orderBy("id").as[Long].collect().toSeq
+    assert(tie == Seq(2L, 3L, 4L), s"k-boundary tie must break on doc id asc: $tie")
+    // minScore above every score → nothing is contaminated
+    val none = ops.TextStats.bm25Decontaminate(
+        corpus, "id", $"text", qTie, "qid", $"qt", k = 1, minScore = 1e9)
+      .select($"id").orderBy("id").as[Long].collect().toSeq
+    assert(none == Seq(1L, 2L, 3L, 4L), s"minScore gate must keep sub-threshold hits: $none")
   }
 
   test("domainBalance: binding source keeps rate 1, quotas follow targets, missing source fails fast") {

@@ -81,8 +81,10 @@ class PlanAuditSpec extends SparkSpec {
                                // postings scan
     "x138_streaming_bm25_index", // the same scoring tail over the
                                // stream-folded index
-    "x139_bm25_topk"           // the x135 scoring tail + a per-query
+    "x139_bm25_topk",          // the x135 scoring tail + a per-query
                                // rank window (WindowGroupLimit)
+    "x141_bm25_decontaminate"  // the x139 retrieval (same 1-row scalar
+                               // broadcast) + a tiny-hit-set anti-join
   )
 
   // streaming probes execute a query at construction time; plan-audited

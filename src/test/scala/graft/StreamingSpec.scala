@@ -738,6 +738,30 @@ class StreamingSpec extends SparkSpec {
     assert(probe() == streamed, "replay must not move scores")
   }
 
+  test("BM25 sink: an EMPTY first micro-batch is skipped, not built — the first real batch builds the index") {
+    // ADVICE r13: an empty first batch used to write an empty
+    // partitionBy postings dir (no part files, schema uninferable) and
+    // then stamp meta.json — permanently bricking every later fold
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "bm25empty").toString
+    val docs = Seq((1L, "cat sat"), (2L, "dog fog")).toDF("doc_id", "text")
+    val schema = docs.schema
+    val (in, idx, ckp) = (s"$base/in", s"$base/idx", s"$base/ckp")
+    docs.limit(0).write.mode("append").parquet(in) // batch 0: zero rows
+    val s1 = StreamingIngest.bm25IndexSink(
+      spark.readStream.schema(schema).parquet(in), idx, ckp, "doc_id", "text")
+    try {
+      s1.processAllAvailable()
+      assert(!new java.io.File(s"$idx/meta.json").exists(),
+        "empty first batch must leave the index UNBUILT (no meta.json)")
+      docs.write.mode("append").parquet(in) // batch 1: the real build
+      s1.processAllAvailable()
+    } finally s1.stop()
+    val got = ops.TextStats.probeBm25Index(spark, idx,
+        Seq((10L, "cat dog")).toDF("qid", "qt"), "qid", $"qt")
+      .select($"doc_id").orderBy("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L), s"post-skip build must index both docs: $got")
+  }
+
   test("CC label sink: streamed pair deltas fold to one-shot components; kill mid-fold + resume heals") {
     val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "ccsink").toString
     val b1 = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
