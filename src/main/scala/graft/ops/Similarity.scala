@@ -75,6 +75,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR '09 —
+    * public) of two per-query rankings into one hybrid top-k — the
+    * retrieval-stack staple that marries BM25's lexical ranking to the
+    * embedding ANN's semantic one without score calibration: each list
+    * contributes 1/(c + rank) for the items it ranked (absent = no
+    * term), fused score descending, ties on the item id. Scores ride
+    * round6 BEFORE the rank window so the kept set is engine-portable
+    * (the [[graft.ops.TextStats.bm25TopK]] discipline); the fused rank
+    * is recomputed, not inherited.
+    *
+    * Inputs are (qCol, idCol, rank) frames — the shape [[bruteForceTopK]]
+    * and [[graft.ops.TextStats.bm25TopK]] both emit; ranks must be
+    * 1-based. Scale shape: both inputs are ALREADY per-query top-k cuts
+    * (≤ k·|queries| rows each), so the union + groupBy + window here
+    * shuffle bounded candidate rows, never a corpus.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, qCol: String, idCol: String,
+      k: Int, c: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(c >= 0, s"c must be non-negative, got $c")
+    def contrib(df: DataFrame) = df.select(col(qCol), col(idCol),
+      (lit(1.0) / (lit(c.toDouble) + col("rank").cast("double"))).as("__s"))
+    val w = Window.partitionBy(col(qCol)).orderBy(col("rrf").desc, col(idCol).asc)
+    contrib(a).unionByName(contrib(b))
+      .groupBy(col(qCol), col(idCol))
+      .agg(graft.Canonical.round6(sum(col("__s"))).as("rrf"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed → identical across
     * runs/executors/sessions).
     */

@@ -3073,6 +3073,70 @@ object ExtensionProbes {
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
     })
 
+  // — hybrid lexical+semantic retrieval (x142): BM25 top-10 (the x135
+  //   query fixture) and exact cosine top-10 (the same source docs'
+  //   embeddings — vec_id ≡ doc_id in the fixture) fused by reciprocal
+  //   rank (RRF, c=60) into a hybrid top-5. No self-exclusion on the
+  //   semantic arm: the query's source doc is the PLANTED relevant hit
+  //   both arms should surface. The oracle replays both rankings (x135's
+  //   scoring CTEs + the x05 unnest-dot-product shape) and the fusion —
+  //   contribution sum, round6, rank-recompute, ties on doc_id.
+  private val x142 = Probe(
+    "x142_hybrid_rrf_topk",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(pmod(col("doc_id"), lit(97L)) === 1L)
+        .select((col("doc_id") * 1000L).as("query_id"),
+          concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 4)).as("qtext"))
+      val lexical = TextStats.bm25TopK(docs, "doc_id", col("text"),
+          queries, "query_id", col("qtext"), k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val qVec = emb.filter(pmod(col("vec_id"), lit(97L)) === 1L)
+        .select((col("vec_id") * 1000L).as("query_id"), col("embedding").as("qvec"))
+      val semantic = Similarity.bruteForceTopK(qVec, "query_id", "qvec",
+          emb, "vec_id", "embedding", k = 10, excludeSelf = false)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(lexical, semantic, "query_id", "doc_id", k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
+        .orderBy("query_id", "rank")
+    },
+    x135.oracle.map { liveSql =>
+      s"""WITH scored AS (
+         |${liveSql.replaceAll("\nORDER BY [^\n]*$", "")}),
+         |lex0 AS (SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY bm25 DESC, doc_id ASC) AS rank
+         |  FROM scored),
+         |lex AS (SELECT * FROM lex0 WHERE rank <= 10),
+         |qv AS (SELECT vec_id * 1000 AS query_id, embedding AS qe
+         |  FROM embeddings WHERE vec_id % 97 = 1),
+         |pairs AS (SELECT query_id, vec_id, qe, embedding AS ce FROM qv, embeddings),
+         |flat AS (SELECT query_id, vec_id, CAST(unnest(qe) AS DOUBLE) AS x,
+         |    CAST(unnest(ce) AS DOUBLE) AS y FROM pairs),
+         |dots AS (SELECT query_id, vec_id, sum(x * y) AS d, sum(x * x) AS nx,
+         |    sum(y * y) AS ny FROM flat GROUP BY 1, 2),
+         |sims AS (SELECT query_id, vec_id,
+         |    round(d / (sqrt(nx) * sqrt(ny)), 6) AS cs FROM dots),
+         |sem0 AS (SELECT query_id, vec_id AS doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cs DESC NULLS LAST, vec_id ASC) AS rank
+         |  FROM sims),
+         |sem AS (SELECT * FROM sem0 WHERE rank <= 10),
+         |uni AS (SELECT query_id, doc_id,
+         |    CAST(1 AS DOUBLE) / (60 + rank) AS s FROM lex
+         |  UNION ALL SELECT query_id, doc_id,
+         |    CAST(1 AS DOUBLE) / (60 + rank) AS s FROM sem),
+         |fused AS (SELECT query_id, doc_id,
+         |    ${graft.Canonical.round6Sql("sum(s)")} AS rrf FROM uni GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, doc_id, rrf,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM fused)
+         |SELECT query_id, rank, doc_id, rrf FROM ranked WHERE rank <= 5
+         |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+    })
+
   // — target-distribution domain balancing (x136): water-filling keep
   //   rates (C = min_s T_s/f_s; rate_s = C·f_s/T_s ≤ 1, the binding
   //   source keeps everything) — the data-recipe step ahead of the x83
@@ -3149,5 +3213,5 @@ object ExtensionProbes {
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
     x125, x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136, x137, x138, x139,
-    x140, x141)
+    x140, x141, x142)
 }

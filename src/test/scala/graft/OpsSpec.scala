@@ -3030,6 +3030,30 @@ class OpsSpec extends SparkSpec {
     assert(none == Seq(1L, 2L, 3L, 4L), s"minScore gate must keep sub-threshold hits: $none")
   }
 
+  test("rrfFuse: hand-checked contribution sums, single-list items score, ties break on id") {
+    // q=1: list A ranks (10→1, 20→2); list B ranks (20→1, 30→2).
+    // rrf(20) = 1/61 + 1/62, rrf(10) = 1/61, rrf(30) = 1/62 →
+    // fused order 20, 10, 30 (items ranked by ONE list still score)
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("q", "id", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("q", "id", "rank")
+    val got = ops.Similarity.rrfFuse(a, b, "q", "id", k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect().toSeq
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.map(r => (r._2, r._4)) == Seq((20L, 1L), (10L, 2L), (30L, 3L)),
+      s"fused order mismatch: $got")
+    assert(got.map(_._3) == Seq(r6(1.0 / 61 + 1.0 / 62), r6(1.0 / 61), r6(1.0 / 62)),
+      s"contribution sums mismatch: $got")
+    // k cuts the fused list, not the inputs
+    assert(ops.Similarity.rrfFuse(a, b, "q", "id", k = 1).count() == 1)
+    // equal-rrf tie (two items each ranked 1 by one list) breaks on id asc
+    val a2 = Seq((1L, 10L, 1L)).toDF("q", "id", "rank")
+    val b2 = Seq((1L, 20L, 1L)).toDF("q", "id", "rank")
+    val tie = ops.Similarity.rrfFuse(a2, b2, "q", "id", k = 2)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(tie.map(_._2) == Seq(10L, 20L), s"tie must break on id asc: $tie")
+    assert(tie.map(_._3).distinct.size == 1, "tied items carry the same rrf")
+  }
+
   test("domainBalance: binding source keeps rate 1, quotas follow targets, missing source fails fast") {
     // tokens: a=100, b=100, c=800; targets .25/.25/.5 → C = min(400, 400,
     // 1600) = 400; quotas 100/100/200; rates 1/1/0.25

@@ -83,8 +83,14 @@ class PlanAuditSpec extends SparkSpec {
                                // stream-folded index
     "x139_bm25_topk",          // the x135 scoring tail + a per-query
                                // rank window (WindowGroupLimit)
-    "x141_bm25_decontaminate"  // the x139 retrieval (same 1-row scalar
+    "x141_bm25_decontaminate", // the x139 retrieval (same 1-row scalar
                                // broadcast) + a tiny-hit-set anti-join
+    "x142_hybrid_rrf_topk"     // the x05 brute-force semantic arm
+                               // (corpus × broadcast queries, the exact
+                               // baseline by design) + the x139 lexical
+                               // arm's 1-row stats broadcast; the fusion
+                               // itself is an equi-keyed union+window
+                               // over two already-cut top-k lists
   )
 
   // streaming probes execute a query at construction time; plan-audited
