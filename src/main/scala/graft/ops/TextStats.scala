@@ -811,11 +811,22 @@ object TextStats {
     */
   def bm25TopK(docs: DataFrame, idCol: String, text: Column,
       queries: DataFrame, qIdCol: String, qText: Column, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25RankCut(bm25(docs, idCol, text, queries, qIdCol, qText, k1, b),
+      qIdCol, idCol, k)
+
+  /** The per-query rank cut SHARED by the live [[bm25TopK]] and indexed
+    * retrieval compositions (rank over a [[probeBm25Index]] result):
+    * scores round4'd BEFORE ranking (engine-portable kept set), rank
+    * window with `WindowGroupLimit` pushdown, ties on the document id —
+    * one code path, so live and indexed retrieval cannot drift on the
+    * cut semantics.
+    */
+  def bm25RankCut(scored: DataFrame, qIdCol: String, idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qIdCol)).orderBy(col("bm25").desc, col(idCol).asc)
-    bm25(docs, idCol, text, queries, qIdCol, qText, k1, b)
+    scored
       .withColumn("bm25", graft.Canonical.round4(col("bm25")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

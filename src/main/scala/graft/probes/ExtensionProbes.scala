@@ -3137,6 +3137,38 @@ object ExtensionProbes {
          |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
     })
 
+  // — hybrid retrieval, INDEXED lexical arm (x143): the x142 fusion with
+  //   the BM25 side served from a freshly persisted postings index
+  //   ([[TextStats.probeBm25Index]] + the SHARED [[TextStats.bm25RankCut]])
+  //   instead of the live scorer — the daily-sweep deployment shape.
+  //   Oracle: x142's verbatim — indexed ≡ live through the whole fused
+  //   composition, by value.
+  private val x143 = Probe(
+    "x143_hybrid_rrf_indexed",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.TmpDir.root), "x143_bm25").toString
+      TextStats.writeBm25Index(docs, "doc_id", col("text"), path)
+      val queries = docs.filter(pmod(col("doc_id"), lit(97L)) === 1L)
+        .select((col("doc_id") * 1000L).as("query_id"),
+          concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 4)).as("qtext"))
+      val lexical = TextStats.bm25RankCut(
+          TextStats.probeBm25Index(s, path, queries, "query_id", col("qtext")),
+          "query_id", "doc_id", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val qVec = emb.filter(pmod(col("vec_id"), lit(97L)) === 1L)
+        .select((col("vec_id") * 1000L).as("query_id"), col("embedding").as("qvec"))
+      val semantic = Similarity.bruteForceTopK(qVec, "query_id", "qvec",
+          emb, "vec_id", "embedding", k = 10, excludeSelf = false)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(lexical, semantic, "query_id", "doc_id", k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
+        .orderBy("query_id", "rank")
+    },
+    x142.oracle) // indexed lexical arm ≡ live x142, by value
+
   // — target-distribution domain balancing (x136): water-filling keep
   //   rates (C = min_s T_s/f_s; rate_s = C·f_s/T_s ≤ 1, the binding
   //   source keeps everything) — the data-recipe step ahead of the x83
@@ -3213,5 +3245,5 @@ object ExtensionProbes {
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
     x125, x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136, x137, x138, x139,
-    x140, x141, x142)
+    x140, x141, x142, x143)
 }

@@ -85,6 +85,9 @@ class PlanAuditSpec extends SparkSpec {
                                // rank window (WindowGroupLimit)
     "x141_bm25_decontaminate", // the x139 retrieval (same 1-row scalar
                                // broadcast) + a tiny-hit-set anti-join
+    "x143_hybrid_rrf_indexed", // x142's shape with the lexical arm on
+                               // the persisted index (same 1-row stats
+                               // broadcast, same semantic arm)
     "x142_hybrid_rrf_topk"     // the x05 brute-force semantic arm
                                // (corpus × broadcast queries, the exact
                                // baseline by design) + the x139 lexical
