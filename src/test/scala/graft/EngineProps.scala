@@ -319,6 +319,24 @@ object EngineProps extends Properties("engine") {
     }
   }
 
+  property("rrfFuse of a ranking with itself preserves its order; scores = round6(2/(c+rank))") = {
+    // per-query rank permutations of a small id set: fusing a list with
+    // itself must not reorder anything (monotone transform of rank) and
+    // every fused score is exactly the doubled contribution
+    val listGen: Gen[List[Long]] = Gen.choose(1, 6).flatMap(n =>
+      Gen.pick(n, 11L to 20L).map(_.toList))
+    forAll(listGen) { ids =>
+      val ranked = ids.zipWithIndex.map { case (id, i) => (1L, id, (i + 1).toLong) }
+      val df = ranked.toDF("q", "id", "rank")
+      val fused = graft.ops.Similarity.rrfFuse(df, df, "q", "id", k = ids.size)
+        .orderBy("rank").as[(Long, Long, Double, Long)].collect().toSeq
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      fused.map(_._2) == ids &&
+        fused.zipWithIndex.forall { case ((_, _, s, rk), i) =>
+          rk == i + 1 && s == r6(2.0 / (60.0 + (i + 1))) }
+    }
+  }
+
   property("bpe tokenize ids == driver-side fold replay; length == count") = {
     val piece = Gen.oneOf(
       "t", "h", "e", "i", "n", "a", "d", "th", "the", "and", "ing", "wh",

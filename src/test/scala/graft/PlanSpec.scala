@@ -457,6 +457,52 @@ class PlanSpec extends SparkSpec {
       s"probeIngestIndex must not sort a content-keyed window:\n${windowLines.mkString("\n")}")
   }
 
+  test("BM25 fold: an all-bloom-negative batch executes NO scan of postings or doclen (round-14 O(batch) claim)") {
+    // the r13 append anti-joined the full postings id column per fold;
+    // the round-14 contract is that a genuinely-new batch (every id
+    // bloom-negative) never reads EITHER index table — swept across all
+    // executed plans through a listener, the ingest-index audit's shape.
+    // The fixture is deterministic (xxhash64 + fixed ids), so the
+    // bloom-negative precondition either always holds or never does.
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "bm25Plan").toString
+    val docs = Readers.table(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    graft.ops.TextStats.writeBm25Index(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", col("text"), base)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.ops.TextStats.appendToBm25Index(spark, base, batch, "doc_id", col("text"))
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        val n = plans.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        Thread.sleep(100)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    val all = plans.toArray.map(_.toString)
+    assert(all.nonEmpty, "the fold must surface executed plans to audit")
+    // a table READ shows as a FileScan line carrying the table path; the
+    // fold's WRITES to the same dirs are InsertIntoHadoopFsRelation
+    // commands and must not trip the assertion
+    val reads = all.flatMap(_.linesIterator.filter(l =>
+      l.contains("FileScan") && (l.contains("postings") || l.contains("doclen"))))
+    assert(reads.isEmpty,
+      s"an all-new fold must not scan the index tables:\n${reads.mkString("\n")}")
+    // and the fold actually landed (the prune didn't just skip the work)
+    assert(spark.read.parquet(s"$base/doclen").count() == docs.count(),
+      "fold must append the batch's doclen rows")
+  }
+
   test("incrementalParagraphIndexed: the batch election runs exactly once (verdict-r10 note)") {
     // the Bloom-positive and Bloom-negative branches both consume the
     // batch election frame (groupBy __h → min slot). Unpinned, Catalyst
