@@ -41,6 +41,9 @@ object ScalePilot {
   // earlier invocation (or the corpus) used, so every timed fold is the
   // genuine all-new case
   private val bm25FoldPass = new java.util.concurrent.atomic.AtomicLong(0L)
+  // round-14b source-token fold pilot: unique ledger key per invocation
+  // so every timed fold does real work (a replayed key would no-op)
+  private val srcTokFoldPass = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Key-shifted N× copies of the base tables (see object scaladoc).
     * Fixed-size dims (nation/region) are copied once — they do not scale
@@ -138,6 +141,7 @@ object ScalePilot {
       else if (family == "round12b") Set("orders", "documents", "embeddings")
       else if (family == "round13") Set("documents")
       else if (family == "round14") Set("documents")
+      else if (family == "round14b") Set("documents")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -1103,6 +1107,25 @@ object ScalePilot {
           col("doc_id"), size(TextStats.tokens(col("text"))), targets)))
     }
 
+    // round-14b: the source-token fold — a CONSTANT copy-0 batch's
+    // per-source sums merged into the dictionary-sized counts table
+    // (fresh ledger key per invocation so every timed fold does real
+    // work). The index lives beside an N×-growing corpus but the fold
+    // never reads the corpus — wall should track the BATCH.
+    def round14bQueries(dir: String): Seq[(String, () => DataFrame)] = Seq(
+      "source_token_fold" -> (() => {
+        val docs = tbl(dir, "documents")
+          .withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(4L))))
+        val path = s"$dir/__srctok_v1"
+        if (!new java.io.File(s"$path/counts").exists())
+          Sampling.writeSourceTokenIndex(spark, path)
+        val pass = srcTokFoldPass.incrementAndGet()
+        Sampling.foldIntoSourceTokenIndex(spark, path, s"p${dir.hashCode}_$pass",
+          docs.filter(col("doc_id") % 37 === 0 && col("doc_id") < 100000000L),
+          col("grp"), size(TextStats.tokens(col("text"))))
+        spark.range(1).toDF("ok")
+      }))
+
     def bm25PilotQueries(dir: String): DataFrame =
       tbl(dir, "documents")
         .filter(col("doc_id") < 100000000L && col("doc_id") % 97 === 1)
@@ -1126,6 +1149,7 @@ object ScalePilot {
       else if (family == "round12b") round12bQueries(dir)
       else if (family == "round13") round13Queries(dir)
       else if (family == "round14") round14Queries(dir)
+      else if (family == "round14b") round14bQueries(dir)
       else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>

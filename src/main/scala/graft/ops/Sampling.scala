@@ -521,15 +521,24 @@ object Sampling {
   }
 
   def domainBalance(docs: DataFrame, sourceCol: Column, tokenCount: Column,
+      targets: Seq[(String, Double)]): DataFrame =
+    waterFill(docs.groupBy(sourceCol.as("source"))
+      .agg(sum(tokenCount.cast("long")).as("n_tokens")), targets)
+
+  /** The water-fill tail SHARED by the live [[domainBalance]] (one
+    * corpus aggregate) and [[domainBalanceFromIndex]] (a dictionary-
+    * sized index read) — one code path, so the two recipes cannot drift
+    * on the math. Input is the per-source exact token-count table.
+    */
+  private def waterFill(actualCounts: DataFrame,
       targets: Seq[(String, Double)]): DataFrame = {
     require(targets.nonEmpty && math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
       "target fractions must sum to 1")
     require(targets.forall(_._2 > 0), "target fractions must be positive")
     require(targets.map(_._1).distinct.size == targets.size, "duplicate target source")
-    val spark = docs.sparkSession
+    val spark = actualCounts.sparkSession
     val tdf = spark.createDataFrame(targets).toDF("__src", "__f")
-    val actual = docs.groupBy(sourceCol.as("source"))
-      .agg(sum(tokenCount.cast("long")).as("n_tokens"))
+    val actual = actualCounts
       .join(broadcast(tdf), col("source") === col("__src"), "left")
       .localCheckpoint() // pinned: feeds the missing-source gate, C, and the output
     val missing = actual.filter(col("__f").isNull)
@@ -541,5 +550,77 @@ object Sampling {
       .select(col("source"), col("n_tokens"), col("__f").as("target_frac"),
         floor(col("__c") * col("__f")).cast("long").as("quota_tokens"),
         graft.Canonical.round6(col("__c") * col("__f") / col("n_tokens")).as("rate"))
+  }
+
+  // — persisted SOURCE-TOKEN index (incremental domain balance) ——————————
+  //   [[domainBalance]] pays one full-corpus aggregate per recipe update;
+  //   the deployment cadence is a DAILY recipe refresh over a corpus that
+  //   grew by one ingest batch — so the per-source token sums (exact
+  //   additive sufficient statistics, like the BM25 meta counters and the
+  //   LM counts) persist in a dictionary-sized table and each batch folds
+  //   its own sums in. The crash/replay discipline is [[Lm
+  //   .foldIntoCountsIndex]]'s VERBATIM: the batch ledger rides INSIDE
+  //   the single counts table (one `__batch` row per folded batch), the
+  //   fold stages the merged table whole and commits it with the shared
+  //   batch marker — a replayed fold is a ledger-keyed no-op, a crash
+  //   before the marker leaves the old table intact, after it any reader
+  //   completes the swap. Recipe derivation is then O(|sources|), never
+  //   corpus-scale.
+
+  /** Row kind for real per-source counts (ledger rows use
+    * [[Lm.BatchKind]]).
+    */
+  val SourceKind = "src"
+
+  /** Initialize an EMPTY source-token index (folds add every source). */
+  def writeSourceTokenIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    Seq.empty[(String, String, Long)].toDF("kind", "source", "n_tokens")
+      .write.mode("overwrite").parquet(s"$path/counts")
+  }
+
+  /** Batch ids already folded (bounded by the number of folds). */
+  def foldedSourceBatches(spark: org.apache.spark.sql.SparkSession,
+      path: String): Set[String] = {
+    Dedup.finishBatchCompaction(spark, path)
+    spark.read.parquet(s"$path/counts").filter(col("kind") === Lm.BatchKind)
+      .select(col("source")).collect().map(_.getString(0)).toSet
+  }
+
+  /** Fold one ingest batch's per-source token sums into the index.
+    * Returns false (no-op) when `batchId` is already in the ledger.
+    * Cost: the batch aggregate + a dictionary-sized merge — nothing
+    * corpus-scale.
+    */
+  def foldIntoSourceTokenIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchId: String, docs: DataFrame,
+      sourceCol: Column, tokenCount: Column): Boolean = {
+    import spark.implicits._
+    require(batchId.nonEmpty, "batchId must be non-empty")
+    if (foldedSourceBatches(spark, path).contains(batchId)) return false
+    val current = spark.read.parquet(s"$path/counts") // incl. ledger rows
+    val delta = docs.groupBy(sourceCol.cast("string").as("source"))
+      .agg(sum(tokenCount.cast("long")).as("n_tokens"))
+      .select(lit(SourceKind).as("kind"), col("source"), col("n_tokens"))
+    val merged = current.unionByName(delta)
+      .groupBy(col("kind"), col("source")).agg(sum(col("n_tokens")).as("n_tokens"))
+      .unionByName(Seq((Lm.BatchKind, batchId, 1L)).toDF("kind", "source", "n_tokens"))
+    merged.write.mode("overwrite").parquet(s"$path/counts.staging")
+    Dedup.publishBatchMarker(spark, path, Seq("counts"))
+    Dedup.finishBatchCompaction(spark, path)
+    true
+  }
+
+  /** [[domainBalance]] served from the persisted index: the same
+    * water-fill card (shared tail — the two paths cannot drift) from a
+    * dictionary-sized read. Heals an interrupted fold swap first.
+    */
+  def domainBalanceFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targets: Seq[(String, Double)]): DataFrame = {
+    Dedup.finishBatchCompaction(spark, path)
+    waterFill(spark.read.parquet(s"$path/counts")
+      .filter(col("kind") === SourceKind)
+      .select(col("source"), col("n_tokens")), targets)
   }
 }

@@ -3200,6 +3200,67 @@ object ExtensionProbes {
          |FROM j, c ORDER BY source ASC NULLS FIRST""".stripMargin
     })
 
+  // — incremental domain balance (x144): the x136 recipe served from the
+  //   persisted source-token index — init empty, fold half the corpus,
+  //   fold the other half, REPLAY the second fold (ledger no-op, proved
+  //   by the probe equaling the live rates) — against x136's oracle
+  //   VERBATIM: indexed ≡ live through the whole water-fill card.
+  private val x144 = Probe(
+    "x144_domain_balance_indexed",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(4L))))
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.TmpDir.root), "x144_srctok").toString
+      Sampling.writeSourceTokenIndex(s, path)
+      val tk = size(TextStats.tokens(col("text")))
+      Sampling.foldIntoSourceTokenIndex(s, path, "a",
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), col("grp"), tk)
+      Sampling.foldIntoSourceTokenIndex(s, path, "b",
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), col("grp"), tk)
+      Sampling.foldIntoSourceTokenIndex(s, path, "b", // replay: ledger no-op
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1L), col("grp"), tk)
+      Sampling.domainBalanceFromIndex(s, path,
+          Seq("g0" -> 0.4, "g1" -> 0.3, "g2" -> 0.2, "g3" -> 0.1))
+        .orderBy("source")
+    },
+    x136.oracle) // indexed recipe ≡ live, by value
+
+  // — STREAMING domain-balance fold (x145): three document micro-batches
+  //   stream through [[graft.streaming.StreamingIngest.sourceTokenIndexSink]]
+  //   (exactly-once by the in-table stream-<id> ledger), and the recipe
+  //   from the streamed index must equal the live x136 card over the
+  //   whole corpus, against the IDENTICAL oracle SQL — batch boundaries
+  //   must leave no seam in the token sums.
+  private val x145 = Probe(
+    "x145_streaming_domain_balance",
+    (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.TmpDir.root}/tmp/x145_${tag}_${System.nanoTime()}"
+      val docs = t(s, dir, "documents")
+        .withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(4L))))
+        .select(col("doc_id"), col("grp"), col("text"))
+      val schema = docs.schema
+      val (in, idx, ckp) = (s"$base/in", s"$base/idx", s"$base/ckp")
+      def feed(df: org.apache.spark.sql.DataFrame, t2: String): Unit =
+        ParityProbes.feedAtomic(s, base, in, df, t2)
+      feed(docs.filter(pmod(col("doc_id"), lit(3L)) === 0L), "b0")
+      val q = graft.streaming.StreamingIngest.sourceTokenIndexSink(
+        s.readStream.schema(schema).parquet(in), idx, ckp, "grp",
+        size(TextStats.tokens(col("text"))))
+      try {
+        q.processAllAvailable()
+        feed(docs.filter(pmod(col("doc_id"), lit(3L)) === 1L), "b1")
+        q.processAllAvailable()
+        feed(docs.filter(pmod(col("doc_id"), lit(3L)) === 2L), "b2")
+        q.processAllAvailable()
+      } finally q.stop()
+      Sampling.domainBalanceFromIndex(s, idx,
+          Seq("g0" -> 0.4, "g1" -> 0.3, "g2" -> 0.2, "g3" -> 0.1))
+        .orderBy("source")
+    },
+    x136.oracle) // streamed recipe ≡ live card, by value
+
   // — applied domain balance (x140): [[Sampling.balanceToTarget]] keeps
   //   each doc with its source's water-fill rate via the content-
   //   addressed coin — the oracle replays the rate table (x136's CTEs)
@@ -3245,5 +3306,5 @@ object ExtensionProbes {
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
     x125, x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136, x137, x138, x139,
-    x140, x141, x142, x143)
+    x140, x141, x142, x143, x144, x145)
 }

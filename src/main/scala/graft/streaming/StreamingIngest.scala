@@ -583,6 +583,37 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming arm of the persisted source-token index
+    * ([[graft.ops.Sampling.foldIntoSourceTokenIndex]]): each micro-batch
+    * folds its per-source exact token sums under the `stream-<id>`
+    * ledger key — the daily domain-balance recipe refresh without a
+    * corpus rescan. Same exactly-once/crash contract as
+    * [[lmCountsIndexSink]] (in-table ledger, staging+marker swap,
+    * checkpoint-identity stamp enforced), because it IS the same
+    * single-table counts discipline at source grain. Initializes an
+    * empty index on first touch; readers call
+    * [[graft.ops.Sampling.domainBalanceFromIndex]] on whatever cadence
+    * the recipe wants.
+    */
+  def sourceTokenIndexSink(docs: DataFrame, indexPath: String, checkpoint: String,
+      sourceCol: String, tokenCount: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.ops.Dedup.finishBatchCompaction(spark, indexPath)
+        requireCheckpointIdentity(spark, indexPath, checkpoint)
+        val cp = new org.apache.hadoop.fs.Path(s"$indexPath/counts/_SUCCESS")
+        val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(cp)) graft.ops.Sampling.writeSourceTokenIndex(spark, indexPath)
+        graft.ops.Sampling.foldIntoSourceTokenIndex(spark, indexPath,
+          s"stream-$batchId", batch.toDF(), col(sourceCol), tokenCount)
+        ()
+      }
+      .start()
+
   /** Fail fast when a ledger-keyed index is folded from a checkpoint
     * other than the one that built it (see [[lmCountsIndexSink]]'s
     * contract). The identity is the streaming query id from
@@ -611,7 +642,7 @@ object StreamingIngest {
         .findFirstMatchIn(graft.ops.Dedup.readTextFile(spark, stampPath))
         .map(_.group(1)).getOrElse("?")
       require(stamped == qid,
-        s"LM counts index at $indexPath was built by streaming query $stamped; " +
+        s"ledger-keyed index at $indexPath was built by streaming query $stamped; " +
           s"this sink runs as query $qid (a FRESH checkpoint over an already-" +
           "folded index would re-batch input under reused stream-<id> ledger " +
           "keys and silently skip new data). Resume with the original " +

@@ -3030,6 +3030,33 @@ class OpsSpec extends SparkSpec {
     assert(none == Seq(1L, 2L, 3L, 4L), s"minScore gate must keep sub-threshold hits: $none")
   }
 
+  test("source-token index: folds sum exactly, replay is a ledger no-op, staged crash heals, recipe ≡ live") {
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "srctok").toString
+    val rows = Seq(("a", 60L), ("a", 40L), ("b", 100L), ("c", 800L)).toDF("src", "tk")
+    val targets = Seq("a" -> 0.25, "b" -> 0.25, "c" -> 0.5)
+    ops.Sampling.writeSourceTokenIndex(spark, path)
+    assert(ops.Sampling.foldIntoSourceTokenIndex(spark, path, "d1",
+      rows.filter($"tk" < 100L), $"src", $"tk"))
+    assert(ops.Sampling.foldIntoSourceTokenIndex(spark, path, "d2",
+      rows.filter($"tk" >= 100L), $"src", $"tk"))
+    assert(!ops.Sampling.foldIntoSourceTokenIndex(spark, path, "d2",
+      rows.filter($"tk" >= 100L), $"src", $"tk"), "replayed batch id must be a no-op")
+    def card() = ops.Sampling.domainBalanceFromIndex(spark, path, targets)
+      .orderBy("source").as[(String, Long, Double, Long, Double)].collect().toSeq
+    val live = ops.Sampling.domainBalance(rows, $"src", $"tk", targets)
+      .orderBy("source").as[(String, Long, Double, Long, Double)].collect().toSeq
+    assert(card() == live, s"indexed recipe must equal live: ${card()} vs $live")
+    assert(card().map(r => (r._1, r._2)) == Seq(("a", 100L), ("b", 100L), ("c", 800L)))
+    // crash drill: a fold staged its merged table + marker, then died —
+    // the next reader completes the swap and the recipe is unchanged
+    spark.read.parquet(s"$path/counts")
+      .write.mode("overwrite").parquet(s"$path/counts.staging")
+    ops.Dedup.publishBatchMarker(spark, path, Seq("counts"))
+    assert(card() == live, "post-marker crash must heal to the identical recipe")
+    assert(ops.Sampling.foldedSourceBatches(spark, path) == Set("d1", "d2"))
+  }
+
   test("rrfFuse: hand-checked contribution sums, single-list items score, ties break on id") {
     // q=1: list A ranks (10→1, 20→2); list B ranks (20→1, 30→2).
     // rrf(20) = 1/61 + 1/62, rrf(10) = 1/61, rrf(30) = 1/62 →

@@ -76,6 +76,11 @@ class PlanAuditSpec extends SparkSpec {
                                // a 1-row aggregate crossed back onto the
                                // dictionary-sized source table — scalar
                                // broadcast again
+    "x144_domain_balance_indexed", // the same water-fill tail (shared
+                               // code) over the dictionary-sized
+                               // source-token index read
+    "x145_streaming_domain_balance", // ditto, over the stream-folded
+                               // index
     "x137_bm25_indexed",       // the x135 scoring tail (1-row N/avgdl
                                // scalar broadcast) over the pruned
                                // postings scan

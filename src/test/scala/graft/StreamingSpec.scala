@@ -510,6 +510,54 @@ class StreamingSpec extends SparkSpec {
       Set(1L, 2L, 3L, 4L))
   }
 
+  test("source-token sink: streamed recipe ≡ live domainBalance; crash replay is a ledger no-op; fresh checkpoint fails fast") {
+    val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "srctoksink").toString
+    val b1 = Seq(("a", 60L), ("b", 100L)).toDF("src", "tk")
+    val b2 = Seq(("a", 40L), ("c", 800L)).toDF("src", "tk")
+    val targets = Seq("a" -> 0.25, "b" -> 0.25, "c" -> 0.5)
+    val schema = b1.schema
+    val (in, idx, ckp) = (s"$base/in", s"$base/idx", s"$base/ckp")
+    b1.write.mode("append").parquet(in)
+    val q1 = StreamingIngest.sourceTokenIndexSink(
+      spark.readStream.schema(schema).parquet(in), idx, ckp, "src", $"tk")
+    try {
+      q1.processAllAvailable()
+      b2.write.mode("append").parquet(in)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def card(p: String) = ops.Sampling.domainBalanceFromIndex(spark, p, targets)
+      .orderBy("source").as[(String, Long, Double, Long, Double)].collect().toSeq
+    val live = ops.Sampling.domainBalance(b1.unionByName(b2), $"src", $"tk", targets)
+      .orderBy("source").as[(String, Long, Double, Long, Double)].collect().toSeq
+    assert(card(idx) == live, s"streamed recipe must equal live: ${card(idx)} vs $live")
+    // crash replay: batch 1's commit vanishes, the restart re-folds it —
+    // the ledger must no-op and the recipe must not move
+    assert(new java.io.File(s"$ckp/commits/1").delete())
+    new java.io.File(s"$ckp/commits/.1.crc").delete()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    val q2 = StreamingIngest.sourceTokenIndexSink(
+      spark.readStream.schema(schema).parquet(in), idx, ckp, "src", $"tk")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(card(idx) == live, "replayed fold must be a ledger no-op")
+    assert(ops.Sampling.foldedSourceBatches(spark, idx) == Set("stream-0", "stream-1"))
+    // fresh-checkpoint guard (shared requireCheckpointIdentity)
+    b1.write.mode("append").parquet(s"$base/in2")
+    val qBad = StreamingIngest.sourceTokenIndexSink(
+      spark.readStream.schema(schema).parquet(s"$base/in2"), idx, s"$base/ckpFresh", "src", $"tk")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qBad.processAllAvailable()
+    }
+    qBad.stop()
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) String.valueOf(t.getMessage)
+      else String.valueOf(t.getMessage) + " | " + rootMsg(t.getCause)
+    assert(rootMsg(err).contains("FRESH checkpoint"),
+      s"fresh-checkpoint fold must fail fast: ${rootMsg(err).take(400)}")
+    assert(card(idx) == live, "failed fold must not touch the index")
+  }
+
   test("LM counts sink: folds equal one-shot counts; kill mid-fold (staged, unswapped) + resume ≡ uninterrupted") {
     val base = Files.createTempDirectory(Paths.get(graft.TmpDir.root), "lmcs").toString
     val b1 = Seq((1L, "the cat sat on the mat"), (2L, "a dog in a fog"))
