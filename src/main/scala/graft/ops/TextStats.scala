@@ -1151,4 +1151,30 @@ object TextStats {
       .select(col(idCol)).distinct()
     corpus.join(hits, Seq(idCol), "left_anti")
   }
+
+  /** The id column a persisted BM25 index was built over (from
+    * meta.json) — for callers composing over [[probeBm25Index]] results.
+    */
+  def bm25IndexIdCol(spark: SparkSession, path: String): String =
+    bm25MetaIdCol(spark, path)
+
+  /** [[bm25Decontaminate]] with the retrieval served from a persisted
+    * postings index — the daily-sweep shape: fresh benchmark queries
+    * sweep the indexed corpus without re-tokenizing it. Same cut, same
+    * threshold, same distinct-before-anti-join semantics (shared
+    * [[bm25RankCut]] tail); `corpus` must be keyed by the index's id
+    * column. x146 pins indexed ≡ live by value against x141's oracle.
+    */
+  def bm25DecontaminateIndexed(spark: SparkSession, indexPath: String,
+      corpus: DataFrame, queries: DataFrame, qIdCol: String, qText: Column,
+      k: Int, minScore: Double = 0.0,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val idCol = bm25MetaIdCol(spark, indexPath)
+    val hits = bm25RankCut(
+        probeBm25Index(spark, indexPath, queries, qIdCol, qText, k1, b),
+        qIdCol, idCol, k)
+      .filter(col("bm25") >= minScore)
+      .select(col(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
 }

@@ -3137,6 +3137,28 @@ object ExtensionProbes {
          |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
     })
 
+  // — retrieval decontamination, INDEXED (x146): the x141 end-cap with
+  //   the retrieval served from a freshly persisted postings index
+  //   ([[TextStats.bm25DecontaminateIndexed]]) — against x141's oracle
+  //   VERBATIM: indexed ≡ live through the cut, the threshold, and the
+  //   anti-join.
+  private val x146 = Probe(
+    "x146_bm25_decontaminate_indexed",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.TmpDir.root), "x146_bm25").toString
+      TextStats.writeBm25Index(docs, "doc_id", col("text"), path)
+      val queries = docs.filter(pmod(col("doc_id"), lit(97L)) === 1L)
+        .select((col("doc_id") * 1000L).as("query_id"),
+          concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 4)).as("qtext"))
+      TextStats.bm25DecontaminateIndexed(s, path, docs,
+          queries, "query_id", col("qtext"), k = 5, minScore = 1.0)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+    x141.oracle) // indexed sweep ≡ live x141, by value
+
   // — hybrid retrieval, INDEXED lexical arm (x143): the x142 fusion with
   //   the BM25 side served from a freshly persisted postings index
   //   ([[TextStats.probeBm25Index]] + the SHARED [[TextStats.bm25RankCut]])
@@ -3306,5 +3328,5 @@ object ExtensionProbes {
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
     x125, x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136, x137, x138, x139,
-    x140, x141, x142, x143, x144, x145)
+    x140, x141, x142, x143, x144, x145, x146)
 }

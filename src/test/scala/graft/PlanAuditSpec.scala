@@ -90,6 +90,8 @@ class PlanAuditSpec extends SparkSpec {
                                // rank window (WindowGroupLimit)
     "x141_bm25_decontaminate", // the x139 retrieval (same 1-row scalar
                                // broadcast) + a tiny-hit-set anti-join
+    "x146_bm25_decontaminate_indexed", // x141's shape over the pruned
+                               // postings probe (same stats broadcast)
     "x143_hybrid_rrf_indexed", // x142's shape with the lexical arm on
                                // the persisted index (same 1-row stats
                                // broadcast, same semantic arm)
