@@ -995,7 +995,10 @@ object TextStats {
     * crash between the two table writes heals on replay because each
     * table's delta is anti-joined against ITS OWN existing ids (the
     * [[Dedup.appendToSimhashIndex]] discipline). Documents whose id is
-    * already indexed are skipped (re-ingest no-op).
+    * already indexed are skipped (re-ingest no-op). Ids must be unique
+    * per document — a duplicated id inside one batch reads as ONE doc
+    * with merged term counts, identically in the live [[bm25]] and the
+    * indexed path (the two stay value-equal either way); dedup upstream.
     *
     * Fold cost is O(batch + bloom-positives), NOT O(index) (round 14;
     * the r13 shape anti-joined the FULL postings id column per fold):
