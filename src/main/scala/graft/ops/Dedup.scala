@@ -1735,11 +1735,27 @@ object Dedup {
       sizes: DataFrame,    // (id, set_size)
       n: Int, numPerm: Int, numBands: Int, rowsPerBand: Int)
 
+  /** Write a small text file ATOMICALLY-ish: content lands whole in
+    * `<path>.__tmp` first and swaps in via rename (the
+    * [[writeBloomFileAtomic]] discipline). A crash mid-write can never
+    * leave a TRUNCATED destination — the hazard became live in round 14
+    * when `meta.json` turned into a PER-FOLD rewrite on the BM25 index
+    * (truncated JSON loses `id_col` and bricks the index). Worst case
+    * (crash inside the delete→rename window) leaves the file MISSING,
+    * which every reader treats as "incomplete": it fails loud with
+    * rebuild guidance, or self-heals where a sibling artifact carries
+    * the lost fields (the BM25 family reconstructs meta.json from the
+    * `stats.dirty` marker + the doclen table).
+    */
   private[graft] def writeTextFile(spark: org.apache.spark.sql.SparkSession, path: String,
       content: String): Unit = {
     val (fs, p) = hadoopFs(spark, path)
-    val out = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__tmp")
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"text-file swap $tmp -> $p failed")
   }
 
   private[graft] def readTextFile(spark: org.apache.spark.sql.SparkSession, path: String): String = {

@@ -185,13 +185,26 @@ object Lm {
     * replaces counts AND ledger in one table — a crash before the marker
     * leaves the old index intact; after it, the next reader completes
     * the swap. Cost per fold: the batch scan + one
-    * distinct-term-bounded merge aggregate; nothing corpus-scale.
+    * distinct-term-bounded merge aggregate; nothing corpus-scale — the
+    * ledger check is a pruned single-row lookup, not a driver collect of
+    * every folded batch id (round 15).
+    *
+    * SINGLE WRITER per index path: read-merge-swap over the one counts
+    * table with no writer lock — two concurrent folds would each stage
+    * from the same read and the second marker swap silently discards the
+    * first fold's counts. Serialize folds per path (the
+    * [[Dedup.compactIngestIndex]] contract;
+    * [[Sampling.foldIntoSourceTokenIndex]] inherits the same rule).
     */
   def foldIntoCountsIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       batchId: String, docs: DataFrame, textCol: String = "text"): Boolean = {
     import spark.implicits._
     require(batchId.nonEmpty, "batchId must be non-empty")
-    if (foldedBatches(spark, path).contains(batchId)) return false
+    Dedup.finishBatchCompaction(spark, path)
+    val already = spark.read.parquet(s"$path/counts")
+      .filter(col("kind") === BatchKind && col("term") === batchId)
+      .limit(1).count() > 0
+    if (already) return false
     val current = spark.read.parquet(s"$path/counts") // incl. ledger rows
     val merged = mergeCounts(current, trainCounts3(docs, textCol))
       .unionByName(Seq((BatchKind, batchId, 1L)).toDF("kind", "term", "n"))

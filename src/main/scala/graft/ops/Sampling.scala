@@ -591,14 +591,31 @@ object Sampling {
   /** Fold one ingest batch's per-source token sums into the index.
     * Returns false (no-op) when `batchId` is already in the ledger.
     * Cost: the batch aggregate + a dictionary-sized merge — nothing
-    * corpus-scale.
+    * corpus-scale; the ledger check is a pruned single-row lookup, not a
+    * driver collect of the whole ledger (round 15). Ledger rows are
+    * bounded by the fold count (years of daily folds ≈ thousands of
+    * dictionary-sized rows) and are deliberately NEVER compacted away —
+    * dropping one would un-no-op its batch's replay.
+    *
+    * SINGLE WRITER per index path: the fold is read-merge-swap over the
+    * one counts table with no writer lock, so two concurrent folds (two
+    * batch folds, or a batch fold racing
+    * [[graft.streaming.StreamingIngest.sourceTokenIndexSink]] on the
+    * same path) would each stage from the same read and the second
+    * marker swap silently discards the first fold's sums. Serialize
+    * folds per path — the [[Lm.foldIntoCountsIndex]] /
+    * [[Dedup.compactIngestIndex]] contract.
     */
   def foldIntoSourceTokenIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batchId: String, docs: DataFrame,
       sourceCol: Column, tokenCount: Column): Boolean = {
     import spark.implicits._
     require(batchId.nonEmpty, "batchId must be non-empty")
-    if (foldedSourceBatches(spark, path).contains(batchId)) return false
+    Dedup.finishBatchCompaction(spark, path)
+    val already = spark.read.parquet(s"$path/counts")
+      .filter(col("kind") === Lm.BatchKind && col("source") === batchId)
+      .limit(1).count() > 0
+    if (already) return false
     val current = spark.read.parquet(s"$path/counts") // incl. ledger rows
     val delta = docs.groupBy(sourceCol.cast("string").as("source"))
       .agg(sum(tokenCount.cast("long")).as("n_tokens"))

@@ -891,9 +891,19 @@ object TextStats {
   /** Exact additive sufficient statistics of the index, pinned in
     * `meta.json`: token counts are integers, so `sum_dl` is
     * order-independent and survives append/compact exactly — the probe's
-    * (N, avgdl) never needs a doclen scan.
+    * (N, avgdl) never needs a doclen scan. `bloomItems`/`bloomFpp` pin
+    * the sketch's BUILD params (round 15): a lost `bloom.bin` rebuilds
+    * at the index's own sizing, not the default — a 100M-id index whose
+    * sketch rebuilt at the 4M default would silently saturate and
+    * degrade every fold back toward O(index).
     */
-  private final case class Bm25Meta(idCol: String, nDocs: Long, sumDl: Long)
+  private final case class Bm25Meta(idCol: String, nDocs: Long, sumDl: Long,
+      bloomItems: Long, bloomFpp: Double)
+
+  private def writeBm25Meta(spark: SparkSession, path: String, m: Bm25Meta): Unit =
+    Dedup.writeTextFile(spark, s"$path/meta.json",
+      s"""{"id_col":"${m.idCol}","n_docs":${m.nDocs},"sum_dl":${m.sumDl},""" +
+        s""""bloom_items":${m.bloomItems},"bloom_fpp":${m.bloomFpp}}""")
 
   private def bm25AggDoclen(doclen: DataFrame): (Long, Long) = {
     val row = doclen.agg(count(lit(1)).as("n"),
@@ -931,19 +941,35 @@ object TextStats {
     Dedup.writeBloomFileAtomic(spark, path, bf, expectedItems, fpp)
     val (dfs, dirtyP) = Dedup.hadoopFs(spark, s"$path/stats.dirty")
     if (dfs.exists(dirtyP)) dfs.delete(dirtyP, false) // stale intent marker
-    Dedup.writeTextFile(spark, s"$path/meta.json",
-      s"""{"id_col":"$idCol","n_docs":$n,"sum_dl":$sumDl}""")
+    writeBm25Meta(spark, path, Bm25Meta(idCol, n, sumDl, expectedItems, fpp))
   }
 
+  /** The id column from `meta.json`, with the round-15 crash fallback:
+    * every meta REWRITE (fold, heal) is bracketed by a `stats.dirty`
+    * marker that carries `id_col` too, so the one unrecoverable loss a
+    * truncating rewrite used to risk — meta gone, id column unknowable,
+    * index bricked — now heals: a missing meta with a pending marker
+    * reads the id column from the marker (and [[healBm25Stats]] rebuilds
+    * the counters from doclen).
+    */
   private def bm25MetaIdCol(spark: SparkSession, path: String): String = {
     val (fs, p) = Dedup.hadoopFs(spark, s"$path/meta.json")
-    if (!fs.exists(p)) throw new IllegalStateException(
-      s"BM25 index at $path has no meta.json (incomplete or interrupted " +
-        "build) — rebuild with writeBm25Index")
-    """"id_col"\s*:\s*"([^"]+)"""".r
-      .findFirstMatchIn(Dedup.readTextFile(spark, s"$path/meta.json"))
-      .map(_.group(1)).getOrElse(throw new IllegalStateException(
-        s"BM25 index at $path has no id_col in meta.json"))
+    val idRe = """"id_col"\s*:\s*"([^"]+)"""".r
+    if (fs.exists(p))
+      idRe.findFirstMatchIn(Dedup.readTextFile(spark, s"$path/meta.json"))
+        .map(_.group(1)).getOrElse(throw new IllegalStateException(
+          s"BM25 index at $path has no id_col in meta.json"))
+    else {
+      val (_, dirtyP) = Dedup.hadoopFs(spark, s"$path/stats.dirty")
+      val fromDirty =
+        if (fs.exists(dirtyP))
+          idRe.findFirstMatchIn(Dedup.readTextFile(spark, s"$path/stats.dirty"))
+            .map(_.group(1))
+        else None
+      fromDirty.getOrElse(throw new IllegalStateException(
+        s"BM25 index at $path has no meta.json (incomplete or interrupted " +
+          "build) — rebuild with writeBm25Index"))
+    }
   }
 
   /** Ensure `meta.json` carries trustworthy (n_docs, sum_dl) counters:
@@ -956,17 +982,34 @@ object TextStats {
   private def healBm25Stats(spark: SparkSession, path: String): Bm25Meta = {
     val idCol = bm25MetaIdCol(spark, path)
     val (fs, dirtyP) = Dedup.hadoopFs(spark, s"$path/stats.dirty")
-    val meta = Dedup.readTextFile(spark, s"$path/meta.json")
+    val (_, metaP) = Dedup.hadoopFs(spark, s"$path/meta.json")
+    val meta = if (fs.exists(metaP)) Dedup.readTextFile(spark, s"$path/meta.json") else ""
     def num(k: String): Option[Long] =
       (s""""$k"\\s*:\\s*(-?[0-9]+)""").r.findFirstMatchIn(meta).map(_.group(1).toLong)
-    (num("n_docs"), num("sum_dl")) match {
-      case (Some(n), Some(s)) if !fs.exists(dirtyP) => Bm25Meta(idCol, n, s)
+    def dbl(k: String): Option[Double] =
+      (s""""$k"\\s*:\\s*([0-9.eE+-]+)""").r.findFirstMatchIn(meta).map(_.group(1).toDouble)
+    // bloom build params: meta's pin, else the bin file's own header
+    // (pre-round-15 meta), else the defaults (bin lost too)
+    lazy val (bloomItems, bloomFpp) = (num("bloom_items"), dbl("bloom_fpp")) match {
+      case (Some(i), Some(f)) => (i, f)
       case _ =>
+        val (bfs, bp) = Dedup.hadoopFs(spark, s"$path/bloom.bin")
+        if (bfs.exists(bp)) { val (_, i, f) = Dedup.readBloomFile(spark, path); (i, f) }
+        else (Bm25BloomItems, 0.01)
+    }
+    (num("n_docs"), num("sum_dl")) match {
+      case (Some(n), Some(s)) if !fs.exists(dirtyP) =>
+        Bm25Meta(idCol, n, s, bloomItems, bloomFpp)
+      case _ =>
+        // bracket the rewrite with the id_col-carrying intent marker so a
+        // crash inside the meta swap window stays recoverable (the marker
+        // is the id column's backup while meta.json is in flight)
+        Dedup.writeTextFile(spark, s"$path/stats.dirty", s"""{"id_col":"$idCol"}""")
         val (n, s) = bm25AggDoclen(spark.read.parquet(s"$path/doclen"))
-        Dedup.writeTextFile(spark, s"$path/meta.json",
-          s"""{"id_col":"$idCol","n_docs":$n,"sum_dl":$s}""")
-        if (fs.exists(dirtyP)) fs.delete(dirtyP, false)
-        Bm25Meta(idCol, n, s)
+        val healed = Bm25Meta(idCol, n, s, bloomItems, bloomFpp)
+        writeBm25Meta(spark, path, healed)
+        fs.delete(dirtyP, false)
+        healed
     }
   }
 
@@ -977,17 +1020,23 @@ object TextStats {
     * rebuild could false-NEGATIVE a posted id and double-append its
     * postings on the next fold.
     */
-  private def readBm25Bloom(spark: SparkSession, path: String)
+  private def readBm25Bloom(spark: SparkSession, path: String, meta: Bm25Meta)
       : (org.apache.spark.util.sketch.BloomFilter, Long, Double) = {
     val (fs, p) = Dedup.hadoopFs(spark, s"$path/bloom.bin")
     if (fs.exists(p)) Dedup.readBloomFile(spark, path)
     else {
+      // rebuild at the index's own pinned sizing (meta.json, round 15) —
+      // the default 4M-item sketch would silently saturate under a larger
+      // index and degrade every fold back toward O(index); log the event
+      // so a recurring rebuild (flaky FS, crash loop) is visible
+      System.err.println(s"""{"bm25_bloom_rebuild":"$path",""" +
+        s""""expected_items":${meta.bloomItems},"fpp":${meta.bloomFpp}}""")
       val ids = spark.read.parquet(s"$path/postings").select(col("id"))
         .union(spark.read.parquet(s"$path/doclen").select(col("id")))
       val bf = ids.select(xxhash64(col("id")).as("__k"))
-        .stat.bloomFilter("__k", Bm25BloomItems, 0.01)
-      Dedup.writeBloomFileAtomic(spark, path, bf, Bm25BloomItems, 0.01)
-      (bf, Bm25BloomItems, 0.01)
+        .stat.bloomFilter("__k", meta.bloomItems, meta.bloomFpp)
+      Dedup.writeBloomFileAtomic(spark, path, bf, meta.bloomItems, meta.bloomFpp)
+      (bf, meta.bloomItems, meta.bloomFpp)
     }
   }
 
@@ -996,9 +1045,13 @@ object TextStats {
     * table's delta is anti-joined against ITS OWN existing ids (the
     * [[Dedup.appendToSimhashIndex]] discipline). Documents whose id is
     * already indexed are skipped (re-ingest no-op). Ids must be unique
-    * per document — a duplicated id inside one batch reads as ONE doc
-    * with merged term counts, identically in the live [[bm25]] and the
-    * indexed path (the two stay value-equal either way); dedup upstream.
+    * (and non-null) per document, and the fold FAILS LOUD when a batch
+    * violates that (round 15; one cheap batch-sized aggregate): with
+    * different text under one id, both the live [[bm25]] and
+    * [[postingsOf]] pick `__dl` via a partition-order-dependent
+    * `first()`, so live and indexed scores could silently diverge on
+    * exactly that input — the keep-first dedups guard their id
+    * preconditions at runtime, and so does the fold.
     *
     * Fold cost is O(batch + bloom-positives), NOT O(index) (round 14;
     * the r13 shape anti-joined the FULL postings id column per fold):
@@ -1023,7 +1076,17 @@ object TextStats {
     val meta = healBm25Stats(spark, path)
     require(meta.idCol == idCol,
       s"BM25 index at $path was built over id column '${meta.idCol}', append passed '$idCol'")
-    val (bloom, items, fpp) = readBm25Bloom(spark, path)
+    // unique-id precondition, GUARDED (see scaladoc): batch rows vs
+    // distinct non-null ids — one batch-sized aggregate, nothing
+    // index-scale
+    val bCheck = newDocs.agg(count(lit(1)).as("__c"),
+      count_distinct(col(idCol)).as("__d")).head()
+    require(bCheck.getLong(0) == bCheck.getLong(1),
+      s"batch folding into the BM25 index at $path has " +
+        s"${bCheck.getLong(0) - bCheck.getLong(1)} duplicated or null '$idCol' " +
+        "rows — per-document term counts would merge non-deterministically; " +
+        "dedup the batch (keep-first / digest agg) before the fold")
+    val (bloom, items, fpp) = readBm25Bloom(spark, path, meta)
     val positives = newDocs.select(col(idCol).as("id")).distinct()
       .filter(graft.functions.BloomFunctions.mightContain(xxhash64(col("id")), bloom))
       .localCheckpoint()
@@ -1052,12 +1115,15 @@ object TextStats {
     // sketch BEFORE tables; intent marker BEFORE the appends (see scaladoc)
     bloom.mergeInPlace(delta)
     Dedup.writeBloomFileAtomic(spark, path, bloom, items, fpp)
-    Dedup.writeTextFile(spark, s"$path/stats.dirty", "{}")
+    // the intent marker carries id_col (round 15): while meta.json is in
+    // flight — including this fold's own rewrite below — the marker is
+    // the id column's recoverable backup
+    Dedup.writeTextFile(spark, s"$path/stats.dirty", s"""{"id_col":"$idCol"}""")
     freshP.write.mode("append").partitionBy("__tp").parquet(s"$path/postings")
     freshD.write.mode("append").parquet(s"$path/doclen")
     val (dn, dsum) = bm25AggDoclen(freshD) // pinned delta: exact by additivity
-    Dedup.writeTextFile(spark, s"$path/meta.json",
-      s"""{"id_col":"$idCol","n_docs":${meta.nDocs + dn},"sum_dl":${meta.sumDl + dsum}}""")
+    writeBm25Meta(spark, path,
+      Bm25Meta(idCol, meta.nDocs + dn, meta.sumDl + dsum, items, fpp))
     val (dfs, dirtyP) = Dedup.hadoopFs(spark, s"$path/stats.dirty")
     dfs.delete(dirtyP, false)
     val (fs, dp) = Dedup.hadoopFs(spark, s"$path/doclen")

@@ -3000,6 +3000,72 @@ class OpsSpec extends SparkSpec {
       "a refused empty build must not stamp meta.json")
   }
 
+  test("BM25 index round-15 crash/contract drills: lost meta heals from the marker, " +
+      "bloom rebuilds at pinned params, duplicate-id batch fails loud") {
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "bm25r15").toString
+    val corpus = docs.select($"doc_id".as("id"), $"text")
+    val a = corpus.filter($"id" % 2 === 0)
+    val b = corpus.filter($"id" % 2 === 1)
+    val q = corpus.filter($"id" % 83 === 1)
+      .select(($"id" * 100).as("qid"),
+        concat_ws(" ", slice(ops.TextStats.tokens($"text"), 1, 3)).as("qt"))
+    def r6(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"id", graft.Canonical.round6($"bm25").as("bm25"))
+      .orderBy("qid", "id").as[(Long, Long, Double)].collect().toSeq
+    def probe() = r6(ops.TextStats.probeBm25Index(spark, path, q, "qid", $"qt"))
+
+    // custom sketch sizing pinned in meta.json (advice r15): a lost
+    // bloom.bin must rebuild at the BUILD's params, not the defaults
+    ops.TextStats.writeBm25Index(a, "id", $"text", path,
+      expectedItems = 1234L, fpp = 0.05)
+    val metaTxt = ops.Dedup.readTextFile(spark, s"$path/meta.json")
+    assert(metaTxt.contains("\"bloom_items\":1234") && metaTxt.contains("\"bloom_fpp\":0.05"),
+      s"build params must ride meta.json: $metaTxt")
+    assert(new java.io.File(s"$path/bloom.bin").delete())
+    ops.TextStats.appendToBm25Index(spark, path, b, "id", $"text")
+    val (fs, _) = ops.Dedup.hadoopFs(spark, path)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/bloom.bin"))
+    val dis = new java.io.DataInputStream(in)
+    val (items, fpp) = try (dis.readLong(), dis.readDouble()) finally in.close()
+    assert((items, fpp) == ((1234L, 0.05)),
+      s"rebuilt sketch must use the pinned params, got ($items, $fpp)")
+    val live = r6(ops.TextStats.bm25(corpus, "id", $"text", q, "qid", $"qt"))
+    assert(probe() == live, "probe after the param-pinned rebuild must equal live")
+
+    // the one crash the r14 layout could not survive: meta.json LOST
+    // mid-rewrite (atomic-swap worst case) while the fold's intent
+    // marker is pending — id_col now heals from the marker, counters
+    // from doclen, and the index keeps working
+    ops.Dedup.writeTextFile(spark, s"$path/stats.dirty", """{"id_col":"id"}""")
+    assert(new java.io.File(s"$path/meta.json").delete())
+    assert(probe() == live, "probe must reconstruct meta from marker + doclen")
+    val healed = ops.Dedup.readTextFile(spark, s"$path/meta.json")
+    assert(healed.contains("\"id_col\":\"id\"") && healed.contains("\"n_docs\""),
+      s"heal must rewrite a complete meta.json: $healed")
+    assert(!new java.io.File(s"$path/stats.dirty").exists(), "heal must clear the marker")
+
+    // duplicate ids inside one batch: fail loud BEFORE any mutation
+    // (different text under one id would make live and indexed scores
+    // diverge via the partition-order first(__dl))
+    val nBefore = spark.read.parquet(s"$path/doclen").count()
+    val dup = Seq((999999L, "aa bb"), (999999L, "aa bb cc dd ee")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      ops.TextStats.appendToBm25Index(spark, path, dup, "id", $"text")
+    }
+    assert(e.getMessage.contains("duplicated"), e.getMessage)
+    assert(spark.read.parquet(s"$path/doclen").count() == nBefore,
+      "a refused fold must not have touched the tables")
+
+    // writeTextFile is atomic: the destination is only ever whole, and
+    // no .__tmp residue survives a completed write
+    ops.Dedup.writeTextFile(spark, s"$path/probe.txt", "first")
+    ops.Dedup.writeTextFile(spark, s"$path/probe.txt", "second")
+    assert(ops.Dedup.readTextFile(spark, s"$path/probe.txt") == "second")
+    assert(!new java.io.File(s"$path/probe.txt.__tmp").exists(),
+      "the atomic swap must consume its tmp file")
+  }
+
   test("bm25Decontaminate: k-boundary tie breaks on doc id, multi-query docs removed once, threshold respected") {
     // docs 1 and 2 are IDENTICAL → identical scores for any query; with
     // k=1 the tie at the cut breaks on doc id asc: doc 1 is retrieved

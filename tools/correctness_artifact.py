@@ -59,8 +59,24 @@ for name, sql in sorted(oracle.items()):
                        and vhash(g) == vhash(e_))
 
 ok = sum(1 for r in res.values() if r["hash_match"])
+total = len(res)
+# provenance rides IN the artifact (round-15 advice): a consumer must be
+# able to tell this builder-graded twin from the driver's independently
+# produced CORRECTNESS_r{N}.json without reading any docs
+try:
+    import subprocess
+    sha = subprocess.run(['git', '-C', os.path.dirname(os.path.abspath(__file__)),
+                          'rev-parse', 'HEAD'],
+                         capture_output=True, text=True).stdout.strip() or 'unknown'
+except Exception:
+    sha = 'unknown'
+res['_provenance'] = {
+    "producer": "builder tools/correctness_artifact.py (self-graded twin, "
+                "NOT the driver's artifact)",
+    "git_sha": sha, "sf_dir": sf, "verify_dump": out,
+    "hash_match": ok, "total": total}
 with open(dst, 'w') as f:
     json.dump(res, f, indent=0, sort_keys=True)
     f.write('\n')
-print(f'{ok}/{len(res)} hash-match -> {dst}')
-sys.exit(0 if ok == len(res) else 1)
+print(f'{ok}/{total} hash-match -> {dst}')
+sys.exit(0 if ok == total else 1)
