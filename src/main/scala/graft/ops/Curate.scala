@@ -273,7 +273,10 @@ object Curate {
     *      ([[Decontaminate.clean]]);
     *   6. temperature-weighted mixture over caller-named source slices
     *      ([[Sampling.temperatureMixturePortable]] — the portable coin,
-    *      so the kept set replays cross-engine);
+    *      so the kept set replays cross-engine); or, when
+    *      `balanceTargets` is set, the water-fill domain-balance recipe
+    *      at those target fractions ([[Sampling.balanceToTarget]] —
+    *      the x136/x140 card, first-match source attribution);
     *   7. token-balanced contiguous shards in the seeded epoch order
     *      ([[graft.etl.Export.trainOrderTokenShards]]; `tokenCount`
     *      defaults to `length(textCol)`, the char proxy).
@@ -310,7 +313,8 @@ object Curate {
       seed: String = "epoch1",
       nShards: Int = 8,
       tokenCount: Option[org.apache.spark.sql.Column] = None,
-      pinStages: Boolean = true): DataFrame = {
+      pinStages: Boolean = true,
+      balanceTargets: Option[Seq[(String, Double)]] = None): DataFrame = {
     require(sources.nonEmpty, "need >=1 mixture source")
     def pin(df: DataFrame): DataFrame = if (pinStages) df.localCheckpoint() else df
     val pre = precleanStages(pages, idCol, urlCol, htmlCol, textCol,
@@ -318,10 +322,29 @@ object Curate {
     val classified = pre.last._2
     val decont = pin(Decontaminate.clean(classified, idCol, col(textCol),
       bench, benchIdCol, benchText, n = decontamNgram, minHits = decontamMinHits))
-    val named = sources.map { case (name, pred) => (name, decont.filter(pred)) }
-    val rates = Sampling.temperatureRates(named, alpha, budget)
-    val mixed = Sampling.temperatureMixturePortable(named, col(idCol), rates)
     val tok = tokenCount.getOrElse(length(col(textCol)).cast("long"))
+    // step 6, two recipe forms: the temperature mixture (default), or —
+    // when `balanceTargets` is given — the water-fill domain balance real
+    // data cards state ([[Sampling.balanceToTarget]]; round 15, the
+    // balance → shuffle → shard composition x148 pins stage-for-stage).
+    // In the balance arm a page is attributed to the FIRST source whose
+    // predicate matches (the mixture's slices may overlap; a rate card
+    // needs a partition), and `alpha`/`budget` are unused.
+    val mixed = balanceTargets match {
+      case Some(targets) =>
+        val srcExpr = sources.tail.foldLeft(
+            when(sources.head._2, lit(sources.head._1))) {
+          case (acc, (name, pred)) => acc.when(pred, lit(name))
+        }
+        Sampling.balanceToTarget(
+            decont.withColumn("__src", srcExpr).filter(col("__src").isNotNull),
+            col("__src"), col(idCol), tok, targets)
+          .drop("__src", "balance_rate")
+      case None =>
+        val named = sources.map { case (name, pred) => (name, decont.filter(pred)) }
+        val rates = Sampling.temperatureRates(named, alpha, budget)
+        Sampling.temperatureMixturePortable(named, col(idCol), rates)
+    }
     val shards = pin(graft.etl.Export.trainOrderTokenShards(mixed, idCol, seed, nShards, tok)
       .select(col(idCol), col("ord"), col("shard")))
     def flag(df: DataFrame, name: String): DataFrame =

@@ -225,7 +225,8 @@ object Ivf {
   def search(
       queries: DataFrame, qidCol: String, qvecCol: String,
       corpus: DataFrame, cidCol: String, cvecCol: String,
-      cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
+      cents: DataFrame, k: Int, nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     // norms hoisted BEFORE the probe×list join (one per corpus row / query
     // row, not one per candidate pair — O(k·dim) FLOPs saved per pair).
     // localCheckpoint, not persist: the assignment must not stay in the
@@ -234,7 +235,8 @@ object Ivf {
     val assigned = assign(corpus, cidCol, cvecCol, cents)
       .withColumn("__cnorm", vec_norm(col(cvecCol)))
       .localCheckpoint()
-    searchAssigned(queries, qidCol, qvecCol, assigned, cidCol, cvecCol, cents, k, nprobe)
+    searchAssigned(queries, qidCol, qvecCol, assigned, cidCol, cvecCol, cents, k, nprobe,
+      excludeSelf)
   }
 
   /** Persist a trained index: the centroid table plus the norm-annotated
@@ -593,30 +595,70 @@ object Ivf {
     (spark.read.parquet(s"$path/centroids"), spark.read.parquet(s"$path/lists"), cb)
   }
 
-  /** [[search]] over a pre-assigned (e.g. [[readIndex]]-loaded) corpus —
-    * `assigned` must carry `centroid_id` and `__cnorm` alongside the id
-    * and vector columns, exactly what [[writeIndex]] stores.
+  /** The per-query probe selection SHARED by [[searchAssigned]] and the
+    * pruned [[searchIndex]] (one code path — the pruning set and the
+    * probed set cannot drift): each query's `nprobe` max-cosine
+    * centroids, ties to the smallest centroid id.
     */
-  def searchAssigned(
-      queries: DataFrame, qidCol: String, qvecCol: String,
-      assigned: DataFrame, cidCol: String, cvecCol: String,
-      cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
+  private def probeCentroids(queries: DataFrame, qidCol: String, qvecCol: String,
+      cents: DataFrame, nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col("centroid_id").asc)
-    val probes = queries.withColumn("__qnorm", vec_norm(col(qvecCol)))
+    queries.withColumn("__qnorm", vec_norm(col(qvecCol)))
       .crossJoin(broadcast(cents.withColumn("__cn", vec_norm(col("centroid_vec")))))
       .withColumn("__sim",
         round(vec_dot(col(qvecCol), col("centroid_vec")) / (col("__qnorm") * col("__cn")), 6))
       .withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= nprobe)
       .select(col(qidCol), col(qvecCol), col("__qnorm"), col("centroid_id"))
+  }
 
+  /** [[search]] over a pre-assigned (e.g. [[readIndex]]-loaded) corpus —
+    * `assigned` must carry `centroid_id` and `__cnorm` alongside the id
+    * and vector columns, exactly what [[writeIndex]] stores.
+    * `excludeSelf = false` keeps a corpus row whose id equals the query
+    * id (the [[Similarity.bruteForceTopK]] convention — a retrieval
+    * query's planted source doc is a hit, not noise).
+    */
+  def searchAssigned(
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      assigned: DataFrame, cidCol: String, cvecCol: String,
+      cents: DataFrame, k: Int, nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val probes = probeCentroids(queries, qidCol, qvecCol, cents, nprobe)
     val wRank = Window.partitionBy(col(qidCol)).orderBy(col("cosine_sim").desc, col(cidCol).asc)
     probes.join(assigned, Seq("centroid_id"))
-      .filter(col(qidCol) =!= col(cidCol))
+      .filter(if (excludeSelf) col(qidCol) =!= col(cidCol) else lit(true))
       .withColumn("cosine_sim",
         round(vec_dot(col(qvecCol), col(cvecCol)) / (col("__qnorm") * col("__cnorm")), 6))
       .select(col(qidCol), col(cidCol), col("cosine_sim"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
+  }
+
+  /** [[searchAssigned]] against a [[writeIndex]] layout with DIRECTORY-
+    * level pruning (round 15 — the missing composition the daily hybrid
+    * sweep needs): the union of every query's probed centroid ids is
+    * collected driver-side (≤ numCentroids values — bounded by the
+    * broadcast-sized centroid table, the [[graft.ops.TextStats
+    * .probeBm25Index]] term-partition discipline) and the inverted-list
+    * scan is filtered to those `centroid_id=` Hive partitions BEFORE the
+    * probe join, so a batch probing p of the C lists reads ≈ p/C of the
+    * index bytes — no join-side DPP gamble. Probe selection is the
+    * SHARED [[probeCentroids]], so the pruned set can never miss a
+    * probed list. With `nprobe = numCentroids` the search is exact
+    * (every list probed — ≡ [[Similarity.bruteForceTopK]]; x147 pins
+    * that by value); smaller `nprobe` is the approximate deployment
+    * point, re-gated by [[plantedRecall]].
+    */
+  def searchIndex(spark: SparkSession, path: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      cidCol: String, cvecCol: String, k: Int, nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val (cents, lists) = readIndex(spark, path)
+    val probed = probeCentroids(queries, qidCol, qvecCol, cents, nprobe)
+      .select(col("centroid_id")).distinct().collect().map(_.get(0))
+    searchAssigned(queries, qidCol, qvecCol,
+      lists.filter(col("centroid_id").isin(probed: _*)),
+      cidCol, cvecCol, cents, k, nprobe, excludeSelf)
   }
 }

@@ -3191,6 +3191,42 @@ object ExtensionProbes {
     },
     x142.oracle) // indexed lexical arm ≡ live x142, by value
 
+  // — hybrid retrieval, FULLY indexed (x147): the x142 fusion with BOTH
+  //   arms served from persisted indexes — lexical from a freshly
+  //   persisted BM25 postings layout, semantic from a persisted IVF
+  //   inverted-list layout probed with nprobe = numCentroids (every
+  //   list → exact ≡ brute force) through [[Similarity
+  //   .hybridTopKIndexed]] / [[Ivf.searchIndex]]'s centroid-partition
+  //   pruning path. Oracle: x142's verbatim — the complete indexed
+  //   daily-sweep composition ≡ the live fusion, by value (the
+  //   approximate smaller-nprobe deployment point is recall-gated by
+  //   x38/IvfSpec instead).
+  private val x147 = Probe(
+    "x147_hybrid_indexed",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val bmPath = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.TmpDir.root), "x147_bm25").toString
+      TextStats.writeBm25Index(docs, "doc_id", col("text"), bmPath)
+      val ivfPath = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.TmpDir.root), "x147_ivf").toString
+      Ivf.writeIndex(ivfPath, emb, "vec_id", "embedding",
+        Ivf.seedCentroids(emb, "vec_id", "embedding", 16))
+      val queries = docs.filter(pmod(col("doc_id"), lit(97L)) === 1L)
+        .select((col("doc_id") * 1000L).as("query_id"),
+          concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 4)).as("qtext"))
+        .join(emb.filter(pmod(col("vec_id"), lit(97L)) === 1L)
+            .select((col("vec_id") * 1000L).as("query_id"), col("embedding").as("qvec")),
+          Seq("query_id"))
+      Similarity.hybridTopKIndexed(s, bmPath, ivfPath, queries, "query_id",
+          col("qtext"), "qvec", "vec_id", "embedding",
+          k = 5, kPerArm = 10, nprobe = 16, excludeSelf = false)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
+        .orderBy("query_id", "rank")
+    },
+    x142.oracle) // fully indexed sweep ≡ live x142 fusion, by value
+
   // — target-distribution domain balancing (x136): water-filling keep
   //   rates (C = min_s T_s/f_s; rate_s = C·f_s/T_s ≤ 1, the binding
   //   source keeps everything) — the data-recipe step ahead of the x83
@@ -3323,10 +3359,68 @@ object ExtensionProbes {
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
     })
 
+  // — the data-card RECIPE composed end-to-end (x148): water-fill domain
+  //   balance ([[Sampling.balanceToTarget]], the x140 content-addressed
+  //   coin) → seeded portable epoch shuffle → token-balanced contiguous
+  //   shards ([[graft.etl.Export.trainOrderTokenShards]], the x65
+  //   boundary math) — the balance → shuffle → shard interaction the r14
+  //   verdict flagged as unpinned. The oracle replays the rate card, the
+  //   per-row coin, the fingerprint permutation, and the token-prefix
+  //   shard split over the KEPT set only — so a drift in any stage's
+  //   semantics (or in how the kept set feeds the prefix sums) breaks
+  //   the value check, not just a per-stage probe.
+  private val x148 = Probe(
+    "x148_balance_to_shards",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(4L))))
+      val tk = size(TextStats.tokens(col("text")))
+      val kept = Sampling.balanceToTarget(docs, col("grp"), col("doc_id"), tk,
+        Seq("g0" -> 0.4, "g1" -> 0.3, "g2" -> 0.2, "g3" -> 0.1))
+      graft.etl.Export.trainOrderTokenShards(kept, "doc_id", "epoch1", 8,
+          tk.cast("long"))
+        .select(col("doc_id"), col("grp"), col("ord"), col("shard"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+      s"""WITH d AS (SELECT doc_id, 'g' || CAST(doc_id % 4 AS VARCHAR) AS grp,
+         |    CAST(len($toks) AS BIGINT) AS tk FROM documents),
+         |t(source, target_frac) AS (VALUES
+         |  ('g0', CAST(0.4 AS DOUBLE)), ('g1', CAST(0.3 AS DOUBLE)),
+         |  ('g2', CAST(0.2 AS DOUBLE)), ('g3', CAST(0.1 AS DOUBLE))),
+         |a AS (SELECT grp AS source, CAST(sum(tk) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+         |j AS (SELECT a.source, a.n_tokens, t.target_frac FROM a JOIN t USING (source)),
+         |c AS (SELECT min(n_tokens / target_frac) AS c FROM j),
+         |r AS (SELECT source,
+         |    ${graft.Canonical.round6Sql("c.c * target_frac / n_tokens")} AS rate
+         |  FROM j, c),
+         |sl AS (SELECT d.doc_id, d.grp, d.tk, r.rate,
+         |    'bal:' || d.grp || ':' || CAST(d.doc_id AS VARCHAR) AS salt
+         |  FROM d JOIN r ON r.source = d.grp),
+         |kept AS (SELECT doc_id, grp, tk FROM (
+         |    SELECT doc_id, grp, tk, rate,
+         |      ((${TextStats.fingerprintSql("salt")} % 100000) * 2654435761) % 10000 AS slot
+         |    FROM sl)
+         |  WHERE slot < CAST(floor(rate * 10000 + 0.5) AS BIGINT)),
+         |f AS (SELECT doc_id, grp, tk,
+         |    'epoch1:' || CAST(doc_id AS VARCHAR) AS k FROM kept),
+         |fp AS (SELECT doc_id, grp, tk, ${TextStats.fingerprintSql("k")} AS fp FROM f),
+         |o AS (SELECT doc_id, grp,
+         |    row_number() OVER (ORDER BY fp % 256, fp, doc_id) AS ord,
+         |    coalesce(sum(tk) OVER (ORDER BY fp % 256, fp, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+         |    sum(tk) OVER () AS total
+         |  FROM fp)
+         |SELECT doc_id, grp, ord,
+         |  CAST(least(floor(bef * 8 / greatest(total, 1)), 7) AS BIGINT) AS shard
+         |FROM o ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+    })
+
   val all: Seq[Probe] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12, x13,
     x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x31, x32,
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
     x125, x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136, x137, x138, x139,
-    x140, x141, x142, x143, x144, x145, x146)
+    x140, x141, x142, x143, x144, x145, x146, x147, x148)
 }

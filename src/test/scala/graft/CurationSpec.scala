@@ -692,6 +692,41 @@ class CurationSpec extends SparkSpec {
     assert(kept.flatMap(_._3).forall(s => s >= 0 && s < 4))
   }
 
+  test("assemblePretraining balance arm: kept set = balanceToTarget over the decontaminated " +
+      "survivors, fates stay total, sharded ⇔ kept") {
+    val article = "the plain and simple article text which is about things " +
+      "such as life and it is because however therefore good"
+    val pages = spark.range(0, 40).select($"id".as("doc_id"),
+      concat(lit("https://ok.example.com/p/"), $"id").as("url"),
+      concat(lit("<body><p>"), lit(article), lit(" extra"), $"id",
+        lit("</p></body>")).as("html"))
+    val bench = Seq((900L, "zz yy xx ww")).toDF("bid", "btext")
+    val sources = Seq("even" -> ($"doc_id" % 2 === 0), "odd" -> ($"doc_id" % 2 === 1))
+    val targets = Seq("even" -> 0.8, "odd" -> 0.2) // ~50/50 corpus: odd down-samples to ~25%
+    val out = Curate.assemblePretraining(pages, "doc_id", "url", "html",
+        sources, bench, "bid", $"btext",
+        minWords = 5L, minStopwordHits = 1L, clfMinMeanCenti = -1000L,
+        nShards = 4, balanceTargets = Some(targets))
+      .as[(Long, String, Option[Long], Option[Long])].collect().toSeq
+    assert(out.map(_._1).sorted == (0L until 40L).toSeq, "one row per page")
+    assert(out.forall(r => (r._2 == "kept") == (r._3.nonEmpty && r._4.nonEmpty)))
+    // the balance arm's kept set must equal balanceToTarget applied to
+    // the standalone preclean+decontaminate survivors with the same
+    // first-match source attribution and char-proxy token count
+    val pre = Curate.webPreclean(pages, "doc_id", "url", "html",
+      minWords = 5L, minStopwordHits = 1L, clfMinMeanCenti = -1000L)
+    val decont = graft.ops.Decontaminate.clean(pre, "doc_id", $"text",
+      bench, "bid", $"btext", n = 3, minHits = 2L)
+    val expected = graft.ops.Sampling.balanceToTarget(
+        decont.withColumn("__src",
+          when($"doc_id" % 2 === 0, "even").otherwise("odd")),
+        $"__src", $"doc_id", length($"text").cast("long"), targets)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = out.filter(_._2 == "kept").map(_._1).toSet
+    assert(kept == expected, s"balance-arm kept set drifted: ${kept.size} vs ${expected.size}")
+    assert(kept.nonEmpty && kept.size < 40, "the rate card must actually cut")
+  }
+
   test("curate lm gate: disfluent docs cut between repetition and dedup, attributed as such") {
     val fluent = "the cat sat on a mat and a dog ran by"
     val docs = Seq(

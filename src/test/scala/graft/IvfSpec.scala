@@ -90,6 +90,39 @@ class IvfSpec extends SparkSpec {
       s"a probed-list read must carry a centroid_id partition filter:\n$plan")
   }
 
+  test("searchIndex: pruned persisted-index search equals searchAssigned on the full lists, " +
+      "the scan prunes to probed centroid partitions, and excludeSelf=false keeps the self hit") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_searchindex").toString
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val cents = Ivf.seedCentroids(emb, "vec_id", "embedding", 8)
+    Ivf.writeIndex(dir, emb, "vec_id", "embedding", cents)
+    val (loadedCents, lists) = Ivf.readIndex(spark, dir)
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "cosine_sim").as[(Long, Long, Double)].collect().toSet
+    val pruned = Ivf.searchIndex(spark, dir, queries, "query_id", "qvec",
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    val unpruned = Ivf.searchAssigned(queries, "query_id", "qvec",
+      lists, "vec_id", "embedding", loadedCents, k = 5, nprobe = 2)
+    assert(collectSet(pruned) == collectSet(unpruned),
+      "directory pruning must not change the probed result")
+    // the inverted-list scan must carry the probed-centroid partition
+    // filter (directory-level pruning, not a post-scan filter)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[centroid_id#\d+ IN \(""".r.findFirstIn(plan).isDefined,
+      s"searchIndex must prune list partitions:\n${plan.take(3000)}")
+    // full probing ≡ brute force (the x147 exactness contract), and the
+    // self row is kept when excludeSelf=false (the retrieval convention)
+    val full = Ivf.searchIndex(spark, dir, queries, "query_id", "qvec",
+      "vec_id", "embedding", k = 5, nprobe = 8, excludeSelf = false)
+    val brute = Similarity.bruteForceTopK(queries, "query_id", "qvec",
+      emb, "vec_id", "embedding", 5, excludeSelf = false)
+    assert(collectSet(full) == collectSet(brute),
+      "nprobe = numCentroids with excludeSelf=false must equal brute force")
+    assert(full.filter($"query_id" === $"vec_id").count() == 3,
+      "each query's own vector is its top hit when excludeSelf=false")
+  }
+
   test("persisted IVF-PQ index: searchPqAssigned over readPqIndex equals the live path, " +
       "codebooks roundtrip exactly") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_index").toString

@@ -95,12 +95,19 @@ class PlanAuditSpec extends SparkSpec {
     "x143_hybrid_rrf_indexed", // x142's shape with the lexical arm on
                                // the persisted index (same 1-row stats
                                // broadcast, same semantic arm)
-    "x142_hybrid_rrf_topk"     // the x05 brute-force semantic arm
+    "x142_hybrid_rrf_topk",    // the x05 brute-force semantic arm
                                // (corpus × broadcast queries, the exact
                                // baseline by design) + the x139 lexical
                                // arm's 1-row stats broadcast; the fusion
                                // itself is an equi-keyed union+window
                                // over two already-cut top-k lists
+    "x147_hybrid_indexed"      // both arms on persisted indexes: the
+                               // lexical arm's 1-row stats broadcast
+                               // (x137) + the IVF probe's queries ×
+                               // broadcast CENTROID table (dictionary-
+                               // sized by the √N contract — the x12
+                               // shape); the list join is centroid-
+                               // equi-keyed over pruned partitions
   )
 
   // streaming probes execute a query at construction time; plan-audited
