@@ -114,7 +114,17 @@ object Bench {
     "x80_dataset_card",
     // round-9: the end-to-end assembly (web-raw → token shards) — the
     // heaviest composition in the catalog, benched at sf0.1 AND sf1
-    "x88_pretrain_assembly")
+    "x88_pretrain_assembly",
+    // round-15: the retrieval-composition family gets wall-clock +
+    // shuffle rows (the r14 verdict: a plan regression in the round's
+    // own family would not show in the bench). Two rows cover the whole
+    // family's code paths: the live decon sweep (bm25 scoring + rank cut
+    // + anti-join) and the FULLY indexed hybrid sweep (postings probe +
+    // shared cut + IVF searchIndex + rrfFuse). The compact stdout line
+    // grows ~60 bytes — see BenchJsonSpec's observed-capture-window
+    // re-derivation (2000 bytes in every r8-r14 driver artifact)
+    "x141_bm25_decontaminate",
+    "x147_hybrid_indexed")
   // round-11 probes (x94-x103) are NOT headline entries: the compact
   // stdout line sits ~20 bytes under the driver's 1800-byte capture at
   // worst-case widths (BenchJsonSpec pins it — adding two entries read

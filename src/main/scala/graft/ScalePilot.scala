@@ -142,6 +142,7 @@ object ScalePilot {
       else if (family == "round13") Set("documents")
       else if (family == "round14") Set("documents")
       else if (family == "round14b") Set("documents")
+      else if (family == "round15") Set("documents", "embeddings")
       else Set("lineitem", "orders", "events", "documents", "embeddings")
     buildScaled(spark, sfDir, out, copies, tables)
     // 1× read through the same plain-parquet path as the N× tables so the
@@ -1126,6 +1127,51 @@ object ScalePilot {
         spark.range(1).toDF("ok")
       }))
 
+    // round-15 family: the composed indexed retrieval sweeps END-TO-END —
+    // the r14 pilots covered the primitives (index build / fold / probe);
+    // these time the full daily-sweep compositions the round-14 verdict
+    // flagged as unpiloted. Both indexes are built off the clock on first
+    // touch (the warm-up pass pays them; min-of-3 drops it) and the query
+    // set is the FIXED copy-0 fixture, so the growth curve isolates the
+    // corpus-side cost: the decon sweep's tail is the surviving-corpus
+    // anti-join scan (irreducibly ∝ N at a tiny per-row constant — the
+    // retrieval stays partition-pruned), while the hybrid sweep emits
+    // only top-k rows so wall tracks the pruned postings + the probed
+    // nprobe/64 slice of the inverted lists. seedCentroids(64) picks the
+    // 64 lowest vec_ids = copy-0 vectors at EVERY scale, so the quantizer
+    // (and the probed fraction) is identical across the curve.
+    def round15Queries(dir: String): Seq[(String, () => DataFrame)] = {
+      def docs = tbl(dir, "documents").select(col("doc_id"), col("text"))
+      def queries = bm25PilotQueries(dir)
+      val bmPath = s"$dir/__bm25idx_r15" // fresh path: the round-14 fold
+                                         // pilot APPENDS into _v2's index
+      def ensureBm25(): Unit =
+        if (!new java.io.File(s"$bmPath/meta.json").exists())
+          TextStats.writeBm25Index(docs, "doc_id", col("text"), bmPath)
+      Seq(
+        "bm25_decon_indexed" -> (() => {
+          ensureBm25()
+          TextStats.bm25DecontaminateIndexed(spark, bmPath, docs,
+            queries, "query_id", col("qtext"), k = 5, minScore = 1.0)
+        }),
+        "hybrid_indexed" -> (() => {
+          ensureBm25()
+          val emb = tbl(dir, "embeddings")
+          val ivfPath = s"$dir/__ivfidx_r15"
+          if (!new java.io.File(s"$ivfPath/centroids").exists())
+            Ivf.writeIndex(ivfPath, emb, "vec_id", "embedding",
+              Ivf.seedCentroids(emb, "vec_id", "embedding", 64))
+          val q = queries.join(
+            emb.filter(col("vec_id") < 100000000L && col("vec_id") % 97 === 1)
+              .select((col("vec_id") * 1000).as("query_id"),
+                col("embedding").as("qvec")),
+            Seq("query_id"))
+          Similarity.hybridTopKIndexed(spark, bmPath, ivfPath, q, "query_id",
+            col("qtext"), "qvec", "vec_id", "embedding",
+            k = 5, kPerArm = 10, nprobe = 8, excludeSelf = false)
+        }))
+    }
+
     def bm25PilotQueries(dir: String): DataFrame =
       tbl(dir, "documents")
         .filter(col("doc_id") < 100000000L && col("doc_id") % 97 === 1)
@@ -1150,6 +1196,7 @@ object ScalePilot {
       else if (family == "round13") round13Queries(dir)
       else if (family == "round14") round14Queries(dir)
       else if (family == "round14b") round14bQueries(dir)
+      else if (family == "round15") round15Queries(dir)
       else allQueries(dir)
 
     def timeAll(dir: String): Map[String, Double] = queries(dir).map { case (name, fn) =>

@@ -34,10 +34,19 @@ class BenchJsonSpec extends AnyFunSuite {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  test("compact stdout line stays under the driver capture window (1800 bytes) at worst-case widths") {
+  test("compact stdout line stays under the driver capture window at worst-case widths") {
+    // pin re-derived in round 15: every BENCH_r{8..14}.json shows the
+    // driver captures the LAST 2000 bytes of the run's output (the
+    // `tail` field), and sbt's trailing `[success] Total time: ...` line
+    // occupies ~80 of them — so a line ≤ 1880 keeps ≥ 40 bytes of slack
+    // even at worst-case widths (already impossible widths: EVERY query
+    // at 3-digit seconds cannot fit the 1700 s bench budget). The old
+    // 1800 pin predated the capture-window measurement (r14's actual
+    // line: 1663 bytes, parsed fine). Headline growth is FROZEN here:
+    // adding an entry means re-deriving this budget first.
     val line = compact()
-    assert(line.length < 1800, s"compact line is ${line.length} bytes:\n$line")
-    assert(compact(partial = true).length < 1800)
+    assert(line.length < 1880, s"compact line is ${line.length} bytes:\n$line")
+    assert(compact(partial = true).length < 1880)
   }
 
   test("compact line parses as JSON with headline fields leading and no shuffle map") {
