@@ -3227,6 +3227,60 @@ object ExtensionProbes {
     },
     x142.oracle) // fully indexed sweep ≡ live x142 fusion, by value
 
+  // — hybrid retrieval, PRUNED deployment point (x149): x147 pins the
+  //   exact (nprobe = numCentroids) composition by value; this gates the
+  //   APPROXIMATE point a 100-TB sweep actually runs (nprobe = 4 of 16 —
+  //   a 4× list-scan cut) with the x38 planted-recall convention. Two
+  //   gates: the [[Ivf.searchIndex]] semantic arm alone must place each
+  //   query's own (planted, cosine = 1) vector at top-1 — its nearest
+  //   centroid IS its assigned list, so rank-1 probing finds it and a
+  //   miss means the pruning path broke — and the fused hybrid top-5
+  //   must surface the planted source doc for ≥ 90% of queries. Value
+  //   oracle: the query count replays in SQL; the recall claims are
+  //   Spark-side gates (TRUE literals, the x38 convention).
+  private val x149 = Probe(
+    "x149_hybrid_pruned_recall",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val bmPath = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.TmpDir.root), "x149_bm25").toString
+      TextStats.writeBm25Index(docs, "doc_id", col("text"), bmPath)
+      val ivfPath = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(graft.TmpDir.root), "x149_ivf").toString
+      Ivf.writeIndex(ivfPath, emb, "vec_id", "embedding",
+        Ivf.seedCentroids(emb, "vec_id", "embedding", 16))
+      val queries = docs.filter(pmod(col("doc_id"), lit(97L)) === 1L)
+        .select((col("doc_id") * 1000L).as("query_id"),
+          concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 4)).as("qtext"))
+        .join(emb.filter(pmod(col("vec_id"), lit(97L)) === 1L)
+            .select((col("vec_id") * 1000L).as("query_id"), col("embedding").as("qvec")),
+          Seq("query_id"))
+        .localCheckpoint() // pinned: feeds both arms and the planted map
+      val planted = queries.select(col("query_id"),
+        (col("query_id") / 1000L).cast("long").as("planted"))
+      def found(res: org.apache.spark.sql.DataFrame, idc: String) =
+        res.join(planted, Seq("query_id"))
+          .filter(col(idc) === col("planted"))
+          .select(col("query_id")).distinct()
+      val hybrid = Similarity.hybridTopKIndexed(s, bmPath, ivfPath, queries,
+        "query_id", col("qtext"), "qvec", "vec_id", "embedding",
+        k = 5, kPerArm = 10, nprobe = 4, excludeSelf = false)
+      val sem = Ivf.searchIndex(s, ivfPath, queries, "query_id", "qvec",
+        "vec_id", "embedding", k = 1, nprobe = 4, excludeSelf = false)
+      scalarRow(
+        "n_queries" -> queries.agg(count(lit(1))),
+        "__h" -> found(hybrid, "doc_id").agg(count(lit(1))),
+        "__s" -> found(sem, "vec_id").agg(count(lit(1))))
+        .select(col("n_queries"),
+          (col("__s") === col("n_queries")).as("ivf_index_self_top1_all"),
+          (col("__h") >= col("n_queries") * 0.9).as("hybrid_pruned_recall_ge_090"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           |  TRUE AS ivf_index_self_top1_all,
+           |  TRUE AS hybrid_pruned_recall_ge_090
+           |FROM documents WHERE doc_id % 97 = 1""".stripMargin))
+
   // — target-distribution domain balancing (x136): water-filling keep
   //   rates (C = min_s T_s/f_s; rate_s = C·f_s/T_s ≤ 1, the binding
   //   source keeps everything) — the data-recipe step ahead of the x83
@@ -3422,5 +3476,5 @@ object ExtensionProbes {
     x33, x34, x35, x36, x37, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x73,
     x103, x104, x106, x108, x111, x112, x114, x116, x117, x118, x119, x121, x122, x123, x124,
     x125, x126, x127, x128, x129, x130, x131, x132, x133, x134, x135, x136, x137, x138, x139,
-    x140, x141, x142, x143, x144, x145, x146, x147, x148)
+    x140, x141, x142, x143, x144, x145, x146, x147, x148, x149)
 }

@@ -109,7 +109,7 @@ class IvfSpec extends SparkSpec {
     // the inverted-list scan must carry the probed-centroid partition
     // filter (directory-level pruning, not a post-scan filter)
     val plan = pruned.queryExecution.executedPlan.toString
-    assert("""PartitionFilters: \[centroid_id#\d+ IN \(""".r.findFirstIn(plan).isDefined,
+    assert("""PartitionFilters: \[centroid_id#\d+ (INSET|IN \()""".r.findFirstIn(plan).isDefined,
       s"searchIndex must prune list partitions:\n${plan.take(3000)}")
     // full probing ≡ brute force (the x147 exactness contract), and the
     // self row is kept when excludeSelf=false (the retrieval convention)

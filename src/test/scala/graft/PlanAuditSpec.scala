@@ -101,6 +101,9 @@ class PlanAuditSpec extends SparkSpec {
                                // arm's 1-row stats broadcast; the fusion
                                // itself is an equi-keyed union+window
                                // over two already-cut top-k lists
+    "x149_hybrid_pruned_recall", // the x147 shapes at the approximate
+                               // nprobe point + the x38-style planted
+                               // gate joins (tiny per-query id maps)
     "x147_hybrid_indexed"      // both arms on persisted indexes: the
                                // lexical arm's 1-row stats broadcast
                                // (x137) + the IVF probe's queries ×

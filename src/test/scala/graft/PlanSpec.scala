@@ -503,6 +503,55 @@ class PlanSpec extends SparkSpec {
       "fold must append the batch's doclen rows")
   }
 
+  test("composed indexed sweeps: decon prunes term partitions and never scans doclen; " +
+      "hybrid additionally prunes centroid partitions (round-15 deployment shapes)") {
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.TmpDir.root), "r15sweep").toString
+    val docs = Readers.table(spark, sf0001, "documents").select(col("doc_id"), col("text"))
+    val emb = Readers.table(spark, sf0001, "embeddings")
+    graft.ops.TextStats.writeBm25Index(docs, "doc_id", col("text"), s"$base/bm25")
+    graft.ops.Ivf.writeIndex(s"$base/ivf", emb, "vec_id", "embedding",
+      graft.ops.Ivf.seedCentroids(emb, "vec_id", "embedding", 8))
+    val queries = docs.filter(col("doc_id") % 97 === 1)
+      .select((col("doc_id") * 1000L).as("query_id"),
+        concat_ws(" ", slice(graft.ops.TextStats.tokens(col("text")), 1, 3)).as("qtext"))
+      .join(emb.filter(col("vec_id") % 97 === 1)
+          .select((col("vec_id") * 1000L).as("query_id"), col("embedding").as("qvec")),
+        Seq("query_id"))
+
+    val decon = graft.ops.TextStats.bm25DecontaminateIndexed(spark, s"$base/bm25",
+      docs, queries, "query_id", col("qtext"), k = 5, minScore = 1.0)
+    val deconPlan = decon.queryExecution.executedPlan.toString
+    // the retrieval side reads ONLY matched term partitions of the
+    // postings; (N, avgdl) ride meta.json, so doclen never appears
+    assert("""PartitionFilters: \[__tp#\d+ (INSET|IN \()""".r.findFirstIn(deconPlan).isDefined,
+      s"decon sweep must prune postings partitions:\n${deconPlan.take(3000)}")
+    assert(!deconPlan.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("doclen")),
+      "decon sweep must not scan doclen (meta counters)")
+    // the hit set is a bounded id list: after AQE finalizes (collect()
+    // drives THIS QueryExecution; a .write would plan a fresh one), the
+    // corpus anti-join must broadcast it (never shuffle the corpus)
+    decon.collect()
+    val finalPlan = decon.queryExecution.executedPlan.toString
+    assert(finalPlan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"the corpus anti-join must broadcast the hit set:\n${finalPlan.take(3000)}")
+
+    val hybrid = graft.ops.Similarity.hybridTopKIndexed(spark, s"$base/bm25",
+      s"$base/ivf", queries, "query_id", col("qtext"), "qvec",
+      "vec_id", "embedding", k = 5, kPerArm = 10, nprobe = 2, excludeSelf = false)
+    val hybridPlan = hybrid.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[__tp#\d+ (INSET|IN \()""".r.findFirstIn(hybridPlan).isDefined,
+      s"hybrid sweep must prune postings partitions:\n${hybridPlan.take(3000)}")
+    assert("""PartitionFilters: \[centroid_id#\d+ (INSET|IN \()""".r.findFirstIn(hybridPlan).isDefined,
+      s"hybrid sweep must prune inverted-list partitions:\n${hybridPlan.take(3000)}")
+    assert(!hybridPlan.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("doclen")),
+      "hybrid sweep must not scan doclen")
+    assert(hybrid.count() > 0, "the pruned hybrid sweep must still retrieve")
+  }
+
   test("incrementalParagraphIndexed: the batch election runs exactly once (verdict-r10 note)") {
     // the Bloom-positive and Bloom-negative branches both consume the
     // batch election frame (groupBy __h → min slot). Unpinned, Catalyst
