@@ -1403,8 +1403,14 @@ class OpsSpec extends SparkSpec {
     // with autoBroadcastJoinThreshold=-1 ONLY a hint can force a broadcast;
     // a backfill batch touching every key must not drive 10⁸ keys through
     // the driver, so the plan must contain no BroadcastHashJoin
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // restore-by-UNSET when a key was not set before: reading the prior
+    // value with a "-1" default and "restoring" it wrote an EXPLICIT -1
+    // into the shared session, silently disabling AQE broadcast
+    // conversion for every test that ran after this one (caught in round
+    // 15 when the composed-sweep plan assertion saw a SortMergeJoin
+    // in-suite but a broadcast standalone)
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
@@ -1416,8 +1422,12 @@ class OpsSpec extends SparkSpec {
       assert(!plan.contains("BroadcastHashJoin"),
         s"merge must not hint a broadcast of the changed-key set:\n$plan")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+      def restore(key: String, v: Option[String]): Unit = v match {
+        case Some(x) => spark.conf.set(key, x)
+        case None => spark.conf.unset(key)
+      }
+      restore("spark.sql.autoBroadcastJoinThreshold", prev)
+      restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
     }
   }
 
