@@ -792,9 +792,14 @@ object TextStats {
       .localCheckpoint() // pinned: counted for the gate, then reused twice
     val small = qTerms.count() <= queryBroadcastCap
     def gated(f: DataFrame): DataFrame = if (small) broadcast(f) else f
-    val docToks = docs.select(col(idCol),
-      size(tokens(lower(text))).cast("double").as("__dl"),
-      explode(tokens(lower(text))).as("__term"))
+    // tokenize ONCE per row: the array lands in a projection attribute and
+    // both size() and the generator read it — inlining `tokens(...)` into
+    // each would run the regex split twice per document (guide §1.2
+    // per-task work; measured ~25% of the corpus-side scan at sf0.1)
+    val docToks = docs
+      .select(col(idCol), tokens(lower(text)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("double").as("__dl"),
+        explode(col("__toks")).as("__term"))
     val tf = docToks
       .join(gated(qTerms.select(col("__term")).distinct()), Seq("__term"), "left_semi")
       .groupBy(col(idCol), col("__term"))
@@ -865,18 +870,46 @@ object TextStats {
   //   compaction rewrites under the shared staging+marker swap,
   //   preserving the term partitioning. meta.json pins the id column.
 
-  /** Term-partition fan-out of the postings table: probes prune to the
-    * matched directories, so a q-term query reads ≤ q/256 of the index.
+  /** Cap on the term-partition fan-out of the postings table: probes
+    * prune to the matched directories, so a q-term query reads
+    * ≤ q/partitions of the index. The per-index partition COUNT is
+    * scale-adaptive (round 15, guide §2/§6: a layout constant tuned for
+    * the cluster is 256 near-empty directories at test scale — measured
+    * ~4 s of commit/listing overhead per sf0.1 build): derived from the
+    * corpus token count at build time ([[bm25TpPartitions]]), pinned in
+    * meta.json, and read back by every probe/fold, capped here.
     */
   val Bm25Partitions = 256
 
-  private def postingsOf(docs: DataFrame, idCol: String, text: Column): DataFrame =
-    docs.select(col(idCol).as("id"),
-        size(tokens(lower(text))).cast("double").as("__dl"),
-        explode(tokens(lower(text))).as("__term"))
+  /** Floor on the adaptive partition count: keeps directory pruning (and
+    * its IN-filter plan shape) meaningful at any scale while bounding the
+    * tiny-index directory overhead to single digits.
+    */
+  val Bm25MinPartitions = 8
+
+  /** Target tokens per postings partition (~10-20 MB of parquet): below
+    * this a directory costs more in commit/listing than its pruning
+    * saves.
+    */
+  val Bm25TokensPerPartition: Long = 2L * 1000 * 1000
+
+  /** Adaptive term-partition count for a corpus of `sumDl` tokens. */
+  def bm25TpPartitions(sumDl: Long): Int =
+    math.min(Bm25Partitions.toLong,
+      math.max(Bm25MinPartitions.toLong,
+        (sumDl + Bm25TokensPerPartition - 1) / Bm25TokensPerPartition)).toInt
+
+  private def postingsOf(docs: DataFrame, idCol: String, text: Column,
+      tp: Int): DataFrame =
+    // tokenize ONCE per row (the bm25 docToks discipline): size() and the
+    // generator share the projected array instead of re-running the regex
+    // split per consumer
+    docs.select(col(idCol).as("id"), tokens(lower(text)).as("__toks"))
+      .select(col("id"), size(col("__toks")).cast("double").as("__dl"),
+        explode(col("__toks")).as("__term"))
       .groupBy(col("id"), col("__term"))
       .agg(count(lit(1)).cast("double").as("__tf"), first(col("__dl")).as("__dl"))
-      .withColumn("__tp", pmod(xxhash64(col("__term")), lit(Bm25Partitions.toLong)))
+      .withColumn("__tp", pmod(xxhash64(col("__term")), lit(tp.toLong)))
 
   private def doclenOf(docs: DataFrame, idCol: String, text: Column): DataFrame =
     docs.select(col(idCol).as("id"), size(tokens(lower(text))).cast("double").as("__dl"))
@@ -898,12 +931,12 @@ object TextStats {
     * degrade every fold back toward O(index).
     */
   private final case class Bm25Meta(idCol: String, nDocs: Long, sumDl: Long,
-      bloomItems: Long, bloomFpp: Double)
+      bloomItems: Long, bloomFpp: Double, tp: Int)
 
   private def writeBm25Meta(spark: SparkSession, path: String, m: Bm25Meta): Unit =
     Dedup.writeTextFile(spark, s"$path/meta.json",
       s"""{"id_col":"${m.idCol}","n_docs":${m.nDocs},"sum_dl":${m.sumDl},""" +
-        s""""bloom_items":${m.bloomItems},"bloom_fpp":${m.bloomFpp}}""")
+        s""""bloom_items":${m.bloomItems},"bloom_fpp":${m.bloomFpp},"tp":${m.tp}}""")
 
   private def bm25AggDoclen(doclen: DataFrame): (Long, Long) = {
     val row = doclen.agg(count(lit(1)).as("n"),
@@ -925,23 +958,32 @@ object TextStats {
     val spark = docs.sparkSession
     val (fs, metaP) = Dedup.hadoopFs(spark, s"$path/meta.json")
     if (fs.exists(metaP)) fs.delete(metaP, false)
-    postingsOf(docs, idCol, text)
-      .write.mode("overwrite").partitionBy("__tp").parquet(s"$path/postings")
+    // doclen FIRST (round 15): its (n, sum_dl) aggregate sizes the
+    // adaptive term-partition count BEFORE any postings land, and the
+    // empty-build guard now fires before a partitionBy dir even exists
     doclenOf(docs, idCol, text).write.mode("overwrite").parquet(s"$path/doclen")
     val doclen = spark.read.parquet(s"$path/doclen")
     val (n, sumDl) = bm25AggDoclen(doclen)
-    // an empty build would leave a partitionBy dir with no part files —
-    // unreadable forever; meta.json deliberately does NOT land, so the
-    // next non-empty build overwrites cleanly
     require(n > 0, s"refusing to build an EMPTY BM25 index at $path — " +
       "a partitioned postings dir with no part files is unreadable; " +
       "build from the first non-empty batch instead")
+    val tp = bm25TpPartitions(sumDl)
+    // layout.json is WRITE-ONCE per build: id_col and the term-partition
+    // modulus are layout facts no fold ever changes, so they get a file
+    // the per-fold meta rewrite can never touch — heal reads them back
+    // even when BOTH meta.json and the intent marker are lost (the one
+    // scenario where guessing tp would silently prune probes to the
+    // wrong directory slots)
+    Dedup.writeTextFile(spark, s"$path/layout.json",
+      s"""{"id_col":"$idCol","tp":$tp}""")
+    postingsOf(docs, idCol, text, tp)
+      .write.mode("overwrite").partitionBy("__tp").parquet(s"$path/postings")
     val bf = doclen.select(xxhash64(col("id")).as("__k"))
       .stat.bloomFilter("__k", expectedItems, fpp)
     Dedup.writeBloomFileAtomic(spark, path, bf, expectedItems, fpp)
     val (dfs, dirtyP) = Dedup.hadoopFs(spark, s"$path/stats.dirty")
     if (dfs.exists(dirtyP)) dfs.delete(dirtyP, false) // stale intent marker
-    writeBm25Meta(spark, path, Bm25Meta(idCol, n, sumDl, expectedItems, fpp))
+    writeBm25Meta(spark, path, Bm25Meta(idCol, n, sumDl, expectedItems, fpp, tp))
   }
 
   /** The id column from `meta.json`, with the round-15 crash fallback:
@@ -966,7 +1008,13 @@ object TextStats {
           idRe.findFirstMatchIn(Dedup.readTextFile(spark, s"$path/stats.dirty"))
             .map(_.group(1))
         else None
-      fromDirty.getOrElse(throw new IllegalStateException(
+      val (_, layoutP) = Dedup.hadoopFs(spark, s"$path/layout.json")
+      val fromLayout =
+        if (fs.exists(layoutP))
+          idRe.findFirstMatchIn(Dedup.readTextFile(spark, s"$path/layout.json"))
+            .map(_.group(1))
+        else None
+      fromDirty.orElse(fromLayout).getOrElse(throw new IllegalStateException(
         s"BM25 index at $path has no meta.json (incomplete or interrupted " +
           "build) — rebuild with writeBm25Index"))
     }
@@ -997,16 +1045,36 @@ object TextStats {
         if (bfs.exists(bp)) { val (_, i, f) = Dedup.readBloomFile(spark, path); (i, f) }
         else (Bm25BloomItems, 0.01)
     }
+    // term-partition modulus: meta's pin; else the write-once
+    // layout.json (round 15 — survives ANY meta/marker loss, because no
+    // fold ever rewrites it); else the intent marker's copy; else the
+    // legacy constant (every pre-round-15 index was built at the 256
+    // cap). The modulus is LAYOUT: a healed meta guessing it wrong would
+    // silently prune probe reads to the WRONG directory slots.
+    def fileNum(file: String, k: String): Option[Long] = {
+      val (_, fp) = Dedup.hadoopFs(spark, s"$path/$file")
+      if (fs.exists(fp))
+        (s""""$k"\\s*:\\s*(-?[0-9]+)""").r
+          .findFirstMatchIn(Dedup.readTextFile(spark, s"$path/$file"))
+          .map(_.group(1).toLong)
+      else None
+    }
+    def markerNum(k: String): Option[Long] =
+      if (fs.exists(dirtyP)) fileNum("stats.dirty", k) else None
+    val tp = num("tp").orElse(fileNum("layout.json", "tp"))
+      .orElse(markerNum("tp")).map(_.toInt).getOrElse(Bm25Partitions)
     (num("n_docs"), num("sum_dl")) match {
       case (Some(n), Some(s)) if !fs.exists(dirtyP) =>
-        Bm25Meta(idCol, n, s, bloomItems, bloomFpp)
+        Bm25Meta(idCol, n, s, bloomItems, bloomFpp, tp)
       case _ =>
-        // bracket the rewrite with the id_col-carrying intent marker so a
-        // crash inside the meta swap window stays recoverable (the marker
-        // is the id column's backup while meta.json is in flight)
-        Dedup.writeTextFile(spark, s"$path/stats.dirty", s"""{"id_col":"$idCol"}""")
+        // bracket the rewrite with the id_col+tp-carrying intent marker so
+        // a crash inside the meta swap window stays recoverable (the
+        // marker is the id column's AND the layout modulus's backup while
+        // meta.json is in flight)
+        Dedup.writeTextFile(spark, s"$path/stats.dirty",
+          s"""{"id_col":"$idCol","tp":$tp}""")
         val (n, s) = bm25AggDoclen(spark.read.parquet(s"$path/doclen"))
-        val healed = Bm25Meta(idCol, n, s, bloomItems, bloomFpp)
+        val healed = Bm25Meta(idCol, n, s, bloomItems, bloomFpp, tp)
         writeBm25Meta(spark, path, healed)
         fs.delete(dirtyP, false)
         healed
@@ -1100,8 +1168,10 @@ object TextStats {
         .join(if (nPos <= Dedup.BatchBroadcastCap) broadcast(positives) else positives,
           Seq("id"), "left_semi")
         .distinct()
-    // pin both deltas BEFORE appending to the dirs their plans read
-    val freshP = postingsOf(newDocs, idCol, text)
+    // pin both deltas BEFORE appending to the dirs their plans read; the
+    // delta's term-partition modulus is the INDEX's (meta.json) — a fold
+    // must extend the existing layout, never re-derive its own
+    val freshP = postingsOf(newDocs, idCol, text, meta.tp)
       .join(presentIn("postings"), Seq("id"), "left_anti")
       .localCheckpoint()
     val freshD = doclenOf(newDocs, idCol, text)
@@ -1118,12 +1188,13 @@ object TextStats {
     // the intent marker carries id_col (round 15): while meta.json is in
     // flight — including this fold's own rewrite below — the marker is
     // the id column's recoverable backup
-    Dedup.writeTextFile(spark, s"$path/stats.dirty", s"""{"id_col":"$idCol"}""")
+    Dedup.writeTextFile(spark, s"$path/stats.dirty",
+      s"""{"id_col":"$idCol","tp":${meta.tp}}""")
     freshP.write.mode("append").partitionBy("__tp").parquet(s"$path/postings")
     freshD.write.mode("append").parquet(s"$path/doclen")
     val (dn, dsum) = bm25AggDoclen(freshD) // pinned delta: exact by additivity
     writeBm25Meta(spark, path,
-      Bm25Meta(idCol, meta.nDocs + dn, meta.sumDl + dsum, items, fpp))
+      Bm25Meta(idCol, meta.nDocs + dn, meta.sumDl + dsum, items, fpp, meta.tp))
     val (dfs, dirtyP) = Dedup.hadoopFs(spark, s"$path/stats.dirty")
     dfs.delete(dirtyP, false)
     val (fs, dp) = Dedup.hadoopFs(spark, s"$path/doclen")
@@ -1188,10 +1259,11 @@ object TextStats {
       .localCheckpoint()
     val small = qTerms.count() <= queryBroadcastCap
     def gated(f: DataFrame): DataFrame = if (small) broadcast(f) else f
-    // matched term partitions, collected driver-side (≤ Bm25Partitions
-    // values) → directory-level pruning on the postings scan
+    // matched term partitions under the INDEX's pinned modulus (meta.tp —
+    // the layout is the index's, never a constant), collected driver-side
+    // (≤ meta.tp values) → directory-level pruning on the postings scan
     val tps = qTerms
-      .select(pmod(xxhash64(col("__term")), lit(Bm25Partitions.toLong)).as("__tp"))
+      .select(pmod(xxhash64(col("__term")), lit(meta.tp.toLong)).as("__tp"))
       .distinct().collect().map(_.getLong(0).toInt)
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("__tp").isin(tps: _*))

@@ -2915,7 +2915,7 @@ object ExtensionProbes {
   private val x135 = Probe(
     "x135_bm25",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = Readers.fanOut(t(s, dir, "documents"))
       val queries = docs.filter(pmod(col("doc_id"), lit(97L)) === 1L)
         .select((col("doc_id") * 1000L).as("query_id"),
           concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 4)).as("qtext"))
@@ -2957,7 +2957,7 @@ object ExtensionProbes {
   private val x137 = Probe(
     "x137_bm25_indexed",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = Readers.fanOut(t(s, dir, "documents"))
       val path = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(graft.TmpDir.root), "x137_bm25").toString
       val a = docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
@@ -2983,7 +2983,7 @@ object ExtensionProbes {
   private val x139 = Probe(
     "x139_bm25_topk",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = Readers.fanOut(t(s, dir, "documents"))
       val queries = docs.filter(pmod(col("doc_id"), lit(97L)) === 1L)
         .select((col("doc_id") * 1000L).as("query_id"),
           concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 4)).as("qtext"))
@@ -3051,7 +3051,9 @@ object ExtensionProbes {
   private val x141 = Probe(
     "x141_bm25_decontaminate",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      // fan the single-file read out first (guide §2.5 input skew): the
+      // corpus-side tokenize/explode otherwise runs on one scan task
+      val docs = Readers.fanOut(t(s, dir, "documents"))
       val queries = docs.filter(pmod(col("doc_id"), lit(97L)) === 1L)
         .select((col("doc_id") * 1000L).as("query_id"),
           concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 4)).as("qtext"))
@@ -3084,14 +3086,14 @@ object ExtensionProbes {
   private val x142 = Probe(
     "x142_hybrid_rrf_topk",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = Readers.fanOut(t(s, dir, "documents"))
       val queries = docs.filter(pmod(col("doc_id"), lit(97L)) === 1L)
         .select((col("doc_id") * 1000L).as("query_id"),
           concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 4)).as("qtext"))
       val lexical = TextStats.bm25TopK(docs, "doc_id", col("text"),
           queries, "query_id", col("qtext"), k = 10)
         .select(col("query_id"), col("doc_id"), col("rank"))
-      val emb = t(s, dir, "embeddings")
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
       val qVec = emb.filter(pmod(col("vec_id"), lit(97L)) === 1L)
         .select((col("vec_id") * 1000L).as("query_id"), col("embedding").as("qvec"))
       val semantic = Similarity.bruteForceTopK(qVec, "query_id", "qvec",
@@ -3145,7 +3147,7 @@ object ExtensionProbes {
   private val x146 = Probe(
     "x146_bm25_decontaminate_indexed",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = Readers.fanOut(t(s, dir, "documents"))
       val path = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(graft.TmpDir.root), "x146_bm25").toString
       TextStats.writeBm25Index(docs, "doc_id", col("text"), path)
@@ -3168,7 +3170,7 @@ object ExtensionProbes {
   private val x143 = Probe(
     "x143_hybrid_rrf_indexed",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = Readers.fanOut(t(s, dir, "documents"))
       val path = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(graft.TmpDir.root), "x143_bm25").toString
       TextStats.writeBm25Index(docs, "doc_id", col("text"), path)
@@ -3179,7 +3181,7 @@ object ExtensionProbes {
           TextStats.probeBm25Index(s, path, queries, "query_id", col("qtext")),
           "query_id", "doc_id", k = 10)
         .select(col("query_id"), col("doc_id"), col("rank"))
-      val emb = t(s, dir, "embeddings")
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
       val qVec = emb.filter(pmod(col("vec_id"), lit(97L)) === 1L)
         .select((col("vec_id") * 1000L).as("query_id"), col("embedding").as("qvec"))
       val semantic = Similarity.bruteForceTopK(qVec, "query_id", "qvec",
@@ -3204,8 +3206,10 @@ object ExtensionProbes {
   private val x147 = Probe(
     "x147_hybrid_indexed",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
+      // fan both single-file reads out (guide §2.5): index builds and
+      // the probe arms otherwise tokenize/score on one scan task
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
       val bmPath = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(graft.TmpDir.root), "x147_bm25").toString
       TextStats.writeBm25Index(docs, "doc_id", col("text"), bmPath)
@@ -3241,8 +3245,8 @@ object ExtensionProbes {
   private val x149 = Probe(
     "x149_hybrid_pruned_recall",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
+      val docs = Readers.fanOut(t(s, dir, "documents"))
+      val emb = Readers.fanOut(t(s, dir, "embeddings"))
       val bmPath = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(graft.TmpDir.root), "x149_bm25").toString
       TextStats.writeBm25Index(docs, "doc_id", col("text"), bmPath)
@@ -3289,7 +3293,7 @@ object ExtensionProbes {
   private val x136 = Probe(
     "x136_domain_balance",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = Readers.fanOut(t(s, dir, "documents"))
         .withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(4L))))
       Sampling.domainBalance(docs, col("grp"),
           size(TextStats.tokens(col("text"))),
@@ -3320,7 +3324,7 @@ object ExtensionProbes {
   private val x144 = Probe(
     "x144_domain_balance_indexed",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = Readers.fanOut(t(s, dir, "documents"))
         .withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(4L))))
       val path = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(graft.TmpDir.root), "x144_srctok").toString
@@ -3381,7 +3385,7 @@ object ExtensionProbes {
   private val x140 = Probe(
     "x140_balance_to_target",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = Readers.fanOut(t(s, dir, "documents"))
         .withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(4L))))
       Sampling.balanceToTarget(docs, col("grp"), col("doc_id"),
           size(TextStats.tokens(col("text"))),
@@ -3426,7 +3430,7 @@ object ExtensionProbes {
   private val x148 = Probe(
     "x148_balance_to_shards",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = Readers.fanOut(t(s, dir, "documents"))
         .withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(4L))))
       val tk = size(TextStats.tokens(col("text")))
       val kept = Sampling.balanceToTarget(docs, col("grp"), col("doc_id"), tk,
