@@ -39,4 +39,35 @@ object Canonical {
     */
   def bindOnce(e: Column)(body: Column => Column): Column =
     element_at(transform(array(e), body), 1)
+
+  /** Stage expensive derived columns behind a PLAN barrier so each
+    * expression evaluates ONCE per row no matter how many downstream
+    * references exist (round 15, guide §1.2 per-task work).
+    *
+    * Why [[bindOnce]] alone is not enough: `withColumn` projections are
+    * collapsed by Catalyst's `CollapseProject`, which INLINES a derived
+    * column's whole expression tree into every downstream reference —
+    * and subexpression elimination skips trees containing higher-order
+    * functions, so a stat struct referenced by k derived fractions
+    * re-runs its tokenize/regex tree k times per row. Measured on the
+    * composed x72 preclean: 4.7 s lazy vs 1.1 s for the same stages
+    * reading checkpoints — the upstream regex chain re-ran inside every
+    * collapsed reference.
+    *
+    * Implementation: `explode(array(struct(staged…)))` — a Generate node
+    * evaluates the struct once per row (1-element array: exactly one
+    * output row per input, nulls ride inside the struct), and
+    * CollapseProject cannot inline through a Generate, so downstream
+    * references are plain attribute/field reads. Shuffle-free,
+    * whole-stage-codegen eligible, row order preserved.
+    */
+  def stageOnce(df: org.apache.spark.sql.DataFrame,
+      staged: Seq[(String, Column)]): org.apache.spark.sql.DataFrame = {
+    require(staged.nonEmpty, "stageOnce needs at least one column")
+    val tmp = "__stage_once"
+    df.select(col("*"),
+        explode(array(struct(staged.map { case (n, e) => e.as(n) }: _*))).as(tmp))
+      .select(col("*"), col(s"$tmp.*"))
+      .drop(tmp)
+  }
 }

@@ -113,18 +113,28 @@ object Classify {
   def annotateWith(docs: DataFrame, table: Map[Long, Long],
       textCol: String = "text"): DataFrame = {
     val lut = typedlit(table)
-    docs
-      .withColumn("__clf_toks", TextStats.lmTokens(col(textCol)))
-      .withColumn("__clf_fs", featuresFromToks(col("__clf_toks")))
-      .withColumn("clf_n_feats", size(col("__clf_fs")).cast("long"))
-      .withColumn("clf_centi", aggregate(
-        transform(col("__clf_fs"), f => coalesce(element_at(lut, bucketOf(f)), lit(0L))),
-        lit(0L), (acc, x) => acc + x))
+    // ONE evaluation of tokenize→features per row (round 15): the
+    // feature array is let-bound ([[graft.Canonical.bindOnce]]) so both
+    // aggregates read the same array, and the (count, sum) pair is
+    // staged behind a plan barrier ([[graft.Canonical.stageOnce]]) so
+    // downstream references (clf_score, keep predicates, collapsed
+    // projections) never inline the tokenize tree again
+    val stats = graft.Canonical.bindOnce(
+        featuresFromToks(TextStats.lmTokens(col(textCol)))) { fs =>
+      struct(
+        size(fs).cast("long").as("n"),
+        aggregate(
+          transform(fs, f => coalesce(element_at(lut, bucketOf(f)), lit(0L))),
+          lit(0L), (acc, x) => acc + x).as("centi"))
+    }
+    graft.Canonical.stageOnce(docs, Seq("__clf" -> stats))
+      .withColumn("clf_n_feats", col("__clf.n"))
+      .withColumn("clf_centi", col("__clf.centi"))
       .withColumn("clf_score", graft.Canonical.round4(
         when(col("clf_n_feats") === 0L, lit(0.0))
           .otherwise(col("clf_centi").cast("double") /
             (col("clf_n_feats").cast("double") * lit(100.0)))))
-      .drop("__clf_toks", "__clf_fs")
+      .drop("__clf")
   }
 
   /** TRAIN a weight table from a labeled corpus — the missing half of the

@@ -662,11 +662,15 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
-      val grew = out.join(edges, Seq("u", "v"), "left_anti").isEmpty
-      val shrank = edges.join(out, Seq("u", "v"), "left_anti").isEmpty
+      // convergence = set equality, checked as ONE symmetric-difference
+      // action (round 15, guide §1.2 job-count: this ran as two separate
+      // isEmpty anti-joins — 3 driver-serialized jobs per round instead
+      // of 2, on sets that are both already checkpointed)
+      converged = out.join(edges, Seq("u", "v"), "left_anti")
+        .unionByName(edges.join(out, Seq("u", "v"), "left_anti"))
+        .isEmpty
       edges.unpersist() // superseded checkpoint — keep at most 2 copies pinned
       edges = out
-      converged = grew && shrank
       i += 1
     }
     if (!converged) {
@@ -983,9 +987,12 @@ object Dedup {
     val survivors = batch.join(
       exactStatus.filter(col("__exact_of").isNotNull).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
+    // persist (not count-pinned): each table feeds signatures AND
+    // verification, and the signature checkpoints below materialize the
+    // caches as a side effect — the explicit counts were two extra
+    // driver-serialized jobs buying nothing (round 15, guide §1.2)
     val shC = shingleTable(corpus, idCol, text, n).persist()
     val shB = shingleTable(survivors, idCol, text, n).persist()
-    shC.count(); shB.count() // eager: each feeds signatures AND verification
     def banded(sig: DataFrame, side: String) =
       sig.select(col("id").as(side), explode(array(bandExprs(bands, rowsPerBand): _*)).as("band"))
         .select(col(side), col("band.band_idx"), col("band.band_hash"))

@@ -97,7 +97,15 @@ object Html {
   /** Annotate `docs` with `outCol` = extracted text of `htmlCol` (the
     * audit/composable form; chain `.drop(htmlCol)` to shed the markup
     * bytes before anything shuffles downstream).
+    *
+    * The extracted column is staged behind a plan barrier
+    * ([[graft.Canonical.stageOnce]]): the regex chain runs ONCE per row
+    * even when downstream stages reference the text many times —
+    * CollapseProject would otherwise inline the whole chain into every
+    * reference (measured 4.7 s → ~1.5 s on the composed x72 preclean).
     */
   def extractText(docs: DataFrame, htmlCol: String, outCol: String = "text_extracted"): DataFrame =
-    docs.withColumn(outCol, htmlToText(col(htmlCol)))
+    graft.Canonical.stageOnce(
+      if (docs.columns.contains(outCol)) docs.drop(outCol) else docs,
+      Seq(outCol -> htmlToText(col(htmlCol))))
 }

@@ -284,12 +284,18 @@ object Repetition {
         (length(text) - length(replace(text, lit("…"), lit(""))))
     def frac(num: Column, den: Column): Column =
       round4(when(den > 0L, num.cast("double") / den.cast("double")).otherwise(lit(0.0)))
-    docs
-      .withColumn("__gq_t", tokStats)
-      .withColumn("__gq_l", lineStats)
+    // stageOnce, not withColumn (round 15): CollapseProject inlines a
+    // withColumn's tree into EVERY downstream reference, and the HOF
+    // structs are excluded from subexpression elimination — the eight
+    // derived fractions would re-run the tokenize/HOF trees (and any
+    // upstream text-producing chain, e.g. HTML extraction) per reference
+    graft.Canonical.stageOnce(docs, Seq(
+        "__gq_t" -> tokStats,
+        "__gq_l" -> lineStats,
+        "__gq_sym" -> symbols.cast("long")))
       .withColumn("n_words", col("__gq_t.n"))
       .withColumn("mean_word_len", frac(col("__gq_t.chars"), col("__gq_t.n")))
-      .withColumn("symbol_word_ratio", frac(symbols.cast("long"), col("__gq_t.n")))
+      .withColumn("symbol_word_ratio", frac(col("__gq_sym"), col("__gq_t.n")))
       .withColumn("bullet_line_frac", frac(col("__gq_l.bullet"), col("__gq_l.n")))
       .withColumn("ellipsis_line_frac", frac(col("__gq_l.ellip"), col("__gq_l.n")))
       .withColumn("alpha_word_frac", frac(col("__gq_t.alpha"), col("__gq_t.n")))
@@ -303,6 +309,6 @@ object Repetition {
           col("ellipsis_line_frac") <= maxEllipsisLineFrac &&
           col("alpha_word_frac") >= minAlphaWordFrac &&
           col("stopword_hits") >= minStopwordHits)
-      .drop("__gq_t", "__gq_l")
+      .drop("__gq_t", "__gq_l", "__gq_sym")
   }
 }

@@ -568,21 +568,47 @@ object TextStats {
     }
   }
 
-  /** All stats in one projection over a document table. */
+  /** All stats in one projection over a document table.
+    *
+    * The text is let-bound and the token array shared, and the whole
+    * stat struct is staged behind a plan barrier
+    * ([[graft.Canonical.stageOnce]], round 15): a withColumn chain gets
+    * CollapseProject-inlined into every downstream reference, so
+    * `quality_score`'s references to the token stats re-ran the
+    * tokenizer (and, composed after a scrub/extract stage, the upstream
+    * regex chain) several times per row. One evaluation now, same
+    * values and column order.
+    */
   def withStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    docs
-      .withColumn("toks", tokens(t))
-      .withColumn("n_chars_calc", length(t).cast("long"))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("n_regex_tokens", regexTokenCount(t).cast("long"))
-      .withColumn("punct_ratio", punctRatio(t))
-      .withColumn("stopword_ratio", stopwordRatio(col("toks")))
-      .withColumn("quality_score",
-        qualityScore(col("n_tokens"), col("punct_ratio"), col("stopword_ratio")))
-      .withColumn("pred_lang", langId(t))
-      .withColumn("fingerprint", fingerprint(t))
-      .drop("toks")
+    val stats = graft.Canonical.bindOnce(col(textCol)) { t =>
+      graft.Canonical.bindOnce(tokens(t)) { toks =>
+        graft.Canonical.bindOnce(punctRatio(t)) { punct =>
+          graft.Canonical.bindOnce(stopwordRatio(toks)) { stop =>
+            graft.Canonical.bindOnce(size(toks).cast("long")) { nToks =>
+              struct(
+                length(t).cast("long").as("n_chars_calc"),
+                nToks.as("n_tokens"),
+                regexTokenCount(t).cast("long").as("n_regex_tokens"),
+                punct.as("punct_ratio"),
+                stop.as("stopword_ratio"),
+                qualityScore(nToks, punct, stop).as("quality_score"),
+                langId(t).as("pred_lang"),
+                fingerprint(t).as("fingerprint"))
+            }
+          }
+        }
+      }
+    }
+    graft.Canonical.stageOnce(docs, Seq("__ws" -> stats))
+      .withColumn("n_chars_calc", col("__ws.n_chars_calc"))
+      .withColumn("n_tokens", col("__ws.n_tokens"))
+      .withColumn("n_regex_tokens", col("__ws.n_regex_tokens"))
+      .withColumn("punct_ratio", col("__ws.punct_ratio"))
+      .withColumn("stopword_ratio", col("__ws.stopword_ratio"))
+      .withColumn("quality_score", col("__ws.quality_score"))
+      .withColumn("pred_lang", col("__ws.pred_lang"))
+      .withColumn("fingerprint", col("__ws.fingerprint"))
+      .drop("__ws")
   }
 
   // — C4-style line-level cleaning ————————————————————————————————————————
@@ -914,12 +940,28 @@ object TextStats {
   private def doclenOf(docs: DataFrame, idCol: String, text: Column): DataFrame =
     docs.select(col(idCol).as("id"), size(tokens(lower(text))).cast("double").as("__dl"))
 
-  /** Default sizing for the index's id Bloom sketch (overridable at
-    * build): ~4M ids at fpp 0.01 is a few MB driver-side; the sketch
-    * saturates gracefully past it (fpp degrades, correctness doesn't —
-    * positives always verify exactly against the table).
+  /** Cap (and legacy default) for the index's id Bloom sketch: ~4M ids
+    * at fpp 0.01 is a few MB driver-side; the sketch saturates
+    * gracefully past it (fpp degrades, correctness doesn't — positives
+    * always verify exactly against the table).
     */
   val Bm25BloomItems: Long = 1L << 22
+
+  /** Floor for the auto-sized sketch (~20 KB at fpp 0.01). */
+  val Bm25BloomMinItems: Long = 1L << 14
+
+  /** Auto-size the id sketch from the measured build-corpus count
+    * (round 15, guide §2.3 "narrower types" applied to the sketch): the
+    * fixed 4M-item default made EVERY build pay a ~5 MB-per-task
+    * aggregation — measured ~1.1 s of a 2.3 s warm build at sf0.1, on an
+    * index of 10⁴ ids that needs a 48 KB sketch. 4× headroom leaves room
+    * for folds before fpp drifts; the cap preserves the old worst-case
+    * driver/executor footprint, the floor keeps tiny builds from a
+    * useless sketch. Explicit `expectedItems` still wins (pinned in
+    * meta.json either way, so a lost sketch rebuilds at the same size).
+    */
+  def bm25BloomAutoItems(nDocs: Long): Long =
+    math.min(Bm25BloomItems, math.max(Bm25BloomMinItems, 4L * nDocs))
 
   /** Exact additive sufficient statistics of the index, pinned in
     * `meta.json`: token counts are integers, so `sum_dl` is
@@ -954,19 +996,29 @@ object TextStats {
     * disagree with the tables.
     */
   def writeBm25Index(docs: DataFrame, idCol: String, text: Column, path: String,
-      expectedItems: Long = Bm25BloomItems, fpp: Double = 0.01): Unit = {
+      expectedItems: Long = 0L /* 0 = auto-size from the corpus count */,
+      fpp: Double = 0.01): Unit = {
     val spark = docs.sparkSession
     val (fs, metaP) = Dedup.hadoopFs(spark, s"$path/meta.json")
     if (fs.exists(metaP)) fs.delete(metaP, false)
     // doclen FIRST (round 15): its (n, sum_dl) aggregate sizes the
     // adaptive term-partition count BEFORE any postings land, and the
-    // empty-build guard now fires before a partitionBy dir even exists
-    doclenOf(docs, idCol, text).write.mode("overwrite").parquet(s"$path/doclen")
+    // empty-build guard now fires before a partitionBy dir even exists.
+    // The aggregate rides the write job via observe() — same exact
+    // integer sums, one less pass over doclen (guide §1.2 job-count).
+    val obs = new org.apache.spark.sql.Observation()
+    doclenOf(docs, idCol, text)
+      .observe(obs, count(lit(1)).as("n"), sum(col("__dl").cast("long")).as("s"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
+    val row = obs.get
+    val (n, sumDl) =
+      (row("n").asInstanceOf[Long],
+        Option(row("s")).map(_.asInstanceOf[Long]).getOrElse(0L))
     val doclen = spark.read.parquet(s"$path/doclen")
-    val (n, sumDl) = bm25AggDoclen(doclen)
     require(n > 0, s"refusing to build an EMPTY BM25 index at $path — " +
       "a partitioned postings dir with no part files is unreadable; " +
       "build from the first non-empty batch instead")
+    val items = if (expectedItems > 0L) expectedItems else bm25BloomAutoItems(n)
     val tp = bm25TpPartitions(sumDl)
     // layout.json is WRITE-ONCE per build: id_col and the term-partition
     // modulus are layout facts no fold ever changes, so they get a file
@@ -979,11 +1031,11 @@ object TextStats {
     postingsOf(docs, idCol, text, tp)
       .write.mode("overwrite").partitionBy("__tp").parquet(s"$path/postings")
     val bf = doclen.select(xxhash64(col("id")).as("__k"))
-      .stat.bloomFilter("__k", expectedItems, fpp)
-    Dedup.writeBloomFileAtomic(spark, path, bf, expectedItems, fpp)
+      .stat.bloomFilter("__k", items, fpp)
+    Dedup.writeBloomFileAtomic(spark, path, bf, items, fpp)
     val (dfs, dirtyP) = Dedup.hadoopFs(spark, s"$path/stats.dirty")
     if (dfs.exists(dirtyP)) dfs.delete(dirtyP, false) // stale intent marker
-    writeBm25Meta(spark, path, Bm25Meta(idCol, n, sumDl, expectedItems, fpp, tp))
+    writeBm25Meta(spark, path, Bm25Meta(idCol, n, sumDl, items, fpp, tp))
   }
 
   /** The id column from `meta.json`, with the round-15 crash fallback:
@@ -1257,14 +1309,19 @@ object TextStats {
     val qTerms = queries.select(col(qIdCol),
       explode(array_distinct(tokens(lower(qText)))).as("__term"))
       .localCheckpoint()
-    val small = qTerms.count() <= queryBroadcastCap
-    def gated(f: DataFrame): DataFrame = if (small) broadcast(f) else f
-    // matched term partitions under the INDEX's pinned modulus (meta.tp —
-    // the layout is the index's, never a constant), collected driver-side
-    // (≤ meta.tp values) → directory-level pruning on the postings scan
-    val tps = qTerms
+    // ONE aggregate job serves both driver decisions (round 15, guide
+    // §1.2 job-count): the per-slot counts give the matched term
+    // partitions under the INDEX's pinned modulus (meta.tp — the layout
+    // is the index's, never a constant; ≤ meta.tp rows collected) →
+    // directory-level pruning on the postings scan — and their sum is
+    // |qTerms|, the broadcast-gate evidence (previously a separate
+    // count() pass over the same checkpointed rows).
+    val slotCounts = qTerms
       .select(pmod(xxhash64(col("__term")), lit(meta.tp.toLong)).as("__tp"))
-      .distinct().collect().map(_.getLong(0).toInt)
+      .groupBy(col("__tp")).count().collect()
+    val tps = slotCounts.map(_.getLong(0).toInt)
+    val small = slotCounts.map(_.getLong(1)).sum <= queryBroadcastCap
+    def gated(f: DataFrame): DataFrame = if (small) broadcast(f) else f
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("__tp").isin(tps: _*))
       .join(gated(qTerms.select(col("__term")).distinct()), Seq("__term"), "left_semi")

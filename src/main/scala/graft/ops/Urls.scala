@@ -79,33 +79,39 @@ object Urls {
     * `get` is the 0-based null-safe array accessor, so short hosts never
     * trip ANSI out-of-range errors.
     */
-  def registeredDomain(h: Column): Column = {
-    val parts = split(h, "\\.")
-    val n = size(parts)
-    val l1 = element_at(parts, -1)
-    val l2 = get(parts, n - 2)
-    val l3 = get(parts, n - 3)
-    val last2 = concat_ws(".", l2, l1)
-    when(h === "", lit(null).cast("string"))
-      .when(n <= 2, h)
-      .when(last2.isin(TwoLevelSuffixes: _*) && l3.isNotNull,
-        concat_ws(".", l3, l2, l1))
-      .otherwise(last2)
-  }
+  def registeredDomain(h: Column): Column =
+    // let-bind the host and its label array (round 15): the rule reads
+    // `h` twice and `parts` ~8 times — unbound, each read re-runs the
+    // whole host-producing regex tree this column is composed over
+    graft.Canonical.bindOnce(h) { hh =>
+      graft.Canonical.bindOnce(split(hh, "\\.")) { parts =>
+        val n = size(parts)
+        val l1 = element_at(parts, -1)
+        val l2 = get(parts, n - 2)
+        val l3 = get(parts, n - 3)
+        val last2 = concat_ws(".", l2, l1)
+        when(hh === "", lit(null).cast("string"))
+          .when(n <= 2, hh)
+          .when(last2.isin(TwoLevelSuffixes: _*) && l3.isNotNull,
+            concat_ws(".", l3, l2, l1))
+          .otherwise(last2)
+      }
+    }
 
   /** Annotate a frame with `url_host`, `url_domain` (registered domain of
     * the www-stripped host), `url_tld`, and `url_valid`. One projection,
     * no shuffle; the host subexpression is bound once and reused by the
     * derived columns inside the same whole-stage-codegen span.
     */
-  def annotate(docs: DataFrame, urlCol: String): DataFrame = {
-    val h = host(col(urlCol))
-    docs
-      .withColumn("url_host", h)
+  def annotate(docs: DataFrame, urlCol: String): DataFrame =
+    // stage url_host behind a plan barrier (round 15): the derived
+    // columns reference it 3× and CollapseProject would inline the host
+    // regex tree into each — downstream consumers (gate verdicts,
+    // grouping keys) multiply it further
+    graft.Canonical.stageOnce(docs, Seq("url_host" -> host(col(urlCol))))
       .withColumn("url_domain", registeredDomain(hostNorm(col("url_host"))))
       .withColumn("url_tld", tld(hostNorm(col("url_host"))))
       .withColumn("url_valid", col("url_host") =!= "")
-  }
 
   /** The gate predicate over annotated columns: valid URL, domain not
     * blocked, TLD not blocked, no blocked substring anywhere in the
@@ -119,14 +125,20 @@ object Urls {
       blockedDomains: Seq[String] = BlockedDomains,
       blockedTlds: Seq[String] = BlockedTlds,
       blockedSubstrings: Seq[String] = BlockedHostSubstrings): Column = {
-    val hn = hostNorm(hostCol)
-    val noSubstring = blockedSubstrings
-      .map(s => !hn.contains(s))
-      .reduceOption(_ && _).getOrElse(lit(true))
-    hostCol =!= "" &&
-      !coalesce(domainCol, lit("")).isin(blockedDomains: _*) &&
-      !coalesce(tldCol, lit("")).isin(blockedTlds: _*) &&
-      noSubstring
+    // bind the host and its www-stripped form: every blocked substring
+    // reads hn, and unbound each read re-runs hostNorm AND the host
+    // expression the caller composed it over (round 15)
+    graft.Canonical.bindOnce(hostCol) { hc =>
+      val noSubstring = graft.Canonical.bindOnce(hostNorm(hc)) { hn =>
+        blockedSubstrings
+          .map(s => !hn.contains(s))
+          .reduceOption(_ && _).getOrElse(lit(true))
+      }
+      hc =!= "" &&
+        !coalesce(domainCol, lit("")).isin(blockedDomains: _*) &&
+        !coalesce(tldCol, lit("")).isin(blockedTlds: _*) &&
+        noSubstring
+    }
   }
 
   /** Annotate + gate: adds `url_kept` alongside the annotation columns
@@ -154,9 +166,15 @@ object Urls {
       blockedDomains: Seq[String] = BlockedDomains,
       blockedTlds: Seq[String] = BlockedTlds,
       blockedSubstrings: Seq[String] = BlockedHostSubstrings): DataFrame = {
-    val h = host(col(urlCol))
-    docs.filter(keepPredicate(h, registeredDomain(hostNorm(h)), tld(hostNorm(h)),
-      blockedDomains, blockedTlds, blockedSubstrings))
+    // bind host/hostNorm once: the predicate otherwise re-runs the host
+    // regex tree per reference (≈15× counting registeredDomain's label
+    // reads before its own binding — round 15)
+    docs.filter(graft.Canonical.bindOnce(host(col(urlCol))) { h =>
+      graft.Canonical.bindOnce(hostNorm(h)) { hn =>
+        keepPredicate(h, registeredDomain(hn), tld(hn),
+          blockedDomains, blockedTlds, blockedSubstrings)
+      }
+    })
   }
 
   /** Query parameters the canonical form drops — the tracking junk that
@@ -179,29 +197,38 @@ object Urls {
     * extraction regexes plus array arithmetic over the split query — no
     * shuffle, no UDF.
     */
-  def canonicalize(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
-    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val auth = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
-    val hostPort = lower(regexp_replace(auth, "^.*@", ""))
-    val noDefPort = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
-      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
-      .otherwise(hostPort)
-    // ALL trailing dots (not just the FQDN-root one): a host like
-    // "example.com.." must reach its fixed point in one pass so
-    // canonicalize is idempotent (property-tested)
-    val hostC = regexp_replace(noDefPort, "\\.+$", "")
-    val path = regexp_replace(
-      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
-      "/+$", "")
-    val q = regexp_extract(noFrag, "\\?([^#]*)", 1)
-    val keptParams = array_sort(filter(split(q, "&"),
-      p => p =!= "" && !p.rlike(TrackingParamRe)))
-    val qc = array_join(keptParams, "&")
-    when(auth === "", url).otherwise(
-      concat(scheme, lit("://"), hostC, path,
-        when(qc === "", lit("")).otherwise(concat(lit("?"), qc))))
-  }
+  def canonicalize(url: Column): Column =
+    // let-bind each reused regex product (round 15): noFrag feeds four
+    // extracts, auth/scheme/hostPort/qc are each read 2-3 times — the
+    // unbound tree re-ran regexp passes per reference
+    graft.Canonical.bindOnce(regexp_replace(url, "#.*$", "")) { noFrag =>
+      graft.Canonical.bindOnce(
+          lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))) { scheme =>
+        graft.Canonical.bindOnce(
+            regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)) { auth =>
+          graft.Canonical.bindOnce(lower(regexp_replace(auth, "^.*@", ""))) { hostPort =>
+            val noDefPort = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+              .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+              .otherwise(hostPort)
+            // ALL trailing dots (not just the FQDN-root one): a host like
+            // "example.com.." must reach its fixed point in one pass so
+            // canonicalize is idempotent (property-tested)
+            val hostC = regexp_replace(noDefPort, "\\.+$", "")
+            val path = regexp_replace(
+              regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+              "/+$", "")
+            val q = regexp_extract(noFrag, "\\?([^#]*)", 1)
+            val keptParams = array_sort(filter(split(q, "&"),
+              p => p =!= "" && !p.rlike(TrackingParamRe)))
+            graft.Canonical.bindOnce(array_join(keptParams, "&")) { qc =>
+              when(auth === "", url).otherwise(
+                concat(scheme, lit("://"), hostC, path,
+                  when(qc === "", lit("")).otherwise(concat(lit("?"), qc))))
+            }
+          }
+        }
+      }
+    }
 
   /** URL-keyed exact dedup — the cut web pipelines run BEFORE content
     * dedup (recrawls and tracking-param variants of one page are the

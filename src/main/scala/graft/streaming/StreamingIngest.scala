@@ -742,7 +742,12 @@ object StreamingIngest {
         // entirely, leaving meta.json absent; later batches append
         if (!fs.exists(mp)) {
           if (!batch.isEmpty)
-            graft.ops.TextStats.writeBm25Index(batch.toDF(), idCol, col(textCol), indexPath)
+            // explicit full-size sketch: a stream's FIRST micro-batch says
+            // nothing about the eventual corpus, so the batch-count
+            // auto-sizing (right for one-shot builds) would saturate here
+            // and degrade later folds toward O(index)
+            graft.ops.TextStats.writeBm25Index(batch.toDF(), idCol, col(textCol), indexPath,
+              expectedItems = graft.ops.TextStats.Bm25BloomItems)
         } else
           graft.ops.TextStats.appendToBm25Index(spark, indexPath, batch.toDF(),
             idCol, col(textCol))
