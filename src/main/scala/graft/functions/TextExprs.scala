@@ -558,6 +558,168 @@ case class CompressionRatio(child: Expression) extends UnaryExpression {
   override def prettyName: String = "compression_ratio"
 }
 
+/** Whitespace tokenization kernel for [[WhitespaceTokens]] /
+  * [[WordShingles]] — the engine's hottest scalar path (every shingle,
+  * MinHash, BM25, stat and packing operator tokenizes first). Byte-exact
+  * twin of `filter(split(text, "\\s+"), _ != "")`: Java `\s` is the six
+  * ASCII bytes 0x09-0x0D and 0x20, and multi-byte UTF-8 sequences never
+  * contain bytes < 0x80, so a raw byte scan splits on EXACTLY the
+  * separators the regex does — with no regex machinery, no UTF-16 decode
+  * of the document, and no per-token String round-trip (measured ~3× on
+  * the tokenize-bound scans at sf0.1; EngineProps pins kernel ≡ regex on
+  * adversarial text). Token bytes are COPIED out (never sliced as views)
+  * because the input may live in a reused row/column buffer.
+  */
+object WsTokenKernel {
+  import org.apache.spark.unsafe.Platform
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  private def slice(base: AnyRef, off: Long, start: Int, len: Int): UTF8String = {
+    val arr = new Array[Byte](len)
+    Platform.copyMemory(base, off + start, arr, Platform.BYTE_ARRAY_OFFSET, len)
+    UTF8String.fromBytes(arr)
+  }
+
+  /** Non-empty tokens between `\s+` runs. */
+  def tokens(input: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val nb = input.numBytes
+    val base = input.getBaseObject
+    val off = input.getBaseOffset
+    val out = new java.util.ArrayList[Object](16)
+    var i = 0
+    var start = -1
+    while (i < nb) {
+      if (isWs(Platform.getByte(base, off + i))) {
+        if (start >= 0) { out.add(slice(base, off, start, i - start)); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) out.add(slice(base, off, start, nb - start))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** Distinct space-joined word `n`-grams in first-occurrence order — the
+    * kernel form of
+    * `array_distinct(transform(sequence(1, T-n+1), i -> concat_ws(" ", slice(toks, i, n))))`
+    * over the [[tokens]] array (empty when the document has fewer than `n`
+    * tokens). One byte scan finds token spans, each shingle is assembled
+    * with a single byte copy per gram, and the HOF chain's per-position
+    * array slice + lambda evaluation disappears.
+    */
+  def shingles(input: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val nb = input.numBytes
+    val base = input.getBaseObject
+    val off = input.getBaseOffset
+    var starts = new Array[Int](16)
+    var lens = new Array[Int](16)
+    var t = 0
+    var i = 0
+    var start = -1
+    def push(s: Int, e: Int): Unit = {
+      if (t == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, t * 2)
+        lens = java.util.Arrays.copyOf(lens, t * 2)
+      }
+      starts(t) = s; lens(t) = e - s; t += 1
+    }
+    while (i < nb) {
+      if (isWs(Platform.getByte(base, off + i))) {
+        if (start >= 0) { push(start, i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) push(start, nb)
+    if (t < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Object](0))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var p = 0
+    while (p <= t - n) {
+      var bytes = n - 1 // single-space joints
+      var j = 0
+      while (j < n) { bytes += lens(p + j); j += 1 }
+      val arr = new Array[Byte](bytes)
+      var w = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { arr(w) = ' '; w += 1 }
+        Platform.copyMemory(base, off + starts(p + j), arr,
+          Platform.BYTE_ARRAY_OFFSET + w, lens(p + j))
+        w += lens(p + j)
+        j += 1
+      }
+      seen.add(UTF8String.fromBytes(arr))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray(new Array[Object](seen.size)))
+  }
+}
+
+/** `ws_tokens(text)` — whitespace tokens, empties dropped; the codegen'd
+  * kernel form of `filter(split(text, "\\s+"), _ != "")` (see
+  * [[WsTokenKernel]]). Null in → null out, matching the regex form.
+  */
+case class WhitespaceTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = true)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ws_tokens requires string input, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    WsTokenKernel.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WsTokenKernel.tokens($a);")
+
+  override protected def withNewChildInternal(c: Expression): WhitespaceTokens = copy(c)
+  override def prettyName: String = "ws_tokens"
+}
+
+/** `ws_shingles(text, n)` — distinct space-joined word n-grams in
+  * first-occurrence order (see [[WsTokenKernel.shingles]]); empty array
+  * for short documents AND for null text, matching the HOF form's
+  * `when(size(toks) >= n, …).otherwise(array())` null semantics.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ws_shingles requires string input, got ${child.dataType}")
+
+  private val Empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Object](0))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) Empty else WsTokenKernel.shingles(v.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} = ${c.isNull} ?
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[0]) :
+          graft.functions.WsTokenKernel.shingles(${c.value}, $n);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  override def prettyName: String = "ws_shingles"
+}
+
 object TextFunctions {
   def fingerprint(text: Column): Column =
     GraftSqlBridge.column(PositionalFingerprint(GraftSqlBridge.expression(text)))
@@ -579,4 +741,10 @@ object TextFunctions {
 
   def bpeTokenize(text: Column, merges: Seq[(String, String)]): Column =
     GraftSqlBridge.column(BpeTokenizeExpr(GraftSqlBridge.expression(text), merges))
+
+  def wsTokens(text: Column): Column =
+    GraftSqlBridge.column(WhitespaceTokens(GraftSqlBridge.expression(text)))
+
+  def wsShingles(text: Column, n: Int): Column =
+    GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(text), n))
 }

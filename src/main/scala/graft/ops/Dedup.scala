@@ -309,20 +309,16 @@ object Dedup {
       .select(col(idCol), col(textCol))
   }
 
-  /** Word n-gram shingles of a text column (distinct per doc). Empty/short
-    * docs yield an empty set.
+  /** Word n-gram shingles of a text column (distinct per doc,
+    * first-occurrence order). Empty/short docs yield an empty set.
+    * One codegen'd kernel scan ([[graft.functions.WordShingles]],
+    * round 15, guide §1.2 per-task work) replacing the
+    * tokenize → sequence → per-position slice + concat_ws HOF chain —
+    * same values (EngineProps pins kernel ≡ HOF on adversarial text),
+    * no per-shingle array slicing or lambda interpretation.
     */
   def shingles(text: Column, n: Int): Column =
-    // bindOnce: the slice lambda must see a VARIABLE, not the
-    // filter(split(…)) tree — interpreted HOFs would re-tokenize the
-    // whole text per shingle position (O(len²) per row)
-    graft.Canonical.bindOnce(filter(split(text, "\\s+"), t => t =!= lit(""))) { toks =>
-      array_distinct(
-        when(size(toks) >= n,
-          transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => concat_ws(" ", slice(toks, i, lit(n)))))
-          .otherwise(array().cast("array<string>")))
-    }
+    graft.functions.TextFunctions.wsShingles(text, n)
 
   /** Exploded (id, shingle) table — build it ONCE (persist + eager count)
     * when several stages consume the same shingle set (signatures +
@@ -628,30 +624,43 @@ object Dedup {
     * hand a dedup pipeline two "canonical" copies of one document.
     */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val prevDesc = sc.getLocalProperty("spark.job.description")
     val nodes = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
       .localCheckpoint()
     // canonical orientation (u > v); self-pairs carry no linkage
-    var edges = pairs
+    var edgesCp = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    var converged = edges.isEmpty
+    var edges = edgesCp.select(col("u"), col("v"))
+    var edgeCount = edgesCp.count()
+    var converged = edgeCount == 0L
     var i = 0
     while (!converged && i < maxIter) {
+      sc.setJobDescription(s"components: round $i")
       // large-star: neighbors above each center re-attach to the
-      // neighborhood minimum
+      // neighborhood minimum. ONE exchange establishes the per-center
+      // partitioning; the min aggregate AND the re-attach join both reuse
+      // it (guide §2.4: operations keyed the same way share an exchange —
+      // the groupBy and the join each paid their own before round 15)
       val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
         .select(col("u").as("x"), col("v").as("nbr"))
+        .repartition(col("x"))
       val mins = sym.groupBy(col("x")).agg(min(col("nbr")).as("__mn"))
         .select(col("x"), least(col("__mn"), col("x")).as("m"))
+      // NOT deduped here: duplicate (u, m) rows (one per neighborhood the
+      // pair co-occurs in) are absorbed map-side by the min aggregate
+      // below and by the output distinct — the intermediate distinct was
+      // a full exchange per round buying nothing (round 15, guide §2.4)
       val large = sym.filter(col("nbr") > col("x"))
         .join(mins, Seq("x"))
         .select(col("nbr").as("u"), col("m").as("v"))
-        .distinct()
+        .repartition(col("u")) // shared by the small-star agg + join below
       // small-star: each center and its smaller neighbors attach to their
       // minimum (input/output both keep the u > v orientation)
       val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -661,20 +670,30 @@ object Dedup {
           .select(col("v").as("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
+      // convergence = set equality (out == edges), decomposed as
+      // |out ∩ edges| = |out| = |edges|: the membership flag rides the
+      // round's OWN checkpoint (a left join on the keys the distinct just
+      // partitioned by), so the check is one tiny scan-aggregate of the
+      // checkpointed frame — the former symmetric-difference action
+      // re-shuffled BOTH already-checkpointed sets every round (round 15,
+      // guide §2.4/§1.2: same exchanges, fewer; job count per round drops
+      // with it)
+      val ann = out
+        .join(edgesCp.select(col("u"), col("v"), lit(1).as("__old")),
+          Seq("u", "v"), "left")
         .localCheckpoint()
-      // convergence = set equality, checked as ONE symmetric-difference
-      // action (round 15, guide §1.2 job-count: this ran as two separate
-      // isEmpty anti-joins — 3 driver-serialized jobs per round instead
-      // of 2, on sets that are both already checkpointed)
-      converged = out.join(edges, Seq("u", "v"), "left_anti")
-        .unionByName(edges.join(out, Seq("u", "v"), "left_anti"))
-        .isEmpty
-      edges.unpersist() // superseded checkpoint — keep at most 2 copies pinned
-      edges = out
+      val row = ann.agg(count(lit(1)), count(col("__old"))).head()
+      val (nOut, nOverlap) = (row.getLong(0), row.getLong(1))
+      converged = nOut == nOverlap && nOverlap == edgeCount
+      edgesCp.unpersist() // superseded checkpoint — keep at most 2 copies pinned
+      edgesCp = ann
+      edges = ann.select(col("u"), col("v"))
+      edgeCount = nOut
       i += 1
     }
+    sc.setJobDescription(prevDesc)
     if (!converged) {
-      edges.unpersist() // release the checkpoint: a catch-and-retry loop must not accumulate them
+      edgesCp.unpersist() // release the checkpoint: a catch-and-retry loop must not accumulate them
       throw new IllegalStateException(
         s"components() did not converge in $maxIter rounds — star contraction needs " +
           s"O(log n) rounds on any graph, so this indicates maxIter far below log₂(nodes)")
@@ -3176,7 +3195,7 @@ object Dedup {
     * [[graft.functions.SimHashAgg]] kernel.
     */
   def simhash(df: DataFrame, idCol: String, text: Column): DataFrame =
-    df.select(col(idCol), explode(filter(split(text, "\\s+"), t => t =!= lit(""))).as("tok"))
+    df.select(col(idCol), explode(graft.functions.TextFunctions.wsTokens(text)).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
       .groupBy(col(idCol))
       .agg(graft.functions.HashAggFunctions.simhash_agg(col("h")).as("simhash"))

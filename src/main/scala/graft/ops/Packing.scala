@@ -133,7 +133,7 @@ object Packing {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     val sel = docs.select(col(idCol),
       posexplode(sentences(text)).as(Seq("pos", "sent")))
-    val tk = size(filter(split(col("sent"), "\\s+"), t => t =!= lit(""))).cast("long")
+    val tk = size(graft.functions.TextFunctions.wsTokens(col("sent"))).cast("long")
     val wCum = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withBucket = sel
@@ -168,7 +168,7 @@ object Packing {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     val sel = docs.select(col(idCol),
       posexplode(sentences(text)).as(Seq("pos", "sent")))
-    val tk = size(filter(split(col("sent"), "\\s+"), t => t =!= lit(""))).cast("long")
+    val tk = size(graft.functions.TextFunctions.wsTokens(col("sent"))).cast("long")
     val wCum = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withIdx = sel

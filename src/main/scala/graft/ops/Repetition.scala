@@ -46,7 +46,7 @@ object Repetition {
     * needs every occurrence.
     */
   def ngrams(text: Column, n: Int): Column =
-    ngramsFromToks(filter(split(text, "\\s+"), t => t =!= lit("")), n)
+    ngramsFromToks(graft.functions.TextFunctions.wsTokens(text), n)
 
   /** [[ngrams]] from a prebuilt token array — lets a caller that needs
     * several gram widths tokenize ONCE and share the array. The array is
@@ -139,7 +139,7 @@ object Repetition {
     * the consumer, exactly like the per-width originals).
     */
   private[ops] def ngramCharAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    val toks = graft.functions.TextFunctions.wsTokens(col(textCol))
     docs
       .select(col(idCol).as("id"),
         explode(concat(

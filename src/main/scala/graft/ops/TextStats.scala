@@ -13,9 +13,14 @@ object TextStats {
   /** English stopword sample present in the fixture vocabulary. */
   val EnStopwords: Seq[String] = Seq("the", "a")
 
-  /** Whitespace tokens, empties dropped. */
+  /** Whitespace tokens, empties dropped — the codegen'd
+    * [[graft.functions.WhitespaceTokens]] kernel (round 15, guide §1.2
+    * per-task work: byte-exact twin of `filter(split(text, "\\s+"), _ != "")`
+    * with no regex machinery or per-document UTF-16 round-trip;
+    * EngineProps pins kernel ≡ regex on adversarial text).
+    */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= lit(""))
+    graft.functions.TextFunctions.wsTokens(text)
 
   /** BPE-ish regex token count: word runs plus single non-word-non-space
     * symbols (`\w+|[^\w\s]`), the classic pre-tokenizer split.

@@ -257,6 +257,38 @@ object EngineProps extends Properties("engine") {
       got == expect
     }
 
+  property("ws-token + shingle kernels == regex/HOF forms on adversarial text") = {
+    // adversarial alphabet: every Java-\s separator byte (incl. VT and FF,
+    // where RE2's \s differs — the kernel must match the JAVA class),
+    // multi-byte code points, repeated words (distinct-order check), and
+    // ws runs at both ends
+    val piece = Gen.oneOf(
+      "a", "bb", "ccc", "a", "é", "漢漢", "😀", "x0!", "",
+      " ", "\t", "\n", "", "\f", "\r", "  ", " \t\r\n ")
+    forAll(Gen.listOfN(8, Gen.listOfN(24, piece).map(_.mkString))) { texts =>
+      val df = (texts :+ "" :+ "   " :+ (null: String)).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val regexToks = filter(split($"text", "\\s+"), t => t =!= lit(""))
+      val hofShingles = graft.Canonical.bindOnce(regexToks) { toks =>
+        array_distinct(
+          when(size(toks) >= 3,
+            transform(sequence(lit(1), size(toks) - 2),
+              i => concat_ws(" ", slice(toks, i, lit(3)))))
+            .otherwise(array().cast("array<string>")))
+      }
+      val rows = df.select(
+          graft.ops.TextStats.tokens($"text").as("kt"),
+          regexToks.as("rt"),
+          graft.ops.Dedup.shingles($"text", 3).as("ks"),
+          hofShingles.as("hs"))
+        .as[(Option[Seq[String]], Option[Seq[String]], Seq[String], Option[Seq[String]])]
+        .collect().toSeq
+      rows.forall { case (kt, rt, ks, hs) =>
+        kt == rt && ks == hs.getOrElse(Seq.empty)
+      }
+    }
+  }
+
   property("bpe kernel == portable HOF fold on adversarial text") = {
     // adversarial alphabet: merge-operand letters, merge OUTPUT digraphs as
     // raw text ("th" must re-merge identically), every Java-\s separator,
