@@ -200,6 +200,22 @@ object Bench {
         java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     }
 
+  /** Cumulative hypervisor-steal ticks (`/proc/stat` field 8; −1 when
+    * unavailable). Round 15: two same-commit full runs read a 2× spread
+    * on the same queries with cpu_share collapsed to 0.06–0.15 and load1
+    * NORMAL — no foreign process existed in the sandbox, so load1 and
+    * cpu_share alone could not name the thief. The sandbox is a VM on a
+    * shared host: `Δsteal/(wall×cores×USER_HZ)` near the missing
+    * cpu_share IS the attribution (measured ~12% steal mid-run while the
+    * guest itself ran ~11%). Per-sample `steal_share` makes a stolen
+    * window readable straight from the artifact.
+    */
+  private def stealTicks(): Long =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+      .linesIterator.next().trim.split("\\s+").lift(8).map(_.toLong).getOrElse(-1L)
+    catch { case _: Throwable => -1L }
+
   /** Cumulative CPU time of THIS JVM in nanos (−1 if the platform bean is
     * unavailable). load1 cannot attribute a slow sample — a local[32]
     * bench *generates* load ≈ its own parallelism — but the per-sample
@@ -369,13 +385,16 @@ object Bench {
       */
     /** Render one sample's telemetry object (shared by both legs). */
     def telemJson(phase: String, dt: Double, gc0: Long, cpu0: Long, l0: Double,
-        jit0: Long): String = {
+        jit0: Long, st0: Long): String = {
       val cpuShare =
         if (cpu0 < 0) -1.0
         else (processCpuNanos() - cpu0) / 1e9 / (dt * cpus.toDouble)
       val jitD = if (jit0 < 0) -1L else jitMillis() - jit0
       val ccUsed = codeCacheMb()._1
-      f"""{"phase":"$phase","sec":$dt%.3f,"gc_ms":${gcMillis() - gc0},"cpu_share":$cpuShare%.2f,"heap_peak_mb":${heapPeakMb()}%.0f,"jit_ms":$jitD,"code_cache_mb":$ccUsed%.0f,"load1":$l0%.2f,"load1_end":${load1()}%.2f}"""
+      // USER_HZ is 100 on every Linux ABI this runs on
+      val stealShare =
+        if (st0 < 0) -1.0 else (stealTicks() - st0) / 100.0 / (dt * cpus.toDouble)
+      f"""{"phase":"$phase","sec":$dt%.3f,"gc_ms":${gcMillis() - gc0},"cpu_share":$cpuShare%.2f,"steal_share":$stealShare%.2f,"heap_peak_mb":${heapPeakMb()}%.0f,"jit_ms":$jitD,"code_cache_mb":$ccUsed%.0f,"load1":$l0%.2f,"load1_end":${load1()}%.2f}"""
     }
 
     /** Drop persisted intermediates so queries are timed in isolation.
@@ -409,7 +428,7 @@ object Bench {
     def runOne(name: String, phase: String): Option[Double] = {
       val s0 = tap.settle() // drain the listener bus BEFORE the clock starts
       resetHeapPeaks()
-      val (gc0, cpu0, l0, jit0) = (gcMillis(), processCpuNanos(), load1(), jitMillis())
+      val (gc0, cpu0, l0, jit0, st0) = (gcMillis(), processCpuNanos(), load1(), jitMillis(), stealTicks())
       val t0 = System.nanoTime()
       val r =
         try {
@@ -426,7 +445,7 @@ object Bench {
         failed.remove(name)
         val d = tap.settle() - s0
         shuffle.update(name, d)
-        val tm = telemJson(phase, dt, gc0, cpu0, l0, jit0)
+        val tm = telemJson(phase, dt, gc0, cpu0, l0, jit0, st0)
         telem.updateWith(name)(v => Some(v.getOrElse(Vector.empty) :+ tm))
         System.err.println(f"""{"bench_sample":"$name","phase":"$phase","sec":$dt%.3f,"shuffle_r_mb":${d.readMb}%.2f,"shuffle_w_mb":${d.writeMb}%.2f,"spill_mb":${d.spillMb}%.2f,"telem":$tm}""")
       }
@@ -493,7 +512,7 @@ object Bench {
         def sf1Sample(n: String, phase: String): Unit = {
           val s0 = tap.settle()
           resetHeapPeaks()
-          val (gc0, cpu0, l0, jit0) = (gcMillis(), processCpuNanos(), load1(), jitMillis())
+          val (gc0, cpu0, l0, jit0, st0) = (gcMillis(), processCpuNanos(), load1(), jitMillis(), stealTicks())
           val t0 = System.nanoTime()
           try {
             fns(n)(spark, sf1Dir).write.format("noop").mode("overwrite").save()
@@ -505,7 +524,7 @@ object Bench {
             // signature at 10× must be visible in the artifact
             val d = tap.settle() - s0
             sf1Shuffle.update(n, d)
-            val tm = telemJson(phase, dt, gc0, cpu0, l0, jit0)
+            val tm = telemJson(phase, dt, gc0, cpu0, l0, jit0, st0)
             sf1Telem.updateWith(n)(v => Some(v.getOrElse(Vector.empty) :+ tm))
             System.err.println(f"""{"bench_sample":"$n","phase":"$phase","sec":$dt%.3f,"shuffle_r_mb":${d.readMb}%.2f,"shuffle_w_mb":${d.writeMb}%.2f,"spill_mb":${d.spillMb}%.2f,"telem":$tm}""")
           } catch {
